@@ -117,10 +117,12 @@ object Constants {
   )
 
   /** Age: keep 1-3 digit values in [0, 125] as INT64, else NULL.
-    * Ref: `core/constants.py:160-171`. */
+    * Ref: `core/constants.py:160-171`. The cast sits inside the
+    * regex-guarded branch so ANSI mode never sees a malformed cast. */
   def ageTransform(source: String, target: String): Column =
-    when(col(source).rlike("^\\d{1,3}$") && col(source).cast(LongType).between(0, 125),
-      col(source).cast(LongType))
+    when(col(source).rlike("^\\d{1,3}$"),
+      when(col(source).cast(LongType).between(0, 125), col(source).cast(LongType))
+        .otherwise(lit(null).cast(LongType)))
       .otherwise(lit(null).cast(LongType))
 
   /** Year: keep exactly-4-digit values as INT64, else NULL.

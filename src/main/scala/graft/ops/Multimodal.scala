@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video as opaque `binary`
+  * payloads with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side architecture is real and tested: schema contracts,
+  * partition-sized batching via `mapPartitions` over a typed Dataset
+  * (the JVM analogue of arrow-batched Python UDFs), and a feature schema
+  * downstream operators (similarity, dedup) consume directly.
+  *
+  * ==STUB== The actual media decode is a clearly-marked deterministic
+  * fake: this container has no image/audio codecs, so `decodeStub`
+  * derives pseudo-features from the payload bytes. Swapping in a real
+  * decoder changes ONLY the body of [[MediaBatch.decodeStub]] — the
+  * plumbing (schema, batching, partitioning) is the deliverable.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))), nullable = true)))
+
+  /** Build a multimodal table from the documents table: payload = utf-8
+    * bytes of text (a stand-in binary column with realistic sizes). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(col("source").as("source"), length(col("text")).cast(LongType).as("n_bytes")).as("meta"))
+
+  /** Decoded-feature schema: what a real decoder would emit. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("content_hash", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** ==STUB== deterministic fake decode: real decode would call an image/
+    * audio codec here. Features are derived from payload bytes so tests
+    * are reproducible. One invocation per ROW BATCH, not per row — the
+    * batch shape is what a real vectorized decoder needs. */
+  private[ops] def decodeStub(mediaId: Long, modality: String, payload: Array[Byte], dim: Int): Row = {
+    val bytes = if (payload == null) Array.emptyByteArray else payload
+    var h = 1125899906842597L // FNV-ish rolling hash of the payload
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    val feature = new Array[Float](dim)
+    var d = 0
+    var g = h
+    while (d < dim) {
+      g = g * 6364136223846793005L + 1442695040888963407L // splitmix-ish
+      feature(d) = ((g >>> 16).toInt % 1000) / 1000.0f
+      d += 1
+    }
+    Row(mediaId, modality, bytes.length.toLong, h, feature.toSeq)
+  }
+
+  /** Per-partition batched decode: the mapPartitions boundary is where a
+    * real pipeline hands row batches to a native decoder. Partition count
+    * governs decoder parallelism; payloads never shuffle. */
+  def decodeFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select(col("media_id"), col("modality"), col("payload"))
+      .mapPartitions { rows =>
+        // batch shape: pull the whole partition iterator through one
+        // decoder session (amortizes per-batch codec setup)
+        rows.map { r =>
+          decodeStub(r.getLong(0), r.getString(1),
+            r.get(2) match { case b: Array[Byte] => b; case _ => null }, dim)
+        }
+      }(enc)
+  }
+}

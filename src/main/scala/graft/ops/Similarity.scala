@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the corpus, no shuffle of the corpus itself; per-row work
+  * is a codegen'd higher-order-function dot product (no UDF).
+  *
+  * Scale path: sign-random-projection LSH — each vector is bucketed by the
+  * sign pattern of `nPlanes` pseudo-random hyperplanes (deterministic from
+  * xxhash64, so executors agree without sharing state). Neighbor search
+  * probes only the query's bucket: candidate count drops ~2^nPlanes-fold;
+  * recall is tested against the brute-force baseline in SimilaritySpec.
+  * The same structure distributes: bucket id is the shuffle key, buckets
+  * are independent, and skewed buckets split under AQE.
+  */
+object Similarity {
+
+  /** Dot product in double precision via zip_with + aggregate (sequential
+    * fold in index order — deterministic, same order DuckDB evaluates). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (filtered by
+    * `isQuery`), the k nearest corpus vectors by cosine. The query side is
+    * broadcast; ranking is a per-query window. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val queries = emb.filter(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val corpus = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane p, dimension d):
+    * parity of xxhash64("p:d"). Every executor computes the same planes
+    * from nothing — no broadcast state. */
+  private def planeSign(p: Int, d: Column): Column =
+    (pmod(xxhash64(concat(lit(p.toString), lit(":"), d.cast(StringType))), lit(2L)) * 2 - 1).cast(DoubleType)
+
+  /** Sign-LSH bucket id: bit b = sign of the projection onto plane b. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val dims = sequence(lit(1), size(vec))
+    val projections = (0 until nPlanes).map { p =>
+      aggregate(
+        zip_with(vec, dims, (x, d) => x.cast(DoubleType) * planeSign(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    projections.zipWithIndex.foldLeft(lit(0L)) { case (acc, (proj, b)) =>
+      acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+    }
+  }
+
+  /** ANN top-k via sign-LSH: probe only the query's bucket. Returns the
+    * same shape as [[bruteForceTopK]]; recall < 1 by construction. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nPlanes: Int = 6): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val queries = emb.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("cand_id"), cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
+    * threshold, restricted to a sampled candidate id set for bounded
+    * all-pairs cost; the LSH path above is the unbounded-scale variant. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      sampleFilter: Column, threshold: Double): DataFrame = {
+    val side = emb.filter(sampleFilter).select(col(idCol).as("id"), col(vecCol).as("v"))
+    side.as("a").join(broadcast(side.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, tokenization, shingling, language ID, quality scoring,
+  * fingerprinting. All pure column expressions (whole-stage codegen'd —
+  * no UDFs), so they scale linearly with input and fuse with the scan. */
+object TextOps {
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace word tokens of normalized text. */
+  def words(c: Column): Column = split(normalize(c), " ")
+
+  /** Word n-gram shingles (distinct). For n=1 this is the word set. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    if (n == 1) array_distinct(w)
+    else {
+      // shingle i = words[i..i+n-1] joined by ' ', for i in 1 .. size-n+1
+      // (guard: Spark sequence(1, x) DESCENDS for x < 1, so short texts
+      // must short-circuit to an empty shingle set)
+      val idx = sequence(lit(1), size(w) - lit(n - 1))
+      val shingles = array_distinct(transform(idx, i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+      when(size(w) < n, array().cast("array<string>")).otherwise(shingles)
+    }
+  }
+
+  /** BPE-ish token count: alpha runs, single digits, and single
+    * punctuation marks each count as one token (a cheap, deterministic
+    * stand-in for a real BPE vocabulary; the regex is the contract). */
+  val TokenPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  def tokenCount(c: Column): Column = size(regexp_extract_all(c, lit(TokenPattern), lit(0)))
+
+  /** Whitespace token count. */
+  def wordCount(c: Column): Column =
+    when(length(normalize(c)) === 0, lit(0)).otherwise(size(words(c)))
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+
+  /** Stopword hits for one language's list over the word array. */
+  private def stopwordHits(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isInCollection(stopwords(lang))))
+
+  /** N-gram/stopword heuristic language ID over {en,es,fr,de} with "und"
+    * (undetermined) when no list scores above zero. Deterministic
+    * tie-break: language order en,es,fr,de. */
+  def langId(c: Column): Column = {
+    val ws = words(c)
+    val scored = stopwords.keys.toSeq.sorted // de,en,es,fr — alphabetical, deterministic
+    val hits = scored.map(l => stopwordHits(ws, l))
+    val best = greatest(hits: _*)
+    // first language (in alphabetical order) achieving the max positive score
+    scored.zip(hits).reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality heuristics: length, word stats, punctuation/digit ratios,
+    * stopword ratio — the standard pre-training quality gates. Ratios are
+    * emitted in DECIMAL so cross-engine comparison is exact. */
+  def qualityFeatures(c: Column): Seq[(String, Column)] = {
+    val norm = normalize(c)
+    val nw = wordCount(c)
+    val ratio = DecimalType(18, 6)
+    Seq(
+      "n_chars" -> length(c).cast(LongType),
+      "n_words" -> nw.cast(LongType),
+      "mean_word_len" -> when(nw > 0,
+        (length(regexp_replace(norm, " ", "")).cast(ratio) / nw.cast(ratio)).cast(ratio))
+        .otherwise(lit(null).cast(ratio)),
+      "punct_ratio" -> (size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast(ratio) /
+        greatest(length(c), lit(1)).cast(ratio)).cast(ratio),
+      "digit_ratio" -> (size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast(ratio) /
+        greatest(length(c), lit(1)).cast(ratio)).cast(ratio),
+      "stopword_ratio" -> when(nw > 0,
+        (stopwordHits(words(c), "en").cast(ratio) / nw.cast(ratio)).cast(ratio))
+        .otherwise(lit(null).cast(ratio)))
+  }
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup
+    * key. md5 is available in every engine, so oracle-comparable. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Winnowing-style robust fingerprint: minimum 64-bit hash over
+    * character k-grams of the normalized text (k=8). Survives small edits
+    * far from the minimal shingle — used for near-dup candidate keys.
+    * Spark-native (xxhash64), not oracle-comparable by design. */
+  def minShingleHash(c: Column, k: Int = 8): Column = {
+    val norm = normalize(c)
+    val idx = sequence(lit(1), greatest(length(norm) - lit(k - 1), lit(1)))
+    array_min(transform(idx, i => xxhash64(norm.substr(i, lit(k)))))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.profiling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.config.Constants
+
+/** Data-statistics profiling that drives `clean_rows` planning.
+  *
+  * The reference issues batched profiling SQL against BigQuery — ⌈N/500⌉
+  * one-row COUNTIF queries for binary detection (`core/utils.py:375-435`)
+  * and ⌈N/100⌉ UNION-ALL scalar-subquery stacks for false-array detection
+  * (`core/utils.py:582-698`). Here each batch is ONE single-pass
+  * `df.agg(...)` job: all per-column checks are conditional aggregates
+  * computed in the same scan (Catalyst plans partial aggregation map-side,
+  * so at 100 TB this is one read of the table per ~batchSize columns, no
+  * shuffle of row data — only 1-row partial aggregates move).
+  *
+  * Batching exists only to respect codegen/planning limits on very wide
+  * schemas (thousands of columns ⇒ thousands of aggregate expressions per
+  * job); rows are never re-read per column as in the reference's
+  * scalar-subquery fallback.
+  */
+object Profiler {
+
+  /** Columns whose values ⊆ {"0","1", NULL, ""} among STRING columns.
+    * Mirrors `get_binary_columns` (`core/utils.py:375-435`): only
+    * STRING-typed columns are candidates, `Connect_ID` is NOT excluded
+    * (SURVEY §2.C-5). */
+  def binaryColumns(df: DataFrame, batchSize: Int = 500): Seq[String] = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    if (stringCols.isEmpty) return Seq.empty
+    stringCols.grouped(batchSize).flatMap { batch =>
+      val checks: Seq[Column] = batch.map { c =>
+        val notBinary = !(col(c) === "0" || col(c) === "1" || col(c).isNull || col(c) === "")
+        (count(when(notBinary, lit(1))) === 0).as(c)
+      }
+      val row = df.agg(checks.head, checks.tail: _*).head()
+      batch.zipWithIndex.collect { case (c, i) if row.getBoolean(i) => c }
+    }.toSeq
+  }
+
+  /** Name-driven false-array detection from the precomputed concept-ID
+    * pairs (the reference's default path — zero data scans). Mirrors
+    * `get_false_array_columns_from_reference` (`core/utils.py:505-580`):
+    * exact pattern match `d_X_d_Y`, or pattern + numeric loop suffix
+    * (e.g. `_19`, `_1_1`); `Connect_ID` always excluded. */
+  def falseArrayColumnsFromReference(
+      columns: Seq[String],
+      pairs: Seq[(String, String)] = Constants.FalseArrayConceptIdPairs): Seq[String] = {
+    val patterns = pairs.map { case (a, b) => s"d_${a}_d_$b" }
+    columns.filter(_ != "Connect_ID").filter { c =>
+      patterns.exists { p =>
+        c == p || {
+          c.startsWith(p + "_") && c.count(_ == '_') > p.count(_ == '_') && {
+            val suffix = c.substring(p.length + 1)
+            val digits = suffix.replace("_", "")
+            digits.nonEmpty && digits.forall(_.isDigit)
+          }
+        }
+      }
+    }
+  }
+
+  /** Computational false-array detection (the reference's fallback,
+    * `core/utils.py:616-694`), collapsed from 3 scalar subqueries per
+    * column into one conditional-aggregate pass per batch. A column
+    * qualifies when, over the whole table:
+    *  1. it has ≤3 distinct values and ≥1 non-null value;
+    *  2. every non-null value is in [[Constants.FalseArrayValues]];
+    *  3. at most 1 distinct value matches `^\[\d{9}\]$`.
+    */
+  def falseArrayColumnsComputational(df: DataFrame, batchSize: Int = 500): Seq[String] = {
+    val stringCols = df.schema.fields
+      .filter(f => f.dataType == StringType && f.name != "Connect_ID").map(_.name).toSeq
+    if (stringCols.isEmpty) return Seq.empty
+    val falseVals = Constants.FalseArrayValues
+    stringCols.grouped(batchSize).flatMap { batch =>
+      val checks: Seq[Column] = batch.flatMap { c =>
+        val distinctCount = countDistinct(col(c))
+        val fewNonNull = distinctCount.leq(3) && distinctCount.gt(0)
+        val onlyFalse = count(when(col(c).isNotNull && !col(c).isin(falseVals: _*), lit(1))) === 0
+        val singleCid = countDistinct(
+          when(col(c).rlike(Constants.BracketedNineDigitPattern), col(c))).leq(1)
+        Seq((fewNonNull && onlyFalse && singleCid).as(c))
+      }
+      val row = df.agg(checks.head, checks.tail: _*).head()
+      batch.zipWithIndex.collect { case (c, i) if row.getBoolean(i) => c }
+    }.toSeq
+  }
+}

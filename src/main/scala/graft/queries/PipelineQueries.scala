@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators exercised on the `documents` and
+  * `embeddings` tables. The testdata has no natural duplicates, so dedup
+  * queries first synthesize them deterministically (UNION ALL of mutated
+  * copies) — the same synthesis is in the oracle SQL, so both engines see
+  * identical inputs.
+  *
+  * Oracles: exact dedup, n-gram jaccard, minhash (via md5, which both
+  * engines share), langid/quality/tokens/fingerprint are DuckDB-checked.
+  * SimHash/sign-LSH use xxhash64 (Spark-native) — no SQL oracle; their
+  * correctness is pinned by PipelineSpec against brute-force ground truth.
+  */
+object PipelineQueries {
+
+  /** documents ∪ exact copies (doc_id+100000 for doc_id%10==0) ∪ near
+    * copies with one appended token (doc_id+200000 for doc_id%7==0). */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactCopies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val nearCopies = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" extratoken")).as("text"))
+    docs.select(col("doc_id"), col("text")).union(exactCopies).union(nearCopies)
+  }
+
+  private val docsWithDupsSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' extratoken' AS text FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  private val normalizeSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Exact dedup via content fingerprint: one groupBy on md5(normalized). */
+  val dedupExact: QueryDef = QueryDef(
+    "dedup_exact",
+    (s, d) => Dedup.exact(docsWithDups(s, d), "doc_id", "text")
+      .filter(col("n_copies") > 1)
+      .orderBy("keep_id"),
+    Some(s"""WITH t AS ($docsWithDupsSql)
+      |SELECT md5($normalizeSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM t GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin))
+
+  /** MinHash+LSH candidate pairs (md5-based, oracle-recomputable):
+    * word 3-gram shingles, k=8 hashes, 4 bands x 2 rows. */
+  val dedupMinhashLsh: QueryDef = QueryDef(
+    "dedup_minhash_lsh",
+    (s, d) => Dedup.minhashLshPairs(docsWithDups(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, rowsPerBand = 2)
+      .orderBy("id_a", "id_b"),
+    Some {
+      // signature s in 0..7: min over shingles of md5(shingle || '#s').
+      // DuckDB: shingles via list comprehension over the word array.
+      val shingles =
+        s"""list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))])"""
+      val minhash = (0 until 8).map(i =>
+        s"list_min([md5(sh || '#$i') for sh in shingles])").mkString("[", ", ", "]")
+      s"""WITH t AS ($docsWithDupsSql),
+        |words AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
+        |sh AS (SELECT doc_id, $shingles AS shingles FROM words),
+        |sig AS (SELECT doc_id, $minhash AS sig FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id, sig[2*b+1] || '|' || sig[2*b+2] AS band_key
+        |  FROM sig, (SELECT unnest(range(4)) AS b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
+    })
+
+  /** Exact n-gram Jaccard pairs >= 0.5 via inverted shingle index. */
+  val dedupNgramJaccard: QueryDef = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(docsWithDups(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b"),
+    Some {
+      val shingles =
+        s"""list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))])"""
+      s"""WITH t AS ($docsWithDupsSql),
+        |words AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
+        |sh AS (SELECT doc_id, $shingles AS shingles FROM words),
+        |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(CAST(n_shared AS DECIMAL(18,6)) / CAST(ca.n_sh + cb.n_sh - n_shared AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS jaccard
+        |FROM shared
+        |JOIN counts ca ON ca.doc_id = id_a
+        |JOIN counts cb ON cb.doc_id = id_b
+        |WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) / CAST(ca.n_sh + cb.n_sh - n_shared AS DECIMAL(18,6)) AS DECIMAL(18,6)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+    })
+
+  /** SimHash near-dup candidates (xxhash64-based — verified against
+    * ground truth in PipelineSpec; rows-only driver check). */
+  val dedupSimhash: QueryDef = QueryDef(
+    "dedup_simhash",
+    (s, d) => Dedup.simhashPairs(docsWithDups(s, d), "doc_id", "text", maxHamming = 8)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** Embedding-cosine near-dup pairs over a synthesized near-dup corpus:
+    * embeddings ∪ slightly-perturbed copies. */
+  val dedupEmbedding: QueryDef = QueryDef(
+    "dedup_embedding",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val perturbed = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).union(perturbed)
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        col("vec_id") % 4 === 0 || col("vec_id") >= 100000, threshold = 0.99)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, [x * CAST(1.01 AS FLOAT) for x in embedding] AS embedding
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |side AS (SELECT vec_id, embedding FROM corpus WHERE vec_id % 4 = 0 OR vec_id >= 100000),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+      |  FROM side a JOIN side b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos, 4) AS cos_r FROM pairs WHERE cos >= 0.99
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Brute-force cosine top-5 for query vectors (vec_id % 50 = 0). */
+  val simTopkBrute: QueryDef = QueryDef(
+    "sim_topk_brute",
+    (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5)
+      .orderBy("query_id", "rk"),
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, cand_id,
+      |    list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))) AS cos
+      |  FROM c, q WHERE query_id <> cand_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
+      |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
+
+  /** Sign-LSH ANN top-5 (Spark-native hashing; recall pinned in
+    * PipelineSpec against the brute-force baseline). */
+  val simAnnLsh: QueryDef = QueryDef(
+    "sim_ann_lsh",
+    (s, d) => Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5, nPlanes = 4)
+      .orderBy("query_id", "rk"),
+    None)
+
+  /** Language ID heuristic per document. */
+  val textLangid: QueryDef = QueryDef(
+    "text_langid",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id"),
+    Some {
+      def hits(l: String, wordsList: Seq[String]) =
+        s"len(list_filter(w, x -> x IN (${wordsList.map(w => s"'$w'").mkString(", ")}))) AS h_$l"
+      val en = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+      val es = Seq("el", "la", "de", "que", "los", "las", "una", "por")
+      val fr = Seq("le", "la", "les", "des", "est", "dans", "pour", "que")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+      s"""WITH words AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM documents),
+        |h AS (SELECT doc_id, ${hits("de", de)}, ${hits("en", en)}, ${hits("es", es)}, ${hits("fr", fr)} FROM words),
+        |b AS (SELECT doc_id, h_de, h_en, h_es, h_fr, greatest(h_de, h_en, h_es, h_fr) AS best FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en'
+        |       WHEN h_es = best THEN 'es' ELSE 'fr' END AS lang_pred
+        |FROM b ORDER BY doc_id""".stripMargin
+    })
+
+  /** Quality-scoring features per document. */
+  val textQuality: QueryDef = QueryDef(
+    "text_quality",
+    (s, d) => {
+      val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+      Tables.documents(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+      |  SELECT doc_id, text, $normalizeSql AS norm,
+      |    string_split($normalizeSql, ' ') AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END AS BIGINT) AS n_words,
+      |  CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END) > 0
+      |    THEN CAST(CAST(length(replace(norm, ' ', '')) AS DECIMAL(18,6)) / CAST(len(w) AS DECIMAL(18,6)) AS DECIMAL(18,6))
+      |    ELSE NULL END AS mean_word_len,
+      |  CAST(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DECIMAL(18,6)) / CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS punct_ratio,
+      |  CAST(CAST(len(regexp_extract_all(text, '[0-9]')) AS DECIMAL(18,6)) / CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS digit_ratio,
+      |  CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END) > 0
+      |    THEN CAST(CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','is','that','for'))) AS DECIMAL(18,6)) / CAST(len(w) AS DECIMAL(18,6)) AS DECIMAL(18,6))
+      |    ELSE NULL END AS stopword_ratio
+      |FROM base ORDER BY doc_id""".stripMargin))
+
+  /** Token counting: BPE-ish regex + whitespace counts. */
+  val textTokens: QueryDef = QueryDef(
+    "text_tokens",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextOps.wordCount(col("text")).cast(LongType).as("n_words"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens,
+      |  CAST(CASE WHEN length($normalizeSql) = 0 THEN 0
+      |       ELSE len(string_split($normalizeSql, ' ')) END AS BIGINT) AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Document fingerprinting: exact md5 fingerprint (oracle-checked) +
+    * rolling min-shingle-hash (Spark-native column). */
+  val textFingerprint: QueryDef = QueryDef(
+    "text_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, md5($normalizeSql) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal plumbing: binary payload + metadata -> per-partition
+    * batched (stub) decode -> feature rows. Spark-native. */
+  val mmDecode: QueryDef = QueryDef(
+    "mm_decode_stub",
+    (s, d) => Multimodal.decodeFeatures(Multimodal.fromDocuments(Tables.documents(s, d)))
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("content_hash"))
+      .orderBy("media_id"),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
+    simTopkBrute, simAnnLsh, textLangid, textQuality, textTokens, textFingerprint,
+    mmDecode)
+}

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Engine-grade relational operators over the TPC-H-ish star schema —
+  * the analytics surface a user of the cleaned tables needs (aggregation,
+  * joins of every flavor, windows, top-k, set ops, time bucketing).
+  *
+  * Monetary arithmetic is done in DECIMAL(18,2)-derived types on BOTH
+  * sides (Spark and the DuckDB oracle) so sums are exact integers
+  * internally and hash-compare byte-identically — summing doubles would be
+  * order-dependent and nondeterministic under parallel aggregation.
+  *
+  * Scale notes (100 TB): every aggregate here is partial-aggregable
+  * (map-side combine); joins declare the small side so Catalyst broadcasts
+  * dimensions (region/nation/customer) instead of shuffling the fact
+  * table; windows partition by a key (never a global window without a
+  * partition except the bounded top-k, which AQE handles via a single
+  * reduced partition after local limits).
+  */
+object RelationalQueries {
+
+  private val money = DecimalType(18, 2)
+
+  /** TPC-H Q1-style: scan + filter + wide aggregate with map-side combine. */
+  val q1Agg: QueryDef = QueryDef(
+    "q1_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(money)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(money)).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("distinct_orders"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |  count(*) AS count_order,
+      |  count(DISTINCT l_orderkey) AS distinct_orders
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Fact-to-dimension join: broadcast the dimension side (A13 family /
+    * engine join). Revenue per nation per region via a 5-table chain. */
+  val qMultiJoin: QueryDef = QueryDef(
+    "q_multi_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin))
+
+  /** Window top-k: top 3 orders by total price per market segment
+    * (dense partitioned window, deterministic tie-break). */
+  val qWindowTopk: QueryDef = QueryDef(
+    "q_window_topk",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+          col("o_totalprice").cast(money).as("total_price"))
+        .orderBy("c_mktsegment", "rk")
+    },
+    Some("""SELECT c_mktsegment, rk, o_orderkey, total_price FROM (
+      |  SELECT c_mktsegment, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin))
+
+  /** Running aggregate window: per-customer cumulative order value over
+    * time (frame-bounded window, the classic sessionized-ledger shape). */
+  val qWindowRunning: QueryDef = QueryDef(
+    "q_window_running",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(money)).over(w).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |FROM orders WHERE o_custkey % 100 = 0
+      |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Left-semi join: customers having at least one high-priority order. */
+  val qSemiJoin: QueryDef = QueryDef(
+    "q_semi_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** Left-anti join: customers with no orders at all. */
+  val qAntiJoin: QueryDef = QueryDef(
+    "q_anti_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** Set operations: urgent-order customers vs big-spender customers
+    * (UNION / INTERSECT / EXCEPT counts in one result row). */
+  val qSetOps: QueryDef = QueryDef(
+    "q_set_ops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+      val union = urgent.union(big).distinct.count()
+      val inter = urgent.intersect(big).count()
+      val except = urgent.except(big).count()
+      s.createDataFrame(Seq((union, inter, except)))
+        .toDF("n_union", "n_intersect", "n_except")
+    },
+    Some("""SELECT
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    UNION SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) a) AS n_union,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) b) AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) c) AS n_except""".stripMargin))
+
+  /** Global top-k (sort + limit with pass-through values). */
+  val qTopkOrders: QueryDef = QueryDef(
+    "q_topk_orders",
+    (s, d) => Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin))
+
+  /** Time-bucketed aggregation over the events stream table (the batch
+    * twin of the Structured Streaming hourly window in
+    * [[graft.streaming.EventStreams]]). */
+  val qEventsHourly: QueryDef = QueryDef(
+    "q_events_hourly",
+    (s, d) => Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+      .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+
+  /** Grouping sets / rollup: order counts by (priority, status) with
+    * subtotals — the cube-family operator. */
+  val qRollup: QueryDef = QueryDef(
+    "q_rollup",
+    (s, d) => Tables.orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(money)).as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
+    qSetOps, qTopkOrders, qEventsHourly, qRollup)
+}

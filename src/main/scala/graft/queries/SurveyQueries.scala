@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.transform.{CleanColumns, CleanRows, MergeTableVersions, SensitiveTier}
+
+/** The reference's four capabilities exercised end-to-end on survey-shaped
+  * inputs derived deterministically from the driver's parquet tables, so
+  * the DuckDB oracle can recompute both the derivation and the expected
+  * transformation. Spark derivations and the oracle CTE text are kept
+  * adjacent here — any drift is a correctness failure the harness catches.
+  */
+object SurveyQueries {
+
+  // ---- survey_rows: input for clean_rows / profiling, derived from events
+
+  private def surveyRows(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val id = col("event_id")
+    e.select(
+      id.cast(StringType).as("Connect_ID"),
+      when(id % 7 === 0, lit(null).cast(StringType))
+        .when(id % 3 === 0, "1").otherwise("0").as("d_111111111"),
+      when(id % 5 === 0, "").when(id % 2 === 0, "1").otherwise("0").as("d_222222222"),
+      when(id % 4 === 0, "2").otherwise("1").as("d_333333333"),
+      when(id % 11 === 0, "[]")
+        .when(id % 11 === 1, "[178420302]")
+        .when(id % 11 === 2, lit(null).cast(StringType))
+        .otherwise("[958239616]").as("d_578895128_d_578895128"),
+      col("event_type").as("d_444444444"))
+  }
+
+  private val surveyRowsSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS Connect_ID,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL WHEN event_id % 3 = 0 THEN '1' ELSE '0' END AS d_111111111,
+      |  CASE WHEN event_id % 5 = 0 THEN '' WHEN event_id % 2 = 0 THEN '1' ELSE '0' END AS d_222222222,
+      |  CASE WHEN event_id % 4 = 0 THEN '2' ELSE '1' END AS d_333333333,
+      |  CASE WHEN event_id % 11 = 0 THEN '[]' WHEN event_id % 11 = 1 THEN '[178420302]'
+      |       WHEN event_id % 11 = 2 THEN NULL ELSE '[958239616]' END AS d_578895128_d_578895128,
+      |  event_type AS d_444444444
+      |FROM events""".stripMargin
+
+  /** clean_rows end-to-end: profiling-driven binary recode + false-array
+    * unwrap + pass-through (operators A6,A7,A9,A10,A11,A21,A22). */
+  val cleanRows: QueryDef = QueryDef(
+    "clean_rows",
+    (s, d) => CleanRows(surveyRows(s, d)).orderBy(col("Connect_ID").cast("long")),
+    Some(s"""WITH s AS ($surveyRowsSql)
+      |SELECT
+      |  CASE WHEN d_111111111 = '1' THEN '353358909' WHEN d_111111111 = '0' THEN '104430631' ELSE NULL END AS d_111111111,
+      |  CASE WHEN d_222222222 = '1' THEN '353358909' WHEN d_222222222 = '0' THEN '104430631' ELSE NULL END AS d_222222222,
+      |  CASE WHEN d_578895128_d_578895128 = '[]' THEN NULL
+      |       WHEN regexp_matches(d_578895128_d_578895128, '\\[\\d{9}\\]')
+      |         THEN regexp_replace(d_578895128_d_578895128, '\\[(\\d{9})\\]', '\\1')
+      |       ELSE NULL END AS d_578895128_d_578895128,
+      |  Connect_ID, d_333333333, d_444444444
+      |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin))
+
+  /** Single-pass profiling aggregate (A14 COUNTIF batch): one row of
+    * per-column is-binary booleans. */
+  val profileBinary: QueryDef = QueryDef(
+    "profile_binary",
+    (s, d) => {
+      val df = surveyRows(s, d)
+      val checks = df.schema.fieldNames.toSeq.map { c =>
+        val notBinary = !(col(c) === "0" || col(c) === "1" || col(c).isNull || col(c) === "")
+        (count(when(notBinary, lit(1))) === 0).as(c)
+      }
+      df.agg(checks.head, checks.tail: _*)
+    },
+    Some(s"""WITH s AS ($surveyRowsSql)
+      |SELECT
+      |  count(CASE WHEN NOT(Connect_ID = '0' OR Connect_ID = '1' OR Connect_ID IS NULL OR Connect_ID = '') THEN 1 END) = 0 AS Connect_ID,
+      |  count(CASE WHEN NOT(d_111111111 = '0' OR d_111111111 = '1' OR d_111111111 IS NULL OR d_111111111 = '') THEN 1 END) = 0 AS d_111111111,
+      |  count(CASE WHEN NOT(d_222222222 = '0' OR d_222222222 = '1' OR d_222222222 IS NULL OR d_222222222 = '') THEN 1 END) = 0 AS d_222222222,
+      |  count(CASE WHEN NOT(d_333333333 = '0' OR d_333333333 = '1' OR d_333333333 IS NULL OR d_333333333 = '') THEN 1 END) = 0 AS d_333333333,
+      |  count(CASE WHEN NOT(d_578895128_d_578895128 = '0' OR d_578895128_d_578895128 = '1' OR d_578895128_d_578895128 IS NULL OR d_578895128_d_578895128 = '') THEN 1 END) = 0 AS d_578895128_d_578895128,
+      |  count(CASE WHEN NOT(d_444444444 = '0' OR d_444444444 = '1' OR d_444444444 IS NULL OR d_444444444 = '') THEN 1 END) = 0 AS d_444444444
+      |FROM s""".stripMargin))
+
+  /** Single-pass false-array profiling (A15 COUNT DISTINCT + A16 filtered
+    * aggregates, collapsed from the reference's 3 scalar subqueries per
+    * column into conditional aggregates). */
+  val profileFalseArray: QueryDef = QueryDef(
+    "profile_false_array",
+    (s, d) => {
+      val df = surveyRows(s, d)
+      val falseVals = graft.config.Constants.FalseArrayValues
+      val cols = Seq("d_333333333", "d_578895128_d_578895128", "d_444444444")
+      val checks = cols.flatMap { c =>
+        Seq(
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          (count(when(col(c).isNotNull && !col(c).isin(falseVals: _*), lit(1))) === 0)
+            .as(s"${c}_only_false_array"),
+          countDistinct(when(col(c).rlike("^\\[\\d{9}\\]$"), col(c))).as(s"${c}_bracketed"))
+      }
+      df.agg(checks.head, checks.tail: _*)
+    },
+    Some(s"""WITH s AS ($surveyRowsSql)
+      |SELECT
+      |  count(DISTINCT d_333333333) AS d_333333333_distinct,
+      |  count(CASE WHEN d_333333333 IS NOT NULL AND d_333333333 NOT IN ('[]','[178420302]','[958239616]') THEN 1 END) = 0 AS d_333333333_only_false_array,
+      |  count(DISTINCT d_333333333) FILTER (WHERE regexp_matches(d_333333333, '^\\[\\d{9}\\]$$')) AS d_333333333_bracketed,
+      |  count(DISTINCT d_578895128_d_578895128) AS d_578895128_d_578895128_distinct,
+      |  count(CASE WHEN d_578895128_d_578895128 IS NOT NULL AND d_578895128_d_578895128 NOT IN ('[]','[178420302]','[958239616]') THEN 1 END) = 0 AS d_578895128_d_578895128_only_false_array,
+      |  count(DISTINCT d_578895128_d_578895128) FILTER (WHERE regexp_matches(d_578895128_d_578895128, '^\\[\\d{9}\\]$$')) AS d_578895128_d_578895128_bracketed,
+      |  count(DISTINCT d_444444444) AS d_444444444_distinct,
+      |  count(CASE WHEN d_444444444 IS NOT NULL AND d_444444444 NOT IN ('[]','[178420302]','[958239616]') THEN 1 END) = 0 AS d_444444444_only_false_array,
+      |  count(DISTINCT d_444444444) FILTER (WHERE regexp_matches(d_444444444, '^\\[\\d{9}\\]$$')) AS d_444444444_bracketed
+      |FROM s""".stripMargin))
+
+  // ---- survey_cols: input for clean_columns, derived from events
+
+  private def surveyCols(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val id = col("event_id")
+    val uid = col("user_id")
+    e.select(
+      id.cast(StringType).as("Connect_ID"),
+      (uid % 50).cast(StringType).as("d_123456789_1_1"),
+      when(id % 2 === 0, (uid % 9).cast(StringType))
+        .otherwise(lit(null).cast(StringType)).as("d_123456789_2_2"),
+      (uid % 7).cast(StringType).as("d_123456789_2_2_2_2"),
+      col("event_type").as("d_123456789_v2_1_1"),
+      (id % 3).cast(StringType).as("state_d_987654321"),
+      (id % 5).cast(StringType).as("d_555555555_num"),
+      when(id % 2 === 0, (lit(1900) + uid % 120).cast(StringType))
+        .otherwise((id % 130).cast(StringType)).as("D_317093647"),
+      col("props").as("d_999999999"))
+  }
+
+  private val surveyColsSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS Connect_ID,
+      |  CAST(user_id % 50 AS VARCHAR) AS d_123456789_1_1,
+      |  CASE WHEN event_id % 2 = 0 THEN CAST(user_id % 9 AS VARCHAR) ELSE NULL END AS d_123456789_2_2,
+      |  CAST(user_id % 7 AS VARCHAR) AS d_123456789_2_2_2_2,
+      |  event_type AS d_123456789_v2_1_1,
+      |  CAST(event_id % 3 AS VARCHAR) AS state_d_987654321,
+      |  CAST(event_id % 5 AS VARCHAR) AS d_555555555_num,
+      |  CASE WHEN event_id % 2 = 0 THEN CAST(1900 + user_id % 120 AS VARCHAR) ELSE CAST(event_id % 130 AS VARCHAR) END AS D_317093647,
+      |  props AS d_999999999
+      |FROM events""".stripMargin
+
+  /** clean_columns end-to-end: substring excision, custom age/year
+    * transforms, loop-variable grouping/coalescing, version placement
+    * (operators A3,A5,A6,A9,A11,A12 + the B-layer name algebra). */
+  val cleanColumns: QueryDef = QueryDef(
+    "clean_columns",
+    (s, d) => CleanColumns(surveyCols(s, d), "FlatConnect.module1_v2_JP")
+      .orderBy(col("Connect_ID").cast("long")),
+    Some(s"""WITH s AS ($surveyColsSql)
+      |SELECT
+      |  Connect_ID,
+      |  state_d_987654321 AS d_987654321,
+      |  d_555555555_num AS d_555555555,
+      |  CASE WHEN regexp_matches(D_317093647, '^\\d{1,3}$$')
+      |         THEN CASE WHEN CAST(D_317093647 AS BIGINT) BETWEEN 0 AND 125 THEN CAST(D_317093647 AS BIGINT) ELSE NULL END
+      |       ELSE NULL END AS D_317093647_D_623218391,
+      |  CASE WHEN regexp_matches(D_317093647, '^\\d{4}$$') THEN CAST(D_317093647 AS BIGINT) ELSE NULL END AS D_317093647_D_802622485,
+      |  d_123456789_1_1 AS d_123456789_1,
+      |  COALESCE(d_123456789_2_2, d_123456789_2_2_2_2) AS d_123456789_2,
+      |  d_123456789_v2_1_1 AS d_123456789_1_v2,
+      |  D_317093647 AS d_317093647,
+      |  d_999999999
+      |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin))
+
+  /** clean_columns with the covid19 one-off rename table (A3 bulk rename
+    * driven by config, 8-digit CID fix-ups). */
+  val cleanColumnsOneOff: QueryDef = QueryDef(
+    "clean_columns_one_off",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val id = col("event_id")
+      val in = e.select(
+        id.cast(StringType).as("Connect_ID"),
+        (id % 6).cast(StringType).as("d_71558179_v2_1_1"),
+        (id % 8).cast(StringType).as("d_71558179_v2_2_2"),
+        col("event_type").as("d_715581797"))
+      CleanColumns(in, "FlatConnect.covid19Survey_v1_JP")
+        .orderBy(col("Connect_ID").cast("long"))
+    },
+    Some("""WITH s AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS Connect_ID,
+      |    CAST(event_id % 6 AS VARCHAR) AS d_71558179_v2_1_1,
+      |    CAST(event_id % 8 AS VARCHAR) AS d_71558179_v2_2_2,
+      |    event_type AS d_715581797
+      |  FROM events)
+      |SELECT Connect_ID,
+      |  d_71558179_v2_1_1 AS d_715581797_1_v2,
+      |  d_71558179_v2_2_2 AS d_715581797_2_v2,
+      |  d_715581797
+      |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin))
+
+  // ---- merge_table_versions: three version tables derived from customer
+
+  private val mergeVersionsSql: Seq[String] = Seq(
+    """SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID, c_name AS d_100000001,
+      |  c_mktsegment AS D_100000002, CAST(c_nationkey AS VARCHAR) AS only_v1
+      |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
+    """SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID, c_mktsegment AS d_100000001,
+      |  CAST(c_nationkey AS VARCHAR) AS unique_v2
+      |FROM customer WHERE c_custkey % 3 <> 1""".stripMargin,
+    """SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID, substr(c_name, 1, 12) AS D_100000001,
+      |  CAST(c_custkey % 7 AS VARCHAR) AS d_100000003
+      |FROM customer WHERE c_custkey % 5 = 0""".stripMargin)
+
+  private def mergeVersions(s: SparkSession, d: String): Seq[DataFrame] = {
+    val c = Tables.customer(s, d)
+    val k = col("c_custkey")
+    Seq(
+      c.filter(k % 3 =!= 0).select(
+        k.cast(StringType).as("Connect_ID"), col("c_name").as("d_100000001"),
+        col("c_mktsegment").as("D_100000002"), col("c_nationkey").cast(StringType).as("only_v1")),
+      c.filter(k % 3 =!= 1).select(
+        k.cast(StringType).as("Connect_ID"), col("c_mktsegment").as("d_100000001"),
+        col("c_nationkey").cast(StringType).as("unique_v2")),
+      c.filter(k % 5 === 0).select(
+        k.cast(StringType).as("Connect_ID"), substring(col("c_name"), 1, 12).as("D_100000001"),
+        (k % 7).cast(StringType).as("d_100000003")))
+  }
+
+  /** merge_table_versions: N-way full-outer fold on Connect_ID with
+    * case-insensitive common-column coalescing (A5, A13). */
+  val mergeTableVersions: QueryDef = QueryDef(
+    "merge_table_versions",
+    (s, d) => MergeTableVersions(mergeVersions(s, d)).orderBy(col("Connect_ID").cast("long")),
+    Some(s"""WITH v1 AS (${mergeVersionsSql(0)}), v2 AS (${mergeVersionsSql(1)}), v3 AS (${mergeVersionsSql(2)})
+      |SELECT
+      |  COALESCE(v1.Connect_ID, v2.Connect_ID, v3.Connect_ID) AS Connect_ID,
+      |  COALESCE(v1.d_100000001, v2.d_100000001, v3.D_100000001) AS d_100000001,
+      |  v1.D_100000002 AS d_100000002,
+      |  v1.only_v1 AS only_v1,
+      |  v2.unique_v2 AS unique_v2,
+      |  v3.d_100000003 AS d_100000003
+      |FROM v1
+      |FULL OUTER JOIN v2 ON v1.Connect_ID = v2.Connect_ID
+      |FULL OUTER JOIN v3 ON COALESCE(v1.Connect_ID, v2.Connect_ID) = v3.Connect_ID
+      |ORDER BY CAST(COALESCE(v1.Connect_ID, v2.Connect_ID, v3.Connect_ID) AS BIGINT)""".stripMargin))
+
+  // ---- sensitive tier: fixed 18-column projection over an orders-derived table
+
+  val sensitiveTier: QueryDef = {
+    val cids = graft.config.Constants.SensitiveTierColumns.tail // 17 d_* columns
+    QueryDef(
+      "sensitive_tier",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val derived = o.select(
+          (k.cast(StringType).as("Connect_ID") +:
+            cids.zipWithIndex.map { case (c, i) => (k % (i + 2)).cast(StringType).as(c) }) :+
+            col("o_orderpriority").as("extra_column"): _*)
+        SensitiveTier(derived).orderBy(col("CONNECT_ID").cast("long"))
+      },
+      Some {
+        val derivedCols = cids.zipWithIndex
+          .map { case (c, i) => s"CAST(o_orderkey % ${i + 2} AS VARCHAR) AS $c" }
+          .mkString(",\n    ")
+        s"""WITH s AS (
+          |  SELECT CAST(o_orderkey AS VARCHAR) AS Connect_ID,
+          |    $derivedCols,
+          |    o_orderpriority AS extra_column
+          |  FROM orders)
+          |SELECT Connect_ID AS CONNECT_ID, ${cids.mkString(", ")}
+          |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin
+      })
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    cleanColumns, cleanColumnsOneOff, cleanRows,
+    profileBinary, profileFalseArray, mergeTableVersions, sensitiveTier)
+}
