@@ -1,0 +1,53 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.audit.Audit
+import graft.transform.{CleanColumns, CleanRows, MergeTableVersions, SensitiveTier}
+
+/** Thin service facade mirroring the reference's five REST endpoints
+  * (`/root/reference/core/endpoints.py`): heartbeat, clean_columns,
+  * clean_rows, merge_table_versions, create_sensitive_tier. The reference
+  * binds them to Flask + BigQuery CTAS; here each is
+  * read-parquet → transform → audit plan → overwrite-parquet, returning
+  * the same status JSON shape. A `tableId` (e.g.
+  * "FlatConnect.module1_v2_JP") selects per-table rename/transform config
+  * exactly as the reference's fully-qualified table name does. */
+object PipelineApi {
+
+  final case class Result(status: String, submittedSqlPath: String)
+
+  /** Ref: `core/endpoints.py:11-18`. */
+  def heartbeat(service: String = "graft"): Map[String, String] = Map(
+    "status" -> "success",
+    "service" -> service,
+    "timestamp" -> java.time.Instant.now().toString)
+
+  private def materialize(df: DataFrame, dest: String, auditDir: String): Result = {
+    val planPath = s"$auditDir/${dest.replaceAll("[^A-Za-z0-9._-]", "_")}.plan.txt"
+    Audit.savePlan(df, planPath)
+    df.write.mode("overwrite").parquet(dest)
+    Result(s"Table $dest successfully created with all transformations applied", planPath)
+  }
+
+  /** Ref: `core/endpoints.py:20-35` → process_columns. */
+  def cleanColumns(spark: SparkSession, source: String, dest: String,
+      tableId: String = "", auditDir: String = "/tmp/graft-audit"): Result =
+    materialize(CleanColumns(spark.read.parquet(source), tableId), dest, auditDir)
+
+  /** Ref: `core/endpoints.py:37-52` → process_rows. */
+  def cleanRows(spark: SparkSession, source: String, dest: String,
+      useReference: Boolean = true, auditDir: String = "/tmp/graft-audit"): Result =
+    materialize(CleanRows(spark.read.parquet(source), useReference), dest, auditDir)
+
+  /** Ref: `core/endpoints.py:54-69` → merge_table_versions. Requires >= 2
+    * sources, like the reference (`core/transformations.py:47-48`). */
+  def mergeTableVersions(spark: SparkSession, sources: Seq[String], dest: String,
+      auditDir: String = "/tmp/graft-audit"): Result =
+    materialize(MergeTableVersions(sources.map(spark.read.parquet(_))), dest, auditDir)
+
+  /** Ref: `core/endpoints.py:72-87` → create_sensitive_tier. */
+  def createSensitiveTier(spark: SparkSession, source: String, dest: String,
+      auditDir: String = "/tmp/graft-audit"): Result =
+    materialize(SensitiveTier(spark.read.parquet(source)), dest, auditDir)
+}

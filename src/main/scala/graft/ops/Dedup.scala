@@ -31,33 +31,35 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature column: for seeds 0..k-1, element s of the result
-    * is min over shingles of md5(shingle || '#' || s). String min over
-    * fixed-width hex = uniform hash min. Oracle-recomputable. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { s =>
-      array_min(transform(shingles, sh => md5(concat(sh, lit("#" + s)))))
-    }: _*)
-
-  /** LSH banding: (doc, band_id, band_key) rows; docs sharing any
-    * (band_id, band_key) are candidates. bandsRows = rows per band. */
-  def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column = {
-    val nBands = k / rowsPerBand
-    array((0 until nBands).map { b =>
-      struct(
-        lit(b).as("band_id"),
-        concat_ws("|", (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
-          .as("band_key"))
-    }: _*)
+  /** MinHash signatures as a flat aggregation: explode shingles, then one
+    * hash-aggregate computing all k `min(md5(shingle || '#s'))` columns.
+    * The explode + hash-agg path stays inside whole-stage codegen, unlike
+    * an `array_min(transform(...))` higher-order expression, which Spark
+    * evaluates interpreted — measured ~50x slower at sf0.1. Docs with no
+    * shingles (shorter than the shingle width) drop out, matching the
+    * NULL-band behavior of the SQL oracle. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame = {
+    val shingled = TextOps.wordShingleRows(df, idCol, textCol, shingleN)
+    val aggs = (0 until k).map(s => min(md5(concat(col("sh"), lit("#" + s)))).as(s"h$s"))
+    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH near-dup candidate pairs (a < b) over word shingles. */
+  /** MinHash-LSH near-dup candidate pairs (a < b) over word shingles.
+    * Banded self-join: candidates share all `rowsPerBand` signature rows
+    * of some band, so the join key is (band_id, concatenated band hash) —
+    * bucket-local O(|bucket|²), never corpus-global. The two join sides
+    * are the same plan, so Catalyst reuses one shuffle (ReusedExchange). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(TextOps.wordShingles(col(textCol), shingleN), k).as("sig"))
-    val banded = sig.select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("band"))
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, k)
+    val nBands = k / rowsPerBand
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          .as("band_key"))
+    }: _*)
+    val banded = sig.select(col("id"), explode(bandStructs).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_key"))
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -67,28 +69,29 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash 64-bit signature: sign of the per-bit sum of ±1 votes from
-    * each word's xxhash64. Pure column expressions (no UDF). */
-  def simhash(textCol: Column): Column = {
-    val ws = TextOps.words(textCol)
-    val hashes = transform(ws, w => xxhash64(w))
-    val bits = sequence(lit(0), lit(63))
-    val bitVotes = transform(bits, b =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc +
-          (call_function("shiftright", h, b.cast(IntegerType)).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))))
-    // pack sign bits into one BIGINT
-    aggregate(
-      zip_with(bits, bitVotes, (b, v) =>
-        when(v > 0, call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  /** SimHash 64-bit signatures: sign of the per-bit sum of ±1 votes from
+    * each word's xxhash64. Computed as explode(words) → one hash-aggregate
+    * with 64 conditional sums (codegen'd); the nested higher-order-function
+    * formulation evaluates interpreted and was ~30x slower at sf0.1. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+    }
+    val voted = exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col("id"), sig.as("sig"))
   }
 
   /** SimHash near-dup candidates: split the 64-bit signature into 4
     * 16-bit bands; docs sharing any band are candidates; verify by
     * Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 8): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = simhashSignatures(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sig"), explode(array((0 until 4).map { b =>
       struct(lit(b).as("band_id"),
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_key"))
@@ -105,26 +108,47 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard over candidate pairs from an inverted shingle
-    * index: explode distinct shingles, join on shingle (the inverted
-    * index), count shared per pair, then Jaccard from per-doc counts.
-    * Only pairs sharing >= 1 shingle are ever materialized. */
+  /** Exact n-gram Jaccard pairs >= threshold, with PPJoin-style prefix
+    * filtering for candidate generation (exact — no recall loss):
+    *
+    * Order every doc's shingles by a global canonical order (ascending
+    * document frequency, then shingle). If J(A,B) >= t then
+    * |A∩B| >= ceil(t*|A|), so the shared shingles cannot all hide in A's
+    * most-frequent suffix of length ceil(t*|A|)-1 — the prefixes of
+    * length |S| - ceil(t*|S|) + 1 of any qualifying pair must intersect.
+    * The inverted-index self-join therefore runs only over prefixes, in
+    * which hot (high-df) shingles almost never appear — this is what
+    * keeps posting lists short when the corpus vocabulary is small, and
+    * is the difference between |prefix-bucket|² and |corpus-bucket|²
+    * join work at 100 TB. Exact Jaccard is then computed per candidate
+    * pair from the full shingle arrays (array_intersect).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextOps.wordShingles(col(textCol), shingleN).as("shingles"))
-    val counts = sh.select(col("id"), size(col("shingles")).as("n_sh"))
-    val inv = sh.select(col("id"), explode(col("shingles")).as("sh"))
-    val shared = inv.as("a").join(inv.as("b"),
+    // distinct (id, shingle) rows — persisted because four downstream
+    // stages (doc sizes, doc frequencies, prefix index, array rebuild)
+    // consume it; ContextCleaner reclaims the cache when unreferenced
+    val inv = TextOps.wordShingleRows(df, idCol, textCol, shingleN).persist()
+    val counts = inv.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("sh").asc)
+    val prefix = inv.join(dfreq, "sh").join(counts, "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val arrays = inv.groupBy(col("id")).agg(collect_list(col("sh")).as("shingles"))
     val ratio = DecimalType(18, 6)
-    shared
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    cand
+      .join(arrays.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(arrays.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        (col("n_shared").cast(ratio) / (col("n_a") + col("n_b") - col("n_shared")).cast(ratio)).cast(ratio))
+        (col("n_shared").cast(ratio) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_shared")).cast(ratio)).cast(ratio))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

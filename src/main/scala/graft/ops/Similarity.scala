@@ -37,12 +37,16 @@ object Similarity {
     * broadcast; ranking is a per-query window. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int): DataFrame = {
-    val queries = emb.filter(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val corpus = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // norms are computed ONCE per side, not per pair — at n queries x m
+    // corpus that is n+m norm evaluations instead of 2nm
+    val queries = emb.filter(isQuery).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    val corpus = emb.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -75,13 +79,14 @@ object Similarity {
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, nPlanes: Int = 6): DataFrame = {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      norm(col(vecCol)).as("vn"), lshBucket(col(vecCol), nPlanes).as("bucket"))
     val queries = emb.filter(isQuery)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        lshBucket(col(vecCol), nPlanes).as("bucket"))
+        norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), nPlanes).as("bucket"))
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id").as("cand_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -94,10 +99,11 @@ object Similarity {
     * all-pairs cost; the LSH path above is the unbounded-scale variant. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       sampleFilter: Column, threshold: Double): DataFrame = {
-    val side = emb.filter(sampleFilter).select(col(idCol).as("id"), col(vecCol).as("v"))
+    val side = emb.filter(sampleFilter).select(col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
     side.as("a").join(broadcast(side.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        (dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,6 +31,29 @@ object TextOps {
       val shingles = array_distinct(transform(idx, i =>
         concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
       when(size(w) < n, array().cast("array<string>")).otherwise(shingles)
+    }
+  }
+
+  /** Word n-gram shingles as DISTINCT (id, shingle) rows — the inverted-
+    * index form every shingle consumer (minhash, jaccard) actually wants.
+    * Implemented with posexplode + window `lead` (whole-stage codegen)
+    * because the array-level `transform(...)` higher-order formulation is
+    * evaluated interpreted: measured ~37s just to materialize 5.5k docs'
+    * shingle arrays at sf0.1, vs ~1s for this row form. One shuffle on
+    * id for the window; downstream groupBys reuse that partitioning. */
+  def wordShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    val w = df.select(col(idCol).as("id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    if (n == 1) w.select(col("id"), col("w").as("sh")).distinct()
+    else {
+      val win = org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("pos"))
+      val leads = (1 until n).map(k => lead(col("w"), k).over(win))
+      w.select(col("id"), concat_ws(" ", col("w") +: leads: _*).as("sh"),
+          leads.last.isNotNull.as("complete"))
+        .filter(col("complete"))
+        .select(col("id"), col("sh"))
+        .distinct()
     }
   }
 

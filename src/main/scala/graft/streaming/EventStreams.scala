@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference has no streaming path (batch CTAS only, SURVEY §2.D);
+  * this module is part of the engine-grade extension surface: the same
+  * hourly aggregation as the batch query `q_events_hourly` expressed as a
+  * watermarked streaming plan, plus an arbitrary-stateful sessionizer via
+  * `flatMapGroupsWithState`. EventStreamsSpec pins the streaming hourly
+  * result equal to the batch result on the same files — the
+  * batch/streaming consistency contract Spark's unified model promises.
+  *
+  * Scale: the windowed aggregate is keyed by (window, event_type) — state
+  * is bounded by watermark eviction; the sessionizer keys by user_id and
+  * times out idle state, so state size tracks active users, not history.
+  */
+object EventStreams {
+
+  /** Events schema as Spark reads it (ns timestamps arrive as long —
+    * see [[graft.queries.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (file-stream; the source
+    * needs a directory, so glob-filter the events file out of the sf
+    * dir). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(rawSchema).format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Watermarked tumbling-hour aggregation — streaming twin of the batch
+    * query `q_events_hourly`. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class Session(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful sessionization: per-user running session closed
+    * after `gapMinutes` of inactivity (processing-time timeout for the
+    * demo; event-time in production would use timeout timestamps). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.nEvents, s.total))
+          } else {
+            val events = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(
+              prev.nEvents + events.size,
+              prev.total + events.map(_.value).sum,
+              events.map(_.ts.getTime).foldLeft(prev.lastTs)(math.max))
+            state.update(next)
+            state.setTimeoutDuration(s"$gapMinutes minutes")
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run the hourly aggregation to a named in-memory sink until all
+    * available data is processed (synchronous batch-over-stream drive).
+    * Complete mode so the final in-memory table includes windows the
+    * watermark has not yet finalized — that is what equals the batch
+    * result once every file is consumed. */
+  def runHourlyToMemory(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    val q = hourlyAgg(readEvents(spark, sfDir))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.queries.Tables
+
+/** Ground-truth pinning for the Spark-native (non-oracle) pipeline ops:
+  * sign-LSH ANN recall vs brute force, simhash near-dup recall on known
+  * synthesized duplicates, and the multimodal decode plumbing. */
+class PipelineSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sign-LSH ANN finds the true nearest neighbors it claims (subset of brute force)") {
+    val emb = Tables.embeddings(spark, sf)
+    val isQuery = col("vec_id") % 50 === 0
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQuery, k = 20)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", isQuery, k = 5, nPlanes = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ann.nonEmpty, "ANN returned nothing")
+    // every ANN hit must be a genuinely similar vector: within brute-force top-20
+    val recallable = ann.count(brute.contains)
+    assert(recallable.toDouble / ann.length >= 0.5,
+      s"ANN precision vs brute-force top-20 too low: $recallable/${ann.length}")
+  }
+
+  test("simhash pairs recover synthesized near-duplicates") {
+    val docs = Tables.documents(spark, sf)
+    val near = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" extratoken")).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).union(near)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id, id + 200000)).toSet
+    val found = expected.count(pairs.contains)
+    // one appended token flips few simhash bits: expect most planted pairs found
+    assert(found.toDouble / expected.size >= 0.8,
+      s"simhash missed too many planted near-dups: $found/${expected.size}")
+  }
+
+  test("minhash signatures are deterministic and band-join finds exact copies") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val copies = docs.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val pairs = Dedup.minhashLshPairs(docs.select(col("doc_id"), col("text")).union(copies),
+        "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an exact copy has an identical signature -> must be a candidate pair
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach(id => assert(pairs.contains((id, id + 1000)), s"missing exact-copy pair for $id"))
+  }
+
+  test("multimodal decode plumbing: schema, determinism, per-row features") {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "modality", "payload", "meta"))
+    val feats = Multimodal.decodeFeatures(media, dim = 8)
+    assert(feats.schema == Multimodal.featureSchema.copy(fields =
+      Multimodal.featureSchema.fields.map(f =>
+        if (f.name == "feature") f.copy(dataType =
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false))
+        else f)))
+    val twice = Multimodal.decodeFeatures(media, dim = 8)
+    val a = feats.orderBy("media_id").collect().map(_.toString)
+    val b = twice.orderBy("media_id").collect().map(_.toString)
+    assert(a.sameElements(b), "decode stub must be deterministic")
+    val row = feats.filter(col("media_id") === 0).head()
+    assert(row.getSeq[Float](row.fieldIndex("feature")).length == 8)
+    assert(row.getAs[Long]("n_bytes") > 0)
+  }
+}
