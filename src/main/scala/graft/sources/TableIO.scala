@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink layer: the reference's only sink is atomic
+  * `CREATE OR REPLACE TABLE ... AS SELECT` (A1,
+  * `/root/reference/core/transformations.py:149`); its only source is a
+  * BigQuery table scan (A2). Spark equivalents plus the scale paths:
+  *
+  *  - `replaceTable`: overwrite-mode saveAsTable — Spark's atomic CTAS.
+  *  - `replaceParquet`: path-based overwrite for catalog-less runs.
+  *  - `replaceBucketed`: CTAS + bucketing on a key. Pre-bucketing every
+  *    survey table version by `Connect_ID` makes the N-way full-outer
+  *    merge exchange-free: each SortMergeJoin reads co-bucketed files,
+  *    so at 100 TB the merge moves ZERO rows over the network (the
+  *    reference pays a BigQuery shuffle per join). Verified by
+  *    TableIOSpec asserting no Exchange in the bucketed join plan.
+  */
+object TableIO {
+
+  def readTable(spark: SparkSession, name: String): DataFrame = spark.read.table(name)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Atomic table replace (CTAS semantics, A1). */
+  def replaceTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+
+  /** Path-based overwrite (A1 for lake paths). */
+  def replaceParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** CTAS + bucket/sort by a join key. Bucketed tables joined on the
+    * bucket key skip the shuffle entirely (requires
+    * spark.sql.sources.bucketing.enabled, default true). */
+  def replaceBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+}
