@@ -17,6 +17,16 @@ object PipelineApi {
 
   final case class Result(status: String, submittedSqlPath: String)
 
+  /** B28: request validation — both names must be present (the reference
+    * returns 400; we throw, the service layer maps it).
+    * Ref: `core/request_helpers.py:3-12`. */
+  def extractSourceAndDestination(source: Option[String], dest: Option[String]): (String, String) =
+    (source, dest) match {
+      case (Some(s), Some(d)) if s.nonEmpty && d.nonEmpty => (s, d)
+      case _ => throw new IllegalArgumentException(
+        "Both 'source_table' and 'destination_table' must be provided.")
+    }
+
   /** Ref: `core/endpoints.py:11-18`. */
   def heartbeat(service: String = "graft"): Map[String, String] = Map(
     "status" -> "success",

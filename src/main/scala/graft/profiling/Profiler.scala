@@ -63,6 +63,36 @@ object Profiler {
     }
   }
 
+  /** Load false-array concept-ID pairs from a JSON sidecar, accepting
+    * both the bare-list format (`[["a","b"], ...]`) and the wrapped
+    * format (`{"concept_id_pairs": [...]}`) like the reference
+    * (`core/utils.py:468-503`). Minimal parser — the sidecar grammar is
+    * just nested string arrays, and pulling in a JSON library for it is
+    * not worth a dependency. */
+  def loadFalseArrayReference(path: String): Seq[(String, String)] = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val body = {
+      val key = "\"concept_id_pairs\""
+      val i = text.indexOf(key)
+      if (i >= 0) text.substring(i + key.length) else text
+    }
+    val pair = "\\[\\s*\"(\\d{9})\"\\s*,\\s*\"(\\d{9})\"\\s*\\]".r
+    pair.findAllMatchIn(body).map(m => (m.group(1), m.group(2))).toSeq
+  }
+
+  /** B22: false-array detection over many tables at once (reference mode
+    * only needs schemas; computational mode scans each table).
+    * Ref: `get_false_array_columns_for_tables`, `core/utils.py:700-748`. */
+  def falseArrayColumnsForTables(
+      tables: Map[String, DataFrame],
+      useReference: Boolean = true,
+      batchSize: Int = 500): Map[String, Seq[String]] =
+    tables.map { case (name, df) =>
+      name -> (if (useReference) falseArrayColumnsFromReference(df.schema.fieldNames.toSeq)
+               else falseArrayColumnsComputational(df, batchSize))
+    }
+
   /** Computational false-array detection (the reference's fallback,
     * `core/utils.py:616-694`), collapsed from 3 scalar subqueries per
     * column into one conditional-aggregate pass per batch. A column

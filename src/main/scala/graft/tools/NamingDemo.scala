@@ -20,5 +20,10 @@ object NamingDemo {
     println("badcid=" + Naming.findNonStandardConceptIds(Seq("d_71558179_v2_1_1")))
     println("renames=" + Constants.OneOffColumnRenameMappings("FlatConnect.covid19Survey_v1_JP").take(2))
     println("ageExpr=" + Constants.ageTransform("D_317093647", "t"))
+    println("tableRef=" + graft.config.TableRef.parse("p.FlatConnect.module1_v2_JP").configKey)
+    println("sidecarPairs=" + graft.profiling.Profiler.loadFalseArrayReference(
+      "/root/reference/reference/false_array_columns.json").size)
+    println("normalized=" + graft.naming.VariableNormalizer.fixAllVariables(
+      Seq("SIBCANC3O_1"), Map("SIBCANC3O" -> "123456789")))
   }
 }
