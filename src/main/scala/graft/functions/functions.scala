@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.ops.TextOps
+
+/** User-facing column-function surface of the engine — the `functions._`
+  * equivalent a user of the reference would import. Everything here is a
+  * pure `Column` expression (codegen-friendly, no UDFs). */
+package object functions {
+
+  // --- text
+  def normalize_text(c: Column): Column = TextOps.normalize(c)
+  def word_tokens(c: Column): Column = TextOps.words(c)
+  def token_count(c: Column): Column = TextOps.tokenCount(c)
+  def word_count(c: Column): Column = TextOps.wordCount(c)
+  def lang_id(c: Column): Column = TextOps.langId(c)
+  def text_fingerprint(c: Column): Column = TextOps.fingerprint(c)
+  def min_shingle_hash(c: Column, k: Int = 8): Column = TextOps.minShingleHash(c, k)
+  def word_shingles(c: Column, n: Int): Column = TextOps.wordShingles(c, n)
+
+  // --- survey cleaning expressions
+  def binary_recode(colName: String): Column =
+    graft.transform.CleanRows.binaryRecodeExpr(colName)
+  def unwrap_singleton(colName: String): Column =
+    graft.transform.CleanRows.unwrapSingletonExpr(colName)
+
+  // --- vectors
+  /** Native codegen'd float-vector dot product ([[FloatVectorDot]]). */
+  def float_dot(a: Column, b: Column): Column =
+    Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))
+  def vector_norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(float_dot(a, a))
+  def cosine_similarity(a: Column, b: Column): Column =
+    float_dot(a, b) / (vector_norm(a) * vector_norm(b))
+}

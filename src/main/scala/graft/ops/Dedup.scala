@@ -135,9 +135,20 @@ object Dedup {
     val prefix = inv.join(dfreq, "sh").join(counts, "id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("sh"))
+      .select(col("id"), col("sh"), col("rn"), col("n_sh"))
+    // PPJoin prunes — all exactness-preserving:
+    //  size filter: J >= t forces t*|A| <= |B| <= |A|/t;
+    //  position filter: a match at prefix positions (rn_a, rn_b) bounds the
+    //  overlap by 1 + min(|A|-rn_a, |B|-rn_b), which must reach the
+    //  equivalent-overlap requirement alpha = ceil(t/(1+t) * (|A|+|B|)).
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a.n_sh") + col("b.n_sh")))
+    val overlapUb = lit(1) + least(
+      col("a.n_sh") - col("a.rn"), col("b.n_sh") - col("b.rn"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+        col("b.n_sh") >= ceil(lit(threshold) * col("a.n_sh")) &&
+        col("b.n_sh") <= floor(col("a.n_sh") / lit(threshold)) &&
+        overlapUb >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val arrays = inv.groupBy(col("id")).agg(collect_list(col("sh")).as("shingles"))

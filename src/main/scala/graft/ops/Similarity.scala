@@ -21,9 +21,17 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product in double precision via zip_with + aggregate (sequential
-    * fold in index order — deterministic, same order DuckDB evaluates). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two `array<float>` columns via the native codegen'd
+    * [[graft.functions.FloatVectorDot]] expression. Same arithmetic
+    * contract as the interpreted `aggregate(zip_with(...))` formulation
+    * (widen to double, sequential index-order accumulation — what the
+    * DuckDB oracle computes) but compiled to a primitive loop. */
+  def dot(a: Column, b: Column): Column = graft.functions.float_dot(a, b)
+
+  /** Generic dot for non-float arrays (used by the LSH projections where
+    * one side is a derived double array): interpreted HOF — fine off the
+    * per-pair hot path. */
+  def dotAny(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)

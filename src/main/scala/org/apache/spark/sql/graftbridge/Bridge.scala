@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. Spark 4 made `Column.expr` and the
+  * Column(Expression) constructor `private[sql]` (Connect-agnostic Column
+  * API); custom Catalyst expressions still need the classic conversions,
+  * so this one-file subpackage of org.apache.spark.sql re-exports them —
+  * the standard pattern for third-party Catalyst extensions. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{cosine_similarity, float_dot, vector_norm}
+import graft.ops.Similarity
+
+/** The native FloatVectorDot expression: value parity with the
+  * interpreted HOF formulation, null semantics, and mismatch errors. */
+class FunctionsSpec extends SparkSpec {
+
+  private def vecDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.5f, -1.5f, 2.25f), Array(-0.25f, 3.0f, 1.0f)))
+      .toDF("id", "a", "b")
+  }
+
+  test("float_dot matches the interpreted zip_with/aggregate result exactly") {
+    val rows = vecDf.select(
+      float_dot(col("a"), col("b")).as("native"),
+      Similarity.dotAny(col("a"), col("b")).as("interpreted")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bitwise-identical doubles
+    }
+  }
+
+  test("float_dot computes the expected values") {
+    val got = vecDf.orderBy("id").select(float_dot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == (1.0 * 4 + 2.0 * 5 + 3.0 * 6))
+    assert(math.abs(got(1).getDouble(0) - (0.5 * -0.25 + -1.5 * 3.0 + 2.25 * 1.0)) < 1e-12)
+  }
+
+  test("null input -> null output; type mismatch rejected at analysis") {
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val r = withNull.select(float_dot(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+    val bad = Seq((Array(1.0), Array(1.0f))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(float_dot(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("cosine_similarity of a vector with itself is 1") {
+    val got = vecDf.select(cosine_similarity(col("a"), col("a"))).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("expression survives codegen (wholestage on) and interpreted (off)") {
+    val df = vecDf
+    val expected = df.select(vector_norm(col("a"))).collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(vector_norm(col("a"))).collect().map(_.getDouble(0))
+      assert(interp.sameElements(expected))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}
