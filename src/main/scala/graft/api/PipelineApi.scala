@@ -40,10 +40,17 @@ object PipelineApi {
     Result(s"Table $dest successfully created with all transformations applied", planPath)
   }
 
-  /** Ref: `core/endpoints.py:20-35` → process_columns. */
+  /** Ref: `core/endpoints.py:20-35` → process_columns. Archives both the
+    * generated SQL text (the reference's audit artifact) and the Spark
+    * plan before writing. */
   def cleanColumns(spark: SparkSession, source: String, dest: String,
-      tableId: String = "", auditDir: String = "/tmp/graft-audit"): Result =
-    materialize(CleanColumns(spark.read.parquet(source), tableId), dest, auditDir)
+      tableId: String = "", auditDir: String = "/tmp/graft-audit"): Result = {
+    val df = spark.read.parquet(source)
+    Audit.saveText(
+      CleanColumns.toSql(df.schema.fieldNames.toSeq, tableId, source, dest),
+      s"$auditDir/${dest.replaceAll("[^A-Za-z0-9._-]", "_")}.sql")
+    materialize(CleanColumns(df, tableId), dest, auditDir)
+  }
 
   /** Ref: `core/endpoints.py:37-52` → process_rows. */
   def cleanRows(spark: SparkSession, source: String, dest: String,

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's native expressions for SQL use.
+  *
+  * Two entry points:
+  *  - `withExtensions(new GraftExtensions)` at session build time
+  *    (`SparkSessionExtensions.injectFunction`) — the standard extension
+  *    wiring for clusters;
+  *  - [[GraftExtensions.register]] on a live session, for notebooks/tests.
+  *
+  * After registration: `SELECT float_vector_dot(a.embedding, b.embedding)`
+  * works in `spark.sql` with the same codegen'd implementation as the
+  * `graft.functions.float_dot` Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.floatVectorDotDescriptor)
+}
+
+object GraftExtensions {
+  private def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "float_vector_dot takes exactly 2 arguments")
+    FloatVectorDot(children.head, children(1))
+  }
+
+  val floatVectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("float_vector_dot"),
+    new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+    build)
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vector_dot", build, "built-in")
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot grouping keys.
+  *
+  * AQE's skew-join splitting handles joins, but a groupBy whose partial
+  * aggregates are NOT combine-reducible per map task (e.g. collect_list,
+  * exact distinct counting) still funnels every row of a hot key through
+  * one reducer. Salted aggregation breaks that: aggregate on
+  * (key, hash(row) % buckets) first — spreading a hot key over `buckets`
+  * reducers — then combine the per-salt partials in a second, tiny
+  * aggregation. Correct only for aggregates with an associative
+  * partial/final decomposition, which the API makes explicit by taking
+  * both stages. */
+object Skew {
+
+  /** Two-phase salted aggregation.
+    *
+    * @param saltSource  expression whose hash spreads rows of one key
+    *                    (e.g. a high-cardinality column)
+    * @param partial     per-(key, salt) aggregates
+    * @param finalAgg    per-key combination of the partial columns
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      key: Column,
+      saltSource: Column,
+      buckets: Int,
+      partial: Seq[Column],
+      finalAgg: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltSource), lit(buckets)))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col("__key"))
+      .agg(finalAgg.head, finalAgg.tail: _*)
+
+  /** Salted exact count + sum — the common shape: partial count/sum per
+    * salt, then sum of partials. */
+  def saltedCountSum(df: DataFrame, key: Column, saltSource: Column,
+      valueCol: Column, buckets: Int = 16): DataFrame =
+    saltedAggregate(df, key, saltSource, buckets,
+      partial = Seq(count(lit(1)).as("__n"), sum(valueCol).as("__s")),
+      finalAgg = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("total")))
+
+  /** Salted exact distinct count: per-salt distinct (each distinct value
+    * lands in exactly one salt bucket when salted BY THE VALUE), then sum
+    * of bucket-distincts — exact, unlike approx_count_distinct. */
+  def saltedDistinctCount(df: DataFrame, key: Column, valueCol: Column,
+      buckets: Int = 16): DataFrame =
+    saltedAggregate(df, key, valueCol, buckets,
+      partial = Seq(countDistinct(valueCol).as("__d")),
+      finalAgg = Seq(sum(col("__d")).as("n_distinct")))
+}

@@ -218,7 +218,47 @@ object RelationalQueries {
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin))
 
+  /** Sessionization in batch (gaps-and-islands): a new session starts
+    * after >30 min of per-user inactivity; lag + cumulative sum assigns
+    * session ids, then one aggregate per session. The batch twin of the
+    * streaming `flatMapGroupsWithState` sessionizer. */
+  val qEventsSessions: QueryDef = QueryDef(
+    "q_events_sessions",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") % 10 === 0)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val newSession = when(
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)) > 1800, 1
+      ).otherwise(0)
+      val sessionized = e
+        .withColumn("new_s", coalesce(newSession, lit(0)))
+        .withColumn("session_id",
+          sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessionized.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
-    qSetOps, qTopkOrders, qEventsHourly, qRollup)
+    qSetOps, qTopkOrders, qEventsHourly, qRollup, qEventsSessions)
 }

@@ -59,6 +59,31 @@ object CleanColumns {
     df.select(clauses.map(_.aliased): _*)
   }
 
+  /** Render the plan as auditable SQL text — the reference archives every
+    * generated query before execution (`core/transformations.py:585-631`);
+    * this is the equivalent artifact, annotated per step, derived from the
+    * SAME Column expressions the projection executes (no drift). */
+  def toSql(columns: Seq[String], tableId: String, source: String, dest: String): String = {
+    val clauses = plan(columns, tableId)
+    val stepComment = Map(
+      "connect_id" -> "-- Connect_ID (always preserved)",
+      "one_off_rename" -> "-- Step 1: One-off column renames from config",
+      "substring_removal" -> "-- Step 2: Substring removal (state_, _num, etc.)",
+      "custom_transform" -> "-- Step 3: Custom column transformations",
+      "loop_variable" -> "-- Step 4: Loop variable processing",
+      "non_loop_passthrough" -> "-- Step 4: Non-loop pass-through")
+    val body = clauses.zipWithIndex.map { case (c, i) =>
+      val comment =
+        if (i == 0 || clauses(i - 1).step != c.step) s"    ${stepComment(c.step)}\n" else ""
+      val exprSql = org.apache.spark.sql.graftbridge.Bridge.eagerExpression(c.expr).sql
+      s"$comment    $exprSql AS ${c.output}"
+    }.mkString(",\n")
+    s"""/* Combined transformation query for $source -> $dest */
+       |SELECT
+       |$body
+       |FROM $source""".stripMargin
+  }
+
   /** Step 1 (ref `_build_one_off_renames_clauses`,
     * `core/transformations.py:178-280`): apply the configured renames for
     * this table; when several sources map to one target (or the target

@@ -11,5 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * the standard pattern for third-party Catalyst extensions. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Lazy wrapper — sufficient for embedding a Column into a custom
+    * Expression tree (resolution happens at analysis). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly-converted Catalyst expression — needed when the tree itself
+    * is inspected before analysis (e.g. rendering `.sql` audit text). */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -52,6 +52,14 @@ class FunctionsSpec extends SparkSpec {
     got.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("float_vector_dot is callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    vecDf.createOrReplaceTempView("vecs")
+    val got = spark.sql(
+      "SELECT float_vector_dot(a, b) AS d FROM vecs WHERE id = 1").head().getDouble(0)
+    assert(got == 32.0)
+  }
+
   test("expression survives codegen (wholestage on) and interpreted (off)") {
     val df = vecDf
     val expected = df.select(vector_norm(col("a"))).collect().map(_.getDouble(0))
