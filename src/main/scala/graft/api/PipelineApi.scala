@@ -54,14 +54,22 @@ object PipelineApi {
 
   /** Ref: `core/endpoints.py:37-52` → process_rows. */
   def cleanRows(spark: SparkSession, source: String, dest: String,
-      useReference: Boolean = true, auditDir: String = "/tmp/graft-audit"): Result =
-    materialize(CleanRows(spark.read.parquet(source), useReference), dest, auditDir)
+      useReference: Boolean = true, auditDir: String = "/tmp/graft-audit"): Result = {
+    val df = spark.read.parquet(source)
+    val cls = CleanRows.classify(df, useReference)
+    Audit.saveText(CleanRows.toSql(cls, source, dest),
+      s"$auditDir/${dest.replaceAll("[^A-Za-z0-9._-]", "_")}.sql")
+    materialize(CleanRows(df, cls), dest, auditDir)
+  }
 
   /** Ref: `core/endpoints.py:54-69` → merge_table_versions. Requires >= 2
     * sources, like the reference (`core/transformations.py:47-48`). */
   def mergeTableVersions(spark: SparkSession, sources: Seq[String], dest: String,
-      auditDir: String = "/tmp/graft-audit"): Result =
+      auditDir: String = "/tmp/graft-audit"): Result = {
+    require(sources.size >= 2,
+      "A destination table and at least two source tables must be provided.")
     materialize(MergeTableVersions(sources.map(spark.read.parquet(_))), dest, auditDir)
+  }
 
   /** Ref: `core/endpoints.py:72-87` → create_sensitive_tier. */
   def createSensitiveTier(spark: SparkSession, source: String, dest: String,

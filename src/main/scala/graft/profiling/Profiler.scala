@@ -101,14 +101,22 @@ object Profiler {
     *  2. every non-null value is in [[Constants.FalseArrayValues]];
     *  3. at most 1 distinct value matches `^\[\d{9}\]$`.
     */
-  def falseArrayColumnsComputational(df: DataFrame, batchSize: Int = 500): Seq[String] = {
+  def falseArrayColumnsComputational(df: DataFrame, batchSize: Int = 500,
+      approxDistinct: Boolean = false): Seq[String] = {
     val stringCols = df.schema.fields
       .filter(f => f.dataType == StringType && f.name != "Connect_ID").map(_.name).toSeq
     if (stringCols.isEmpty) return Seq.empty
     val falseVals = Constants.FalseArrayValues
     stringCols.grouped(batchSize).flatMap { batch =>
       val checks: Seq[Column] = batch.flatMap { c =>
-        val distinctCount = countDistinct(col(c))
+        // approxDistinct: at the 100 TB scale an exact COUNT(DISTINCT) per
+        // column shuffles every distinct value; HLL++ answers the "<= 3
+        // distinct" gate in the same single pass with bounded memory.
+        // rsd=0.02 cannot confuse 3 with 4 at these magnitudes. Exact mode
+        // matches the reference bit-for-bit and is the oracle-checked path.
+        val distinctCount =
+          if (approxDistinct) approx_count_distinct(col(c), 0.02)
+          else countDistinct(col(c))
         val fewNonNull = distinctCount.leq(3) && distinctCount.gt(0)
         val onlyFalse = count(when(col(c).isNotNull && !col(c).isin(falseVals: _*), lit(1))) === 0
         val singleCid = countDistinct(

@@ -82,6 +82,13 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen
+    * within the watermark horizon — the streaming twin of
+    * [[graft.ops.Dedup.exact]]; state is bounded by watermark eviction. */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the hourly aggregation to a named in-memory sink until all
     * available data is processed (synchronous batch-over-stream drive).
     * Complete mode so the final in-memory table includes windows the

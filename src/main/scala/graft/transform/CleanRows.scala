@@ -63,6 +63,21 @@ object CleanRows {
   def apply(df: DataFrame, useReference: Boolean = true, batchSize: Int = 500): DataFrame =
     apply(df, classify(df, useReference, batchSize))
 
+  /** Auditable SQL text of a clean_rows projection (same shape as the
+    * reference's archived query, `core/transformations.py:737-747`),
+    * rendered from the same Column expressions the engine executes. */
+  def toSql(cls: Classification, source: String, dest: String): String = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val parts =
+      cls.binary.sorted.map(c => s"    ${Bridge.eagerExpression(binaryRecodeExpr(c)).sql} AS $c") ++
+        cls.falseArray.sorted.map(c => s"    ${Bridge.eagerExpression(unwrapSingletonExpr(c)).sql} AS $c") ++
+        cls.passthrough.sorted.map(c => s"    $c")
+    s"""/* Combined transformation query for $source -> $dest */
+       |SELECT
+       |${parts.mkString(",\n")}
+       |FROM $source""".stripMargin
+  }
+
   def apply(df: DataFrame, cls: Classification): DataFrame = {
     val clauses: Seq[Column] =
       cls.binary.sorted.map(c => binaryRecodeExpr(c).as(c)) ++

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.api.PipelineApi
+import graft.profiling.Profiler
+import graft.transform.CleanRows
+
+/** Drives the five-endpoint facade end-to-end on real parquet files:
+  * write survey-shaped input, call the API, read the results back, and
+  * check the audit artifacts exist. */
+class ApiSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory("graft-api").resolve(name).toString
+
+  private def writeSurvey(path: String): Unit = {
+    val cols = Seq("Connect_ID", "d_111111111", "d_578895128_d_578895128",
+      "state_d_987654321", "token")
+    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    val rows = Seq(
+      Row("c1", "1", "[]", "x", "t"),
+      Row("c2", "0", "[123456789]", "y", "t"),
+      Row("c3", null, null, "z", "t"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  test("heartbeat") {
+    val h = PipelineApi.heartbeat()
+    assert(h("status") == "success" && h("service") == "graft")
+  }
+
+  test("clean_columns endpoint: transform + SQL and plan audit artifacts") {
+    val src = tmp("src"); val dst = tmp("dst"); val audit = tmp("audit")
+    writeSurvey(src)
+    val r = PipelineApi.cleanColumns(spark, src, dst, auditDir = audit)
+    assert(r.status.contains("successfully created"))
+    val out = spark.read.parquet(dst)
+    assert(out.columns.contains("d_987654321")) // state_ excised
+    assert(!out.columns.contains("token"))      // forbidden name dropped
+    val auditFiles = new java.io.File(audit).list().toSeq
+    assert(auditFiles.exists(_.endsWith(".sql")))
+    assert(auditFiles.exists(_.endsWith(".plan.txt")))
+  }
+
+  test("clean_rows endpoint: recode + unwrap through the API") {
+    val src = tmp("src"); val dst = tmp("dst"); val audit = tmp("audit")
+    writeSurvey(src)
+    val r = PipelineApi.cleanRows(spark, src, dst, auditDir = audit)
+    assert(r.status.contains("successfully created"))
+    val out = spark.read.parquet(dst)
+    val byId = out.collect().map(r0 => r0.getAs[String]("Connect_ID") -> r0).toMap
+    assert(byId("c1").getAs[String]("d_111111111") == "353358909")
+    assert(byId("c2").getAs[String]("d_578895128_d_578895128") == "123456789")
+    val sqlText = new java.io.File(audit).list().find(_.endsWith(".sql"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(audit, f)))).get
+    assert(sqlText.contains("353358909") && sqlText.contains("FROM " + src))
+  }
+
+  test("merge endpoint requires >= 2 sources") {
+    intercept[IllegalArgumentException] {
+      PipelineApi.mergeTableVersions(spark, Seq("/nonexistent"), "/tmp/x")
+    }
+  }
+
+  test("approx-distinct profiling matches exact classification here") {
+    val src = tmp("src")
+    writeSurvey(src)
+    val df = spark.read.parquet(src)
+    val exact = Profiler.falseArrayColumnsComputational(df)
+    val approx = Profiler.falseArrayColumnsComputational(df, approxDistinct = true)
+    assert(exact == approx)
+  }
+
+  test("streaming dedup plan builds against a streaming source") {
+    val deduped = graft.streaming.EventStreams.dedupedEvents(
+      graft.streaming.EventStreams.readEvents(spark, "/root/testdata/sf0.001"))
+    assert(deduped.isStreaming)
+  }
+}
