@@ -250,8 +250,26 @@ object PipelineQueries {
       .orderBy("media_id"),
     None)
 
+  /** Vocabulary top-k: explode word tokens, count, rank — the
+    * tokenize/explode/aggregate shape of corpus statistics. */
+  val textWordcount: QueryDef = QueryDef(
+    "text_wordcount",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      words.groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20)
+    },
+    Some(s"""WITH w AS (
+      |  SELECT unnest(string_split($normalizeSql, ' ')) AS word FROM documents)
+      |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
+      |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
     simTopkBrute, simAnnLsh, textLangid, textQuality, textTokens, textFingerprint,
-    mmDecode)
+    textWordcount, mmDecode)
 }

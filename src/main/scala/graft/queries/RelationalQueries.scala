@@ -258,7 +258,50 @@ object RelationalQueries {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin))
 
+  /** Correlated-subquery shape — customers richer than their nation's
+    * average balance — decorrelated manually into an aggregate+join so
+    * the arithmetic stays in exact DECIMAL (balance * n > sum instead of
+    * balance > sum/n: no division, no rounding drift). */
+  val qCorrelatedAvg: QueryDef = QueryDef(
+    "q_correlated_avg",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val natAgg = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(col("c_acctbal").cast(money)).as("bal_sum"), count(lit(1)).as("n"))
+      c.join(broadcast(natAgg), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal").cast(money) * col("n") > col("bal_sum"))
+        .select(col("c_custkey"), col("c_nationkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH nat AS (
+      |  SELECT c_nationkey AS nk, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, count(*) AS n
+      |  FROM customer GROUP BY 1)
+      |SELECT c_custkey, c_nationkey
+      |FROM customer JOIN nat ON c_nationkey = nk
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > bal_sum
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** Pivot: order counts by status x priority (conditional-aggregation
+    * oracle with matching generated column names). */
+  val qPivot: QueryDef = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    QueryDef(
+      "q_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .count()
+        .na.fill(0L)
+        .orderBy("o_orderstatus"),
+      Some {
+        val cols = priorities.map(p =>
+          s"""count(*) FILTER (WHERE o_orderpriority = '$p') AS "$p"""").mkString(",\n  ")
+        s"""SELECT o_orderstatus,\n  $cols\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
-    qSetOps, qTopkOrders, qEventsHourly, qRollup, qEventsSessions)
+    qSetOps, qTopkOrders, qEventsHourly, qRollup, qEventsSessions,
+    qCorrelatedAvg, qPivot)
 }
