@@ -67,6 +67,35 @@ object Multimodal {
     Row(mediaId, modality, bytes.length.toLong, h, feature.toSeq)
   }
 
+  /** ==STUB== "resize": a real implementation decodes, resamples to
+    * (w, h), and re-encodes. The stub keeps the contract — payload is
+    * replaced by a deterministic transformation whose size scales with
+    * the target dims — so downstream schema/size accounting is real. */
+  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val target = w.toLong * h / 64 // fake bytes-per-pixel-block
+    media.withColumn("payload",
+      expr(s"substring(payload, 1, greatest(least(length(payload), $target), 1))"))
+      .withColumn("meta", struct(
+        col("meta.source").as("source"),
+        length(col("payload")).cast(LongType).as("n_bytes")))
+  }
+
+  /** ==STUB== "frame sampling": one row per sampled frame. A real
+    * implementation seeks the container and decodes every Nth frame;
+    * the stub emits `nFrames` deterministic payload slices. The row
+    * explosion, frame indexing, and per-frame metadata are the real
+    * plumbing downstream operators consume. */
+  def frameSampleStub(media: DataFrame, nFrames: Int): DataFrame = {
+    val frames = sequence(lit(0), lit(nFrames - 1))
+    media.filter(col("modality") === "video")
+      .select(col("media_id"), explode(frames).as("frame_no"), col("payload"))
+      .withColumn("frame_payload",
+        expr("substring(payload, 1 + frame_no * 16, 16)"))
+      .select(col("media_id"), col("frame_no"),
+        col("frame_payload").as("payload"),
+        length(col("frame_payload")).cast(LongType).as("n_bytes"))
+  }
+
   /** Per-partition batched decode: the mapPartitions boundary is where a
     * real pipeline hands row batches to a native decoder. Partition count
     * governs decoder parallelism; payloads never shuffle. */

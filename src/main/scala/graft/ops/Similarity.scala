@@ -102,6 +102,57 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
+    * `nCells` deterministic seed centroids (every (corpus/nCells)-th
+    * vector by id order — data points as centroids, a valid IVF seeding
+    * that needs no iterative training job); each vector is assigned to
+    * its nearest centroid once; a query probes only the `nProbe` cells
+    * nearest to it. Search cost drops nCells/nProbe-fold; recall is
+    * pinned against brute force in PipelineSpec.
+    *
+    * Scale shape: assignment is one broadcast(centroids) pass over the
+    * corpus (no shuffle of vectors); the probe join is keyed by cell id,
+    * so per-query work is bucket-local, and cells skewed by the data
+    * distribution split under AQE like any hot key. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+    // deterministic centroid choice: an id-value stride (no global sort —
+    // a rank-based pick would funnel the corpus through one partition)
+    val maxId = base.agg(max(col("id"))).head().getLong(0)
+    val stride = math.max(1L, (maxId + 1) / nCells)
+    val centroids = base.filter(col("id") % stride === 0)
+      .limit(nCells)
+      .select(col("id").as("cell_id"), col("v").as("cv"), col("vn").as("cn"))
+    // assign every vector to its nearest centroid (1 broadcast pass)
+    val simToCell = (dot(col("v"), col("cv")) / (col("vn") * col("cn"))).as("cell_sim")
+    val cellRank = Window.partitionBy(col("id"))
+      .orderBy(col("cell_sim").desc, col("cell_id").asc)
+    val assigned = base.join(broadcast(centroids), lit(true))
+      .select(col("id"), col("v"), col("vn"), col("cell_id"), simToCell)
+      .withColumn("crk", row_number().over(cellRank))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("v"), col("vn"), col("cell_id"))
+    // queries probe their nProbe nearest cells
+    val probes = emb.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+      .join(broadcast(centroids), lit(true))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cell_sim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cell_sim").desc, col("cell_id").asc)))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
     * threshold, restricted to a sampled candidate id set for bounded
     * all-pairs cost; the LSH path above is the unbounded-scale variant. */

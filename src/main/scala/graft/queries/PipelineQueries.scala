@@ -170,6 +170,15 @@ object PipelineQueries {
       .orderBy("query_id", "rk"),
     None)
 
+  /** IVF ANN top-5 — the inverted-file scale path (probe 2 of 16 cells;
+    * recall pinned in PipelineSpec). */
+  val simIvf: QueryDef = QueryDef(
+    "sim_ivf",
+    (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5, nCells = 16, nProbe = 2)
+      .orderBy("query_id", "rk"),
+    None)
+
   /** Language ID heuristic per document. */
   val textLangid: QueryDef = QueryDef(
     "text_langid",
@@ -270,6 +279,6 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
-    simTopkBrute, simAnnLsh, textLangid, textQuality, textTokens, textFingerprint,
-    textWordcount, mmDecode)
+    simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality, textTokens,
+    textFingerprint, textWordcount, mmDecode)
 }

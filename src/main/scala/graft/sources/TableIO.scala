@@ -30,6 +30,17 @@ object TableIO {
   def replaceParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** CSV source with header + schema inference options (the lake-side
+    * ingest format the reference never needed — BigQuery load jobs did
+    * this upstream; an engine owning the whole pipeline needs it). */
+  def readCsv(spark: SparkSession, path: String,
+      header: Boolean = true, inferSchema: Boolean = true): DataFrame =
+    spark.read.option("header", header).option("inferSchema", inferSchema).csv(path)
+
+  /** JSON-lines source. */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** CTAS + bucket/sort by a join key. Bucketed tables joined on the
     * bucket key skip the shuffle entirely (requires
     * spark.sql.sources.bucketing.enabled, default true). */

@@ -27,6 +27,22 @@ class PipelineSpec extends SparkSpec {
       s"ANN precision vs brute-force top-20 too low: $recallable/${ann.length}")
   }
 
+  test("IVF ANN results are genuinely similar vectors (within brute-force top-20)") {
+    val emb = Tables.embeddings(spark, sf)
+    val isQuery = col("vec_id") % 50 === 0
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQuery, k = 20)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", isQuery, k = 5,
+        nCells = 16, nProbe = 2)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty, "IVF returned nothing")
+    val good = ivf.count(brute.contains)
+    assert(good.toDouble / ivf.length >= 0.4,
+      s"IVF precision vs brute-force top-20 too low: $good/${ivf.length}")
+  }
+
   test("simhash pairs recover synthesized near-duplicates") {
     val docs = Tables.documents(spark, sf)
     val near = docs.filter(col("doc_id") % 7 === 0)
@@ -53,6 +69,18 @@ class PipelineSpec extends SparkSpec {
     // an exact copy has an identical signature -> must be a candidate pair
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     ids.foreach(id => assert(pairs.contains((id, id + 1000)), s"missing exact-copy pair for $id"))
+  }
+
+  test("multimodal resize + frame-sample plumbing") {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
+    val resized = Multimodal.resizeStub(media, 64, 64)
+    val r = resized.head()
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getLong(meta.fieldIndex("n_bytes")) <= 64L * 64 / 64)
+    val frames = Multimodal.frameSampleStub(media, nFrames = 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "payload", "n_bytes"))
+    val perVideo = frames.groupBy("media_id").count().collect()
+    assert(perVideo.nonEmpty && perVideo.forall(_.getLong(1) == 4))
   }
 
   test("multimodal decode plumbing: schema, determinism, per-row features") {

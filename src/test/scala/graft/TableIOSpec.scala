@@ -28,6 +28,19 @@ class TableIOSpec extends SparkSpec {
     }
   }
 
+  test("csv and json sources round-trip") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.option("header", "true").csv(s"$dir/csv")
+    df.write.json(s"$dir/json")
+    val csv = TableIO.readCsv(spark, s"$dir/csv")
+    assert(csv.count() == 2 && csv.columns.toSeq == Seq("id", "v"))
+    val json = TableIO.readJson(spark, s"$dir/json")
+    assert(json.count() == 2 && json.columns.sorted.toSeq == Seq("id", "v"))
+  }
+
   test("replaceParquet is an atomic overwrite (CTAS semantics)") {
     val s = spark
     import s.implicits._
