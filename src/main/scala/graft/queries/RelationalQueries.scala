@@ -300,8 +300,94 @@ object RelationalQueries {
       })
   }
 
+  /** Scalar string-function battery over part names (dialect-shared
+    * subset: upper/lower/substring/replace/trim/lpad/concat/length/
+    * position/left/right/reverse). */
+  val qStringFuncs: QueryDef = QueryDef(
+    "q_string_funcs",
+    (s, d) => Tables.part(s, d)
+      .filter(col("p_partkey") % 100 === 0)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("u"),
+        lower(col("p_brand")).as("l"),
+        substring(col("p_name"), 3, 8).as("sub"),
+        regexp_replace(col("p_name"), " ", "_").as("rep"),
+        trim(col("p_name")).as("t"),
+        lpad(col("p_brand"), 12, "#").as("pad"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+        length(col("p_name")).cast("long").as("len"),
+        locate("a", col("p_name")).cast("long").as("pos"),
+        reverse(col("p_type")).as("rev"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+      |  upper(p_name) AS u, lower(p_brand) AS l,
+      |  substring(p_name, 3, 8) AS sub,
+      |  replace(p_name, ' ', '_') AS rep,
+      |  trim(p_name) AS t,
+      |  lpad(p_brand, 12, '#') AS pad,
+      |  concat_ws('|', p_brand, p_type) AS cat,
+      |  CAST(length(p_name) AS BIGINT) AS len,
+      |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos,
+      |  reverse(p_type) AS rev
+      |FROM part WHERE p_partkey % 100 = 0 ORDER BY p_partkey""".stripMargin))
+
+  /** Date/time scalar battery over order dates (year/month/day/dow/doy,
+    * truncation, interval arithmetic, datediff — emitted as ints/strings
+    * for cross-engine exactness). */
+  val qDateFuncs: QueryDef = QueryDef(
+    "q_date_funcs",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").as("plus90"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_eoy"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy
+      |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin))
+
+  /** Null-handling battery: coalesce/nullif/nvl/greatest/least/CASE over
+    * derived NULLs. */
+  val qNullFuncs: QueryDef = QueryDef(
+    "q_null_funcs",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") % 50 === 0)
+      val maybeNull = when(col("c_custkey") % 3 === 0, col("c_mktsegment"))
+      c.select(
+        col("c_custkey"),
+        coalesce(maybeNull, lit("none")).as("co"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("ni"),
+        isnull(maybeNull).as("is_n"),
+        greatest(col("c_custkey") % 7, col("c_custkey") % 11).cast("long").as("g"),
+        least(col("c_custkey") % 7, col("c_custkey") % 11).cast("long").as("lt"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+      |  coalesce(CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END, 'none') AS co,
+      |  nullif(c_mktsegment, 'BUILDING') AS ni,
+      |  (CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END) IS NULL AS is_n,
+      |  CAST(greatest(c_custkey % 7, c_custkey % 11) AS BIGINT) AS g,
+      |  CAST(least(c_custkey % 7, c_custkey % 11) AS BIGINT) AS lt
+      |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
     qSetOps, qTopkOrders, qEventsHourly, qRollup, qEventsSessions,
-    qCorrelatedAvg, qPivot)
+    qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs)
 }

@@ -117,6 +117,44 @@ class CleanColumnsSpec extends SparkSpec {
     assert(byId("c1").getString(3) == "55")                          // source passthrough
   }
 
+  test("one-off rename coalesces INTO an existing target column (original first)") {
+    // target d_122887481_d_623218391 already exists as a stored column;
+    // the mapped source joins its coalesce group AFTER the original
+    // (ref core/transformations.py:233-244)
+    val df = surveyDf(
+      Seq("Connect_ID", "d_122887481_d_623218391", "D_122887481_TUBLIG_D_232595513"),
+      Seq(Seq("c1", "orig", "mapped"), Seq("c2", null, "mapped2")))
+    val out = CleanColumns(df, "FlatConnect.module1_v1_JP")
+    assert(out.columns.toSeq == Seq("Connect_ID", "d_122887481_d_623218391"))
+    val vals = out.orderBy("Connect_ID").collect().map(_.getString(1)).toSeq
+    assert(vals == Seq("orig", "mapped2")) // original wins where non-null
+  }
+
+  test("loop-group output colliding with a non-loop column keeps one (loop wins)") {
+    // the loop group d_123456789_1_1 canonicalizes to d_123456789_1, the
+    // same name as a stored non-loop column; loop groups emit first, the
+    // non-loop passthrough is then skipped by the duplicate guard
+    // (ref core/transformations.py:491-494, :521-524)
+    val df = surveyDf(
+      Seq("Connect_ID", "d_123456789_1_1", "d_123456789_1"),
+      Seq(Seq("c1", "fromloop", "stored")))
+    val out = CleanColumns(df)
+    assert(out.columns.toSeq == Seq("Connect_ID", "d_123456789_1"))
+    assert(out.head().getString(1) == "fromloop")
+  }
+
+  test("duplicate output names never occur across steps") {
+    val df = surveyDf(
+      Seq("Connect_ID", "D_317093647", "d_317093647_d_623218391"),
+      Seq(Seq("c1", "55", "x")))
+    // custom transform target D_317093647_D_623218391 lowercases to the
+    // same name as the stored column d_317093647_d_623218391 — the
+    // custom transform wins (step 3 runs first), stored column is dropped
+    val out = CleanColumns(df, "FlatConnect.module1_v2_JP")
+    assert(out.columns.map(_.toLowerCase).distinct.length == out.columns.length)
+    assert(out.columns.count(_.equalsIgnoreCase("d_317093647_d_623218391")) == 1)
+  }
+
   test("impure variables are dropped; forbidden names are dropped") {
     val df = surveyDf(
       Seq("Connect_ID", "D_907590067_4_4_SIBCANC3X_D_650332509_4", "token", "d_111111111"),
