@@ -21,16 +21,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: initializes codegen infra, parquet reader, shuffle
+    // and noop-sink paths so the first timed query doesn't absorb one-off
+    // JVM/session setup (worth ~5s on this box). Best-effort — a missing
+    // warmup table must not kill the run.
+    try {
+      spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+        .groupBy("k").count().write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
       try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
+      catch {
+        case e: Throwable =>
+          failed += q.name
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

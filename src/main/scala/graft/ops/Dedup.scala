@@ -31,6 +31,21 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Keyed keep-latest dedup: one row per key, the row with the greatest
+    * (orderCol, tieBreak) — the ETL "latest record wins" primitive. One
+    * shuffle on the key; the window is partition-local after it. */
+  def keepLatest(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieBreak: String): DataFrame = {
+    // pick a rank-column name that cannot clobber caller data
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
+  }
+
   /** MinHash signatures as a flat aggregation: explode shingles, then one
     * hash-aggregate computing all k `min(md5(shingle || '#s'))` columns.
     * The explode + hash-agg path stays inside whole-stage codegen, unlike

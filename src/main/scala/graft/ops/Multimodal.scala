@@ -49,8 +49,10 @@ object Multimodal {
 
   /** ==STUB== deterministic fake decode: real decode would call an image/
     * audio codec here. Features are derived from payload bytes so tests
-    * are reproducible. One invocation per ROW BATCH, not per row — the
-    * batch shape is what a real vectorized decoder needs. */
+    * are reproducible. Called once per row, but always inside one
+    * partition's iterator — a real codec would be opened once per
+    * partition in [[decodeFeatures]] and fed rows (or row batches) from
+    * that iterator. */
   private[ops] def decodeStub(mediaId: Long, modality: String, payload: Array[Byte], dim: Int): Row = {
     val bytes = if (payload == null) Array.emptyByteArray else payload
     var h = 1125899906842597L // FNV-ish rolling hash of the payload

@@ -46,11 +46,16 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int): DataFrame = {
     // norms are computed ONCE per side, not per pair — at n queries x m
-    // corpus that is n+m norm evaluations instead of 2nm
+    // corpus that is n+m norm evaluations instead of 2nm. Zero-norm
+    // vectors are excluded: their cosine is 0/0 = NaN, and Spark sorts
+    // NaN above every real value, which would rank a zero vector #1 for
+    // every query (and diverge from the oracle's division semantics).
     val queries = emb.filter(isQuery).select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
     val corpus = emb.select(col(idCol).as("cand_id"),
       col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -88,9 +93,11 @@ object Similarity {
       isQuery: Column, k: Int, nPlanes: Int = 6): DataFrame = {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("vn"), lshBucket(col(vecCol), nPlanes).as("bucket"))
+      .filter(col("vn") > 0) // zero-norm -> NaN cosine, see bruteForceTopK
     val queries = emb.filter(isQuery)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), nPlanes).as("bucket"))
+      .filter(col("qn") > 0)
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("cand_id"),
@@ -117,12 +124,20 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+      .filter(col("vn") > 0) // zero-norm -> NaN cosine, see bruteForceTopK
     // deterministic centroid choice: an id-value stride (no global sort —
-    // a rank-based pick would funnel the corpus through one partition)
-    val maxId = base.agg(max(col("id"))).head().getLong(0)
+    // a rank-based pick would funnel the corpus through one partition).
+    // The id < stride*nCells bound caps the set at exactly <= nCells
+    // without a nondeterministic limit().
+    val maxIdRow = base.agg(max(col("id"))).head()
+    if (maxIdRow.isNullAt(0))
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0).as("rk"), lit(0L).as("cand_id"),
+          lit(0.0).as("cos_r")).limit(0)
+    val maxId = maxIdRow.getLong(0)
     val stride = math.max(1L, (maxId + 1) / nCells)
-    val centroids = base.filter(col("id") % stride === 0)
-      .limit(nCells)
+    val centroids = base
+      .filter(col("id") % stride === 0 && col("id") < stride * nCells && col("vn") > 0)
       .select(col("id").as("cell_id"), col("v").as("cv"), col("vn").as("cn"))
     // assign every vector to its nearest centroid (1 broadcast pass)
     val simToCell = (dot(col("v"), col("cv")) / (col("vn") * col("cn"))).as("cell_sim")
@@ -136,6 +151,7 @@ object Similarity {
     // queries probe their nProbe nearest cells
     val probes = emb.filter(isQuery)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
       .join(broadcast(centroids), lit(true))
       .select(col("query_id"), col("qv"), col("qn"), col("cell_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cell_sim"))
@@ -160,6 +176,7 @@ object Similarity {
       sampleFilter: Column, threshold: Double): DataFrame = {
     val side = emb.filter(sampleFilter).select(col(idCol).as("id"),
       col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+      .filter(col("vn") > 0) // zero-norm -> NaN cosine, see bruteForceTopK
     side.as("a").join(broadcast(side.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))).as("cos"))

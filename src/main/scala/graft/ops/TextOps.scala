@@ -79,7 +79,8 @@ object TextOps {
 
   /** N-gram/stopword heuristic language ID over {en,es,fr,de} with "und"
     * (undetermined) when no list scores above zero. Deterministic
-    * tie-break: language order en,es,fr,de. */
+    * tie-break: alphabetical language order (de, en, es, fr) — first max
+    * wins; the DuckDB oracle encodes the same order. */
   def langId(c: Column): Column = {
     val ws = words(c)
     val scored = stopwords.keys.toSeq.sorted // de,en,es,fr — alphabetical, deterministic

@@ -277,8 +277,45 @@ object PipelineQueries {
       |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Keyed keep-latest dedup: per user, the most recent event. */
+  val dedupKeepLatest: QueryDef = QueryDef(
+    "dedup_keep_latest",
+    (s, d) => Dedup.keepLatest(Tables.events(s, d), Seq("user_id"), "ts", "event_id")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM (SELECT user_id, event_id, ts,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  /** Corpus statistics: exact interpolated percentiles of document
+    * length and token counts (distribution profiling for quality gates). */
+  val textPercentiles: QueryDef = QueryDef(
+    "text_percentiles",
+    (s, d) => Tables.documents(s, d)
+      .agg(
+        expr("percentile(n_chars, array(0.25, 0.5, 0.75))").as("chars_q"),
+        min(col("n_chars")).as("chars_min"),
+        max(col("n_chars")).as("chars_max"),
+        count(lit(1)).as("n_docs"))
+      .select(
+        round(element_at(col("chars_q"), 1), 4).as("q25"),
+        round(element_at(col("chars_q"), 2), 4).as("q50"),
+        round(element_at(col("chars_q"), 3), 4).as("q75"),
+        col("chars_min"), col("chars_max"), col("n_docs")),
+    Some("""SELECT
+      |  round(quantile_cont(n_chars, 0.25), 4) AS q25,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS q50,
+      |  round(quantile_cont(n_chars, 0.75), 4) AS q75,
+      |  min(n_chars) AS chars_min, max(n_chars) AS chars_max,
+      |  count(*) AS n_docs
+      |FROM documents""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupNgramJaccard,
+    dedupSimhash, dedupEmbedding, textPercentiles,
     simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality, textTokens,
     textFingerprint, textWordcount, mmDecode)
 }
