@@ -277,6 +277,29 @@ object PipelineQueries {
       |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** As-of join: each purchase event picks the latest signup event of
+    * the same user at-or-before its timestamp (point-in-time feature
+    * alignment). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val asofJoin: QueryDef = QueryDef(
+    "q_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val snapshots = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("snap_ts"))
+        .agg(max(col("event_id")).as("snap_id"))
+      graft.ops.AsOf.asOfJoin(purchases, snapshots, "user_id", "ts", "snap_ts", Seq("snap_id"))
+        .select(col("user_id"), col("event_id"), col("snap_id"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, ts AS snap_ts, max(event_id) AS snap_id
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT p.user_id, p.event_id, s.snap_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.snap_ts
+      |ORDER BY p.event_id""".stripMargin))
+
   /** Keyed keep-latest dedup: per user, the most recent event. */
   val dedupKeepLatest: QueryDef = QueryDef(
     "dedup_keep_latest",
@@ -314,7 +337,7 @@ object PipelineQueries {
       |FROM documents""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupNgramJaccard,
+    asofJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, textPercentiles,
     simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality, textTokens,
     textFingerprint, textWordcount, mmDecode)

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOf
+
+/** As-of join semantics pins: inclusive match at equal timestamps,
+  * NULL when no right row precedes, strict key isolation, latest-wins. */
+class AsOfSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of picks latest right row at-or-before each left row, per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (1L, ts("2024-01-01 08:00:00"), "l0"), // before any right row
+      (2L, ts("2024-01-01 11:00:00"), "l3")  // other key
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "r9"),
+      (1L, ts("2024-01-01 10:00:00"), "r10"), // equal ts -> inclusive
+      (1L, ts("2024-01-01 11:30:00"), "r1130"),
+      (3L, ts("2024-01-01 00:00:00"), "other-key")
+    ).toDF("k", "rt", "rv")
+    val out = AsOf.asOfJoin(left, right, "k", "t", "rt", Seq("rv"))
+      .collect().map(r => (r.getAs[String]("lv"), r.getAs[String]("rv"))).toMap
+    assert(out("l0") == null)      // nothing at-or-before 08:00
+    assert(out("l1") == "r10")     // equal timestamp matches (inclusive)
+    assert(out("l2") == "r1130")   // latest preceding, not first
+    assert(out("l3") == null)      // key 2 never sees key 1/3 rows
+  }
+
+  test("left columns and row count are preserved exactly") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 42.0)).toDF("k", "t", "payload")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), "x")).toDF("k", "rt", "rv")
+    val out = AsOf.asOfJoin(left, right, "k", "t", "rt", Seq("rv"))
+    assert(out.columns.toSeq == Seq("k", "t", "payload", "rv"))
+    assert(out.count() == 1)
+    assert(out.head().getDouble(2) == 42.0)
+  }
+}
