@@ -300,6 +300,33 @@ object PipelineQueries {
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.snap_ts
       |ORDER BY p.event_id""".stripMargin))
 
+  /** Range join: purchases falling inside a 3-day window after any
+    * signup of the same user — binned candidate generation (join on
+    * (key, time-bin)), exact BETWEEN verification. */
+  val rangeJoin: QueryDef = QueryDef(
+    "q_range_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val intervals = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("interval_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 3 DAYS")).as("end_ts"))
+      graft.ops.RangeJoin.pointInInterval(purchases, intervals,
+          "user_id", "ts", "start_ts", "end_ts", binSeconds = 3L * 86400)
+        .select(col("user_id"), col("event_id"), col("interval_id"))
+        .orderBy("event_id", "interval_id")
+    },
+    Some("""WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |i AS (SELECT user_id, event_id AS interval_id, ts AS start_ts,
+      |        ts + INTERVAL 3 DAY AS end_ts
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT p.user_id, p.event_id, i.interval_id
+      |FROM p JOIN i ON p.user_id = i.user_id
+      |  AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+      |ORDER BY p.event_id, i.interval_id""".stripMargin))
+
   /** Keyed keep-latest dedup: per user, the most recent event. */
   val dedupKeepLatest: QueryDef = QueryDef(
     "dedup_keep_latest",
@@ -337,7 +364,7 @@ object PipelineQueries {
       |FROM documents""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    asofJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupNgramJaccard,
+    asofJoin, rangeJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, textPercentiles,
     simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality, textTokens,
     textFingerprint, textWordcount, mmDecode)

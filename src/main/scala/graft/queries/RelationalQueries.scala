@@ -58,8 +58,12 @@ object RelationalQueries {
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
+      // nation/region are FIXED-size dimensions -> always broadcast;
+      // customer scales with the data, so no hint — Catalyst/AQE picks
+      // broadcast at this SF by stats and falls back to shuffle join at
+      // sizes where broadcasting would be wrong
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -88,7 +92,7 @@ object RelationalQueries {
       val c = Tables.customer(s, d)
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey")) // size-based join pick
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
