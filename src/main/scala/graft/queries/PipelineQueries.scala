@@ -340,6 +340,23 @@ object PipelineQueries {
       |      FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  /** Exact stratified sample: 20% of documents per language,
+    * md5-ordered so the draw is deterministic and oracle-recomputable. */
+  val sampleStratified: QueryDef = QueryDef(
+    "sample_stratified",
+    (s, d) => graft.ops.Sampling.stratifiedExact(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 0.2)
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents) t
+      |WHERE rn <= ceil(0.2 * n)
+      |ORDER BY doc_id""".stripMargin))
+
   /** Corpus statistics: exact interpolated percentiles of document
     * length and token counts (distribution profiling for quality gates). */
   val textPercentiles: QueryDef = QueryDef(
@@ -365,7 +382,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     asofJoin, rangeJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding, textPercentiles,
+    dedupSimhash, dedupEmbedding, sampleStratified, textPercentiles,
     simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality, textTokens,
     textFingerprint, textWordcount, mmDecode)
 }
