@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
 
 /** As-of (point-in-time) join: for every left row, the single latest
   * right row with the same key and right.ts <= left.ts — the
@@ -11,42 +12,64 @@ import org.apache.spark.sql.expressions.Window
   *
   * Spark-first composition (preference (a) of SURVEY §7 — no custom
   * plan node needed): union both sides, then one `last(..., ignoreNulls)`
-  * running window per key ordered by (ts, side) carries the most recent
-  * right-side values onto each left row. ONE shuffle on the key, no
-  * join explosion, no per-row probing — at 100 TB this is a single
+  * running window per key ordered by (ts, side, tie-break) carries the
+  * most recent right-side row onto each left row. ONE shuffle on the key,
+  * no join explosion, no per-row probing — at 100 TB this is a single
   * exchange + sort, the same cost profile DuckDB/kdb implement natively.
   * Right rows sort BEFORE left rows at equal timestamps, giving
   * inclusive (<=) semantics, matching DuckDB `ASOF JOIN ... ON l.ts >=
   * r.ts` which the oracle uses.
+  *
+  * All carried right columns travel together in ONE struct, so the
+  * output is always a single consistent right row — carrying columns
+  * independently would let a NULL in one column of the latest right row
+  * resurrect that column's value from an older right row.
   */
 object AsOf {
 
   /** @param rightValueCols right columns to carry (everything else from
     *                       the right side is dropped)
+    * @param rightTieBreak  orders right rows that share (key, ts): the
+    *                       row greatest under this ordering wins.
+    *                       Defaults to `rightValueCols`, which makes the
+    *                       result deterministic whenever those columns
+    *                       are orderable; pass an explicit ordering key
+    *                       when they are not (e.g. map columns).
     * @return left rows + `rightValueCols` (null where no right row
     *         precedes the left row) */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, rightValueCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightValueCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!rightValueCols.contains(key), "key cannot be a carried value column")
     val side = "__side"
     val ts = "__ts"
+    val rs = "__r"
+    val tb = "__tb"
+    val tieCols = if (rightTieBreak.nonEmpty) rightTieBreak else rightValueCols
+    val rStructType = StructType(rightValueCols.map(c => right.schema(c)))
+    val tbStructType = StructType(tieCols.map(c => right.schema(c)))
     val l = left.select(
-      (col(key) +: col(leftTs).as(ts) +: lit(1).as(side) +:
-        leftCols.filterNot(_ == key).map(col)) ++
-        rightValueCols.map(c => lit(null).as(s"__r_$c")): _*)
+      col(key) +: col(leftTs).as(ts) +: lit(1).as(side) +:
+        lit(null).cast(rStructType).as(rs) +: lit(null).cast(tbStructType).as(tb) +:
+        leftCols.filterNot(_ == key).map(col): _*)
     val r = right.select(
-      (col(key) +: col(rightTs).as(ts) +: lit(0).as(side) +:
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightValueCols.map(c => col(c).as(s"__r_$c")): _*)
+      col(key) +: col(rightTs).as(ts) +: lit(0).as(side) +:
+        struct(rightValueCols.map(col): _*).as(rs) +:
+        struct(tieCols.map(col): _*).as(tb) +:
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // Among right rows with equal (key, ts) the tie-break orders them and
+    // `last` picks the greatest; left rows (side=1) always sort after the
+    // right rows they may take values from, so tb being null there is
+    // irrelevant (side is compared first).
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col(side).asc)
+      .orderBy(col(ts).asc, col(side).asc, col(tb).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(
-        (col(key) +: col(ts) +: col(side) +: leftCols.filterNot(_ == key).map(col)) ++
-          rightValueCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn(rs, last(col(rs), ignoreNulls = true).over(w))
     carried.filter(col(side) === 1)
-      .select(leftCols.map(col) ++ rightValueCols.map(col): _*)
+      .select(leftCols.map(col) ++
+        rightValueCols.map(c => col(rs).getField(c).as(c)): _*)
   }
 }

@@ -25,15 +25,25 @@ object RangeJoin {
       left: DataFrame, right: DataFrame, key: String,
       pointTs: String, startTs: String, endTs: String,
       binSeconds: Long): DataFrame = {
-    val bin = lit(binSeconds)
-    val lBin = (unix_timestamp(col(pointTs)) / bin).cast("long").as("__bin")
-    val rBins = explode(sequence(
-      (unix_timestamp(col(startTs)) / bin).cast("long"),
-      (unix_timestamp(col(endTs)) / bin).cast("long"))).as("__bin")
-    val l = left.select(col("*"), lBin)
-    val r = right.select(col("*"), rBins)
-    l.join(r, Seq(key, "__bin"))
-      .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
-      .drop("__bin")
+    // helper column name chosen collision-free against BOTH inputs, and
+    // the two sides are alias-qualified so the range filter resolves even
+    // when the right table shares non-key column names with the left
+    // (e.g. both having `ts`).
+    val bin = Iterator.from(0).map(i => s"__bin$i")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
+    val width = lit(binSeconds)
+    val lb = left.withColumn(bin,
+      (unix_timestamp(col(pointTs)) / width).cast("long"))
+    val rb = right.withColumn(bin, explode(sequence(
+      (unix_timestamp(col(startTs)) / width).cast("long"),
+      (unix_timestamp(col(endTs)) / width).cast("long"))))
+    val gl = "__range_l"
+    val gr = "__range_r"
+    lb.as(gl).join(rb.as(gr),
+        col(s"$gl.$key") === col(s"$gr.$key") && col(s"$gl.$bin") === col(s"$gr.$bin"))
+      .filter(col(s"$gl.$pointTs") >= col(s"$gr.$startTs") &&
+        col(s"$gl.$pointTs") <= col(s"$gr.$endTs"))
+      .select(left.columns.map(c => col(s"$gl.$c")) ++
+        right.columns.filterNot(_ == key).map(c => col(s"$gr.$c")): _*)
   }
 }

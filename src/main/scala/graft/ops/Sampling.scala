@@ -25,9 +25,15 @@ object Sampling {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
     val w = Window.partitionBy(col(stratumCol))
     val ordered = w.orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    // The cutoff is computed in DECIMAL, not DOUBLE: ceil(0.07 * 100) in
+    // binary floating point is ceil(7.000000000000001) = 8, while a
+    // decimal-literal oracle computes exactly 7. BigDecimal.valueOf uses
+    // the shortest decimal representation of `fraction`, matching how the
+    // same literal is written in oracle SQL.
+    val fracDec = lit(BigDecimal.valueOf(fraction))
     df.withColumn("__rn", row_number().over(ordered))
       .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rn") <= ceil(lit(fraction) * col("__n")))
+      .filter(col("__rn") <= ceil(fracDec * col("__n")))
       .drop("__rn", "__n")
   }
 }

@@ -62,7 +62,7 @@ object Similarity {
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
         round(col("cos"), 4).as("cos_r"))
@@ -104,7 +104,7 @@ object Similarity {
         (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_r"))
   }
@@ -164,7 +164,7 @@ object Similarity {
       .select(col("query_id"), col("id").as("cand_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
     val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(rankW))
+    scored.withColumn("rk", row_number().over(rankW).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_r"))
   }

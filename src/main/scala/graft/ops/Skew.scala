@@ -22,6 +22,7 @@ object Skew {
     *                    (e.g. a high-cardinality column)
     * @param partial     per-(key, salt) aggregates
     * @param finalAgg    per-key combination of the partial columns
+    * @param keyName     name the grouping key carries in the output
     */
   def saltedAggregate(
       df: DataFrame,
@@ -29,27 +30,38 @@ object Skew {
       saltSource: Column,
       buckets: Int,
       partial: Seq[Column],
-      finalAgg: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(saltSource), lit(buckets)))
-      .groupBy(key.as("__key"), col("__salt"))
+      finalAgg: Seq[Column],
+      keyName: String = "key"): DataFrame = {
+    // helper names chosen collision-free against the input so a caller's
+    // own __salt/__key column is never silently clobbered
+    val salt = Iterator.from(0).map(i => s"__salt$i")
+      .find(n => !df.columns.contains(n)).get
+    val k = Iterator.from(0).map(i => s"__key$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(salt, pmod(xxhash64(saltSource), lit(buckets)))
+      .groupBy(key.as(k), col(salt))
       .agg(partial.head, partial.tail: _*)
-      .groupBy(col("__key"))
+      .groupBy(col(k))
       .agg(finalAgg.head, finalAgg.tail: _*)
+      .withColumnRenamed(k, keyName)
+  }
 
   /** Salted exact count + sum — the common shape: partial count/sum per
     * salt, then sum of partials. */
   def saltedCountSum(df: DataFrame, key: Column, saltSource: Column,
-      valueCol: Column, buckets: Int = 16): DataFrame =
+      valueCol: Column, buckets: Int = 16, keyName: String = "key"): DataFrame =
     saltedAggregate(df, key, saltSource, buckets,
       partial = Seq(count(lit(1)).as("__n"), sum(valueCol).as("__s")),
-      finalAgg = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("total")))
+      finalAgg = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("total")),
+      keyName = keyName)
 
   /** Salted exact distinct count: per-salt distinct (each distinct value
     * lands in exactly one salt bucket when salted BY THE VALUE), then sum
     * of bucket-distincts — exact, unlike approx_count_distinct. */
   def saltedDistinctCount(df: DataFrame, key: Column, valueCol: Column,
-      buckets: Int = 16): DataFrame =
+      buckets: Int = 16, keyName: String = "key"): DataFrame =
     saltedAggregate(df, key, valueCol, buckets,
       partial = Seq(countDistinct(valueCol).as("__d")),
-      finalAgg = Seq(sum(col("__d")).as("n_distinct")))
+      finalAgg = Seq(sum(col("__d")).as("n_distinct")),
+      keyName = keyName)
 }

@@ -81,6 +81,10 @@ object PipelineQueries {
     "dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(docsWithDups(s, d), "doc_id", "text",
         shingleN = 3, threshold = 0.5)
+      // jaccard is DECIMAL(18,6) internally (exact threshold compare in
+      // both engines); the output value is cast to DOUBLE for a
+      // representation-stable hash compare across engines.
+      .withColumn("jaccard", col("jaccard").cast("double"))
       .orderBy("id_a", "id_b"),
     Some {
       val shingles =
@@ -95,7 +99,7 @@ object PipelineQueries {
         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        |  CAST(CAST(n_shared AS DECIMAL(18,6)) / CAST(ca.n_sh + cb.n_sh - n_shared AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS jaccard
+        |  CAST(CAST(CAST(n_shared AS DECIMAL(18,6)) / CAST(ca.n_sh + cb.n_sh - n_shared AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
         |FROM shared
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
@@ -206,7 +210,13 @@ object PipelineQueries {
   val textQuality: QueryDef = QueryDef(
     "text_quality",
     (s, d) => {
-      val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+      // ratios are computed/rounded in DECIMAL(18,6) (identical in both
+      // engines), then the FINAL value is cast to DOUBLE so the driver's
+      // hash compare is representation-stable across engines.
+      val ratioCols = Set("mean_word_len", "punct_ratio", "digit_ratio", "stopword_ratio")
+      val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) =>
+        (if (ratioCols(n)) c.cast("double") else c).as(n)
+      }
       Tables.documents(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
     },
     Some(s"""WITH base AS (
@@ -216,14 +226,14 @@ object PipelineQueries {
       |SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS n_chars,
       |  CAST(CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END AS BIGINT) AS n_words,
-      |  CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END) > 0
+      |  CAST(CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END) > 0
       |    THEN CAST(CAST(length(replace(norm, ' ', '')) AS DECIMAL(18,6)) / CAST(len(w) AS DECIMAL(18,6)) AS DECIMAL(18,6))
-      |    ELSE NULL END AS mean_word_len,
-      |  CAST(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DECIMAL(18,6)) / CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS punct_ratio,
-      |  CAST(CAST(len(regexp_extract_all(text, '[0-9]')) AS DECIMAL(18,6)) / CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS digit_ratio,
-      |  CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END) > 0
+      |    ELSE NULL END AS DOUBLE) AS mean_word_len,
+      |  CAST(CAST(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DECIMAL(18,6)) / CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS DOUBLE) AS punct_ratio,
+      |  CAST(CAST(CAST(len(regexp_extract_all(text, '[0-9]')) AS DECIMAL(18,6)) / CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS DOUBLE) AS digit_ratio,
+      |  CAST(CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END) > 0
       |    THEN CAST(CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','is','that','for'))) AS DECIMAL(18,6)) / CAST(len(w) AS DECIMAL(18,6)) AS DECIMAL(18,6))
-      |    ELSE NULL END AS stopword_ratio
+      |    ELSE NULL END AS DOUBLE) AS stopword_ratio
       |FROM base ORDER BY doc_id""".stripMargin))
 
   /** Token counting: BPE-ish regex + whitespace counts. */

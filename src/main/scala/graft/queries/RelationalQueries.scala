@@ -31,16 +31,22 @@ object RelationalQueries {
       .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(money)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(money)).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))).as("sum_disc_price"),
+        // sums are computed in DECIMAL (exact, order-independent under
+        // parallel partial aggregation) and only the FINAL value is cast
+        // to DOUBLE: both engines correctly round the identical decimal
+        // to the identical 64-bit float, so the driver's hash compare is
+        // representation-stable (decimal sum result precision differs
+        // between engines: Spark 28,2 vs DuckDB 38,2).
+        sum(col("l_quantity").cast(money)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(money)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"),
         countDistinct(col("l_orderkey")).as("distinct_orders"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order,
       |  count(DISTINCT l_orderkey) AS distinct_orders
       |FROM lineitem
@@ -68,12 +74,12 @@ object RelationalQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))).as("revenue"),
+          sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))).cast("double").as("revenue"),
           count(lit(1)).as("n_lineitems"))
         .orderBy("r_name", "n_name")
     },
     Some("""SELECT r_name, n_name,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
       |  count(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -93,7 +99,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       o.join(c, col("o_custkey") === col("c_custkey")) // size-based join pick
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
           col("o_totalprice").cast(money).as("total_price"))
@@ -117,13 +123,13 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       o.filter(col("o_custkey") % 100 === 0)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(money)).over(w).as("running_total"))
+          sum(col("o_totalprice").cast(money)).over(w).cast("double").as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders WHERE o_custkey % 100 = 0
       |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
@@ -199,12 +205,12 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
       .orderBy("hour", "event_type"),
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
       |  count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users,
-      |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
 
@@ -214,10 +220,10 @@ object RelationalQueries {
     "q_rollup",
     (s, d) => Tables.orders(s, d)
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(money)).as("total"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(money)).cast("double").as("total"))
       .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
     Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin))
@@ -243,7 +249,7 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("n_events"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-          sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
         .orderBy("user_id", "session_id")
     },
     Some("""WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
@@ -256,9 +262,9 @@ object RelationalQueries {
       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged)
-      |SELECT user_id, session_id, count(*) AS n_events,
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-      |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin))
 

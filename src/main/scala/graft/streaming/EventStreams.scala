@@ -45,7 +45,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))

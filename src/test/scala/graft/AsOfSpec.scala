@@ -35,6 +35,35 @@ class AsOfSpec extends SparkSpec {
     assert(out("l3") == null)      // key 2 never sees key 1/3 rows
   }
 
+  test("carried columns all come from the SAME latest right row (no null resurrection)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "lv")
+    // latest right row has a NULL in `b`; that NULL must NOT be replaced
+    // by the older row's b="old-b"
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Option("old-a"), Option("old-b")),
+      (1L, ts("2024-01-01 11:00:00"), Option("new-a"), Option.empty[String])
+    ).toDF("k", "rt", "a", "b")
+    val row = AsOf.asOfJoin(left, right, "k", "t", "rt", Seq("a", "b")).head()
+    assert(row.getAs[String]("a") == "new-a")
+    assert(row.getAs[String]("b") == null)
+  }
+
+  test("equal-(key,ts) right rows resolve by the tie-break, deterministically") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1L, "first"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "second")
+    ).toDF("k", "rt", "seq", "rv")
+    val row = AsOf.asOfJoin(left, right, "k", "t", "rt", Seq("seq", "rv"),
+      rightTieBreak = Seq("seq")).head()
+    assert(row.getAs[Long]("seq") == 2L) // greatest tie-break wins
+    assert(row.getAs[String]("rv") == "second")
+  }
+
   test("left columns and row count are preserved exactly") {
     val s = spark
     import s.implicits._

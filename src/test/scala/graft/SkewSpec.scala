@@ -16,7 +16,7 @@ class SkewSpec extends SparkSpec {
     }
     val df = rows.toDF("k", "uid", "v")
     val salted = Skew.saltedCountSum(df, col("k"), col("uid"), col("v"), buckets = 8)
-      .orderBy("__key").collect()
+      .orderBy("key").collect()
     val plain = df.groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
       .orderBy("k").collect()
     assert(salted.length == plain.length)
@@ -33,5 +33,21 @@ class SkewSpec extends SparkSpec {
     val df = (1 to 5000).map(i => ("hot", (i % 321).toLong)).toDF("k", "v")
     val got = Skew.saltedDistinctCount(df, col("k"), col("v"), buckets = 8).head()
     assert(got.getLong(1) == 321L)
+  }
+
+  test("a caller's own __salt0 column is not clobbered and key keeps its name") {
+    val s = spark
+    import s.implicits._
+    // if the helper salt reused __salt0, every row would collapse into one
+    // salt bucket per key (the constant), which still aggregates correctly —
+    // so assert on the name-collision path directly: result must be exact
+    // and expose the key under the requested name
+    val df = (1 to 1000).map(i => ("hot", i.toLong, i * 1.0, "preexisting"))
+      .toDF("k", "uid", "v", "__salt0")
+    val row = Skew.saltedCountSum(df, col("k"), col("uid"), col("v"),
+      buckets = 8, keyName = "k").head()
+    assert(row.getAs[String]("k") == "hot")
+    assert(row.getAs[Long]("n") == 1000L)
+    assert(math.abs(row.getAs[Double]("total") - (1 to 1000).map(_ * 1.0).sum) < 1e-6)
   }
 }
