@@ -39,23 +39,29 @@ object Multimodal {
       col("text").cast(BinaryType).as("payload"),
       struct(col("source").as("source"), length(col("text")).cast(LongType).as("n_bytes")).as("meta"))
 
-  /** Decoded-feature schema: what a real decoder would emit. */
+  /** Decoded-feature schema: what a real decoder would emit.
+    * `content_hash` is the md5 hex digest of the payload — engine-shared,
+    * so the DuckDB oracle recomputes it (an xxhash/FNV long would be
+    * Spark-only and unverifiable). */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("content_hash", LongType, nullable = false),
+    StructField("content_hash", StringType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
 
   /** ==STUB== deterministic fake decode: real decode would call an image/
     * audio codec here. Features are derived from payload bytes so tests
     * are reproducible. Called once per row, but always inside one
-    * partition's iterator — a real codec would be opened once per
-    * partition in [[decodeFeatures]] and fed rows (or row batches) from
-    * that iterator. */
-  private[ops] def decodeStub(mediaId: Long, modality: String, payload: Array[Byte], dim: Int): Row = {
+    * partition's iterator — a real codec (like the digest here) is opened
+    * once per partition in [[decodeFeatures]] and fed rows (or row
+    * batches) from that iterator. */
+  private[ops] def decodeStub(mediaId: Long, modality: String, payload: Array[Byte],
+      dim: Int, digest: java.security.MessageDigest): Row = {
     val bytes = if (payload == null) Array.emptyByteArray else payload
-    var h = 1125899906842597L // FNV-ish rolling hash of the payload
+    digest.reset()
+    val contentHash = digest.digest(bytes).map("%02x".format(_)).mkString
+    var h = 1125899906842597L // FNV-ish rolling hash seeds the fake features
     var i = 0
     while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
     val feature = new Array[Float](dim)
@@ -66,7 +72,7 @@ object Multimodal {
       feature(d) = ((g >>> 16).toInt % 1000) / 1000.0f
       d += 1
     }
-    Row(mediaId, modality, bytes.length.toLong, h, feature.toSeq)
+    Row(mediaId, modality, bytes.length.toLong, contentHash, feature.toSeq)
   }
 
   /** ==STUB== "resize": a real implementation decodes, resamples to
@@ -106,10 +112,11 @@ object Multimodal {
     media.select(col("media_id"), col("modality"), col("payload"))
       .mapPartitions { rows =>
         // batch shape: pull the whole partition iterator through one
-        // decoder session (amortizes per-batch codec setup)
+        // decoder session (amortizes per-batch codec/digest setup)
+        val digest = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           decodeStub(r.getLong(0), r.getString(1),
-            r.get(2) match { case b: Array[Byte] => b; case _ => null }, dim)
+            r.get(2) match { case b: Array[Byte] => b; case _ => null }, dim, digest)
         }
       }(enc)
   }

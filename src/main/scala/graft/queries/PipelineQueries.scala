@@ -107,13 +107,38 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin
     })
 
-  /** SimHash near-dup candidates (xxhash64-based — verified against
-    * ground truth in PipelineSpec; rows-only driver check). */
+  /** SimHash near-dup candidates (md5-derived word hashes, so the oracle
+    * recomputes the 64-bit signatures, 16-bit band buckets and Hamming
+    * distances exactly; also verified against ground truth in
+    * PipelineSpec). */
   val dedupSimhash: QueryDef = QueryDef(
     "dedup_simhash",
     (s, d) => Dedup.simhashPairs(docsWithDups(s, d), "doc_id", "text", maxHamming = 8)
       .orderBy("id_a", "id_b"),
-    None)
+    Some(s"""WITH t AS ($docsWithDupsSql),
+      |w AS (SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w FROM t),
+      |h AS (SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS hhi,
+      |  CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS hlo FROM w),
+      |v AS (SELECT doc_id, b,
+      |  sum(CASE WHEN ((CASE WHEN b < 32 THEN hlo >> b ELSE hhi >> (b - 32) END) & 1) = 1
+      |      THEN 1 ELSE -1 END) AS vote
+      |  FROM h, range(0, 64) r(b) GROUP BY doc_id, b),
+      |bits AS (SELECT doc_id, b, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS bit FROM v),
+      |bands AS (SELECT doc_id, b // 16 AS band_id,
+      |  sum(bit * (1::BIGINT << (b % 16))) AS band_key
+      |  FROM bits GROUP BY doc_id, b // 16),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |ham AS (SELECT c.id_a, c.id_b,
+      |  sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM cand c
+      |  JOIN bits x ON x.doc_id = c.id_a
+      |  JOIN bits y ON y.doc_id = c.id_b AND y.b = x.b
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM ham
+      |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin))
 
   /** Embedding-cosine near-dup pairs over a synthesized near-dup corpus:
     * embeddings ∪ slightly-perturbed copies. */
@@ -165,23 +190,85 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
-  /** Sign-LSH ANN top-5 (Spark-native hashing; recall pinned in
-    * PipelineSpec against the brute-force baseline). */
+  /** Sign-LSH ANN top-5. Hyperplanes are md5-derived ±1 vectors, so the
+    * oracle regenerates them and recomputes buckets + cosines exactly
+    * (multiplying by ±1 is exact, making the projection bit-identical
+    * across engines); recall additionally pinned in PipelineSpec against
+    * the brute-force baseline. */
   val simAnnLsh: QueryDef = QueryDef(
     "sim_ann_lsh",
     (s, d) => Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 5, nPlanes = 4)
+        col("vec_id") % 50 === 0, k = 5, nPlanes = 4, dim = 64)
       .orderBy("query_id", "rk"),
-    None)
+    Some("""WITH planes AS (
+      |  SELECT p, list(CASE WHEN strpos('13579bdf', substr(md5(p || ':' || d), 2, 1)) > 0
+      |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS pv
+      |  FROM range(0, 4) rp(p), range(1, 65) rd(d)
+      |  GROUP BY p),
+      |normed AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
+      |  FROM embeddings),
+      |nz AS (SELECT * FROM normed WHERE vn > 0),
+      |buckets AS (
+      |  SELECT vec_id, v, vn,
+      |    sum(CASE WHEN list_dot_product(v, pv) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      |  FROM nz, planes GROUP BY vec_id, v, vn),
+      |q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn,
+      |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+      |  FROM buckets WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT query_id, b.vec_id AS cand_id,
+      |    list_dot_product(qv, b.v) / (qn * b.vn) AS cos
+      |  FROM buckets b JOIN q USING (bucket) WHERE query_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
+      |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
   /** IVF ANN top-5 — the inverted-file scale path (probe 2 of 16 cells;
-    * recall pinned in PipelineSpec). */
+    * recall pinned in PipelineSpec). Centroid seeding is an id-stride
+    * (deterministic, no trained state), and cell assignment/probing rank
+    * by the same bit-identical cosine both engines compute — so the whole
+    * index build + search is oracle-recomputable. */
   val simIvf: QueryDef = QueryDef(
     "sim_ivf",
     (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") % 50 === 0, k = 5, nCells = 16, nProbe = 2)
       .orderBy("query_id", "rk"),
-    None)
+    Some("""WITH normed AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
+      |  FROM embeddings),
+      |nz AS (SELECT * FROM normed WHERE vn > 0),
+      |mx AS (SELECT greatest(1, (max(vec_id) + 1) // 16) AS stride FROM nz),
+      |cent AS (
+      |  SELECT vec_id AS cell_id, v AS cv, vn AS cn FROM nz, mx
+      |  WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+      |assigned AS (
+      |  SELECT vec_id, v, vn, cell_id FROM (
+      |    SELECT n.vec_id, n.v, n.vn, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY list_dot_product(n.v, c.cv) / (n.vn * c.cn) DESC, c.cell_id ASC) AS crk
+      |    FROM nz n, cent c) WHERE crk = 1),
+      |probes AS (
+      |  SELECT query_id, qv, qn, cell_id FROM (
+      |    SELECT n.vec_id AS query_id, n.v AS qv, n.vn AS qn, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY list_dot_product(n.v, c.cv) / (n.vn * c.cn) DESC, c.cell_id ASC) AS crk
+      |    FROM nz n, cent c WHERE n.vec_id % 50 = 0) WHERE crk <= 2),
+      |scored AS (
+      |  SELECT query_id, a.vec_id AS cand_id,
+      |    list_dot_product(qv, a.v) / (qn * a.vn) AS cos
+      |  FROM assigned a JOIN probes USING (cell_id) WHERE query_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
+      |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
   /** Language ID heuristic per document. */
   val textLangid: QueryDef = QueryDef(
@@ -261,13 +348,23 @@ object PipelineQueries {
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Multimodal plumbing: binary payload + metadata -> per-partition
-    * batched (stub) decode -> feature rows. Spark-native. */
+    * batched (stub) decode -> feature rows. The metadata surface
+    * (modality routing, byte accounting, md5 content hash) is
+    * oracle-checked; the fake feature vector itself is pinned in
+    * PipelineSpec. */
   val mmDecode: QueryDef = QueryDef(
     "mm_decode_stub",
     (s, d) => Multimodal.decodeFeatures(Multimodal.fromDocuments(Tables.documents(s, d)))
       .select(col("media_id"), col("modality"), col("n_bytes"), col("content_hash"))
       .orderBy("media_id"),
-    None)
+    // payload is the utf-8 encoding of `text`, so md5(text) in DuckDB
+    // hashes the same bytes; n_bytes is the utf-8 octet length
+    Some("""SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_hash
+      |FROM documents ORDER BY media_id""".stripMargin))
 
   /** Vocabulary top-k: explode word tokens, count, rank — the
     * tokenize/explode/aggregate shape of corpus statistics. */

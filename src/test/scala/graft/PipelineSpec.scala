@@ -21,9 +21,12 @@ class PipelineSpec extends SparkSpec {
       .select("query_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(ann.nonEmpty, "ANN returned nothing")
-    // every ANN hit must be a genuinely similar vector: within brute-force top-20
+    // every ANN hit must be a genuinely similar vector: within brute-force
+    // top-20 (multi-probe sign-LSH measures >= 0.96 on this corpus; 0.8
+    // leaves headroom for draw variance without masking a regression to
+    // single-probe quality)
     val recallable = ann.count(brute.contains)
-    assert(recallable.toDouble / ann.length >= 0.5,
+    assert(recallable.toDouble / ann.length >= 0.8,
       s"ANN precision vs brute-force top-20 too low: $recallable/${ann.length}")
   }
 
