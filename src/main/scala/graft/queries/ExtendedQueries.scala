@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Similarity, TextOps}
+
+/** Second-ring engine surface: semi-structured (JSON) access, lateral
+  * row generation, grouping sets/cube, the full window-navigation
+  * battery, array/vector column functions, and tf-idf term ranking.
+  * Every query has a value-level DuckDB oracle; numeric outputs follow
+  * the repo-wide parity rules (exact DECIMAL internally, DOUBLE at the
+  * output boundary, BIGINT ranks).
+  *
+  * Scale notes: JSON extraction and array functions are row-local
+  * (codegen'd, fuse with the scan); explode fans out before any shuffle
+  * so downstream aggregation still map-side combines; grouping sets /
+  * cube expand in the partial-aggregation stage (no extra scan per
+  * grouping set); tf-idf is two hash aggregations + one broadcast of the
+  * corpus-size scalar — document frequency is the only wide shuffle.
+  */
+object ExtendedQueries {
+
+  private val money = DecimalType(18, 2)
+
+  /** JSON field extraction from the events property bag (semi-structured
+    * column access — stays inside whole-stage codegen, no UDF). */
+  val qJsonFuncs: QueryDef = QueryDef(
+    "q_json_funcs",
+    (s, d) => Tables.events(s, d)
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        (get_json_object(col("props"), "$.k").cast("long") / lit(10)).cast("long").as("k_decile"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile
+      |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin))
+
+  /** Lateral row generation: densify each order into one row per month
+    * of its first quarter (sequence + explode — the calendar-spine shape
+    * of gap-filling pipelines). */
+  val qExplodeMonths: QueryDef = QueryDef(
+    "q_explode_months",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"), explode(expr(
+        "sequence(date_trunc('month', o_orderdate), " +
+          "date_trunc('month', o_orderdate) + interval 2 month, interval 1 month)")).as("m"))
+      .select(col("o_orderkey"), date_format(col("m"), "yyyy-MM").as("month"))
+      .orderBy("o_orderkey", "month"),
+    Some("""SELECT o_orderkey,
+      |  strftime(unnest(generate_series(date_trunc('month', o_orderdate),
+      |    date_trunc('month', o_orderdate) + INTERVAL 2 MONTH, INTERVAL 1 MONTH)), '%Y-%m') AS month
+      |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey, month""".stripMargin))
+
+  /** Explicit grouping sets — subtotal lattice chosen by the caller
+    * (finer control than rollup/cube; one pass, expansion happens in the
+    * partial aggregate). */
+  val qGroupingSets: QueryDef = QueryDef(
+    "q_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(money)).cast("double").as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin))
+
+  /** Full cube over (status, priority) — every subtotal combination. */
+  val qCube: QueryDef = QueryDef(
+    "q_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
+
+  /** Window navigation battery: lag/lead/first/last/ntile in one pass
+    * over each customer's order history (one shuffle on the partition
+    * key; all five functions share the sort). */
+  val qWindowLeadLag: QueryDef = QueryDef(
+    "q_window_lead_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val price = col("o_totalprice").cast(money).cast("double")
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 200 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(price, 1).over(w).as("prev_price"),
+          lead(price, 1).over(w).as("next_price"),
+          first(price).over(wFull).as("first_price"),
+          last(price).over(wFull).as("last_price"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |  lag(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER w AS prev_price,
+      |  lead(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER w AS next_price,
+      |  first_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) OVER wf AS first_price,
+      |  last_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) OVER wf AS last_price,
+      |  ntile(4) OVER w AS quartile
+      |FROM orders WHERE o_custkey % 200 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Array/vector column functions over embeddings: length, element
+    * access, min/max, and a full-vector sum via the codegen'd dot product
+    * against a ones vector (sequential double accumulation — the same
+    * order DuckDB's list_dot_product uses, so values are bit-identical). */
+  val qArrayFuncs: QueryDef = QueryDef(
+    "q_array_funcs",
+    (s, d) => Tables.embeddings(s, d)
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        array_max(col("embedding")).cast("double").as("max_val"),
+        array_min(col("embedding")).cast("double").as("min_val"),
+        round(Similarity.dot(col("embedding"), typedLit(Seq.fill(64)(1.0f))), 4).as("sum_val"))
+      .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS n_dims,
+      |  CAST(embedding[1] AS DOUBLE) AS first_val,
+      |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
+      |  CAST(list_min(embedding) AS DOUBLE) AS min_val,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), [1.0 for x in range(64)]), 4) AS sum_val
+      |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin))
+
+  /** tf-idf term ranking: top-3 terms per document by tf * (N / df),
+    * computed in exact DECIMAL (a log-free idf variant — both engines
+    * agree digit-for-digit, where ln() parity across engines is not
+    * guaranteed to the last ulp). df is the only corpus-wide shuffle;
+    * the corpus size N broadcasts as a one-row scalar. */
+  val textTfidf: QueryDef = QueryDef(
+    "text_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = w.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = w.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val ratio = DecimalType(18, 6)
+      val scored = tf.filter(col("doc_id") % 20 === 0)
+        .join(dfreq, "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          ((col("tf") * col("n_docs")).cast(ratio) / col("df").cast(ratio)).cast(ratio))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w").asc)
+      scored.withColumn("rk", row_number().over(win).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w").as("term"),
+          col("score").cast("double").as("score"))
+        .orderBy("doc_id", "rk")
+    },
+    Some {
+      val normalizeSql =
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH w AS (
+        |  SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w FROM documents),
+        |ww AS (SELECT * FROM w WHERE length(w) > 0),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM ww GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM ww GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.w,
+        |    CAST(CAST(tf * n_docs AS DECIMAL(18,6)) / CAST(df AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS score
+        |  FROM tf JOIN dfreq USING (w), n WHERE doc_id % 20 = 0),
+        |ranked AS (
+        |  SELECT doc_id, w, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, w AS term, CAST(score AS DOUBLE) AS score
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets,
+    qCube, qWindowLeadLag, qArrayFuncs, textTfidf)
+}
