@@ -134,6 +134,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-cluster resolution: connected components over a pair list
+    * (e.g. [[minhashLshPairs]] output), labeling every member with the
+    * smallest id in its component — the step that turns pairwise near-dup
+    * hits into "keep one per cluster" decisions.
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow). Each
+    * round is one |E| shuffle — the textbook large-graph formulation
+    * (no driver-side graph). `localCheckpoint` truncates the growing
+    * lineage so round N's plan doesn't replay rounds 1..N-1.
+    *
+    * Returns (id, cluster_id) for every vertex that appears in >= 1 edge.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst")).distinct()
+    // undirected: propagate both ways
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = neighborMin.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      labels = neighborMin
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard pairs >= threshold, with PPJoin-style prefix
     * filtering for candidate generation (exact — no recall loss):
     *

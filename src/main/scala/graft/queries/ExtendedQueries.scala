@@ -190,6 +190,90 @@ object ExtendedQueries {
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
     })
 
+  /** Unpivot / melt: wide numeric columns to (metric, value) rows — the
+    * inverse of q_pivot; row-local, no shuffle beyond the output sort. */
+  val qUnpivot: QueryDef = QueryDef(
+    "q_unpivot",
+    (s, d) => {
+      val money2 = (c: String) => col(c).cast(money).cast("double").as(c)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          money2("l_quantity"), money2("l_extendedprice"),
+          money2("l_discount"), money2("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS l_quantity,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_extendedprice,
+      |    CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS l_discount,
+      |    CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS l_tax
+      |  FROM lineitem WHERE l_orderkey % 500 = 0)
+      |UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
+
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL — duplicate-
+    * preserving, distinct from q_set_ops' set semantics). */
+  val qSetOpsAll: QueryDef = QueryDef(
+    "q_set_ops_all",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+      val interAll = urgent.intersectAll(big).count()
+      val exceptAll = urgent.exceptAll(big).count()
+      s.createDataFrame(Seq((interAll, exceptAll)))
+        .toDF("n_intersect_all", "n_except_all")
+    },
+    Some("""SELECT
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    INTERSECT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) a) AS n_intersect_all,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) b) AS n_except_all""".stripMargin))
+
+  /** PII redaction over documents: scrub synthetic emails/phone numbers
+    * (regex patterns valid in both Java regex and RE2), emit the
+    * redaction count and an md5 of the scrubbed text — the privacy-
+    * filtering stage of a training-data pipeline, row-local and
+    * codegen'd. The corpus has no natural PII, so deterministic PII is
+    * first appended to every 5th document — same synthesis in the
+    * oracle. */
+  val textRedact: QueryDef = QueryDef(
+    "text_redact",
+    (s, d) => {
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      val emailPat = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+      val phonePat = "[0-9]{3}-[0-9]+"
+      withPii.select(col("doc_id"),
+        (regexp_count(col("text"), lit(emailPat)) +
+          regexp_count(col("text"), lit(phonePat))).cast("long").as("n_redactions"),
+        md5(regexp_replace(regexp_replace(col("text"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH withpii AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN text || ' contact user' || doc_id || '@example.com or 555-' || doc_id
+      |      ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+[a-z]'))
+      |    + len(regexp_extract_all(text, '[0-9]{3}-[0-9]+')) AS BIGINT) AS n_redactions,
+      |  md5(regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
+      |    '[0-9]{3}-[0-9]+', '[PHONE]', 'g')) AS redacted_fp
+      |FROM withpii ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets,
-    qCube, qWindowLeadLag, qArrayFuncs, textTfidf)
+    qCube, qWindowLeadLag, qArrayFuncs, textTfidf, qUnpivot, qSetOpsAll,
+    textRedact)
 }

@@ -51,30 +51,57 @@ object PipelineQueries {
 
   /** MinHash+LSH candidate pairs (md5-based, oracle-recomputable):
     * word 3-gram shingles, k=8 hashes, 4 bands x 2 rows. */
+  /** The minhash pair list as reusable oracle CTE body (no ORDER BY) —
+    * consumed by both dedup_minhash_lsh and dedup_cluster. */
+  private val minhashPairsSql: String = {
+    // signature s in 0..7: min over shingles of md5(shingle || '#s').
+    // DuckDB: shingles via list comprehension over the word array.
+    val shingles =
+      s"""list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))])"""
+    val minhash = (0 until 8).map(i =>
+      s"list_min([md5(sh || '#$i') for sh in shingles])").mkString("[", ", ", "]")
+    s"""words AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
+      |sh AS (SELECT doc_id, $shingles AS shingles FROM words),
+      |sig AS (SELECT doc_id, $minhash AS sig FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b AS band_id, sig[2*b+1] || '|' || sig[2*b+2] AS band_key
+      |  FROM sig, (SELECT unnest(range(4)) AS b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val dedupMinhashLsh: QueryDef = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashLshPairs(docsWithDups(s, d), "doc_id", "text",
         shingleN = 3, k = 8, rowsPerBand = 2)
       .orderBy("id_a", "id_b"),
-    Some {
-      // signature s in 0..7: min over shingles of md5(shingle || '#s').
-      // DuckDB: shingles via list comprehension over the word array.
-      val shingles =
-        s"""list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))])"""
-      val minhash = (0 until 8).map(i =>
-        s"list_min([md5(sh || '#$i') for sh in shingles])").mkString("[", ", ", "]")
-      s"""WITH t AS ($docsWithDupsSql),
-        |words AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
-        |sh AS (SELECT doc_id, $shingles AS shingles FROM words),
-        |sig AS (SELECT doc_id, $minhash AS sig FROM sh),
-        |bands AS (
-        |  SELECT doc_id, b AS band_id, sig[2*b+1] || '|' || sig[2*b+2] AS band_key
-        |  FROM sig, (SELECT unnest(range(4)) AS b))
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM bands a JOIN bands b
-        |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin
-    })
+    Some(s"""WITH t AS ($docsWithDupsSql),
+      |$minhashPairsSql
+      |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin))
+
+  /** Duplicate-cluster resolution: connected components over the minhash
+    * pair list — every near-dup doc labeled with the smallest doc_id in
+    * its cluster (iterative min-label propagation in Spark; the oracle
+    * recomputes components with a recursive CTE). */
+  val dedupCluster: QueryDef = QueryDef(
+    "dedup_cluster",
+    (s, d) => Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docsWithDups(s, d), "doc_id", "text",
+          shingleN = 3, k = 8, rowsPerBand = 2),
+        "id_a", "id_b")
+      .orderBy("id"),
+    Some(s"""WITH RECURSIVE t AS ($docsWithDupsSql),
+      |$minhashPairsSql,
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      |  UNION
+      |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+      |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin))
 
   /** Exact n-gram Jaccard pairs >= 0.5 via inverted shingle index. */
   val dedupNgramJaccard: QueryDef = QueryDef(
@@ -488,8 +515,8 @@ object PipelineQueries {
       |FROM documents""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    asofJoin, rangeJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding, sampleStratified, textPercentiles,
+    asofJoin, rangeJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupCluster,
+    dedupNgramJaccard, dedupSimhash, dedupEmbedding, sampleStratified, textPercentiles,
     simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality, textTokens,
     textFingerprint, textWordcount, mmDecode)
 }
