@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `graft.functions.float_dot` Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatVectorDotDescriptor)
+    ext.injectFunction(GraftExtensions.md5Hash64Descriptor)
+  }
 }
 
 object GraftExtensions {
@@ -27,13 +29,26 @@ object GraftExtensions {
     FloatVectorDot(children.head, children(1))
   }
 
+  private def buildMd5(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "md5_hash64 takes exactly 1 argument")
+    Md5Hash64(children.head)
+  }
+
   val floatVectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("float_vector_dot"),
     new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
     build)
 
+  val md5Hash64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_hash64"),
+    new ExpressionInfo(classOf[Md5Hash64].getName, "md5_hash64"),
+    buildMd5)
+
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vector_dot", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_hash64", buildMd5, "built-in")
+  }
 }

@@ -26,6 +26,12 @@ package object functions {
   def unwrap_singleton(colName: String): Column =
     graft.transform.CleanRows.unwrapSingletonExpr(colName)
 
+  // --- hashing
+  /** Native codegen'd 64-bit md5 prefix ([[Md5Hash64]]) — the
+    * engine-shared (oracle-recomputable) per-token hash. */
+  def md5_hash64(c: Column): Column =
+    Bridge.column(Md5Hash64(Bridge.expression(c)))
+
   // --- vectors
   /** Native codegen'd float-vector dot product ([[FloatVectorDot]]). */
   def float_dot(a: Column, b: Column): Column =

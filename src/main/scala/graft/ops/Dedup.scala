@@ -90,21 +90,19 @@ object Dedup {
     * higher-order-function formulation evaluates interpreted and was
     * ~30x slower at sf0.1.
     *
-    * The word hash is md5-derived (first 16 hex chars as two 32-bit
-    * halves) rather than xxhash64 so the DuckDB oracle recomputes
-    * signatures byte-identically: both engines share md5, neither shares
-    * the other's native hash. */
+    * The word hash is the md5 64-bit prefix (via the native codegen'd
+    * [[graft.functions.Md5Hash64]]) rather than xxhash64, so the DuckDB
+    * oracle recomputes signatures byte-identically: both engines share
+    * md5, neither shares the other's native hash. Bit b of the long is
+    * bit b of the unsigned first-16-hex-chars value — exactly the two
+    * 32-bit halves the oracle SQL assembles. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
-      .select(col("id"),
-        // bits 32..63 come from hex chars 1-8, bits 0..31 from chars 9-16;
-        // each half is < 2^32 so the long arithmetic below never overflows
-        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("hhi"),
-        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("hlo"))
+      .select(col("id"), graft.functions.md5_hash64(col("w")).as("h"))
     val votes = (0 until 64).map { b =>
-      val half = if (b < 32) col("hlo") else col("hhi")
-      sum(shiftright(half, b % 32).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+      // arithmetic shift + mask extracts bit b regardless of sign
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
     }
     val voted = exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
     val sig = (0 until 64)

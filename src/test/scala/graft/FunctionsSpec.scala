@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{cosine_similarity, float_dot, vector_norm}
+import graft.functions.{cosine_similarity, float_dot, md5_hash64, vector_norm}
 import graft.ops.Similarity
 
 /** The native FloatVectorDot expression: value parity with the
@@ -68,5 +68,30 @@ class FunctionsSpec extends SparkSpec {
       val interp = df.select(vector_norm(col("a"))).collect().map(_.getDouble(0))
       assert(interp.sameElements(expected))
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("md5_hash64 equals the hex-prefix parse of builtin md5, codegen and interpreted") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("", "a", "hello world", "straße", "the").toDF("s")
+    // reference: first 16 hex chars of md5 as two 32-bit halves
+    val ref = df.select(
+      (shiftleft(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long"))).as("h"))
+      .collect().map(_.getLong(0))
+    val got = df.select(md5_hash64(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(got.sameElements(ref))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(md5_hash64(col("s")).as("h")).collect().map(_.getLong(0))
+      assert(interp.sameElements(ref))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // SQL registration
+    graft.functions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("md5t")
+    val viaSql = spark.sql("SELECT md5_hash64(s) AS h FROM md5t").collect().map(_.getLong(0))
+    assert(viaSql.sameElements(ref))
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("s").select(md5_hash64(col("s"))).head().isNullAt(0))
   }
 }
