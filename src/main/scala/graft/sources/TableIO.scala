@@ -48,4 +48,22 @@ object TableIO {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Hive-style partitioned overwrite: one directory per distinct value
+    * of `partitionCols`. At 100 TB this is the primary pruning lever —
+    * a reader filtering on a partition column never opens the other
+    * directories (PartitionFilters in the scan, verified by
+    * TableIOSpec), and dynamic overwrite replaces only the partitions
+    * present in `df` (idempotent daily reruns don't clobber history). */
+  def replacePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** ORC sink/source pair — second columnar format the engine speaks
+    * natively (same pushdown/pruning machinery as parquet). */
+  def replaceOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 }

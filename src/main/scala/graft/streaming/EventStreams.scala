@@ -89,6 +89,34 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase event enriched with the
+    * same user's click events from the preceding hour. Both sides are
+    * watermarked and the join carries an event-time range predicate, so
+    * buffered state on each side is bounded: a click can be dropped once
+    * the purchase watermark passes click_ts + 1 hour — Spark derives
+    * state cleanup from exactly this constraint. This is the streaming
+    * twin of the batch binned range join ([[graft.ops.RangeJoin]]).
+    *
+    * Scale: state is keyed by user_id (the equi-join key → one shuffle
+    * per side); the range width bounds per-key state volume, and late
+    * data beyond the watermark is discarded rather than buffered. */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Run the hourly aggregation to a named in-memory sink until all
     * available data is processed (synchronous batch-over-stream drive).
     * Complete mode so the final in-memory table includes windows the

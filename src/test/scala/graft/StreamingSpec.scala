@@ -26,6 +26,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join on the same files") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val q = EventStreams.purchasesWithRecentClicks(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_test")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ssj-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_test")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e = graft.queries.Tables.events(spark, sf)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+      val batch = p.join(c, col("pu") === col("cu") &&
+          col("cts") >= col("pts") - expr("interval 1 hour") && col("cts") <= col("pts"))
+        .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "batch interval join found no pairs — test data changed?")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer runs and emits sessions on timeout-free drain") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, sf)

@@ -50,4 +50,36 @@ class TableIOSpec extends SparkSpec {
     val back = TableIO.readParquet(spark, dir)
     assert(back.count() == 2) // second write fully replaced the first
   }
+
+  test("partitioned write prunes: filter on partition col skips other directories") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/p"
+    val df = (1 to 100).map(i => (i.toLong, s"d${i % 4}", i * 1.0)).toDF("id", "day", "v")
+    TableIO.replacePartitioned(df, dir, Seq("day"))
+    val read = TableIO.readParquet(spark, dir).filter(col("day") === "d1")
+    assert(read.count() == 25)
+    // the scan must carry a PartitionFilters entry on `day` — directories
+    // for d0/d2/d3 are never opened
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"expected partition pruning in plan:\n$plan")
+    // dynamic overwrite: rewriting ONLY d1 leaves the other partitions intact
+    val d1New = Seq((999L, "d1", 0.0)).toDF("id", "day", "v")
+    TableIO.replacePartitioned(d1New, dir, Seq("day"))
+    val after = TableIO.readParquet(spark, dir)
+    assert(after.filter(col("day") === "d1").count() == 1)
+    assert(after.filter(col("day") =!= "d1").count() == 75)
+  }
+
+  test("orc round-trips with the same values") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/orc"
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "v", "d")
+    TableIO.replaceOrc(df, dir)
+    val back = TableIO.readOrc(spark, dir).orderBy("id").collect()
+    assert(back.map(_.toString).sameElements(
+      df.orderBy("id").collect().map(_.toString)))
+  }
 }
