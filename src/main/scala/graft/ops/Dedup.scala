@@ -192,9 +192,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     // distinct (id, shingle) rows — persisted because four downstream
-    // stages (doc sizes, doc frequencies, prefix index, array rebuild)
-    // consume it; ContextCleaner reclaims the cache when unreferenced
-    val inv = TextOps.wordShingleRows(df, idCol, textCol, shingleN).persist()
+    // stages (doc sizes, doc frequencies, prefix index, overlap count)
+    // consume it; ContextCleaner reclaims the cache when unreferenced.
+    // Shingles are reduced to their 64-bit md5 prefix immediately: every
+    // downstream stage only needs equality, and an 8-byte long shuffles
+    // ~2.5x less data than a ~20-byte trigram string across the 4
+    // consuming stages (collisions at 2^-64 per pair would surface as an
+    // oracle mismatch — the string-shingled DuckDB oracle is the net).
+    val inv = TextOps.wordShingleRows(df, idCol, textCol, shingleN)
+      .select(col("id"), graft.functions.md5_hash64(col("sh")).as("sh"))
+      .persist()
     val counts = inv.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("sh").asc)

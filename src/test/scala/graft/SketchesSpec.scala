@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+/** Accuracy contracts of the sketch operators against exact answers —
+  * these are deliberately not oracle queries (sketch layouts are
+  * engine-specific), so the pins live here. */
+class SketchesSpec extends SparkSpec {
+
+  private def skewed = {
+    val s = spark
+    import s.implicits._
+    (1 to 20000).map { i =>
+      val k = if (i % 10 == 0) i.toLong else (i % 100).toLong // 100 hot keys
+      ("g" + (i % 3), k)
+    }.toDF("g", "k")
+  }
+
+  test("HLL distinct is within rsd of exact per group") {
+    val df = skewed
+    val exact = df.groupBy("g").agg(countDistinct(col("k")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.approxDistinct(df, Seq("g"), "k", rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(approx(g) - n).toDouble / n < 0.15, s"group $g: $n vs ${approx(g)}")
+    }
+  }
+
+  test("approx quantiles bracket the exact median") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10001).map(_.toDouble).toDF("v")
+    val Array(q50) = Sketches.approxQuantiles(df, "v", Array(0.5), relativeError = 0.01)
+    assert(math.abs(q50 - 5001.0) <= 101.0) // 1% rank error on 10001 rows
+  }
+
+  test("bloom filter has no false negatives and bounded false positives") {
+    val s = spark
+    import s.implicits._
+    val present = (1L to 5000L)
+    val bf = Sketches.bloomFilter(present.toDF("k"), "k", expectedItems = 5000, fpp = 0.03)
+    assert(present.forall(bf.mightContainLong)) // NEVER a false negative
+    val fp = (100001L to 110000L).count(bf.mightContainLong)
+    assert(fp < 10000 * 0.1, s"false positive rate too high: $fp/10000")
+  }
+
+  test("bloom-pruned join equals the plain join") {
+    val s = spark
+    import s.implicits._
+    val probe = (1L to 20000L).map(i => (i, s"p$i")).toDF("k", "pv")
+    val build = (1L to 20000L by 100).map(i => (i, s"b$i")).toDF("k", "bv")
+    val plain = probe.join(build, "k").select("k").collect().map(_.getLong(0)).sorted
+    val pruned = Sketches.bloomPrunedJoin(probe, build, "k", expectedItems = 200)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(pruned.sameElements(plain))
+  }
+
+  test("count-min never undercounts; heavy hitters found") {
+    val df = skewed
+    val cms = Sketches.countMinSketch(df, "k")
+    val exact = df.groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.take(50).foreach { case (k, n) =>
+      assert(cms.estimateCount(k.asInstanceOf[Any]) >= n, s"undercount for $k")
+    }
+    // key 7 appears 200x (hot: every i with i%100==7); key 9999 never
+    val hh = Sketches.heavyHitters(df, "k", Seq(7L, 9999L), minShare = 0.005)
+    assert(hh.exists(_._1 == 7L) && !hh.exists(_._1 == 9999L))
+  }
+}
