@@ -32,6 +32,11 @@ package object functions {
   def md5_hash64(c: Column): Column =
     Bridge.column(Md5Hash64(Bridge.expression(c)))
 
+  /** Wrapping 64-bit affine mix `c * a + b` ([[Mix64]]) — ANSI-safe
+    * universal-hash variant derivation. */
+  def mix64(c: Column, a: Long, b: Long): Column =
+    Bridge.column(Mix64(Bridge.expression(c), a, b))
+
   // --- vectors
   /** Native codegen'd float-vector dot product ([[FloatVectorDot]]). */
   def float_dot(a: Column, b: Column): Column =

@@ -46,18 +46,34 @@ object Dedup {
       .drop(rn)
   }
 
-  /** MinHash signatures as a flat aggregation: explode shingles, then one
-    * hash-aggregate computing all k `min(md5(shingle || '#s'))` columns.
-    * The explode + hash-agg path stays inside whole-stage codegen, unlike
-    * an `array_min(transform(...))` higher-order expression, which Spark
+  /** Universal-hash constants for the k minhash variants: one md5-derived
+    * base hash per shingle, then variant i = base * A(i) + B(i) in
+    * wrapping 64-bit arithmetic (Java long overflow IS mod 2^64).
+    * Multipliers are odd 32-bit so an engine-neutral oracle can reproduce
+    * the wrap in 128-bit intermediate arithmetic without overflowing
+    * (A*u < 2^96). Exposed for the oracle-SQL generator. */
+  def minhashA(i: Int): Long = ((0x9E3779B9L * (i + 1)) & 0xFFFFFFFFL) | 1L
+  def minhashB(i: Int): Long = 0xBF58476D1CE4E5B9L * (i + 1) // wraps
+
+  /** MinHash signatures as a flat aggregation: explode shingles, hash
+    * each ONCE with the native [[graft.functions.Md5Hash64]], then one
+    * hash-aggregate computing all k `min(h * A_i + B_i)` columns — long
+    * arithmetic replaces the previous k separate `md5(shingle || '#i')`
+    * string digests per row (k-fold md5 reduction, and the agg combines
+    * 8-byte longs instead of 32-char hex strings). The explode +
+    * hash-agg path stays inside whole-stage codegen, unlike an
+    * `array_min(transform(...))` higher-order expression, which Spark
     * evaluates interpreted — measured ~50x slower at sf0.1. Docs with no
     * shingles (shorter than the shingle width) drop out, matching the
     * NULL-band behavior of the SQL oracle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame = {
     val shingled = TextOps.wordShingleRows(df, idCol, textCol, shingleN)
-    val aggs = (0 until k).map(s => min(md5(concat(col("sh"), lit("#" + s)))).as(s"h$s"))
-    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val hashed = shingled.select(col("id"),
+      graft.functions.md5_hash64(col("sh")).as("h"))
+    val aggs = (0 until k).map(i =>
+      min(graft.functions.mix64(col("h"), minhashA(i), minhashB(i))).as(s"h$i"))
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs (a < b) over word shingles.

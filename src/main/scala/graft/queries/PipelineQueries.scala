@@ -52,17 +52,35 @@ object PipelineQueries {
   /** MinHash+LSH candidate pairs (md5-based, oracle-recomputable):
     * word 3-gram shingles, k=8 hashes, 4 bands x 2 rows. */
   /** The minhash pair list as reusable oracle CTE body (no ORDER BY) —
-    * consumed by both dedup_minhash_lsh and dedup_cluster. */
+    * consumed by both dedup_minhash_lsh and dedup_cluster.
+    *
+    * Mirrors [[Dedup.minhashSignatures]]'s universal-hash scheme: base =
+    * signed 64-bit md5 prefix; variant i = base * A_i + B_i mod 2^64,
+    * reported as a signed BIGINT. Spark gets the mod for free from Java
+    * long wrapping; here the arithmetic runs in HUGEINT (A_i is 32-bit,
+    * so A_i * u < 2^96 never overflows 128-bit) with an explicit
+    * wrap-to-signed at the end. */
   private val minhashPairsSql: String = {
-    // signature s in 0..7: min over shingles of md5(shingle || '#s').
-    // DuckDB: shingles via list comprehension over the word array.
     val shingles =
       s"""list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))])"""
-    val minhash = (0 until 8).map(i =>
-      s"list_min([md5(sh || '#$i') for sh in shingles])").mkString("[", ", ", "]")
+    val mins = (0 until 8).map { i =>
+      val a = java.lang.Long.toUnsignedString(graft.ops.Dedup.minhashA(i))
+      val b = java.lang.Long.toUnsignedString(graft.ops.Dedup.minhashB(i))
+      s"""min(CAST((CASE WHEN (($a::HUGEINT * u + $b::HUGEINT) % 18446744073709551616::HUGEINT) >= 9223372036854775808::HUGEINT
+         | THEN (($a::HUGEINT * u + $b::HUGEINT) % 18446744073709551616::HUGEINT) - 18446744073709551616::HUGEINT
+         | ELSE (($a::HUGEINT * u + $b::HUGEINT) % 18446744073709551616::HUGEINT) END) AS BIGINT)) AS h$i""".stripMargin
+    }.mkString(",\n")
+    val sigList = (0 until 8).map(i => s"CAST(h$i AS VARCHAR)").mkString("[", ", ", "]")
     s"""words AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
       |sh AS (SELECT doc_id, $shingles AS shingles FROM words),
-      |sig AS (SELECT doc_id, $minhash AS sig FROM sh),
+      |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |hu AS (SELECT doc_id,
+      |  (CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)::HUGEINT * 4294967296::HUGEINT
+      |   + CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)::HUGEINT) AS u FROM inv),
+      |sigcols AS (SELECT doc_id,
+      |$mins
+      |FROM hu GROUP BY doc_id),
+      |sig AS (SELECT doc_id, $sigList AS sig FROM sigcols),
       |bands AS (
       |  SELECT doc_id, b AS band_id, sig[2*b+1] || '|' || sig[2*b+2] AS band_key
       |  FROM sig, (SELECT unnest(range(4)) AS b)),
