@@ -17,10 +17,14 @@ import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
   *    the heavy-hitter / hot-key detector that decides when [[Skew]]
   *    salting is worth applying.
   *
-  * None of these are cross-engine hash-comparable (sketch layouts are
-  * implementation-specific), so they are deliberately NOT in the oracle
-  * registry; SketchesSpec pins their accuracy contracts against exact
-  * answers instead.
+  * HLL/quantile/bloom/count-min sketch layouts are implementation-
+  * specific, so those are NOT in the oracle registry — SketchesSpec pins
+  * their accuracy contracts against exact answers instead. Two sketch
+  * applications ARE oracle-gated because their RESULTS are engine-
+  * neutral: [[kmvDistinct]] (defined purely by shared md5 arithmetic,
+  * `sketch_kmv_distinct`) and [[bloomPrunedJoin]] (false positives are
+  * removed by the exact join, so the result equals the plain join,
+  * `q_bloom_join`).
   */
 object Sketches {
 
@@ -53,6 +57,38 @@ object Sketches {
     val bcast = probe.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
     probe.filter(mightContain(col(key))).join(build, key)
+  }
+
+  /** KMV (bottom-k / k-minimum-values) distinct-count estimate.
+    *
+    * Unlike HLL (whose sketch bytes are implementation-specific), KMV is
+    * defined purely by a shared hash: keep the k smallest distinct
+    * 60-bit md5-prefix hashes of the values; if the kth smallest maps to
+    * fraction f of the hash space, distinct ≈ (k-1)/f. Every engine with
+    * md5 recomputes it bit-identically — so this sketch sits in the
+    * DuckDB oracle gate, pinning the whole estimator (hash, bottom-k
+    * selection, estimate arithmetic) cross-engine.
+    *
+    * Scale shape: map-side distinct partials shrink each partition to
+    * <= k hashes before the single tiny shuffle (Catalyst plans the
+    * global sort+limit as partition-local TakeOrdered partials); the
+    * full value set never concentrates anywhere.
+    *
+    * Output (1 row): n_kept, kth (largest kept hash), est_distinct.
+    * 2^60 fits a signed long; 255 * 2^60 is exactly representable in a
+    * double, so the estimate arithmetic is deterministic IEEE. */
+  def kmvDistinct(df: DataFrame, colName: String, k: Int = 256): DataFrame = {
+    require(k >= 2)
+    val h = conv(substring(md5(col(colName).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val scale = (k - 1).toDouble * math.pow(2, 60) // exact for k-1 < 2^11
+    df.select(h.as("h")).where(col("h").isNotNull).distinct()
+      .orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .select(col("n_kept"), col("kth"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(scale) / col("kth").cast("double")), 2)
+          .as("est_distinct"))
   }
 
   /** Count-min sketch over a column (frequency estimates; never

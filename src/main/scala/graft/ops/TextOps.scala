@@ -134,6 +134,26 @@ object TextOps {
     * key. md5 is available in every engine, so oracle-comparable. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Benchmark-decontamination scan: for every corpus document, the
+    * number of distinct word n-gram shingles it shares with a probe set
+    * (eval/benchmark texts). Corpus shingles reduce to 64-bit md5 hashes
+    * before the join (8-byte keys instead of n-word strings); the probe
+    * shingle set is broadcast — benchmark suites are tiny next to a
+    * training corpus, so the 100 TB side never shuffles: the scan
+    * streams against a few-MB hash set, exactly like a bloom probe but
+    * exact. Only contaminated documents appear in the output. */
+  def contaminationCounts(corpus: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeIdCol: String, probeTextCol: String,
+      n: Int): DataFrame = {
+    val csh = wordShingleRows(corpus, idCol, textCol, n)
+      .select(col("id"), graft.functions.md5_hash64(col("sh")).as("h"))
+    val psh = wordShingleRows(probes, probeIdCol, probeTextCol, n)
+      .select(graft.functions.md5_hash64(col("sh")).as("h")).distinct()
+    csh.join(broadcast(psh), "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Winnowing-style robust fingerprint: minimum 64-bit hash over
     * character k-grams of the normalized text (k=8). Survives small edits
     * far from the minimal shingle — used for near-dup candidate keys.

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Packing, Scd, Sketches, Skew, TextOps}
+
+/** Third-ring surface: corpus-curation and lakehouse-maintenance
+  * operators a 100 TB training-data pipeline runs daily — sequence
+  * packing, benchmark decontamination, sketch-based cardinality, bloom-
+  * pruned joins, SCD2 dimension merge, salted aggregation, and time-range
+  * window frames. Every query carries a value-level DuckDB oracle (the
+  * sketch/salt/bloom queries are oracle-able because their RESULTS are
+  * engine-neutral even where their execution strategy is the point).
+  */
+object CurationQueries {
+
+  private val money = DecimalType(18, 2)
+
+  private val normalizeSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Concat-and-chunk sequence packing: shard the corpus, pack each
+    * shard's id-ordered token stream into 1000-token chunks, report
+    * docs/tokens/boundary-straddlers per chunk. */
+  val packChunks: QueryDef = QueryDef(
+    "pack_chunks",
+    (s, d) => Packing.chunkSummary(Tables.documents(s, d), "doc_id", "text",
+        nShards = 8, budgetTokens = 1000)
+      .orderBy("shard", "chunk_id"),
+    Some("""WITH base AS (
+      |  SELECT doc_id % 8 AS shard, doc_id AS id,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, id, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM base),
+      |a AS (
+      |  SELECT shard, n_tokens, cum_before // 1000 AS chunk_id,
+      |    CASE WHEN n_tokens > 0 AND (cum_before + n_tokens - 1) // 1000 > cum_before // 1000
+      |         THEN 1 ELSE 0 END AS straddles
+      |  FROM c)
+      |SELECT shard, chunk_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+      |  sum(straddles) AS n_straddling
+      |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
+
+  /** Benchmark decontamination: flag corpus docs sharing any word 5-gram
+    * with a probe set (the 200-char prefixes of every 50th doc stand in
+    * for benchmark prompts). Probe shingle set broadcasts; the corpus
+    * side never shuffles. */
+  val textContamination: QueryDef = QueryDef(
+    "text_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+      TextOps.contaminationCounts(docs, "doc_id", "text",
+          probes, "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_shared_shingles"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val shingles =
+        "list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w) - 3, 1))])"
+      s"""WITH probes AS (
+        |  SELECT substr(text, 1, 200) AS text FROM documents WHERE doc_id % 50 = 0),
+        |pw AS (SELECT string_split($normalizeSql, ' ') AS w FROM probes),
+        |psh AS (SELECT DISTINCT unnest($shingles) AS s FROM pw),
+        |cw AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM documents),
+        |csh AS (SELECT DISTINCT doc_id, unnest($shingles) AS s FROM cw)
+        |SELECT doc_id, count(*) AS n_shared_shingles
+        |FROM csh JOIN psh USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  /** KMV bottom-k distinct-count sketch over lineitem part keys, with
+    * the exact count alongside — the estimator itself is in the oracle
+    * gate (shared md5 arithmetic, deterministic IEEE estimate). */
+  val sketchKmvDistinct: QueryDef = QueryDef(
+    "sketch_kmv_distinct",
+    (s, d) => Sketches.kmvDistinct(Tables.lineitem(s, d), "l_partkey", k = 256)
+      .crossJoin(Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))),
+    Some("""WITH h AS (
+      |  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem),
+      |b AS (SELECT h FROM h ORDER BY h ASC LIMIT 256),
+      |s AS (SELECT count(*) AS n_kept, max(h) AS kth FROM b),
+      |e AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+      |SELECT n_kept, kth,
+      |  round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+      |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth AS DOUBLE)
+      |    END, 2) AS est_distinct,
+      |  exact_distinct
+      |FROM s, e""".stripMargin))
+
+  /** Bloom-pre-filtered join: probe lineitem is filtered by a bloom
+    * filter built on the small build side BEFORE the shuffle; the exact
+    * join then removes false positives, so the result — and the oracle —
+    * is the plain join. What the bloom changes is shuffle volume. */
+  val qBloomJoin: QueryDef = QueryDef(
+    "q_bloom_join",
+    (s, d) => {
+      val build = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      Sketches.bloomPrunedJoin(Tables.lineitem(s, d), build, "l_orderkey",
+          expectedItems = 20000L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(money)).cast("double").as("sum_qty"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |JOIN (SELECT o_orderkey FROM orders
+      |      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 50 = 0) o
+      |  ON l_orderkey = o_orderkey""".stripMargin))
+
+  /** SCD2 dimension merge: current customer snapshot + two update
+    * batches -> compressed validity intervals per key (no-op updates are
+    * compressed away; one window pass, no self-joins). */
+  val mergeScd2: QueryDef = QueryDef(
+    "merge_scd2",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val snapshot = c.select(col("c_custkey"), lit(0L).as("version"),
+        col("c_mktsegment").as("segment"))
+      // batch 1: every 10th key; every 30th "changes" to its current
+      // value (a no-op the history compression must drop)
+      val batch1 = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit(1L).as("version"),
+          when(col("c_custkey") % 30 === 0, col("c_mktsegment"))
+            .otherwise(lit("SEG_A")).as("segment"))
+      val batch2 = c.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"), lit(2L).as("version"), lit("SEG_B").as("segment"))
+      Scd.scd2(snapshot.union(batch1).union(batch2),
+          Seq("c_custkey"), "version", Seq("segment"))
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("segment"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""WITH changes AS (
+      |  SELECT c_custkey, 0::BIGINT AS version, c_mktsegment AS segment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 1::BIGINT,
+      |    CASE WHEN c_custkey % 30 = 0 THEN c_mktsegment ELSE 'SEG_A' END
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 2::BIGINT, 'SEG_B' FROM customer WHERE c_custkey % 20 = 0),
+      |d AS (
+      |  SELECT c_custkey, version, segment,
+      |    lag(segment) OVER (PARTITION BY c_custkey ORDER BY version) AS prev_seg
+      |  FROM changes),
+      |kept AS (
+      |  SELECT c_custkey, version, segment FROM d
+      |  WHERE prev_seg IS NULL OR segment <> prev_seg),
+      |iv AS (
+      |  SELECT c_custkey, segment, version AS valid_from,
+      |    lead(version) OVER (PARTITION BY c_custkey ORDER BY version) - 1 AS valid_to
+      |  FROM kept)
+      |SELECT c_custkey, segment, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM iv WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey, valid_from""".stripMargin))
+
+  /** Two-phase salted aggregation over a 3-value hot grouping key — the
+    * result equals the plain groupBy (which is the oracle); the salt
+    * spreads each hot key over 16 reducers first. */
+  val qSaltedAgg: QueryDef = QueryDef(
+    "q_salted_agg",
+    (s, d) => Skew.saltedCountSum(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_orderkey"),
+        col("l_quantity").cast(money), buckets = 16, keyName = "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        col("total").cast("double").as("total_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Time-range window frame: per-user trailing 3-day event count and
+    * value sum (RANGE frame over epoch-micros — peers at equal
+    * timestamps aggregate identically in both engines; DECIMAL sum makes
+    * the result order-independent). */
+  val qWindowRangeFrame: QueryDef = QueryDef(
+    "q_window_range_frame",
+    (s, d) => {
+      val threeDaysUs = 3L * 86400 * 1000000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("uts"))
+        .rangeBetween(-threeDaysUs, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") % 20 === 0)
+        .withColumn("uts", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_3d"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("sum_3d"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+      |  count(*) OVER w AS n_3d,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_3d
+      |FROM events WHERE user_id % 20 = 0
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(packChunks, textContamination,
+    sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qWindowRangeFrame)
+}
