@@ -190,6 +190,28 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Blocked fuzzy dedup (entity-resolution style): block on a prefix of
+    * the normalized text, pair only within blocks, verify candidates by
+    * Levenshtein distance over a bounded prefix. Blocking caps join work
+    * at Σ|block|² — never |corpus|² — and the O(len²) edit distance runs
+    * only on candidate pairs over `comparePrefixLen` chars. The pattern
+    * scales by tuning the block key (longer prefix → smaller blocks);
+    * the distance itself stays a codegen'd built-in. */
+  def fuzzyBlockedPairs(df: DataFrame, idCol: String, textCol: String,
+      blockPrefixLen: Int = 30, comparePrefixLen: Int = 150,
+      maxDistance: Int = 30): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        TextOps.normalize(col(textCol)).as("norm"))
+      .select(col("id"),
+        substring(col("norm"), 1, blockPrefixLen).as("blk"),
+        substring(col("norm"), 1, comparePrefixLen).as("cmp"))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.cmp"), col("b.cmp")).cast(LongType).as("edit_distance"))
+      .filter(col("edit_distance") <= maxDistance)
+  }
+
   /** Exact n-gram Jaccard pairs >= threshold, with PPJoin-style prefix
     * filtering for candidate generation (exact — no recall loss):
     *

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical-profiling analytics: second-moment statistics computed
+  * from exact DECIMAL power sums (so they cross-engine hash-match where
+  * a naive stddev/corr over doubles would drift with partition order),
+  * value histograms, and cohort retention.
+  *
+  * Scale notes: the moments query is one map-side-combinable hash
+  * aggregation (power sums are associative); the histogram is the same
+  * shape with a computed bucket key; retention is two hash aggregations
+  * (per-user cohort, then cohort x month), both partial-aggregated
+  * before their shuffles.
+  */
+object AnalyticsQueries {
+
+  private val money = DecimalType(18, 2)
+
+  /** Per-group stddev and correlation from exact decimal power sums
+    * (n, Σx, Σy, Σx², Σy², Σxy): every sum is exact, the final double
+    * arithmetic is the same IEEE expression in both engines. A built-in
+    * `stddev`/`corr` over doubles is NOT deterministic across engines —
+    * or even across partitionings — because float addition isn't
+    * associative; power sums in DECIMAL are. */
+  val qStatsMoments: QueryDef = QueryDef(
+    "q_stats_moments",
+    (s, d) => {
+      val qd = col("l_quantity").cast(money)
+      val pd = col("l_extendedprice").cast(money)
+      val dbl = (c: String) => col(c).cast("double")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qd).as("sx"), sum(pd).as("sy"),
+          sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"), sum(qd * pd).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round(sqrt((dbl("sxx") - dbl("sx") * dbl("sx") / dbl("n")) / dbl("n")), 4)
+            .as("stddev_qty"),
+          round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+             sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 4)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH a AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS stddev_qty,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr_qty_price
+      |FROM a ORDER BY l_returnflag""".stripMargin))
+
+  /** Fixed-width value histogram of order totals: bucket assignment is
+    * one deterministic double division + floor (no arithmetic on the
+    * aggregated values themselves — min/max/count carry parquet values
+    * through untouched). */
+  val qHistogram: QueryDef = QueryDef(
+    "q_histogram",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket"),
+    Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
+
+  /** Cohort retention: users grouped by first-activity week, counted as
+    * retained in each subsequent week they appear (the product-analytics
+    * staple). Both engines truncate to the same Monday week start, so the
+    * day-difference is an exact multiple of 7. */
+  val qRetentionCohorts: QueryDef = QueryDef(
+    "q_retention_cohorts",
+    (s, d) => {
+      val weeks = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val cohorts = weeks.groupBy(col("user_id")).agg(min(col("w")).as("cohort_w"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort"),
+          (datediff(col("w"), col("cohort_w")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "week_offset")
+    },
+    Some("""WITH weeks AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(w) AS cohort_w FROM weeks GROUP BY user_id)
+      |SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort,
+      |  date_diff('day', cohort_w, w) // 7 AS week_offset,
+      |  count(DISTINCT weeks.user_id) AS n_users
+      |FROM weeks JOIN cohorts ON weeks.user_id = cohorts.user_id
+      |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts)
+}

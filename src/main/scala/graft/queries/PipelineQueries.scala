@@ -152,6 +152,23 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin
     })
 
+  /** Blocked fuzzy dedup: prefix blocking + Levenshtein verification on
+    * the dup-synthesized corpus (exact copies at distance 0; unrelated
+    * docs sharing a block prefix are filtered by the distance cap). */
+  val dedupFuzzyBlock: QueryDef = QueryDef(
+    "dedup_fuzzy_block",
+    (s, d) => Dedup.fuzzyBlockedPairs(docsWithDups(s, d), "doc_id", "text",
+        blockPrefixLen = 30, comparePrefixLen = 150, maxDistance = 30)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH t AS ($docsWithDupsSql),
+      |base AS (SELECT doc_id AS id, $normalizeSql AS norm FROM t),
+      |b2 AS (SELECT id, substr(norm, 1, 30) AS blk, substr(norm, 1, 150) AS cmp FROM base)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(levenshtein(a.cmp, b.cmp) AS BIGINT) AS edit_distance
+      |FROM b2 a JOIN b2 b ON a.blk = b.blk AND a.id < b.id
+      |WHERE levenshtein(a.cmp, b.cmp) <= 30
+      |ORDER BY id_a, id_b""".stripMargin))
+
   /** SimHash near-dup candidates (md5-derived word hashes, so the oracle
     * recomputes the 64-bit signatures, 16-bit band buckets and Hamming
     * distances exactly; also verified against ground truth in
@@ -534,7 +551,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     asofJoin, rangeJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupCluster,
-    dedupNgramJaccard, dedupSimhash, dedupEmbedding, sampleStratified, textPercentiles,
-    simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality, textTokens,
-    textFingerprint, textWordcount, mmDecode)
+    dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupEmbedding, sampleStratified,
+    textPercentiles, simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality,
+    textTokens, textFingerprint, textWordcount, mmDecode)
 }
