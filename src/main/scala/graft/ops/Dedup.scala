@@ -171,6 +171,12 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    // Convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES labels, so an unchanged Σlbl means no label moved — one
+    // scalar aggregate over the already-checkpointed round result,
+    // instead of a per-round join against the previous labels (which
+    // cost a full extra join job per iteration).
+    var prevSum: Option[Long] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -179,11 +185,10 @@ object Dedup {
         .union(labels)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      val changed = neighborMin.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      val s = neighborMin.agg(sum(col("lbl"))).head().getLong(0)
       labels = neighborMin
-      converged = changed == 0
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       iter += 1
     }
     sym.unpersist()

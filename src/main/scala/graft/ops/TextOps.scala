@@ -35,26 +35,44 @@ object TextOps {
   }
 
   /** Word n-gram shingles as DISTINCT (id, shingle) rows — the inverted-
-    * index form every shingle consumer (minhash, jaccard) actually wants.
-    * Implemented with posexplode + window `lead` (whole-stage codegen)
-    * because the array-level `transform(...)` higher-order formulation is
-    * evaluated interpreted: measured ~37s just to materialize 5.5k docs'
-    * shingle arrays at sf0.1, vs ~1s for this row form. One shuffle on
-    * id for the window; downstream groupBys reuse that partitioning. */
+    * index form every shingle consumer (minhash, jaccard, contamination)
+    * actually wants. Implemented as a typed flatMap that normalizes,
+    * slides the window, and dedups per document with a local hash set:
+    * a single NARROW pass — no shuffle at all. The two declarative
+    * formulations both lose: array-level `transform(...)` is evaluated
+    * interpreted (~37s for 5.5k docs at sf0.1), and posexplode + window
+    * `lead` + distinct pays a shuffle+sort of every word row plus a
+    * distinct shuffle (measured 2.5x slower warm than this form, which
+    * produces byte-identical output). At 100 TB the difference is
+    * structural: shingling stays partition-local and pipelines straight
+    * into the downstream aggregation's map side.
+    *
+    * The Scala normalization mirrors [[normalize]] exactly (lowercase,
+    * strip non-alphanumerics, collapse spaces); equivalence is pinned by
+    * the DuckDB oracle on every shingle consumer. Requires a numeric id
+    * column. */
   def wordShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "shingle width must be >= 1")
-    val w = df.select(col(idCol).as("id"),
-      posexplode(words(col(textCol))).as(Seq("pos", "w")))
-    if (n == 1) w.select(col("id"), col("w").as("sh")).distinct()
-    else {
-      val win = org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("pos"))
-      val leads = (1 until n).map(k => lead(col("w"), k).over(win))
-      w.select(col("id"), concat_ws(" ", col("w") +: leads: _*).as("sh"),
-          leads.last.isNotNull.as("complete"))
-        .filter(col("complete"))
-        .select(col("id"), col("sh"))
-        .distinct()
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val norm = text.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val words = norm.split(" ", -1)
+          if (words.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            (0 to words.length - n).iterator
+              .map(i => words.view.slice(i, i + n).mkString(" "))
+              .filter(seen.add)
+              .map(sh => (id, sh))
+          }
+        }
+      }.toDF("id", "sh")
   }
 
   /** BPE-ish token count: alpha runs, single digits, and single
@@ -118,8 +136,10 @@ object TextOps {
     Seq(
       "n_chars" -> length(c).cast(LongType),
       "n_words" -> nw.cast(LongType),
+      // chars-without-spaces = length - (n_words - 1): normalized text is
+      // single-space separated, so no extra string pass is needed
       "mean_word_len" -> when(nw > 0,
-        (length(regexp_replace(norm, " ", "")).cast(ratio) / nw.cast(ratio)).cast(ratio))
+        ((length(norm) - nw + 1).cast(ratio) / nw.cast(ratio)).cast(ratio))
         .otherwise(lit(null).cast(ratio)),
       "punct_ratio" -> (charClassCount(c, "[^a-zA-Z0-9\\s]").cast(ratio) /
         greatest(length(c), lit(1)).cast(ratio)).cast(ratio),

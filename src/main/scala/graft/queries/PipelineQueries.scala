@@ -376,7 +376,7 @@ object PipelineQueries {
       |  CAST(length(text) AS BIGINT) AS n_chars,
       |  CAST(CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END AS BIGINT) AS n_words,
       |  CAST(CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END) > 0
-      |    THEN CAST(CAST(length(replace(norm, ' ', '')) AS DECIMAL(18,6)) / CAST(len(w) AS DECIMAL(18,6)) AS DECIMAL(18,6))
+      |    THEN CAST(CAST(length(norm) - len(w) + 1 AS DECIMAL(18,6)) / CAST(len(w) AS DECIMAL(18,6)) AS DECIMAL(18,6))
       |    ELSE NULL END AS DOUBLE) AS mean_word_len,
       |  CAST(CAST(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DECIMAL(18,6)) / CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS DOUBLE) AS punct_ratio,
       |  CAST(CAST(CAST(len(regexp_extract_all(text, '[0-9]')) AS DECIMAL(18,6)) / CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS DOUBLE) AS digit_ratio,
