@@ -428,6 +428,40 @@ object PipelineQueries {
       |  md5(text) AS content_hash
       |FROM documents ORDER BY media_id""".stripMargin))
 
+  /** Multimodal resize plumbing: payload replaced by the stub transform,
+    * byte accounting + content hash oracle-checked (payload bytes are the
+    * utf-8 text, so DuckDB's substr/md5 over the ASCII corpus hashes the
+    * same bytes). */
+  val mmResize: QueryDef = QueryDef(
+    "mm_resize",
+    (s, d) => Multimodal.resizeStub(
+        Multimodal.fromDocuments(Tables.documents(s, d)), 64, 64)
+      .select(col("media_id"), col("modality"),
+        col("meta.n_bytes").as("n_bytes"), md5(col("payload")).as("content_hash"))
+      .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CAST(length(substr(text, 1, greatest(least(length(text), 64), 1))) AS BIGINT) AS n_bytes,
+      |  md5(substr(text, 1, greatest(least(length(text), 64), 1))) AS content_hash
+      |FROM documents ORDER BY media_id""".stripMargin))
+
+  /** Multimodal frame-sampling plumbing: one row per sampled frame with
+    * frame indexing, per-frame byte accounting, and frame content hash —
+    * all oracle-checked over the same byte slices. */
+  val mmFrameSample: QueryDef = QueryDef(
+    "mm_frame_sample",
+    (s, d) => Multimodal.frameSampleStub(
+        Multimodal.fromDocuments(Tables.documents(s, d)), nFrames = 4)
+      .select(col("media_id"), col("frame_no").cast(LongType).as("frame_no"),
+        col("n_bytes"), md5(col("payload")).as("frame_hash"))
+      .orderBy("media_id", "frame_no"),
+    Some("""SELECT doc_id AS media_id, f AS frame_no,
+      |  CAST(length(substr(text, 1 + CAST(f AS INTEGER) * 16, 16)) AS BIGINT) AS n_bytes,
+      |  md5(substr(text, 1 + CAST(f AS INTEGER) * 16, 16)) AS frame_hash
+      |FROM documents, range(0, 4) r(f)
+      |WHERE doc_id % 3 = 2 ORDER BY media_id, frame_no""".stripMargin))
+
   /** Vocabulary top-k: explode word tokens, count, rank — the
     * tokenize/explode/aggregate shape of corpus statistics. */
   val textWordcount: QueryDef = QueryDef(
@@ -553,5 +587,5 @@ object PipelineQueries {
     asofJoin, rangeJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupCluster,
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupEmbedding, sampleStratified,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality,
-    textTokens, textFingerprint, textWordcount, mmDecode)
+    textTokens, textFingerprint, textWordcount, mmDecode, mmResize, mmFrameSample)
 }
