@@ -31,6 +31,21 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental corpus dedup — the daily-ingest shape: dedup the new
+    * batch internally (min id per fingerprint), then anti-join against
+    * the existing corpus's fingerprints. Only 16-byte fingerprints ever
+    * shuffle; in production the corpus fingerprint set is a stored
+    * artifact (and a bloom pre-filter — [[Sketches.bloomPrunedJoin]]'s
+    * shape — drops most batch rows before the anti-join shuffle). */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bfp = batch.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as("keep_id"))
+    val cfp = corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+    bfp.join(cfp, Seq("fp"), "left_anti")
+      .select(col("keep_id").as(idCol))
+  }
+
   /** Keyed keep-latest dedup: one row per key, the row with the greatest
     * (orderCol, tieBreak) — the ETL "latest record wins" primitive. One
     * shuffle on the key; the window is partition-local after it. */
@@ -213,8 +228,12 @@ object Dedup {
     base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        levenshtein(col("a.cmp"), col("b.cmp")).cast(LongType).as("edit_distance"))
-      .filter(col("edit_distance") <= maxDistance)
+        // thresholded variant: abandons the DP early (returns -1) once the
+        // distance provably exceeds maxDistance — O(len*maxDistance)
+        // instead of O(len^2) per far-apart candidate pair
+        levenshtein(col("a.cmp"), col("b.cmp"), maxDistance)
+          .cast(LongType).as("edit_distance"))
+      .filter(col("edit_distance") >= 0)
   }
 
   /** Exact n-gram Jaccard pairs >= threshold, with PPJoin-style prefix

@@ -152,6 +152,32 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin
     })
 
+  /** Incremental dedup: a new batch (odd doc ids + re-ingested copies of
+    * every 9th doc) against the existing corpus (even doc ids) — batch
+    * self-dedup then fingerprint anti-join. */
+  val dedupIncremental: QueryDef = QueryDef(
+    "dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.incrementalNew(batch, corpus, "doc_id", "text").orderBy("doc_id")
+    },
+    Some(s"""WITH corpus AS (
+      |  SELECT DISTINCT md5($normalizeSql) AS fp FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+      |bfp AS (
+      |  SELECT md5($normalizeSql) AS fp, min(doc_id) AS keep_id FROM batch GROUP BY 1)
+      |SELECT keep_id AS doc_id FROM bfp
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = bfp.fp)
+      |ORDER BY doc_id""".stripMargin))
+
   /** Blocked fuzzy dedup: prefix blocking + Levenshtein verification on
     * the dup-synthesized corpus (exact copies at distance 0; unrelated
     * docs sharing a block prefix are filtered by the distance cap). */
@@ -585,7 +611,8 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     asofJoin, rangeJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupCluster,
-    dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupEmbedding, sampleStratified,
+    dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
+    dedupEmbedding, sampleStratified,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality,
     textTokens, textFingerprint, textWordcount, mmDecode, mmResize, mmFrameSample)
 }
