@@ -273,7 +273,71 @@ object ExtendedQueries {
       |    '[0-9]{3}-[0-9]+', '[PHONE]', 'g')) AS redacted_fp
       |FROM withpii ORDER BY doc_id""".stripMargin))
 
+  /** Arg-min/arg-max aggregation: the order id attaining the extreme
+    * total price per priority. Ties are broken deterministically by
+    * encoding (price, orderkey) as one zero-padded composite sort key —
+    * DuckDB's arg_max and Spark's max_by then agree on the same row. */
+  val qArgMinmax: QueryDef = QueryDef(
+    "q_arg_minmax",
+    (s, d) => {
+      val key = concat(
+        lpad(col("o_totalprice").cast(money).cast("string"), 21, "0"),
+        lit("#"), lpad(col("o_orderkey").cast("string"), 12, "0"))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderkey"), key).as("best_order"),
+          min_by(col("o_orderkey"), key).as("worst_order"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+      |  arg_max(o_orderkey, lpad(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 21, '0')
+      |    || '#' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS best_order,
+      |  arg_min(o_orderkey, lpad(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 21, '0')
+      |    || '#' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS worst_order,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Ordered list/string aggregation: per-customer order list — Spark
+    * sorts the collected list explicitly (collect_list order is
+    * partition-dependent), the oracle uses string_agg ORDER BY. */
+  val qStringAgg: QueryDef = QueryDef(
+    "q_string_agg",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_custkey") % 500 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",",
+          array_sort(collect_list(col("o_orderkey").cast("string")))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+      |  count(*) AS n_orders
+      |FROM orders WHERE o_custkey % 500 = 0
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
+  /** ANSI-safe scalar functions: try_cast swallows malformed input,
+    * try_divide yields NULL on zero denominators — the error-tolerant
+    * layer a pipeline over dirty data needs (both engines agree NULL,
+    * not exception). */
+  val qTryFuncs: QueryDef = QueryDef(
+    "q_try_funcs",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_num"),
+        try_divide(col("o_totalprice"), col("o_custkey") % 3).as("ratio"),
+        expr("try_cast('2024-02-30' AS DATE)").as("bad_date"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+      |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_num,
+      |  o_totalprice / nullif(o_custkey % 3, 0) AS ratio,
+      |  TRY_CAST('2024-02-30' AS DATE) AS bad_date
+      |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets,
     qCube, qWindowLeadLag, qArrayFuncs, textTfidf, qUnpivot, qSetOpsAll,
-    textRedact)
+    textRedact, qArgMinmax, qStringAgg, qTryFuncs)
 }
