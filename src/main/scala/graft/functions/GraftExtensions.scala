@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatVectorDotDescriptor)
     ext.injectFunction(GraftExtensions.md5Hash64Descriptor)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
   }
 }
 
@@ -44,11 +45,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Md5Hash64].getName, "md5_hash64"),
     buildMd5)
 
-  /** Register on an already-built session. */
+  /** Register on an already-built session (functions via the registry,
+    * the optimizer rule via `experimental.extraOptimizations` — the
+    * live-session hook for rules). Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vector_dot", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_hash64", buildMd5, "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThreshold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThreshold
   }
 }

@@ -337,7 +337,59 @@ object ExtendedQueries {
       |  TRY_CAST('2024-02-30' AS DATE) AS bad_date
       |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin))
 
+  /** Rank-statistics window battery: rank / dense_rank / percent_rank /
+    * cume_dist in one pass (complements q_window_lead_lag's navigation
+    * functions; fully tie-broken ordering keeps every rank stable). */
+  val qWindowRankStats: QueryDef = QueryDef(
+    "q_window_rank_stats",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderpriority", "rk")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+      |  rank() OVER w AS rk,
+      |  dense_rank() OVER w AS drk,
+      |  round(percent_rank() OVER w, 6) AS prk,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders WHERE o_orderkey % 200 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderpriority, rk""".stripMargin))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — still plans as a hash join on the null-safe key,
+    * unlike an OR-of-IS-NULL predicate which would degrade to a loop
+    * join. */
+  val qNullSafeJoin: QueryDef = QueryDef(
+    "q_null_safe_join",
+    (s, d) => {
+      val a = Tables.orders(s, d)
+        .select(nullif(col("o_custkey") % 7, lit(3)).as("k"), col("o_orderkey"))
+      val b = Tables.customer(s, d)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(nullif(col("c_custkey") % 7, lit(3)).as("k"), col("c_custkey"))
+      a.join(b, a("k") <=> b("k"))
+        .groupBy(a("k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+    Some("""WITH a AS (SELECT nullif(o_custkey % 7, 3) AS k, o_orderkey FROM orders),
+      |b AS (SELECT nullif(c_custkey % 7, 3) AS k, c_custkey FROM customer
+      |      WHERE c_custkey % 100 = 0)
+      |SELECT a.k, count(*) AS n_pairs, count(DISTINCT c_custkey) AS n_cust
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |GROUP BY a.k ORDER BY a.k ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets,
     qCube, qWindowLeadLag, qArrayFuncs, textTfidf, qUnpivot, qSetOpsAll,
-    textRedact, qArgMinmax, qStringAgg, qTryFuncs)
+    textRedact, qArgMinmax, qStringAgg, qTryFuncs, qWindowRankStats,
+    qNullSafeJoin)
 }
