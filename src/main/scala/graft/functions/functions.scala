@@ -37,6 +37,15 @@ package object functions {
   def mix64(c: Column, a: Long, b: Long): Column =
     Bridge.column(Mix64(Bridge.expression(c), a, b))
 
+  // --- aggregates
+  /** Bounded-heap exact top-k aggregate ([[TopKPairs]]): the k best
+    * (score, id) pairs per group as `array<struct<score,id>>`, best
+    * first, tie-broken by id — only k rows per group per map task reach
+    * the shuffle, vs every scored row for a ranking window. */
+  def topk_pairs(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKPairs(Bridge.expression(score), Bridge.expression(id), k)
+      .toAggregateExpression())
+
   // --- vectors
   /** Native codegen'd float-vector dot product ([[FloatVectorDot]]). */
   def float_dot(a: Column, b: Column): Column =

@@ -40,9 +40,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Rank scored (query_id, cand_id, cos) rows to exact top-k per query
+    * via the bounded-heap [[graft.functions.TopKPairs]] aggregate. A
+    * `row_number` window would shuffle EVERY scored row to rank it; the
+    * heap aggregate admits at most k rows per query per map task into the
+    * shuffle — for m corpus rows x n queries that is n*k*tasks shuffled
+    * rows instead of n*m. Order and tie-break (cos desc, cand_id asc)
+    * match the previous window formulation exactly. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.topk_pairs(col("cos"), col("cand_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rk"),
+        col("p.id").as("cand_id"), round(col("p.score"), 4).as("cos_r"))
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `isQuery`), the k nearest corpus vectors by cosine. The query side is
-    * broadcast; ranking is a per-query window. */
+    * broadcast; ranking is the map-side-bounded heap aggregate. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int): DataFrame = {
     // norms are computed ONCE per side, not per pair — at n queries x m
@@ -60,12 +74,7 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        round(col("cos"), 4).as("cos_r"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic ±1 hyperplane vector for plane `p` over `dim`
@@ -119,11 +128,7 @@ object Similarity {
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("cand_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_r"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
@@ -156,15 +161,19 @@ object Similarity {
     val centroids = base
       .filter(col("id") % stride === 0 && col("id") < stride * nCells && col("vn") > 0)
       .select(col("id").as("cell_id"), col("v").as("cv"), col("vn").as("cn"))
-    // assign every vector to its nearest centroid (1 broadcast pass)
+    // assign every vector to its nearest centroid (1 broadcast pass).
+    // argmax via max_by on a (sim, -cell_id) composite — a hash aggregate
+    // with map-side combine, so at most one row per (vector, map task)
+    // shuffles; the row_number window formulation re-shuffled all
+    // m * nCells scored rows just to pick each vector's best cell.
     val simToCell = (dot(col("v"), col("cv")) / (col("vn") * col("cn"))).as("cell_sim")
-    val cellRank = Window.partitionBy(col("id"))
-      .orderBy(col("cell_sim").desc, col("cell_id").asc)
     val assigned = base.join(broadcast(centroids), lit(true))
       .select(col("id"), col("v"), col("vn"), col("cell_id"), simToCell)
-      .withColumn("crk", row_number().over(cellRank))
-      .filter(col("crk") === 1)
-      .select(col("id"), col("v"), col("vn"), col("cell_id"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("v"), col("vn"), col("cell_id")),
+        struct(col("cell_sim"), (-col("cell_id")).as("neg_cell"))).as("best"))
+      .select(col("id"), col("best.v").as("v"), col("best.vn").as("vn"),
+        col("best.cell_id").as("cell_id"))
     // queries probe their nProbe nearest cells
     val probes = emb.filter(isQuery)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
@@ -180,10 +189,7 @@ object Similarity {
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("cand_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
-    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(rankW).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_r"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
