@@ -209,6 +209,74 @@ object CurationQueries {
       |  RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin))
 
+  /** End-to-end corpus curation — the composed pipeline a pretraining
+    * data run executes: language gate (en) -> quality gate (>= 20 words)
+    * -> exact dedup (keep lowest id per fingerprint) -> shard + pack
+    * into 1000-token chunks. One dataflow: the gates are row-local and
+    * fuse with the scan, dedup is one fingerprint shuffle, packing is a
+    * shard-partitioned window — three shuffles total for the whole
+    * pipeline. */
+  val pipelineCurate: QueryDef = QueryDef(
+    "pipeline_curate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = docs
+        .select(col("doc_id"), col("text"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.wordCount(col("text")).as("nw"))
+        .filter(col("lang_pred") === "en" && col("nw") >= 20)
+      val keepers = gated
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val survivors = gated.join(keepers, "doc_id").select(col("doc_id"), col("text"))
+      Packing.chunkSummary(survivors, "doc_id", "text", nShards = 4, budgetTokens = 1000)
+        .orderBy("shard", "chunk_id")
+    },
+    Some {
+      def hits(l: String, ws: Seq[String]) =
+        s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS h_$l"
+      val en = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+      val es = Seq("el", "la", "de", "que", "los", "las", "una", "por")
+      val fr = Seq("le", "la", "les", "des", "est", "dans", "pour", "que")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+      s"""WITH words AS (
+        |  SELECT doc_id, text, $normalizeSql AS norm, string_split($normalizeSql, ' ') AS w
+        |  FROM documents),
+        |scoredl AS (
+        |  SELECT doc_id, text, norm,
+        |    CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END AS nw,
+        |    ${hits("de", de)}, ${hits("en", en)}, ${hits("es", es)}, ${hits("fr", fr)}
+        |  FROM words),
+        |gated AS (
+        |  SELECT doc_id, text, norm FROM (
+        |    SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM scoredl) t
+        |  WHERE best > 0 AND h_de <> best AND h_en = best AND nw >= 20),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM (SELECT md5(norm) AS fp, doc_id FROM gated) g
+        |  GROUP BY fp),
+        |survivors AS (
+        |  SELECT g.doc_id, g.text FROM gated g JOIN keepers k ON g.doc_id = k.doc_id),
+        |base AS (
+        |  SELECT doc_id % 4 AS shard, doc_id AS id,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+        |  FROM survivors),
+        |c AS (
+        |  SELECT shard, id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM base),
+        |a AS (
+        |  SELECT shard, n_tokens, cum_before // 1000 AS chunk_id,
+        |    CASE WHEN n_tokens > 0 AND (cum_before + n_tokens - 1) // 1000 > cum_before // 1000
+        |         THEN 1 ELSE 0 END AS straddles
+        |  FROM c)
+        |SELECT shard, chunk_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+        |  sum(straddles) AS n_straddling
+        |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(packChunks, textContamination,
-    sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qWindowRangeFrame)
+    sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qWindowRangeFrame,
+    pipelineCurate)
 }
