@@ -225,11 +225,14 @@ object CurationQueries {
           TextOps.langId(col("text")).as("lang_pred"),
           TextOps.wordCount(col("text")).as("nw"))
         .filter(col("lang_pred") === "en" && col("nw") >= 20)
-      val keepers = gated
+      // dedup keeps the lowest-id row per fingerprint via one min_by
+      // aggregation that CARRIES the text — a keepers-then-join-back
+      // formulation would evaluate the gate subtree (4 language regex
+      // scans) twice, once per join side (measured ~2x the query cost)
+      val survivors = gated
         .groupBy(TextOps.fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val survivors = gated.join(keepers, "doc_id").select(col("doc_id"), col("text"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
       Packing.chunkSummary(survivors, "doc_id", "text", nShards = 4, budgetTokens = 1000)
         .orderBy("shard", "chunk_id")
     },
