@@ -131,15 +131,28 @@ object Dedup {
     val exploded = df
       .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
       .select(col("id"), graft.functions.md5_hash64(col("w")).as("h"))
-    val votes = (0 until 64).map { b =>
-      // arithmetic shift + mask extracts bit b regardless of sign
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+    // Lane-packed popcounts: bit b's set-count per doc, 4 bits per sum
+    // column in 16-bit lanes — 16 aggregate buffer columns instead of 64
+    // (aggregation buffer update cost dominates this hash-agg). Bit b is
+    // "positive vote" iff 2*count_b > n_words, which equals the ±1-vote
+    // sum sign. 16-bit lanes bound the per-doc token count at 65535 —
+    // far above any sane simhash input (near-dup docs beyond that get
+    // chunked upstream); the guard below drops the overflow rows rather
+    // than silently corrupting neighbor lanes.
+    val lanes = (0 until 16).map { g =>
+      sum((0 until 4).map { j =>
+        shiftleft(shiftright(col("h"), 4 * g + j).bitwiseAND(lit(1L)), 16 * j)
+      }.reduce(_ + _)).as(s"g$g")
     }
-    val voted = exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    voted.select(col("id"), sig.as("sig"))
+    val counted = exploded
+      .groupBy(col("id"))
+      .agg(lanes.head, (lanes.tail :+ count(lit(1)).as("nw")): _*)
+      .filter(col("nw") <= 65535)
+    val sig = (0 until 64).map { b =>
+      val cnt = shiftright(col(s"g${b / 4}"), 16 * (b % 4)).bitwiseAND(lit(0xFFFFL))
+      when(cnt * 2 > col("nw"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    counted.select(col("id"), sig.as("sig"))
   }
 
   /** SimHash near-dup candidates: split the 64-bit signature into 4
