@@ -117,6 +117,45 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  final case class KmvUpdate(event_type: String, n_kept: Int, kth: Long, est: Double)
+
+  /** Streaming cardinality via a KMV (bottom-k) sketch held in keyed
+    * state: per event_type, the k smallest distinct 60-bit md5-prefix
+    * hashes of user_id, re-estimating distinct users on every batch —
+    * the streaming twin of [[graft.ops.Sketches.kmvDistinct]] (same
+    * hash, same estimate arithmetic, so the drained stream equals the
+    * batch sketch on the same files; pinned in StreamingSpec).
+    *
+    * State per key is O(k) FOREVER — unlike exact streaming
+    * countDistinct, whose state grows with the value universe. This is
+    * the standard shape for unbounded-stream cardinality at scale. */
+  def kmvDistinctPerType(events: DataFrame, k: Int = 256): Dataset[KmvUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hashed = events.select(col("event_type"),
+      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .as[(String, Long)]
+    hashed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvUpdate](GroupStateTimeout.NoTimeout) {
+        case (tpe, rows, state) =>
+          val set = scala.collection.mutable.SortedSet.empty[Long] ++
+            state.getOption.getOrElse(Array.empty[Long])
+          rows.foreach { case (_, h) =>
+            if (set.size < k || h < set.last) {
+              set += h
+              if (set.size > k) set -= set.last
+            }
+          }
+          val arr = set.toArray
+          state.update(arr)
+          val est =
+            if (arr.length < k) arr.length.toDouble
+            else (k - 1).toDouble * math.pow(2, 60) / arr.last.toDouble
+          KmvUpdate(tpe, arr.length, if (arr.isEmpty) 0L else arr.last, est)
+      }
+  }
+
   /** Run the hourly aggregation to a named in-memory sink until all
     * available data is processed (synchronous batch-over-stream drive).
     * Complete mode so the final in-memory table includes windows the

@@ -53,6 +53,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV cardinality equals the batch bottom-k sketch per type") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val k = 64
+    val q = EventStreams.kmvDistinctPerType(EventStreams.readEvents(spark, sf), k)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("kmv_test")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-kmv-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // last update per type is the drained-stream sketch
+      val streamed = spark.table("kmv_test")
+        .groupBy(col("event_type"))
+        .agg(last(col("n_kept")).as("n_kept"), last(col("kth")).as("kth"))
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+      // batch expectation: per-type bottom-k over the same hash
+      val batch = graft.queries.Tables.events(spark, sf)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("h").asc)))
+        .filter(col("rn") <= k)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("kth"))
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer runs and emits sessions on timeout-free drain") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, sf)
