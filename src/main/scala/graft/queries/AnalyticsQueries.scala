@@ -102,5 +102,47 @@ object AnalyticsQueries {
       |FROM weeks JOIN cohorts ON weeks.user_id = cohorts.user_id
       |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts)
+  /** Per-group exact interpolated percentiles (sort-based aggregate per
+    * group, unlike the hash-aggregable moments) — document-length
+    * quartiles per language. */
+  val qGroupPercentiles: QueryDef = QueryDef(
+    "q_group_percentiles",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.25, 0.5, 0.75))").as("q"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+        round(element_at(col("q"), 1), 4).as("q25"),
+        round(element_at(col("q"), 2), 4).as("q50"),
+        round(element_at(col("q"), 3), 4).as("q75"),
+        col("n_docs"))
+      .orderBy("lang"),
+    Some("""SELECT lang,
+      |  round(quantile_cont(n_chars, 0.25), 4) AS q25,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS q50,
+      |  round(quantile_cont(n_chars, 0.75), 4) AS q75,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Sliding (overlapping) time windows: 2-hour windows sliding by 1
+    * hour — each event lands in two windows (the overlap structure
+    * streaming monitoring uses; the oracle expands the window membership
+    * explicitly). */
+  val qWindowSliding: QueryDef = QueryDef(
+    "q_window_sliding",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("win_start", "event_type"),
+    Some("""WITH w AS (
+      |  SELECT event_type,
+      |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+      |  FROM events)
+      |SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, event_type, count(*) AS n_events
+      |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
+    qGroupPercentiles, qWindowSliding)
 }
