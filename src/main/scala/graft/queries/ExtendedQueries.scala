@@ -388,8 +388,53 @@ object ExtendedQueries {
       |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
       |GROUP BY a.k ORDER BY a.k ASC NULLS FIRST""".stripMargin))
 
+  /** Map-typed column functions: construction, scalar extraction, key
+    * set, membership — output is derived scalars (map VALUES round-trip
+    * differently through parquet across engines; the scalars don't). */
+  val qMapFuncs: QueryDef = QueryDef(
+    "q_map_funcs",
+    (s, d) => Tables.events(s, d)
+      .filter(col("event_id") % 200 === 0)
+      .withColumn("m", map(lit("type"), col("event_type"),
+        lit("uid"), col("user_id").cast("string")))
+      .select(col("event_id"),
+        element_at(col("m"), "type").as("tval"),
+        size(col("m")).cast("long").as("m_size"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("m_keys"),
+        map_contains_key(col("m"), "uid").as("has_uid"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+      |  m['type'][1] AS tval,
+      |  CAST(cardinality(m) AS BIGINT) AS m_size,
+      |  array_to_string(list_sort(map_keys(m)), ',') AS m_keys,
+      |  list_contains(map_keys(m), 'uid') AS has_uid
+      |FROM (SELECT event_id,
+      |        MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS m
+      |      FROM events WHERE event_id % 200 = 0) t
+      |ORDER BY event_id""".stripMargin))
+
+  /** explode_outer / outer lateral: empty arrays keep their parent row
+    * (as a NULL element) instead of dropping it — the left-join flavor
+    * of row generation. */
+  val qExplodeOuter: QueryDef = QueryDef(
+    "q_explode_outer",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("parts",
+        when(col("o_orderkey") % 3000 === 0, array().cast("array<string>"))
+          .otherwise(split(col("o_orderpriority"), "-")))
+      .select(col("o_orderkey"), explode_outer(col("parts")).as("part"))
+      .orderBy(col("o_orderkey"), col("part").asc_nulls_last),
+    Some("""SELECT o_orderkey,
+      |  unnest(CASE WHEN len(parts) = 0 THEN [NULL] ELSE parts END) AS part
+      |FROM (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 3000 = 0 THEN CAST([] AS VARCHAR[])
+      |             ELSE string_split(o_orderpriority, '-') END AS parts
+      |      FROM orders WHERE o_orderkey % 1000 = 0) t
+      |ORDER BY o_orderkey, part ASC NULLS LAST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets,
     qCube, qWindowLeadLag, qArrayFuncs, textTfidf, qUnpivot, qSetOpsAll,
     textRedact, qArgMinmax, qStringAgg, qTryFuncs, qWindowRankStats,
-    qNullSafeJoin)
+    qNullSafeJoin, qMapFuncs, qExplodeOuter)
 }
