@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatVectorDotDescriptor)
     ext.injectFunction(GraftExtensions.md5Hash64Descriptor)
+    ext.injectFunction(GraftExtensions.topkPairsDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
   }
 }
@@ -35,6 +36,16 @@ object GraftExtensions {
     Md5Hash64(children.head)
   }
 
+  private def buildTopK(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "topk_pairs takes (score, id, k)")
+    val k = children(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_pairs k must be an integer literal, got $other")
+    }
+    TopKPairs(children.head, children(1), k)
+  }
+
   val floatVectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("float_vector_dot"),
     new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
@@ -45,6 +56,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Md5Hash64].getName, "md5_hash64"),
     buildMd5)
 
+  val topkPairsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_pairs"),
+    new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+    buildTopK)
+
   /** Register on an already-built session (functions via the registry,
     * the optimizer rule via `experimental.extraOptimizations` — the
     * live-session hook for rules). Idempotent. */
@@ -53,6 +69,8 @@ object GraftExtensions {
       "float_vector_dot", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_hash64", buildMd5, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs", buildTopK, "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThreshold

@@ -61,6 +61,22 @@ object TableIO {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Clustered overwrite: RANGE-repartition by the cluster key and sort
+    * within partitions, so every output file covers a disjoint key range
+    * (verified by TableIOSpec) and rows inside a file are key-ordered.
+    * Point/range filters on the key then prune at BOTH granularities a
+    * parquet reader has — whole files and row groups — via min/max
+    * statistics: the file-layout lever (alongside directory partitioning
+    * above) that makes a 100 TB scan read only the stripes it needs.
+    * `maxRecordsPerFile` keeps files splittable-sized under key skew. */
+  def replaceClustered(df: DataFrame, path: String, clusterKey: String,
+      numFiles: Int, maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartitionByRange(numFiles, df(clusterKey))
+      .sortWithinPartitions(clusterKey)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** ORC sink/source pair — second columnar format the engine speaks
     * natively (same pushdown/pruning machinery as parquet). */
   def replaceOrc(df: DataFrame, path: String): Unit =

@@ -87,6 +87,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate event ids") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // duplicate the stream by unioning it with itself — every event_id
+    // arrives twice within the watermark horizon
+    val events = EventStreams.readEvents(spark, sf)
+    val doubled = events.union(events)
+    val q = EventStreams.dedupedEvents(doubled)
+      .select("event_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_test")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_test").count()
+      val expected = graft.queries.Tables.events(spark, sf).count()
+      assert(streamed === expected, s"streamed $streamed vs distinct $expected")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer runs and emits sessions on timeout-free drain") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, sf)

@@ -82,4 +82,28 @@ class TableIOSpec extends SparkSpec {
     assert(back.map(_.toString).sameElements(
       df.orderBy("id").collect().map(_.toString)))
   }
+
+  test("clustered write yields disjoint per-file key ranges and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/clustered"
+    val df = spark.range(10000).toDF("id")
+      .withColumn("k", col("id") * 37 % 1000)
+      .withColumn("payload", md5(col("id").cast("string")))
+    TableIO.replaceClustered(df, dir, "k", numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    // every parquet file must cover a key range disjoint from the others
+    // (range repartition + in-file sort) — that is what lets min/max
+    // stats prune whole files for key predicates
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1 && files.length <= 8)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlapping file ranges: $a vs $b")
+      case _ =>
+    }
+  }
 }

@@ -35,6 +35,18 @@ class TopKSpec extends SparkSpec {
     assert(a.count(_.getLong(0) == 99L) === 1) // under-k group keeps its 1 row
   }
 
+  test("topk_pairs is callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    scored.createOrReplaceTempView("topk_scored")
+    val rows = spark.sql(
+      """SELECT query_id, topk_pairs(cos, cand_id, 2) AS t
+        |FROM topk_scored WHERE query_id = 0 GROUP BY query_id""".stripMargin)
+      .selectExpr("query_id", "t[0].id AS first_id", "t[0].score AS first_score")
+      .head()
+    // best for group 0: score 6/7, smallest cand_id with that score
+    assert(rows.getLong(0) === 0L && rows.getDouble(2) === 6.0 / 7.0)
+  }
+
   test("partial aggregation admits at most k rows per group per task") {
     // repartition to force many partials; result must still be the exact top-k
     val k = 3
