@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression gate: SURVEY §9's audit table, executable.
+  * These assertions pin the SCALE properties of representative queries —
+  * which joins broadcast, that ranking stays out of windows, that scans
+  * prune to the referenced columns — so a plan regression fails the
+  * suite instead of silently shipping a shuffle. */
+class PlanAuditSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val q = SparkEntry.allQueries.find(_.name == name).get
+    q.build(spark, sf).queryExecution.explainString(FormattedMode)
+  }
+
+  /** Count distinct plan NODES (formatted mode prints each node in the
+    * tree and again in the details section — raw substring counts double). */
+  private def nodes(hay: String, op: String): Int =
+    s"\\((\\d+)\\) $op(?![A-Za-z])".r.findAllMatchIn(hay).map(_.group(1)).toSet.size
+
+  test("q_multi_join: all four dimension joins broadcast; no sort-merge join") {
+    val p = plan("q_multi_join")
+    assert(nodes(p, "BroadcastHashJoin") == 4, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("similarity top-k plans have no ranking Window (bounded-heap aggregate instead)") {
+    for (q <- Seq("sim_topk_brute", "sim_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q still ranks through a window")
+      assert(p.contains("topk_pairs"), s"$q lost the heap aggregate")
+    }
+    // IVF keeps ONE window — nProbe cell selection on the tiny query
+    // side; candidate ranking must still be the heap aggregate
+    val ivf = plan("sim_ivf")
+    assert(nodes(ivf, "Window") <= 1, "sim_ivf grew a second window")
+    assert(ivf.contains("topk_pairs"), "sim_ivf lost the heap aggregate")
+  }
+
+  test("contamination and bloom join keep the corpus side shuffle-free (broadcast probe)") {
+    for (q <- Seq("text_contamination", "q_bloom_join")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: probe side not broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus side shuffled into a join")
+    }
+  }
+
+  test("null-safe join still plans as a hash join") {
+    val p = plan("q_null_safe_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("narrow text scans prune to the referenced columns") {
+    val p = plan("text_tokens")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q1_agg pushes its shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate"), s"no pushed filter: $pushed")
+  }
+
+  test("the full-outer merge is the only sort-merge join user") {
+    val p = plan("merge_table_versions")
+    assert(nodes(p, "SortMergeJoin") == 2) // 3-way fold = 2 joins
+  }
+}
