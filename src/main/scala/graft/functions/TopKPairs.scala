@@ -13,13 +13,13 @@ import org.apache.spark.sql.types._
   * tie-break. Returns `array<struct<score double, id bigint>>` sorted
   * best-first.
   *
-  * This is the custom-aggregate answer to "top-k per group": the
-  * window-function formulation (`row_number over (partition by g order
-  * by s desc)` then `rk <= k`) must SHUFFLE every scored row to rank it,
-  * while this aggregate keeps a k-element heap per group in the partial
-  * (map-side) aggregation — only k rows per (group, map task) reach the
-  * shuffle. For brute-force similarity search over m corpus rows and n
-  * queries that is n*k*tasks rows shuffled instead of n*m.
+  * This is the custom-aggregate answer to "top-k per group". Spark 4's
+  * `WindowGroupLimit` rewrite already bounds the ranking-window
+  * formulation's shuffle to k rows per (group, partition) — what this
+  * aggregate additionally removes is the per-partition SORT the window
+  * limit still performs (heap admission is O(n log k) with no sort
+  * buffer) and the window-function machinery itself (one hash aggregate
+  * instead of sort + group-limit + window + filter stages).
   *
   * The buffer is a min-heap keyed by the INVERSE order (worst of the
   * kept k at the root) so admission is O(log k); serialization between

@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * is a codegen'd higher-order-function dot product (no UDF).
   *
   * Scale path: sign-random-projection LSH — each vector is bucketed by the
-  * sign pattern of `nPlanes` pseudo-random hyperplanes (deterministic from
-  * xxhash64, so executors agree without sharing state). Neighbor search
-  * probes only the query's bucket: candidate count drops ~2^nPlanes-fold;
-  * recall is tested against the brute-force baseline in SimilaritySpec.
+  * sign pattern of `nPlanes` pseudo-random hyperplanes (±1 components
+  * derived from md5, so executors agree without sharing state AND the
+  * DuckDB oracle regenerates the planes). Neighbor search probes the
+  * query's bucket plus Hamming-1 neighbors: candidate count drops
+  * ~2^nPlanes/(nPlanes+1)-fold; recall is pinned in PipelineSpec.
   * The same structure distributes: bucket id is the shuffle key, buckets
   * are independent, and skewed buckets split under AQE.
   */
@@ -41,12 +42,13 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Rank scored (query_id, cand_id, cos) rows to exact top-k per query
-    * via the bounded-heap [[graft.functions.TopKPairs]] aggregate. A
-    * `row_number` window would shuffle EVERY scored row to rank it; the
-    * heap aggregate admits at most k rows per query per map task into the
-    * shuffle — for m corpus rows x n queries that is n*k*tasks shuffled
-    * rows instead of n*m. Order and tie-break (cos desc, cand_id asc)
-    * match the previous window formulation exactly. */
+    * via the bounded-heap [[graft.functions.TopKPairs]] aggregate: one
+    * hash aggregate with O(log k) heap admission per row, versus the
+    * window formulation's sort + WindowGroupLimit + window + filter
+    * stages (Spark 4's group-limit rewrite already bounds that route's
+    * shuffle to k rows per group per partition; the sort is what this
+    * removes). Order and tie-break (cos desc, cand_id asc) match the
+    * window formulation exactly. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.topk_pairs(col("cos"), col("cand_id"), k).as("topk"))
