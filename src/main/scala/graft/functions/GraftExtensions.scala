@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.md5Hash64Descriptor)
     ext.injectFunction(GraftExtensions.topkPairsDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -74,5 +75,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThreshold
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -72,4 +72,32 @@ object AsOf {
       .select(leftCols.map(col) ++
         rightValueCols.map(c => col(rs).getField(c).as(c)): _*)
   }
+
+  /** The same as-of semantics through the custom plan node
+    * ([[graft.plans.AsOfJoinNode]] -> merge-scan
+    * [[graft.plans.AsOfJoinExec]]) — extension path (c): the operator is
+    * a first-class citizen of the plan instead of a union+window
+    * encoding. Requires [[graft.functions.GraftExtensions]] (or
+    * `register`) so the strategy is installed. On right rows sharing
+    * (key, ts) the one latest in (key, ts) sort order wins — pre-sort or
+    * pre-aggregate the right side if that order is ambiguous.
+    *
+    * The right side is re-aliased internally so the two children never
+    * share attribute ids (both deriving from one source — the self-join
+    * shape — would otherwise make column pruning ambiguous). */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightValueCols: Seq[String]): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds for every right attribute (Alias always mints a new id)
+    val rPlan = right.select(right.columns.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      rightValueCols.map(attr(rPlan, _)))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession, node)
+  }
 }

@@ -64,6 +64,37 @@ class AsOfSpec extends SparkSpec {
     assert(row.getAs[String]("rv") == "second")
   }
 
+  test("native plan-node as-of equals the composed formulation on real data") {
+    graft.functions.GraftExtensions.register(spark)
+    val e = queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val snapshots = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("snap_ts"))
+      .agg(max(col("event_id")).as("snap_id"))
+    val native = AsOf.asOfJoinNative(purchases, snapshots,
+        "user_id", "ts", "snap_ts", Seq("snap_id"))
+      .select("event_id", "snap_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    val composed = AsOf.asOfJoin(purchases, snapshots,
+        "user_id", "ts", "snap_ts", Seq("snap_id"))
+      .select("event_id", "snap_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    assert(native.nonEmpty && native.sameElements(composed))
+  }
+
+  test("native as-of plans through AsOfJoinExec with one exchange+sort per side") {
+    graft.functions.GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), "r")).toDF("k", "rt", "rv")
+    val df = AsOf.asOfJoinNative(left, right, "k", "t", "rt", Seq("rv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(df.head().getAs[String]("rv") == "r")
+  }
+
   test("left columns and row count are preserved exactly") {
     val s = spark
     import s.implicits._
