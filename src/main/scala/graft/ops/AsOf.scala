@@ -100,4 +100,22 @@ object AsOf {
       rightValueCols.map(attr(rPlan, _)))
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession, node)
   }
+
+  /** As-of join with a staleness bound (the kdb `wj`/feature-store
+    * freshness variant): carried values are nulled when the matched
+    * right row is older than `toleranceSeconds` before the left
+    * timestamp. Composed over [[asOfJoinNative]] by carrying the right
+    * timestamp and post-projecting — the merge-scan does the heavy
+    * lifting; the bound is a row-local expression. */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightValueCols: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    require(!rightValueCols.contains(rightTs), "rightTs is carried implicitly")
+    val joined = asOfJoinNative(left, right, key, leftTs, rightTs,
+      rightValueCols :+ rightTs)
+    val fresh = unix_micros(col(leftTs)) - unix_micros(col(rightTs)) <=
+      toleranceSeconds * 1000000L
+    joined.select(left.columns.map(col) ++
+      rightValueCols.map(c => when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
 }

@@ -555,6 +555,32 @@ object PipelineQueries {
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.snap_ts
       |ORDER BY p.event_id""".stripMargin))
 
+  /** Bounded-staleness as-of: same alignment as q_asof_native but a
+    * snapshot older than 3 days no longer counts (feature-freshness
+    * gate). Oracle: ASOF LEFT JOIN + a CASE on the matched age. */
+  val asofTolerance: QueryDef = QueryDef(
+    "q_asof_tolerance",
+    (s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val snapshots = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("snap_ts"))
+        .agg(max(col("event_id")).as("snap_id"))
+      graft.ops.AsOf.asOfJoinTolerance(purchases, snapshots,
+          "user_id", "ts", "snap_ts", Seq("snap_id"), toleranceSeconds = 3L * 86400)
+        .select(col("user_id"), col("event_id"), col("snap_id"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, ts AS snap_ts, max(event_id) AS snap_id
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT p.user_id, p.event_id,
+      |  CASE WHEN p.ts - s.snap_ts <= INTERVAL 3 DAY THEN s.snap_id ELSE NULL END AS snap_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.snap_ts
+      |ORDER BY p.event_id""".stripMargin))
+
   /** Range join: purchases falling inside a 3-day window after any
     * signup of the same user — binned candidate generation (join on
     * (key, time-bin)), exact BETWEEN verification. */
@@ -636,7 +662,8 @@ object PipelineQueries {
       |FROM documents""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    asofJoin, asofJoinNative, rangeJoin, dedupExact, dedupKeepLatest, dedupMinhashLsh, dedupCluster,
+    asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
+    dedupMinhashLsh, dedupCluster,
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupEmbedding, sampleStratified,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality,

@@ -95,6 +95,25 @@ class AsOfSpec extends SparkSpec {
     assert(df.head().getAs[String]("rv") == "r")
   }
 
+  test("tolerance as-of nulls stale matches but keeps fresh ones") {
+    graft.functions.GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-10 00:00:00"), "fresh"), // 1 day after snapshot
+      (2L, ts("2024-01-10 00:00:00"), "stale")  // 8 days after snapshot
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-09 00:00:00"), 100L),
+      (2L, ts("2024-01-02 00:00:00"), 200L)
+    ).toDF("k", "rt", "rv")
+    val out = AsOf.asOfJoinTolerance(left, right, "k", "t", "rt", Seq("rv"),
+        toleranceSeconds = 3L * 86400)
+      .collect().map(r => r.getAs[String]("lv") ->
+        (if (r.isNullAt(r.fieldIndex("rv"))) -1L else r.getAs[Long]("rv"))).toMap
+    assert(out("fresh") == 100L && out("stale") == -1L)
+  }
+
   test("left columns and row count are preserved exactly") {
     val s = spark
     import s.implicits._
