@@ -89,7 +89,7 @@ object AsOf {
       leftTs: String, rightTs: String, rightValueCols: Seq[String]): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     // fresh exprIds for every right attribute (Alias always mints a new id)
-    val rPlan = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val rPlan = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
       .queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name.equalsIgnoreCase(n))
@@ -115,7 +115,7 @@ object AsOf {
       rightValueCols :+ rightTs)
     val fresh = unix_micros(col(leftTs)) - unix_micros(col(rightTs)) <=
       toleranceSeconds * 1000000L
-    joined.select(left.columns.map(col) ++
+    joined.select(left.columns.toIndexedSeq.map(col) ++
       rightValueCols.map(c => when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)
   }
 }

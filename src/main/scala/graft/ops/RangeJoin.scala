@@ -43,7 +43,7 @@ object RangeJoin {
         col(s"$gl.$key") === col(s"$gr.$key") && col(s"$gl.$bin") === col(s"$gr.$bin"))
       .filter(col(s"$gl.$pointTs") >= col(s"$gr.$startTs") &&
         col(s"$gl.$pointTs") <= col(s"$gr.$endTs"))
-      .select(left.columns.map(c => col(s"$gl.$c")) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"$gl.$c")) ++
         right.columns.filterNot(_ == key).map(c => col(s"$gr.$c")): _*)
   }
 }

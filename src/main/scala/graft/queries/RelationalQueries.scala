@@ -169,7 +169,7 @@ object RelationalQueries {
       val o = Tables.orders(s, d)
       val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
       val big = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
-      val union = urgent.union(big).distinct.count()
+      val union = urgent.union(big).distinct().count()
       val inter = urgent.intersect(big).count()
       val except = urgent.except(big).count()
       s.createDataFrame(Seq((union, inter, except)))
