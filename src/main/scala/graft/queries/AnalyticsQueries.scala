@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Statistical-profiling analytics: second-moment statistics computed
   * from exact DECIMAL power sums (so they cross-engine hash-match where
@@ -16,48 +15,83 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AnalyticsQueries {
 
-  private val money = DecimalType(18, 2)
-
-  /** Per-group stddev and correlation from exact decimal power sums
-    * (n, Σx, Σy, Σx², Σy², Σxy): every sum is exact, the final double
-    * arithmetic is the same IEEE expression in both engines. A built-in
+  /** Per-group stddev and correlation from exact integer power sums
+    * (n, Σx, Σy, Σx², Σy², Σxy): values are fixed-point cents
+    * (`round(v*100)` as long), so every sum is exact integer arithmetic
+    * inside whole-stage codegen — no per-row Decimal objects. A built-in
     * `stddev`/`corr` over doubles is NOT deterministic across engines —
     * or even across partitionings — because float addition isn't
-    * associative; power sums in DECIMAL are. */
+    * associative; integer power sums are.
+    *
+    * The two large product sums (Σy², Σxy) are carried as hi/lo 64-bit
+    * lanes split at 2^23 (`p // 2^23` and `p % 2^23`), then recombined
+    * in DOUBLE with the identical IEEE expression on both engines:
+    * each lane sum stays exact in a long up to ~5e11 rows per group
+    * (≈100 TB of lineitem), and both engines convert each lane with a
+    * single correctly-rounded long→double, so the recombined doubles are
+    * bit-identical. Σx² fits a plain long to ~3.7e11 rows/group. */
   val qStatsMoments: QueryDef = QueryDef(
     "q_stats_moments",
     (s, d) => {
-      val qd = col("l_quantity").cast(money)
-      val pd = col("l_extendedprice").cast(money)
+      val lane = 8388608L // 2^23
+      val lx = round(col("l_quantity") * 100).cast("long")
+      val ly = round(col("l_extendedprice") * 100).cast("long")
       val dbl = (c: String) => col(c).cast("double")
+      def rec(hi: String, lo: String) =
+        dbl(hi) * lit(lane.toDouble) + dbl(lo)
       Tables.lineitem(s, d)
+        .select(col("l_returnflag"), lx.as("lx"), ly.as("ly"))
+        .select(col("l_returnflag"), col("lx"), col("ly"),
+          (col("ly") * col("ly")).as("pyy"), (col("lx") * col("ly")).as("pxy"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(qd).as("sx"), sum(pd).as("sy"),
-          sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"), sum(qd * pd).as("sxy"))
+          sum(col("lx")).as("sxl"), sum(col("ly")).as("syl"),
+          sum(col("lx") * col("lx")).as("sxxl"),
+          sum(shiftright(col("pyy"), 23)).as("syy_hi"),
+          sum(col("pyy") % lane).as("syy_lo"),
+          sum(shiftright(col("pxy"), 23)).as("sxy_hi"),
+          sum(col("pxy") % lane).as("sxy_lo"))
         .select(col("l_returnflag"), col("n"),
-          round(sqrt((dbl("sxx") - dbl("sx") * dbl("sx") / dbl("n")) / dbl("n")), 4)
+          (dbl("sxl") / 100.0).as("sx"), (dbl("syl") / 100.0).as("sy"),
+          (dbl("sxxl") / 10000.0).as("sxx"),
+          (rec("syy_hi", "syy_lo") / 10000.0).as("syy"),
+          (rec("sxy_hi", "sxy_lo") / 10000.0).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / dbl("n")) / dbl("n")), 4)
             .as("stddev_qty"),
-          round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
-            (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
-             sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 4)
+          round((dbl("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(dbl("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(dbl("n") * col("syy") - col("sy") * col("sy"))), 4)
             .as("corr_qty_price"))
         .orderBy("l_returnflag")
     },
-    Some("""WITH a AS (
+    Some("""WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS lx,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ly
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT l_returnflag, lx, ly, ly * ly AS pyy, lx * ly AS pxy FROM t),
+      |a AS (
       |  SELECT l_returnflag, count(*) AS n,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
-      |  FROM lineitem GROUP BY l_returnflag)
+      |    sum(lx) AS sxl, sum(ly) AS syl, sum(lx * lx) AS sxxl,
+      |    sum(pyy // 8388608) AS syy_hi, sum(pyy % 8388608) AS syy_lo,
+      |    sum(pxy // 8388608) AS sxy_hi, sum(pxy % 8388608) AS sxy_lo
+      |  FROM p GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(sxl AS DOUBLE) / 100.0 AS sx,
+      |    CAST(syl AS DOUBLE) / 100.0 AS sy,
+      |    CAST(sxxl AS DOUBLE) / 10000.0 AS sxx,
+      |    (CAST(syy_hi AS DOUBLE) * 8388608.0 + CAST(syy_lo AS DOUBLE)) / 10000.0 AS syy,
+      |    (CAST(sxy_hi AS DOUBLE) * 8388608.0 + CAST(sxy_lo AS DOUBLE)) / 10000.0 AS sxy
+      |  FROM a)
       |SELECT l_returnflag, n,
-      |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS stddev_qty,
-      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr_qty_price
-      |FROM a ORDER BY l_returnflag""".stripMargin))
+      |  round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS stddev_qty,
+      |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+      |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin))
 
   /** Fixed-width value histogram of order totals: bucket assignment is
     * one deterministic double division + floor (no arithmetic on the

@@ -39,12 +39,13 @@ object CurationQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       |  FROM base),
       |a AS (
-      |  SELECT shard, n_tokens, cum_before // 1000 AS chunk_id,
+      |  SELECT shard, n_tokens, CAST(cum_before // 1000 AS BIGINT) AS chunk_id,
       |    CASE WHEN n_tokens > 0 AND (cum_before + n_tokens - 1) // 1000 > cum_before // 1000
       |         THEN 1 ELSE 0 END AS straddles
       |  FROM c)
-      |SELECT shard, chunk_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
-      |  sum(straddles) AS n_straddling
+      |SELECT shard, chunk_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(straddles) AS BIGINT) AS n_straddling
       |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
 
   /** Benchmark decontamination: flag corpus docs sharing any word 5-gram
@@ -270,12 +271,13 @@ object CurationQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM base),
         |a AS (
-        |  SELECT shard, n_tokens, cum_before // 1000 AS chunk_id,
+        |  SELECT shard, n_tokens, CAST(cum_before // 1000 AS BIGINT) AS chunk_id,
         |    CASE WHEN n_tokens > 0 AND (cum_before + n_tokens - 1) // 1000 > cum_before // 1000
         |         THEN 1 ELSE 0 END AS straddles
         |  FROM c)
-        |SELECT shard, chunk_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
-        |  sum(straddles) AS n_straddling
+        |SELECT shard, chunk_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(straddles) AS BIGINT) AS n_straddling
         |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin
     })
 
