@@ -193,33 +193,54 @@ object Dedup {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(aCol).as("src"), col(bCol).as("dst")).distinct()
-    // undirected: propagate both ways
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // Undirected: propagate both ways, plus a self-loop per vertex so a
+    // vertex is its own neighbor — that folds the per-round
+    // `union(labels)` branch into the STATIC edge list. Pre-partition it
+    // on the per-round join key ONCE and cache it partitioned — every
+    // round's sym⋈labels then finds its required distribution already
+    // satisfied and runs exchange-free on the sym side, instead of
+    // re-shuffling |E| rows per round.
+    val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = bidir
+      .union(bidir.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
+    // Round-0 labels: lazy persist, not an eager checkpoint — it is
+    // consumed exactly once (inside round 1's job), so a separate
+    // materialization job would be pure overhead.
+    val labels0 = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .persist()
+    var labels = labels0
     // Convergence via the label-sum invariant: min-propagation only ever
-    // DECREASES labels, so an unchanged Σlbl means no label moved — one
-    // scalar aggregate over the already-checkpointed round result,
-    // instead of a per-round join against the previous labels (which
-    // cost a full extra join job per iteration).
-    var prevSum: Option[Long] = None
+    // DECREASES labels, so an unchanged Σlbl means no label moved. The
+    // sum rides the SAME job that materializes the round's labels
+    // (`observe` + eager localCheckpoint) — one action per round, no
+    // separate scalar job. SHUFFLE_HASH hint: both join inputs are
+    // hash-partitioned on the key (sym pre-partitioned, labels from the
+    // previous round's groupBy via checkpoint, which preserves
+    // partitioning), so the hash join needs no exchange and — unlike
+    // sort-merge — no per-round re-sort of the cached edge list.
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = sym.join(labels, sym("src") === labels("id"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val neighborMin = sym.hint("SHUFFLE_HASH")
+        .join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-        .union(labels)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum"))
         .localCheckpoint(true)
-      val s = neighborMin.agg(sum(col("lbl"))).head().getLong(0)
+      val s = obs.get("lbl_sum").asInstanceOf[java.math.BigDecimal]
       labels = neighborMin
-      converged = prevSum.contains(s)
+      converged = prevSum.exists(p => p.compareTo(s) == 0)
       prevSum = Some(s)
       iter += 1
     }
     sym.unpersist()
+    labels0.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
