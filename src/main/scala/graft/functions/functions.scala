@@ -37,6 +37,13 @@ package object functions {
   def mix64(c: Column, a: Long, b: Long): Column =
     Bridge.column(Mix64(Bridge.expression(c), a, b))
 
+  /** Codegen'd broadcast-bloom-filter membership probe
+    * ([[BloomMightContainLong]]) — the no-UDF probe-side predicate for
+    * bloom-pruned joins. */
+  def bloom_might_contain_long(c: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.column(BloomMightContainLong(Bridge.expression(c), bloom))
+
   // --- aggregates
   /** Bounded-heap exact top-k aggregate ([[TopKPairs]]): the k best
     * (score, id) pairs per group as `array<struct<score,id>>`, best

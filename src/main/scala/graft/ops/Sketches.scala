@@ -50,13 +50,18 @@ object Sketches {
     * key set, drop probe rows that cannot match BEFORE the shuffle, then
     * do the exact join. Result equals the plain inner join (the filter
     * admits false positives, never false negatives — the join removes
-    * them); what changes is shuffle volume on the probe side. */
+    * them); what changes is shuffle volume on the probe side.
+    *
+    * The probe predicate is a native codegen'd expression
+    * ([[graft.functions.BloomMightContainLong]]) over the broadcast
+    * filter — not a UDF — so the 100 TB probe scan keeps its
+    * whole-stage-codegen span and pays no per-row boxing. */
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame, key: String,
       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val bf = bloomFilter(build, key, expectedItems, fpp)
     val bcast = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
-    probe.filter(mightContain(col(key))).join(build, key)
+    probe.filter(graft.functions.bloom_might_contain_long(col(key), bcast))
+      .join(build, key)
   }
 
   /** KMV (bottom-k / k-minimum-values) distinct-count estimate.

@@ -48,6 +48,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bloom probe filter is a native expression, not a UDF") {
+    val p = plan("q_bloom_join")
+    assert(!p.contains("UDF"), "bloom probe went through a Scala UDF")
+    assert(p.contains("bloom_might_contain_long"), "bloom probe predicate missing")
+  }
+
   test("null-safe join still plans as a hash join") {
     val p = plan("q_null_safe_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
