@@ -239,6 +239,28 @@ object SurveyQueries {
       |FULL OUTER JOIN v3 ON COALESCE(v1.Connect_ID, v2.Connect_ID) = v3.Connect_ID
       |ORDER BY CAST(COALESCE(v1.Connect_ID, v2.Connect_ID, v3.Connect_ID) AS BIGINT)""".stripMargin))
 
+  /** merge_table_versions_strict: the reference's LITERAL base-anchored
+    * join chain (core/transformations.py:126-136) — keys in v1∩v2 but
+    * absent from the base v3 emit one row per version instead of
+    * merging (§2.C-1's documented divergence, now offered behind the
+    * `strict` flag for byte-for-byte reference replay). */
+  val mergeTableVersionsStrict: QueryDef = QueryDef(
+    "merge_table_versions_strict",
+    (s, d) => MergeTableVersions(mergeVersions(s, d), strict = true)
+      .orderBy(col("Connect_ID").cast("long")),
+    Some(s"""WITH v1 AS (${mergeVersionsSql(0)}), v2 AS (${mergeVersionsSql(1)}), v3 AS (${mergeVersionsSql(2)})
+      |SELECT
+      |  COALESCE(v1.Connect_ID, v2.Connect_ID, v3.Connect_ID) AS Connect_ID,
+      |  COALESCE(v1.d_100000001, v2.d_100000001, v3.D_100000001) AS d_100000001,
+      |  v1.D_100000002 AS d_100000002,
+      |  v1.only_v1 AS only_v1,
+      |  v2.unique_v2 AS unique_v2,
+      |  v3.d_100000003 AS d_100000003
+      |FROM v3
+      |FULL OUTER JOIN v2 ON v3.Connect_ID = v2.Connect_ID
+      |FULL OUTER JOIN v1 ON v3.Connect_ID = v1.Connect_ID
+      |ORDER BY CAST(COALESCE(v1.Connect_ID, v2.Connect_ID, v3.Connect_ID) AS BIGINT)""".stripMargin))
+
   // ---- sensitive tier: fixed 18-column projection over an orders-derived table
 
   val sensitiveTier: QueryDef = {
@@ -270,5 +292,6 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanRows,
-    profileBinary, profileFalseArray, mergeTableVersions, sensitiveTier)
+    profileBinary, profileFalseArray, mergeTableVersions,
+    mergeTableVersionsStrict, sensitiveTier)
 }

@@ -21,12 +21,18 @@ import graft.config.Constants
   *  - output names lowercased except `Connect_ID`;
   *  - FULL OUTER join chain on `Connect_ID`.
   *
-  * Join semantics: we implement the *fold* (left-to-right full-outer with
-  * coalesced key) — a `Connect_ID` present in v1 and v2 but absent from
-  * the last table merges into ONE row, where the reference's literal SQL
-  * (all joins against the base/last table) would emit two. Decision
-  * documented in SURVEY.md §2.C-1; the fold is the correct semantics and
-  * what `dfs.reduce(_.join(_, Seq("Connect_ID"), "full_outer"))` gives.
+  * Join semantics — two modes:
+  *  - `strict = false` (default): the *fold* (left-to-right full-outer
+  *    with coalesced key) — a `Connect_ID` present in v1 and v2 but
+  *    absent from the last table merges into ONE row. The correct
+  *    semantics; what `dfs.reduce(_.join(_, Seq("Connect_ID"),
+  *    "full_outer"))` gives. Decision documented in SURVEY.md §2.C-1.
+  *  - `strict = true`: the reference's LITERAL SQL shape
+  *    (`core/transformations.py:126-136`) — every earlier version joins
+  *    against the *base* (last) table's key, so a `Connect_ID` present
+  *    in two non-base versions but absent from base yields one row per
+  *    such version (their base-key join predicates are NULL ≠ NULL).
+  *    For byte-for-byte replay of reference outputs.
   *
   * Scale: full-outer cannot broadcast (both sides must preserve unmatched
   * rows), so each join is a sort-merge with an exchange on `Connect_ID`.
@@ -49,7 +55,9 @@ object MergeTableVersions {
     }
   }
 
-  def apply(dfs: Seq[DataFrame]): DataFrame = {
+  def apply(dfs: Seq[DataFrame]): DataFrame = apply(dfs, strict = false)
+
+  def apply(dfs: Seq[DataFrame], strict: Boolean): DataFrame = {
     require(dfs.size >= 2, "at least two source tables must be provided")
     val aliases = dfs.indices.map(i => s"v${i + 1}")
     val valid = dfs.map(df => validColumns(df.schema.fieldNames.toSeq))
@@ -79,16 +87,30 @@ object MergeTableVersions {
       }
     }
 
-    // Fold full-outer join chain with coalesced key (SURVEY §2.C-1).
     val aliased = dfs.zip(valid).zip(aliases).map { case ((df, cols), a) =>
       df.select(cols.map(col): _*).alias(a)
     }
     val keyOf = aliases.zip(caseMaps).map { case (a, m) => col(s"$a.${m("connect_id")}") }
-    var joined = aliased.head
-    for (i <- 1 until aliased.size) {
-      val key = if (i == 1) keyOf.head else coalesce(keyOf.take(i): _*)
-      joined = joined.join(aliased(i), key === keyOf(i), "full_outer")
-    }
+    val joined =
+      if (strict) {
+        // Reference-literal chain: FROM base (last) FULL OUTER JOIN each
+        // earlier table ON base.Connect_ID = vi.Connect_ID, reversed
+        // order (core/transformations.py:126-136). Base-absent keys do
+        // NOT merge across versions.
+        var j = aliased.last
+        for (i <- aliased.size - 2 to 0 by -1) {
+          j = j.join(aliased(i), keyOf.last === keyOf(i), "full_outer")
+        }
+        j
+      } else {
+        // Fold full-outer join chain with coalesced key (SURVEY §2.C-1).
+        var j = aliased.head
+        for (i <- 1 until aliased.size) {
+          val key = if (i == 1) keyOf.head else coalesce(keyOf.take(i): _*)
+          j = j.join(aliased(i), key === keyOf(i), "full_outer")
+        }
+        j
+      }
     joined.select(clauses.toSeq: _*)
   }
 }

@@ -48,6 +48,24 @@ class MergeSpec extends SparkSpec {
     assert(k.getAs[String]("a1") == "x" && k.getAs[String]("a2") == "y")
   }
 
+  test("merge: strict mode pins the reference's base-anchored chain — fold ≠ strict on a base-absent key") {
+    val v1 = df(Seq("Connect_ID", "a1"), Seq(Seq("k", "x")))
+    val v2 = df(Seq("Connect_ID", "a2"), Seq(Seq("k", "y")))
+    val v3 = df(Seq("Connect_ID", "a3"), Seq(Seq("other", "z")))
+    val strict = MergeTableVersions(Seq(v1, v2, v3), strict = true).collect()
+    // Reference SQL joins v1 and v2 each against v3's key: "k" is absent
+    // from the base, so its v1 and v2 rows never meet — 3 rows total
+    // where the fold produces 2.
+    assert(strict.length == 3)
+    val kRows = strict.filter(_.getString(0) == "k")
+    assert(kRows.length == 2)
+    // one row carries only v1's column, the other only v2's
+    assert(kRows.map(r => (r.getAs[String]("a1"), r.getAs[String]("a2"))).toSet ==
+      Set(("x", null), (null, "y")))
+    // keys present in the base still merge normally in both modes
+    assert(strict.count(_.getString(0) == "other") == 1)
+  }
+
   test("sensitive tier: fixed 18-column projection, extras dropped") {
     val cols = graft.config.Constants.SensitiveTierColumns
     val stored = "Connect_ID" +: cols.tail :+ "extra_column"
