@@ -193,6 +193,77 @@ object SurveyQueries {
       |  d_715581797
       |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin))
 
+  // ---- clean_columns_wide: the 1000+-column case SURVEY §4 names as the
+  // central engineering challenge. 300 index steps × 4 name families
+  // (plain cid, loop var, versioned loop var, substring excision) + 15
+  // loop-coalesce pairs = 1230 source columns; the Spark derivation, the
+  // oracle's source CTE, and the oracle's expected-output select list are
+  // all generated from the SAME spec below, so the sides cannot drift.
+
+  private val wideN = 300
+
+  /** (source column name, value modulus, with-nulls) per generated column. */
+  private val wideSrcs: Seq[(String, Int, Boolean)] = (0 until wideN).flatMap { i =>
+    val base = Seq(
+      (s"d_${200000000 + i}", 2 + (i % 9), false),
+      (s"d_${300000000 + i}_1_1", 2 + ((i + 1) % 9), false),
+      (s"d_${400000000 + i}_v2_1_1", 2 + ((i + 2) % 9), false),
+      (s"state_d_${500000000 + i}", 2 + ((i + 3) % 9), false))
+    if (i % 20 == 0)
+      base ++ Seq(
+        (s"d_${600000000 + i}_2_2", 2 + ((i + 4) % 9), true),
+        (s"d_${600000000 + i}_2_2_2_2", 2 + ((i + 5) % 9), false))
+    else base
+  }
+
+  /** Expected cleaned output, as oracle select expressions. */
+  private val wideOutSql: Seq[String] = (0 until wideN).flatMap { i =>
+    val base = Seq(
+      s"d_${200000000 + i}",
+      s"d_${300000000 + i}_1_1 AS d_${300000000 + i}_1",
+      s"d_${400000000 + i}_v2_1_1 AS d_${400000000 + i}_1_v2",
+      s"state_d_${500000000 + i} AS d_${500000000 + i}")
+    if (i % 20 == 0)
+      base :+ s"COALESCE(d_${600000000 + i}_2_2, d_${600000000 + i}_2_2_2_2) AS d_${600000000 + i}_2"
+    else base
+  }
+
+  private def wideSurvey(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val cols = k.cast(StringType).as("Connect_ID") +: wideSrcs.map {
+      case (n, m, withNulls) =>
+        val v = (k % m).cast(StringType)
+        (if (withNulls) when(k % 3 === 0, lit(null).cast(StringType)).otherwise(v)
+         else v).as(n)
+    }
+    Tables.orders(s, d).filter(k % 10 === 0).select(cols: _*)
+  }
+
+  private val wideSurveySql: String = {
+    val exprs = wideSrcs.map { case (n, m, withNulls) =>
+      val v = s"CAST(o_orderkey % $m AS VARCHAR)"
+      if (withNulls) s"CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE $v END AS $n"
+      else s"$v AS $n"
+    }
+    s"""SELECT CAST(o_orderkey AS VARCHAR) AS Connect_ID,
+       |  ${exprs.mkString(",\n  ")}
+       |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
+  }
+
+  /** clean_columns over a 1230-column survey schema: same operators as
+    * `clean_columns`, at the width where codegen limits bite (Spark falls
+    * back from whole-stage codegen past `spark.sql.codegen.maxFields`;
+    * the single-Project plan shape keeps that a per-operator fallback,
+    * not a semantic change). */
+  val cleanColumnsWide: QueryDef = QueryDef(
+    "clean_columns_wide",
+    (s, d) => CleanColumns(wideSurvey(s, d), "FlatConnect.module1_v2_JP")
+      .orderBy(col("Connect_ID").cast("long")),
+    Some(s"""WITH s AS ($wideSurveySql)
+      |SELECT Connect_ID,
+      |  ${wideOutSql.mkString(",\n  ")}
+      |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin))
+
   // ---- merge_table_versions: three version tables derived from customer
 
   private val mergeVersionsSql: Seq[String] = Seq(
@@ -291,7 +362,7 @@ object SurveyQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    cleanColumns, cleanColumnsOneOff, cleanRows,
+    cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows,
     profileBinary, profileFalseArray, mergeTableVersions,
     mergeTableVersionsStrict, sensitiveTier)
 }
