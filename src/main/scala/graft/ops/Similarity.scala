@@ -153,6 +153,10 @@ object Similarity {
     // a rank-based pick would funnel the corpus through one partition).
     // The id < stride*nCells bound caps the set at exactly <= nCells
     // without a nondeterministic limit().
+    // The .head() below is an INTENTIONAL O(1) driver action: one
+    // map-side-combined max over ids returning a single row, run once at
+    // plan-build time to seed the stride. It is not a per-row collect
+    // and does not grow with the corpus.
     val maxIdRow = base.agg(max(col("id"))).head()
     if (maxIdRow.isNullAt(0))
       return emb.sparkSession.emptyDataFrame

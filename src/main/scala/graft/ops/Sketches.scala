@@ -111,4 +111,29 @@ object Sketches {
     candidates.map(k => k -> cms.estimateCount(k))
       .filter { case (_, est) => est >= (minShare * total).toLong }
   }
+
+  /** Heavy hitters with DISTRIBUTED candidate discovery — no
+    * caller-supplied list. Candidates come from a row-sample count whose
+    * top `maxCandidates` are taken via `orderBy(...).limit(n)`, which
+    * Catalyst plans as TakeOrdered: a per-partition bounded heap + a
+    * driver merge of `maxCandidates` rows, never a global sort. Each
+    * candidate is then verified against the count-min estimate over the
+    * FULL data (sampling only nominates; the sketch decides).
+    *
+    * A key with share >= minShare appears ~minShare*sampleFraction*N
+    * times in the sample, so pick `sampleFraction` >> 1/(minShare*N) to
+    * make a miss negligible; at 100 TB even 1e-4 sampling leaves any
+    * 0.1%-share key with thousands of sampled rows. */
+  def heavyHitters(df: DataFrame, colName: String, minShare: Double,
+      eps: Double, sampleFraction: Double, maxCandidates: Int): Seq[(Any, Long)] = {
+    val total = df.count()
+    val cms = countMinSketch(df, colName, eps = eps)
+    val candidates = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col(colName)).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc)
+      .limit(maxCandidates)
+      .select(col(colName)).collect().map(_.get(0)).toSeq
+    candidates.map(k => k -> cms.estimateCount(k))
+      .filter { case (_, est) => est >= (minShare * total).toLong }
+  }
 }

@@ -70,4 +70,17 @@ class SketchesSpec extends SparkSpec {
     val hh = Sketches.heavyHitters(df, "k", Seq(7L, 9999L), minShare = 0.005)
     assert(hh.exists(_._1 == 7L) && !hh.exists(_._1 == 9999L))
   }
+
+  test("heavy hitters with distributed candidate discovery find the hot keys") {
+    val df = skewed
+    // hot keys: k in 1..99 not divisible by 10 (200 rows each, 1% share);
+    // multiples of 10 are all singletons (k=i on the i%10==0 branch).
+    // Sample at 25% so each hot key keeps ~50 sampled rows.
+    val hot = (1L until 100L).filterNot(_ % 10 == 0).toSet
+    val hh = Sketches.heavyHitters(df, "k", minShare = 0.005, eps = 0.001,
+      sampleFraction = 0.25, maxCandidates = 200)
+    val keys = hh.map(_._1.asInstanceOf[Long]).toSet
+    assert(hot.forall(keys.contains), s"missed hot keys: ${hot.filterNot(keys.contains)}")
+    assert(keys.forall(hot.contains), s"non-hot keys leaked in: ${keys.filterNot(hot.contains).take(5)}")
+  }
 }
