@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact second-moment statistics over fixed-point columns — the
+  * engine-deterministic alternative to `stddev`/`corr`/`covar_pop`.
+  *
+  * Why not the built-ins: float summation is non-associative, so a
+  * double-based `corr` changes with partition count and row order — it
+  * cannot sit behind a cross-engine (or even re-run) equality gate.
+  * Spark's exact path (DECIMAL power sums) fixes determinism but runs
+  * the aggregation on object-backed `Decimal` once the sum precision
+  * exceeds 18 digits (21s for one hash agg at sf0.1 when this repo
+  * measured it).
+  *
+  * This operator keeps BOTH properties: values become fixed-point
+  * integers (`round(v * 10^scale)` as long), every power sum is exact
+  * 64-bit integer arithmetic inside whole-stage codegen, and the two
+  * large product sums are carried as hi/lo lanes split at 2^23 so each
+  * lane's long sum stays exact to ~5e11 rows per group (≈100 TB of
+  * rows at TPC-H widths). The lanes recombine in DOUBLE as
+  * `hi * 2^23 + lo`: both addends are exactly representable (lane sums
+  * < 2^53; the 2^23 multiply only shifts the exponent), so the result
+  * is the correctly-rounded double of the exact integer sum — any
+  * engine recomputing the same lanes gets the same bits.
+  *
+  * Plan shape: one map-side-combinable hash aggregation (power sums are
+  * associative), one shuffle of 8 longs per (group × map task).
+  */
+object Stats {
+
+  private val Lane = 8388608L // 2^23
+  val MomentColumns: Seq[String] = Seq("n", "sx", "sy", "sxx", "syy", "sxy")
+
+  /** Per-group exact power sums (n, Σx, Σy, Σx², Σy², Σxy) as doubles
+    * that are bit-identical across engines and partitionings.
+    *
+    * @param scale decimal digits preserved (values are rounded to
+    *              10^-scale before summation — 2 for money). Keep
+    *              `max(|v|) * 10^scale` below ~2^26 so per-row products
+    *              fit a long with lane headroom. */
+  def moments(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    val f = math.pow(10, scale)
+    val lx = round(col(xCol) * f).cast("long")
+    val ly = round(col(yCol) * f).cast("long")
+    val dbl = (c: String) => col(c).cast("double")
+    def rec(hi: String, lo: String) = dbl(hi) * lit(Lane.toDouble) + dbl(lo)
+    df.select(groupCols.map(col) ++ Seq(lx.as("__lx"), ly.as("__ly")): _*)
+      .select(col("*"),
+        (col("__ly") * col("__ly")).as("__pyy"),
+        (col("__lx") * col("__ly")).as("__pxy"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__lx")).as("__sxl"), sum(col("__ly")).as("__syl"),
+        sum(col("__lx") * col("__lx")).as("__sxxl"),
+        sum(shiftright(col("__pyy"), 23)).as("__syy_hi"),
+        sum(col("__pyy") % Lane).as("__syy_lo"),
+        sum(shiftright(col("__pxy"), 23)).as("__sxy_hi"),
+        sum(col("__pxy") % Lane).as("__sxy_lo"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        (dbl("__sxl") / f).as("sx"), (dbl("__syl") / f).as("sy"),
+        (dbl("__sxxl") / (f * f)).as("sxx"),
+        (rec("__syy_hi", "__syy_lo") / (f * f)).as("syy"),
+        (rec("__sxy_hi", "__sxy_lo") / (f * f)).as("sxy")): _*)
+  }
+
+  /** Population standard deviation of x from a [[moments]] row. */
+  def stddevFromMoments(n: Column, sx: Column, sxx: Column): Column =
+    sqrt((sxx - sx * sx / n.cast("double")) / n.cast("double"))
+
+  /** Pearson correlation of (x, y) from a [[moments]] row. */
+  def corrFromMoments(n: Column, sx: Column, sy: Column,
+      sxx: Column, syy: Column, sxy: Column): Column = {
+    val nd = n.cast("double")
+    (nd * sxy - sx * sy) /
+      (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+  }
+}

@@ -33,36 +33,14 @@ object AnalyticsQueries {
   val qStatsMoments: QueryDef = QueryDef(
     "q_stats_moments",
     (s, d) => {
-      val lane = 8388608L // 2^23
-      val lx = round(col("l_quantity") * 100).cast("long")
-      val ly = round(col("l_extendedprice") * 100).cast("long")
-      val dbl = (c: String) => col(c).cast("double")
-      def rec(hi: String, lo: String) =
-        dbl(hi) * lit(lane.toDouble) + dbl(lo)
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), lx.as("lx"), ly.as("ly"))
-        .select(col("l_returnflag"), col("lx"), col("ly"),
-          (col("ly") * col("ly")).as("pyy"), (col("lx") * col("ly")).as("pxy"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("lx")).as("sxl"), sum(col("ly")).as("syl"),
-          sum(col("lx") * col("lx")).as("sxxl"),
-          sum(shiftright(col("pyy"), 23)).as("syy_hi"),
-          sum(col("pyy") % lane).as("syy_lo"),
-          sum(shiftright(col("pxy"), 23)).as("sxy_hi"),
-          sum(col("pxy") % lane).as("sxy_lo"))
-        .select(col("l_returnflag"), col("n"),
-          (dbl("sxl") / 100.0).as("sx"), (dbl("syl") / 100.0).as("sy"),
-          (dbl("sxxl") / 10000.0).as("sxx"),
-          (rec("syy_hi", "syy_lo") / 10000.0).as("syy"),
-          (rec("sxy_hi", "sxy_lo") / 10000.0).as("sxy"))
-        .select(col("l_returnflag"), col("n"),
-          round(sqrt((col("sxx") - col("sx") * col("sx") / dbl("n")) / dbl("n")), 4)
-            .as("stddev_qty"),
-          round((dbl("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(dbl("n") * col("sxx") - col("sx") * col("sx")) *
-             sqrt(dbl("n") * col("syy") - col("sy") * col("sy"))), 4)
-            .as("corr_qty_price"))
+      val m = graft.ops.Stats.moments(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice", scale = 2)
+      m.select(col("l_returnflag"), col("n"),
+          round(graft.ops.Stats.stddevFromMoments(
+            col("n"), col("sx"), col("sxx")), 4).as("stddev_qty"),
+          round(graft.ops.Stats.corrFromMoments(
+            col("n"), col("sx"), col("sy"),
+            col("sxx"), col("syy"), col("sxy")), 4).as("corr_qty_price"))
         .orderBy("l_returnflag")
     },
     Some("""WITH t AS (

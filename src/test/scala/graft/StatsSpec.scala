@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Stats
+
+/** Exactness and determinism contracts of the integer-lane moments
+  * operator — the properties that let q_stats_moments sit behind a
+  * cross-engine hash gate. */
+class StatsSpec extends SparkSpec {
+
+  private def fixture(parts: Int) = {
+    val s = spark
+    import s.implicits._
+    (1 to 5000).map { i =>
+      val g = "g" + (i % 3)
+      // money-shaped doubles with 2 decimal places, mixed magnitudes
+      (g, (i % 97) + (i % 100) / 100.0, ((i * 37) % 9973) + (i % 10) / 10.0)
+    }.toDF("g", "x", "y").repartition(parts)
+  }
+
+  test("moments equal exact BigDecimal power sums") {
+    val df = fixture(4)
+    val got = Stats.moments(df, Seq("g"), "x", "y", scale = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rows = df.collect().map(r => (r.getString(0),
+      BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+      BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    for (g <- rows.map(_._1).distinct) {
+      val xs = rows.filter(_._1 == g)
+      val n = xs.size.toLong
+      val r = got(g)
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == xs.map(_._2).sum.toDouble, s"sx $g")
+      assert(r.getDouble(3) == xs.map(_._3).sum.toDouble, s"sy $g")
+      assert(r.getDouble(4) == xs.map(t => t._2 * t._2).sum.toDouble, s"sxx $g")
+      assert(r.getDouble(5) == xs.map(t => t._3 * t._3).sum.toDouble, s"syy $g")
+      assert(r.getDouble(6) == xs.map(t => t._2 * t._3).sum.toDouble, s"sxy $g")
+    }
+  }
+
+  test("moments are bit-identical across partitionings (float sums are not)") {
+    def bits(parts: Int): Seq[Seq[Long]] =
+      Stats.moments(fixture(parts), Seq("g"), "x", "y", scale = 2)
+        .orderBy("g").collect().toSeq.map(r =>
+          (2 to 6).map(i => java.lang.Double.doubleToLongBits(r.getDouble(i))))
+    assert(bits(1) == bits(7) && bits(7) == bits(32))
+  }
+
+  test("derived stddev/corr match the built-ins to float tolerance") {
+    val df = fixture(4)
+    val m = Stats.moments(df, Seq("g"), "x", "y", scale = 2)
+      .select(col("g"),
+        Stats.stddevFromMoments(col("n"), col("sx"), col("sxx")).as("sd"),
+        Stats.corrFromMoments(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("r"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ref = df.groupBy("g")
+      .agg(stddev_pop(col("x")).as("sd"), corr(col("x"), col("y")).as("r"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((g, (sd, r)) <- m) {
+      assert(math.abs(sd - ref(g)._1) < 1e-9, s"stddev $g")
+      assert(math.abs(r - ref(g)._2) < 1e-9, s"corr $g")
+    }
+  }
+}
