@@ -85,6 +85,59 @@ object TextOps {
   def wordCount(c: Column): Column =
     when(length(normalize(c)) === 0, lit(0)).otherwise(size(words(c)))
 
+  /** Gopher-style repetition signals per document: the share of words
+    * taken by the single most frequent word, and the duplicate word
+    * n-gram fraction (1 - distinct/total shingles). High values flag
+    * boilerplate / degenerate text a pretraining pipeline drops.
+    *
+    * One NARROW typed pass (same boundary decision as
+    * [[wordShingleRows]], measured there): per document one hash-map
+    * frequency count and one sliding-window shingle dedup, O(words) with
+    * no sort — where the declarative forms either pay an interpreted
+    * higher-order `transform`/`aggregate` per row or an explode +
+    * groupBy shuffle of every word occurrence. Zero shuffles; pipelines
+    * straight into downstream gates. The double arithmetic
+    * (`best/n`, `1.0 - distinct/total`) is two IEEE single-rounding ops,
+    * so any engine recomputing it from the same integers matches bits.
+    *
+    * Output: (id, top_word_share, dup_ngram_frac); empty text yields
+    * (1.0, 0.0) for consistency with `string_split('')` = [''] engines. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 2, "shingle width must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        val ws = norm.split(" ", -1)
+        val nw = ws.length
+        val counts = new java.util.HashMap[String, Int]()
+        var best = 0
+        ws.foreach { w =>
+          val c = counts.merge(w, 1, Integer.sum _)
+          if (c > best) best = c
+        }
+        val top = best.toDouble / nw.toDouble
+        val totalSh = nw - n + 1
+        val dup =
+          if (totalSh <= 0) 0.0
+          else {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            var dis = 0
+            while (i <= nw - n) {
+              if (seen.add(ws.view.slice(i, i + n).mkString(" "))) dis += 1
+              i += 1
+            }
+            1.0 - dis.toDouble / totalSh.toDouble
+          }
+        (id, top, dup)
+      }.toDF("id", "top_word_share", "dup_ngram_frac")
+  }
+
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
     "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),

@@ -229,7 +229,15 @@ object CurationQueries {
       // dedup keeps the lowest-id row per fingerprint via one min_by
       // aggregation that CARRIES the text — a keepers-then-join-back
       // formulation would evaluate the gate subtree (4 language regex
-      // scans) twice, once per join side (measured ~2x the query cost)
+      // scans) twice, once per join side (measured ~2x the query cost).
+      // Scale audit of the carried text: min_by partial-aggregates map-
+      // side, so at most one text per (fingerprint × partition) reaches
+      // the shuffle — duplicate-heavy corpora compress before moving.
+      // The alternative (fingerprint-only agg + join-back against a
+      // persisted gated relation) does NOT reduce text movement at
+      // 100 TB: the keeper-id set is |survivors| (not broadcastable), so
+      // the join-back is itself a text-carrying shuffle, plus an extra
+      // keeper-id shuffle and a cache of the whole gated corpus.
       val survivors = gated
         .groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))

@@ -506,6 +506,37 @@ object PipelineQueries {
       |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Repetition gates (Gopher-style): top-word share and duplicate
+    * trigram fraction per document — one narrow typed pass, zero
+    * shuffles; the oracle recomputes both from an explode + group
+    * formulation, pinning the hash-map/sliding-window Scala against
+    * declarative SQL. */
+  val textRepetition: QueryDef = QueryDef(
+    "text_repetition",
+    (s, d) => TextOps.repetitionMetrics(Tables.documents(s, d), "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"),
+        round(col("top_word_share"), 4).as("top_word_share"),
+        round(col("dup_ngram_frac"), 4).as("dup_trigram_frac"))
+      .orderBy("doc_id"),
+    Some(s"""WITH words AS (
+      |  SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM documents),
+      |wc AS (
+      |  SELECT doc_id, word, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(w) AS word FROM words) GROUP BY doc_id, word),
+      |tw AS (SELECT doc_id, max(c) AS best, sum(c) AS nw FROM wc GROUP BY doc_id),
+      |sh AS (
+      |  SELECT doc_id, len(w) - 2 AS total,
+      |    len(list_distinct([array_to_string(w[i:i+2], ' ')
+      |      for i in range(1, greatest(len(w) - 1, 1))])) AS dis
+      |  FROM words)
+      |SELECT t.doc_id,
+      |  round(CAST(best AS DOUBLE) / CAST(nw AS DOUBLE), 4) AS top_word_share,
+      |  CASE WHEN total <= 0 THEN 0.0
+      |       ELSE round(1.0 - CAST(dis AS DOUBLE) / CAST(total AS DOUBLE), 4)
+      |  END AS dup_trigram_frac
+      |FROM tw t JOIN sh USING (doc_id)
+      |ORDER BY doc_id""".stripMargin))
+
   /** As-of join: each purchase event picks the latest signup event of
     * the same user at-or-before its timestamp (point-in-time feature
     * alignment). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -667,5 +698,6 @@ object PipelineQueries {
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupEmbedding, sampleStratified,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality,
-    textTokens, textFingerprint, textWordcount, mmDecode, mmResize, mmFrameSample)
+    textTokens, textFingerprint, textWordcount, textRepetition,
+    mmDecode, mmResize, mmFrameSample)
 }
