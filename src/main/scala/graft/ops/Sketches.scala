@@ -129,10 +129,10 @@ object Sketches {
     val total = df.count()
     val cms = countMinSketch(df, colName, eps = eps)
     val candidates = df.sample(withReplacement = false, sampleFraction, seed = 42L)
-      .groupBy(col(colName)).agg(count(lit(1)).as("__n"))
-      .orderBy(col("__n").desc)
+      .groupBy(col(colName).as("__hh_key")).agg(count(lit(1)).as("__hh_n"))
+      .orderBy(col("__hh_n").desc)
       .limit(maxCandidates)
-      .select(col(colName)).collect().map(_.get(0)).toSeq
+      .select(col("__hh_key")).collect().map(_.get(0)).toSeq
     candidates.map(k => k -> cms.estimateCount(k))
       .filter { case (_, est) => est >= (minShare * total).toLong }
   }

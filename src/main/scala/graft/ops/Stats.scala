@@ -42,6 +42,8 @@ object Stats {
     *              fit a long with lane headroom. */
   def moments(df: DataFrame, groupCols: Seq[String], xCol: String,
       yCol: String, scale: Int = 2): DataFrame = {
+    require(!groupCols.exists(MomentColumns.contains),
+      s"group columns collide with moment output names: $MomentColumns")
     val f = math.pow(10, scale)
     val lx = round(col(xCol) * f).cast("long")
     val ly = round(col(yCol) * f).cast("long")

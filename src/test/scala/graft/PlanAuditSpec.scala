@@ -74,6 +74,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.contains("l_shipdate"), s"no pushed filter: $pushed")
   }
 
+  test("text_repetition computes its metrics without a shuffle (only the output sort exchanges)") {
+    val p = plan("text_repetition")
+    assert(nodes(p, "Exchange") <= 1, "repetition metrics grew a shuffle beyond the final sort")
+    assert(!p.contains("Generate"), "repetition metrics exploded word rows")
+  }
+
   test("the full-outer merge is the only sort-merge join user") {
     val p = plan("merge_table_versions")
     assert(nodes(p, "SortMergeJoin") == 2) // 3-way fold = 2 joins
