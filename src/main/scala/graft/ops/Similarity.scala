@@ -198,6 +198,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Symmetric per-vector int8 quantization: `q_i = round(v_i * 127 /
+    * max|v|)` (round half away from zero, the SQL `round` rule), clamped
+    * to [-127, 127] — the max-magnitude element maps to exactly ±127.
+    *
+    * The 100 TB lever: int8 codes are 4x smaller than float32 on every
+    * wire and cache the search path touches (broadcast of the query
+    * side, shuffle of bucketed candidates, executor memory), and the
+    * codes dequantize exactly in float arithmetic (|q_i| <= 127, so
+    * int8-dot sums stay exact integers well inside double precision —
+    * a quantized cosine is bit-deterministic where a float cosine is
+    * already). One NARROW typed pass, zero shuffles. Zero vectors get
+    * scale 0 and an all-zero code, so downstream cosine paths exclude
+    * them with the same zero-norm guard as [[bruteForceTopK]].
+    *
+    * Output: (id, scale — the multiplier 127/max|v| —, q array<tinyint>). */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val vec = Option(v).getOrElse(Seq.empty)
+        var maxAbs = 0f
+        vec.foreach { x => val a = math.abs(x); if (a > maxAbs) maxAbs = a }
+        val scale = if (maxAbs == 0f) 0.0 else 127.0 / maxAbs.toDouble
+        val q = vec.map { x =>
+          val s = x.toDouble * scale
+          // half away from zero == SQL round(); math.round would round
+          // -2.5 toward positive infinity and diverge from the oracle
+          val r = math.signum(s) * math.floor(math.abs(s) + 0.5)
+          math.max(-127.0, math.min(127.0, r)).toByte
+        }
+        (id, scale, q)
+      }.toDF("id", "scale", "q")
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
     * threshold, restricted to a sampled candidate id set for bounded
     * all-pairs cost; the LSH path above is the unbounded-scale variant. */

@@ -358,6 +358,45 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
+  /** Int8-quantized brute-force top-k: vectors quantize to symmetric
+    * int8 codes (4x smaller on every wire the search touches), then the
+    * SAME brute-force path ranks quantized cosines — the codes cast back
+    * to float exactly (|q| <= 127), so the codegen'd dot stays on the
+    * hot path and every quantized dot is an exact integer. The oracle
+    * re-derives the quantization arithmetic end-to-end. */
+  val simTopkInt8: QueryDef = QueryDef(
+    "sim_topk_int8",
+    (s, d) => {
+      val q = Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("q").cast("array<float>").as("embedding"))
+      Similarity.bruteForceTopK(q, "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5)
+        .orderBy("query_id", "rk")
+    },
+    Some("""WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      greatest(-127.0, least(127.0, round(CAST(x AS DOUBLE) * (127.0 / maxabs))))) AS qv
+      |  FROM m WHERE maxabs > 0),
+      |q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS cand_id, qv AS cv FROM qz),
+      |scored AS (
+      |  SELECT query_id, cand_id,
+      |    list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      |  FROM c, q
+      |  WHERE query_id <> cand_id
+      |    AND list_dot_product(qv, qv) > 0 AND list_dot_product(cv, cv) > 0),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
+      |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
+
   /** Language ID heuristic per document. */
   val textLangid: QueryDef = QueryDef(
     "text_langid",
@@ -697,7 +736,8 @@ object PipelineQueries {
     dedupMinhashLsh, dedupCluster,
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupEmbedding, sampleStratified,
-    textPercentiles, simTopkBrute, simAnnLsh, simIvf, textLangid, textQuality,
+    textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8,
+    textLangid, textQuality,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample)
 }

@@ -46,6 +46,25 @@ class PipelineSpec extends SparkSpec {
       s"IVF precision vs brute-force top-20 too low: $good/${ivf.length}")
   }
 
+  test("int8-quantized top-k stays close to the float top-k (within brute-force top-20)") {
+    val emb = Tables.embeddings(spark, sf)
+    val isQuery = col("vec_id") % 50 === 0
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQuery, k = 20)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("q").cast("array<float>").as("embedding"))
+    val int8 = Similarity.bruteForceTopK(q8, "vec_id", "embedding", isQuery, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(int8.nonEmpty, "int8 top-k returned nothing")
+    // int8 codes preserve ~7 bits per dim; top-5 under quantized cosine
+    // should overwhelmingly land inside the float top-20
+    val good = int8.count(brute.contains)
+    assert(good.toDouble / int8.length >= 0.8,
+      s"int8 top-k diverged from float ranking: $good/${int8.length}")
+  }
+
   test("simhash pairs recover synthesized near-duplicates") {
     val docs = Tables.documents(spark, sf)
     val near = docs.filter(col("doc_id") % 7 === 0)
