@@ -244,6 +244,93 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the HIGH-DIAMETER alternative to [[connectedComponents]]: min-label
+    * propagation needs O(diameter) rounds (a 10^6-long chain means 10^6
+    * shuffles), while the star alternation contracts every component to
+    * a star rooted at its minimum id in O(log²) rounds regardless of
+    * diameter. Near-dup clusters are shallow, so min-label stays the
+    * default; use this when edges come from chains (temporal linkage,
+    * record linkage across snapshots).
+    *
+    * Each half-round is one groupBy (per-node minimum) + one join
+    * (re-attach to neighbors), both on the node id — no adjacency lists
+    * are ever collected, so a 10^8-degree hub costs its edge count, not
+    * a collect_set blowup. Convergence = (|E|, Σchild, Σparent)
+    * unchanged across a full round, with the three scalars observed on
+    * the SAME action that materializes the round (one job per
+    * half-round). Labels match [[connectedComponents]] exactly: every
+    * vertex gets its component's minimum id.
+    *
+    * Returns (id, cluster_id) for every vertex in >= 1 edge (self-loop-
+    * only vertices included, labeled by themselves). */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v")).distinct()
+    val allVertices = e0.select(col("u")).union(e0.select(col("v")))
+      .distinct().withColumnRenamed("u", "id")
+      .persist()
+    // (child, parent) with parent < child; drop self-loops from the work
+    // list (their vertices re-enter via allVertices at the end)
+    var e = e0.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // one star half-round: per node u, m = min(Γ(u) ∪ {u}); attach the
+    // selected neighbors (strictly greater for large-star, smaller-or-
+    // equal plus u itself for small-star) directly to m
+    def star(cur: DataFrame, large: Boolean, tag: String): (DataFrame, (Long, java.math.BigDecimal, java.math.BigDecimal)) = {
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val attached = sym.join(mins, "u")
+      val emitted =
+        if (large)
+          attached.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          attached.filter(col("v") < col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .union(mins.select(col("u"), col("m").as("v")))
+      val obs = org.apache.spark.sql.Observation(tag)
+      val next = emitted.filter(col("u") =!= col("v")).distinct()
+        .observe(obs,
+          count(lit(1)).as("cnt"),
+          sum(col("u").cast("decimal(38,0)")).as("su"),
+          sum(col("v").cast("decimal(38,0)")).as("sv"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (next, (m("cnt").asInstanceOf[Long],
+        m("su").asInstanceOf[java.math.BigDecimal],
+        m("sv").asInstanceOf[java.math.BigDecimal]))
+    }
+
+    var prev: Option[(Long, java.math.BigDecimal, java.math.BigDecimal)] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val (afterLarge, _) = star(e, large = true, s"cc_ls_$iter")
+      val (afterSmall, sig) = star(afterLarge, large = false, s"cc_ss_$iter")
+      e = afterSmall
+      converged = prev.exists(p =>
+        p._1 == sig._1 && p._2.compareTo(sig._2) == 0 && p._3.compareTo(sig._3) == 0)
+      prev = Some(sig)
+      iter += 1
+    }
+    // fixed point is a star forest rooted at component minima: children
+    // label by their parent, everything else labels itself
+    val children = e.select(col("u").as("id"), col("v").as("cluster_id"))
+    val selfLabeled = allVertices
+      .join(children.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    val out = children.union(selfLabeled)
+    allVertices.unpersist()
+    out
+  }
+
   /** Blocked fuzzy dedup (entity-resolution style): block on a prefix of
     * the normalized text, pair only within blocks, verify candidates by
     * Levenshtein distance over a bounded prefix. Blocking caps join work
