@@ -89,6 +89,40 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Documents schema for the streaming source (must be static for
+    * `readStream`). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents parquet. */
+  def readDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(sfDir)
+
+  /** Streaming twin of the batch curation gates: the SAME column
+    * expressions ([[graft.ops.TextOps.langId]]/`wordCount`/`fingerprint`)
+    * run unchanged on a streaming relation — language gate, quality gate,
+    * then exact dedup on the content fingerprint.
+    *
+    * Documents carry no event time, so the dedup keys unbounded state
+    * (one fingerprint per distinct surviving document — the same state a
+    * batch dedup would shuffle); with an ingest timestamp column,
+    * `withWatermark + dropDuplicatesWithinWatermark` bounds it exactly
+    * like [[dedupedEvents]]. Which arrival survives per fingerprint is
+    * arrival-order-dependent (streaming has no min_by over the future) —
+    * the invariant streaming and batch share is the surviving
+    * fingerprint SET, pinned by StreamingSpec. */
+  def curatedDocuments(docs: DataFrame, minWords: Int = 20): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        graft.ops.TextOps.langId(col("text")).as("lang_pred"),
+        graft.ops.TextOps.wordCount(col("text")).as("nw"))
+      .filter(col("lang_pred") === "en" && col("nw") >= minWords)
+      .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+      .dropDuplicates("fp")
+
   /** Stream-stream interval join: each purchase event enriched with the
     * same user's click events from the preceding hour. Both sides are
     * watermarked and the join carries an event-time range predicate, so

@@ -109,6 +109,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gates + fingerprint dedup match the batch pipeline's survivor set") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val q = EventStreams.curatedDocuments(EventStreams.readDocuments(spark, sf))
+      .select("fp")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curate_test")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-curate-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamedFps = spark.table("curate_test").collect().map(_.getString(0)).toSet
+      val batchFps = graft.queries.Tables.documents(spark, sf)
+        .select(col("text"),
+          graft.ops.TextOps.langId(col("text")).as("lang_pred"),
+          graft.ops.TextOps.wordCount(col("text")).as("nw"))
+        .filter(col("lang_pred") === "en" && col("nw") >= 20)
+        .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(batchFps.nonEmpty, "batch gates kept nothing — test data changed?")
+      assert(streamedFps == batchFps)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer runs and emits sessions on timeout-free drain") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, sf)
