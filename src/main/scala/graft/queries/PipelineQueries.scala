@@ -121,6 +121,28 @@ object PipelineQueries {
       |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
       |ORDER BY id""".stripMargin))
 
+  /** Same clustering task through the large-star/small-star alternation
+    * — the O(log²)-round high-diameter path; the oracle (and therefore
+    * the label semantics) is identical to dedup_cluster's min-label
+    * formulation. */
+  val dedupClusterStar: QueryDef = QueryDef(
+    "dedup_cluster_star",
+    (s, d) => Dedup.connectedComponentsStar(
+        Dedup.minhashLshPairs(docsWithDups(s, d), "doc_id", "text",
+          shingleN = 3, k = 8, rowsPerBand = 2),
+        "id_a", "id_b")
+      .orderBy("id"),
+    Some(s"""WITH RECURSIVE t AS ($docsWithDupsSql),
+      |$minhashPairsSql,
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      |  UNION
+      |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+      |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin))
+
   /** Exact n-gram Jaccard pairs >= 0.5 via inverted shingle index. */
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
@@ -733,7 +755,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
-    dedupMinhashLsh, dedupCluster,
+    dedupMinhashLsh, dedupCluster, dedupClusterStar,
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupEmbedding, sampleStratified,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8,
