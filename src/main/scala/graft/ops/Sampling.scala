@@ -20,6 +20,35 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
+  /** Weighted dataset mixing: keep each row of source s with probability
+    * `weights(s)` — the source-rebalancing step of a pretraining data
+    * recipe (downsample web crawl, keep books, etc.).
+    *
+    * The draw is a deterministic per-row Bernoulli: the row's 60-bit
+    * md5(id) prefix, scaled to [0,1), is compared against the source's
+    * weight. Row-LOCAL — no window, no shuffle, fuses with the scan —
+    * where [[stratifiedExact]] pays a stratum shuffle for exact counts;
+    * at 100 TB this is the difference between a filter and a sort. The
+    * same hash arithmetic is oracle-recomputable (KMV's convention: 15
+    * hex chars = 60 bits, exact in BIGINT; /2^60 is an exponent shift),
+    * so kept sets are byte-identical across engines, partitionings and
+    * runs. Counts are binomial around weight*|source|, not exact — use
+    * [[stratifiedExact]] when exact counts matter more than a
+    * shuffle-free plan.
+    *
+    * Sources absent from `weights` keep `defaultWeight` of their rows. */
+  def weightedBySource(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 0.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      "weights must be in [0, 1]")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2, 60))
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    df.filter(u < w)
+  }
+
   def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String,
       fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")

@@ -730,6 +730,29 @@ object PipelineQueries {
       |WHERE rn <= ceil(0.2 * n)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Weighted source mixing: deterministic per-row Bernoulli keep with
+    * per-source rates — row-local (no window, no shuffle; contrast
+    * sample_stratified's exact-count window). Rates cycle
+    * 1.0/0.5/0.25/0.1 over the 20 sources; the oracle re-derives the
+    * 60-bit md5 draw and the same CASE rate table. */
+  val sampleWeightedMix: QueryDef = {
+    val rates = (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4))
+    QueryDef(
+      "sample_weighted_mix",
+      (s, d) => graft.ops.Sampling.weightedBySource(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "source", "doc_id", rates.toMap)
+        .orderBy("doc_id"),
+      Some {
+        val cases = rates.map { case (src, w) => s"WHEN '$src' THEN $w" }.mkString(" ")
+        s"""SELECT doc_id, source FROM documents
+          |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |        / 1152921504606846976.0
+          |      < CASE source $cases ELSE 0.0 END
+          |ORDER BY doc_id""".stripMargin
+      })
+  }
+
   /** Corpus statistics: exact interpolated percentiles of document
     * length and token counts (distribution profiling for quality gates). */
   val textPercentiles: QueryDef = QueryDef(
@@ -757,7 +780,7 @@ object PipelineQueries {
     asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
     dedupMinhashLsh, dedupCluster, dedupClusterStar,
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
-    dedupEmbedding, sampleStratified,
+    dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8,
     textLangid, textQuality,
     textTokens, textFingerprint, textWordcount, textRepetition,
