@@ -250,6 +250,35 @@ object SurveyQueries {
        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
   }
 
+  /** Wide profiling gate: the reference's batched is-binary
+    * classification (§2.B17, ⌈N/500⌉ BigQuery round-trips there) at 1230
+    * columns — here ⌈1230/500⌉ = 3 single-pass conditional-aggregate
+    * jobs whose 1-row results cross-join back into one row. Exercises
+    * the wide-agg codegen path the WideSchemaSpec measures, under the
+    * value-level oracle. Columns are binary exactly when their generated
+    * modulus is 2 (values ⊆ {0,1} plus NULLs), which the oracle
+    * recomputes column-by-column. */
+  val profileBinaryWide: QueryDef = QueryDef(
+    "profile_binary_wide",
+    (s, d) => {
+      val df = wideSurvey(s, d)
+      val checks = df.schema.fieldNames.toSeq.map { c =>
+        val notBinary = !(col(c) === "0" || col(c) === "1" || col(c).isNull || col(c) === "")
+        (count(when(notBinary, lit(1))) === 0).as(c)
+      }
+      checks.grouped(500).map(b => df.agg(b.head, b.tail: _*))
+        .reduce(_.crossJoin(_))
+    },
+    Some {
+      def check(c: String) =
+        s"count(CASE WHEN NOT($c = '0' OR $c = '1' OR $c IS NULL OR $c = '') THEN 1 END) = 0 AS $c"
+      val exprs = ("Connect_ID" +: wideSrcs.map(_._1)).map(check)
+      s"""WITH s AS ($wideSurveySql)
+        |SELECT
+        |  ${exprs.mkString(",\n  ")}
+        |FROM s""".stripMargin
+    })
+
   /** clean_columns over a 1230-column survey schema: same operators as
     * `clean_columns`, at the width where codegen limits bite (Spark falls
     * back from whole-stage codegen past `spark.sql.codegen.maxFields`;
@@ -363,6 +392,6 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows,
-    profileBinary, profileFalseArray, mergeTableVersions,
+    profileBinary, profileBinaryWide, profileFalseArray, mergeTableVersions,
     mergeTableVersionsStrict, sensitiveTier)
 }
