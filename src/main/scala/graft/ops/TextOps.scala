@@ -227,6 +227,95 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Disjoint word-block segments of width `k` over normalized text: the
+    * dedup unit for segment-level (CCNet/RefinedWeb "line"-level) dedup
+    * when the corpus has no newlines. Block i is words [i*k, i*k+k) joined
+    * by a single space; the last block may be shorter. A production corpus
+    * with real line breaks would use `split(text, "\n")` as the unit
+    * instead — every consumer below is agnostic to how the segment column
+    * was produced. */
+  def wordSegments(c: Column, k: Int): Column = {
+    require(k >= 1, "segment width must be >= 1")
+    val w = words(c)
+    // ceil(size/k) in integer arithmetic; size >= 1 always (split of ""
+    // yields [""]), so the sequence bound never descends below 0
+    val nblocks = floor((size(w) + lit(k - 1)) / lit(k)).cast("int")
+    transform(sequence(lit(0), nblocks - 1), i =>
+      array_join(slice(w, i * k + 1, lit(k)), " "))
+  }
+
+  /** Segment-level dedup (the paragraph/line dedup of CCNet, RefinedWeb,
+    * Dolma): remove every segment that occurs in at least `minDocs`
+    * DISTINCT documents, then reassemble each document from its surviving
+    * segments (order and within-document repeats preserved).
+    *
+    * Scale shape: the frequent-segment set is, by construction, the small
+    * side — boilerplate repeated across >= minDocs documents — so it is
+    * aggregated once ((id, segment) distinct + count) and then collapsed
+    * to a ONE-ROW sorted array that broadcasts to every task. The 100 TB
+    * corpus itself never shuffles: removal + reassembly is a per-row
+    * `filter` against the broadcast array, fused into the scan. The
+    * explode feeding the frequency count carries only (id, segment)
+    * pairs, and its two aggregations combine map-side. This is the same
+    * probe-vs-corpus asymmetry as [[contaminationCounts]].
+    *
+    * Output: the input row with `textCol` rewritten and an appended
+    * `n_removed_segments` count. */
+  def removeFrequentSegments(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would delete every segment")
+    val segsExpr = wordSegments(col(textCol), k)
+    // helper names chosen collision-free against the input schema
+    def freshCol(base: String): String =
+      Iterator.from(0).map(i => s"__$base$i").filterNot(docs.columns.contains).next()
+    val (cBad, cSegs, cKept) = (freshCol("bad"), freshCol("segs"), freshCol("kept"))
+    val freq = docs.select(col(idCol).as("__id"), explode(segsExpr).as("seg"))
+      .distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+    val bad = freq.agg(sort_array(collect_list(col("seg"))).as(cBad))
+    val outCols = docs.columns.toSeq :+ "n_removed_segments"
+    docs.crossJoin(broadcast(bad))
+      .withColumn(cSegs, segsExpr)
+      .withColumn(cKept, filter(col(cSegs), x => !array_contains(col(cBad), x)))
+      .withColumn(textCol, array_join(col(cKept), " "))
+      .withColumn("n_removed_segments",
+        (size(col(cSegs)) - size(col(cKept))).cast(LongType))
+      .select(outCols.map(col): _*)
+  }
+
+  /** CCNet-style unigram rarity score per document, in integer arithmetic
+    * so every engine agrees digit-for-digit (ln() parity across engines is
+    * not guaranteed to the last ulp — same decision as the log-free
+    * tf-idf). Each token instance scores `(n_total_tokens * scale) div
+    * count(token)` — the scaled inverse corpus frequency — and a document
+    * reports the exact integer sum and its token count; the mean is one
+    * IEEE division at the boundary. High mean = rare-token-dense text
+    * (surprise under a unigram LM, up to the missing log).
+    *
+    * Scale shape: the vocabulary aggregation combines map-side (token
+    * count rows, not text, shuffle); the scored vocabulary joins back by
+    * BROADCAST — on a real corpus the broadcastable top-K vocabulary with
+    * an OOV default (`minCount` floor) is the standard CCNet trick, and
+    * OOV tokens take the rarity of a singleton. The per-document sum is
+    * the one corpus-order shuffle, carrying 16-byte (id, rarity) pairs. */
+  def unigramRarityScores(docs: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L, minCount: Long = 1L): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val vocab = counts.crossJoin(broadcast(total))
+      .select(col("w"), expr(s"(n_total * $scale) div c").as("r"))
+    toks.crossJoin(broadcast(total))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("r", coalesce(col("r"), col("n_total") * lit(scale)))
+      .groupBy(col("id"))
+      .agg(sum(col("r")).as("sum_rarity"), count(lit(1)).as("n_toks"))
+  }
+
   /** Winnowing-style robust fingerprint: minimum 64-bit hash over
     * character k-grams of the normalized text (k=8). Survives small edits
     * far from the minimal shingle — used for near-dup candidate keys.

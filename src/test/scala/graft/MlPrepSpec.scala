@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Behavioral pins for the ML-prep operators (segment dedup, unigram
+  * rarity); the registered queries pin the same code against DuckDB at
+  * corpus scale, these cover the edge semantics an oracle on real data
+  * never hits. */
+class MlPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordSegments: disjoint blocks, short trailing block, single-word text") {
+    val df = Seq("a b c d e f g", "a", "").toDF("text")
+      .select(TextOps.wordSegments(col("text"), 3).as("segs"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "d e f", "g"))
+    assert(got(1) == Seq("a"))
+    // normalize("") -> "" -> [""] -> one empty segment
+    assert(got(2) == Seq(""))
+  }
+
+  test("removeFrequentSegments strikes cross-document boilerplate, keeps order and in-doc repeats") {
+    val docs = Seq(
+      (1L, "foo bar baz alpha beta gamma foo bar baz"), // boilerplate, unique, boilerplate
+      (2L, "foo bar baz delta epsilon zeta"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    // k=3: "foo bar baz" is in docs 1+2; "delta epsilon zeta" is a full
+    // segment only in docs 2 (position 2) and 3 (position 1)
+    val out = TextOps.removeFrequentSegments(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .select("text", "n_removed_segments").as[(String, Long)].collect()
+    assert(out(0) == (("alpha beta gamma", 2L))) // both copies struck
+    assert(out(1) == (("", 2L)))                 // fully boilerplate -> empty
+    assert(out(2) == (("", 1L)))
+  }
+
+  test("removeFrequentSegments preserves non-text columns and picks collision-free helpers") {
+    val docs = Seq((1L, "a b c", "keep", 7), (2L, "a b c", "keep2", 8))
+      .toDF("doc_id", "text", "__bad0", "__segs0")
+    val out = TextOps.removeFrequentSegments(docs, "doc_id", "text", k = 3, minDocs = 2)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "__bad0", "__segs0", "n_removed_segments"))
+    val r = out.orderBy("doc_id").collect()
+    assert(r(0).getString(2) == "keep" && r(0).getInt(3) == 7)
+    assert(r(0).getString(1) == "" && r(0).getLong(4) == 1L)
+  }
+
+  test("unigramRarityScores: exact integer rarity sums; OOV takes the singleton default") {
+    // corpus: "a a a b" -> n_total=4; c(a)=3, c(b)=1
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextOps.unigramRarityScores(docs, "doc_id", "text", scale = 100L)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    // r(a) = 400 div 3 = 133; r(b) = 400 div 1 = 400
+    assert(got(0) == ((1L, 3 * 133L, 3L)))
+    assert(got(1) == ((2L, 400L, 1L)))
+
+    // minCount=2 drops b from the vocabulary; OOV default = n_total*scale
+    val oov = TextOps.unigramRarityScores(docs, "doc_id", "text", scale = 100L, minCount = 2L)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(oov(1) == ((2L, 400L, 1L))) // 4*100 = singleton rarity here
+    assert(oov(0) == ((1L, 3 * 133L, 3L)))
+  }
+}

@@ -84,4 +84,28 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("merge_table_versions")
     assert(nodes(p, "SortMergeJoin") == 2) // 3-way fold = 2 joins
   }
+
+  test("mix_domain_cap ranks through WindowGroupLimit (per-partition top-k heap, no full sort)") {
+    val p = plan("mix_domain_cap")
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+  }
+
+  test("dedup_segments: frequent set broadcasts; the corpus side never sort-merge joins") {
+    val p = plan("dedup_segments")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled into a join")
+    // the one-row frequent-segment array arrives by broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("text_unigram_lm joins its vocabulary by broadcast") {
+    val p = plan("text_unigram_lm")
+    assert(!p.contains("SortMergeJoin"), "vocabulary join shuffled the token stream")
+    assert(p.contains("BroadcastHashJoin"), "vocabulary not broadcast")
+  }
+
+  test("emb_zscore: per-dim stats join back by broadcast") {
+    val p = plan("emb_zscore")
+    assert(!p.contains("SortMergeJoin"), "stats join shuffled the corpus")
+    assert(p.contains("BroadcastHashJoin"), "stats not broadcast")
+  }
 }
