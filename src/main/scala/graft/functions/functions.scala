@@ -54,6 +54,14 @@ package object functions {
       .toAggregateExpression())
 
   // --- vectors
+  /** Exact integer dot product over micro-unit vectors ([[LongVectorDot]]). */
+  def long_dot(a: Column, b: Column): Column =
+    Bridge.column(LongVectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Exact integer squared L2 distance ([[LongVectorSqDist]]). */
+  def long_sqdist(a: Column, b: Column): Column =
+    Bridge.column(LongVectorSqDist(Bridge.expression(a), Bridge.expression(b)))
+
   /** Native codegen'd float-vector dot product ([[FloatVectorDot]]). */
   def float_dot(a: Column, b: Column): Column =
     Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))

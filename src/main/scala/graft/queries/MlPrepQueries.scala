@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,15 +21,13 @@ object MlPrepQueries {
     * over 3-word blocks — this corpus has no newlines): any segment
     * appearing in >= 2 distinct documents is boilerplate and is struck
     * from every document; documents are reassembled from the survivors.
-    * The frequent-segment set broadcasts as a one-row sorted array; the
-    * corpus never shuffles (per-row `filter` fused into the scan — see
+    * The frequent-segment set broadcasts as a hash set; the corpus never
+    * shuffles (one narrow typed rewrite pass fused with the scan — see
     * [[graft.ops.TextOps.removeFrequentSegments]] for the 100 TB shape). */
   val dedupSegments: QueryDef = QueryDef(
     "dedup_segments",
     (s, d) => TextOps.removeFrequentSegments(
         Tables.documents(s, d), "doc_id", "text", k = 3, minDocs = 2)
-      .select(col("doc_id"), col("text").as("deduped_text"),
-        col("n_removed_segments"))
       .orderBy("doc_id"),
     Some(s"""WITH w AS (
       |  SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM documents),
@@ -154,5 +153,169 @@ object MlPrepQueries {
       |FROM ex JOIN st USING (dim) WHERE vec_id % 25 = 0
       |ORDER BY vec_id, dim""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap, embZscore)
+  /** BM25 retrieval scoring: top-5 documents per query term, k1=1.2,
+    * b=0.75, with the log-free idf ratio (N - df + 0.5)/(df + 0.5) — the
+    * same cross-engine decision as tf-idf/unigram-LM (ln() ulp parity is
+    * not guaranteed; the ratio preserves BM25's ordering for a single
+    * term). Every model input (tf, df, dl, N, total words) is an exact
+    * integer; the score is one identical IEEE expression on both engines,
+    * so ranking order matches bit-for-bit. Corpus-scale shape: doc-length
+    * and tf aggregations combine map-side; df and the global stats are
+    * tiny and broadcast; ranking is per-term top-5 (WindowGroupLimit). */
+  val textBm25: QueryDef = QueryDef(
+    "text_bm25",
+    (s, d) => {
+      val terms = Seq("spark", "merge", "window")
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val dl = w.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("total_w"), count(lit(1)).as("n_docs"))
+      val tf = w.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = w.filter(col("w").isin(terms: _*))
+        .select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val D = (c: Column) => c.cast("double")
+      val idf = (D(col("n_docs")) - D(col("df")) + lit(0.5)) / (D(col("df")) + lit(0.5))
+      val avgdl = D(col("total_w")) / D(col("n_docs"))
+      val denom = D(col("tf")) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * D(col("dl")) / avgdl)
+      val score = idf * (D(col("tf")) * lit(2.2)) / denom
+      val win = Window.partitionBy(col("w"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      tf.join(dl, "doc_id").join(broadcast(dfreq), "w").crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("w").as("term"), col("rk"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("term", "rk")
+    },
+    Some(s"""WITH w AS (
+      |  SELECT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+      |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS total_w, count(*) AS n_docs FROM dl),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+      |       WHERE w IN ('spark', 'merge', 'window') GROUP BY doc_id, w),
+      |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM w
+      |          WHERE w IN ('spark', 'merge', 'window') GROUP BY w),
+      |scored AS (
+      |  SELECT tf.w, tf.doc_id,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |                  / (CAST(total_w AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w), stats),
+      |ranked AS (
+      |  SELECT w, doc_id, score,
+      |    row_number() OVER (PARTITION BY w ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM scored)
+      |SELECT w AS term, rk, doc_id, round(score, 4) AS score
+      |FROM ranked WHERE rk <= 5 ORDER BY term, rk""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Deterministic k-means + SemDeDup. The oracle replays the SAME unrolled
+  // Lloyd iterations in DuckDB — possible only because every assignment is
+  // exact integer arithmetic (see graft.ops.Clustering's recipe).
+  private val K = 8
+  private val Iters = 3
+
+  /** Micro-unit vector table CTE + seed centroids (c1) + `Iters` unrolled
+    * assign/update rounds; returns the WITH-clause body ending at the
+    * final assignment CTE `a$Iters`. `extraCtes` are injected first so a
+    * caller can cluster a derived corpus instead of the raw table. */
+  private def kmeansSql(extraCtes: String = "", source: String = "embeddings"): String = {
+    def assign(c: String): String =
+      s"""SELECT id, xm,
+         |    CAST(min(key) % $K AS BIGINT) AS cid,
+         |    CAST(min(key) // $K AS BIGINT) AS dist
+         |  FROM (
+         |    SELECT v.id, v.xm,
+         |      CAST(list_sum([(v.xm[i] - c.cm[i]) * (v.xm[i] - c.cm[i])
+         |                     for i in range(1, len(v.xm) + 1)]) AS BIGINT)
+         |        * $K + c.cid AS key
+         |    FROM v, $c c)
+         |  GROUP BY id, xm""".stripMargin
+    def update(a: String): String =
+      s"""SELECT cid, list(cm_j ORDER BY dim) AS cm
+         |  FROM (
+         |    SELECT cid, dim,
+         |      CAST(round(CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm_j
+         |    FROM (SELECT cid, generate_subscripts(xm, 1) AS dim, unnest(xm) AS vv FROM $a)
+         |    GROUP BY cid, dim)
+         |  GROUP BY cid""".stripMargin
+    val rounds = (2 to Iters).map(i =>
+      s"c$i AS (${update(s"a${i - 1}")}),\na$i AS (${assign(s"c$i")})").mkString(",\n")
+    s"""WITH ${extraCtes}v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+       |  FROM $source),
+       |c1 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, xm AS cm
+       |       FROM (SELECT id, xm FROM v ORDER BY id LIMIT $K)),
+       |a1 AS (${assign("c1")}),
+       |$rounds""".stripMargin
+  }
+
+  /** Distributed Lloyd's k-means (K=8, 3 rounds), bit-deterministic: the
+    * full final assignment with its exact integer squared distance. */
+  val clusterKmeans: QueryDef = QueryDef(
+    "cluster_kmeans",
+    (s, d) => graft.ops.Clustering.kmeansMicroAssign(
+        Tables.embeddings(s, d), "vec_id", "embedding", K, Iters)
+      .select(col("id").as("vec_id"), col("cid"), col("dist"))
+      .orderBy("vec_id"),
+    Some(s"""${kmeansSql()}
+      |SELECT id AS vec_id, cid, dist FROM a$Iters ORDER BY vec_id""".stripMargin))
+
+  /** SemDeDup: cluster the corpus, then within each cluster emit every
+    * embedding pair above cosine 0.95 via the exact-integer test
+    * (dot²·10⁶ > t²·‖a‖²·‖b‖² in 128-bit/DECIMAL(38)). Clusters bound
+    * the candidate pairs to Σ|cluster|² — the semantic analogue of the
+    * blocked fuzzy dedup's Σ|block|² argument. The corpus is embeddings ∪
+    * slightly-perturbed copies (the same synthesized near-dup corpus as
+    * dedup_embedding — the raw table has no high-cosine pairs). */
+  val dedupSemantic: QueryDef = QueryDef(
+    "dedup_semantic",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val perturbed = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      graft.ops.Clustering.semanticDupPairs(
+        emb.select(col("vec_id"), col("embedding")).union(perturbed),
+        "vec_id", "embedding", K, Iters, cosTimes1e3 = 950)
+      .orderBy("cid", "keep_id", "drop_id")
+    },
+    Some(s"""${kmeansSql(
+      extraCtes = """corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    [x * CAST(1.01 AS FLOAT) for x in embedding] AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |""".stripMargin,
+      source = "corpus")},
+      |n AS (
+      |  SELECT id, xm, cid,
+      |    CAST(list_sum([xm[i] * xm[i] for i in range(1, len(xm) + 1)]) AS BIGINT) AS n2
+      |  FROM a$Iters),
+      |pairs AS (
+      |  SELECT a.cid, a.id AS keep_id, b.id AS drop_id, a.n2 AS a_n2, b.n2 AS b_n2,
+      |    CAST(list_sum([a.xm[i] * b.xm[i]
+      |                   for i in range(1, len(a.xm) + 1)]) AS BIGINT) AS dot
+      |  FROM n a JOIN n b ON a.cid = b.cid AND a.id < b.id)
+      |SELECT cid, keep_id, drop_id FROM pairs
+      |WHERE dot > 0
+      |  AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 1000000 >
+      |      902500 * CAST(a_n2 AS HUGEINT) * CAST(b_n2 AS HUGEINT)
+      |ORDER BY cid, keep_id, drop_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
+    embZscore, textBm25, clusterKmeans, dedupSemantic)
 }

@@ -30,21 +30,28 @@ class MlPrepSpec extends SparkSpec {
     // segment only in docs 2 (position 2) and 3 (position 1)
     val out = TextOps.removeFrequentSegments(docs, "doc_id", "text", k = 3, minDocs = 2)
       .orderBy("doc_id")
-      .select("text", "n_removed_segments").as[(String, Long)].collect()
+      .select("deduped_text", "n_removed_segments").as[(String, Long)].collect()
     assert(out(0) == (("alpha beta gamma", 2L))) // both copies struck
     assert(out(1) == (("", 2L)))                 // fully boilerplate -> empty
     assert(out(2) == (("", 1L)))
   }
 
-  test("removeFrequentSegments preserves non-text columns and picks collision-free helpers") {
-    val docs = Seq((1L, "a b c", "keep", 7), (2L, "a b c", "keep2", 8))
-      .toDF("doc_id", "text", "__bad0", "__segs0")
+  test("removeFrequentSegments typed rewrite mirrors the declarative segmentation exactly") {
+    // messy text: punctuation, case, multi-space — the Scala normalize
+    // mirror must agree with wordSegments on the declarative side
+    val docs = Seq(
+      (1L, "Foo,  BAR! baz  qux"), (2L, "foo bar baz zap"), (3L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val declarativeSegs = docs
+      .select(col("doc_id"), TextOps.wordSegments(col("text"), 3).as("segs"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(declarativeSegs(0) == Seq("foo bar baz", "qux"))
     val out = TextOps.removeFrequentSegments(docs, "doc_id", "text", k = 3, minDocs = 2)
-    assert(out.columns.toSeq ==
-      Seq("doc_id", "text", "__bad0", "__segs0", "n_removed_segments"))
-    val r = out.orderBy("doc_id").collect()
-    assert(r(0).getString(2) == "keep" && r(0).getInt(3) == 7)
-    assert(r(0).getString(1) == "" && r(0).getLong(4) == 1L)
+      .orderBy("doc_id")
+      .select("deduped_text", "n_removed_segments").as[(String, Long)].collect()
+    assert(out(0) == (("qux", 1L))) // "foo bar baz" shared with doc 2
+    assert(out(1) == (("zap", 1L)))
+    assert(out(2) == (("unrelated text here", 0L)))
   }
 
   test("unigramRarityScores: exact integer rarity sums; OOV takes the singleton default") {

@@ -90,11 +90,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
   }
 
-  test("dedup_segments: frequent set broadcasts; the corpus side never sort-merge joins") {
+  test("dedup_segments rewrite is one narrow pass (no join; only the output sort exchanges)") {
     val p = plan("dedup_segments")
-    assert(!p.contains("SortMergeJoin"), "corpus shuffled into a join")
-    // the one-row frequent-segment array arrives by broadcast
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Join"), "corpus joined instead of broadcast-set rewrite")
+    assert(nodes(p, "Exchange") <= 1, "rewrite pass grew a shuffle beyond the final sort")
   }
 
   test("text_unigram_lm joins its vocabulary by broadcast") {
