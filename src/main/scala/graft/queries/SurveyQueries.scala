@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -361,6 +361,69 @@ object SurveyQueries {
       |FULL OUTER JOIN v1 ON v3.Connect_ID = v1.Connect_ID
       |ORDER BY CAST(COALESCE(v1.Connect_ID, v2.Connect_ID, v3.Connect_ID) AS BIGINT)""".stripMargin))
 
+  // ---- merge_table_versions_wide: the reference's ACTUAL workload shape —
+  // merging survey table versions with hundreds of shared columns. 400
+  // shared d_7xxxxxxx columns + one unique column per side; Spark
+  // derivation and oracle generated from the same spec (as with the other
+  // wide gates) so the sides cannot drift.
+
+  private val wideMergeN = 400
+
+  private def wideMergeVersions(s: SparkSession, d: String): Seq[DataFrame] = {
+    val k = col("o_orderkey")
+    val o = Tables.orders(s, d).filter(k % 10 === 0)
+    def side(keyPred: Column, nullMod: Int, valBase: Int, valSpan: Int, unique: String) =
+      o.filter(keyPred).select(
+        (k.cast(StringType).as("Connect_ID") +:
+          (0 until wideMergeN).map { i =>
+            when((k + lit(i)) % nullMod === 0, lit(null).cast(StringType))
+              .otherwise((k % (valBase + (i % valSpan))).cast(StringType))
+              .as(s"d_${700000000 + i}")
+          }) :+ (k % 13).cast(StringType).as(unique): _*)
+    Seq(
+      side(k % 3 =!= 0, nullMod = 7, valBase = 2, valSpan = 9, unique = "only_v1_wide"),
+      side(k % 3 =!= 1, nullMod = 5, valBase = 3, valSpan = 8, unique = "unique_v2_wide"))
+  }
+
+  private def wideMergeVersionSql(keyPred: String, nullMod: Int, valBase: Int,
+      valSpan: Int, unique: String): String = {
+    val cols = (0 until wideMergeN).map { i =>
+      s"CASE WHEN (o_orderkey + $i) % $nullMod = 0 THEN NULL " +
+        s"ELSE CAST(o_orderkey % ${valBase + (i % valSpan)} AS VARCHAR) END AS d_${700000000 + i}"
+    }
+    s"""SELECT CAST(o_orderkey AS VARCHAR) AS Connect_ID,
+       |  ${cols.mkString(",\n  ")},
+       |  CAST(o_orderkey % 13 AS VARCHAR) AS $unique
+       |FROM orders WHERE o_orderkey % 10 = 0 AND $keyPred""".stripMargin
+  }
+
+  /** Wide merge gate: the full-outer fold + 400-column case-insensitive
+    * coalesce at the width where the reference actually operates (its
+    * inputs are multi-thousand-column survey exports). One sort-merge
+    * join (full-outer can't broadcast), a single 400-coalesce Project on
+    * top — the same plan shape TableIOSpec proves goes exchange-free
+    * when the versions are pre-bucketed by Connect_ID. */
+  val mergeTableVersionsWide: QueryDef = QueryDef(
+    "merge_table_versions_wide",
+    (s, d) => MergeTableVersions(wideMergeVersions(s, d))
+      .orderBy(col("Connect_ID").cast("long")),
+    Some {
+      val coalesced = (0 until wideMergeN).map { i =>
+        val c = s"d_${700000000 + i}"
+        s"COALESCE(v1.$c, v2.$c) AS $c"
+      }
+      s"""WITH v1 AS (${wideMergeVersionSql("o_orderkey % 3 <> 0", 7, 2, 9, "only_v1_wide")}),
+        |v2 AS (${wideMergeVersionSql("o_orderkey % 3 <> 1", 5, 3, 8, "unique_v2_wide")})
+        |SELECT
+        |  COALESCE(v1.Connect_ID, v2.Connect_ID) AS Connect_ID,
+        |  ${coalesced.mkString(",\n  ")},
+        |  v1.only_v1_wide AS only_v1_wide,
+        |  v2.unique_v2_wide AS unique_v2_wide
+        |FROM v1
+        |FULL OUTER JOIN v2 ON v1.Connect_ID = v2.Connect_ID
+        |ORDER BY CAST(COALESCE(v1.Connect_ID, v2.Connect_ID) AS BIGINT)""".stripMargin
+    })
+
   // ---- sensitive tier: fixed 18-column projection over an orders-derived table
 
   val sensitiveTier: QueryDef = {
@@ -393,5 +456,5 @@ object SurveyQueries {
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows,
     profileBinary, profileBinaryWide, profileFalseArray, mergeTableVersions,
-    mergeTableVersionsStrict, sensitiveTier)
+    mergeTableVersionsStrict, mergeTableVersionsWide, sensitiveTier)
 }
