@@ -102,6 +102,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "vocabulary not broadcast")
   }
 
+  test("cluster_kmeans: every assignment round is a centroid broadcast, never a corpus shuffle join") {
+    val p = plan("cluster_kmeans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "k-means assignment shuffled the corpus into a join")
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroids not broadcast")
+  }
+
   test("emb_zscore: per-dim stats join back by broadcast") {
     val p = plan("emb_zscore")
     assert(!p.contains("SortMergeJoin"), "stats join shuffled the corpus")
