@@ -65,4 +65,27 @@ object Sampling {
       .filter(col("__rn") <= ceil(fracDec * col("__n")))
       .drop("__rn", "__n")
   }
+
+  /** Deterministic train/val/test assignment: the row's 60-bit md5(id)
+    * prefix mod 100 picks a percent bucket, and `cumShares` (ascending
+    * cumulative upper bounds, last = 100) names the split — e.g.
+    * `Seq("train" -> 90, "val" -> 95, "test" -> 100)`. Row-LOCAL (a
+    * projection, no shuffle, fuses with the scan) and stable across
+    * engines, partitionings, runs AND corpus growth: a document's split
+    * never changes when other documents are added — the property that
+    * keeps eval sets honest as a 100 TB corpus accretes, which no
+    * count-based split has. Same 60-bit arithmetic as
+    * [[weightedBySource]], so oracles recompute it exactly. */
+  def deterministicSplit(df: DataFrame, idCol: String, splitCol: String,
+      cumShares: Seq[(String, Int)]): DataFrame = {
+    require(cumShares.nonEmpty && cumShares.last._2 == 100 &&
+      cumShares.map(_._2) == cumShares.map(_._2).sorted,
+      "cumShares must be ascending cumulative percents ending at 100")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val split = cumShares.init.foldRight(lit(cumShares.last._1)) {
+      case ((name, upper), acc) => when(bucket < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, split)
+  }
 }

@@ -316,6 +316,62 @@ object MlPrepQueries {
       |      902500 * CAST(a_n2 AS HUGEINT) * CAST(b_n2 AS HUGEINT)
       |ORDER BY cid, keep_id, drop_id""".stripMargin))
 
+  /** Deterministic hash-based train/val/test split (90/5/5): per-source
+    * split sizes. The assignment is row-local 60-bit md5 arithmetic —
+    * stable across engines, partitionings AND corpus growth (a doc's
+    * split never moves when the corpus accretes), the property count-based
+    * splits lack. See [[graft.ops.Sampling.deterministicSplit]]. */
+  val sampleHashSplit: QueryDef = QueryDef(
+    "sample_hash_split",
+    (s, d) => graft.ops.Sampling.deterministicSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "split", Seq("train" -> 90, "val" -> 95, "test" -> 100))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split"),
+    Some("""SELECT source, split, count(*) AS n_docs FROM (
+      |  SELECT source,
+      |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT source,
+      |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |            % 100 AS b
+      |        FROM documents))
+      |GROUP BY source, split ORDER BY source, split""".stripMargin))
+
+  /** Sequence length bucketing for training batches: width-16 token
+    * buckets, per-bucket document count, token mass, and the padding
+    * fraction a pad-to-bucket-max batcher would waste. All-integer until
+    * the single boundary division. Row-local bucketing + one map-side
+    * combining aggregation — the 100 TB shape is a scan plus a 200-group
+    * shuffle. */
+  val packLengthBuckets: QueryDef = QueryDef(
+    "pack_length_buckets",
+    (s, d) => Tables.documents(s, d)
+      .select(TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("n_tokens div 16"))
+      .withColumn("cap", (col("bucket") + 1) * 16)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("cap") - col("n_tokens")).as("sum_padding"))
+      .withColumn("padding_frac",
+        round(col("sum_padding").cast("double") /
+          ((col("bucket") + 1) * 16 * col("n_docs")).cast("double"), 4))
+      .orderBy("bucket"),
+    Some("""WITH t AS (
+      |  SELECT CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT CAST(n_tokens // 16 AS BIGINT) AS bucket, n_tokens,
+      |    (CAST(n_tokens // 16 AS BIGINT) + 1) * 16 AS cap
+      |  FROM t)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(cap - n_tokens) AS BIGINT) AS sum_padding,
+      |  round(CAST(CAST(sum(cap - n_tokens) AS BIGINT) AS DOUBLE) /
+      |        CAST((bucket + 1) * 16 * count(*) AS DOUBLE), 4) AS padding_frac
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    embZscore, textBm25, clusterKmeans, dedupSemantic)
+    embZscore, textBm25, clusterKmeans, dedupSemantic, sampleHashSplit,
+    packLengthBuckets)
 }
