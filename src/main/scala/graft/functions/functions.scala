@@ -53,6 +53,13 @@ package object functions {
     Bridge.column(TopKPairs(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
 
+  /** One-pass exact Gram/covariance sums over `array<long>` vectors
+    * ([[LongGramMatrix]]): n, Σxᵢ, and upper-triangle Σxᵢxⱼ in a single
+    * mergeable buffer — covariance without exploding or self-joining the
+    * corpus. */
+  def long_gram_matrix(vec: Column, d: Int): Column =
+    Bridge.column(LongGramMatrix(Bridge.expression(vec), d).toAggregateExpression())
+
   // --- vectors
   /** Exact integer dot product over micro-unit vectors ([[LongVectorDot]]). */
   def long_dot(a: Column, b: Column): Column =

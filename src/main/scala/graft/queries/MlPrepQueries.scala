@@ -371,7 +371,54 @@ object MlPrepQueries {
       |        CAST((bucket + 1) * 16 * count(*) AS DOUBLE), 4) AS padding_frac
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** Full 64×64 covariance matrix of the embedding corpus (whitening /
+    * PCA prep) in ONE narrow pass: the [[graft.functions.LongGramMatrix]]
+    * aggregate accumulates n, Σxᵢ and upper-triangle Σxᵢxⱼ exactly in
+    * integer micro-units with map-side combine — the corpus is neither
+    * exploded nor self-joined (the oracle replays that d×-heavier
+    * formulation and must land on identical integers, partitioning-proof).
+    * Covariance is one identical IEEE expression at the boundary,
+    * rescaled to input units. */
+  val embCovariance: QueryDef = QueryDef(
+    "emb_covariance",
+    (s, d) => {
+      val gm = Tables.embeddings(s, d)
+        .select(graft.ops.Clustering.microVec(col("embedding")).as("xm"))
+        .agg(graft.functions.long_gram_matrix(col("xm"), 64).as("gm"))
+      val nD = col("gm.n").cast("double")
+      gm.select(col("gm"), explode(sequence(lit(1), lit(64))).as("i"))
+        .select(col("gm"), col("i"), explode(sequence(col("i"), lit(64))).as("j"))
+        .withColumn("idx",
+          expr("CAST((i-1)*64 - ((i-1)*(i-2)) div 2 + (j-i) + 1 AS INT)"))
+        .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+          round((element_at(col("gm.g"), col("idx")).cast("double") / nD
+            - (element_at(col("gm.s"), col("i")).cast("double") / nD)
+              * (element_at(col("gm.s"), col("j")).cast("double") / nD))
+            / lit(1.0e12), 6)
+            // + 0.0 canonicalizes IEEE -0.0 (DuckDB round keeps it,
+            // Spark's BigDecimal round does not)
+            .plus(lit(0.0)).as("cov"))
+        .orderBy("dim_i", "dim_j")
+    },
+    Some("""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, generate_subscripts(xm, 1) AS dim, unnest(xm) AS x FROM v),
+      |nv AS (SELECT count(*) AS n FROM v),
+      |g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) AS BIGINT) AS gij
+      |      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |      GROUP BY 1, 2),
+      |s AS (SELECT dim, CAST(sum(x) AS BIGINT) AS sd FROM ex GROUP BY dim)
+      |SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+      |  round((CAST(gij AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(sa.sd AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sb.sd AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / 1000000000000.0, 6) + 0.0 AS cov
+      |FROM g JOIN s sa ON g.i = sa.dim JOIN s sb ON g.j = sb.dim, nv
+      |ORDER BY dim_i, dim_j""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     embZscore, textBm25, clusterKmeans, dedupSemantic, sampleHashSplit,
-    packLengthBuckets)
+    packLengthBuckets, embCovariance)
 }

@@ -54,6 +54,24 @@ class MlPrepSpec extends SparkSpec {
     assert(out(2) == (("unrelated text here", 0L)))
   }
 
+  test("long_gram_matrix: partition-invariant and equal to the explode formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(graft.ops.Clustering.microVec(col("embedding")).as("xm"))
+    def gram(parts: Int) = emb.repartition(parts)
+      .agg(graft.functions.long_gram_matrix(col("xm"), 64).as("gm"))
+      .select("gm.n", "gm.s", "gm.g")
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    val (n, s, g) = gram(1)
+    assert(gram(13) == ((n, s, g)))
+    // spot-check against independently computed sums: dims 1x1, 1x2, 2x2
+    val ex = emb.select(posexplode(col("xm")).as(Seq("d", "x")))
+    val x1 = ex.filter(col("d") === 0).agg(sum("x"), sum(col("x") * col("x")))
+      .as[(Long, Long)].head()
+    assert(s.head == x1._1 && g.head == x1._2)
+    assert(n == emb.count())
+    assert(g.size == 64 * 65 / 2 && s.size == 64)
+  }
+
   test("unigramRarityScores: exact integer rarity sums; OOV takes the singleton default") {
     // corpus: "a a a b" -> n_total=4; c(a)=3, c(b)=1
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
