@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic PageRank over an edge table — the link-centrality score
+  * web-scale curation pipelines use as a document/domain quality prior
+  * (CommonCrawl-style URL ranking).
+  *
+  * Same cross-engine determinism ladder as [[Clustering]] and the CC in
+  * [[Dedup]]: ranks live in integer units of `scale` (default 1e12 = the
+  * whole probability mass), every per-edge contribution is an integer
+  * floor division `rank div out_degree`, and the damping update is
+  * `base + (85 · Σcontrib) div 100` — all order-free integer sums, so any
+  * engine replaying the same unrolled iterations lands on identical
+  * ranks, bit for bit. Dangling mass (nodes with no out-edges) is not
+  * redistributed — the classic power-iteration-on-the-link-matrix
+  * variant; document scores are used ordinally by quality gates, where
+  * the uniform dangling term cancels.
+  *
+  * Scale shape: one `distinct` for the node set, one degree aggregation,
+  * then per iteration: edges ⋈ ranks on src (both hash-partitioned on the
+  * same key — pre-partition + cache `edges` once to make every round's
+  * join exchange-free, as `Dedup.connectedComponents` does), a map-side
+  * combining sum by dst, and a left join back to the node set. Node count
+  * rides along as a broadcast one-row aggregate — no driver action. */
+object Graph {
+
+  def pagerankMicro(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val baseMass = scale * 15 / 100
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"$scale div n_nodes").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.crossJoin(broadcast(nn))
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          expr(s"($baseMass div n_nodes) + (85 * coalesce(s, 0L)) div 100").as("r"))
+    }
+    ranks
+  }
+}

@@ -155,6 +155,53 @@ object AnalyticsQueries {
       |SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, event_type, count(*) AS n_events
       |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
 
+  /** Deterministic PageRank (3 unrolled power iterations, damping 0.85,
+    * integer mass units of 1e12) over the bipartite customer→supplier
+    * order graph — the link-centrality quality prior of web curation
+    * pipelines, made bit-deterministic via [[graft.ops.Graph]]'s integer
+    * recipe so the DuckDB oracle replays the SAME iterations. Top-20
+    * nodes by rank, ties to the lower node id. */
+  val qPagerank: QueryDef = {
+    val iters = 3
+    val scale = 1000000000000L
+    val base = scale * 15 / 100
+    QueryDef(
+      "q_pagerank",
+      (s, d) => {
+        val e = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000).as("dst"))
+        graft.ops.Graph.pagerankMicro(e, iters, scale)
+          .orderBy(col("r").desc, col("node").asc).limit(20)
+          .select(col("node"), col("r").as("rank_micro"))
+      },
+      Some {
+        val rounds = (1 to iters).map { t =>
+          s"""r$t AS (
+             |  SELECT node,
+             |    CAST(($base // n) + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+             |  FROM nodes CROSS JOIN nn
+             |  LEFT JOIN (
+             |    SELECT dst, CAST(sum(CAST(r // d AS BIGINT)) AS BIGINT) AS s
+             |    FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+             |           JOIN deg ON e.src = deg.src
+             |    GROUP BY dst) c ON nodes.node = c.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+          |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST($scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+          |$rounds
+          |SELECT node, r AS rank_micro FROM r$iters
+          |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
-    qGroupPercentiles, qWindowSliding)
+    qGroupPercentiles, qWindowSliding, qPagerank)
 }

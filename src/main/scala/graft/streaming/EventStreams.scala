@@ -151,6 +151,17 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** Stream–static enrichment: every event joined to a static dimension
+    * by BROADCAST — the standard "decorate the firehose with reference
+    * data" shape. The static side is planned once per micro-batch as a
+    * broadcast hash join, so the unbounded stream side never shuffles and
+    * carries no state (contrast the stream-stream join above, which must
+    * buffer). Row-local operators compose here for free — the same
+    * deterministic md5 split/sampling/gating expressions used in batch
+    * run unchanged on a stream (they reference only the current row). */
+  def enrichedWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   final case class KmvUpdate(event_type: String, n_kept: Int, kth: Long, est: Double)
 
   /** Streaming cardinality via a KMV (bottom-k) sketch held in keyed

@@ -151,4 +151,33 @@ class StreamingSpec extends SparkSpec {
     val sessions = EventStreams.sessionize(streamEvents)
     assert(sessions.isStreaming)
   }
+
+  test("stream-static broadcast enrichment + row-local split equal their batch twins") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val enriched = EventStreams.enrichedWithDim(
+      EventStreams.readEvents(spark, sf), dim, "user_id")
+    // row-local ops compose on the stream unchanged: deterministic split
+    val split = graft.ops.Sampling.deterministicSplit(
+      enriched, "event_id", "split", Seq("train" -> 90, "test" -> 100))
+    val q = split.select("event_id", "segment", "split")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_test")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-enrich-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+      val batch = graft.ops.Sampling.deterministicSplit(
+          graft.queries.Tables.events(spark, sf).join(broadcast(dim), Seq("user_id"), "left"),
+          "event_id", "split", Seq("train" -> 90, "test" -> 100))
+        .select("event_id", "segment", "split").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
