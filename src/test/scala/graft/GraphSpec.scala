@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Pins for deterministic PageRank: partition invariance (the integer
+  * recipe's whole point), hand-checked ranks on a tiny graph, and mass
+  * conservation bounds. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank is bit-identical under any input partitioning") {
+    val edges = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .join(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000).as("dst"))
+    def run(parts: Int) =
+      Graph.pagerankMicro(edges.repartition(parts), iters = 3)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(run(1) == run(16))
+  }
+
+  test("hand-checked 3-node chain: a -> b -> c, c dangling") {
+    // scale 1000 for hand math: r0 = 333 each; base = 150 div 3 = 50
+    // r1(a) = 50; r1(b) = 50 + 85*333 div 100 = 50+283 = 333;
+    // r1(c) likewise 333 (from b), dangling c contributes nothing
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.pagerankMicro(e, iters = 1, scale = 1000L)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((1L, 50L), (2L, 333L), (3L, 333L)))
+    // total mass never exceeds the scale (floor divisions only lose mass)
+    val r3 = Graph.pagerankMicro(e, iters = 3, scale = 1000L)
+      .agg(sum("r")).as[Long].head()
+    assert(r3 > 0 && r3 <= 1000L)
+  }
+}
