@@ -202,6 +202,51 @@ object AnalyticsQueries {
       })
   }
 
+  /** Corpus drift monitor: total-variation distance between the source
+    * distributions of two corpus snapshots (here: even vs odd doc_id as
+    * the two "days"). Division-free interior — TV = Σ|nAs·NB − nBs·NA| /
+    * (2·NA·NB), so the sum is exact integer cross-multiplication and the
+    * single division happens once, identically, at the boundary. The
+    * pipeline alarm for "today's crawl mix shifted". Two map-side
+    * combining counts + a 20-row join — nothing at corpus scale moves
+    * twice. */
+  val qSourceDrift: QueryDef = QueryDef(
+    "q_source_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def counts(parity: Int, name: String) =
+        docs.filter(col("doc_id") % 2 === parity)
+          .groupBy(col("source")).agg(count(lit(1)).as(name))
+      val j = counts(0, "na").join(counts(1, "nb"), Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val tot = j.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      j.crossJoin(broadcast(tot))
+        .agg(
+          count(lit(1)).as("n_sources"),
+          max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("t"))
+        .select(col("n_sources"), col("n_a"), col("n_b"),
+          round(col("t").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("tv_distance"))
+    },
+    Some("""WITH a AS (
+      |  SELECT source, count(*) AS na FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+      |b AS (
+      |  SELECT source, count(*) AS nb FROM documents WHERE doc_id % 2 = 1 GROUP BY source),
+      |j AS (
+      |  SELECT COALESCE(a.source, b.source) AS source,
+      |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      |  FROM a FULL OUTER JOIN b ON a.source = b.source),
+      |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM j)
+      |SELECT count(*) AS n_sources,
+      |  max(ta) AS n_a, max(tb) AS n_b,
+      |  round(CAST(CAST(sum(abs(na * tb - nb * ta)) AS BIGINT) AS DOUBLE) /
+      |        (2.0 * CAST(max(ta) AS DOUBLE) * CAST(max(tb) AS DOUBLE)), 6) AS tv_distance
+      |FROM j, tot""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
-    qGroupPercentiles, qWindowSliding, qPagerank)
+    qGroupPercentiles, qWindowSliding, qPagerank, qSourceDrift)
 }

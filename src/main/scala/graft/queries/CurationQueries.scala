@@ -289,7 +289,90 @@ object CurationQueries {
         |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(packChunks, textContamination,
+  /** The full pretraining-corpus preparation chain in ONE dataflow —
+    * round 3's operators composed end-to-end under a single oracle:
+    * language+quality gates (row-local, fused with the scan) → segment-
+    * level boilerplate dedup (broadcast frequent-set, narrow rewrite;
+    * empty survivors dropped) → exact fingerprint dedup (one min_by
+    * shuffle) → deterministic 90/5/5 hash split (row-local) → per-split
+    * document and token totals. Two corpus shuffles end-to-end (the
+    * frequency count moves only (id, segment) pairs; the split and the
+    * gates move nothing). */
+  val pipelinePretrain: QueryDef = QueryDef(
+    "pipeline_pretrain",
+    (s, d) => {
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.wordCount(col("text")).as("nw"))
+        .filter(col("lang_pred") === "en" && col("nw") >= 20)
+        .select(col("doc_id"), col("text"))
+      val dd = TextOps.removeFrequentSegments(gated, "doc_id", "text", k = 3, minDocs = 2)
+        .filter(col("deduped_text") =!= "")
+      val survivors = dd
+        .groupBy(TextOps.fingerprint(col("deduped_text")).as("fp"))
+        .agg(min_by(struct(col("doc_id"), col("deduped_text")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.deduped_text").as("txt"))
+      graft.ops.Sampling.deterministicSplit(survivors, "doc_id", "split",
+          Seq("train" -> 90, "val" -> 95, "test" -> 100))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("txt")).cast("long")).as("sum_tokens"))
+        .orderBy("split")
+    },
+    Some {
+      def hits(l: String, ws: Seq[String]) =
+        s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS h_$l"
+      val en = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+      val es = Seq("el", "la", "de", "que", "los", "las", "una", "por")
+      val fr = Seq("le", "la", "les", "des", "est", "dans", "pour", "que")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+      s"""WITH words AS (
+        |  SELECT doc_id, $normalizeSql AS norm, string_split($normalizeSql, ' ') AS w
+        |  FROM documents),
+        |scoredl AS (
+        |  SELECT doc_id, norm, w,
+        |    CASE WHEN length(norm) = 0 THEN 0 ELSE len(w) END AS nw,
+        |    ${hits("de", de)}, ${hits("en", en)}, ${hits("es", es)}, ${hits("fr", fr)}
+        |  FROM words),
+        |gated AS (
+        |  SELECT doc_id, norm, w FROM (
+        |    SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM scoredl) t
+        |  WHERE best > 0 AND h_de <> best AND h_en = best AND nw >= 20),
+        |segs AS (
+        |  SELECT doc_id,
+        |    [array_to_string(w[(3*i+1):(3*i+3)], ' ')
+        |     for i in range(0, CAST(ceil(len(w) / 3.0) AS INT))] AS segs
+        |  FROM gated),
+        |e AS (SELECT DISTINCT doc_id, seg
+        |      FROM (SELECT doc_id, unnest(segs) AS seg FROM segs)),
+        |freq AS (SELECT seg FROM e GROUP BY seg HAVING count(*) >= 2),
+        |bad AS (SELECT coalesce(list(seg ORDER BY seg), []) AS bad FROM freq),
+        |dd AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(
+        |      list_filter(segs, x -> NOT list_contains(bad, x)), ' '), '') AS txt
+        |  FROM segs, bad),
+        |nonempty AS (SELECT doc_id, txt FROM dd WHERE txt <> ''),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT md5(txt) AS fp, doc_id FROM nonempty) g GROUP BY fp),
+        |survivors AS (
+        |  SELECT n.doc_id, n.txt FROM nonempty n JOIN keepers k ON n.doc_id = k.doc_id),
+        |labeled AS (
+        |  SELECT txt,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT txt,
+        |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |            % 100 AS b
+        |        FROM survivors))
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(txt, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+        |    AS sum_tokens
+        |FROM labeled GROUP BY split ORDER BY split""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qWindowRangeFrame,
     pipelineCurate)
 }
