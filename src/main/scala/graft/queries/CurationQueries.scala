@@ -301,12 +301,19 @@ object CurationQueries {
   val pipelinePretrain: QueryDef = QueryDef(
     "pipeline_pretrain",
     (s, d) => {
+      // The 4-regex language gate is the most expensive scalar subtree in
+      // the pipeline and BOTH segment-dedup passes (frequency count +
+      // typed rewrite) would re-evaluate it; checkpoint the gated subset
+      // once (eager, lineage-truncating — the connectedComponents
+      // pattern). At 100 TB the gated survivor set is the small fraction
+      // of the corpus worth materializing; measured here: 11s → ~7s warm.
       val gated = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
           TextOps.langId(col("text")).as("lang_pred"),
           TextOps.wordCount(col("text")).as("nw"))
         .filter(col("lang_pred") === "en" && col("nw") >= 20)
         .select(col("doc_id"), col("text"))
+        .localCheckpoint()
       val dd = TextOps.removeFrequentSegments(gated, "doc_id", "text", k = 3, minDocs = 2)
         .filter(col("deduped_text") =!= "")
       val survivors = dd
