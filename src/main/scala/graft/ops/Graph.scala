@@ -26,15 +26,24 @@ import org.apache.spark.sql.functions._
   * rides along as a broadcast one-row aggregate — no driver action. */
 object Graph {
 
+  /** `materialize = true` localCheckpoints the loop-invariant relations
+    * (edges, node set, degrees) once — the connectedComponents pattern —
+    * so each iteration re-reads cached blocks instead of re-deriving the
+    * edge list from its upstream plan. Worth it when the iteration count
+    * is deep or the edge list comes from an expensive join; at few
+    * iterations over a cheap scan the eager materialization jobs cost
+    * more than they save (measured at sf0.1: cold 4.4s lazy vs ~11s
+    * materialized, warm equal), so it defaults off. */
   def pagerankMicro(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, materialize: Boolean = false): DataFrame = {
     require(iters >= 1, "need iters >= 1")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val e = mat(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    val nodes = mat(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val deg = mat(e.groupBy(col("src")).agg(count(lit(1)).as("d")))
     val baseMass = scale * 15 / 100
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"$scale div n_nodes").as("r"))
