@@ -82,4 +82,42 @@ object TableIO {
   def replaceOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
   def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: x's bit i lands at position 2i, y's at
+    * 2i+1. Pure shift/mask/or expression tree — codegen'd, no UDF. */
+  def mortonCode(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.shiftleft
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    val terms =
+      (0 until bits).map(i => shiftleft(xl.bitwiseAND(1L << i), i)) ++
+        (0 until bits).map(i => shiftleft(yl.bitwiseAND(1L << i), i + 1))
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order-clustered overwrite: range-repartition + sort by the Morton
+    * code of TWO cluster keys, so every output file covers a compact
+    * rectangle of (x, y) space instead of a stripe of one key — min/max
+    * statistics then prune files and row groups for filters on EITHER
+    * dimension (the Delta/Iceberg OPTIMIZE ZORDER layout, built from
+    * Spark primitives). [[replaceClustered]] is the 1-D special case;
+    * locality of the 2-D layout is pinned by TableIOSpec (per-file
+    * bounding-box area ≪ a key-ordered layout's). */
+  def replaceZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val z = mortonCode(df(xCol), df(yCol), bits)
+    // collision-free helper name (the Skew/RangeJoin convention)
+    val zc = Iterator.from(0).map(i => s"__zorder$i")
+      .filterNot(df.columns.contains).next()
+    df.withColumn(zc, z)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
 }

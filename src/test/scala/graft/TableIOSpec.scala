@@ -106,4 +106,45 @@ class TableIOSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("morton code interleaves bits like the reference implementation") {
+    val s = spark
+    import s.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 511L), (65535L, 65535L))
+    val got = pts.toDF("x", "y")
+      .select(TableIO.mortonCode(col("x"), col("y"), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pts.map { case (x, y) => ref(x, y, 16) })
+  }
+
+  test("z-ordered write yields compact per-file 2-D bounding boxes (both dims prune)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/zorder"
+    // uniform 128x128 grid: 16384 points, two independent dimensions
+    val df = spark.range(16384).toDF("id")
+      .withColumn("x", col("id") % 128)
+      .withColumn("y", (col("id") / lit(128)).cast("long"))
+    TableIO.replaceZOrdered(df, dir, "x", "y", numFiles = 16, bits = 7)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 16384)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 4)
+    // per-file bounding boxes: a z-ordered layout keeps BOTH dimension
+    // spans small (~rectangles); a single-key clustering would span the
+    // full 0..127 range of the other dimension in every file. The whole
+    // grid has area 128*128; with n files, compact boxes average ~area/n.
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      (r.getLong(1) - r.getLong(0) + 1) * (r.getLong(3) - r.getLong(2) + 1)
+    }
+    val avgArea = boxes.sum.toDouble / boxes.length
+    val ideal = 128.0 * 128.0 / files.length
+    assert(avgArea <= 4 * ideal,
+      s"files are not 2-D local: avg box area $avgArea vs ideal $ideal")
+  }
 }
