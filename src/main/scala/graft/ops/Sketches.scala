@@ -96,6 +96,32 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** KMV union: the distinct-count estimate of A ∪ B from two
+    * INDEPENDENTLY built bottom-k sketches — union the two kept-hash
+    * sets, re-take the bottom k, same estimator. This is the property
+    * that makes sketches the 100 TB tool: per-shard/per-day sketches of
+    * ≤ k hashes merge associatively without revisiting the data, so a
+    * year's distinct-users query touches 365 sketch rows, not the
+    * corpus. Same md5 arithmetic as [[kmvDistinct]], so the whole merge
+    * is oracle-recomputable. */
+  def kmvUnionEstimate(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2)
+    def bottomK(df: DataFrame, c: String) = {
+      val h = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long")
+      df.select(h.as("h")).where(col("h").isNotNull).distinct()
+        .orderBy(col("h").asc).limit(k)
+    }
+    val scale = (k - 1).toDouble * math.pow(2, 60)
+    bottomK(a, aCol).union(bottomK(b, bCol)).distinct()
+      .orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .select(col("n_kept"), col("kth"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(scale) / col("kth").cast("double")), 2)
+          .as("est_distinct"))
+  }
+
   /** Count-min sketch over a column (frequency estimates; never
     * undercounts). */
   def countMinSketch(df: DataFrame, colName: String,

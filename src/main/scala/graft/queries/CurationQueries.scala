@@ -379,7 +379,43 @@ object CurationQueries {
         |FROM labeled GROUP BY split ORDER BY split""".stripMargin
     })
 
+  /** KMV sketch MERGE: the distinct-part estimate of two lineitem shards'
+    * union, built from two independently-computed bottom-256 sketches
+    * (the associative-merge property that lets per-shard/per-day sketches
+    * answer corpus-wide cardinality without re-touching data). The exact
+    * union distinct rides along for accuracy eyeballing; the oracle
+    * recomputes hash, both bottom-k selections, the merge, and the
+    * estimate arithmetic bit-identically. */
+  val sketchKmvUnion: QueryDef = QueryDef(
+    "sketch_kmv_union",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      Sketches.kmvUnionEstimate(
+          li.filter(col("l_orderkey") % 2 === 0), "l_partkey",
+          li.filter(col("l_orderkey") % 2 === 1), "l_partkey", k = 256)
+        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_distinct")))
+    },
+    Some("""WITH ha AS (
+      |  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem WHERE l_orderkey % 2 = 0),
+      |ba AS (SELECT h FROM ha ORDER BY h ASC LIMIT 256),
+      |hb AS (
+      |  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem WHERE l_orderkey % 2 = 1),
+      |bb AS (SELECT h FROM hb ORDER BY h ASC LIMIT 256),
+      |u AS (SELECT DISTINCT h FROM (SELECT h FROM ba UNION ALL SELECT h FROM bb)),
+      |bu AS (SELECT h FROM u ORDER BY h ASC LIMIT 256),
+      |st AS (SELECT count(*) AS n_kept, max(h) AS kth FROM bu),
+      |e AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+      |SELECT n_kept, kth,
+      |  round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+      |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth AS DOUBLE)
+      |    END, 2) AS est_distinct,
+      |  exact_distinct
+      |FROM st, e""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
+    sketchKmvUnion,
     sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qWindowRangeFrame,
     pipelineCurate)
 }

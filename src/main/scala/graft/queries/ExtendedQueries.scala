@@ -433,8 +433,36 @@ object ExtendedQueries {
       |      FROM orders WHERE o_orderkey % 1000 = 0) t
       |ORDER BY o_orderkey, part ASC NULLS LAST""".stripMargin))
 
+  /** Distribution-position window battery: ntile quartiles, percent_rank,
+    * cume_dist over a unique (price desc, key asc) order — the ranks are
+    * integer ratios recomputed with one IEEE division each, so the doubles
+    * match across engines. */
+  val qWindowNtile: QueryDef = QueryDef(
+    "q_window_ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price").desc, col("o_orderkey").asc)
+      Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(money).cast("double").as("price"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders WHERE o_orderkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) DESC,
+      |                      o_orderkey ASC)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets,
     qCube, qWindowLeadLag, qArrayFuncs, textTfidf, qUnpivot, qSetOpsAll,
     textRedact, qArgMinmax, qStringAgg, qTryFuncs, qWindowRankStats,
-    qNullSafeJoin, qMapFuncs, qExplodeOuter)
+    qNullSafeJoin, qMapFuncs, qExplodeOuter, qWindowNtile)
 }
