@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   * 64-bit integer arithmetic inside whole-stage codegen, and the two
   * large product sums are carried as hi/lo lanes split at 2^23 so each
   * lane's long sum stays exact to ~5e11 rows per group (≈100 TB of
-  * rows at TPC-H widths). The lanes recombine in DOUBLE as
+  * rows at TPC-H widths). Both lanes use FLOOR semantics — `shiftright`
+  * (arithmetic shift = floor division) for hi and `pmod` (non-negative
+  * remainder) for lo — so `hi * 2^23 + lo == p` holds for negative
+  * products too (x, y of opposite sign); a truncated `%` would break
+  * the identity by exactly one lane per negative product.
+  * The lanes recombine in DOUBLE as
   * `hi * 2^23 + lo`: both addends are exactly representable (lane sums
   * < 2^53; the 2^23 multiply only shifts the exponent), so the result
   * is the correctly-rounded double of the exact integer sum — any
@@ -58,9 +63,9 @@ object Stats {
         sum(col("__lx")).as("__sxl"), sum(col("__ly")).as("__syl"),
         sum(col("__lx") * col("__lx")).as("__sxxl"),
         sum(shiftright(col("__pyy"), 23)).as("__syy_hi"),
-        sum(col("__pyy") % Lane).as("__syy_lo"),
+        sum(pmod(col("__pyy"), lit(Lane))).as("__syy_lo"),
         sum(shiftright(col("__pxy"), 23)).as("__sxy_hi"),
-        sum(col("__pxy") % Lane).as("__sxy_lo"))
+        sum(pmod(col("__pxy"), lit(Lane))).as("__sxy_lo"))
       .select(groupCols.map(col) ++ Seq(
         col("n"),
         (dbl("__sxl") / f).as("sx"), (dbl("__syl") / f).as("sy"),

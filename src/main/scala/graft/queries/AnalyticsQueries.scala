@@ -24,7 +24,14 @@ object AnalyticsQueries {
     * associative; integer power sums are.
     *
     * The two large product sums (Σy², Σxy) are carried as hi/lo 64-bit
-    * lanes split at 2^23 (`p // 2^23` and `p % 2^23`), then recombined
+    * lanes split at 2^23. The lane conventions differ per engine —
+    * Spark uses floor-div `shiftright` + non-negative `pmod`; DuckDB's
+    * `//` and `%` are BOTH truncating (probed: `-7 // 2 = -3`) — but
+    * each is a consistent decomposition `p = hi*2^23 + lo`, and two
+    * exact decompositions of the same integer sum recombine (one exact
+    * shift, one rounding add) to the same correctly-rounded double, so
+    * the hash gate holds even with negative products. They are then
+    * recombined
     * in DOUBLE with the identical IEEE expression on both engines:
     * each lane sum stays exact in a long up to ~5e11 rows per group
     * (≈100 TB of lineitem), and both engines convert each lane with a

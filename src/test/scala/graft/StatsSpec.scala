@@ -47,6 +47,35 @@ class StatsSpec extends SparkSpec {
     assert(bits(1) == bits(7) && bits(7) == bits(32))
   }
 
+  test("moments are exact for negative products (floor hi + pmod lo lanes)") {
+    // x and y of opposite sign make every per-row product negative — the
+    // case a truncated `%` lane would mis-decompose by one Lane per row.
+    val s = spark
+    import s.implicits._
+    val df = (1 to 4000).map { i =>
+      val sign = if (i % 2 == 0) 1 else -1
+      ("g" + (i % 2),
+        sign * ((i % 89) + (i % 100) / 100.0),
+        -sign * (((i * 53) % 7919) + (i % 10) / 10.0))
+    }.toDF("g", "x", "y").repartition(8)
+    val got = Stats.moments(df, Seq("g"), "x", "y", scale = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rows = df.collect().map(r => (r.getString(0),
+      BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+      BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    for (g <- rows.map(_._1).distinct) {
+      val xs = rows.filter(_._1 == g)
+      val r = got(g)
+      assert(r.getDouble(5) == xs.map(t => t._3 * t._3).sum.toDouble, s"syy $g")
+      assert(r.getDouble(6) == xs.map(t => t._2 * t._3).sum.toDouble, s"sxy $g")
+    }
+    // and still partition-invariant with negatives in play
+    def bits(parts: Int) = Stats.moments(df.repartition(parts), Seq("g"), "x", "y", 2)
+      .orderBy("g").collect().toSeq.map(r =>
+        (2 to 6).map(i => java.lang.Double.doubleToLongBits(r.getDouble(i))))
+    assert(bits(1) == bits(13))
+  }
+
   test("derived stddev/corr match the built-ins to float tolerance") {
     val df = fixture(4)
     val m = Stats.moments(df, Seq("g"), "x", "y", scale = 2)
