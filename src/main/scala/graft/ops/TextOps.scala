@@ -250,45 +250,75 @@ object TextOps {
     * segments (order and within-document repeats preserved).
     *
     * Scale shape: the frequency count explodes only (id, segment) pairs
-    * and combines map-side; the frequent-segment set — by construction
-    * the small side, it is cross-document BOILERPLATE — is collected and
-    * broadcast as a hash set (the same bounded driver boundary as
-    * building a broadcast bloom filter in [[Sketches]]). The rewrite is
-    * then one NARROW typed pass over the corpus with O(1) membership per
-    * segment — zero shuffles, fused with the scan. The first, fully
-    * declarative formulation (one-row broadcast array + per-row
-    * `filter(..., array_contains)`) was measured 103s at sf0.1: 23k
-    * frequent segments × 300k corpus segments of interpreted linear
-    * scanning — the broadcast-set typed pass is the same boundary
-    * decision as [[wordShingleRows]], for the same reason.
+    * and combines map-side. The frequent-segment set is usually small
+    * (cross-document BOILERPLATE), but it is DATA-DEPENDENT — a web-scale
+    * corpus can have billions of segments shared by >= minDocs docs — so
+    * the driver-side collect is BOUNDED by `maxBroadcastSegments`:
+    *
+    *  - |frequent| <= maxBroadcastSegments (the common case): collect +
+    *    broadcast as an O(1) hash set, then ONE narrow typed pass over
+    *    the corpus — zero shuffles, fused with the scan. (The fully
+    *    declarative one-row-array + `array_contains` form was measured
+    *    103s at sf0.1 vs 4.8s for this pass — interpreted linear scans.)
+    *  - otherwise: automatic fallback to a distributed rewrite — segments
+    *    posexplode with their position, a shuffle hash join against the
+    *    frequent set marks boilerplate, and each document reassembles
+    *    from its kept (pos, seg) pairs. One corpus shuffle instead of a
+    *    driver OOM; byte-identical output (pinned in MlPrepSpec at the
+    *    cap boundary).
+    *
+    * The bound probe costs one extra `limit(cap+1)` collect only in the
+    * fallback case; in the common case the collected rows ARE the set.
     *
     * Output: (`idCol`, deduped_text, n_removed_segments); an entirely
     * boilerplate document comes back as the empty string, not null. */
   def removeFrequentSegments(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minDocs: Int): DataFrame = {
+      k: Int, minDocs: Int, maxBroadcastSegments: Int = 1 << 20): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would delete every segment")
     require(k >= 1, "segment width must be >= 1")
+    require(maxBroadcastSegments >= 0, "maxBroadcastSegments must be >= 0")
     val spark = docs.sparkSession
     import spark.implicits._
     val freq = docs.select(col(idCol).as("__id"), explode(wordSegments(col(textCol), k)).as("seg"))
       .distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
-    // bounded small-side collect: only boilerplate shared by >= minDocs
-    // docs survives the HAVING — broadcast it as an O(1) hash set
-    val bc = spark.sparkContext.broadcast(
-      freq.select(col("seg")).as[String].collect().toSet)
-    docs.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        // mirrors normalize()/wordSegments() exactly — equivalence pinned
-        // by the dedup_segments oracle and MlPrepSpec
-        val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
-        val segs = norm.split(" ", -1).grouped(k).map(_.mkString(" ")).toArray
-        val kept = segs.filterNot(bc.value.contains)
-        (id, kept.mkString(" "), (segs.length - kept.length).toLong)
-      }.toDF(idCol, "deduped_text", "n_removed_segments")
+    // bounded probe: fetch at most cap+1 segments — membership is set
+    // semantics, so WHICH rows limit() returns only matters when the set
+    // overflows the cap, and then none of them are used
+    val probe = freq.select(col("seg")).limit(maxBroadcastSegments + 1)
+      .as[String].collect()
+    if (probe.length <= maxBroadcastSegments) {
+      val bc = spark.sparkContext.broadcast(probe.toSet)
+      docs.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          // mirrors normalize()/wordSegments() exactly — equivalence pinned
+          // by the dedup_segments oracle and MlPrepSpec
+          val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val segs = norm.split(" ", -1).grouped(k).map(_.mkString(" ")).toArray
+          val kept = segs.filterNot(bc.value.contains)
+          (id, kept.mkString(" "), (segs.length - kept.length).toLong)
+        }.toDF(idCol, "deduped_text", "n_removed_segments")
+    } else {
+      // frequent set exceeds the broadcast budget: distributed rewrite.
+      // The corpus pays one shuffle (the join on seg) + one group-by id;
+      // the driver holds nothing.
+      val segs = docs.select(col(idCol).cast(LongType).as("id"),
+          posexplode(wordSegments(coalesce(col(textCol), lit("")), k)).as(Seq("pos", "seg")))
+      val marked = segs.join(
+        freq.select(col("seg"), lit(true).as("__bad")).hint("shuffle_hash"),
+        Seq("seg"), "left")
+      marked.groupBy(col("id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("__bad").isNull,
+              struct(col("pos"), col("seg"))))),
+            s => s.getField("seg")), " ").as("deduped_text"),
+          count(col("__bad")).as("n_removed_segments"))
+        .withColumnRenamed("id", idCol)
+    }
   }
 
   /** CCNet-style unigram rarity score per document, in integer arithmetic
@@ -302,17 +332,25 @@ object TextOps {
     *
     * Scale shape: the vocabulary aggregation combines map-side (token
     * count rows, not text, shuffle); the scored vocabulary joins back by
-    * BROADCAST — on a real corpus the broadcastable top-K vocabulary with
-    * an OOV default (`minCount` floor) is the standard CCNet trick, and
-    * OOV tokens take the rarity of a singleton. The per-document sum is
-    * the one corpus-order shuffle, carrying 16-byte (id, rarity) pairs. */
+    * BROADCAST, and the broadcast is BOUNDED BY CONSTRUCTION: the
+    * vocabulary is capped to the `maxVocab` most frequent tokens
+    * (TakeOrdered on (count desc, token asc) — deterministic under ties)
+    * — the standard CCNet trick. On a web corpus the full vocabulary is
+    * billions of rows and an uncapped broadcast fails outright; with the
+    * cap, every out-of-vocabulary token (rare by construction) takes the
+    * rarity of a singleton, exactly like tokens dropped by the
+    * `minCount` floor. The per-document sum is the one corpus-order
+    * shuffle, carrying 16-byte (id, rarity) pairs. */
   def unigramRarityScores(docs: DataFrame, idCol: String, textCol: String,
-      scale: Long = 1000000L, minCount: Long = 1L): DataFrame = {
+      scale: Long = 1000000L, minCount: Long = 1L,
+      maxVocab: Int = 4 << 20): DataFrame = {
+    require(maxVocab >= 1, "maxVocab must be >= 1")
     val toks = docs
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w").asc).limit(maxVocab)
     val total = toks.agg(count(lit(1)).as("n_total"))
     val vocab = counts.crossJoin(broadcast(total))
       .select(col("w"), expr(s"(n_total * $scale) div c").as("r"))

@@ -55,13 +55,22 @@ object MlPrepQueries {
     * integers per document; the mean is the single boundary division.
     * Rare-token-dense documents score high — the gate a pretraining
     * pipeline uses to drop gibberish (too high) or boilerplate (too
-    * low). */
+    * low). The vocabulary broadcast is capped at the top-20 tokens by
+    * (count desc, token asc) — smaller than this corpus's 31-word
+    * vocabulary, so the out-of-vocabulary singleton-rarity path is
+    * exercised by the gate, not just by specs. */
   val textUnigramLm: QueryDef = QueryDef(
     "text_unigram_lm",
-    (s, d) => TextOps.unigramRarityScores(Tables.documents(s, d), "doc_id", "text")
+    (s, d) => TextOps.unigramRarityScores(Tables.documents(s, d), "doc_id", "text",
+        maxVocab = 20)
       .select(col("id").as("doc_id"), col("n_toks"),
         col("sum_rarity"),
-        round(col("sum_rarity").cast("double") / col("n_toks").cast("double"), 4)
+        // mean in integer 1e-4 units + ONE boundary division: round(x, 4)
+        // on a double is NOT cross-engine stable (Spark rounds the
+        // shortest decimal repr, DuckDB the exact binary expansion — they
+        // disagree when the shortest repr lands on a half boundary, hit
+        // at sf0.01 row doc_id=451)
+        (expr("(sum_rarity * 10000) div n_toks").cast("double") / lit(10000.0))
           .as("mean_rarity"))
       .orderBy("doc_id"),
     Some(s"""WITH toks AS (
@@ -69,17 +78,19 @@ object MlPrepQueries {
       |  FROM (SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
       |        FROM documents)
       |  WHERE length(w) > 0),
-      |counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+      |counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w
+      |           ORDER BY c DESC, w ASC LIMIT 20),
       |total AS (SELECT count(*) AS n_total FROM toks),
       |vocab AS (
       |  SELECT w, CAST((n_total * 1000000) // c AS BIGINT) AS r
       |  FROM counts, total),
       |scored AS (
-      |  SELECT doc_id, CAST(sum(r) AS BIGINT) AS sum_rarity,
+      |  SELECT doc_id,
+      |    CAST(sum(coalesce(r, n_total * 1000000)) AS BIGINT) AS sum_rarity,
       |    count(*) AS n_toks
-      |  FROM toks JOIN vocab USING (w) GROUP BY doc_id)
+      |  FROM toks LEFT JOIN vocab USING (w) CROSS JOIN total GROUP BY doc_id)
       |SELECT doc_id, n_toks, sum_rarity,
-      |  round(CAST(sum_rarity AS DOUBLE) / CAST(n_toks AS DOUBLE), 4) AS mean_rarity
+      |  CAST((sum_rarity * 10000) // n_toks AS DOUBLE) / 10000.0 AS mean_rarity
       |FROM scored ORDER BY doc_id""".stripMargin))
 
   /** Per-source document cap (domain balancing): keep the 5 largest

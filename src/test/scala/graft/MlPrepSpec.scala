@@ -54,6 +54,45 @@ class MlPrepSpec extends SparkSpec {
     assert(out(2) == (("unrelated text here", 0L)))
   }
 
+  test("removeFrequentSegments: distributed fallback above the broadcast cap is byte-identical") {
+    // 3 frequent segments; cap=2 forces the shuffle-join rewrite, cap=3
+    // stays on the broadcast-set narrow pass — output must not change.
+    val docs = Seq(
+      (1L, "foo bar baz alpha beta gamma delta epsilon zeta one two three"),
+      (2L, "foo bar baz delta epsilon zeta keep me here alpha beta gamma"),
+      (3L, "alpha beta gamma unique stuff only foo bar baz")).toDF("doc_id", "text")
+    def run(cap: Int) = TextOps.removeFrequentSegments(
+        docs, "doc_id", "text", k = 3, minDocs = 2, maxBroadcastSegments = cap)
+      .orderBy("doc_id")
+      .select("doc_id", "deduped_text", "n_removed_segments")
+      .as[(Long, String, Long)].collect().toSeq
+    val broadcastPath = run(3)   // at the cap: still broadcast
+    val joinPath = run(2)        // above the cap: distributed rewrite
+    assert(broadcastPath == joinPath)
+    assert(broadcastPath.map(_._3) == Seq(3L, 3L, 2L)) // the frequent 3 struck
+    // schema parity between the two paths (driver gate hashes by name)
+    assert(run(0).map(_._1) == Seq(1L, 2L, 3L)) // cap 0 -> always fallback
+  }
+
+  test("unigramRarityScores: maxVocab caps the broadcast; OOV under the cap scores as singleton") {
+    // c(a)=3, c(b)=2, c(z)=1, n_total=6; maxVocab=2 keeps {a,b} (count
+    // desc, token asc), z becomes OOV -> rarity n_total*scale
+    val docs = Seq((1L, "a a a b"), (2L, "b z")).toDF("doc_id", "text")
+    val got = TextOps.unigramRarityScores(docs, "doc_id", "text", scale = 100L,
+        maxVocab = 2)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    // r(a) = 600 div 3 = 200; r(b) = 600 div 2 = 300; r(z OOV) = 600*100? no:
+    // OOV default = n_total * scale = 600
+    assert(got(0) == ((1L, 3 * 200L + 300L, 4L)))
+    assert(got(1) == ((2L, 300L + 600L, 2L)))
+    // tie-break under ties: c(x)=c(y)=1 -> cap 1 keeps x (token asc)
+    val ties = Seq((1L, "x y")).toDF("doc_id", "text")
+    val t = TextOps.unigramRarityScores(ties, "doc_id", "text", scale = 100L,
+        maxVocab = 1).orderBy("id").as[(Long, Long, Long)].collect()
+    // r(x) = 200 div 1 = 200; y OOV = 200
+    assert(t(0) == ((1L, 400L, 2L)))
+  }
+
   test("long_gram_matrix: partition-invariant and equal to the explode formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(graft.ops.Clustering.microVec(col("embedding")).as("xm"))
