@@ -18,9 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the HOF formulation (`aggregate(zip_with(...))`) evaluates interpreted;
   * these compile to a primitive loop inside whole-stage codegen.
   *
-  * Overflow contract (unchecked 64-bit): |element| must stay ≤ ~3e8 for a
-  * 64-dim squared sum to fit a long with headroom — micro-unit embeddings
-  * (|x| ≤ ~1e3 → 1e9 units) satisfy this by construction.
+  * Overflow contract (unchecked 64-bit), per operator at d dims:
+  *  - dot:    d·m² ≤ 2^63 → |element| m ≤ sqrt(9.2e18/d)  (~3.8e8 at d=64)
+  *  - sqdist: d·(2m)² ≤ 2^63 → m ≤ sqrt(9.2e18/d)/2       (~1.9e8 at d=64)
+  * (A packed argmin key multiplies the sqdist headroom by k on top —
+  * [[LongVectorArgminKey]] documents AND checks that tighter bound.)
+  * Micro-unit embeddings (|x| ≤ ~1e3 → ≤ 1e9 micro-units only if the
+  * value range is that large; unit-norm embeddings are ≤ ~1e6 units)
+  * must be scaled so m respects the d-dependent bound — at 1e6 units the
+  * margin is >100x for d=64.
   */
 abstract class LongVectorBinary extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

@@ -69,6 +69,14 @@ package object functions {
   def long_sqdist(a: Column, b: Column): Column =
     Bridge.column(LongVectorSqDist(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Row-local nearest-centroid packed argmin key
+    * ([[LongVectorArgminKey]]): `min_i(sqdist(vec, centroid_i)*k + cid_i)`
+    * over a broadcast flattened centroid matrix — the zero-shuffle k-means
+    * assignment kernel. */
+  def long_argmin_key(vec: Column, cmat: Column, cids: Column, k: Int): Column =
+    Bridge.column(LongVectorArgminKey(Bridge.expression(vec),
+      Bridge.expression(cmat), Bridge.expression(cids), k))
+
   /** Native codegen'd float-vector dot product ([[FloatVectorDot]]). */
   def float_dot(a: Column, b: Column): Column =
     Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))

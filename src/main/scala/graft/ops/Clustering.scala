@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{long_dot, long_sqdist}
+import graft.functions.long_dot
 
 /** Deterministic distributed clustering over embedding columns: exact
   * integer k-means (Lloyd's) and SemDeDup-style within-cluster semantic
@@ -56,14 +56,29 @@ object Clustering {
   }
 
   /** One assignment round: nearest centroid by exact integer distance,
-    * ties to the lowest cid via the packed (dist·k + cid) scalar key. */
-  private def assignStep(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("key", long_sqdist(col("xm"), col("cm")) * k + col("cid"))
-      .groupBy(col("id"), col("xm"))
-      .agg(min(col("key")).as("key"))
+    * ties to the lowest cid via the packed (dist·k + cid) scalar key.
+    *
+    * ZERO corpus shuffle: the surviving centroids fold into a ONE-ROW
+    * frame (cid-sorted parallel arrays: flattened k·d matrix + cids) that
+    * broadcasts to every task, and the argmin is computed row-locally by
+    * the codegen'd [[graft.functions.LongVectorArgminKey]] kernel. The
+    * previous formulation (crossJoin(broadcast(centroids)) then
+    * `groupBy(id, xm).agg(min(key))`) carried every vector through a
+    * corpus-wide shuffle per iteration — same integers, wrong plan at
+    * 100 TB. Packed-key overflow throws (see the kernel's bound) instead
+    * of silently wrapping. Pinned exchange-free in PlanAuditSpec. */
+  private def assignStep(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val packed = centroids
+      .agg(sort_array(collect_list(struct(col("cid"), col("cm")))).as("cs"))
+      .select(
+        transform(col("cs"), s => s.getField("cid")).as("cids"),
+        flatten(transform(col("cs"), s => s.getField("cm"))).as("cmat"))
+    vecs.crossJoin(broadcast(packed))
+      .withColumn("key",
+        graft.functions.long_argmin_key(col("xm"), col("cmat"), col("cids"), k))
       .select(col("id"), col("xm"), (col("key") % k).as("cid"),
         expr(s"key div $k").as("dist"))
+  }
 
   /** One centroid update: per-dimension exact integer sums, then
     * round(mean) back to micro-units (one IEEE division per dimension). */

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{cosine_similarity, float_dot, md5_hash64, vector_norm}
+import graft.functions.{cosine_similarity, float_dot, long_argmin_key, md5_hash64, vector_norm}
 import graft.ops.Similarity
 
 /** The native FloatVectorDot expression: value parity with the
@@ -68,6 +68,41 @@ class FunctionsSpec extends SparkSpec {
       val interp = df.select(vector_norm(col("a"))).collect().map(_.getDouble(0))
       assert(interp.sameElements(expected))
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("long_argmin_key: matches the per-centroid formulation, codegen and interpreted; overflow throws") {
+    val s = spark
+    import s.implicits._
+    // vectors + 3 centroids in 2-D; k=4 packing
+    val df = Seq(
+      (1L, Seq(0L, 0L)), (2L, Seq(10L, 10L)), (3L, Seq(-5L, 3L)))
+      .toDF("id", "xm")
+      .withColumn("cids", typedLit(Seq(0L, 1L, 2L)))
+      .withColumn("cmat", typedLit(Seq(0L, 0L, 10L, 9L, -6L, 2L)))
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), long_argmin_key(col("xm"), col("cmat"), col("cids"), 4).as("k"))
+      .orderBy("id").collect().map(_.getLong(1))
+    // reference by hand: id1 -> c0 d=0 key=0*4+0=0; id2 -> c1 d=0+1 key=5;
+    // id3 -> c2 d=1+1 key=2*4+2=10
+    val expected = Array(0L, 5L, 10L)
+    assert(keys(df).sameElements(expected))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(keys(df).sameElements(expected))
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // ties break to the lowest cid: equidistant centroids
+    val tie = Seq((1L, Seq(0L))).toDF("id", "xm")
+      .withColumn("cids", typedLit(Seq(0L, 1L)))
+      .withColumn("cmat", typedLit(Seq(2L, -2L)))
+    assert(tie.select(long_argmin_key(col("xm"), col("cmat"), col("cids"), 2))
+      .head().getLong(0) == 4L * 2L + 0L)
+    // packed-key overflow must throw, not wrap: sqdist ~ (3e9)^2 > bound
+    val big = Seq((1L, Seq(3000000000L))).toDF("id", "xm")
+      .withColumn("cids", typedLit(Seq(0L)))
+      .withColumn("cmat", typedLit(Seq(-3000000000L)))
+    val e = intercept[Exception] {
+      big.select(long_argmin_key(col("xm"), col("cmat"), col("cids"), 8)).head()
+    }
+    assert(e.getMessage != null)
   }
 
   test("md5_hash64 equals the hex-prefix parse of builtin md5, codegen and interpreted") {

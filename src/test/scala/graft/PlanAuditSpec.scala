@@ -109,6 +109,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), "centroids not broadcast")
   }
 
+  test("cluster_kmeans assignment is exchange-free per round (row-local argmin kernel)") {
+    val p = plan("cluster_kmeans")
+    assert(p.contains("long_vector_argmin_key"), "argmin kernel missing from plan")
+    // the old formulation re-aggregated the packed key per vector, which
+    // shuffled the corpus on (id, xm) every iteration
+    assert(!p.contains("hashpartitioning(id"),
+      "assignment shuffles the corpus on the vector id again")
+  }
+
   test("emb_zscore: per-dim stats join back by broadcast") {
     val p = plan("emb_zscore")
     assert(!p.contains("SortMergeJoin"), "stats join shuffled the corpus")
