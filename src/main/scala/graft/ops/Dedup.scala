@@ -322,7 +322,23 @@ object Dedup {
     }
     // fixed point is a star forest rooted at component minima: children
     // label by their parent, everything else labels itself
-    val children = e.select(col("u").as("id"), col("v").as("cluster_id"))
+    val children0 = e.select(col("u").as("id"), col("v").as("cluster_id"))
+    // labeling contract: ONE label per vertex. If the loop exhausted
+    // maxIter before the signature converged, the edge list may still be
+    // mid-contraction (a vertex with several parents would emit several
+    // conflicting rows) — normalize with min(cluster_id) per vertex and
+    // warn: the result is a VALID labeling refinement (each label is some
+    // component member's id) but components may remain split; callers
+    // needing the exact minimum label must raise maxIter.
+    val children =
+      if (converged) children0
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponentsStar: not converged after $maxIter iterations; " +
+            "emitting min(parent) per vertex — components may remain split. " +
+            "Raise maxIter (O(log^2 |V|) rounds suffice for any graph).")
+        children0.groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      }
     val selfLabeled = allVertices
       .join(children.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))

@@ -20,6 +20,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
+  /** 60-bit md5(id) prefix as a long, with NULL ids hashing as the empty
+    * string. Both hash-driven samplers share this rule, so a null-id row
+    * gets the SAME deterministic draw everywhere (all null ids collide
+    * onto one bucket — callers wanting per-row randomness must supply
+    * non-null ids). Before this, a null id null-propagated differently
+    * per operator: [[deterministicSplit]] fell through to the last
+    * (eval/test) split while [[weightedBySource]] dropped the row. */
+  private def nullSafeIdHash(id: Column): Column =
+    conv(substring(md5(coalesce(id.cast("string"), lit(""))), 1, 15), 16, 10)
+      .cast("long")
+
   /** Weighted dataset mixing: keep each row of source s with probability
     * `weights(s)` — the source-rebalancing step of a pretraining data
     * recipe (downsample web crawl, keep books, etc.).
@@ -36,13 +47,15 @@ object Sampling {
     * [[stratifiedExact]] when exact counts matter more than a
     * shuffle-free plan.
     *
-    * Sources absent from `weights` keep `defaultWeight` of their rows. */
+    * Sources absent from `weights` keep `defaultWeight` of their rows.
+    *
+    * Null ids hash as the empty string (see [[nullSafeIdHash]]) — same
+    * rule as [[deterministicSplit]], so the two samplers agree. */
   def weightedBySource(df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], defaultWeight: Double = 0.0): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
       "weights must be in [0, 1]")
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(math.pow(2, 60))
+    val u = nullSafeIdHash(col(idCol)).cast("double") / lit(math.pow(2, 60))
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
       when(col(sourceCol) === s, lit(wt)).otherwise(acc)
     }
@@ -75,14 +88,18 @@ object Sampling {
     * never changes when other documents are added — the property that
     * keeps eval sets honest as a 100 TB corpus accretes, which no
     * count-based split has. Same 60-bit arithmetic as
-    * [[weightedBySource]], so oracles recompute it exactly. */
+    * [[weightedBySource]], so oracles recompute it exactly.
+    *
+    * Null ids hash as the empty string (see [[nullSafeIdHash]]): they all
+    * land in ONE well-defined bucket instead of null-propagating through
+    * every `bucket < upper` comparison and silently falling through to
+    * the LAST split — eval-set contamination by default. */
   def deterministicSplit(df: DataFrame, idCol: String, splitCol: String,
       cumShares: Seq[(String, Int)]): DataFrame = {
     require(cumShares.nonEmpty && cumShares.last._2 == 100 &&
       cumShares.map(_._2) == cumShares.map(_._2).sorted,
       "cumShares must be ascending cumulative percents ending at 100")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
+    val bucket = nullSafeIdHash(col(idCol)) % 100
     val split = cumShares.init.foldRight(lit(cumShares.last._1)) {
       case ((name, upper), acc) => when(bucket < upper, lit(name)).otherwise(acc)
     }

@@ -154,9 +154,12 @@ object Sketches {
       eps: Double, sampleFraction: Double, maxCandidates: Int): Seq[(Any, Long)] = {
     val total = df.count()
     val cms = countMinSketch(df, colName, eps = eps)
+    // secondary sort on the key: count ties at the cutoff would otherwise
+    // make the TakeOrdered boundary — and so the returned hitter list —
+    // nondeterministic across runs/partitionings
     val candidates = df.sample(withReplacement = false, sampleFraction, seed = 42L)
       .groupBy(col(colName).as("__hh_key")).agg(count(lit(1)).as("__hh_n"))
-      .orderBy(col("__hh_n").desc)
+      .orderBy(col("__hh_n").desc, col("__hh_key").asc)
       .limit(maxCandidates)
       .select(col("__hh_key")).collect().map(_.get(0)).toSeq
     candidates.map(k => k -> cms.estimateCount(k))

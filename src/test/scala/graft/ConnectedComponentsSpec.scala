@@ -62,6 +62,23 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"bad labels: ${got.filter(_._2 != 1L).take(5)}")
   }
 
+  test("exhausted maxIter still emits exactly one label per vertex (normalized, warned)") {
+    val s = spark
+    import s.implicits._
+    val n = 200
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    // maxIter=2 cannot converge a diameter-200 chain: the mid-contraction
+    // edge list has multi-parent vertices — the one-label contract must
+    // hold anyway (min-normalized), even if components remain split
+    val got = Dedup.connectedComponentsStar(edges, "id_a", "id_b", maxIter = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).distinct.length == got.length,
+      "a vertex emitted more than one cluster_id")
+    assert(got.length == n)
+    // labels are still a valid refinement: every label <= its vertex id
+    assert(got.forall { case (id, c) => c <= id })
+  }
+
   test("star alternation equals min-label on a seeded random graph") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Edge-semantics pins for the hash-driven samplers; the registered
+  * queries (sample_hash_split, sample_weighted_mix, sample_stratified)
+  * pin the same code against DuckDB on real data. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null ids get one defined split bucket in BOTH samplers (no eval fallthrough, no drop)") {
+    val df = Seq(
+      (Some(1L), "web"), (Some(2L), "web"), (None, "web"), (None, "books"))
+      .toDF("id", "source")
+    // deterministicSplit: null ids must all land in the SAME bucket —
+    // specifically md5('')'s bucket — not fall through to the last split
+    val splits = Sampling.deterministicSplit(df, "id", "split",
+        Seq("train" -> 90, "val" -> 95, "test" -> 100))
+      .filter(col("id").isNull).select("split").as[String].collect()
+    assert(splits.length == 2 && splits.distinct.length == 1)
+    // md5('') prefix mod 100: compute the expected bucket directly
+    val bucket = spark.sql(
+      "SELECT CAST(conv(substring(md5(''), 1, 15), 16, 10) AS BIGINT) % 100").head().getLong(0)
+    val expected = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+    assert(splits.head == expected)
+
+    // weightedBySource at weight 1.0 must KEEP null-id rows (it dropped
+    // them before the null-safe hash), and at weight 0.0 drop them
+    val keepAll = Sampling.weightedBySource(df, "source", "id",
+      Map("web" -> 1.0, "books" -> 1.0))
+    assert(keepAll.count() == 4)
+    val keepNone = Sampling.weightedBySource(df, "source", "id",
+      Map("web" -> 0.0, "books" -> 0.0))
+    assert(keepNone.count() == 0)
+  }
+
+  test("null and empty-string ids draw identically (the documented collision rule)") {
+    val df = Seq((Some("a"), "s"), (None, "s"), (Some(""), "s")).toDF("id", "source")
+    val out = Sampling.deterministicSplit(df, "id", "split",
+        Seq("train" -> 50, "test" -> 100))
+      .select("id", "split").collect()
+      .map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(out(None) == out(Some("")))
+  }
+}
