@@ -8,11 +8,20 @@ import org.apache.spark.sql.SparkSession
   * Each query is materialized through the `noop` sink — a plain
   * `count()` would let Catalyst prune the projection work (clean_columns
   * would be timed as a count over the scan), so noop is the honest cost.
+  *
+  * Robustness against box load (this host's CPU swings ~3x between
+  * runs): each query runs once UNTIMED (JIT + codegen cache + IO warm),
+  * then `SPARK_GRAFT_REPS` (default 2) timed reps, and reports the MIN —
+  * one load spike no longer poisons the round's headline artifact. The
+  * JSON line is printed LAST, after the session stops, with 2-decimal
+  * seconds, so a tail capture of the output always ends with the full
+  * parseable line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,37 +30,49 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: initializes codegen infra, parquet reader, shuffle
-    // and noop-sink paths so the first timed query doesn't absorb one-off
-    // JVM/session setup (worth ~5s on this box). Best-effort — a missing
-    // warmup table must not kill the run.
+    // Untimed global warmup: initializes codegen infra, parquet reader,
+    // shuffle and noop-sink paths so the first query doesn't absorb
+    // one-off JVM/session setup. Best-effort.
     try {
       spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
         .groupBy("k").count().write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/region.parquet")
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.allQueries.map { q =>
-      val t0 = System.nanoTime()
+      def run(): Unit =
+        q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // rep 0: untimed warmup; also the failure probe
       val ok =
-        try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { run(); true }
         catch {
           case e: Throwable =>
             failed += q.name
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             false
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      val best =
+        if (!ok) -1.0
+        else (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      (q.name, best, ok)
     }
-    // A failed query's time-to-failure is reported as -1 and excluded from
-    // "value": the headline number only reflects completed work.
+    // A failed query reports -1 and is excluded from "value": the
+    // headline number only reflects completed work.
     val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+      "\"" + k + "\":" + (if (ok) f"$v%.2f" else "-1")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     spark.stop()
+    // printed last so a bounded tail capture keeps the whole line
+    println(line)
   }
 }
