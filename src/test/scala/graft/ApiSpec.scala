@@ -66,6 +66,52 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("HTTP adapter: real localhost round-trips for heartbeat, clean_columns, 400 and 500 paths") {
+    val src = tmp("src"); val dst = tmp("dst"); val audit = tmp("audit")
+    writeSurvey(src)
+    val server = new graft.api.PipelineServer(spark, port = 0, auditDir = audit)
+    val port = server.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def send(req: java.net.http.HttpRequest) =
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      def get(path: String) = send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build())
+      def post(path: String, body: String) = send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build())
+
+      // heartbeat: the reference's exact shape (status healthy + service)
+      val hb = get("/heartbeat")
+      assert(hb.statusCode() == 200, hb.body())
+      assert(hb.body().contains("\"status\":\"healthy\"") &&
+        hb.body().contains("\"service\":\"graft\""), hb.body())
+
+      // clean_columns: drives the real transform and writes real parquet
+      val cc = post("/clean_columns",
+        s"""{"source":"$src","destination":"$dst"}""")
+      assert(cc.statusCode() == 200, cc.body())
+      assert(cc.body().contains("successfully created"), cc.body())
+      val out = spark.read.parquet(dst)
+      assert(out.columns.contains("d_987654321") && !out.columns.contains("token"))
+
+      // 400: the reference's missing-parameter description
+      val bad = post("/clean_columns", s"""{"source":"$src"}""")
+      assert(bad.statusCode() == 400, bad.body())
+      assert(bad.body().contains("Missing required parameter(s)"), bad.body())
+
+      // 500: transform failure surfaces the reference's error shape
+      val boom = post("/clean_rows",
+        """{"source":"/nonexistent-graft-path","destination":"/tmp/x"}""")
+      assert(boom.statusCode() == 500, boom.body())
+      assert(boom.body().contains("Internal Server Error"), boom.body())
+
+      // 405 on wrong method
+      assert(get("/clean_columns").statusCode() == 405)
+    } finally server.stop()
+  }
+
   test("approx-distinct profiling matches exact classification here") {
     val src = tmp("src")
     writeSurvey(src)
