@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * floor division `rank div out_degree`, and the damping update is
   * `base + (85 · Σcontrib) div 100` — all order-free integer sums, so any
   * engine replaying the same unrolled iterations lands on identical
-  * ranks, bit for bit. Dangling mass (nodes with no out-edges) is not
-  * redistributed — the classic power-iteration-on-the-link-matrix
-  * variant; document scores are used ordinally by quality gates, where
-  * the uniform dangling term cancels.
+  * ranks, bit for bit. Dangling mass (nodes with no out-edges) has two
+  * modes: dropped (default — the classic power-iteration-on-the-link-
+  * matrix variant; document scores are used ordinally by quality gates,
+  * where the uniform dangling term cancels) or redistributed uniformly
+  * (`redistributeDangling = true` — textbook PageRank: per iteration the
+  * danglers' total mass is a one-row broadcast aggregate and every node
+  * receives `dm div n` before damping, so rank MAGNITUDES are
+  * comparable to the standard formulation and total mass is conserved
+  * up to floor-division truncation).
   *
   * Scale shape: one `distinct` for the node set, one degree aggregation,
   * then per iteration: edges ⋈ ranks on src (both hash-partitioned on the
@@ -35,7 +40,8 @@ object Graph {
     * more than they save (measured at sf0.1: cold 4.4s lazy vs ~11s
     * materialized, warm equal), so it defaults off. */
   def pagerankMicro(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L, materialize: Boolean = false): DataFrame = {
+      scale: Long = 1000000000000L, materialize: Boolean = false,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "need iters >= 1")
     def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     val e = mat(edges.select(col("src").cast("long").as("src"),
@@ -52,10 +58,22 @@ object Graph {
         .join(deg, "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes.crossJoin(broadcast(nn))
+      val joined = nodes.crossJoin(broadcast(nn))
         .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          expr(s"($baseMass div n_nodes) + (85 * coalesce(s, 0L)) div 100").as("r"))
+      ranks =
+        if (!redistributeDangling)
+          joined.select(col("node"),
+            expr(s"($baseMass div n_nodes) + (85 * coalesce(s, 0L)) div 100").as("r"))
+        else {
+          // danglers' total mass: one-row aggregate, broadcast — no
+          // driver action, same shape as the node count
+          val dang = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+          joined.crossJoin(broadcast(dang))
+            .select(col("node"),
+              expr(s"($baseMass div n_nodes) + " +
+                "(85 * (coalesce(s, 0L) + (dm div n_nodes))) div 100").as("r"))
+        }
     }
     ranks
   }

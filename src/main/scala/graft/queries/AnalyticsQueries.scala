@@ -209,6 +209,57 @@ object AnalyticsQueries {
       })
   }
 
+  /** PageRank with the danglers' mass redistributed uniformly each round
+    * (textbook formulation — rank MAGNITUDES comparable across graphs,
+    * total mass conserved up to floor division). In this graph every
+    * supplier node is dangling (no out-edges), so the mode genuinely
+    * changes ranks, not just a constant offset. Same integer recipe; the
+    * oracle replays the dangling aggregate as one scalar CTE per round. */
+  val qPagerankDangling: QueryDef = {
+    val iters = 3
+    val scale = 1000000000000L
+    val base = scale * 15 / 100
+    QueryDef(
+      "q_pagerank_dangling",
+      (s, d) => {
+        val e = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000).as("dst"))
+        graft.ops.Graph.pagerankMicro(e, iters, scale,
+            redistributeDangling = true)
+          .orderBy(col("r").desc, col("node").asc).limit(20)
+          .select(col("node"), col("r").as("rank_micro"))
+      },
+      Some {
+        val rounds = (1 to iters).map { t =>
+          s"""dm$t AS (
+             |  SELECT COALESCE(sum(r), 0) AS dm FROM r${t - 1}
+             |  WHERE node NOT IN (SELECT src FROM deg)),
+             |r$t AS (
+             |  SELECT node,
+             |    CAST(($base // n) + (85 * (COALESCE(s, 0) + dm // n)) // 100 AS BIGINT) AS r
+             |  FROM nodes CROSS JOIN nn CROSS JOIN dm$t
+             |  LEFT JOIN (
+             |    SELECT dst, CAST(sum(CAST(r // d AS BIGINT)) AS BIGINT) AS s
+             |    FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+             |           JOIN deg ON e.src = deg.src
+             |    GROUP BY dst) c ON nodes.node = c.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+          |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST($scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+          |$rounds
+          |SELECT node, r AS rank_micro FROM r$iters
+          |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+      })
+  }
+
   /** Corpus drift monitor: total-variation distance between the source
     * distributions of two corpus snapshots (here: even vs odd doc_id as
     * the two "days"). Division-free interior — TV = Σ|nAs·NB − nBs·NA| /
@@ -255,5 +306,5 @@ object AnalyticsQueries {
       |FROM j, tot""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
-    qGroupPercentiles, qWindowSliding, qPagerank, qSourceDrift)
+    qGroupPercentiles, qWindowSliding, qPagerank, qPagerankDangling, qSourceDrift)
 }

@@ -34,4 +34,28 @@ class GraphSpec extends SparkSpec {
       .agg(sum("r")).as[Long].head()
     assert(r3 > 0 && r3 <= 1000L)
   }
+
+  test("dangling redistribution: hand-checked 2-node graph conserves total mass") {
+    // 1 -> 2; node 2 dangling. scale 1e6: r0 = 500000 each, base = 150000.
+    // dm = r0(2) = 500000; per-node dangling share = 250000.
+    // r1(1) = 150000 div 2 + 85*(0      + 250000) div 100 = 75000 + 212500 = 287500
+    // r1(2) = 75000       + 85*(500000 + 250000) div 100 = 75000 + 637500 = 712500
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r1 = Graph.pagerankMicro(e, iters = 1, scale = 1000000L,
+        redistributeDangling = true)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((1L, 287500L), (2L, 712500L)))
+    // exact conservation here (all divisions land exactly); deeper rounds
+    // stay within floor-div truncation of the full mass
+    val total3 = Graph.pagerankMicro(e, iters = 3, scale = 1000000L,
+        redistributeDangling = true)
+      .agg(sum("r")).as[Long].head()
+    assert(total3 > 999900L && total3 <= 1000000L)
+    // and still partition-invariant
+    def run(parts: Int) =
+      Graph.pagerankMicro(e.repartition(parts), iters = 3, scale = 1000000L,
+          redistributeDangling = true)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(run(1) == run(8))
+  }
 }
