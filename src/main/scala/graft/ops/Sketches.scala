@@ -128,8 +128,16 @@ object Sketches {
       eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): CountMinSketch =
     df.stat.countMinSketch(colName, eps, confidence, seed)
 
-  /** Heavy hitters via count-min: keys whose estimated frequency exceeds
-    * `minShare` of the total — the hot-key detector feeding [[Skew]]. */
+  /** Heavy hitters via count-min over a CALLER-SUPPLIED candidate list.
+    *
+    * @deprecated the distributed-discovery overload (below) nominates its
+    * own candidates from a sampled count and needs no prior knowledge of
+    * the key space — a caller-supplied list silently misses any hitter
+    * the caller didn't anticipate. This overload remains only for probes
+    * of specific known keys. [[Skew.adaptiveCountSum]] wires the
+    * discovery overload to salting end-to-end. */
+  @deprecated("use the distributed-discovery overload; a fixed candidate " +
+    "list misses unanticipated hitters", "round-4")
   def heavyHitters(df: DataFrame, colName: String, candidates: Seq[Any],
       minShare: Double, eps: Double = 0.001): Seq[(Any, Long)] = {
     val total = df.count()

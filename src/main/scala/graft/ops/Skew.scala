@@ -55,6 +55,38 @@ object Skew {
       finalAgg = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("total")),
       keyName = keyName)
 
+  /** ADAPTIVE salted count/sum: the distributed heavy-hitter detector
+    * ([[Sketches.heavyHitters]]: sample-nominate, count-min-verify)
+    * decides WHICH keys are hot, then only the hot subset pays the
+    * two-phase salted aggregation while the cold majority aggregates
+    * plain; the union is exact — identical to one plain groupBy, which
+    * is the oracle. This wires detector → salting end-to-end: no
+    * caller-supplied candidate list, no blanket salting of keys that
+    * don't need it (the second tiny aggregation isn't free at 100 TB
+    * group cardinalities).
+    *
+    * The detector costs one sampled count + one count-min pass — both
+    * corpus-narrow — and yields a deterministic hot set (candidate
+    * cutoff is tie-broken on the key). Null keys are never "hot"
+    * (count-min can't represent them) and flow through the cold branch
+    * like any plain groupBy. */
+  def adaptiveCountSum(df: DataFrame, keyCol: String, saltSource: Column,
+      valueCol: Column, minShare: Double = 0.05, buckets: Int = 16,
+      eps: Double = 0.001, sampleFraction: Double = 0.1,
+      maxCandidates: Int = 64): DataFrame = {
+    val hot = Sketches.heavyHitters(df, keyCol, minShare, eps,
+      sampleFraction, maxCandidates).map(_._1).filter(_ != null)
+    def plain(part: DataFrame): DataFrame = part.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("total"))
+    if (hot.isEmpty) plain(df)
+    else {
+      val isHot = coalesce(col(keyCol).isin(hot: _*), lit(false))
+      val salted = saltedCountSum(df.filter(isHot), col(keyCol), saltSource,
+        valueCol, buckets, keyName = keyCol)
+      salted.unionByName(plain(df.filter(!isHot)))
+    }
+  }
+
   /** Salted exact distinct count: per-salt distinct (each distinct value
     * lands in exactly one salt bucket when salted BY THE VALUE), then sum
     * of bucket-distincts — exact, unlike approx_count_distinct. */

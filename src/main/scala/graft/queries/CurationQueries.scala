@@ -183,6 +183,25 @@ object CurationQueries {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Detector-driven skew mitigation end-to-end: heavy hitters of the
+    * grouping key are DISCOVERED (sampled nomination + count-min
+    * verification, deterministic cutoff), and only those keys aggregate
+    * through the two-phase salt; the cold remainder aggregates plain.
+    * Here all 3 l_returnflag values exceed the 10% share threshold, so
+    * the whole corpus takes the salted path — the result must still equal
+    * the plain GROUP BY oracle exactly. */
+  val qSkewAdaptive: QueryDef = QueryDef(
+    "q_skew_adaptive",
+    (s, d) => Skew.adaptiveCountSum(Tables.lineitem(s, d), "l_returnflag",
+        col("l_orderkey"), col("l_quantity").cast(money),
+        minShare = 0.1, buckets = 16)
+      .select(col("l_returnflag"), col("n"),
+        col("total").cast("double").as("total_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** Time-range window frame: per-user trailing 3-day event count and
     * value sum (RANGE frame over epoch-micros — peers at equal
     * timestamps aggregate identically in both engines; DECIMAL sum makes
@@ -416,6 +435,6 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     sketchKmvUnion,
-    sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qWindowRangeFrame,
-    pipelineCurate)
+    sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qSkewAdaptive,
+    qWindowRangeFrame, pipelineCurate)
 }

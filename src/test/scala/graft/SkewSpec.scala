@@ -35,6 +35,36 @@ class SkewSpec extends SparkSpec {
     assert(got.getLong(1) == 321L)
   }
 
+  test("adaptiveCountSum: detector routes only the hot key through salting; result equals plain groupBy") {
+    val s = spark
+    import s.implicits._
+    // ~90% of rows on "hot", the rest spread over 40 cold keys — at
+    // minShare 0.2 the detector must find exactly the hot key, so the
+    // plan is hot-salted ∪ cold-plain; the values must match the plain
+    // aggregation either way
+    val rows = (1 to 20000).map { i =>
+      val key = if (i % 10 == 0) s"cold${i % 40}" else "hot"
+      (key, i.toLong, i * 0.25)
+    }
+    val df = rows.toDF("k", "uid", "v")
+    val adaptive = Skew.adaptiveCountSum(df, "k", col("uid"), col("v"),
+        minShare = 0.2, buckets = 8)
+      .orderBy("k").collect()
+    val plain = df.groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .orderBy("k").collect()
+    assert(adaptive.length == plain.length)
+    adaptive.zip(plain).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-6)
+    }
+    // no hitters above 60% share -> pure plain path, still exact
+    val cold = Skew.adaptiveCountSum(df, "k", col("uid"), col("v"),
+        minShare = 0.97, buckets = 8)
+      .orderBy("k").collect()
+    assert(cold.length == plain.length && cold.head.getLong(1) == plain.head.getLong(1))
+  }
+
   test("a caller's own __salt0 column is not clobbered and key keeps its name") {
     val s = spark
     import s.implicits._
