@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
+import graft.config.Constants
 import graft.transform.{CleanColumns, CleanRows, MergeTableVersions, SensitiveTier}
 
 /** The reference's four capabilities exercised end-to-end on survey-shaped
@@ -293,6 +294,87 @@ object SurveyQueries {
       |  ${wideOutSql.mkString(",\n  ")}
       |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin))
 
+  // ---- clean_rows_wide: value-level cleaning (binary recode +
+  // false-array unwrap + pass-through) at 1200 columns. clean_rows'
+  // classification is statistics-driven, so this gate exercises BOTH the
+  // batched wide profiling scan (3 × ⌈1201/500⌉ conditional-aggregate
+  // jobs inside CleanRows.classify) AND the 1201-expression recode
+  // Project — the one wide surface clean_columns_wide / profile_binary_wide
+  // didn't cover. Spark derivation, oracle source CTE, and oracle expected
+  // output are generated from the same spec, so the sides cannot drift.
+
+  private val wideRowsN = 400
+
+  /** (name, kind, bracketed-cid) per generated column; kind 0 = binary
+    * (values ⊆ {0,1,NULL,''} by construction → profiled binary), 1 =
+    * false-array (name from [[Constants.FalseArrayConceptIdPairs]] with a
+    * digit suffix → reference-mode name detection), 2 = pass-through
+    * (modulus ≥ 3 → never profiled binary). */
+  private val wideRowsSrcs: Seq[(String, Int, String)] = (0 until wideRowsN).flatMap { i =>
+    val (a, b) = Constants.FalseArrayConceptIdPairs(i % Constants.FalseArrayConceptIdPairs.size)
+    Seq(
+      (s"d_${700000000 + i}", 0, ""),
+      (s"d_${a}_d_${b}_$i", 1, if (i % 2 == 0) a else b),
+      (s"free_${800000000 + i}", 2, ""))
+  }
+
+  private def wideRows(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val cols = k.cast(StringType).as("Connect_ID") +: wideRowsSrcs.zipWithIndex.map {
+      case ((n, kind, cid), idx) =>
+        val kk = k + lit(idx % 101)
+        val v = kind match {
+          case 0 =>
+            when(kk % 7 === 0, lit(null).cast(StringType))
+              .when(kk % 5 === 0, "")
+              .otherwise((kk % 2).cast(StringType))
+          case 1 =>
+            when(kk % 11 === 0, "[]")
+              .when(kk % 11 === 1, lit(null).cast(StringType))
+              .otherwise(s"[$cid]")
+          case _ => (kk % 9).cast(StringType)
+        }
+        v.as(n)
+    }
+    Tables.orders(s, d).filter(k % 10 === 0).select(cols: _*)
+  }
+
+  private val wideRowsSql: String = {
+    val exprs = wideRowsSrcs.zipWithIndex.map { case ((n, kind, cid), idx) =>
+      val kk = s"(o_orderkey + ${idx % 101})"
+      val v = kind match {
+        case 0 =>
+          s"CASE WHEN $kk % 7 = 0 THEN NULL WHEN $kk % 5 = 0 THEN '' ELSE CAST($kk % 2 AS VARCHAR) END"
+        case 1 =>
+          s"CASE WHEN $kk % 11 = 0 THEN '[]' WHEN $kk % 11 = 1 THEN NULL ELSE '[$cid]' END"
+        case _ => s"CAST($kk % 9 AS VARCHAR)"
+      }
+      s"$v AS $n"
+    }
+    s"""SELECT CAST(o_orderkey AS VARCHAR) AS Connect_ID,
+       |  ${exprs.mkString(",\n  ")}
+       |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
+  }
+
+  val cleanRowsWide: QueryDef = QueryDef(
+    "clean_rows_wide",
+    (s, d) => CleanRows(wideRows(s, d)).orderBy(col("Connect_ID").cast("long")),
+    Some {
+      val outs = wideRowsSrcs.map { case (n, kind, _) =>
+        kind match {
+          case 0 =>
+            s"CASE WHEN $n = '1' THEN '${Constants.CidYes}' WHEN $n = '0' THEN '${Constants.CidNo}' ELSE NULL END AS $n"
+          case 1 =>
+            s"CASE WHEN $n = '[]' THEN NULL WHEN regexp_matches($n, '\\[\\d{9}\\]') THEN regexp_replace($n, '\\[(\\d{9})\\]', '\\1') ELSE NULL END AS $n"
+          case _ => n
+        }
+      }
+      s"""WITH s AS ($wideRowsSql)
+        |SELECT Connect_ID,
+        |  ${outs.mkString(",\n  ")}
+        |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin
+    })
+
   // ---- merge_table_versions: three version tables derived from customer
 
   private val mergeVersionsSql: Seq[String] = Seq(
@@ -454,7 +536,7 @@ object SurveyQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows,
+    cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, sensitiveTier)
 }

@@ -66,6 +66,18 @@ class WideSchemaSpec extends SparkSpec {
     assert(secs < 420.0, f"profiling too slow for a wide schema: $secs%.1fs")
   }
 
+  test("clean_rows_wide registry gate: 1201-column recode with all three classes active") {
+    val out = SparkEntry.queries("clean_rows_wide")(spark, "/root/testdata/sf0.001")
+    assert(out.columns.length == 1201) // Connect_ID + 400 binary + 400 false-array + 400 pass
+    val bin = out.columns.filter(_.startsWith("d_7")).take(1).head
+    val fa = out.columns.filter(c => c.startsWith("d_") && c.count(_ == '_') == 4).take(1).head
+    import org.apache.spark.sql.functions.col
+    val binVals = out.select(col(bin)).distinct().collect().map(_.getString(0)).toSet
+    assert(binVals.subsetOf(Set("353358909", "104430631", null)))
+    val faVals = out.select(col(fa)).distinct().collect().map(_.getString(0)).toSet
+    assert(faVals.forall(v => v == null || v.matches("\\d{9}")))
+  }
+
   test("clean_rows end-to-end on the wide table") {
     val df = wideDf()
     val out = CleanRows(df)
