@@ -226,6 +226,13 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // A FRESH Observation per round, never reused: an Observation is
+      // single-shot — `get` blocks until the FIRST action on the observed
+      // plan completes and then pins that result, so re-attaching one
+      // across rounds would silently return round-0's sum forever (and
+      // Spark rejects re-registration of a named observation on a new
+      // plan). The per-round name also keeps metrics distinguishable in
+      // listener/UI output.
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val neighborMin = sym.hint("SHUFFLE_HASH")
         .join(labels, sym("src") === labels("id"))

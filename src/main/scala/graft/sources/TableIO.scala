@@ -83,32 +83,43 @@ object TableIO {
     df.write.mode(SaveMode.Overwrite).orc(path)
   def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
-  /** Morton (Z-order) interleave of the low `bits` bits of two
-    * non-negative integer columns: x's bit i lands at position 2i, y's at
-    * 2i+1. Pure shift/mask/or expression tree — codegen'd, no UDF. */
-  def mortonCode(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
-      bits: Int = 16): org.apache.spark.sql.Column = {
+  /** Morton (Z-order) interleave of the low `bits` bits of N ≥ 2
+    * non-negative integer columns: column j's bit i lands at position
+    * N·i + j, so consecutive code values walk a space-filling curve over
+    * the N-dim grid. Pure shift/mask/or expression tree — codegen'd, no
+    * UDF. N·bits must fit a signed long (≤ 63). */
+  def mortonCode(cols: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.shiftleft
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    val terms =
-      (0 until bits).map(i => shiftleft(xl.bitwiseAND(1L << i), i)) ++
-        (0 until bits).map(i => shiftleft(yl.bitwiseAND(1L << i), i + 1))
+    val n = cols.size
+    require(n >= 2, "mortonCode needs at least 2 dimensions")
+    require(bits >= 1 && n * bits <= 63,
+      s"bits must satisfy 1 <= bits and $n * bits <= 63")
+    val terms = cols.zipWithIndex.flatMap { case (c, j) =>
+      val cl = c.cast("long")
+      // bit i sits at position i after the AND; target is N*i + j
+      (0 until bits).map(i => shiftleft(cl.bitwiseAND(1L << i), i * (n - 1) + j))
+    }
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** 2-D convenience overload (x's bit i at 2i, y's at 2i+1). */
+  def mortonCode(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column =
+    mortonCode(Seq(x, y), bits)
+
   /** Z-order-clustered overwrite: range-repartition + sort by the Morton
-    * code of TWO cluster keys, so every output file covers a compact
-    * rectangle of (x, y) space instead of a stripe of one key — min/max
-    * statistics then prune files and row groups for filters on EITHER
-    * dimension (the Delta/Iceberg OPTIMIZE ZORDER layout, built from
-    * Spark primitives). [[replaceClustered]] is the 1-D special case;
-    * locality of the 2-D layout is pinned by TableIOSpec (per-file
-    * bounding-box area ≪ a key-ordered layout's). */
-  def replaceZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-      numFiles: Int, bits: Int = 16, maxRecordsPerFile: Long = 5000000L): Unit = {
-    val z = mortonCode(df(xCol), df(yCol), bits)
+    * code of N cluster keys, so every output file covers a compact
+    * hyper-rectangle of the key space instead of a stripe of one key —
+    * min/max statistics then prune files and row groups for filters on
+    * ANY clustered dimension (the Delta/Iceberg OPTIMIZE ZORDER layout,
+    * built from Spark primitives). [[replaceClustered]] is the 1-D
+    * special case; locality of the 2-D and 3-D layouts is pinned by
+    * TableIOSpec (per-file bounding-box volume ≪ a key-ordered
+    * layout's). */
+  def replaceZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int, bits: Int, maxRecordsPerFile: Long): Unit = {
+    val z = mortonCode(clusterCols.map(df(_)), bits)
     // collision-free helper name (the Skew/RangeJoin convention)
     val zc = Iterator.from(0).map(i => s"__zorder$i")
       .filterNot(df.columns.contains).next()
@@ -120,4 +131,9 @@ object TableIO {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
   }
+
+  /** 2-key convenience overload. */
+  def replaceZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16, maxRecordsPerFile: Long = 5000000L): Unit =
+    replaceZOrdered(df, path, Seq(xCol, yCol), numFiles, bits, maxRecordsPerFile)
 }

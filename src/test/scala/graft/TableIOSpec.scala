@@ -121,6 +121,55 @@ class TableIOSpec extends SparkSpec {
     assert(got == pts.map { case (x, y) => ref(x, y, 16) })
   }
 
+  test("3-D morton code interleaves bits like the reference implementation") {
+    val s = spark
+    import s.implicits._
+    def ref(v: Seq[Long], bits: Int): Long = {
+      val n = v.size
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        v.zipWithIndex.foldLeft(acc) { case (a, (x, j)) =>
+          a | (((x >> i) & 1L) << (n * i + j))
+        }
+      }
+    }
+    val pts = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (3L, 5L, 7L), (1023L, 511L, 255L))
+    val got = pts.toDF("x", "y", "z")
+      .select(TableIO.mortonCode(Seq(col("x"), col("y"), col("z")), 10).as("m"))
+      .as[Long].collect().toSeq
+    assert(got == pts.map { case (x, y, z) => ref(Seq(x, y, z), 10) })
+  }
+
+  test("3-D z-ordered write yields compact per-file bounding volumes (all dims prune)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/zorder3"
+    // uniform 32x32x32 grid: 32768 points, three independent dimensions
+    val df = spark.range(32768).toDF("id")
+      .withColumn("x", col("id") % 32)
+      .withColumn("y", (col("id") / lit(32)).cast("long") % 32)
+      .withColumn("z", (col("id") / lit(1024)).cast("long"))
+    TableIO.replaceZOrdered(df, dir, Seq("x", "y", "z"), numFiles = 16, bits = 5,
+      maxRecordsPerFile = 5000000L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 32768)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 4)
+    // per-file bounding volumes: a z-ordered layout keeps ALL three
+    // dimension spans small (~cubes); a single-key clustering spans the
+    // full 0..31 range of the other two dimensions in every file.
+    val vols = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")),
+          min(col("z")), max(col("z"))).head()
+      (r.getLong(1) - r.getLong(0) + 1) * (r.getLong(3) - r.getLong(2) + 1) *
+        (r.getLong(5) - r.getLong(4) + 1)
+    }
+    val avgVol = vols.sum.toDouble / vols.length
+    val ideal = 32.0 * 32.0 * 32.0 / files.length
+    assert(avgVol <= 6 * ideal,
+      s"files are not 3-D local: avg box volume $avgVol vs ideal $ideal")
+  }
+
   test("z-ordered write yields compact per-file 2-D bounding boxes (both dims prune)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/zorder"
     // uniform 128x128 grid: 16384 points, two independent dimensions
