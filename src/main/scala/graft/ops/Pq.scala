@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{long_argmin_key, long_sqdist, topk_pairs}
+
+/** Product quantization (PQ) with asymmetric distance computation (ADC)
+  * — the billion-scale ANN memory-compression path (Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011): split each d-dim vector into `m` subspaces of d/m dims, train
+  * a `ks`-codeword codebook per subspace with Lloyd's, and store every
+  * corpus vector as just its m codeword ids. A query then ranks the
+  * whole corpus from an m·ks distance TABLE (query-subvector ↔ codeword
+  * distances) instead of touching any corpus vector.
+  *
+  * The 100 TB lever: codes are m small ints per vector (m=8, ks=16 →
+  * 8 nibbles) versus d floats (64·4 B) — a 32–64× compression of
+  * everything the search path holds, shuffles, or caches; the scan that
+  * ranks candidates reads ONLY the code column. Completes the similarity
+  * family: brute → sign-LSH → IVF → int8 → PQ.
+  *
+  * Determinism recipe (the [[Clustering]] ladder, reused wholesale):
+  * micro-unit integer vectors, exact integer sqdist, packed
+  * (dist·ks + cid) argmin keys for id tie-breaks, round(mean) centroid
+  * updates — so a DuckDB oracle replaying the same unrolled per-subspace
+  * Lloyd rounds reproduces every code and every ADC distance
+  * bit-for-bit.
+  *
+  * Scale shape per stage:
+  *  - sub-vector explode: narrow (m rows per vector, same partition);
+  *  - Lloyd assignment: broadcast of the packed per-subspace codebooks
+  *    (m rows) + the row-local [[graft.functions.LongVectorArgminKey]]
+  *    kernel — the corpus never shuffles for assignment;
+  *  - codebook update: shuffles only (sub, cid, dim, partial-sum) —
+  *    map-side combined into m·ks·(d/m) groups;
+  *  - ADC: the distance table (nq·m·ks rows) broadcasts; the scored
+  *    shuffle carries one 24-byte (query, cand, partial-dist) row per
+  *    pair — map-side pre-summed because a vector's m code rows are
+  *    co-partitioned by construction — and the final top-k is the
+  *    bounded-heap aggregate (k rows per query per task).
+  */
+object Pq {
+
+  /** Train per-subspace codebooks (Lloyd's, `iters` assignment rounds),
+    * encode the corpus, and return exact-integer ADC top-k for each
+    * query vector: (query_id, rk, cand_id, adist) with adist the
+    * micro-unit² approximate squared L2 distance, ranked ascending with
+    * ties to the lower cand_id.
+    *
+    * Seeding matches IVF's: an id-value stride picks ks seed vectors per
+    * subspace (the same ids for every subspace), deterministic with no
+    * global sort. The one `.head()` is an INTENTIONAL O(1) driver action
+    * (a map-side-combined max over ids) run once at plan-build time. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, isQuery: Column,
+      k: Int, dim: Int, m: Int = 8, ks: Int = 16, iters: Int = 2): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ks >= 2 && iters >= 1, "need ks >= 2 and iters >= 1")
+    val dsub = dim / m
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      Clustering.microVec(col(vecCol)).as("xm"), isQuery.as("is_q"))
+    // m sub-vector rows per vector; narrow (posexplode keeps them in the
+    // producing partition, so later per-id partial aggregation combines
+    // map-side)
+    val slices = array((0 until m).map(s => slice(col("xm"), s * dsub + 1, dsub)): _*)
+    val subv = base
+      .select(col("id"), col("is_q"), posexplode(slices).as(Seq("sub", "sv")))
+      .select(col("id"), col("is_q"), col("sub").cast("long").as("sub"), col("sv"))
+
+    val maxIdRow = base.agg(max(col("id"))).head()
+    if (maxIdRow.isNullAt(0))
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("rk"), lit(0L).as("cand_id"),
+          lit(0L).as("adist")).limit(0)
+    val stride = math.max(1L, (maxIdRow.getLong(0) + 1) / ks)
+    var codebook = subv
+      .filter(col("id") % stride === 0 && expr(s"id div $stride") < ks)
+      .select(col("sub"), expr(s"id div $stride").cast("long").as("cid"),
+        col("sv").as("cm"))
+
+    // one Lloyd assignment: per-subspace packed codebooks broadcast, the
+    // argmin computed row-locally by the codegen kernel (zero corpus
+    // shuffle — same plan shape as Clustering.assignStep, keyed by sub)
+    def assign(cb: DataFrame): DataFrame = {
+      val packed = cb.groupBy("sub")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cm")))).as("cs"))
+        .select(col("sub"),
+          transform(col("cs"), s => s.getField("cid")).as("cids"),
+          flatten(transform(col("cs"), s => s.getField("cm"))).as("cmat"))
+      subv.join(broadcast(packed), Seq("sub"))
+        .withColumn("key", long_argmin_key(col("sv"), col("cmat"), col("cids"), ks))
+        .select(col("id"), col("is_q"), col("sub"), col("sv"),
+          (col("key") % ks).as("cid"), expr(s"key div $ks").as("dist"))
+    }
+    // centroid update: exact integer per-dim sums, round(mean) — only
+    // (sub, cid, dim, partial) rows shuffle, map-side combined
+    def update(a: DataFrame): DataFrame =
+      a.select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cm_j",
+          round(col("s").cast("double") / col("n").cast("double")).cast("long"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("cm_j")))),
+          s => s.getField("cm_j")).as("cm"))
+
+    var codes = assign(codebook)
+    for (_ <- 2 to iters) {
+      codebook = update(codes)
+      codes = assign(codebook)
+    }
+
+    // ADC: per-query distance table over the FINAL codebook (the one the
+    // last assignment encoded against); nq·m·ks rows — broadcast side
+    val qsub = subv.filter(col("is_q"))
+      .select(col("id").as("query_id"), col("sub"), col("sv").as("qsv"))
+    val dtab = qsub.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        long_sqdist(col("qsv"), col("cm")).as("d"))
+    // approximate distance = Σ over subspaces of the table entry for the
+    // candidate's code; every candidate's m code rows sit in one task →
+    // the partial sum collapses them before the (query, cand) shuffle.
+    // adist stays exact in a long: m · dsub · (2·maxabs·1e6)² ≤ ~1e15.
+    val scored = codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d")).as("adist"))
+    // bounded-heap exact top-k; score = -adist ranks ascending distance
+    // with ties to the lower cand_id (adist < 2^53, exact in a double)
+    scored.groupBy(col("query_id"))
+      .agg(topk_pairs(negate(col("adist")).cast("double"), col("id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("p.id").as("cand_id"), negate(col("p.score")).cast("long").as("adist"))
+  }
+}

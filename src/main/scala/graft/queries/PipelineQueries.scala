@@ -419,6 +419,70 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
+  /** Product-quantization ADC top-5 — the memory-compression ANN path
+    * (codes are 8 codeword ids per vector instead of 64 floats; see
+    * [[graft.ops.Pq]]). Bit-deterministic end-to-end: the oracle replays
+    * the per-subspace Lloyd rounds unrolled (grouped by subspace in ONE
+    * CTE chain — all 8 codebooks train in the same SQL pass) and re-ranks
+    * by the same exact integer ADC distances. */
+  val simPqAdc: QueryDef = QueryDef(
+    "sim_pq_adc",
+    (s, d) => graft.ops.Pq.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5, dim = 64, m = 8, ks = 64, iters = 2)
+      .orderBy("query_id", "rk"),
+    Some {
+      val (m, ks, dsub) = (8, 64, 8)
+      def assign(cb: String): String =
+        s"""SELECT id, sub, sv, CAST(min(key) % $ks AS BIGINT) AS cid
+           |  FROM (
+           |    SELECT s.id, s.sub, s.sv,
+           |      CAST(list_sum([(s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i])
+           |                     for i in range(1, len(s.sv) + 1)]) AS BIGINT)
+           |        * $ks + c.cid AS key
+           |    FROM sub s JOIN $cb c ON s.sub = c.sub)
+           |  GROUP BY id, sub, sv""".stripMargin
+      def update(a: String): String =
+        s"""SELECT sub, cid, list(cm_j ORDER BY dim) AS cm
+           |  FROM (
+           |    SELECT sub, cid, dim,
+           |      CAST(round(CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm_j
+           |    FROM (SELECT sub, cid, generate_subscripts(sv, 1) AS dim, unnest(sv) AS vv FROM $a)
+           |    GROUP BY sub, cid, dim)
+           |  GROUP BY sub, cid""".stripMargin
+      s"""WITH v AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT id, r.sub, xm[r.sub * $dsub + 1 : r.sub * $dsub + $dsub] AS sv
+        |  FROM v, (SELECT unnest(range(0, $m)) AS sub) r),
+        |mx AS (SELECT greatest(1, (max(id) + 1) // $ks) AS stride FROM v),
+        |cb1 AS (
+        |  SELECT sub, id // stride AS cid, sv AS cm FROM sub, mx
+        |  WHERE id % stride = 0 AND id // stride < $ks),
+        |a1 AS (${assign("cb1")}),
+        |cb2 AS (${update("a1")}),
+        |a2 AS (${assign("cb2")}),
+        |q AS (SELECT id AS query_id, sub, sv AS qsv FROM sub WHERE id % 50 = 0),
+        |dt AS (
+        |  SELECT query_id, c.sub, c.cid,
+        |    CAST(list_sum([(q.qsv[i] - c.cm[i]) * (q.qsv[i] - c.cm[i])
+        |                   for i in range(1, len(q.qsv) + 1)]) AS BIGINT) AS d
+        |  FROM q JOIN cb2 c ON q.sub = c.sub),
+        |scored AS (
+        |  SELECT query_id, a.id AS cand_id, CAST(sum(d) AS BIGINT) AS adist
+        |  FROM a2 a JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
+        |  WHERE dt.query_id <> a.id
+        |  GROUP BY query_id, a.id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, adist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin
+    })
+
   /** Language ID heuristic per document. */
   val textLangid: QueryDef = QueryDef(
     "text_langid",
@@ -781,7 +845,7 @@ object PipelineQueries {
     dedupMinhashLsh, dedupCluster, dedupClusterStar,
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
-    textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8,
+    textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     textLangid, textQuality,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample)

@@ -46,6 +46,34 @@ class PipelineSpec extends SparkSpec {
       s"IVF precision vs brute-force top-20 too low: $good/${ivf.length}")
   }
 
+  test("PQ ADC results are genuinely near vectors (within exact-L2 top-20)") {
+    val emb = Tables.embeddings(spark, sf)
+    val isQuery = col("vec_id") % 50 === 0
+    // ground truth in the SAME metric PQ approximates: exact integer
+    // squared L2 over micro-unit vectors
+    val base = emb.select(col("vec_id").cast("long").as("id"),
+      graft.ops.Clustering.microVec(col("embedding")).as("xm"))
+    val q = base.filter(col("id") % 50 === 0)
+      .select(col("id").as("query_id"), col("xm").as("qm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d").asc, col("cand_id").asc)
+    val brute = base.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        graft.functions.long_sqdist(col("qm"), col("xm")).as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.ops.Pq.pqTopK(emb, "vec_id", "embedding", isQuery,
+        k = 5, dim = 64, m = 8, ks = 64, iters = 2)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.nonEmpty, "PQ returned nothing")
+    val good = pq.count(brute.contains)
+    assert(good.toDouble / pq.length >= 0.4,
+      s"PQ ADC precision vs exact-L2 top-20 too low: $good/${pq.length}")
+  }
+
   test("int8-quantized top-k stays close to the float top-k (within brute-force top-20)") {
     val emb = Tables.embeddings(spark, sf)
     val isQuery = col("vec_id") % 50 === 0

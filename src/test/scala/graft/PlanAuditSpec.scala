@@ -118,6 +118,13 @@ class PlanAuditSpec extends SparkSpec {
       "assignment shuffles the corpus on the vector id again")
   }
 
+  test("sim_pq_adc: codebook/distance-table joins broadcast; corpus never shuffle-joins") {
+    val p = plan("sim_pq_adc")
+    assert(p.contains("long_vector_argmin_key"), "argmin kernel missing from plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "PQ shuffled the corpus into a join (codebooks/distance table must broadcast)")
+  }
+
   test("emb_zscore: per-dim stats join back by broadcast") {
     val p = plan("emb_zscore")
     assert(!p.contains("SortMergeJoin"), "stats join shuffled the corpus")
