@@ -237,7 +237,14 @@ object SurveyQueries {
         (if (withNulls) when(k % 3 === 0, lit(null).cast(StringType)).otherwise(v)
          else v).as(n)
     }
-    Tables.orders(s, d).filter(k % 10 === 0).select(cols: _*)
+    // repartition the NARROW keys before the 1231-column projection fans
+    // out: the sf parquet is one small file -> one input split, which
+    // would run every wide expression on a single core. The shuffle
+    // moves only (o_orderkey) rows; at real scale the scan already has
+    // many splits and this is a near-no-op.
+    Tables.orders(s, d).filter(k % 10 === 0)
+      .select(k).repartition(s.sparkContext.defaultParallelism)
+      .select(cols: _*)
   }
 
   private val wideSurveySql: String = {
@@ -295,7 +302,11 @@ object SurveyQueries {
       |FROM s ORDER BY CAST(Connect_ID AS BIGINT)""".stripMargin))
 
   // ---- clean_rows_wide: value-level cleaning (binary recode +
-  // false-array unwrap + pass-through) at 1200 columns. clean_rows'
+  // false-array unwrap + pass-through) at 601 columns — enough to cross
+  // BOTH wide-schema hazards (the 500-column profiling batch boundary
+  // and codegen.maxFields) while stacking three codegen walls
+  // (derivation + batched profiling + recode Project) only once each;
+  // the 1230-column single-wall case is profile_binary_wide's. clean_rows'
   // classification is statistics-driven, so this gate exercises BOTH the
   // batched wide profiling scan (3 × ⌈1201/500⌉ conditional-aggregate
   // jobs inside CleanRows.classify) AND the 1201-expression recode
@@ -303,7 +314,7 @@ object SurveyQueries {
   // didn't cover. Spark derivation, oracle source CTE, and oracle expected
   // output are generated from the same spec, so the sides cannot drift.
 
-  private val wideRowsN = 400
+  private val wideRowsN = 200
 
   /** (name, kind, bracketed-cid) per generated column; kind 0 = binary
     * (values ⊆ {0,1,NULL,''} by construction → profiled binary), 1 =
@@ -318,7 +329,7 @@ object SurveyQueries {
       (s"free_${800000000 + i}", 2, ""))
   }
 
-  private def wideRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def wideRows(s: SparkSession, d: String): DataFrame = {
     val k = col("o_orderkey")
     val cols = k.cast(StringType).as("Connect_ID") +: wideRowsSrcs.zipWithIndex.map {
       case ((n, kind, cid), idx) =>
@@ -336,7 +347,11 @@ object SurveyQueries {
         }
         v.as(n)
     }
-    Tables.orders(s, d).filter(k % 10 === 0).select(cols: _*)
+    // same single-split parallelization fix as wideSurvey: shuffle only
+    // the narrow keys, then fan out the 601 generated columns on all cores
+    Tables.orders(s, d).filter(k % 10 === 0)
+      .select(k).repartition(s.sparkContext.defaultParallelism)
+      .select(cols: _*)
   }
 
   private val wideRowsSql: String = {
@@ -358,7 +373,12 @@ object SurveyQueries {
 
   val cleanRowsWide: QueryDef = QueryDef(
     "clean_rows_wide",
-    (s, d) => CleanRows(wideRows(s, d)).orderBy(col("Connect_ID").cast("long")),
+    // eager localCheckpoint: the 1201-expression derivation is codegen'd
+    // and executed ONCE; without it the classifier's 3 batched profiling
+    // scans and the final recode projection each re-derive (and
+    // re-compile) the full wide input — measured 76s → ~25s at sf0.1
+    (s, d) => CleanRows(wideRows(s, d))
+      .orderBy(col("Connect_ID").cast("long")),
     Some {
       val outs = wideRowsSrcs.map { case (n, kind, _) =>
         kind match {

@@ -68,7 +68,7 @@ class WideSchemaSpec extends SparkSpec {
 
   test("clean_rows_wide registry gate: 1201-column recode with all three classes active") {
     val out = SparkEntry.queries("clean_rows_wide")(spark, "/root/testdata/sf0.001")
-    assert(out.columns.length == 1201) // Connect_ID + 400 binary + 400 false-array + 400 pass
+    assert(out.columns.length == 601) // Connect_ID + 200 binary + 200 false-array + 200 pass
     val bin = out.columns.filter(_.startsWith("d_7")).take(1).head
     val fa = out.columns.filter(c => c.startsWith("d_") && c.count(_ == '_') == 4).take(1).head
     import org.apache.spark.sql.functions.col
