@@ -27,6 +27,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the survey workload is 600-1300 STRING columns wide; the default
+      // codegen.maxFields=100 drops every wide Project/HashAggregate out
+      // of whole-stage codegen into the interpreted row path (measured
+      // 12.8s -> 7.6s on profile_binary_wide, 3.0s -> 1.7s on
+      // clean_columns_wide at sf0.1, min-of-3). Compile cost is one-off
+      // per query and amortizes at scale.
+      .config("spark.sql.codegen.maxFields", "1500")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,7 @@ object QueryTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.maxFields", sys.env.getOrElse("MAXF", "1500"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (q <- graft.SparkEntry.allQueries if names.contains(q.name); r <- 1 to reps) {
