@@ -203,6 +203,55 @@ object TextOps {
         .otherwise(lit(null).cast(ratio)))
   }
 
+  /** Model-based quality filter, fasttext/CCNet shape: score each
+    * document with a linear model over HASHED word-unigram buckets
+    * (token → md5 bucket in [0, weights.size) → integer weight; document
+    * logit = Σ weights + bias; keep = logit > 0). This is the structure
+    * of the standard learned quality classifiers — the `weights` vector
+    * is the caller's trained model (quantized to integers for
+    * cross-engine exactness); [[pseudoWeights]] derives a deterministic
+    * demo table both engines can regenerate.
+    *
+    * Scale shape: the weight vector rides the plan as ONE literal array
+    * (a per-task constant — no join against a weight table, no
+    * broadcast variable bookkeeping), the bucket lookup is a codegen'd
+    * `element_at` after the narrow token explode, and the per-document
+    * sum combines map-side before the only shuffle (doc-id partials).
+    * `explode_outer` keeps token-less documents: their score is the
+    * bias alone. Bucket count MUST be a power of two so the unsigned
+    * remainder both engines compute agrees with pmod on negative
+    * hashes. */
+  def hashedQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], bias: Long = 0L): DataFrame = {
+    val b = weights.size
+    require(b >= 2 && (b & (b - 1)) == 0, "weights.size must be a power of two")
+    val bucket = pmod(graft.functions.md5_hash64(col("__w")), lit(b.toLong))
+    docs.select(col(idCol).as("doc_id"),
+        explode_outer(filter(words(col(textCol)), w => length(w) > 0)).as("__w"))
+      .select(col("doc_id"),
+        when(col("__w").isNull, lit(0L))
+          .otherwise(element_at(typedLit(weights), bucket.cast("int") + 1)).as("__wt"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("__wt")) + bias).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
+  /** Deterministic demo weight table for [[hashedQualityScore]]: bucket
+    * i weighs pmod(md5_64("w:i"), 7) - 3 ∈ [-3, 3] — md5-derived, so a
+    * DuckDB oracle regenerates the identical table from nothing. */
+  def pseudoWeights(b: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until b).map { i =>
+      md.reset()
+      val d = md.digest(s"w:$i".getBytes("UTF-8"))
+      val h = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+      java.lang.Math.floorMod(h, 7L) - 3L
+    }
+  }
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup
     * key. md5 is available in every engine, so oracle-comparable. */
   def fingerprint(c: Column): Column = md5(normalize(c))

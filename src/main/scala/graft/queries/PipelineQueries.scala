@@ -483,6 +483,37 @@ object PipelineQueries {
         |ORDER BY query_id, rk""".stripMargin
     })
 
+  /** Model-based quality filter (fasttext/CCNet shape): linear score
+    * over md5-hashed word-unigram buckets with an integer weight table —
+    * the structure of the learned quality classifiers, bit-exact in both
+    * engines because the demo weights regenerate from md5 (see
+    * [[TextOps.pseudoWeights]]). The weight vector is a plan literal
+    * (per-task constant, no join); the only shuffle carries map-side
+    * pre-summed (doc_id, partial) rows. */
+  val textQualityModel: QueryDef = QueryDef(
+    "text_quality_model",
+    (s, d) => TextOps.hashedQualityScore(Tables.documents(s, d), "doc_id", "text",
+        TextOps.pseudoWeights(4096), bias = 0L)
+      .orderBy("doc_id"),
+    Some {
+      val u64 = "18446744073709551616::HUGEINT"
+      val i63 = "9223372036854775808::HUGEINT"
+      def md5u(e: String) =
+        s"""(CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)::HUGEINT * 4294967296::HUGEINT
+           | + CAST(concat('0x', substr(md5($e), 9, 8)) AS BIGINT)::HUGEINT)""".stripMargin
+      s"""WITH w AS (
+        |  SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w FROM documents),
+        |wn AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+        |bkt AS (SELECT doc_id, CAST(${md5u("w")} % 4096 AS BIGINT) AS b FROM wn),
+        |wt AS (SELECT doc_id,
+        |  (CASE WHEN uw >= $i63 THEN uw - $u64 ELSE uw END % 7 + 7) % 7 - 3 AS wt
+        |  FROM (SELECT doc_id, ${md5u("'w:' || b")} AS uw FROM bkt)),
+        |scored AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM wt GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.score, 0) AS score, coalesce(s.score, 0) > 0 AS keep
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    })
+
   /** Language ID heuristic per document. */
   val textLangid: QueryDef = QueryDef(
     "text_langid",
@@ -846,7 +877,7 @@ object PipelineQueries {
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
-    textLangid, textQuality,
+    textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample)
 }

@@ -118,6 +118,12 @@ class PlanAuditSpec extends SparkSpec {
       "assignment shuffles the corpus on the vector id again")
   }
 
+  test("text_quality_model: weight table is a plan literal — no join, doc-partial shuffle only") {
+    val p = plan("text_quality_model")
+    assert(!p.contains("Join"), "hashed weight lookup grew a join against a weight table")
+    assert(nodes(p, "Exchange") <= 2, "scoring grew shuffles beyond doc-partials + final sort")
+  }
+
   test("sim_pq_adc: codebook/distance-table joins broadcast; corpus never shuffle-joins") {
     val p = plan("sim_pq_adc")
     assert(p.contains("long_vector_argmin_key"), "argmin kernel missing from plan")
