@@ -201,6 +201,63 @@ object EventStreams {
       }
   }
 
+  final case class HitterEntry(user_id: String, cnt: Long, err: Long)
+  final case class HitterUpdate(event_type: String, n_tracked: Int,
+      n_seen: Long, top: Seq[HitterEntry])
+
+  /** Streaming heavy hitters via SpaceSaving (Metwally, Agrawal, El
+    * Abbadi 2005) in keyed state: per event_type, a bounded summary of
+    * at most `capacity` (user_id → count, err) entries; a new key over
+    * capacity EVICTS the minimum-count entry and inherits its count as
+    * its error bound. The classical guarantees hold per key group:
+    * every user with true count > n_seen/capacity is tracked, and for
+    * any tracked user, cnt - err <= true <= cnt.
+    *
+    * State is O(capacity) FOREVER — the streaming twin of the batch
+    * sample-nominate/sketch-verify [[graft.ops.Sketches.heavyHitters]]
+    * path, for when hitters must be current per micro-batch rather than
+    * discovered in a second pass. Determinism: with capacity >= the
+    * group's distinct keys no eviction occurs and counts are exact
+    * (StreamingSpec pins equality to the batch groupBy); under eviction
+    * the summary is arrival-order dependent, so callers rely on the
+    * guarantee, not the exact entry set (spec pins the guarantee).
+    * Emission order is deterministic: count desc, then user_id asc —
+    * the [[graft.ops.Sketches]] tie-break convention. */
+  def spaceSavingHitters(events: DataFrame, capacity: Int = 64,
+      topN: Int = 10): Dataset[HitterUpdate] = {
+    require(capacity >= 1 && topN >= 1, "capacity and topN must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("event_type"), col("user_id").cast("string"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Map[String, (Long, Long)], Long), HitterUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (tpe, rows, state) =>
+          var (m, seen) = state.getOption.getOrElse(
+            (Map.empty[String, (Long, Long)], 0L))
+          rows.foreach { case (_, user) =>
+            val u = if (user == null) "" else user
+            seen += 1
+            m.get(u) match {
+              case Some((c, e)) => m = m.updated(u, (c + 1, e))
+              case None if m.size < capacity => m = m.updated(u, (1L, 0L))
+              case None =>
+                // evict the min-count entry (ties: smallest key — any
+                // fixed rule preserves the guarantee; this one is stable)
+                val (mk, (mc, _)) = m.minBy { case (k2, (c2, _)) => (c2, k2) }
+                m = (m - mk).updated(u, (mc + 1, mc))
+            }
+          }
+          state.update((m, seen))
+          val top = m.toSeq
+            .map { case (u2, (c2, e2)) => HitterEntry(u2, c2, e2) }
+            .sortBy(h => (-h.cnt, h.user_id))
+            .take(topN)
+          HitterUpdate(tpe, m.size, seen, top)
+      }
+  }
+
   /** Run the hourly aggregation to a named in-memory sink until all
     * available data is processed (synchronous batch-over-stream drive).
     * Complete mode so the final in-memory table includes windows the

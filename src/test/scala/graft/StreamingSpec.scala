@@ -180,4 +180,80 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty && streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming SpaceSaving hitters with headroom equal the exact batch counts") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // capacity far above the per-type distinct-user count -> no eviction
+    // -> counts are exact and deterministic
+    val q = EventStreams.spaceSavingHitters(
+        EventStreams.readEvents(spark, sf), capacity = 100000, topN = 5)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("ss_exact_test")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ss-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_exact_test")
+        .groupBy(col("event_type")).agg(last(col("top")).as("top"))
+        .select(col("event_type"), explode(col("top")).as("h"))
+        .select(col("event_type"), col("h.user_id"), col("h.cnt"), col("h.err"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("cnt").desc, col("user_id").asc)
+      val batch = graft.queries.Tables.events(spark, sf)
+        .groupBy(col("event_type"), col("user_id").cast("string").as("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("event_type"), col("user_id"), col("cnt"), lit(0L).as("err"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed=${streamed.take(5)} batch=${batch.take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming SpaceSaving under eviction keeps the classical guarantees") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val cap = 16
+    val q = EventStreams.spaceSavingHitters(
+        EventStreams.readEvents(spark, sf), capacity = cap, topN = cap)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("ss_evict_test")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ss-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val lastRows = spark.table("ss_evict_test")
+        .groupBy(col("event_type"))
+        .agg(last(col("top")).as("top"), last(col("n_seen")).as("n_seen"))
+        .collect()
+      val truth = graft.queries.Tables.events(spark, sf)
+        .groupBy(col("event_type"), col("user_id").cast("string").as("user_id"))
+        .agg(count(lit(1)).as("cnt")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(lastRows.nonEmpty)
+      lastRows.foreach { row =>
+        val tpe = row.getString(0)
+        val top = row.getSeq[org.apache.spark.sql.Row](1)
+          .map(h => (h.getString(0), h.getLong(1), h.getLong(2)))
+        val nSeen = row.getLong(2)
+        val tracked = top.map(_._1).toSet
+        // 1. every key with true count > n_seen/cap is in the summary
+        truth.collect { case ((t, u), c) if t == tpe && c > nSeen / cap => u }
+          .foreach(u => assert(tracked.contains(u),
+            s"type $tpe: heavy user $u missing from summary"))
+        // 2. for tracked keys: cnt - err <= true <= cnt
+        top.foreach { case (u, cnt, err) =>
+          val t = truth.getOrElse((tpe, u), 0L)
+          assert(t <= cnt && t >= cnt - err,
+            s"type $tpe user $u: true=$t not in [${cnt - err}, $cnt]")
+        }
+      }
+    } finally q.stop()
+  }
 }
