@@ -429,7 +429,47 @@ object MlPrepQueries {
       |FROM g JOIN s sa ON g.i = sa.dim JOIN s sb ON g.j = sb.dim, nv
       |ORDER BY dim_i, dim_j""".stripMargin))
 
+  /** Johnson–Lindenstrauss random projection of the embedding corpus to
+    * `K` dimensions via md5-derived ±1 hyperplanes (the
+    * [[graft.ops.Similarity]] plane family — executors regenerate them
+    * from nothing, the oracle regenerates them in SQL). Multiplying
+    * micro-unit integers by ±1 is exact, so every projected coordinate
+    * is an exact integer (the 1/√K JL scale stays symbolic). One narrow
+    * pass: K codegen'd [[graft.functions.LongVectorDot]]s against
+    * literal plane arrays, zero shuffles before the output sort —
+    * completes the embedding-ops family (z-score, covariance, int8, PQ,
+    * projection). */
+  val embProject: QueryDef = {
+    val K = 16
+    QueryDef(
+      "emb_project",
+      (s, d) => {
+        val dots = (0 until K).map { p =>
+          graft.functions.long_dot(col("xm"),
+            typedLit(graft.ops.Similarity.planeVector(p, 64).map(_.toLong)))
+        }
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), graft.ops.Clustering.microVec(col("embedding")).as("xm"))
+          .select(col("vec_id"), posexplode(array(dots: _*)).as(Seq("p", "proj")))
+          .select(col("vec_id"), col("p").cast("long").as("p"), col("proj"))
+          .orderBy("vec_id", "p")
+      },
+      Some(s"""WITH planes AS (
+        |  SELECT p, list(CASE WHEN strpos('13579bdf', substr(md5(p || ':' || d), 2, 1)) > 0
+        |                 THEN 1 ELSE -1 END ORDER BY d) AS pv
+        |  FROM range(0, $K) rp(p), range(1, 65) rd(d)
+        |  GROUP BY p),
+        |v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        |  FROM embeddings)
+        |SELECT vec_id, p,
+        |  CAST(list_sum([xm[i] * pv[i] for i in range(1, len(xm) + 1)]) AS BIGINT) AS proj
+        |FROM v, planes ORDER BY vec_id, p""".stripMargin))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     embZscore, textBm25, clusterKmeans, dedupSemantic, sampleHashSplit,
-    packLengthBuckets, embCovariance)
+    packLengthBuckets, embCovariance, embProject)
 }
