@@ -104,6 +104,24 @@ object Multimodal {
         length(col("frame_payload")).cast(LongType).as("n_bytes"))
   }
 
+  /** ==STUB==-adjacent content-hash features: `dim` (≤ 16) byte values
+    * of md5(payload) as a float vector. NOT a learned embedding — a real
+    * pipeline swaps in a vision/audio encoder at the same boundary — but
+    * unlike [[decodeFeatures]]'s rolling-hash fake these features are
+    * md5-derived, so a DuckDB oracle regenerates them exactly and the
+    * WHOLE opaque-payload → feature → similarity-search composition is
+    * value-level verifiable (see the `mm_similarity` query). Narrow
+    * (per-row expressions, payloads never shuffle). */
+  def hashFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 1 && dim <= 16, "md5 yields 16 feature bytes")
+    val hex = md5(col("payload"))
+    val bytes = (0 until dim).map { d =>
+      conv(substring(hex, 2 * d + 1, 2), 16, 10).cast("float")
+    }
+    media.select(col("media_id"), col("modality"),
+      array(bytes: _*).as("feature"))
+  }
+
   /** Per-partition batched decode: the mapPartitions boundary is where a
     * real pipeline hands row batches to a native decoder. Partition count
     * governs decoder parallelism; payloads never shuffle. */

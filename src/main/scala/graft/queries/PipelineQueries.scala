@@ -610,6 +610,38 @@ object PipelineQueries {
       |  md5(text) AS content_hash
       |FROM documents ORDER BY media_id""".stripMargin))
 
+  /** End-to-end multimodal similarity: opaque binary payloads →
+    * md5-content features ([[Multimodal.hashFeatures]] — the
+    * encoder-swap boundary) → the SAME brute-force cosine top-k path
+    * the float embeddings use. The whole composition is value-level
+    * verifiable because the features regenerate from md5 in SQL; a real
+    * deployment replaces only the feature stage with a learned encoder
+    * and keeps the ranking machinery unchanged. */
+  val mmSimilarity: QueryDef = QueryDef(
+    "mm_similarity",
+    (s, d) => Similarity.bruteForceTopK(
+        Multimodal.hashFeatures(Multimodal.fromDocuments(Tables.documents(s, d)), 16),
+        "media_id", "feature", col("media_id") % 50 === 0, k = 5)
+      .orderBy("query_id", "rk"),
+    Some("""WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |    [CAST(CAST(concat('0x', substr(md5(text), 2 * d + 1, 2)) AS BIGINT) AS DOUBLE)
+      |     for d in range(0, 16)] AS v
+      |  FROM documents),
+      |q AS (SELECT media_id AS query_id, v AS qv FROM f WHERE media_id % 50 = 0),
+      |c AS (SELECT media_id AS cand_id, v AS cv FROM f),
+      |scored AS (
+      |  SELECT query_id, cand_id,
+      |    list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      |  FROM c, q WHERE query_id <> cand_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
+      |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
+
   /** Multimodal resize plumbing: payload replaced by the stub transform,
     * byte accounting + content hash oracle-checked (payload bytes are the
     * utf-8 text, so DuckDB's substr/md5 over the ASCII corpus hashes the
@@ -879,5 +911,5 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
-    mmDecode, mmResize, mmFrameSample)
+    mmDecode, mmResize, mmFrameSample, mmSimilarity)
 }
