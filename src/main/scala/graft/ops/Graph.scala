@@ -73,6 +73,13 @@ object Graph {
             .select(col("node"),
               expr(s"($baseMass div n_nodes) + " +
                 "(85 * (coalesce(s, 0L) + (dm div n_nodes))) div 100").as("r"))
+            // this mode reads `ranks` TWICE per round (contribs + dang),
+            // so a lazy plan embeds the previous round's whole lineage
+            // twice — 2^iters growth (measured: 366 plan exchanges at 5
+            // rounds vs 94 for the drop-mass mode). The eager per-round
+            // checkpoint (the connectedComponents pattern: one action
+            // per round) keeps the plan constant-size; same integers.
+            .localCheckpoint(true)
         }
     }
     ranks
