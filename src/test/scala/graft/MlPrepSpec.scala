@@ -126,4 +126,51 @@ class MlPrepSpec extends SparkSpec {
     assert(oov(1) == ((2L, 400L, 1L))) // 4*100 = singleton rarity here
     assert(oov(0) == ((1L, 3 * 133L, 3L)))
   }
+
+  test("PQ top-k on an empty corpus returns an empty frame, not a crash") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val out = graft.ops.Pq.pqTopK(empty, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") % 2 === 0, k = 3, dim = 4, m = 2, ks = 2)
+    assert(out.count() == 0)
+  }
+
+  test("PQ top-k on a tiny corpus ranks every other vector exactly once per query") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 8L).map(i =>
+      (i, Seq.tabulate(4)(d => (i * 4 + d).toFloat))).toDF("vec_id", "embedding")
+    val out = graft.ops.Pq.pqTopK(vecs, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") === 0, k = 10, dim = 4, m = 2, ks = 4)
+      .collect()
+    // one query, 7 candidates, k capped by candidate count
+    assert(out.length == 7)
+    assert(out.map(_.getLong(3)).toSeq == out.map(_.getLong(3)).toSeq.sorted,
+      "adist must rank ascending")
+  }
+
+  test("hashed quality score keeps token-less and null-text documents at the bias") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "spark merges tables"), (2L, "!!! ???"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.hashedQualityScore(docs, "doc_id", "text",
+        graft.ops.TextOps.pseudoWeights(64), bias = 5L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(1).getLong(1) == 5L && out(2).getLong(1) == 5L,
+      "empty/null docs must score exactly the bias")
+    assert(out(1).getBoolean(2) && out(2).getBoolean(2)) // bias 5 > 0
+  }
+
+  test("hashed quality score is additive over token multiplicity") {
+    val s = spark
+    import s.implicits._
+    val w = graft.ops.TextOps.pseudoWeights(64)
+    val docs = Seq((1L, "spark"), (2L, "spark spark spark")).toDF("doc_id", "text")
+    val sc = graft.ops.TextOps.hashedQualityScore(docs, "doc_id", "text", w)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(sc(1) == 3 * sc(0), s"expected 3x single-token score, got ${sc.toSeq}")
+  }
 }
