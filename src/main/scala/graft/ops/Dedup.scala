@@ -91,12 +91,11 @@ object Dedup {
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH near-dup candidate pairs (a < b) over word shingles.
-    * Banded self-join: candidates share all `rowsPerBand` signature rows
-    * of some band, so the join key is (band_id, concatenated band hash) —
-    * bucket-local O(|bucket|²), never corpus-global. The two join sides
-    * are the same plan, so Catalyst reuses one shuffle (ReusedExchange). */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+  /** LSH band rows (id, band_id, band_key) — the PERSISTED-INDEX shape:
+    * in a continuous-crawl pipeline this is computed once per ingest and
+    * appended to the index table, so later batches probe it without ever
+    * re-shingling the corpus. */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, shingleN, k)
     val nBands = k / rowsPerBand
@@ -105,14 +104,44 @@ object Dedup {
         concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
           .as("band_key"))
     }: _*)
-    val banded = sig.select(col("id"), explode(bandStructs).as("band"))
+    sig.select(col("id"), explode(bandStructs).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs (a < b) over word shingles.
+    * Banded self-join: candidates share all `rowsPerBand` signature rows
+    * of some band, so the join key is (band_id, concatenated band hash) —
+    * bucket-local O(|bucket|²), never corpus-global. The two join sides
+    * are the same plan, so Catalyst reuses one shuffle (ReusedExchange). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val banded = minhashBandIndex(df, idCol, textCol, shingleN, k, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** Incremental NEAR-dup detection: which new-batch documents LSH-
+    * collide with the existing corpus? The corpus side is its persisted
+    * band index ([[minhashBandIndex]] — in production appended per
+    * ingest, read back here), so the corpus text is never re-shingled
+    * and never re-pairs with itself; only the (small) new batch computes
+    * signatures, and the join meets solely inside matching buckets —
+    * the incremental twin of [[minhashLshPairs]], as [[incrementalNew]]
+    * is for exact fingerprints. Returns one row per colliding batch doc
+    * with its smallest colliding corpus id for audit. */
+  def incrementalLshDups(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val nb = minhashBandIndex(batch, idCol, textCol, shingleN, k, rowsPerBand)
+    nb.as("n").join(corpusIndex.as("c"),
+        col("n.band_id") === col("c.band_id") &&
+        col("n.band_key") === col("c.band_key"))
+      .groupBy(col("n.id").as("doc_id"))
+      .agg(min(col("c.id")).as("dup_of"))
   }
 
   /** SimHash 64-bit signatures: sign of the per-bit sum of ±1 votes from

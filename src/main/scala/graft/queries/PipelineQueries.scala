@@ -200,6 +200,69 @@ object PipelineQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = bfp.fp)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Parameterized LSH band CTE chain (source CTE `src`, name prefix
+    * `p`): (doc_id, band_id, band_key) rows — the same universal-hash
+    * replay as [[minhashPairsSql]], reusable for each side of a
+    * two-corpus probe. */
+  private def minhashBandsSql(src: String, p: String): String = {
+    val shingles =
+      s"""list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))])"""
+    val mins = (0 until 8).map { i =>
+      val a = java.lang.Long.toUnsignedString(graft.ops.Dedup.minhashA(i))
+      val b = java.lang.Long.toUnsignedString(graft.ops.Dedup.minhashB(i))
+      s"""min(CAST((CASE WHEN (($a::HUGEINT * u + $b::HUGEINT) % 18446744073709551616::HUGEINT) >= 9223372036854775808::HUGEINT
+         | THEN (($a::HUGEINT * u + $b::HUGEINT) % 18446744073709551616::HUGEINT) - 18446744073709551616::HUGEINT
+         | ELSE (($a::HUGEINT * u + $b::HUGEINT) % 18446744073709551616::HUGEINT) END) AS BIGINT)) AS h$i""".stripMargin
+    }.mkString(",\n")
+    val sigList = (0 until 8).map(i => s"CAST(h$i AS VARCHAR)").mkString("[", ", ", "]")
+    s"""${p}words AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM $src),
+      |${p}sh AS (SELECT doc_id, $shingles AS shingles FROM ${p}words),
+      |${p}inv AS (SELECT doc_id, unnest(shingles) AS s FROM ${p}sh),
+      |${p}hu AS (SELECT doc_id,
+      |  (CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)::HUGEINT * 4294967296::HUGEINT
+      |   + CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)::HUGEINT) AS u FROM ${p}inv),
+      |${p}sigcols AS (SELECT doc_id,
+      |$mins
+      |FROM ${p}hu GROUP BY doc_id),
+      |${p}sig AS (SELECT doc_id, $sigList AS sig FROM ${p}sigcols),
+      |${p}bands AS (
+      |  SELECT doc_id, b AS band_id, sig[2*b+1] || '|' || sig[2*b+2] AS band_key
+      |  FROM ${p}sig, (SELECT unnest(range(4)) AS b))""".stripMargin
+  }
+
+  /** Incremental NEAR-dup: new-batch docs that LSH-collide with the
+    * persisted corpus band index ([[Dedup.incrementalLshDups]]) — the
+    * continuous-crawl shape: corpus text is never re-shingled and never
+    * re-pairs with itself; only the new batch computes signatures and
+    * probes matching buckets. */
+  val dedupIncrementalLsh: QueryDef = QueryDef(
+    "dedup_incremental_lsh",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" extratoken")).as("text")))
+      val index = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+        shingleN = 3, k = 8, rowsPerBand = 2)
+      Dedup.incrementalLshDups(batch, index, "doc_id", "text",
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, text || ' extratoken' AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |${minhashBandsSql("corpus", "c_")},
+      |${minhashBandsSql("batch", "b_")}
+      |SELECT b.doc_id AS doc_id, min(c.doc_id) AS dup_of
+      |FROM b_bands b JOIN c_bands c
+      |  ON b.band_id = c.band_id AND b.band_key = c.band_key
+      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin))
+
   /** Blocked fuzzy dedup: prefix blocking + Levenshtein verification on
     * the dup-synthesized corpus (exact copies at distance 0; unrelated
     * docs sharing a block prefix are filtered by the distance cap). */
@@ -907,6 +970,7 @@ object PipelineQueries {
     asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
     dedupMinhashLsh, dedupCluster, dedupClusterStar,
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
+    dedupIncrementalLsh,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     textLangid, textQuality, textQualityModel,
