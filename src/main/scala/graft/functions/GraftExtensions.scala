@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Registers the engine's native expressions for SQL use.
   *
@@ -14,19 +14,33 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * After registration: `SELECT float_vector_dot(a.embedding, b.embedding)`
   * works in `spark.sql` with the same codegen'd implementation as the
-  * `graft.functions.float_dot` Column API.
-  */
+  * `graft.functions.float_dot` Column API. The integer-vector kernels
+  * (`long_vector_dot` / `long_vector_sqdist` / `long_vector_argmin_key`),
+  * `mix64` and the `long_gram_matrix` aggregate are registered too, so
+  * the whole deterministic-arithmetic family is reachable from SQL.
+  * (The bloom probe is not SQL-registrable: it closes over a broadcast
+  * filter handle, which has no literal SQL form.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.floatVectorDotDescriptor)
-    ext.injectFunction(GraftExtensions.md5Hash64Descriptor)
-    ext.injectFunction(GraftExtensions.topkPairsDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
 object GraftExtensions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
   private def build(children: Seq[Expression]): Expression = {
     require(children.length == 2, "float_vector_dot takes exactly 2 arguments")
     FloatVectorDot(children.head, children(1))
@@ -39,39 +53,58 @@ object GraftExtensions {
 
   private def buildTopK(children: Seq[Expression]): Expression = {
     require(children.length == 3, "topk_pairs takes (score, id, k)")
-    val k = children(2) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"topk_pairs k must be an integer literal, got $other")
-    }
-    TopKPairs(children.head, children(1), k)
+    TopKPairs(children.head, children(1), intLit(children(2), "topk_pairs k"))
   }
 
-  val floatVectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("float_vector_dot"),
-    new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
-    build)
+  private def buildLongDot(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "long_vector_dot takes exactly 2 arguments")
+    LongVectorDot(children.head, children(1))
+  }
 
-  val md5Hash64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("md5_hash64"),
-    new ExpressionInfo(classOf[Md5Hash64].getName, "md5_hash64"),
-    buildMd5)
+  private def buildLongSqDist(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "long_vector_sqdist takes exactly 2 arguments")
+    LongVectorSqDist(children.head, children(1))
+  }
 
-  val topkPairsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("topk_pairs"),
-    new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
-    buildTopK)
+  private def buildArgmin(children: Seq[Expression]): Expression = {
+    require(children.length == 4, "long_vector_argmin_key takes (vec, cmat, cids, k)")
+    LongVectorArgminKey(children.head, children(1), children(2),
+      intLit(children(3), "long_vector_argmin_key k"))
+  }
+
+  private def buildMix64(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "mix64 takes (value, a, b)")
+    Mix64(children.head, longLit(children(1), "mix64 a"), longLit(children(2), "mix64 b"))
+  }
+
+  private def buildGram(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "long_gram_matrix takes (vec, d)")
+    LongGramMatrix(children.head, intLit(children(1), "long_gram_matrix d"))
+  }
+
+  private def descriptor(name: String, cls: Class[_],
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    descriptor("float_vector_dot", classOf[FloatVectorDot], build),
+    descriptor("md5_hash64", classOf[Md5Hash64], buildMd5),
+    descriptor("topk_pairs", classOf[TopKPairs], buildTopK),
+    descriptor("long_vector_dot", classOf[LongVectorDot], buildLongDot),
+    descriptor("long_vector_sqdist", classOf[LongVectorSqDist], buildLongSqDist),
+    descriptor("long_vector_argmin_key", classOf[LongVectorArgminKey], buildArgmin),
+    descriptor("mix64", classOf[Mix64], buildMix64),
+    descriptor("long_gram_matrix", classOf[LongGramMatrix], buildGram))
 
   /** Register on an already-built session (functions via the registry,
     * the optimizer rule via `experimental.extraOptimizations` — the
     * live-session hook for rules). Idempotent. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vector_dot", build, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_hash64", buildMd5, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_pairs", buildTopK, "built-in")
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThreshold
@@ -79,4 +112,12 @@ object GraftExtensions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
+
+  // kept for source compatibility with earlier rounds' wiring examples
+  val floatVectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    descriptors(0)
+  val md5Hash64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    descriptors(1)
+  val topkPairsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    descriptors(2)
 }

@@ -60,6 +60,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got == 32.0)
   }
 
+  test("integer-vector kernels and mix64/gram aggregate are callable from SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    Seq((1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
+      .toDF("id", "x", "y").createOrReplaceTempView("lvecs")
+    assert(spark.sql("SELECT long_vector_dot(x, y) FROM lvecs").head().getLong(0) == 32L)
+    assert(spark.sql("SELECT long_vector_sqdist(x, y) FROM lvecs").head().getLong(0) == 27L)
+    // centroids (0,0,0) cid=0 and (4,5,6) cid=1: nearest is cid 1 at dist 0
+    assert(spark.sql(
+      """SELECT long_vector_argmin_key(y, array(0L,0L,0L,4L,5L,6L), array(0L,1L), 2)
+        |FROM lvecs""".stripMargin).head().getLong(0) == 1L)
+    assert(spark.sql("SELECT mix64(id, 3, 5) FROM lvecs").head().getLong(0) == 8L)
+    val gram = spark.sql("SELECT long_gram_matrix(x, 3) FROM lvecs").head()
+    assert(gram.get(0) != null) // buffer row shape checked in its own spec
+  }
+
   test("expression survives codegen (wholestage on) and interpreted (off)") {
     val df = vecDf
     val expected = df.select(vector_norm(col("a"))).collect().map(_.getDouble(0))
