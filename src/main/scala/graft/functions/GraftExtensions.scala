@@ -77,6 +77,11 @@ object GraftExtensions {
     Mix64(children.head, longLit(children(1), "mix64 a"), longLit(children(2), "mix64 b"))
   }
 
+  private def buildBagScore(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "hashed_bag_score takes (tokens, weights)")
+    HashedBagScore(children.head, children(1))
+  }
+
   private def buildGram(children: Seq[Expression]): Expression = {
     require(children.length == 2, "long_gram_matrix takes (vec, d)")
     LongGramMatrix(children.head, intLit(children(1), "long_gram_matrix d"))
@@ -95,7 +100,8 @@ object GraftExtensions {
     descriptor("long_vector_sqdist", classOf[LongVectorSqDist], buildLongSqDist),
     descriptor("long_vector_argmin_key", classOf[LongVectorArgminKey], buildArgmin),
     descriptor("mix64", classOf[Mix64], buildMix64),
-    descriptor("long_gram_matrix", classOf[LongGramMatrix], buildGram))
+    descriptor("long_gram_matrix", classOf[LongGramMatrix], buildGram),
+    descriptor("hashed_bag_score", classOf[HashedBagScore], buildBagScore))
 
   /** Register on an already-built session (functions via the registry,
     * the optimizer rule via `experimental.extraOptimizations` — the

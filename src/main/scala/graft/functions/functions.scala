@@ -37,6 +37,13 @@ package object functions {
   def mix64(c: Column, a: Long, b: Long): Column =
     Bridge.column(Mix64(Bridge.expression(c), a, b))
 
+  /** Row-local hashed-bag linear score ([[HashedBagScore]]): the whole
+    * fasttext-shape document logit (Σ weights[md5_64(token) mod n]) as
+    * one codegen'd expression — zero shuffles. `weights` length must be
+    * a power of two. */
+  def hashed_bag_score(tokens: Column, weights: Column): Column =
+    Bridge.column(HashedBagScore(Bridge.expression(tokens), Bridge.expression(weights)))
+
   /** Codegen'd broadcast-bloom-filter membership probe
     * ([[BloomMightContainLong]]) — the no-UDF probe-side predicate for
     * bloom-pruned joins. */

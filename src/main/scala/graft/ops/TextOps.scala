@@ -214,25 +214,23 @@ object TextOps {
     *
     * Scale shape: the weight vector rides the plan as ONE literal array
     * (a per-task constant — no join against a weight table, no
-    * broadcast variable bookkeeping), the bucket lookup is a codegen'd
-    * `element_at` after the narrow token explode, and the per-document
-    * sum combines map-side before the only shuffle (doc-id partials).
-    * `explode_outer` keeps token-less documents: their score is the
-    * bias alone. Bucket count MUST be a power of two so the unsigned
-    * remainder both engines compute agrees with pmod on negative
-    * hashes. */
+    * broadcast variable bookkeeping), and the whole document logit is
+    * the row-local codegen'd [[graft.functions.HashedBagScore]] kernel —
+    * ZERO shuffles: the score never leaves its row (the earlier
+    * explode → element_at → groupBy(doc) formulation paid a doc-partial
+    * exchange for the same integers; PlanAuditSpec pins the
+    * exchange-free plan). Token-less and null-text documents score
+    * exactly the bias. Bucket count MUST be a power of two so the
+    * unsigned remainder both engines compute agrees with pmod on
+    * negative hashes. */
   def hashedQualityScore(docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[Long], bias: Long = 0L): DataFrame = {
     val b = weights.size
     require(b >= 2 && (b & (b - 1)) == 0, "weights.size must be a power of two")
-    val bucket = pmod(graft.functions.md5_hash64(col("__w")), lit(b.toLong))
+    val toks = filter(words(col(textCol)), w => length(w) > 0)
     docs.select(col(idCol).as("doc_id"),
-        explode_outer(filter(words(col(textCol)), w => length(w) > 0)).as("__w"))
-      .select(col("doc_id"),
-        when(col("__w").isNull, lit(0L))
-          .otherwise(element_at(typedLit(weights), bucket.cast("int") + 1)).as("__wt"))
-      .groupBy(col("doc_id"))
-      .agg((sum(col("__wt")) + bias).as("score"))
+        (coalesce(graft.functions.hashed_bag_score(toks, typedLit(weights)), lit(0L))
+          + bias).as("score"))
       .withColumn("keep", col("score") > 0)
   }
 

@@ -118,10 +118,11 @@ class PlanAuditSpec extends SparkSpec {
       "assignment shuffles the corpus on the vector id again")
   }
 
-  test("text_quality_model: weight table is a plan literal — no join, doc-partial shuffle only") {
+  test("text_quality_model: row-local bag-score kernel — no join, no shuffle before the sort") {
     val p = plan("text_quality_model")
+    assert(p.contains("hashed_bag_score"), "bag-score kernel missing from plan")
     assert(!p.contains("Join"), "hashed weight lookup grew a join against a weight table")
-    assert(nodes(p, "Exchange") <= 2, "scoring grew shuffles beyond doc-partials + final sort")
+    assert(nodes(p, "Exchange") <= 1, "scoring grew a shuffle beyond the output sort")
   }
 
   test("sim_pq_adc: codebook/distance-table joins broadcast; corpus never shuffle-joins") {
