@@ -551,8 +551,9 @@ object PipelineQueries {
     * the structure of the learned quality classifiers, bit-exact in both
     * engines because the demo weights regenerate from md5 (see
     * [[TextOps.pseudoWeights]]). The weight vector is a plan literal
-    * (per-task constant, no join); the only shuffle carries map-side
-    * pre-summed (doc_id, partial) rows. */
+    * (per-task constant, no join) and the logit is the row-local
+    * [[graft.functions.HashedBagScore]] kernel — zero shuffles before
+    * the output sort. */
   val textQualityModel: QueryDef = QueryDef(
     "text_quality_model",
     (s, d) => TextOps.hashedQualityScore(Tables.documents(s, d), "doc_id", "text",
