@@ -46,9 +46,16 @@ case class HashedBagScore(tokens: Expression, weights: Expression)
 
 object HashedBagScore {
   /** Shared by eval and codegen. `n` must be a power of two; then
-    * `hash & (n-1)` == pmod(hash, n) even for negative hashes. */
+    * `hash & (n-1)` == pmod(hash, n) even for negative hashes. The guard
+    * matters because the SQL-registered `hashed_bag_score` exposes this
+    * expression without the Column-API validation in
+    * [[graft.ops.TextOps.hashedQualityScore]]: n = 0 would make the mask
+    * -1 (out-of-bounds reads), and a non-power-of-two n would silently
+    * bucket by `h & (n-1)` instead of the documented pmod. */
   def score(tokens: ArrayData, weights: ArrayData): Long = {
     val n = weights.numElements()
+    require(n >= 1 && (n & (n - 1)) == 0,
+      s"hashed_bag_score weights length must be a power of two, got $n")
     val mask = n - 1
     var acc = 0L
     var i = 0

@@ -373,11 +373,17 @@ object SurveyQueries {
 
   val cleanRowsWide: QueryDef = QueryDef(
     "clean_rows_wide",
-    // eager localCheckpoint: the 1201-expression derivation is codegen'd
-    // and executed ONCE; without it the classifier's 3 batched profiling
-    // scans and the final recode projection each re-derive (and
-    // re-compile) the full wide input — measured 76s → ~25s at sf0.1
-    (s, d) => CleanRows(wideRows(s, d))
+    // CleanRows executes its input 3x (2 batched profiling scans + the
+    // recode projection); DISK_ONLY persist materializes the
+    // 601-expression derivation ONCE. persist over localCheckpoint is
+    // the cluster-scale call: a lost DISK_ONLY block rebuilds from
+    // lineage and nothing pins executor memory, where localCheckpoint
+    // blocks die with their executor. Measured at sf0.1 (WideMatProfile):
+    // cold 17.2s re-derive / 10.7s disk-persist / 7.4s localCheckpoint;
+    // warm all ~equal (5.7-6.1s). The cache entry is one bounded wide
+    // table for the session (the cache manager dedupes identical plans).
+    (s, d) => CleanRows(wideRows(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
       .orderBy(col("Connect_ID").cast("long")),
     Some {
       val outs = wideRowsSrcs.map { case (n, kind, _) =>
