@@ -12,11 +12,19 @@ import org.apache.spark.sql.types._
   * (the JVM analogue of arrow-batched Python UDFs), and a feature schema
   * downstream operators (similarity, dedup) consume directly.
   *
-  * ==STUB== The actual media decode is a clearly-marked deterministic
-  * fake: this container has no image/audio codecs, so `decodeStub`
-  * derives pseudo-features from the payload bytes. Swapping in a real
-  * decoder changes ONLY the body of [[MediaBatch.decodeStub]] — the
-  * plumbing (schema, batching, partitioning) is the deliverable.
+  * IMAGE decode/resize are REAL as of round 5: [[decodeImages]] and
+  * [[resizeImages]] parse actual PNG/BMP containers through the JDK's
+  * built-in `javax.imageio` (no external codec dependency) inside the
+  * same mapPartitions boundary, and the synthetic corpus
+  * ([[imageCorpus]]) has closed-form pixel values so a codec-less SQL
+  * oracle verifies the decoded numbers end-to-end.
+  *
+  * ==STUB== Only the VIDEO path (frame seeking in [[frameSampleStub]])
+  * and the generic any-modality feature fake ([[decodeStub]], kept for
+  * the audio/video rows of `mm_decode_stub`) remain deterministic
+  * stand-ins: the JDK ships no video/audio codec. Swapping in a real
+  * one changes ONLY those bodies — the plumbing (schema, batching,
+  * partitioning) is shared with the real image path.
   */
 object Multimodal {
 
@@ -120,6 +128,147 @@ object Multimodal {
     }
     media.select(col("media_id"), col("modality"),
       array(bytes: _*).as("feature"))
+  }
+
+  // ---- REAL image path (JDK javax.imageio — PNG + BMP) ----
+
+  /** Deterministic synthetic image for `media_id = id`: dims
+    * `(8 + id%8) x (8 + id%5)`, pixel (x, y) channels
+    * r = (id·31 + x·7 + y·13) mod 256, g = (id·17 + x·11 + y·3) mod 256,
+    * b = (id·13 + x·5 + y·19) mod 256. Closed-form pixels mean an
+    * engine-neutral oracle recomputes every decoded value WITHOUT a
+    * codec — so the PNG/BMP encode→decode round trip is value-gated,
+    * not just byte-counted. */
+  private[graft] def synthImage(id: Long): java.awt.image.BufferedImage = {
+    require(id >= 0, s"synthImage needs a non-negative id, got $id")
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 13 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodeImage(img: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, fmt, baos)
+    require(ok, s"no ImageIO writer for format '$fmt'")
+    baos.toByteArray
+  }
+
+  private def pixelSum(img: java.awt.image.BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        s += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Image corpus with REAL encoded payloads: PNG for even ids, BMP for
+    * odd (both lossless 24-bit, both decoders ship in the JDK). Encoding
+    * runs per-partition like every codec stage here; the payload column
+    * is genuine container bytes, not a text stand-in. */
+  def imageCorpus(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id").cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          Row(id, fmt, encodeImage(synthImage(id), fmt))
+        }
+      }(enc)
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO.read` parses the PNG/BMP
+    * container and the reported width/height/pixel_sum come from the
+    * decoded raster — any codec bug breaks the oracle's closed-form
+    * numbers. Same scale shape as [[decodeFeatures]]: per-partition
+    * batches, payloads never shuffle. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("fmt"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.get(2).asInstanceOf[Array[Byte]]
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload for media_id=${r.getLong(0)} is not a decodable image")
+          Row(r.getLong(0), r.getString(1), img.getWidth.toLong,
+            img.getHeight.toLong, pixelSum(img), bytes.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** REAL resize: decode, nearest-neighbor resample to (w, h) with
+    * `sx = x·srcW div w` / `sy = y·srcH div h` (exact integer sampling —
+    * no interpolation, so the resample is engine-reproducible), then
+    * re-encode as PNG. Output pixel_sum/dims describe the RESIZED
+    * raster; the payload is the re-encoded container (round-trip pinned
+    * in the spec — PNG is lossless, so payload re-decodes to the same
+    * pixels). */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, "target dims must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.get(1).asInstanceOf[Array[Byte]]
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(src != null, s"payload for media_id=${r.getLong(0)} is not a decodable image")
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val sy = y * src.getHeight / h
+            var x = 0
+            while (x < w) {
+              dst.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val out = encodeImage(dst, "png")
+          Row(r.getLong(0), w.toLong, h.toLong, pixelSum(dst),
+            out.length.toLong, out)
+        }
+      }(enc)
   }
 
   /** Per-partition batched decode: the mapPartitions boundary is where a

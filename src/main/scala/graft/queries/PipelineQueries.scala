@@ -724,6 +724,59 @@ object PipelineQueries {
       |  md5(substr(text, 1, greatest(least(length(text), 64), 1))) AS content_hash
       |FROM documents ORDER BY media_id""".stripMargin))
 
+  /** REAL image decode (JDK `javax.imageio`, zero new dependencies):
+    * the corpus is genuine PNG (even ids) / BMP (odd ids) container
+    * bytes whose pixels follow a closed-form formula of (id, x, y), so
+    * the codec-less oracle recomputes the decoded width/height and the
+    * exact per-image pixel sum — a wrong decode breaks the hash match.
+    * Scale shape: per-partition batched decode, payloads never shuffle
+    * (same boundary as the stub path). */
+  val mmDecodeImage: QueryDef = QueryDef(
+    "mm_decode_image",
+    (s, d) => Multimodal.decodeImages(
+        Multimodal.imageCorpus(Tables.documents(s, d)))
+      .select(col("media_id"), col("fmt"), col("width"), col("height"),
+        col("pixel_sum"))
+      .orderBy("media_id"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+      |px AS (
+      |  SELECT id, w, h,
+      |    sum((id*31 + x*7 + y*13) % 256 + (id*17 + x*11 + y*3) % 256
+      |      + (id*13 + x*5 + y*19) % 256) AS ps
+      |  FROM dims, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY id, w, h)
+      |SELECT id AS media_id,
+      |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(ps AS BIGINT) AS pixel_sum
+      |FROM px ORDER BY media_id""".stripMargin))
+
+  /** REAL image resize: decode the PNG/BMP container, nearest-neighbor
+    * resample to 7x9 (`sx = x·srcW div 7` — exact integer sampling, so
+    * the oracle replays it), re-encode PNG. The reported pixel sums are
+    * of the RESIZED raster; re-encoded payload round-trip is pinned in
+    * PipelineSpec (PNG is lossless). */
+  val mmResizeImage: QueryDef = QueryDef(
+    "mm_resize_image",
+    (s, d) => Multimodal.resizeImages(
+        Multimodal.imageCorpus(Tables.documents(s, d)), w = 7, h = 9)
+      .select(col("media_id"), col("width"), col("height"), col("pixel_sum"))
+      .orderBy("media_id"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+      |px AS (
+      |  SELECT id,
+      |    sum((id*31 + ((x*w)//7)*7 + ((y*h)//9)*13) % 256
+      |      + (id*17 + ((x*w)//7)*11 + ((y*h)//9)*3) % 256
+      |      + (id*13 + ((x*w)//7)*5 + ((y*h)//9)*19) % 256) AS ps
+      |  FROM dims, range(0, 7) xs(x), range(0, 9) ys(y)
+      |  GROUP BY id)
+      |SELECT id AS media_id, CAST(7 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height,
+      |  CAST(ps AS BIGINT) AS pixel_sum
+      |FROM px ORDER BY media_id""".stripMargin))
+
   /** Multimodal frame-sampling plumbing: one row per sampled frame with
     * frame indexing, per-frame byte accounting, and frame content hash —
     * all oracle-checked over the same byte slices. */
@@ -976,5 +1029,6 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
-    mmDecode, mmResize, mmFrameSample, mmSimilarity)
+    mmDecode, mmResize, mmFrameSample, mmSimilarity,
+    mmDecodeImage, mmResizeImage)
 }

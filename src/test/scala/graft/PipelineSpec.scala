@@ -150,4 +150,44 @@ class PipelineSpec extends SparkSpec {
     assert(row.getSeq[Float](row.fieldIndex("feature")).length == 8)
     assert(row.getAs[Long]("n_bytes") > 0)
   }
+
+  test("real JDK image codec: PNG and BMP encode->decode round-trips every closed-form pixel") {
+    for (id <- Seq(0L, 1L, 7L, 12L, 123L, 498L, 499L)) {
+      val fmt = if (id % 2 == 0) "png" else "bmp"
+      val bytes = Multimodal.encodeImage(Multimodal.synthImage(id), fmt)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"$fmt payload for id=$id did not decode")
+      assert(img.getWidth == (8 + id % 8).toInt, s"width mismatch id=$id")
+      assert(img.getHeight == (8 + id % 5).toInt, s"height mismatch id=$id")
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xFF) == ((id * 31 + x * 7 + y * 13) % 256).toInt,
+          s"red mismatch id=$id at ($x,$y) via $fmt")
+        assert(((p >> 8) & 0xFF) == ((id * 17 + x * 11 + y * 3) % 256).toInt,
+          s"green mismatch id=$id at ($x,$y) via $fmt")
+        assert((p & 0xFF) == ((id * 13 + x * 5 + y * 19) % 256).toInt,
+          s"blue mismatch id=$id at ($x,$y) via $fmt")
+      }
+    }
+  }
+
+  test("resizeImages: re-encoded PNG payload re-decodes to the reported resized raster") {
+    val media = Multimodal.imageCorpus(Tables.documents(spark, sf))
+    val out = Multimodal.resizeImages(media, w = 7, h = 9).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(img != null, s"resized payload for ${r.getLong(0)} did not decode")
+      assert(img.getWidth.toLong == r.getAs[Long]("width") && img.getWidth == 7)
+      assert(img.getHeight.toLong == r.getAs[Long]("height") && img.getHeight == 9)
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        s += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+      }
+      assert(s == r.getAs[Long]("pixel_sum"),
+        s"lossless PNG round-trip changed pixels for media_id=${r.getLong(0)}")
+    }
+  }
 }
