@@ -42,6 +42,69 @@ import graft.functions.{long_argmin_key, long_sqdist, topk_pairs}
   */
 object Pq {
 
+  /** Pack a (sub, cid, cm) codebook into one row per subspace (sorted
+    * cid order) for the broadcast + row-local argmin kernel. */
+  private def packCodebook(cb: DataFrame): DataFrame =
+    cb.groupBy("sub")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cm")))).as("cs"))
+      .select(col("sub"),
+        transform(col("cs"), s => s.getField("cid")).as("cids"),
+        flatten(transform(col("cs"), s => s.getField("cm"))).as("cmat"))
+
+  /** One Lloyd assignment: per-subspace packed codebooks broadcast, the
+    * argmin computed row-locally by the codegen kernel (zero corpus
+    * shuffle — same plan shape as Clustering.assignStep, keyed by sub).
+    * Extra columns on `subv` (e.g. the IVF cell) ride through. */
+  private def assign(subv: DataFrame, cb: DataFrame, ks: Int): DataFrame =
+    subv.join(broadcast(packCodebook(cb)), Seq("sub"))
+      .withColumn("key", long_argmin_key(col("sv"), col("cmat"), col("cids"), ks))
+      .withColumn("cid", col("key") % ks)
+      .withColumn("dist", expr(s"key div $ks"))
+      .drop("key", "cids", "cmat")
+
+  /** Centroid update: exact integer per-dim sums, round(mean) — only
+    * (sub, cid, dim, partial) rows shuffle, map-side combined. */
+  private def update(a: DataFrame): DataFrame =
+    a.select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy(col("sub"), col("cid"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cm_j",
+        round(col("s").cast("double") / col("n").cast("double")).cast("long"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("cm_j")))),
+        s => s.getField("cm_j")).as("cm"))
+
+  /** Train `iters` Lloyd rounds from the id-stride seed codebook and
+    * encode `subv`; returns (codes, final codebook). */
+  private def trainAndEncode(subv: DataFrame, stride: Long, ks: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    var codebook = subv
+      .filter(col("id") % stride === 0 && expr(s"id div $stride") < ks)
+      .select(col("sub"), expr(s"id div $stride").cast("long").as("cid"),
+        col("sv").as("cm"))
+    var codes = assign(subv, codebook, ks)
+    for (_ <- 2 to iters) {
+      codebook = update(codes)
+      codes = assign(subv, codebook, ks)
+    }
+    (codes, codebook)
+  }
+
+  /** Bounded-heap exact top-k over (query_id, id, adist); score = -adist
+    * ranks ascending distance with ties to the lower cand_id (adist <
+    * 2^53, exact in a double). */
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(topk_pairs(negate(col("adist")).cast("double"), col("id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("p.id").as("cand_id"), negate(col("p.score")).cast("long").as("adist"))
+
+  private def emptyResult(emb: DataFrame): DataFrame =
+    emb.sparkSession.emptyDataFrame
+      .select(lit(0L).as("query_id"), lit(0L).as("rk"), lit(0L).as("cand_id"),
+        lit(0L).as("adist")).limit(0)
+
   /** Train per-subspace codebooks (Lloyd's, `iters` assignment rounds),
     * encode the corpus, and return exact-integer ADC top-k for each
     * query vector: (query_id, rk, cand_id, adist) with adist the
@@ -68,47 +131,9 @@ object Pq {
       .select(col("id"), col("is_q"), col("sub").cast("long").as("sub"), col("sv"))
 
     val maxIdRow = base.agg(max(col("id"))).head()
-    if (maxIdRow.isNullAt(0))
-      return emb.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("rk"), lit(0L).as("cand_id"),
-          lit(0L).as("adist")).limit(0)
+    if (maxIdRow.isNullAt(0)) return emptyResult(emb)
     val stride = math.max(1L, (maxIdRow.getLong(0) + 1) / ks)
-    var codebook = subv
-      .filter(col("id") % stride === 0 && expr(s"id div $stride") < ks)
-      .select(col("sub"), expr(s"id div $stride").cast("long").as("cid"),
-        col("sv").as("cm"))
-
-    // one Lloyd assignment: per-subspace packed codebooks broadcast, the
-    // argmin computed row-locally by the codegen kernel (zero corpus
-    // shuffle — same plan shape as Clustering.assignStep, keyed by sub)
-    def assign(cb: DataFrame): DataFrame = {
-      val packed = cb.groupBy("sub")
-        .agg(sort_array(collect_list(struct(col("cid"), col("cm")))).as("cs"))
-        .select(col("sub"),
-          transform(col("cs"), s => s.getField("cid")).as("cids"),
-          flatten(transform(col("cs"), s => s.getField("cm"))).as("cmat"))
-      subv.join(broadcast(packed), Seq("sub"))
-        .withColumn("key", long_argmin_key(col("sv"), col("cmat"), col("cids"), ks))
-        .select(col("id"), col("is_q"), col("sub"), col("sv"),
-          (col("key") % ks).as("cid"), expr(s"key div $ks").as("dist"))
-    }
-    // centroid update: exact integer per-dim sums, round(mean) — only
-    // (sub, cid, dim, partial) rows shuffle, map-side combined
-    def update(a: DataFrame): DataFrame =
-      a.select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
-        .groupBy(col("sub"), col("cid"), col("dim"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cm_j",
-          round(col("s").cast("double") / col("n").cast("double")).cast("long"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("cm_j")))),
-          s => s.getField("cm_j")).as("cm"))
-
-    var codes = assign(codebook)
-    for (_ <- 2 to iters) {
-      codebook = update(codes)
-      codes = assign(codebook)
-    }
+    val (codes, codebook) = trainAndEncode(subv, stride, ks, iters)
 
     // ADC: per-query distance table over the FINAL codebook (the one the
     // last assignment encoded against); nq·m·ks rows — broadcast side
@@ -125,12 +150,92 @@ object Pq {
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("d")).as("adist"))
-    // bounded-heap exact top-k; score = -adist ranks ascending distance
-    // with ties to the lower cand_id (adist < 2^53, exact in a double)
-    scored.groupBy(col("query_id"))
-      .agg(topk_pairs(negate(col("adist")).cast("double"), col("id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "p")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
-        col("p.id").as("cand_id"), negate(col("p.score")).cast("long").as("adist"))
+    rankAdc(scored, k)
+  }
+
+  /** IVF-PQ (the FAISS IVFADC shape, minus residual encoding): a coarse
+    * quantizer of `nCells` id-stride data-point centroids prunes each
+    * query's search to its `nProbe` nearest cells, and PQ-ADC ranks ONLY
+    * the candidates in probed cells — the flat scan's nq·N scored
+    * shuffle becomes nq·Σ|probed cells| (nProbe/nCells of the corpus in
+    * expectation). This is the actual billion-scale search design: PQ
+    * compresses what the scan holds (32-64x), IVF bounds what it
+    * touches.
+    *
+    * Scale shape beyond [[pqTopK]]'s: the coarse assignment is one more
+    * row-local argmin over a one-row broadcast centroid matrix BEFORE
+    * the subspace explode, so every code row carries its cell for free —
+    * zero additional corpus exchanges; the probe set (nq·nProbe rows)
+    * and distance table broadcast. Same integer determinism ladder, so
+    * the DuckDB oracle replays coarse assignment, probing, Lloyd
+    * training, and ADC bit-for-bit. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, isQuery: Column,
+      k: Int, dim: Int, m: Int = 8, ks: Int = 16, iters: Int = 2,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ks >= 2 && iters >= 1, "need ks >= 2 and iters >= 1")
+    require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells,
+      s"need 2 <= nCells and 1 <= nProbe <= nCells, got $nCells/$nProbe")
+    val dsub = dim / m
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      Clustering.microVec(col(vecCol)).as("xm"), isQuery.as("is_q"))
+    val maxIdRow = base.agg(max(col("id"))).head()
+    if (maxIdRow.isNullAt(0)) return emptyResult(emb)
+    val maxId = maxIdRow.getLong(0)
+
+    // coarse centroids: data points at an id stride (IVF seeding, no
+    // training job), cell ids 0..nCells-1
+    val strideC = math.max(1L, (maxId + 1) / nCells)
+    val coarse = base
+      .filter(col("id") % strideC === 0 && expr(s"id div $strideC") < nCells)
+      .select(expr(s"id div $strideC").cast("long").as("cell_id"),
+        col("xm").as("ccm"))
+    val packedC = coarse
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("ccm")))).as("cs"))
+      .select(transform(col("cs"), s => s.getField("cell_id")).as("cids"),
+        flatten(transform(col("cs"), s => s.getField("ccm"))).as("cmat"))
+    // row-local coarse assignment over the one-row broadcast matrix —
+    // the corpus does not shuffle to learn its cell
+    val withCell = base.crossJoin(broadcast(packedC))
+      .withColumn("ckey", long_argmin_key(col("xm"), col("cmat"), col("cids"), nCells))
+      .select(col("id"), col("is_q"), col("xm"), (col("ckey") % nCells).as("cell"))
+
+    // queries rank all nCells coarse distances and probe the nProbe
+    // nearest (exact integer L2, ties to the lower cell id)
+    val qcells = withCell.filter(col("is_q"))
+      .select(col("id").as("query_id"), col("xm"))
+      .join(broadcast(coarse), lit(true))
+      .select(col("query_id"), col("cell_id"),
+        long_sqdist(col("xm"), col("ccm")).as("cd"))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cd").asc, col("cell_id").asc)))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("cell_id").as("cell"))
+
+    // subspace explode CARRIES the cell: narrow, same-partition
+    val slices = array((0 until m).map(s => slice(col("xm"), s * dsub + 1, dsub)): _*)
+    val subv = withCell
+      .select(col("id"), col("is_q"), col("cell"), posexplode(slices).as(Seq("sub", "sv")))
+      .select(col("id"), col("is_q"), col("cell"),
+        col("sub").cast("long").as("sub"), col("sv"))
+
+    val stride = math.max(1L, (maxId + 1) / ks)
+    val (codes, codebook) = trainAndEncode(subv, stride, ks, iters)
+
+    val qsub = subv.filter(col("is_q"))
+      .select(col("id").as("query_id"), col("sub"), col("sv").as("qsv"))
+    val dtab = qsub.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        long_sqdist(col("qsv"), col("cm")).as("d"))
+    // candidate generation bounded by the probe set: a code row joins
+    // only the queries probing its cell (broadcast, nq·nProbe rows),
+    // then the ADC lookup keys on (query, sub, codeword)
+    val scored = codes.join(broadcast(qcells), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d")).as("adist"))
+    rankAdc(scored, k)
   }
 }

@@ -488,52 +488,59 @@ object PipelineQueries {
     * the per-subspace Lloyd rounds unrolled (grouped by subspace in ONE
     * CTE chain — all 8 codebooks train in the same SQL pass) and re-ranks
     * by the same exact integer ADC distances. */
+  /** Shared CTE prefix for the PQ-family oracles: integer micro vectors
+    * (`v`), subspace rows (`sub`), id-stride seeds, two unrolled Lloyd
+    * rounds (`a2` = final codes, `cb2` = final codebook), query
+    * subvectors (`q`) and the per-query ADC distance table (`dt`) —
+    * exactly the arithmetic [[graft.ops.Pq]] executes. */
+  private def pqOracleCtes(m: Int, ks: Int, dsub: Int): String = {
+    def assign(cb: String): String =
+      s"""SELECT id, sub, sv, CAST(min(key) % $ks AS BIGINT) AS cid
+         |  FROM (
+         |    SELECT s.id, s.sub, s.sv,
+         |      CAST(list_sum([(s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i])
+         |                     for i in range(1, len(s.sv) + 1)]) AS BIGINT)
+         |        * $ks + c.cid AS key
+         |    FROM sub s JOIN $cb c ON s.sub = c.sub)
+         |  GROUP BY id, sub, sv""".stripMargin
+    def update(a: String): String =
+      s"""SELECT sub, cid, list(cm_j ORDER BY dim) AS cm
+         |  FROM (
+         |    SELECT sub, cid, dim,
+         |      CAST(round(CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm_j
+         |    FROM (SELECT sub, cid, generate_subscripts(sv, 1) AS dim, unnest(sv) AS vv FROM $a)
+         |    GROUP BY sub, cid, dim)
+         |  GROUP BY sub, cid""".stripMargin
+    s"""WITH v AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT id, r.sub, xm[r.sub * $dsub + 1 : r.sub * $dsub + $dsub] AS sv
+      |  FROM v, (SELECT unnest(range(0, $m)) AS sub) r),
+      |mx AS (SELECT greatest(1, (max(id) + 1) // $ks) AS stride FROM v),
+      |cb1 AS (
+      |  SELECT sub, id // stride AS cid, sv AS cm FROM sub, mx
+      |  WHERE id % stride = 0 AND id // stride < $ks),
+      |a1 AS (${assign("cb1")}),
+      |cb2 AS (${update("a1")}),
+      |a2 AS (${assign("cb2")}),
+      |q AS (SELECT id AS query_id, sub, sv AS qsv FROM sub WHERE id % 50 = 0),
+      |dt AS (
+      |  SELECT query_id, c.sub, c.cid,
+      |    CAST(list_sum([(q.qsv[i] - c.cm[i]) * (q.qsv[i] - c.cm[i])
+      |                   for i in range(1, len(q.qsv) + 1)]) AS BIGINT) AS d
+      |  FROM q JOIN cb2 c ON q.sub = c.sub)""".stripMargin
+  }
+
   val simPqAdc: QueryDef = QueryDef(
     "sim_pq_adc",
     (s, d) => graft.ops.Pq.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") % 50 === 0, k = 5, dim = 64, m = 8, ks = 64, iters = 2)
       .orderBy("query_id", "rk"),
-    Some {
-      val (m, ks, dsub) = (8, 64, 8)
-      def assign(cb: String): String =
-        s"""SELECT id, sub, sv, CAST(min(key) % $ks AS BIGINT) AS cid
-           |  FROM (
-           |    SELECT s.id, s.sub, s.sv,
-           |      CAST(list_sum([(s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i])
-           |                     for i in range(1, len(s.sv) + 1)]) AS BIGINT)
-           |        * $ks + c.cid AS key
-           |    FROM sub s JOIN $cb c ON s.sub = c.sub)
-           |  GROUP BY id, sub, sv""".stripMargin
-      def update(a: String): String =
-        s"""SELECT sub, cid, list(cm_j ORDER BY dim) AS cm
-           |  FROM (
-           |    SELECT sub, cid, dim,
-           |      CAST(round(CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm_j
-           |    FROM (SELECT sub, cid, generate_subscripts(sv, 1) AS dim, unnest(sv) AS vv FROM $a)
-           |    GROUP BY sub, cid, dim)
-           |  GROUP BY sub, cid""".stripMargin
-      s"""WITH v AS (
-        |  SELECT CAST(vec_id AS BIGINT) AS id,
-        |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
-        |  FROM embeddings),
-        |sub AS (
-        |  SELECT id, r.sub, xm[r.sub * $dsub + 1 : r.sub * $dsub + $dsub] AS sv
-        |  FROM v, (SELECT unnest(range(0, $m)) AS sub) r),
-        |mx AS (SELECT greatest(1, (max(id) + 1) // $ks) AS stride FROM v),
-        |cb1 AS (
-        |  SELECT sub, id // stride AS cid, sv AS cm FROM sub, mx
-        |  WHERE id % stride = 0 AND id // stride < $ks),
-        |a1 AS (${assign("cb1")}),
-        |cb2 AS (${update("a1")}),
-        |a2 AS (${assign("cb2")}),
-        |q AS (SELECT id AS query_id, sub, sv AS qsv FROM sub WHERE id % 50 = 0),
-        |dt AS (
-        |  SELECT query_id, c.sub, c.cid,
-        |    CAST(list_sum([(q.qsv[i] - c.cm[i]) * (q.qsv[i] - c.cm[i])
-        |                   for i in range(1, len(q.qsv) + 1)]) AS BIGINT) AS d
-        |  FROM q JOIN cb2 c ON q.sub = c.sub),
-        |scored AS (
+    Some(pqOracleCtes(m = 8, ks = 64, dsub = 8) + ",\n" +
+      """scored AS (
         |  SELECT query_id, a.id AS cand_id, CAST(sum(d) AS BIGINT) AS adist
         |  FROM a2 a JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
         |  WHERE dt.query_id <> a.id
@@ -543,8 +550,55 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
         |  FROM scored)
         |SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin
-    })
+        |ORDER BY query_id, rk""".stripMargin))
+
+  /** IVF-PQ composition (the FAISS IVFADC shape): 16 id-stride coarse
+    * cells prune each query to its 4 nearest, and the SAME PQ-ADC
+    * machinery ranks only candidates inside probed cells — bounding the
+    * flat scan's nq·N scored pairs to nq·Σ|probed cells|. The oracle
+    * replays coarse assignment (integer L2 argmin, ties to the lower
+    * cell), probing (top-4 cells), Lloyd training, and ADC bit-for-bit
+    * on top of the shared PQ CTE prefix. */
+  val simIvfPq: QueryDef = QueryDef(
+    "sim_ivf_pq",
+    (s, d) => graft.ops.Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5, dim = 64, m = 8, ks = 64, iters = 2,
+        nCells = 16, nProbe = 4)
+      .orderBy("query_id", "rk"),
+    Some(pqOracleCtes(m = 8, ks = 64, dsub = 8) + ",\n" +
+      """mxc AS (SELECT greatest(1, (max(id) + 1) // 16) AS stridec FROM v),
+        |cc AS (
+        |  SELECT id // stridec AS cell_id, xm AS ccm FROM v, mxc
+        |  WHERE id % stridec = 0 AND id // stridec < 16),
+        |ca AS (
+        |  SELECT id, CAST(min(
+        |      CAST(list_sum([(v.xm[i] - c.ccm[i]) * (v.xm[i] - c.ccm[i])
+        |                     for i in range(1, len(v.xm) + 1)]) AS BIGINT)
+        |        * 16 + c.cell_id) % 16 AS BIGINT) AS cell
+        |  FROM v, cc c GROUP BY id),
+        |qp AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT v.id AS query_id, c.cell_id AS cell,
+        |      row_number() OVER (PARTITION BY v.id
+        |        ORDER BY CAST(list_sum([(v.xm[i] - c.ccm[i]) * (v.xm[i] - c.ccm[i])
+        |                     for i in range(1, len(v.xm) + 1)]) AS BIGINT) ASC,
+        |          c.cell_id ASC) AS crk
+        |    FROM v, cc c WHERE v.id % 50 = 0)
+        |  WHERE crk <= 4),
+        |scored AS (
+        |  SELECT dt.query_id, a.id AS cand_id, CAST(sum(d) AS BIGINT) AS adist
+        |  FROM a2 a
+        |  JOIN ca ON a.id = ca.id
+        |  JOIN qp ON ca.cell = qp.cell
+        |  JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid AND dt.query_id = qp.query_id
+        |  WHERE dt.query_id <> a.id
+        |  GROUP BY dt.query_id, a.id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, adist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin))
 
   /** Model-based quality filter (fasttext/CCNet shape): linear score
     * over md5-hashed word-unigram buckets with an integer weight table —
@@ -1027,6 +1081,7 @@ object PipelineQueries {
     dedupIncrementalLsh,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
+    simIvfPq,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,

@@ -72,6 +72,18 @@ class PipelineSpec extends SparkSpec {
     val good = pq.count(brute.contains)
     assert(good.toDouble / pq.length >= 0.4,
       s"PQ ADC precision vs exact-L2 top-20 too low: $good/${pq.length}")
+
+    // IVF-PQ must not lose precision vs the flat-ADC pin above: pruning
+    // to 4 of 16 probed cells keeps the true near-neighbors (which land
+    // in nearby coarse cells by construction)
+    val ivfpq = graft.ops.Pq.ivfPqTopK(emb, "vec_id", "embedding", isQuery,
+        k = 5, dim = 64, m = 8, ks = 64, iters = 2, nCells = 16, nProbe = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivfpq.nonEmpty, "IVF-PQ returned nothing")
+    val goodIvf = ivfpq.count(brute.contains)
+    assert(goodIvf.toDouble / ivfpq.length >= 0.4,
+      s"IVF-PQ precision vs exact-L2 top-20 too low: $goodIvf/${ivfpq.length}")
   }
 
   test("int8-quantized top-k stays close to the float top-k (within brute-force top-20)") {

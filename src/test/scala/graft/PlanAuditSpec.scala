@@ -132,6 +132,15 @@ class PlanAuditSpec extends SparkSpec {
       "PQ shuffled the corpus into a join (codebooks/distance table must broadcast)")
   }
 
+  test("sim_ivf_pq: probe set, codebooks and distance table broadcast; corpus never shuffle-joins") {
+    val p = plan("sim_ivf_pq")
+    assert(p.contains("long_vector_argmin_key"), "argmin kernel missing from plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "IVF-PQ shuffled the corpus into a join (probes/codebooks/distance table must broadcast)")
+    // one window only: nProbe cell selection on the tiny query side
+    assert(nodes(p, "Window") <= 1, "IVF-PQ grew a ranking window beyond cell probing")
+  }
+
   test("emb_zscore: per-dim stats join back by broadcast") {
     val p = plan("emb_zscore")
     assert(!p.contains("SortMergeJoin"), "stats join shuffled the corpus")
