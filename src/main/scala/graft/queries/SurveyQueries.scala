@@ -532,6 +532,42 @@ object SurveyQueries {
         |ORDER BY CAST(COALESCE(v1.Connect_ID, v2.Connect_ID) AS BIGINT)""".stripMargin
     })
 
+  /** merge_table_versions_bucketed: the flagship 100 TB claim for the
+    * reference surface, driver-gated end-to-end instead of spec-only —
+    * both version tables are first WRITTEN bucketed + sorted by
+    * Connect_ID ([[graft.sources.TableIO.replaceBucketed]], external
+    * path so catalog-less sessions keep data out of the process cwd),
+    * and the full-outer merge then reads co-bucketed files: ZERO
+    * hashpartitioning exchanges anywhere in the plan (PlanAuditSpec
+    * pin) — at 100 TB the merge moves no rows over the network, where
+    * the reference pays a BigQuery shuffle per join. Values are
+    * byte-identical to the unbucketed fold, so the oracle is the
+    * 2-way restriction of merge_table_versions's. */
+  val mergeTableVersionsBucketed: QueryDef = QueryDef(
+    "merge_table_versions_bucketed",
+    (s, d) => {
+      val versions = mergeVersions(s, d).take(2)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_mtv"
+      versions.zipWithIndex.foreach { case (v, i) =>
+        graft.sources.TableIO.replaceBucketed(v, s"graft_mtv_bucketed_v${i + 1}",
+          Seq("Connect_ID"), buckets = 8, path = Some(s"$base/v${i + 1}"))
+      }
+      MergeTableVersions(Seq(
+        graft.sources.TableIO.readTable(s, "graft_mtv_bucketed_v1"),
+        graft.sources.TableIO.readTable(s, "graft_mtv_bucketed_v2")))
+        .orderBy(col("Connect_ID").cast("long"))
+    },
+    Some(s"""WITH v1 AS (${mergeVersionsSql(0)}), v2 AS (${mergeVersionsSql(1)})
+      |SELECT
+      |  COALESCE(v1.Connect_ID, v2.Connect_ID) AS Connect_ID,
+      |  COALESCE(v1.d_100000001, v2.d_100000001) AS d_100000001,
+      |  v1.D_100000002 AS d_100000002,
+      |  v1.only_v1 AS only_v1,
+      |  v2.unique_v2 AS unique_v2
+      |FROM v1
+      |FULL OUTER JOIN v2 ON v1.Connect_ID = v2.Connect_ID
+      |ORDER BY CAST(COALESCE(v1.Connect_ID, v2.Connect_ID) AS BIGINT)""".stripMargin))
+
   // ---- sensitive tier: fixed 18-column projection over an orders-derived table
 
   val sensitiveTier: QueryDef = {
@@ -564,5 +600,6 @@ object SurveyQueries {
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, mergeTableVersions,
-    mergeTableVersionsStrict, mergeTableVersionsWide, sensitiveTier)
+    mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
+    sensitiveTier)
 }

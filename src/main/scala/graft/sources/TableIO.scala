@@ -45,9 +45,23 @@ object TableIO {
     * bucket key skip the shuffle entirely (requires
     * spark.sql.sources.bucketing.enabled, default true). */
   def replaceBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+    replaceBucketed(df, table, Seq(key), buckets, path = None)
+
+  /** Multi-key bucketed CTAS, optionally EXTERNAL (data at `path`, so
+    * catalog-less sessions — whose default warehouse is the process cwd
+    * — keep their data in an explicit location). Bucketing on the FULL
+    * join-key list makes the table's HashPartitioning exactly the
+    * join's required distribution; a subset also suffices since
+    * SPARK-35703 (the other side shuffles on the matching subset), but
+    * full-key bucketing keeps per-bucket fan-in minimal. */
+  def replaceBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int, path: Option[String]): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one key")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Hive-style partitioned overwrite: one directory per distinct value
     * of `partitionCols`. At 100 TB this is the primary pruning lever —

@@ -85,6 +85,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "SortMergeJoin") == 2) // 3-way fold = 2 joins
   }
 
+  test("merge_table_versions_bucketed: co-bucketed versions merge with ZERO hash exchanges") {
+    val p = plan("merge_table_versions_bucketed")
+    assert(p.contains("SortMergeJoin"), "full-outer merge lost its sort-merge join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed merge still shuffles:\n${p.linesIterator.take(40).mkString("\n")}")
+  }
+
   test("mix_domain_cap ranks through WindowGroupLimit (per-partition top-k heap, no full sort)") {
     val p = plan("mix_domain_cap")
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
