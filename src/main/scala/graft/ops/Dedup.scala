@@ -132,17 +132,42 @@ object Dedup {
     * signatures, and the join meets solely inside matching buckets —
     * the incremental twin of [[minhashLshPairs]], as [[incrementalNew]]
     * is for exact fingerprints. Returns one row per colliding batch doc
-    * with its smallest colliding corpus id for audit. */
+    * with its smallest colliding corpus id for audit.
+    *
+    * `forceShuffleJoin = true` pins the probe to a shuffle join (MERGE
+    * hint on the batch side): the production posture when `corpusIndex`
+    * is a [[writeBandIndex]]-bucketed table, whose files already satisfy
+    * the join's (band_id, band_key) distribution — the billion-row index
+    * then never moves, only the batch shuffles into its buckets. Left at
+    * the default, Catalyst may instead broadcast a small batch over the
+    * streamed index — the right plan when the batch fits in memory;
+    * bucketing makes the choice free either way. */
   def incrementalLshDups(batch: DataFrame, corpusIndex: DataFrame,
       idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val nb = minhashBandIndex(batch, idCol, textCol, shingleN, k, rowsPerBand)
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+      forceShuffleJoin: Boolean = false): DataFrame = {
+    val nb0 = minhashBandIndex(batch, idCol, textCol, shingleN, k, rowsPerBand)
+    val nb = if (forceShuffleJoin) nb0.hint("MERGE") else nb0
     nb.as("n").join(corpusIndex.as("c"),
         col("n.band_id") === col("c.band_id") &&
         col("n.band_key") === col("c.band_key"))
       .groupBy(col("n.id").as("doc_id"))
       .agg(min(col("c.id")).as("dup_of"))
   }
+
+  /** Persist [[minhashBandIndex]] bucketed + sorted by its probe key
+    * (band_id, band_key) — the continuous-crawl index layout: the
+    * bucketed files' HashPartitioning IS the probe join's required
+    * distribution, so [[incrementalLshDups]] against the read-back table
+    * runs with ZERO exchanges on the index side (PlanAuditSpec pin);
+    * each ingest re-shingles only its batch and the ever-growing corpus
+    * index never crosses the network again. */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int, path: Option[String] = None,
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): Unit =
+    graft.sources.TableIO.replaceBucketed(
+      minhashBandIndex(df, idCol, textCol, shingleN, k, rowsPerBand),
+      table, Seq("band_id", "band_key"), buckets, path)
 
   /** SimHash 64-bit signatures: sign of the per-bit sum of ±1 votes from
     * each word's 64-bit hash. Computed as explode(words) → one

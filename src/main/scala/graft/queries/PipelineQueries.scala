@@ -263,6 +263,32 @@ object PipelineQueries {
       |  ON b.band_id = c.band_id AND b.band_key = c.band_key
       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** The same incremental probe against the index PERSISTED bucketed by
+    * its probe key ([[Dedup.writeBandIndex]]) — the full continuous-crawl
+    * story, driver-gated: the corpus band index is written once, bucketed
+    * + sorted by (band_id, band_key), and the batch's probe join reads
+    * co-bucketed files with ZERO exchanges on the index side (PlanAudit
+    * pin) — at production scale the ever-growing index never crosses the
+    * network; only each (small) batch shuffles into its buckets. Values
+    * are identical to [[dedupIncrementalLsh]], so the oracle is shared. */
+  val dedupIncrementalLshBucketed: QueryDef = dedupIncrementalLsh.copy(
+    name = "dedup_incremental_lsh_bucketed",
+    build = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" extratoken")).as("text")))
+      Dedup.writeBandIndex(corpus, "doc_id", "text", "graft_lsh_band_index",
+        buckets = 8,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed_lsh/index"))
+      val index = graft.sources.TableIO.readTable(s, "graft_lsh_band_index")
+      Dedup.incrementalLshDups(batch, index, "doc_id", "text",
+          shingleN = 3, k = 8, rowsPerBand = 2, forceShuffleJoin = true)
+        .orderBy("doc_id")
+    })
+
   /** Blocked fuzzy dedup: prefix blocking + Levenshtein verification on
     * the dup-synthesized corpus (exact copies at distance 0; unrelated
     * docs sharing a block prefix are filtered by the distance cap). */
@@ -1078,7 +1104,7 @@ object PipelineQueries {
     asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
     dedupMinhashLsh, dedupCluster, dedupClusterStar,
     dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
-    dedupIncrementalLsh,
+    dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq,

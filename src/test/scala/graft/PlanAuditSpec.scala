@@ -92,6 +92,20 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed merge still shuffles:\n${p.linesIterator.take(40).mkString("\n")}")
   }
 
+  test("dedup_incremental_lsh_bucketed: persisted band index joins with zero exchanges on the index side") {
+    val p = plan("dedup_incremental_lsh_bucketed")
+    // the bucketed files satisfy the probe join's distribution: the scan
+    // must report bucketed reading and feed the SortMergeJoin directly
+    assert(p.contains("SelectedBucketsCount"), "index scan is not bucketed")
+    assert(p.contains("SortMergeJoin"), "probe join lost its shuffle-join pin")
+    // exchanges: batch minhash agg (id), batch probe (band_id, band_key),
+    // post-join dup agg (doc_id), output sort — the index side adds NONE
+    // (the inline-index variant pays one more for the corpus signatures
+    // plus the corpus side of the probe)
+    assert(nodes(p, "Exchange") <= 4,
+      s"index side grew an exchange:\n${p.linesIterator.take(40).mkString("\n")}")
+  }
+
   test("mix_domain_cap ranks through WindowGroupLimit (per-partition top-k heap, no full sort)") {
     val p = plan("mix_domain_cap")
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
