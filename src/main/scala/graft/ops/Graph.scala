@@ -84,4 +84,84 @@ object Graph {
     }
     ranks
   }
+
+  /** [[pagerankMicro]] with an early CONVERGENCE stop: runs at most
+    * `maxIters` rounds but stops once Σ|r_t − r_{t−1}| ≤ `tolScaled`
+    * — the deep-iteration mode, where a fixed count either wastes rounds
+    * after stabilization or stops short of it. The convergence scalar
+    * uses the observe-on-checkpoint pattern of [[Dedup.connectedComponents]]:
+    * the delta sum rides the SAME action that materializes the round's
+    * ranks (one job per round, no separate scalar pass, no driver
+    * collect of the rank vector).
+    *
+    * With `tolScaled = 0` the stop fires only at an EXACT integer fixed
+    * point, so the result is bit-identical to running all `maxIters`
+    * rounds (a fixed point maps to itself under the deterministic
+    * integer update) — early stopping is pure savings, never an
+    * approximation; that is what lets the driver gate q_pagerank_converged
+    * against the fixed-count unrolled oracle. Positive tolerances trade
+    * exactness for rounds and leave the fixed-count equivalence behind.
+    *
+    * Loop-invariant relations (edges, node set, degrees) are eagerly
+    * localCheckpointed once: unlike [[pagerankMicro]]'s lazy default,
+    * the convergence mode is already one action per round, so each round
+    * re-reads cached blocks instead of re-deriving the edge list.
+    * Returns (ranks, roundsRun). */
+  def pagerankMicroConverged(edges: DataFrame, maxIters: Int,
+      scale: Long = 1000000000000L,
+      redistributeDangling: Boolean = false,
+      tolScaled: Long = 0L): (DataFrame, Int) = {
+    require(maxIters >= 1, "need maxIters >= 1")
+    require(tolScaled >= 0L, "need tolScaled >= 0")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).localCheckpoint()
+    val baseMass = scale * 15 / 100
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"$scale div n_nodes").as("r"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // previous rank joins back on the node id purely to feed the
+      // observed delta — same key as the contribution join, so it reuses
+      // the round's partitioning rather than adding an exchange
+      val joined = nodes.crossJoin(broadcast(nn))
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .join(ranks.select(col("node").as("pnode"), col("r").as("r_prev")),
+          nodes("node") === col("pnode"))
+      val updated =
+        if (!redistributeDangling)
+          joined.select(col("node"),
+            expr(s"($baseMass div n_nodes) + (85 * coalesce(s, 0L)) div 100").as("r"),
+            col("r_prev"))
+        else {
+          val dang = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+          joined.crossJoin(broadcast(dang))
+            .select(col("node"),
+              expr(s"($baseMass div n_nodes) + " +
+                "(85 * (coalesce(s, 0L) + (dm div n_nodes))) div 100").as("r"),
+              col("r_prev"))
+        }
+      // fresh single-shot Observation per round (see connectedComponents)
+      val obs = org.apache.spark.sql.Observation(s"pr_round_$rounds")
+      val next = updated
+        .observe(obs, coalesce(sum(abs(col("r") - col("r_prev"))), lit(0L)).as("delta"))
+        .select(col("node"), col("r"))
+        .localCheckpoint(true)
+      val delta = obs.get("delta").asInstanceOf[Long]
+      ranks = next
+      rounds += 1
+      done = delta <= tolScaled
+    }
+    (ranks, rounds)
+  }
 }

@@ -168,45 +168,71 @@ object AnalyticsQueries {
     * pipelines, made bit-deterministic via [[graft.ops.Graph]]'s integer
     * recipe so the DuckDB oracle replays the SAME iterations. Top-20
     * nodes by rank, ties to the lower node id. */
+  /** Drop-dangling unrolled-iteration oracle (shared by q_pagerank and
+    * q_pagerank_converged — the tol=0 early stop is bit-identical to the
+    * fixed count, so both replay the same CTE chain). */
+  private def pagerankDropOracleSql(iters: Int, scale: Long, base: Long): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS (
+         |  SELECT node,
+         |    CAST(($base // n) + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT dst, CAST(sum(CAST(r // d AS BIGINT)) AS BIGINT) AS s
+         |    FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+         |           JOIN deg ON e.src = deg.src
+         |    GROUP BY dst) c ON nodes.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+      |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |r0 AS (SELECT node, CAST($scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+      |$rounds
+      |SELECT node, r AS rank_micro FROM r$iters
+      |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  private def pagerankEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000).as("dst"))
+
   val qPagerank: QueryDef = {
     val iters = 3
     val scale = 1000000000000L
     val base = scale * 15 / 100
     QueryDef(
       "q_pagerank",
-      (s, d) => {
-        val e = Tables.orders(s, d)
-          .join(Tables.lineitem(s, d),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("src"),
-            (col("l_suppkey") + 1000000).as("dst"))
-        graft.ops.Graph.pagerankMicro(e, iters, scale)
-          .orderBy(col("r").desc, col("node").asc).limit(20)
-          .select(col("node"), col("r").as("rank_micro"))
-      },
-      Some {
-        val rounds = (1 to iters).map { t =>
-          s"""r$t AS (
-             |  SELECT node,
-             |    CAST(($base // n) + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
-             |  FROM nodes CROSS JOIN nn
-             |  LEFT JOIN (
-             |    SELECT dst, CAST(sum(CAST(r // d AS BIGINT)) AS BIGINT) AS s
-             |    FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
-             |           JOIN deg ON e.src = deg.src
-             |    GROUP BY dst) c ON nodes.node = c.dst)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (
-          |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
-          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          |nn AS (SELECT count(*) AS n FROM nodes),
-          |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-          |r0 AS (SELECT node, CAST($scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
-          |$rounds
-          |SELECT node, r AS rank_micro FROM r$iters
-          |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
-      })
+      (s, d) => graft.ops.Graph.pagerankMicro(pagerankEdges(s, d), iters, scale)
+        .orderBy(col("r").desc, col("node").asc).limit(20)
+        .select(col("node"), col("r").as("rank_micro")),
+      Some(pagerankDropOracleSql(iters, scale, base)))
+  }
+
+  /** PageRank with the CONVERGENCE stop
+    * ([[graft.ops.Graph.pagerankMicroConverged]], tol = 0): on this
+    * bipartite graph customers have no in-edges (their rank is fixed
+    * after round 1) and the suppliers they feed stabilize one round
+    * later, so the integer fixed point arrives well before maxIters = 6
+    * and the loop genuinely early-stops (GraphSpec pins the round
+    * count) — while the tol = 0 contract keeps the result bit-identical
+    * to the full 6 unrolled rounds the oracle replays. */
+  val qPagerankConverged: QueryDef = {
+    val iters = 6
+    val scale = 1000000000000L
+    val base = scale * 15 / 100
+    QueryDef(
+      "q_pagerank_converged",
+      (s, d) => graft.ops.Graph
+        .pagerankMicroConverged(pagerankEdges(s, d), maxIters = iters, scale)._1
+        .orderBy(col("r").desc, col("node").asc).limit(20)
+        .select(col("node"), col("r").as("rank_micro")),
+      Some(pagerankDropOracleSql(iters, scale, base)))
   }
 
   /** PageRank with the danglers' mass redistributed uniformly each round
@@ -306,5 +332,6 @@ object AnalyticsQueries {
       |FROM j, tot""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
-    qGroupPercentiles, qWindowSliding, qPagerank, qPagerankDangling, qSourceDrift)
+    qGroupPercentiles, qWindowSliding, qPagerank, qPagerankConverged,
+    qPagerankDangling, qSourceDrift)
 }

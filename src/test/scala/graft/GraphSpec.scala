@@ -58,4 +58,28 @@ class GraphSpec extends SparkSpec {
         .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(run(1) == run(8))
   }
+
+  test("convergence stop: early-stopped ranks == fixed-iteration ranks, and it genuinely stops early") {
+    // a -> b -> c: customers-of-the-chain stabilize in <= 3 rounds (a is
+    // source-only, b one hop later, c two) — the integer fixed point is
+    // reached long before maxIters = 15
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val (converged, rounds) = Graph.pagerankMicroConverged(e, maxIters = 15, scale = 1000000L)
+    val fixed = Graph.pagerankMicro(e, iters = 15, scale = 1000000L)
+    assert(rounds < 15, s"no early stop: ran all $rounds rounds")
+    assert(converged.orderBy("node").as[(Long, Long)].collect().toSeq ==
+      fixed.orderBy("node").as[(Long, Long)].collect().toSeq,
+      "tol=0 early stop diverged from the fixed-iteration ranks")
+  }
+
+  test("convergence stop works in dangling-redistribution mode too") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val (converged, rounds) = Graph.pagerankMicroConverged(e, maxIters = 40,
+      scale = 1000000L, redistributeDangling = true)
+    val fixed = Graph.pagerankMicro(e, iters = 40, scale = 1000000L,
+      redistributeDangling = true)
+    assert(rounds < 40, s"no early stop: ran all $rounds rounds")
+    assert(converged.orderBy("node").as[(Long, Long)].collect().toSeq ==
+      fixed.orderBy("node").as[(Long, Long)].collect().toSeq)
+  }
 }
