@@ -164,8 +164,13 @@ object Sketches {
     val cms = countMinSketch(df, colName, eps = eps)
     // secondary sort on the key: count ties at the cutoff would otherwise
     // make the TakeOrdered boundary — and so the returned hitter list —
-    // nondeterministic across runs/partitionings
+    // nondeterministic across runs/partitionings. Null keys are excluded
+    // at nomination: count-min cannot represent null (probing it throws),
+    // so a null-heavy column would otherwise burn a candidate slot on a
+    // key that can never verify — callers route nulls through their
+    // unsalted path ([[Skew.adaptiveCountSum]]).
     val candidates = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .filter(col(colName).isNotNull)
       .groupBy(col(colName).as("__hh_key")).agg(count(lit(1)).as("__hh_n"))
       .orderBy(col("__hh_n").desc, col("__hh_key").asc)
       .limit(maxCandidates)

@@ -87,6 +87,42 @@ object Skew {
     }
   }
 
+  /** The motivating NON-reducible case of the scaladoc above, wired
+    * end-to-end: an exact per-key sorted distinct-value list.
+    * `collect_set` has no shrinking map-side combine — every row of a
+    * hot key funnels through one reducer, which is precisely where a
+    * plain groupBy falls over at 100 TB. Hot keys (discovered by the
+    * same detector as [[adaptiveCountSum]]) salt BY THE VALUE, so each
+    * distinct value lands in exactly one salt bucket: per-(key, salt)
+    * collect_set partials shrink to the bucket's distinct set, and the
+    * per-key final merely flattens ≤ `buckets` pre-deduped arrays —
+    * the hot reducer sees `buckets` rows, not every raw row. Cold keys
+    * collect plain; null keys flow cold. The union equals one plain
+    * `groupBy.agg(sort_array(collect_set(...)))`, which is the oracle. */
+  def adaptiveDistinctList(df: DataFrame, keyCol: String, valueCol: Column,
+      minShare: Double = 0.05, buckets: Int = 16,
+      eps: Double = 0.001, sampleFraction: Double = 0.1,
+      maxCandidates: Int = 64, outName: String = "values"): DataFrame = {
+    val hot = Sketches.heavyHitters(df, keyCol, minShare, eps,
+      sampleFraction, maxCandidates).map(_._1).filter(_ != null)
+    def plain(part: DataFrame): DataFrame = part.groupBy(col(keyCol))
+      .agg(sort_array(collect_set(valueCol)).as(outName))
+    if (hot.isEmpty) plain(df)
+    else {
+      val isHot = coalesce(col(keyCol).isin(hot: _*), lit(false))
+      val salted = saltedAggregate(df.filter(isHot), col(keyCol), valueCol,
+        buckets,
+        // value-salting makes the per-bucket sets disjoint, so the final
+        // flatten needs no re-dedup — array_distinct stays only as a
+        // guard against a caller salting by something else
+        partial = Seq(collect_set(valueCol).as("__vals")),
+        finalAgg = Seq(sort_array(array_distinct(
+          flatten(collect_list(col("__vals"))))).as(outName)),
+        keyName = keyCol)
+      salted.unionByName(plain(df.filter(!isHot)))
+    }
+  }
+
   /** Salted exact distinct count: per-salt distinct (each distinct value
     * lands in exactly one salt bucket when salted BY THE VALUE), then sum
     * of bucket-distincts — exact, unlike approx_count_distinct. */

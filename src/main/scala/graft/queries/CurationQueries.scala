@@ -202,6 +202,23 @@ object CurationQueries {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** The NON-reducible skew case end-to-end: exact sorted distinct-value
+    * list per hot key ([[Skew.adaptiveDistinctList]] — collect_set has no
+    * shrinking map-side combine, so without value-salting every row of a
+    * hot key funnels through one reducer). All 3 l_returnflag values are
+    * detector-hot at the 10% share bar, so the whole corpus takes the
+    * two-phase path; the result must still equal the plain GROUP BY
+    * collect oracle exactly. */
+  val qSkewAdaptiveList: QueryDef = QueryDef(
+    "q_skew_adaptive_list",
+    (s, d) => Skew.adaptiveDistinctList(Tables.lineitem(s, d), "l_returnflag",
+        month(col("l_shipdate")).cast("int"), minShare = 0.1, buckets = 16,
+        outName = "ship_months")
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      |  list_sort(list(DISTINCT CAST(month(l_shipdate) AS INT))) AS ship_months
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** Time-range window frame: per-user trailing 3-day event count and
     * value sum (RANGE frame over epoch-micros — peers at equal
     * timestamps aggregate identically in both engines; DECIMAL sum makes
@@ -436,5 +453,5 @@ object CurationQueries {
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     sketchKmvUnion,
     sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qSkewAdaptive,
-    qWindowRangeFrame, pipelineCurate)
+    qSkewAdaptiveList, qWindowRangeFrame, pipelineCurate)
 }

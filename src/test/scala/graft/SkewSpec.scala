@@ -65,6 +65,28 @@ class SkewSpec extends SparkSpec {
     assert(cold.length == plain.length && cold.head.getLong(1) == plain.head.getLong(1))
   }
 
+  test("adaptiveDistinctList: non-reducible collect equals plain groupBy; null keys flow cold") {
+    val s = spark
+    import s.implicits._
+    // hot key carries 200 distinct values across 18000 rows; cold keys a
+    // handful each; one null-key group must survive through the cold path
+    val rows = (1 to 20000).map { i =>
+      val key = if (i % 10 == 0) s"cold${i % 40}" else "hot"
+      (if (i % 1000 == 0) null else key, s"v${i % 200}")
+    }
+    val df = rows.toDF("k", "v")
+    val adaptive = Skew.adaptiveDistinctList(df, "k", col("v"),
+        minShare = 0.2, buckets = 8, outName = "vals")
+      .orderBy("k").collect()
+    val plain = df.groupBy(col("k")).agg(sort_array(collect_set(col("v"))).as("vals"))
+      .orderBy("k").collect()
+    assert(adaptive.length == plain.length)
+    adaptive.zip(plain).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getSeq[String](1) == b.getSeq[String](1))
+    }
+  }
+
   test("a caller's own __salt0 column is not clobbered and key keeps its name") {
     val s = spark
     import s.implicits._
