@@ -38,7 +38,13 @@ object Graph {
     * is deep or the edge list comes from an expensive join; at few
     * iterations over a cheap scan the eager materialization jobs cost
     * more than they save (measured at sf0.1: cold 4.4s lazy vs ~11s
-    * materialized, warm equal), so it defaults off. */
+    * materialized, warm equal), so it defaults off. The same guidance
+    * applies in `redistributeDangling` mode, whose per-round eager
+    * checkpoint (below) bounds PLAN growth but still re-derives the
+    * lazy invariants each round's action — deep dangling runs want
+    * `materialize = true` for the same reason
+    * [[pagerankMicroConverged]] materializes them unconditionally
+    * (it, too, is one action per round). */
   def pagerankMicro(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, materialize: Boolean = false,
       redistributeDangling: Boolean = false): DataFrame = {

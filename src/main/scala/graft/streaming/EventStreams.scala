@@ -123,6 +123,28 @@ object EventStreams {
       .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .dropDuplicates("fp")
 
+  /** Continuous-crawl NEAR-dup flagging: each micro-batch of documents
+    * probes the STATIC persisted corpus band index — written bucketed by
+    * its probe key via [[graft.ops.Dedup.writeBandIndex]] — through
+    * [[graft.ops.Dedup.incrementalLshDups]] inside `foreachBatch`. This
+    * is the production shape for streaming ingest dedup: the per-batch
+    * minhash aggregation is a plain BATCH aggregation (no unbounded
+    * streaming state, unlike a stream-side groupBy), the index side of
+    * the probe join reads co-bucketed files exchange-free, and each
+    * flagged (doc_id, dup_of) batch is handed to `sink` with its batchId
+    * — idempotent sinks get exactly-once from the foreachBatch contract.
+    * Caller sets trigger/checkpoint on the returned writer. */
+  def lshDedupStream(docs: DataFrame, corpusIndex: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.Dedup.incrementalLshDups(
+        batch.select(col(idCol), col(textCol)), corpusIndex,
+        idCol, textCol, shingleN, k, rowsPerBand), batchId)
+    }
+
   /** Stream-stream interval join: each purchase event enriched with the
     * same user's click events from the preceding hour. Both sides are
     * watermarked and the join carries an event-time range predicate, so

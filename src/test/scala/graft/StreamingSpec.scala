@@ -134,6 +134,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH probe of the static bucketed band index equals the batch probe") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    graft.ops.Dedup.writeBandIndex(corpus, "doc_id", "text",
+      "graft_stream_band_index", buckets = 4,
+      path = Some(java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString))
+    val index = spark.read.table("graft_stream_band_index")
+    // streaming side: the odd-id docs arrive as micro-batches and probe
+    // the static index; flags accumulate through the foreachBatch sink
+    val flagged = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val stream = EventStreams.readDocuments(spark, sf)
+      .filter(col("doc_id") % 2 === 1)
+    val q = EventStreams.lshDedupStream(stream, index,
+        (out, _) => flagged.synchronized {
+          flagged ++= out.collect().map(r => (r.getLong(0), r.getLong(1)))
+        })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-lsh-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val batchFlags = graft.ops.Dedup.incrementalLshDups(
+          docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          index, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchFlags.nonEmpty, "batch probe flagged nothing — test data changed?")
+      assert(flagged.toSet == batchFlags)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_stream_band_index")
+    }
+  }
+
   test("stateful sessionizer runs and emits sessions on timeout-free drain") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, sf)
