@@ -19,12 +19,18 @@ import org.apache.spark.sql.types._
   * ([[imageCorpus]]) has closed-form pixel values so a codec-less SQL
   * oracle verifies the decoded numbers end-to-end.
   *
-  * ==STUB== Only the VIDEO path (frame seeking in [[frameSampleStub]])
-  * and the generic any-modality feature fake ([[decodeStub]], kept for
-  * the audio/video rows of `mm_decode_stub`) remain deterministic
-  * stand-ins: the JDK ships no video/audio codec. Swapping in a real
-  * one changes ONLY those bodies — the plumbing (schema, batching,
-  * partitioning) is shared with the real image path.
+  * VIDEO container navigation is REAL as of round 5 too:
+  * [[videoCorpus]] writes genuine uncompressed RIFF/AVI payloads (raw
+  * DIB '00db' frames — a format that needs no codec, only byte
+  * arithmetic) and [[sampleVideoFrames]] parses the chunk tree and
+  * index-SEEKS to sampled frames, decoding only those rasters.
+  *
+  * ==STUB== What remains stand-ins: COMPRESSED codecs (H.264/JPEG
+  * audio — the JDK ships none; a real one swaps in at the same raster
+  * boundary) and the generic any-modality feature fake ([[decodeStub]],
+  * kept for the audio rows of `mm_decode`). [[frameSampleStub]] is also
+  * kept: it exercises the explode plumbing on arbitrary payloads that
+  * are not containers at all.
   */
 object Multimodal {
 
@@ -267,6 +273,230 @@ object Multimodal {
           val out = encodeImage(dst, "png")
           Row(r.getLong(0), w.toLong, h.toLong, pixelSum(dst),
             out.length.toLong, out)
+        }
+      }(enc)
+  }
+
+  // ---- REAL video path (uncompressed RIFF/AVI, plain byte arithmetic) ----
+  //
+  // The JDK ships no video CODEC, but uncompressed AVI needs none: it is
+  // a RIFF container whose '00db' chunks hold raw bottom-up BGR rasters
+  // (the BMP pixel layout). Writing and parsing it is pure byte
+  // arithmetic, so frame SEEKING — the part frameSampleStub faked — is
+  // real here: the idx1 index jumps straight to a sampled frame's chunk
+  // without touching the others. Compressed codecs (H.264 etc.) remain
+  // out of scope; swapping one in changes only the raster read.
+
+  /** Deterministic frame `f` of video `media_id = id`: same closed-form
+    * recipe as [[synthImage]] with a frame term, so the codec-less
+    * oracle recomputes every sampled frame's pixel sum. */
+  private[graft] def synthFrame(id: Long, f: Int): java.awt.image.BufferedImage = {
+    require(id >= 0 && f >= 0, s"need non-negative id/frame, got ($id, $f)")
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + f * 29 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 13 + f * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def putFourcc(bb: java.nio.ByteBuffer, s: String): Unit =
+    bb.put(s.getBytes("US-ASCII"))
+  private def fourccAt(bytes: Array[Byte], pos: Int): String =
+    new String(bytes, pos, 4, "US-ASCII")
+
+  /** Encode frames as an uncompressed RIFF/AVI: standard hdrl
+    * (avih + strh('vids'/'DIB ') + strf BITMAPINFOHEADER, BI_RGB 24-bit),
+    * one '00db' raw-DIB chunk per frame in the movi list (bottom-up BGR
+    * rows padded to 4 bytes), and an idx1 keyframe index with offsets
+    * relative to the 'movi' fourcc — the layout any AVI reader expects
+    * for DIB video. */
+  private[graft] def encodeAvi(frames: Seq[java.awt.image.BufferedImage],
+      fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAvi needs at least one frame")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "all frames must share dimensions")
+    val n = frames.size
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameBytes = rowBytes * h
+    val strlSize = 4 + (8 + 56) + (8 + 40)      // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + n * (8 + frameBytes)      // 'movi' + 00db chunks
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + 16 * n)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    putFourcc(bb, "RIFF"); bb.putInt(riffSize); putFourcc(bb, "AVI ")
+    putFourcc(bb, "LIST"); bb.putInt(hdrlSize); putFourcc(bb, "hdrl")
+    putFourcc(bb, "avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps); bb.putInt(frameBytes * fps); bb.putInt(0)
+    bb.putInt(0x10) // AVIF_HASINDEX
+    bb.putInt(n); bb.putInt(0); bb.putInt(1); bb.putInt(frameBytes)
+    bb.putInt(w); bb.putInt(h)
+    (0 until 4).foreach(_ => bb.putInt(0))
+    putFourcc(bb, "LIST"); bb.putInt(strlSize); putFourcc(bb, "strl")
+    putFourcc(bb, "strh"); bb.putInt(56)
+    putFourcc(bb, "vids"); putFourcc(bb, "DIB ")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1); bb.putInt(fps) // dwScale / dwRate
+    bb.putInt(0); bb.putInt(n); bb.putInt(frameBytes)
+    bb.putInt(-1); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0); bb.putShort(w.toShort); bb.putShort(h.toShort)
+    putFourcc(bb, "strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24)
+    bb.putInt(0) // BI_RGB
+    bb.putInt(frameBytes)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    putFourcc(bb, "LIST"); bb.putInt(moviSize); putFourcc(bb, "movi")
+    val moviFourccPos = bb.position() - 4
+    val offsets = new Array[Int](n)
+    frames.zipWithIndex.foreach { case (img, i) =>
+      offsets(i) = bb.position() - moviFourccPos
+      putFourcc(bb, "00db"); bb.putInt(frameBytes)
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          bb.put((p & 0xFF).toByte)
+          bb.put(((p >> 8) & 0xFF).toByte)
+          bb.put(((p >> 16) & 0xFF).toByte)
+          x += 1
+        }
+        var pad = rowBytes - w * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+    }
+    putFourcc(bb, "idx1"); bb.putInt(16 * n)
+    offsets.foreach { off =>
+      putFourcc(bb, "00db"); bb.putInt(0x10); bb.putInt(off); bb.putInt(frameBytes)
+    }
+    bb.array()
+  }
+
+  /** Parsed AVI structure: dims, frame count, and the idx1 seek table. */
+  private[graft] final case class AviIndex(width: Int, height: Int, nFrames: Int,
+      moviPos: Int, frameOffsets: Array[Int], frameSizes: Array[Int])
+
+  /** Parse the RIFF chunk tree: avih supplies dims/frame count, idx1 the
+    * per-frame chunk offsets (relative to the 'movi' fourcc). One linear
+    * walk over top-level chunks — frame payloads are NOT touched here;
+    * seeking reads only the sampled chunks. */
+  private[graft] def parseAvi(bytes: Array[Byte]): AviIndex = {
+    require(bytes.length >= 12 && fourccAt(bytes, 0) == "RIFF" &&
+      fourccAt(bytes, 8) == "AVI ", "payload is not a RIFF AVI")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var w = -1; var h = -1; var n = -1; var moviPos = -1; var idxPos = -1
+    while (pos + 8 <= bytes.length) {
+      val id = fourccAt(bytes, pos)
+      val sz = bb.getInt(pos + 4)
+      if (id == "LIST") {
+        val listType = fourccAt(bytes, pos + 8)
+        if (listType == "hdrl") {
+          require(fourccAt(bytes, pos + 12) == "avih", "hdrl must start with avih")
+          n = bb.getInt(pos + 12 + 8 + 16)
+          w = bb.getInt(pos + 12 + 8 + 32)
+          h = bb.getInt(pos + 12 + 8 + 36)
+        } else if (listType == "movi") moviPos = pos + 8
+      } else if (id == "idx1") idxPos = pos + 8
+      pos += 8 + sz + (sz & 1) // RIFF chunks pad to even sizes
+    }
+    require(w > 0 && h > 0 && n >= 0 && moviPos > 0 && idxPos > 0,
+      s"missing AVI structures (w=$w h=$h n=$n movi=$moviPos idx1=$idxPos)")
+    val offs = new Array[Int](n)
+    val sizes = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      offs(i) = bb.getInt(idxPos + 16 * i + 8)
+      sizes(i) = bb.getInt(idxPos + 16 * i + 12)
+      i += 1
+    }
+    AviIndex(w, h, n, moviPos, offs, sizes)
+  }
+
+  /** Index-seek to frame `f` and sum its BGR channels straight off the
+    * raw DIB raster (row padding skipped). Only this frame's bytes are
+    * read — the seek is the point. */
+  private[graft] def aviFramePixelSum(bytes: Array[Byte], idx: AviIndex, f: Int): Long = {
+    require(f >= 0 && f < idx.nFrames, s"frame $f out of range [0, ${idx.nFrames})")
+    val chunkPos = idx.moviPos + idx.frameOffsets(f)
+    require(fourccAt(bytes, chunkPos) == "00db",
+      s"frame $f index points at '${fourccAt(bytes, chunkPos)}', not raw DIB")
+    val data = chunkPos + 8
+    val rowBytes = (idx.width * 3 + 3) & ~3
+    var s = 0L
+    var y = 0
+    while (y < idx.height) {
+      val row = data + y.toLong * rowBytes
+      var x = 0
+      while (x < idx.width * 3) {
+        s += bytes((row + x).toInt) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Video corpus with REAL container payloads: `2 + id % 4` synthetic
+    * frames per video, encoded as uncompressed AVI. Per-partition
+    * encoding, payloads carried as genuine container bytes. */
+  def videoCorpus(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id").cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (2 + id % 4).toInt
+          Row(id, n.toLong, encodeAvi((0 until n).map(f => synthFrame(id, f))))
+        }
+      }(enc)
+  }
+
+  /** REAL frame sampling: parse the AVI header once per video, then
+    * index-SEEK to every `everyNth` frame and decode only those rasters
+    * — the stub's byte-slice fake replaced by genuine container
+    * navigation. Same scale shape as the image path: per-partition
+    * batches, payloads never shuffle, only the per-frame numbers leave
+    * the codec boundary. */
+  def sampleVideoFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, "everyNth must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.get(1).asInstanceOf[Array[Byte]]
+          val idx = parseAvi(bytes)
+          (0 until idx.nFrames by everyNth).iterator.map { f =>
+            Row(id, f.toLong, idx.width.toLong, idx.height.toLong,
+              aviFramePixelSum(bytes, idx, f))
+          }
         }
       }(enc)
   }

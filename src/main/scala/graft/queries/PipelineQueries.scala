@@ -873,6 +873,39 @@ object PipelineQueries {
       |FROM documents, range(0, 4) r(f)
       |WHERE doc_id % 3 = 2 ORDER BY media_id, frame_no""".stripMargin))
 
+  /** REAL video frame sampling: the corpus is genuine uncompressed
+    * RIFF/AVI container bytes (raw-DIB '00db' frames — no codec needed,
+    * which is what makes honest video I/O possible in a codec-less
+    * JVM); [[Multimodal.sampleVideoFrames]] parses the chunk tree and
+    * index-seeks to every 2nd frame, reading ONLY those rasters. Frame
+    * pixels follow a closed form of (id, frame, x, y), so the oracle
+    * recomputes each sampled frame's exact pixel sum — a wrong header
+    * parse, wrong idx1 offset, or wrong bottom-up row order all break
+    * the hash match. */
+  val mmFrameSampleAvi: QueryDef = QueryDef(
+    "mm_frame_sample_avi",
+    (s, d) => Multimodal.sampleVideoFrames(
+        Multimodal.videoCorpus(Tables.documents(s, d)), everyNth = 2)
+      .orderBy("media_id", "frame_no"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+      |    2 + doc_id % 4 AS n FROM documents),
+      |fr AS (
+      |  SELECT id, w, h, f FROM dims, range(0, 6) fs(f)
+      |  WHERE f < n AND f % 2 = 0),
+      |px AS (
+      |  SELECT id, f, w, h,
+      |    sum((id*31 + f*41 + x*7 + y*13) % 256
+      |      + (id*17 + f*29 + x*11 + y*3) % 256
+      |      + (id*13 + f*23 + x*5 + y*19) % 256) AS ps
+      |  FROM fr, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY id, f, w, h)
+      |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_no,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(ps AS BIGINT) AS pixel_sum
+      |FROM px ORDER BY media_id, frame_no""".stripMargin))
+
   /** Vocabulary top-k: explode word tokens, count, rank — the
     * tokenize/explode/aggregate shape of corpus statistics. */
   val textWordcount: QueryDef = QueryDef(
@@ -1111,5 +1144,5 @@ object PipelineQueries {
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
-    mmDecodeImage, mmResizeImage)
+    mmDecodeImage, mmResizeImage, mmFrameSampleAvi)
 }

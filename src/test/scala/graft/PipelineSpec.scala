@@ -202,4 +202,45 @@ class PipelineSpec extends SparkSpec {
         s"lossless PNG round-trip changed pixels for media_id=${r.getLong(0)}")
     }
   }
+
+  test("uncompressed AVI: encode -> parse -> index-seek round-trips every closed-form frame") {
+    for (id <- Seq(0L, 1L, 5L, 42L, 123L, 499L)) {
+      val n = (2 + id % 4).toInt
+      val frames = (0 until n).map(f => Multimodal.synthFrame(id, f))
+      val bytes = Multimodal.encodeAvi(frames)
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ", s"id=$id: not a RIFF AVI")
+      val idx = Multimodal.parseAvi(bytes)
+      assert(idx.width == (8 + id % 8).toInt && idx.height == (8 + id % 5).toInt,
+        s"id=$id: header dims wrong")
+      assert(idx.nFrames == n, s"id=$id: header frame count wrong")
+      for (f <- 0 until n) {
+        var expected = 0L
+        for (y <- 0 until idx.height; x <- 0 until idx.width) {
+          expected += ((id * 31 + f * 41 + x * 7 + y * 13) % 256) +
+            ((id * 17 + f * 29 + x * 11 + y * 3) % 256) +
+            ((id * 13 + f * 23 + x * 5 + y * 19) % 256)
+        }
+        assert(Multimodal.aviFramePixelSum(bytes, idx, f) == expected,
+          s"id=$id frame=$f: seeked raster diverges from the closed form")
+      }
+    }
+  }
+
+  test("sampleVideoFrames seeks only every Nth frame and matches the direct frame sums") {
+    val media = Multimodal.videoCorpus(Tables.documents(spark, sf).limit(50))
+    val out = Multimodal.sampleVideoFrames(media, everyNth = 2).collect()
+    assert(out.nonEmpty)
+    // every sampled frame_no is even and below its video's frame count
+    out.foreach { r =>
+      val id = r.getLong(0); val f = r.getLong(1)
+      assert(f % 2 == 0 && f < 2 + id % 4, s"bad sampled frame ($id, $f)")
+    }
+    // ids with n=2 frames sample exactly {0}; n=3 or 4 sample {0, 2}
+    val perId = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq)
+    perId.foreach { case (id, fs) =>
+      val n = 2 + id % 4
+      assert(fs == (0L until n by 2).toSeq, s"id=$id sampled $fs of $n frames")
+    }
+  }
 }
