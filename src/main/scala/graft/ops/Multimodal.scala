@@ -25,12 +25,16 @@ import org.apache.spark.sql.types._
   * arithmetic) and [[sampleVideoFrames]] parses the chunk tree and
   * index-SEEKS to sampled frames, decoding only those rasters.
   *
-  * ==STUB== What remains stand-ins: COMPRESSED codecs (H.264/JPEG
-  * audio — the JDK ships none; a real one swaps in at the same raster
-  * boundary) and the generic any-modality feature fake ([[decodeStub]],
-  * kept for the audio rows of `mm_decode`). [[frameSampleStub]] is also
-  * kept: it exercises the explode plumbing on arbitrary payloads that
-  * are not containers at all.
+  * AUDIO is REAL as well: [[audioCorpus]]/[[decodeAudio]] run genuine
+  * PCM WAV container bytes through `javax.sound.sampled.AudioSystem` —
+  * the JDK's own audio file codec, the aural twin of ImageIO.
+  *
+  * ==STUB== What remains stand-ins: COMPRESSED codecs only (H.264,
+  * JPEG, MP3 — the JDK ships none; a real one swaps in at the same
+  * raster/sample boundary) and the generic any-modality feature fake
+  * ([[decodeStub]], kept for `mm_decode`'s modality-agnostic rows).
+  * [[frameSampleStub]] is also kept: it exercises the explode plumbing
+  * on arbitrary payloads that are not containers at all.
   */
 object Multimodal {
 
@@ -497,6 +501,110 @@ object Multimodal {
             Row(id, f.toLong, idx.width.toLong, idx.height.toLong,
               aviFramePixelSum(bytes, idx, f))
           }
+        }
+      }(enc)
+  }
+
+  // ---- REAL audio path (PCM WAV via the JDK's javax.sound.sampled) ----
+  //
+  // Same reasoning as AVI: the JDK ships no COMPRESSED audio codec, but
+  // PCM WAV needs none — and unlike AVI, the JDK even ships the
+  // container reader/writer (`AudioSystem`), so both directions go
+  // through a genuine platform codec API, exactly like ImageIO for
+  // images.
+
+  /** Deterministic int16 PCM signal for `media_id = id`: `64 + id % 64`
+    * samples, sample i = ((id·31 + i·17) mod 2003) − 1001 — closed form,
+    * so the oracle recomputes amplitude statistics without a decoder. */
+  private[graft] def synthSamples(id: Long): Array[Short] = {
+    require(id >= 0, s"synthSamples needs a non-negative id, got $id")
+    val n = (64 + id % 64).toInt
+    Array.tabulate(n)(i => (((id * 31 + i * 17) % 2003) - 1001).toShort)
+  }
+
+  /** Encode mono 16-bit little-endian PCM as a WAV container through
+    * `AudioSystem.write` — the JDK's own audio file codec. */
+  private[graft] def encodeWav(samples: Array[Short],
+      sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload back to (sampleRate, samples) through
+    * `AudioSystem.getAudioInputStream` — header parsing, chunk walking
+    * and format negotiation are the JDK's, not ours. */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Float, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"expected mono 16-bit LE PCM, got $f")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (f.getSampleRate, samples)
+  }
+
+  /** Audio corpus with REAL WAV payloads (per-partition encode, genuine
+    * container bytes — the audio twin of [[imageCorpus]]). */
+  def audioCorpus(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id").cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, encodeWav(synthSamples(id)))
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode: `AudioSystem` parses the WAV and the reported
+    * rate/count/amplitude statistics come from the decoded samples — a
+    * wrong header parse or byte order breaks the oracle's closed-form
+    * numbers. Per-partition batches; payloads never shuffle. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("amp_sum", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, samples) = decodeWav(r.get(1).asInstanceOf[Array[Byte]])
+          var s = 0L
+          var peak = 0L
+          var i = 0
+          while (i < samples.length) {
+            val a = math.abs(samples(i).toLong)
+            s += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          Row(r.getLong(0), rate.toLong, samples.length.toLong, s, peak)
         }
       }(enc)
   }

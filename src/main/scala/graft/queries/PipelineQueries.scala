@@ -906,6 +906,28 @@ object PipelineQueries {
       |  CAST(ps AS BIGINT) AS pixel_sum
       |FROM px ORDER BY media_id, frame_no""".stripMargin))
 
+  /** REAL audio decode (JDK `javax.sound.sampled`, zero new
+    * dependencies): the corpus is genuine PCM WAV container bytes whose
+    * int16 samples follow a closed form of (id, i), so the codec-less
+    * oracle recomputes the decoded sample count and exact amplitude
+    * statistics — wrong header parse or byte order breaks the match.
+    * With this, all three modalities run genuine container I/O (PNG/BMP
+    * images, AVI video, WAV audio); only COMPRESSED codecs stay out. */
+  val mmDecodeWav: QueryDef = QueryDef(
+    "mm_decode_wav",
+    (s, d) => Multimodal.decodeAudio(
+        Multimodal.audioCorpus(Tables.documents(s, d)))
+      .orderBy("media_id"),
+    Some("""WITH d AS (
+      |  SELECT doc_id AS id, 64 + doc_id % 64 AS n FROM documents),
+      |s AS (
+      |  SELECT id, n, abs((id*31 + i*17) % 2003 - 1001) AS a
+      |  FROM d, range(0, 128) rs(i) WHERE i < n)
+      |SELECT id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(sum(a) AS BIGINT) AS amp_sum, CAST(max(a) AS BIGINT) AS peak
+      |FROM s GROUP BY id, n ORDER BY media_id""".stripMargin))
+
   /** Vocabulary top-k: explode word tokens, count, rank — the
     * tokenize/explode/aggregate shape of corpus statistics. */
   val textWordcount: QueryDef = QueryDef(
@@ -1144,5 +1166,5 @@ object PipelineQueries {
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
-    mmDecodeImage, mmResizeImage, mmFrameSampleAvi)
+    mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav)
 }

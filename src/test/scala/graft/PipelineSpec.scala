@@ -227,6 +227,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("PCM WAV: AudioSystem encode -> decode round-trips every closed-form sample") {
+    for (id <- Seq(0L, 1L, 63L, 64L, 123L, 499L)) {
+      val samples = Multimodal.synthSamples(id)
+      val bytes = Multimodal.encodeWav(samples)
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE", s"id=$id: not a RIFF WAVE")
+      val (rate, decoded) = Multimodal.decodeWav(bytes)
+      assert(rate == 8000f, s"id=$id: sample rate mangled")
+      assert(decoded.length == (64 + id % 64).toInt, s"id=$id: sample count wrong")
+      assert(decoded.sameElements(samples), s"id=$id: PCM samples diverged")
+    }
+  }
+
   test("sampleVideoFrames seeks only every Nth frame and matches the direct frame sums") {
     val media = Multimodal.videoCorpus(Tables.documents(spark, sf).limit(50))
     val out = Multimodal.sampleVideoFrames(media, everyNth = 2).collect()
