@@ -281,6 +281,48 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL decoded-pixel features for the multimodal→ANN composition:
+    * decode the PNG/BMP container and emit
+    * `[width, height, r_mean, g_mean, b_mean]` where the channel means
+    * are integer floor divisions of the decoded channel sums — every
+    * component is a small exact integer (≤ 255 for means), so the
+    * float cosine downstream is bit-deterministic (products stay far
+    * inside float-exact range, the int8-dot argument). Unlike
+    * [[hashFeatures]]' md5 stand-in, these features COME FROM THE
+    * DECODED RASTER — the composition `container bytes → codec →
+    * feature → cosine top-k` is real at every stage, and the
+    * closed-form synthetic pixels keep it oracle-checkable. */
+  def imagePixelFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.get(1).asInstanceOf[Array[Byte]]
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload for media_id=${r.getLong(0)} is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(r.getLong(0), Seq(w.toFloat, h.toFloat,
+            (rs / n).toFloat, (gs / n).toFloat, (bs / n).toFloat))
+        }
+      }(enc)
+  }
+
   // ---- REAL video path (uncompressed RIFF/AVI, plain byte arithmetic) ----
   //
   // The JDK ships no video CODEC, but uncompressed AVI needs none: it is

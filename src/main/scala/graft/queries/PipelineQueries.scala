@@ -906,6 +906,50 @@ object PipelineQueries {
       |  CAST(ps AS BIGINT) AS pixel_sum
       |FROM px ORDER BY media_id, frame_no""".stripMargin))
 
+  /** The multimodal→ANN composition with EVERY stage real: genuine
+    * PNG/BMP container bytes → JDK ImageIO decode → pixel-statistics
+    * feature vector ([w, h, integer channel means] — small exact
+    * integers, so the float cosine is bit-deterministic) → the standard
+    * brute-force cosine top-k. The closed-form synthetic pixels let the
+    * codec-less oracle regenerate the features and replay the ranking
+    * value-for-value — the end-to-end story [[mmSimilarity]]'s md5
+    * stand-in features only approximated. */
+  val mmSimilarityPixels: QueryDef = QueryDef(
+    "mm_similarity_pixels",
+    (s, d) => Similarity.bruteForceTopK(
+        Multimodal.imagePixelFeatures(
+          Multimodal.imageCorpus(Tables.documents(s, d))),
+        "media_id", "feature", col("media_id") % 50 === 0, k = 5)
+      .orderBy("query_id", "rk"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+      |px AS (
+      |  SELECT id, w, h,
+      |    sum((id*31 + x*7 + y*13) % 256) AS rs,
+      |    sum((id*17 + x*11 + y*3) % 256) AS gs,
+      |    sum((id*13 + x*5 + y*19) % 256) AS bs
+      |  FROM dims, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY id, w, h),
+      |f AS (
+      |  SELECT id, [CAST(w AS DOUBLE), CAST(h AS DOUBLE),
+      |    CAST(rs // (w*h) AS DOUBLE), CAST(gs // (w*h) AS DOUBLE),
+      |    CAST(bs // (w*h) AS DOUBLE)] AS v
+      |  FROM px),
+      |q AS (SELECT id AS query_id, v AS qv FROM f WHERE id % 50 = 0),
+      |c AS (SELECT id AS cand_id, v AS cv FROM f),
+      |scored AS (
+      |  SELECT query_id, cand_id,
+      |    list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      |  FROM c, q WHERE query_id <> cand_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
+      |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
+
   /** REAL audio decode (JDK `javax.sound.sampled`, zero new
     * dependencies): the corpus is genuine PCM WAV container bytes whose
     * int16 samples follow a closed form of (id, i), so the codec-less
@@ -1166,5 +1210,6 @@ object PipelineQueries {
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
-    mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav)
+    mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
+    mmSimilarityPixels)
 }

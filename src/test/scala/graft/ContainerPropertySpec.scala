@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+/** Property-based round-trip invariants of the container codecs over
+  * RANDOM geometries — the closed-form corpus only exercises dims
+  * 8-15 × 8-12, so these drive the row-padding and chunk-alignment
+  * paths (odd widths pad AVI rows to 4 bytes; odd sample counts keep
+  * WAV chunks even) across the whole small-geometry space. Same
+  * fixed-seed sampling driver as NamingPropertySpec (the
+  * scalatest-scalacheck bridge is not in the offline cache). */
+class ContainerPropertySpec extends AnyFunSuite {
+
+  private def forAll[T](gen: Gen[T], samples: Int = 120)(f: T => Unit): Unit = {
+    var seed = Seed(7L)
+    var n = 0
+    while (n < samples) {
+      gen.apply(Gen.Parameters.default, seed).foreach { v => f(v); n += 1 }
+      seed = seed.next
+    }
+  }
+
+  private val geomGen: Gen[(Int, Int, Int, Long)] = for {
+    w <- Gen.chooseNum(1, 37) // odd widths exercise DIB row padding
+    h <- Gen.chooseNum(1, 23)
+    n <- Gen.chooseNum(1, 6)
+    pix <- Gen.chooseNum(0L, 0xFFFFFFL)
+  } yield (w, h, n, pix)
+
+  private def frame(w: Int, h: Int, seedPix: Long, f: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((seedPix + f * 7919 + y * 131 + x) * 2654435761L) & 0xFFFFFF).toInt)
+    img
+  }
+
+  test("AVI round trip holds for arbitrary dims / frame counts / pixels") {
+    forAll(geomGen) { case (w, h, n, pix) =>
+      val frames = (0 until n).map(f => frame(w, h, pix, f))
+      val bytes = Multimodal.encodeAvi(frames)
+      val idx = Multimodal.parseAvi(bytes)
+      assert(idx.width == w && idx.height == h && idx.nFrames == n,
+        s"header mismatch for ($w x $h x $n)")
+      for (f <- 0 until n) {
+        var expected = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val p = frames(f).getRGB(x, y)
+          expected += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+        }
+        assert(Multimodal.aviFramePixelSum(bytes, idx, f) == expected,
+          s"frame $f sum mismatch for ($w x $h x $n), width padding ${(4 - w * 3 % 4) % 4}")
+      }
+    }
+  }
+
+  test("WAV round trip holds for arbitrary sample counts and values") {
+    val wavGen = for {
+      n <- Gen.chooseNum(1, 500)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (n, seed)
+    forAll(wavGen) { case (n, seed) =>
+      val samples = Array.tabulate(n)(i => ((seed + i * 0x9E3779B9L) % 65536 - 32768).toShort)
+      val (rate, decoded) = Multimodal.decodeWav(Multimodal.encodeWav(samples))
+      assert(rate == 8000f)
+      assert(decoded.length == n, s"sample count mismatch at n=$n")
+      assert(decoded.sameElements(samples), s"PCM mismatch at n=$n")
+    }
+  }
+}
