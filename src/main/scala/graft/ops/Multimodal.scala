@@ -377,11 +377,20 @@ object Multimodal {
       "all frames must share dimensions")
     val n = frames.size
     val rowBytes = (w * 3 + 3) & ~3
-    val frameBytes = rowBytes * h
+    // RIFF sizes are 32-bit: guard in Long arithmetic BEFORE narrowing,
+    // or a large raster would overflow silently into a negative chunk
+    // size (classic AVI caps at 2 GiB; longer videos chunk upstream)
+    val frameBytesL = rowBytes.toLong * h
     val strlSize = 4 + (8 + 56) + (8 + 40)      // 'strl' + strh + strf
     val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // 'hdrl' + avih + LIST strl
-    val moviSize = 4 + n * (8 + frameBytes)      // 'movi' + 00db chunks
-    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + 16 * n)
+    val moviSizeL = 4L + n * (8 + frameBytesL)   // 'movi' + 00db chunks
+    val riffSizeL = 4L + (8 + hdrlSize) + (8 + moviSizeL) + (8 + 16L * n)
+    require(riffSizeL <= Int.MaxValue - 8,
+      s"AVI payload would be ${riffSizeL + 8} bytes — RIFF sizes are 32-bit; " +
+        "split the video into shorter containers upstream")
+    val frameBytes = frameBytesL.toInt
+    val moviSize = moviSizeL.toInt
+    val riffSize = riffSizeL.toInt
     val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     putFourcc(bb, "RIFF"); bb.putInt(riffSize); putFourcc(bb, "AVI ")
