@@ -519,24 +519,31 @@ object PipelineQueries {
     * rounds (`a2` = final codes, `cb2` = final codebook), query
     * subvectors (`q`) and the per-query ADC distance table (`dt`) —
     * exactly the arithmetic [[graft.ops.Pq]] executes. */
+  /** One Lloyd assignment in SQL against codebook CTE `cb` — the packed
+    * (dist·ks + cid) argmin over the `sub` CTE's subvector rows. */
+  private def pqAssignSql(cb: String, ks: Int): String =
+    s"""SELECT id, sub, sv, CAST(min(key) % $ks AS BIGINT) AS cid
+       |  FROM (
+       |    SELECT s.id, s.sub, s.sv,
+       |      CAST(list_sum([(s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i])
+       |                     for i in range(1, len(s.sv) + 1)]) AS BIGINT)
+       |        * $ks + c.cid AS key
+       |    FROM sub s JOIN $cb c ON s.sub = c.sub)
+       |  GROUP BY id, sub, sv""".stripMargin
+
+  /** One Lloyd centroid update in SQL over assignment CTE `a`. */
+  private def pqUpdateSql(a: String): String =
+    s"""SELECT sub, cid, list(cm_j ORDER BY dim) AS cm
+       |  FROM (
+       |    SELECT sub, cid, dim,
+       |      CAST(round(CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm_j
+       |    FROM (SELECT sub, cid, generate_subscripts(sv, 1) AS dim, unnest(sv) AS vv FROM $a)
+       |    GROUP BY sub, cid, dim)
+       |  GROUP BY sub, cid""".stripMargin
+
   private def pqOracleCtes(m: Int, ks: Int, dsub: Int): String = {
-    def assign(cb: String): String =
-      s"""SELECT id, sub, sv, CAST(min(key) % $ks AS BIGINT) AS cid
-         |  FROM (
-         |    SELECT s.id, s.sub, s.sv,
-         |      CAST(list_sum([(s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i])
-         |                     for i in range(1, len(s.sv) + 1)]) AS BIGINT)
-         |        * $ks + c.cid AS key
-         |    FROM sub s JOIN $cb c ON s.sub = c.sub)
-         |  GROUP BY id, sub, sv""".stripMargin
-    def update(a: String): String =
-      s"""SELECT sub, cid, list(cm_j ORDER BY dim) AS cm
-         |  FROM (
-         |    SELECT sub, cid, dim,
-         |      CAST(round(CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm_j
-         |    FROM (SELECT sub, cid, generate_subscripts(sv, 1) AS dim, unnest(sv) AS vv FROM $a)
-         |    GROUP BY sub, cid, dim)
-         |  GROUP BY sub, cid""".stripMargin
+    def assign(cb: String): String = pqAssignSql(cb, ks)
+    def update(a: String): String = pqUpdateSql(a)
     s"""WITH v AS (
       |  SELECT CAST(vec_id AS BIGINT) AS id,
       |    list_transform(embedding,
@@ -625,6 +632,104 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin))
+
+  /** RESIDUAL IVF-PQ — the complete FAISS IVFADC design
+    * ([[graft.ops.Pq.ivfPqResidualTopK]]): PQ codebooks train on the
+    * residuals to each vector's coarse centroid, so codewords describe
+    * within-cell variation instead of re-describing the coarse
+    * structure; queries re-center per probed cell (the ADC table is
+    * per-(query, cell)). The oracle replays coarse assignment,
+    * residual computation, Lloyd training ON RESIDUALS, and the
+    * per-cell ADC bit-for-bit. */
+  val simIvfPqResidual: QueryDef = {
+    val (m, ks, dsub, nCells, nProbe) = (8, 64, 8, 16, 4)
+    QueryDef(
+      "sim_ivf_pq_residual",
+      (s, d) => graft.ops.Pq.ivfPqResidualTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5, dim = 64,
+          m = m, ks = ks, iters = 2, nCells = nCells, nProbe = nProbe)
+        .orderBy("query_id", "rk"),
+      Some(s"""WITH v AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        |  FROM embeddings),
+        |mxc AS (SELECT greatest(1, (max(id) + 1) // $nCells) AS stridec FROM v),
+        |ccb1 AS (
+        |  SELECT id // stridec AS cell_id, xm AS ccm FROM v, mxc
+        |  WHERE id % stridec = 0 AND id // stridec < $nCells),
+        |cca1 AS (
+        |  SELECT id, CAST(min(
+        |      CAST(list_sum([(v.xm[i] - c.ccm[i]) * (v.xm[i] - c.ccm[i])
+        |                     for i in range(1, len(v.xm) + 1)]) AS BIGINT)
+        |        * $nCells + c.cell_id) % $nCells AS BIGINT) AS cell
+        |  FROM v, ccb1 c GROUP BY id),
+        |cc AS (
+        |  SELECT cell AS cell_id, list(cm_j ORDER BY dim) AS ccm FROM (
+        |    SELECT cell, dim,
+        |      CAST(round(CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm_j
+        |    FROM (SELECT a.cell, generate_subscripts(v.xm, 1) AS dim, unnest(v.xm) AS vv
+        |          FROM v JOIN cca1 a ON v.id = a.id)
+        |    GROUP BY cell, dim)
+        |  GROUP BY cell),
+        |ca AS (
+        |  SELECT id, CAST(min(
+        |      CAST(list_sum([(v.xm[i] - c.ccm[i]) * (v.xm[i] - c.ccm[i])
+        |                     for i in range(1, len(v.xm) + 1)]) AS BIGINT)
+        |        * $nCells + c.cell_id) % $nCells AS BIGINT) AS cell
+        |  FROM v, cc c GROUP BY id),
+        |qp AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT v.id AS query_id, c.cell_id AS cell,
+        |      row_number() OVER (PARTITION BY v.id
+        |        ORDER BY CAST(list_sum([(v.xm[i] - c.ccm[i]) * (v.xm[i] - c.ccm[i])
+        |                     for i in range(1, len(v.xm) + 1)]) AS BIGINT) ASC,
+        |          c.cell_id ASC) AS crk
+        |    FROM v, cc c WHERE v.id % 50 = 0)
+        |  WHERE crk <= $nProbe),
+        |resv AS (
+        |  SELECT v.id, ca.cell,
+        |    [v.xm[i] - c.ccm[i] for i in range(1, len(v.xm) + 1)] AS rm
+        |  FROM v JOIN ca ON v.id = ca.id JOIN cc c ON ca.cell = c.cell_id),
+        |sub AS (
+        |  SELECT id, r.sub, rm[r.sub * $dsub + 1 : r.sub * $dsub + $dsub] AS sv
+        |  FROM resv, (SELECT unnest(range(0, $m)) AS sub) r),
+        |mx AS (SELECT greatest(1, (max(id) + 1) // $ks) AS stride FROM v),
+        |cb1 AS (
+        |  SELECT sub, id // stride AS cid, sv AS cm FROM sub, mx
+        |  WHERE id % stride = 0 AND id // stride < $ks),
+        |a1 AS (${pqAssignSql("cb1", ks)}),
+        |cb2 AS (${pqUpdateSql("a1")}),
+        |a2 AS (${pqAssignSql("cb2", ks)}),
+        |qres AS (
+        |  SELECT qp.query_id, qp.cell,
+        |    [v.xm[i] - c.ccm[i] for i in range(1, len(v.xm) + 1)] AS qrm
+        |  FROM qp JOIN v ON v.id = qp.query_id JOIN cc c ON qp.cell = c.cell_id),
+        |qsub AS (
+        |  SELECT query_id, cell, r.sub,
+        |    qrm[r.sub * $dsub + 1 : r.sub * $dsub + $dsub] AS qsv
+        |  FROM qres, (SELECT unnest(range(0, $m)) AS sub) r),
+        |dt AS (
+        |  SELECT query_id, cell, c.sub, c.cid,
+        |    CAST(list_sum([(q.qsv[i] - c.cm[i]) * (q.qsv[i] - c.cm[i])
+        |                   for i in range(1, len(q.qsv) + 1)]) AS BIGINT) AS d
+        |  FROM qsub q JOIN cb2 c ON q.sub = c.sub),
+        |scored AS (
+        |  SELECT dt.query_id, a.id AS cand_id, CAST(sum(d) AS BIGINT) AS adist
+        |  FROM a2 a
+        |  JOIN ca ON a.id = ca.id
+        |  JOIN qp ON ca.cell = qp.cell
+        |  JOIN dt ON dt.query_id = qp.query_id AND dt.cell = qp.cell
+        |         AND a.sub = dt.sub AND a.cid = dt.cid
+        |  WHERE dt.query_id <> a.id
+        |  GROUP BY dt.query_id, a.id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, adist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin))
+  }
 
   /** Model-based quality filter (fasttext/CCNet shape): linear score
     * over md5-hashed word-unigram buckets with an integer weight table —
@@ -1206,7 +1311,7 @@ object PipelineQueries {
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
-    simIvfPq,
+    simIvfPq, simIvfPqResidual,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,

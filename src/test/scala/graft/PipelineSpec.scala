@@ -84,6 +84,21 @@ class PipelineSpec extends SparkSpec {
     val goodIvf = ivfpq.count(brute.contains)
     assert(goodIvf.toDouble / ivfpq.length >= 0.4,
       s"IVF-PQ precision vs exact-L2 top-20 too low: $goodIvf/${ivfpq.length}")
+
+    // residual encoding is the quantization-error REDUCTION: codewords
+    // describe within-cell variation, so precision must hold the same
+    // bar and not regress below the non-residual composition
+    val resid = graft.ops.Pq.ivfPqResidualTopK(emb, "vec_id", "embedding",
+        isQuery, k = 5, dim = 64, m = 8, ks = 64, iters = 2,
+        nCells = 16, nProbe = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(resid.nonEmpty, "residual IVF-PQ returned nothing")
+    val goodRes = resid.count(brute.contains)
+    assert(goodRes.toDouble / resid.length >= 0.4,
+      s"residual IVF-PQ precision vs exact-L2 top-20 too low: $goodRes/${resid.length}")
+    assert(goodRes >= goodIvf,
+      s"residual encoding REDUCED precision: $goodRes < $goodIvf of ${resid.length}")
   }
 
   test("int8-quantized top-k stays close to the float top-k (within brute-force top-20)") {

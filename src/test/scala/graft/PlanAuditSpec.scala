@@ -153,6 +153,13 @@ class PlanAuditSpec extends SparkSpec {
       "PQ shuffled the corpus into a join (codebooks/distance table must broadcast)")
   }
 
+  test("sim_ivf_pq_residual: coarse training, residuals and per-cell ADC never shuffle-join the corpus") {
+    val p = plan("sim_ivf_pq_residual")
+    assert(p.contains("long_vector_argmin_key"), "argmin kernel missing from plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "residual IVF-PQ shuffled the corpus into a join (centroids/probes/codebooks/ADC must broadcast)")
+  }
+
   test("sim_ivf_pq: probe set, codebooks and distance table broadcast; corpus never shuffle-joins") {
     val p = plan("sim_ivf_pq")
     assert(p.contains("long_vector_argmin_key"), "argmin kernel missing from plan")
