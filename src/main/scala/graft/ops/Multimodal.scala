@@ -239,6 +239,38 @@ object Multimodal {
       }(enc)
   }
 
+  /** PERMISSIVE image decode for dirty corpora: a payload that fails to
+    * parse yields `decode_ok = false` with null stats instead of
+    * failing the task. At 100 TB corrupt containers are a certainty
+    * (truncated uploads, wrong extensions, bit rot) and ONE bad file
+    * must not kill a stage-level retry loop; the flagged rows feed the
+    * quarantine/repair path. [[decodeImages]] stays the strict
+    * contract-checking variant for corpora that guarantee validity. */
+  def decodeImagesSafe(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("fmt"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val fmt = r.getString(1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.get(2).asInstanceOf[Array[Byte]]))
+            catch { case _: Exception => null } // a corrupt container, not a bug
+          if (img == null) Row(id, fmt, false, null, null, null)
+          else Row(id, fmt, true, img.getWidth.toLong, img.getHeight.toLong,
+            pixelSum(img))
+        }
+      }(enc)
+  }
+
   /** REAL resize: decode, nearest-neighbor resample to (w, h) with
     * `sx = x·srcW div w` / `sy = y·srcH div h` (exact integer sampling —
     * no interpolation, so the resample is engine-reproducible), then

@@ -1055,6 +1055,38 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
+  /** PERMISSIVE decode over a DIRTY corpus — the 100 TB reality gate:
+    * every 10th payload is truncated to 10 bytes (an undecodable
+    * container prefix), and [[Multimodal.decodeImagesSafe]] must flag
+    * exactly those rows `decode_ok = false` with null stats while
+    * decoding the rest bit-exactly — one corrupt file never kills the
+    * stage. The oracle knows which ids were corrupted and replays the
+    * closed-form stats for the healthy ones. */
+  val mmDecodeImageSafe: QueryDef = QueryDef(
+    "mm_decode_image_safe",
+    (s, d) => Multimodal.decodeImagesSafe(
+        Multimodal.imageCorpus(Tables.documents(s, d))
+          .withColumn("payload",
+            when(col("media_id") % 10 === 0, expr("substring(payload, 1, 10)"))
+              .otherwise(col("payload"))))
+      .orderBy("media_id"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+      |px AS (
+      |  SELECT id, w, h,
+      |    sum((id*31 + x*7 + y*13) % 256 + (id*17 + x*11 + y*3) % 256
+      |      + (id*13 + x*5 + y*19) % 256) AS ps
+      |  FROM dims, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY id, w, h)
+      |SELECT id AS media_id,
+      |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |  id % 10 <> 0 AS decode_ok,
+      |  CASE WHEN id % 10 <> 0 THEN CAST(w AS BIGINT) END AS width,
+      |  CASE WHEN id % 10 <> 0 THEN CAST(h AS BIGINT) END AS height,
+      |  CASE WHEN id % 10 <> 0 THEN CAST(ps AS BIGINT) END AS pixel_sum
+      |FROM px ORDER BY media_id""".stripMargin))
+
   /** REAL audio decode (JDK `javax.sound.sampled`, zero new
     * dependencies): the corpus is genuine PCM WAV container bytes whose
     * int16 samples follow a closed form of (id, i), so the codec-less
@@ -1316,5 +1348,5 @@ object PipelineQueries {
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
-    mmSimilarityPixels)
+    mmSimilarityPixels, mmDecodeImageSafe)
 }

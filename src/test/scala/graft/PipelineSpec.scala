@@ -242,6 +242,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("decodeImagesSafe flags corrupt payloads without failing and decodes the rest exactly") {
+    val media = Multimodal.imageCorpus(Tables.documents(spark, sf).limit(40))
+      .withColumn("payload",
+        when(col("media_id") % 3 === 0, lit("not an image at all".getBytes))
+          .when(col("media_id") % 3 === 1, expr("substring(payload, 1, 5)"))
+          .otherwise(col("payload")))
+    val out = Multimodal.decodeImagesSafe(media).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 2) {
+        assert(r.getBoolean(2), s"valid payload $id flagged corrupt")
+        assert(r.getLong(3) == 8 + id % 8 && r.getLong(4) == 8 + id % 5,
+          s"valid payload $id decoded wrong dims")
+      } else {
+        assert(!r.getBoolean(2), s"corrupt payload $id not flagged")
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+          s"corrupt payload $id carries stats")
+      }
+    }
+  }
+
   test("PCM WAV: AudioSystem encode -> decode round-trips every closed-form sample") {
     for (id <- Seq(0L, 1L, 63L, 64L, 123L, 499L)) {
       val samples = Multimodal.synthSamples(id)

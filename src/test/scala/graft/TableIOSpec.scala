@@ -41,6 +41,23 @@ class TableIOSpec extends SparkSpec {
     assert(json.count() == 2 && json.columns.sorted.toSeq == Seq("id", "v"))
   }
 
+  test("compact rewrites many small files into few, values intact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/c"
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    // 32 splits -> 32 small files (the streaming-writer pathology)
+    df.repartition(32).write.parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles == 32, s"setup expected 32 files, got $dataFiles")
+    TableIO.compact(spark, dir, rowsPerFile = 500)
+    assert(dataFiles == 2, s"compaction left $dataFiles files, wanted 2")
+    val back = TableIO.readParquet(spark, dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum(col("id"))).head().getLong(0) == (1 to 1000).map(_.toLong).sum)
+  }
+
   test("replaceParquet is an atomic overwrite (CTAS semantics)") {
     val s = spark
     import s.implicits._
