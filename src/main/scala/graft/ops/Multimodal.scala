@@ -692,6 +692,68 @@ object Multimodal {
       }(enc)
   }
 
+  /** Permissive twin of [[decodeAudio]] — the [[decodeImagesSafe]]
+    * quarantine contract for WAV payloads: unparseable containers come
+    * back `decode_ok = false` with null stats, never a task failure. */
+  def decodeAudioSafe(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("amp_sum", LongType, nullable = true),
+      StructField("peak", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val (rate, samples) = decodeWav(r.get(1).asInstanceOf[Array[Byte]])
+            var s = 0L; var peak = 0L; var i = 0
+            while (i < samples.length) {
+              val a = math.abs(samples(i).toLong)
+              s += a; if (a > peak) peak = a; i += 1
+            }
+            Row(id, true, rate.toLong, samples.length.toLong, s, peak)
+          } catch {
+            case _: Exception => Row(id, false, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Permissive twin of [[sampleVideoFrames]]: a corrupt AVI yields ONE
+    * `decode_ok = false` row (null frame stats) instead of failing the
+    * task; healthy containers emit their sampled frames flagged true. */
+  def sampleVideoFramesSafe(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, "everyNth must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("frame_no", LongType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          try {
+            val bytes = r.get(1).asInstanceOf[Array[Byte]]
+            val idx = parseAvi(bytes)
+            (0 until idx.nFrames by everyNth).iterator.map { f =>
+              Row(id, true, f.toLong, idx.width.toLong, idx.height.toLong,
+                aviFramePixelSum(bytes, idx, f))
+            }
+          } catch {
+            case _: Exception => Iterator.single(Row(id, false, null, null, null, null))
+          }
+        }
+      }(enc)
+  }
+
   /** Per-partition batched decode: the mapPartitions boundary is where a
     * real pipeline hands row batches to a native decoder. Partition count
     * governs decoder parallelism; payloads never shuffle. */

@@ -41,6 +41,16 @@ object TableIO {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Schema-evolution read: union the schemas of every file under the
+    * paths (columns absent from older files come back null). The
+    * survey-export reality — table versions gain/lose columns over
+    * years — at the FILE level, complementing the semantic N-way merge
+    * ([[graft.transform.MergeTableVersions]]) at the TABLE level.
+    * mergeSchema costs a footer read per file; keep it off (default)
+    * for schema-stable hot paths. */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** CTAS + bucket/sort by a join key. Bucketed tables joined on the
     * bucket key skip the shuffle entirely (requires
     * spark.sql.sources.bucketing.enabled, default true). */

@@ -264,6 +264,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("safe audio/video decoders quarantine corrupt containers and keep healthy ones exact") {
+    val docs = Tables.documents(spark, sf).limit(30)
+    val audio = Multimodal.audioCorpus(docs)
+      .withColumn("payload",
+        when(col("media_id") % 5 === 0, expr("substring(payload, 1, 7)"))
+          .otherwise(col("payload")))
+    Multimodal.decodeAudioSafe(audio).collect().foreach { r =>
+      val id = r.getLong(0)
+      if (id % 5 == 0) assert(!r.getBoolean(1) && r.isNullAt(3), s"audio $id not quarantined")
+      else {
+        assert(r.getBoolean(1), s"healthy audio $id flagged")
+        assert(r.getLong(3) == 64 + id % 64, s"healthy audio $id wrong sample count")
+      }
+    }
+    val video = Multimodal.videoCorpus(docs)
+      .withColumn("payload",
+        when(col("media_id") % 5 === 0, expr("substring(payload, 1, 11)"))
+          .otherwise(col("payload")))
+    val frames = Multimodal.sampleVideoFramesSafe(video, everyNth = 2).collect()
+    val byId = frames.groupBy(_.getLong(0))
+    byId.foreach { case (id, rs) =>
+      if (id % 5 == 0)
+        assert(rs.length == 1 && !rs.head.getBoolean(1), s"video $id not quarantined")
+      else {
+        assert(rs.forall(_.getBoolean(1)), s"healthy video $id flagged")
+        assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until 2 + id % 4 by 2).toSeq,
+          s"healthy video $id sampled wrong frames")
+      }
+    }
+  }
+
   test("PCM WAV: AudioSystem encode -> decode round-trips every closed-form sample") {
     for (id <- Seq(0L, 1L, 63L, 64L, 123L, 499L)) {
       val samples = Multimodal.synthSamples(id)

@@ -58,6 +58,19 @@ class TableIOSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).head().getLong(0) == (1 to 1000).map(_.toLong).sum)
   }
 
+  test("readParquetMerged unions evolved schemas; missing columns are null") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    Seq((1L, "a")).toDF("id", "v_old").write.parquet(s"$dir/m/part1")
+    Seq((2L, "b", 9.5)).toDF("id", "v_new", "score").write.parquet(s"$dir/m/part2")
+    val merged = TableIO.readParquetMerged(spark, s"$dir/m/part1", s"$dir/m/part2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v_new", "v_old"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[String]("v_old") == "a" && rows(0).isNullAt(rows(0).fieldIndex("v_new")))
+    assert(rows(1).getAs[String]("v_new") == "b" && rows(1).isNullAt(rows(1).fieldIndex("v_old")))
+  }
+
   test("replaceParquet is an atomic overwrite (CTAS semantics)") {
     val s = spark
     import s.implicits._
