@@ -32,6 +32,13 @@ package object functions {
   def md5_hash64(c: Column): Column =
     Bridge.column(Md5Hash64(Bridge.expression(c)))
 
+  /** All per-document text statistics in one codegen'd code-point walk
+    * ([[TextStats]]): `[n_chars, n_words, norm_len, n_punct, n_digit,
+    * sw_de, sw_en, sw_es, sw_fr]` — replaces the 8-scan regex battery
+    * behind quality features and language ID. */
+  def text_stats(c: Column): Column =
+    Bridge.column(TextStats(Bridge.expression(c)))
+
   /** Wrapping 64-bit affine mix `c * a + b` ([[Mix64]]) — ANSI-safe
     * universal-hash variant derivation. */
   def mix64(c: Column, a: Long, b: Long): Column =

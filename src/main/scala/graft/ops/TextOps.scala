@@ -167,11 +167,17 @@ object TextOps {
   /** N-gram/stopword heuristic language ID over {en,es,fr,de} with "und"
     * (undetermined) when no list scores above zero. Deterministic
     * tie-break: alphabetical language order (de, en, es, fr) — first max
-    * wins; the DuckDB oracle encodes the same order. */
+    * wins; the DuckDB oracle encodes the same order.
+    *
+    * All four per-language hit counts come from ONE
+    * [[graft.functions.TextStats]] kernel pass (whole-stage codegen's
+    * subexpression elimination collapses the repeated subtree to a
+    * single call) — previously four anchored regexp_count scans over the
+    * twice-regex-derived normalized text. */
   def langId(c: Column): Column = {
-    val norm = normalize(c)
+    val st = graft.functions.text_stats(c)
     val scored = stopwords.keys.toSeq.sorted // de,en,es,fr — alphabetical, deterministic
-    val hits = scored.map(l => stopwordHits(norm, l))
+    val hits = scored.zipWithIndex.map { case (_, i) => element_at(st, 6 + i) }
     val best = greatest(hits: _*)
     // first language (in alphabetical order) achieving the max positive score
     scored.zip(hits).reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
@@ -181,25 +187,32 @@ object TextOps {
 
   /** Quality heuristics: length, word stats, punctuation/digit ratios,
     * stopword ratio — the standard pre-training quality gates. Ratios are
-    * emitted in DECIMAL so cross-engine comparison is exact. */
+    * emitted in DECIMAL so cross-engine comparison is exact.
+    *
+    * Every statistic reads from ONE [[graft.functions.TextStats]] kernel
+    * pass (codegen CSE dedupes the shared subtree); the DECIMAL ratio
+    * arithmetic on top is unchanged, so results are byte-identical to the
+    * previous 8-scan regex formulation — the oracle is the proof. */
   def qualityFeatures(c: Column): Seq[(String, Column)] = {
-    val norm = normalize(c)
-    val nw = wordCount(c)
+    val st = graft.functions.text_stats(c)
+    val nChars = element_at(st, 1)
+    val nw = element_at(st, 2)
+    val normLen = element_at(st, 3)
     val ratio = DecimalType(18, 6)
     Seq(
-      "n_chars" -> length(c).cast(LongType),
-      "n_words" -> nw.cast(LongType),
-      // chars-without-spaces = length - (n_words - 1): normalized text is
-      // single-space separated, so no extra string pass is needed
+      "n_chars" -> nChars,
+      "n_words" -> nw,
+      // chars-without-spaces = norm_len - (n_words - 1): normalized text
+      // is single-space separated
       "mean_word_len" -> when(nw > 0,
-        ((length(norm) - nw + 1).cast(ratio) / nw.cast(ratio)).cast(ratio))
+        ((normLen - nw + 1).cast(ratio) / nw.cast(ratio)).cast(ratio))
         .otherwise(lit(null).cast(ratio)),
-      "punct_ratio" -> (charClassCount(c, "[^a-zA-Z0-9\\s]").cast(ratio) /
-        greatest(length(c), lit(1)).cast(ratio)).cast(ratio),
-      "digit_ratio" -> (charClassCount(c, "[0-9]").cast(ratio) /
-        greatest(length(c), lit(1)).cast(ratio)).cast(ratio),
+      "punct_ratio" -> (element_at(st, 4).cast(ratio) /
+        greatest(nChars, lit(1)).cast(ratio)).cast(ratio),
+      "digit_ratio" -> (element_at(st, 5).cast(ratio) /
+        greatest(nChars, lit(1)).cast(ratio)).cast(ratio),
       "stopword_ratio" -> when(nw > 0,
-        (stopwordHits(norm, "en").cast(ratio) / nw.cast(ratio)).cast(ratio))
+        (element_at(st, 7).cast(ratio) / nw.cast(ratio)).cast(ratio))
         .otherwise(lit(null).cast(ratio)))
   }
 

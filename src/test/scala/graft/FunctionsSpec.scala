@@ -146,4 +146,40 @@ class FunctionsSpec extends SparkSpec {
     // null propagates
     assert(Seq(Option.empty[String]).toDF("s").select(md5_hash64(col("s"))).head().isNullAt(0))
   }
+
+  test("text_stats kernel equals the regex formulation on corpus + edge cases") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      "", "   ", "\t\n\r", "the", "the the theory!", "a\tb\nc",
+      "99 bottles of BEER!!!", "El la de-de que", "The AND Of to", "nicht!nicht",
+      "la", "....", "der die das und ist", "x" * 300, "0123456789",
+      "Words, with; punctuation: everywhere! (and) [brackets]")
+      .toDF("text")
+    val corpus = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text")
+    for (df <- Seq(edges, corpus)) {
+      // the pre-kernel regex formulation, inlined as the reference
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val nw = when(length(norm) === 0, 0).otherwise(size(split(norm, " ")))
+      def cls(c: String) = length(col("text")) - length(regexp_replace(col("text"), c, ""))
+      def sw(words: Seq[String]) = regexp_count(concat(lit(" "), norm, lit(" ")),
+        lit("(?<= )(" + words.mkString("|") + ")(?= )"))
+      val ref = df.select(
+        length(col("text")).cast("long"), nw.cast("long"), length(norm).cast("long"),
+        cls("[^a-zA-Z0-9\\s]").cast("long"), cls("[0-9]").cast("long"),
+        sw(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")).cast("long"),
+        sw(Seq("the", "and", "of", "to", "in", "is", "that", "for")).cast("long"),
+        sw(Seq("el", "la", "de", "que", "los", "las", "una", "por")).cast("long"),
+        sw(Seq("le", "la", "les", "des", "est", "dans", "pour", "que")).cast("long"))
+        .collect().map(_.toSeq)
+      val got = df.select((1 to 9).map(i =>
+          element_at(graft.functions.text_stats(col("text")), i)): _*)
+        .collect().map(_.toSeq)
+      ref.zip(got).zipWithIndex.foreach { case ((r, g), i) =>
+        assert(r == g, s"row $i: regex=$r kernel=$g")
+      }
+    }
+  }
 }
