@@ -16,13 +16,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Artifact shape is built for a BOUNDED TAIL capture (the driver keeps
   * only the last few KB of output): one short self-contained JSON line
-  * per query as it finishes (`{"query":…,"sec":…}` — every query is
-  * recoverable from these even if the summary truncates), then ONE
-  * summary line printed last with the per-query map FIRST and the short
-  * scalar fields (`metric`/`value`/`failed`) LAST — so a capture that
-  * clips the head of the line still ends with the headline total, and an
-  * intact capture parses as the contract's single JSON line (object key
-  * order is irrelevant to a JSON parser).
+  * per query as it finishes (`{"query":…,"sec":…}` — the per-query
+  * timings live ONLY here), then a one-line `bench_meta` (git SHA, query
+  * count — staleness is self-evident), then ONE SHORT summary line with
+  * just the scalar fields (`metric`/`value`/`reps`/`sf`/`failed`). No
+  * line embeds the full per-query map, so no single line can overflow
+  * the capture budget: the tail keeps dozens of per-query lines AND the
+  * complete summary.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,17 +81,20 @@ object Bench {
     }
     // A failed query reports -1 and is excluded from "value": the
     // headline number only reflects completed work.
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.2f" else "-1")
-    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // big map first, short scalars last: a head-clipped tail capture
-    // still ends with the parse-critical total
-    val line =
-      f"""{"queries":$qs,"reps":$reps,"sf":"$sfDir","failed":$failedJson,"metric":"total","unit":"sec","value":$total%.2f}"""
+    // provenance: the tree the numbers were measured at, so a stale
+    // artifact (bench captured before the last commit) is self-evident
+    val sha =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"))
+        .!!.trim
+      catch { case _: Throwable => "unknown" }
     spark.stop()
-    // printed last so a bounded tail capture keeps the whole line
-    println(line)
+    // The summary line is SHORT by design: the per-query timings live in
+    // the streamed {"query":…,"sec":…} lines above (one per query), so a
+    // bounded tail capture retains dozens of those PLUS this complete
+    // summary — no single line can overflow the capture budget.
+    println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size}}}""")
+    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps,"sf":"$sfDir","failed":$failedJson}""")
   }
 }

@@ -213,6 +213,29 @@ object Multimodal {
       }(enc)
   }
 
+  /** Image corpus with REAL JPEG payloads (the JDK ships a full JPEG
+    * codec pair): same synthetic rasters as [[imageCorpus]], encoded
+    * lossy. JPEG decode is NOT bit-exact across decoder libraries, so
+    * queries over this corpus gate on the decode_ok/dims contract
+    * (dims survive lossy round-trips exactly; pixel sums do not) — the
+    * honest cross-engine contract for compressed codecs. A spec pins
+    * the JDK round-trip (exact dims, pixel sum within lossy
+    * tolerance). */
+  def jpegCorpus(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id").cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "jpg", encodeImage(synthImage(id), "jpg"))
+        }
+      }(enc)
+  }
+
   /** REAL image decode: `javax.imageio.ImageIO.read` parses the PNG/BMP
     * container and the reported width/height/pixel_sum come from the
     * decoded raster — any codec bug breaks the oracle's closed-form
@@ -492,6 +515,11 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = fourccAt(bytes, pos)
       val sz = bb.getInt(pos + 4)
+      // untrusted 32-bit size: a negative value would stall the walk
+      // (pos += 8 + sz + pad stops advancing) — corrupt payloads must
+      // THROW so the Safe variants can quarantine them; a hang is the
+      // one failure mode a try/catch cannot contain
+      require(sz >= 0, s"corrupt RIFF chunk size $sz at offset $pos")
       if (id == "LIST") {
         val listType = fourccAt(bytes, pos + 8)
         if (listType == "hdrl") {
@@ -743,10 +771,16 @@ object Multimodal {
           try {
             val bytes = r.get(1).asInstanceOf[Array[Byte]]
             val idx = parseAvi(bytes)
-            (0 until idx.nFrames by everyNth).iterator.map { f =>
+            // materialize INSIDE the try: a lazy iterator would run
+            // aviFramePixelSum during downstream consumption, outside
+            // this catch — bit-rot in movi data under an intact header
+            // (bad fourcc, out-of-range index) would then fail the task
+            // instead of quarantining. Bounded: sampled frames of ONE
+            // container, a handful of Rows.
+            (0 until idx.nFrames by everyNth).map { f =>
               Row(id, true, f.toLong, idx.width.toLong, idx.height.toLong,
                 aviFramePixelSum(bytes, idx, f))
-            }
+            }.iterator
           } catch {
             case _: Exception => Iterator.single(Row(id, false, null, null, null, null))
           }

@@ -227,9 +227,13 @@ object Pq {
     (coarse, withCell, qcells)
   }
 
-  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, isQuery: Column,
-      k: Int, dim: Int, m: Int = 8, ks: Int = 16, iters: Int = 2,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Shared IVF-ADC scoring pipeline for [[ivfPqTopK]] and
+    * [[ivfPqRerankTopK]]: coarse stage + subspace PQ + probe-bounded
+    * ADC. Returns (base rows with id/is_q/xm, scored (query_id, id,
+    * adist)); None on an empty corpus. */
+  private def ivfAdcScored(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, dim: Int, m: Int, ks: Int, iters: Int,
+      nCells: Int, nProbe: Int): Option[(DataFrame, DataFrame)] = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(ks >= 2 && iters >= 1, "need ks >= 2 and iters >= 1")
     require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells,
@@ -238,7 +242,7 @@ object Pq {
     val base = emb.select(col(idCol).cast("long").as("id"),
       Clustering.microVec(col(vecCol)).as("xm"), isQuery.as("is_q"))
     val maxIdRow = base.agg(max(col("id"))).head()
-    if (maxIdRow.isNullAt(0)) return emptyResult(emb)
+    if (maxIdRow.isNullAt(0)) return None
     val maxId = maxIdRow.getLong(0)
     val (_, withCell, qcells) = coarseStage(base, maxId, nCells, nProbe)
 
@@ -265,7 +269,56 @@ object Pq {
       .join(broadcast(dtab), Seq("query_id", "sub", "cid"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("d")).as("adist"))
-    rankAdc(scored, k)
+    Some((base, scored))
+  }
+
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, isQuery: Column,
+      k: Int, dim: Int, m: Int = 8, ks: Int = 16, iters: Int = 2,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfAdcScored(emb, idCol, vecCol, isQuery, dim, m, ks, iters, nCells, nProbe) match {
+      case None => emptyResult(emb)
+      case Some((_, scored)) => rankAdc(scored, k)
+    }
+
+  /** IVF-PQ with EXACT RE-RANK refinement — the standard FAISS refine
+    * stage (IndexRefineFlat): ADC over compressed codes selects each
+    * query's top-R candidates, then an exact full-dimension integer
+    * squared-L2 pass over the ORIGINAL vectors re-ranks those R down to
+    * the final top-k. R a small multiple of k recovers near-brute-force
+    * precision while the exact pass touches only nq·R vectors — the
+    * refinement never rescans the corpus.
+    *
+    * Scale shape: the (query_id, cand_id) candidate set (nq·R rows)
+    * BROADCASTS and the corpus streams past it to surrender candidate
+    * vectors — zero corpus shuffle; query vectors (nq rows) broadcast
+    * into the pair set; the final top-k is the bounded-heap aggregate
+    * over nq·R exact distances. `dist` is the exact micro-unit² squared
+    * L2 (≤ dim·(2·max|x|·10⁶)² < 2⁵³, exact through the double heap
+    * key), so the oracle's refine stage is a plain self-join on the
+    * integer vectors — bit-for-bit reproducible. */
+  def ivfPqRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, dim: Int, m: Int = 8, ks: Int = 16,
+      iters: Int = 2, nCells: Int = 16, nProbe: Int = 4,
+      rerankR: Int = 20): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    ivfAdcScored(emb, idCol, vecCol, isQuery, dim, m, ks, iters, nCells, nProbe) match {
+      case None => emptyResult(emb)
+      case Some((base, scored)) =>
+        val cands = rankAdc(scored, rerankR).select(col("query_id"), col("cand_id"))
+        val qvec = base.filter(col("is_q"))
+          .select(col("id").as("query_id"), col("xm").as("qxm"))
+        val exact = base.select(col("id").as("cand_id"), col("xm"))
+          .join(broadcast(cands), Seq("cand_id"))
+          .join(broadcast(qvec), Seq("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            long_sqdist(col("qxm"), col("xm")).as("dist"))
+        exact.groupBy(col("query_id"))
+          .agg(topk_pairs(negate(col("dist")).cast("double"), col("cand_id"), k)
+            .as("topk"))
+          .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+          .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+            col("p.id").as("cand_id"), negate(col("p.score")).cast("long").as("dist"))
+    }
   }
 
   /** RESIDUAL IVF-PQ — the complete FAISS IVFADC design: PQ codebooks

@@ -214,9 +214,15 @@ object CurationQueries {
     (s, d) => Skew.adaptiveDistinctList(Tables.lineitem(s, d), "l_returnflag",
         month(col("l_shipdate")).cast("int"), minShare = 0.1, buckets = 16,
         outName = "ship_months")
+      // the list is already sorted+distinct; render it as one scalar
+      // string (the q_string_agg precedent) so every comparator — the
+      // driver's included — can sort/hash the output rows
+      .select(col("l_returnflag"),
+        concat_ws(",", col("ship_months").cast("array<string>"))
+          .as("ship_months"))
       .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
-      |  list_sort(list(DISTINCT CAST(month(l_shipdate) AS INT))) AS ship_months
+      |  array_to_string(list_sort(list(DISTINCT CAST(month(l_shipdate) AS INT))), ',') AS ship_months
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Time-range window frame: per-user trailing 3-day event count and

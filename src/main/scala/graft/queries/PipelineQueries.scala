@@ -280,10 +280,13 @@ object PipelineQueries {
         .union(docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 300000).as("doc_id"),
             concat(col("text"), lit(" extratoken")).as("text")))
-      Dedup.writeBandIndex(corpus, "doc_id", "text", "graft_lsh_band_index",
+      // session-suffixed name/path: concurrent runs on one machine must
+      // not clobber each other's index mid-query
+      val tok = graft.sources.TableIO.sessionToken(s)
+      Dedup.writeBandIndex(corpus, "doc_id", "text", s"graft_lsh_band_index_$tok",
         buckets = 8,
-        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed_lsh/index"))
-      val index = graft.sources.TableIO.readTable(s, "graft_lsh_band_index")
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed_lsh_$tok/index"))
+      val index = graft.sources.TableIO.readTable(s, s"graft_lsh_band_index_$tok")
       Dedup.incrementalLshDups(batch, index, "doc_id", "text",
           shingleN = 3, k = 8, rowsPerBand = 2, forceShuffleJoin = true)
         .orderBy("doc_id")
@@ -585,20 +588,11 @@ object PipelineQueries {
         |SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin))
 
-  /** IVF-PQ composition (the FAISS IVFADC shape): 16 id-stride coarse
-    * cells prune each query to its 4 nearest, and the SAME PQ-ADC
-    * machinery ranks only candidates inside probed cells — bounding the
-    * flat scan's nq·N scored pairs to nq·Σ|probed cells|. The oracle
-    * replays coarse assignment (integer L2 argmin, ties to the lower
-    * cell), probing (top-4 cells), Lloyd training, and ADC bit-for-bit
-    * on top of the shared PQ CTE prefix. */
-  val simIvfPq: QueryDef = QueryDef(
-    "sim_ivf_pq",
-    (s, d) => graft.ops.Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 5, dim = 64, m = 8, ks = 64, iters = 2,
-        nCells = 16, nProbe = 4)
-      .orderBy("query_id", "rk"),
-    Some(pqOracleCtes(m = 8, ks = 64, dsub = 8) + ",\n" +
+  /** Shared IVF-ADC oracle CTE chain (coarse assignment, probing, ADC
+    * scoring, per-query ADC ranking): sim_ivf_pq selects straight from
+    * `ranked`; sim_ivf_pq_rerank refines it with an exact pass. */
+  private val ivfAdcRankedCtes: String =
+    pqOracleCtes(m = 8, ks = 64, dsub = 8) + ",\n" +
       """mxc AS (SELECT greatest(1, (max(id) + 1) // 16) AS stridec FROM v),
         |cc AS (
         |  SELECT id // stridec AS cell_id, xm AS ccm FROM v, mxc
@@ -629,8 +623,50 @@ object PipelineQueries {
         |ranked AS (
         |  SELECT query_id, cand_id, adist,
         |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
-        |  FROM scored)
-        |SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
+        |  FROM scored)""".stripMargin
+
+  /** IVF-PQ composition (the FAISS IVFADC shape): 16 id-stride coarse
+    * cells prune each query to its 4 nearest, and the SAME PQ-ADC
+    * machinery ranks only candidates inside probed cells — bounding the
+    * flat scan's nq·N scored pairs to nq·Σ|probed cells|. The oracle
+    * replays coarse assignment (integer L2 argmin, ties to the lower
+    * cell), probing (top-4 cells), Lloyd training, and ADC bit-for-bit
+    * on top of the shared PQ CTE prefix. */
+  val simIvfPq: QueryDef = QueryDef(
+    "sim_ivf_pq",
+    (s, d) => graft.ops.Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5, dim = 64, m = 8, ks = 64, iters = 2,
+        nCells = 16, nProbe = 4)
+      .orderBy("query_id", "rk"),
+    Some(ivfAdcRankedCtes + "\n" +
+      """SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin))
+
+  /** IVF-PQ + EXACT RE-RANK (the FAISS refine stage,
+    * [[graft.ops.Pq.ivfPqRerankTopK]]): ADC selects each query's top-20
+    * candidates, an exact full-dim integer squared-L2 pass over the
+    * original vectors re-ranks them to the final top-5. The oracle
+    * refines the shared ADC chain with a plain integer self-join on v —
+    * both the candidate set (same (adist, cand_id) tie-break) and the
+    * exact distances replay bit-for-bit. */
+  val simIvfPqRerank: QueryDef = QueryDef(
+    "sim_ivf_pq_rerank",
+    (s, d) => graft.ops.Pq.ivfPqRerankTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 50 === 0, k = 5, dim = 64, m = 8,
+        ks = 64, iters = 2, nCells = 16, nProbe = 4, rerankR = 20)
+      .orderBy("query_id", "rk"),
+    Some(ivfAdcRankedCtes + ",\n" +
+      """cand AS (SELECT query_id, cand_id FROM ranked WHERE rk <= 20),
+        |exact AS (
+        |  SELECT c.query_id, c.cand_id,
+        |    CAST(list_sum([(q.xm[i] - x.xm[i]) * (q.xm[i] - x.xm[i])
+        |                   for i in range(1, len(q.xm) + 1)]) AS BIGINT) AS dist
+        |  FROM cand c JOIN v q ON q.id = c.query_id JOIN v x ON x.id = c.cand_id),
+        |rr AS (
+        |  SELECT query_id, cand_id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rk
+        |  FROM exact)
+        |SELECT query_id, rk, cand_id, dist FROM rr WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin))
 
   /** RESIDUAL IVF-PQ — the complete FAISS IVFADC design
@@ -1087,6 +1123,31 @@ object PipelineQueries {
       |  CASE WHEN id % 10 <> 0 THEN CAST(ps AS BIGINT) END AS pixel_sum
       |FROM px ORDER BY media_id""".stripMargin))
 
+  /** JPEG decode through the same ImageIO boundary — the compressed
+    * codec the JDK DOES ship. Lossy decode is not bit-exact across
+    * libraries, so the gate is the [[Multimodal.decodeImagesSafe]]
+    * decode_ok/dims contract (dims survive a lossy round-trip exactly;
+    * pixel sums are codec-dependent and projected out): every 10th
+    * payload is truncated to 10 bytes and must flag decode_ok = false;
+    * healthy rows must report the closed-form raster dims. The JDK
+    * round-trip itself (dims exact + pixel sum within lossy tolerance)
+    * is pinned in MultimodalSpec. */
+  val mmDecodeJpeg: QueryDef = QueryDef(
+    "mm_decode_jpeg",
+    (s, d) => Multimodal.decodeImagesSafe(
+        Multimodal.jpegCorpus(Tables.documents(s, d))
+          .withColumn("payload",
+            when(col("media_id") % 10 === 0, expr("substring(payload, 1, 10)"))
+              .otherwise(col("payload"))))
+      .select(col("media_id"), col("fmt"), col("decode_ok"),
+        col("width"), col("height"))
+      .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id, 'jpg' AS fmt,
+      |  doc_id % 10 <> 0 AS decode_ok,
+      |  CASE WHEN doc_id % 10 <> 0 THEN CAST(8 + doc_id % 8 AS BIGINT) END AS width,
+      |  CASE WHEN doc_id % 10 <> 0 THEN CAST(8 + doc_id % 5 AS BIGINT) END AS height
+      |FROM documents ORDER BY media_id""".stripMargin))
+
   /** REAL audio decode (JDK `javax.sound.sampled`, zero new
     * dependencies): the corpus is genuine PCM WAV container bytes whose
     * int16 samples follow a closed form of (id, i), so the codec-less
@@ -1343,10 +1404,10 @@ object PipelineQueries {
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
-    simIvfPq, simIvfPqResidual,
+    simIvfPq, simIvfPqRerank, simIvfPqResidual,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
-    mmSimilarityPixels, mmDecodeImageSafe)
+    mmSimilarityPixels, mmDecodeImageSafe, mmDecodeJpeg)
 }

@@ -547,14 +547,17 @@ object SurveyQueries {
     "merge_table_versions_bucketed",
     (s, d) => {
       val versions = mergeVersions(s, d).take(2)
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_mtv"
+      // session-suffixed name/path: concurrent runs on one machine must
+      // not clobber each other's tables mid-query
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_mtv_$tok"
       versions.zipWithIndex.foreach { case (v, i) =>
-        graft.sources.TableIO.replaceBucketed(v, s"graft_mtv_bucketed_v${i + 1}",
+        graft.sources.TableIO.replaceBucketed(v, s"graft_mtv_bucketed_${tok}_v${i + 1}",
           Seq("Connect_ID"), buckets = 8, path = Some(s"$base/v${i + 1}"))
       }
       MergeTableVersions(Seq(
-        graft.sources.TableIO.readTable(s, "graft_mtv_bucketed_v1"),
-        graft.sources.TableIO.readTable(s, "graft_mtv_bucketed_v2")))
+        graft.sources.TableIO.readTable(s, s"graft_mtv_bucketed_${tok}_v1"),
+        graft.sources.TableIO.readTable(s, s"graft_mtv_bucketed_${tok}_v2")))
         .orderBy(col("Connect_ID").cast("long"))
     },
     Some(s"""WITH v1 AS (${mergeVersionsSql(0)}), v2 AS (${mergeVersionsSql(1)})
@@ -597,9 +600,33 @@ object SurveyQueries {
       })
   }
 
+  /** maintenance_compact: the lakehouse small-files maintenance pass,
+    * driver-gated end-to-end — the orders projection is deliberately
+    * fragmented into 64 tiny files (the streaming-writer pathology),
+    * [[graft.sources.TableIO.compact]] rewrites the directory into
+    * ⌈rows/rowsPerFile⌉ files through the rename-aside swap, and the
+    * query returns the compacted table's CONTENT. The oracle is the
+    * ORIGINAL table: a green row proves compaction is exactly
+    * content-preserving. The file-count contract (32 → 2) and swap
+    * crash-safety are pinned in TableIOSpec. */
+  val maintenanceCompact: QueryDef = QueryDef(
+    "maintenance_compact",
+    (s, d) => {
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_compact_$tok/orders"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(64)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      graft.sources.TableIO.compact(s, path, rowsPerFile = 200000)
+      s.read.parquet(path).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
-    sensitiveTier)
+    sensitiveTier, maintenanceCompact)
 }

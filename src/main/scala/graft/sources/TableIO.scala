@@ -18,6 +18,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object TableIO {
 
+  /** Per-session unique token (sanitized Spark applicationId) for
+    * catalog table names and scratch paths created as query-build side
+    * effects: two concurrent driver/bench runs on one machine get
+    * disjoint names instead of clobbering each other's index mid-query. */
+  def sessionToken(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+
   def readTable(spark: SparkSession, name: String): DataFrame = spark.read.table(name)
 
   def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
@@ -108,8 +115,11 @@ object TableIO {
     * ⌈rows / rowsPerFile⌉ files via a round-robin repartition (no key —
     * compaction must not pay a hash/range shuffle's skew exposure;
     * layout-aware rewrites are [[replaceClustered]]/[[replaceZOrdered]]).
-    * The rewrite goes through a temp directory + atomic swap so a
-    * failure mid-compaction never leaves the table half-replaced. */
+    * The rewrite lands in a temp directory, then swaps in via
+    * rename-ASIDE (live -> .compact-old, tmp -> live, delete old): the
+    * table path is never absent — a crash mid-swap strands data in a
+    * sibling directory, never vanishes the table, and the old layout
+    * stays recoverable until the final delete. */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long): Unit = {
     require(rowsPerFile >= 1, "rowsPerFile must be positive")
     val df = spark.read.parquet(path)
@@ -121,8 +131,15 @@ object TableIO {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(target, true)
-    require(fs.rename(tmpPath, target), s"compaction swap failed: $tmp -> $path")
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact-old")
+    fs.delete(old, true) // clear debris from a previous crashed swap
+    require(fs.rename(target, old), s"compaction swap failed: $path -> $old")
+    if (!fs.rename(tmpPath, target)) {
+      // roll back so the table path is restored before we report failure
+      fs.rename(old, target)
+      throw new IllegalStateException(s"compaction swap failed: $tmp -> $path")
+    }
+    fs.delete(old, true)
   }
 
   /** ORC sink/source pair — second columnar format the engine speaks

@@ -58,6 +58,16 @@ class ContainerPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt RIFF chunk sizes throw (quarantinable) instead of hanging the walk") {
+    // sz = -8 makes pos += 8 + sz + pad stop advancing: without the
+    // guard the chunk walk spins forever — a hang the Safe variants'
+    // try/catch cannot contain. The guard turns it into a require throw.
+    val bytes = Multimodal.encodeAvi(Seq(frame(8, 6, 42L, 0)))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -8) // first top-level chunk's size field
+    intercept[IllegalArgumentException] { Multimodal.parseAvi(bytes) }
+  }
+
   test("WAV round trip holds for arbitrary sample counts and values") {
     val wavGen = for {
       n <- Gen.chooseNum(1, 500)

@@ -99,6 +99,21 @@ class PipelineSpec extends SparkSpec {
       s"residual IVF-PQ precision vs exact-L2 top-20 too low: $goodRes/${resid.length}")
     assert(goodRes >= goodIvf,
       s"residual encoding REDUCED precision: $goodRes < $goodIvf of ${resid.length}")
+
+    // exact re-rank refinement (FAISS IndexRefineFlat): ADC selects
+    // top-20 candidates, exact full-dim integer L2 re-ranks to top-5 —
+    // precision must hold the family bar and not regress below ADC-only
+    val rerank = graft.ops.Pq.ivfPqRerankTopK(emb, "vec_id", "embedding",
+        isQuery, k = 5, dim = 64, m = 8, ks = 64, iters = 2,
+        nCells = 16, nProbe = 4, rerankR = 20)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rerank.nonEmpty, "re-rank IVF-PQ returned nothing")
+    val goodRr = rerank.count(brute.contains)
+    assert(goodRr.toDouble / rerank.length >= 0.4,
+      s"re-rank IVF-PQ precision vs exact-L2 top-20 too low: $goodRr/${rerank.length}")
+    assert(goodRr >= goodIvf,
+      s"exact re-rank REDUCED precision: $goodRr < $goodIvf of ${rerank.length}")
   }
 
   test("int8-quantized top-k stays close to the float top-k (within brute-force top-20)") {
@@ -292,6 +307,75 @@ class PipelineSpec extends SparkSpec {
         assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until 2 + id % 4 by 2).toSeq,
           s"healthy video $id sampled wrong frames")
       }
+    }
+  }
+
+  test("JPEG codec: JDK round-trip preserves dims exactly; lossy pixels stay within tolerance") {
+    val media = Multimodal.jpegCorpus(Tables.documents(spark, sf).limit(40))
+      .withColumn("payload",
+        when(col("media_id") % 10 === 0, expr("substring(payload, 1, 10)"))
+          .otherwise(col("payload")))
+    val out = Multimodal.decodeImagesSafe(media).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 10 == 0) {
+        assert(!r.getBoolean(2), s"truncated JPEG $id not flagged")
+      } else {
+        assert(r.getBoolean(2), s"healthy JPEG $id flagged corrupt")
+        assert(r.getLong(3) == 8 + id % 8 && r.getLong(4) == 8 + id % 5,
+          s"JPEG $id decoded wrong dims — dims must survive a lossy round-trip")
+        // lossy tolerance: the raster's total RGB mass is dominated by
+        // the DC coefficients JPEG preserves, so the decoded sum must
+        // stay near the exact pre-encode sum even on noise rasters
+        val w = 8 + id % 8; val h = 8 + id % 5
+        var exact = 0L
+        var y = 0L
+        while (y < h) {
+          var x = 0L
+          while (x < w) {
+            exact += (id * 31 + x * 7 + y * 13) % 256 +
+              (id * 17 + x * 11 + y * 3) % 256 + (id * 13 + x * 5 + y * 19) % 256
+            x += 1
+          }
+          y += 1
+        }
+        val got = r.getLong(5)
+        assert(math.abs(got - exact).toDouble <= 0.15 * exact,
+          s"JPEG $id pixel sum $got drifted >15% from exact $exact")
+      }
+    }
+  }
+
+  test("sampleVideoFramesSafe quarantines movi bit-rot under an intact header/idx1") {
+    // the corruption class the lazy-iterator trap missed: the RIFF tree
+    // and idx1 parse fine, but a frame chunk's fourcc is rotted — decode
+    // fails only when the frame is READ, which must still be inside the
+    // quarantine (materialized rows), not a task failure at consumption
+    val rows = Multimodal.videoCorpus(Tables.documents(spark, sf).limit(20)).collect()
+    val patched = rows.map { r =>
+      val id = r.getLong(0)
+      val bytes = r.get(2).asInstanceOf[Array[Byte]].clone()
+      if (id % 4 == 0) {
+        val idx = Multimodal.parseAvi(bytes)
+        bytes(idx.moviPos + idx.frameOffsets(0)) = 'X'.toByte // rot frame 0's fourcc
+      }
+      org.apache.spark.sql.Row(id, r.getLong(1), bytes)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_frames",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(patched.toSeq, 2), schema)
+    val out = Multimodal.sampleVideoFramesSafe(df, everyNth = 1).collect()
+    out.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      if (id % 4 == 0)
+        assert(rs.length == 1 && !rs.head.getBoolean(1), s"bit-rot video $id not quarantined")
+      else assert(rs.forall(_.getBoolean(1)), s"healthy video $id flagged")
     }
   }
 
