@@ -169,6 +169,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "Window") <= 1, "IVF-PQ grew a ranking window beyond cell probing")
   }
 
+  test("sim_ivf_pq_rerank: candidate set and query vectors broadcast into the exact pass") {
+    val p = plan("sim_ivf_pq_rerank")
+    assert(p.contains("long_vector_argmin_key"), "argmin kernel missing from plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "re-rank shuffled the corpus into a join (ADC candidates + query vectors must broadcast)")
+    assert(p.contains("topk_pairs"), "re-rank lost the bounded-heap top-k")
+  }
+
   test("emb_zscore: per-dim stats join back by broadcast") {
     val p = plan("emb_zscore")
     assert(!p.contains("SortMergeJoin"), "stats join shuffled the corpus")
