@@ -67,9 +67,13 @@ object Bench {
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             false
         }
+      // wide-schema gates show ~2x rep-to-rep spread on this shared box
+      // (codegen compile + GC interplay) — give them one extra timed rep
+      // so the min is a stable floor, not a coin flip
+      val qReps = if (q.name.endsWith("_wide")) reps.max(3) else reps
       val best =
         if (!ok) -1.0
-        else (1 to reps).map { _ =>
+        else (1 to qReps).map { _ =>
           val t0 = System.nanoTime()
           run()
           (System.nanoTime() - t0) / 1e9

@@ -105,4 +105,35 @@ object Sampling {
     }
     df.withColumn(splitCol, split)
   }
+
+  /** Deterministic sharded EPOCH SHUFFLE — the global training-order
+    * permutation a pretraining run materializes per epoch: the read
+    * order must be (a) uniformly pseudo-random, (b) DIFFERENT each
+    * epoch, and (c) exactly reproducible for checkpoint resume. Each
+    * row's md5("epoch:id") digest places it in a shard (60-bit prefix
+    * mod `shards`) and orders it within the shard (full digest, id
+    * tie-break); (shard, pos) IS the training read order — shard-major,
+    * position-minor.
+    *
+    * Scale shape: the hash is row-local; the only exchange is the ONE
+    * shard-partitioned window ranking. A single global `row_number`
+    * would serialize the whole corpus through one partition — the
+    * sharded coordinates keep every shard's ranking parallel, which is
+    * the honest minimum for a MATERIALIZED global order. Same 60-bit
+    * md5 arithmetic as [[deterministicSplit]] (null ids hash as the
+    * empty id), so a DuckDB oracle replays shard and position
+    * exactly — across engines, partitionings and runs. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    val hs = md5(concat(lit(s"$epoch:"),
+      coalesce(col(idCol).cast("string"), lit(""))))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__hs").asc, col(idCol).asc)
+    df.withColumn("__hs", hs)
+      .withColumn("shard",
+        pmod(conv(substring(col("__hs"), 1, 15), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__hs")
+  }
 }

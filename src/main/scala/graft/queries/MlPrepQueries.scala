@@ -349,6 +349,31 @@ object MlPrepQueries {
       |        FROM documents))
       |GROUP BY source, split ORDER BY source, split""".stripMargin))
 
+  /** Deterministic sharded epoch shuffle
+    * ([[graft.ops.Sampling.epochShuffle]]): epoch 3's global training
+    * read order over the document corpus, materialized as (shard, pos)
+    * coordinates — different every epoch, exactly reproducible for
+    * checkpoint resume, one shard-partitioned window exchange (a single
+    * global row_number would serialize through one partition). The
+    * oracle replays the md5 shard assignment and within-shard rank
+    * exactly. */
+  val sampleEpochShuffle: QueryDef = QueryDef(
+    "sample_epoch_shuffle",
+    (s, d) => graft.ops.Sampling.epochShuffle(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id",
+        epoch = 3, shards = 8)
+      .orderBy("shard", "pos"),
+    Some("""WITH h AS (
+      |  SELECT doc_id, md5(concat('3:', CAST(doc_id AS VARCHAR))) AS hs
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, hs,
+      |    CAST(concat('0x', substr(hs, 1, 15)) AS BIGINT) % 8 AS shard
+      |  FROM h)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hs, doc_id) AS BIGINT) AS pos
+      |FROM v ORDER BY shard, pos""".stripMargin))
+
   /** Sequence length bucketing for training batches: width-16 token
     * buckets, per-bucket document count, token mass, and the padding
     * fraction a pad-to-bucket-max batcher would waste. All-integer until
@@ -471,5 +496,5 @@ object MlPrepQueries {
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     embZscore, textBm25, clusterKmeans, dedupSemantic, sampleHashSplit,
-    packLengthBuckets, embCovariance, embProject)
+    sampleEpochShuffle, packLengthBuckets, embCovariance, embProject)
 }

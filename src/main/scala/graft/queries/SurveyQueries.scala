@@ -624,9 +624,32 @@ object SurveyQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** maintenance_zorder: the OTHER lakehouse maintenance rewrite,
+    * driver-gated the same way as [[maintenanceCompact]] — the orders
+    * projection is Z-order re-clustered on (o_orderkey, o_custkey)
+    * ([[graft.sources.TableIO.replaceZOrdered]]: Morton-interleave the
+    * low bits, range-repartition + in-partition sort on the code) and
+    * the query returns the re-clustered table's CONTENT against the
+    * original-table oracle: layout rewrites must never change data.
+    * The pruning value of the layout (per-file bounding boxes on BOTH
+    * dims) is pinned in TableIOSpec. */
+  val maintenanceZorder: QueryDef = QueryDef(
+    "maintenance_zorder",
+    (s, d) => {
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_$tok/orders"
+      graft.sources.TableIO.replaceZOrdered(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        path, "o_orderkey", "o_custkey", numFiles = 4, bits = 16)
+      s.read.parquet(path).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
-    sensitiveTier, maintenanceCompact)
+    sensitiveTier, maintenanceCompact, maintenanceZorder)
 }

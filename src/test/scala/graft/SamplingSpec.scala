@@ -44,4 +44,27 @@ class SamplingSpec extends SparkSpec {
       .map(r => Option(r.getString(0)) -> r.getString(1)).toMap
     assert(out(None) == out(Some("")))
   }
+
+  test("epochShuffle is a complete permutation, varies by epoch, and ignores partitioning") {
+    val df = (1L to 200L).toDF("id")
+    def coords(d: org.apache.spark.sql.DataFrame, epoch: Int) =
+      Sampling.epochShuffle(d, "id", epoch, shards = 4)
+        .select("id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val e1 = coords(df, 1)
+    // permutation: every id exactly once, positions dense 1..n per shard
+    assert(e1.length == 200 && e1.map(_._1).distinct.length == 200)
+    e1.groupBy(_._2._1).foreach { case (s, rows) =>
+      assert(rows.map(_._2._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // a different epoch is a genuinely different order
+    val e2 = coords(df, 2).toMap
+    assert(e1.count { case (id, c) => e2(id) != c } > 150,
+      "epoch 2 barely differs from epoch 1")
+    // reproducible: same epoch, adversarial partitioning, same coordinates
+    val m1 = e1.toMap
+    assert(coords(df.repartition(13), 1).forall { case (id, c) => m1(id) == c },
+      "shuffle order depends on input partitioning")
+  }
 }
