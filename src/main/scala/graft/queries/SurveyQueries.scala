@@ -647,9 +647,85 @@ object SurveyQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** ingest_csv_dirty: the QUARANTINE contract extended to text ingest —
+    * the decodeImagesSafe posture for CSV. A deliberately dirty corpus
+    * is generated with all three corruption classes a 100 TB crawl
+    * delivers (type violation in a numeric field, truncated line, extra
+    * tokens), read in PERMISSIVE mode with a corrupt-record column, and
+    * every row comes back either parsed or FLAGGED — one bad line never
+    * kills an ingest stage. The oracle replays Spark's documented
+    * PERMISSIVE semantics closed-form: malformed fields null out, the
+    * parseable fields of a corrupt line survive, and `bad` marks exactly
+    * the corrupted ids (semantics probed and pinned: type-violation rows
+    * keep v but null id; truncated rows null the missing v; extra-token
+    * rows parse fully — all three flag). */
+  val ingestCsvDirty: QueryDef = QueryDef(
+    "ingest_csv_dirty",
+    (s, d) => {
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_csv_dirty_$tok"
+      Tables.documents(s, d).select(
+        when(col("doc_id") % 7 === 0,
+            concat(lit("notanum,v"), col("doc_id")))            // type violation
+          .when(col("doc_id") % 11 === 0,
+            col("doc_id").cast(StringType))                     // truncated line
+          .when(col("doc_id") % 13 === 0,
+            concat(col("doc_id").cast(StringType), lit(",v"),
+              col("doc_id"), lit(",extra")))                    // extra tokens
+          .otherwise(concat(col("doc_id").cast(StringType), lit(",v"),
+            col("doc_id")))
+          .as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", StringType),
+        org.apache.spark.sql.types.StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .select(col("id"), col("v"), col("_corrupt").isNotNull.as("bad"))
+        .orderBy(col("id"), col("v"))
+    },
+    Some("""SELECT
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS id,
+      |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 = 0 THEN NULL
+      |       ELSE concat('v', CAST(doc_id AS VARCHAR)) END AS v,
+      |  (doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0) AS bad
+      |FROM documents ORDER BY id, v""".stripMargin))
+
+  /** ingest_schema_evolution: the file-level schema-drift read
+    * ([[graft.sources.TableIO.readParquetMerged]]) driver-gated — two
+    * table "versions" written with DIFFERENT schemas (v1 has column a,
+    * v2 has column b, the survey-export reality at the file level) are
+    * read as one relation with the union schema; columns absent from a
+    * file come back null. The oracle recomputes the merged relation
+    * closed-form from the source table. */
+  val ingestSchemaEvolution: QueryDef = QueryDef(
+    "ingest_schema_evolution",
+    (s, d) => {
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_schemaevo_$tok"
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source").as("a"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), length(col("text")).cast("long").as("b"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/v2")
+      graft.sources.TableIO.readParquetMerged(s, s"$base/v1", s"$base/v2")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN source END AS a,
+      |  CASE WHEN doc_id % 2 = 1 THEN CAST(length(text) AS BIGINT) END AS b
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
-    sensitiveTier, maintenanceCompact, maintenanceZorder)
+    sensitiveTier, maintenanceCompact, maintenanceZorder, ingestCsvDirty,
+    ingestSchemaEvolution)
 }
