@@ -87,18 +87,24 @@ object Bench {
     // headline number only reflects completed work.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // provenance: the tree the numbers were measured at, so a stale
-    // artifact (bench captured before the last commit) is self-evident
+    // provenance: the tree the numbers were measured at. Bench always
+    // runs through `sbt runMain` from this checkout, so HEAD IS the
+    // executed tree — except for uncommitted edits, which the -dirty
+    // suffix makes self-evident.
     val sha =
-      try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"))
-        .!!.trim
-      catch { case _: Throwable => "unknown" }
+      try {
+        val head = scala.sys.process.Process(
+          Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+        val dirty = scala.sys.process.Process(
+          Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
+        if (dirty) s"$head-dirty" else head
+      } catch { case _: Throwable => "unknown" }
     spark.stop()
     // The summary line is SHORT by design: the per-query timings live in
     // the streamed {"query":…,"sec":…} lines above (one per query), so a
     // bounded tail capture retains dozens of those PLUS this complete
     // summary — no single line can overflow the capture budget.
     println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size}}}""")
-    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps,"sf":"$sfDir","failed":$failedJson}""")
+    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps,"wide_reps":${reps.max(3)},"sf":"$sfDir","failed":$failedJson}""")
   }
 }

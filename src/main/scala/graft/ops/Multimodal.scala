@@ -193,11 +193,10 @@ object Multimodal {
     s
   }
 
-  /** Image corpus with REAL encoded payloads: PNG for even ids, BMP for
-    * odd (both lossless 24-bit, both decoders ship in the JDK). Encoding
-    * runs per-partition like every codec stage here; the payload column
-    * is genuine container bytes, not a text stand-in. */
-  def imageCorpus(docs: DataFrame): DataFrame = {
+  /** Shared builder for the encoded-image corpora: per-id format
+    * choice, per-partition encoding (the codec-stage shape everywhere
+    * here), payload column = genuine container bytes. */
+  private def imageCorpusAs(docs: DataFrame, fmtFor: Long => String): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("fmt", StringType, nullable = false),
@@ -207,11 +206,16 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val fmt = fmtFor(id)
           Row(id, fmt, encodeImage(synthImage(id), fmt))
         }
       }(enc)
   }
+
+  /** Image corpus with REAL encoded payloads: PNG for even ids, BMP for
+    * odd (both lossless 24-bit, both decoders ship in the JDK). */
+  def imageCorpus(docs: DataFrame): DataFrame =
+    imageCorpusAs(docs, id => if (id % 2 == 0) "png" else "bmp")
 
   /** Image corpus with REAL JPEG payloads (the JDK ships a full JPEG
     * codec pair): same synthetic rasters as [[imageCorpus]], encoded
@@ -221,20 +225,8 @@ object Multimodal {
     * honest cross-engine contract for compressed codecs. A spec pins
     * the JDK round-trip (exact dims, pixel sum within lossy
     * tolerance). */
-  def jpegCorpus(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("fmt", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    docs.select(col("doc_id").cast(LongType).as("media_id"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          Row(id, "jpg", encodeImage(synthImage(id), "jpg"))
-        }
-      }(enc)
-  }
+  def jpegCorpus(docs: DataFrame): DataFrame =
+    imageCorpusAs(docs, _ => "jpg")
 
   /** REAL image decode: `javax.imageio.ImageIO.read` parses the PNG/BMP
     * container and the reported width/height/pixel_sum come from the

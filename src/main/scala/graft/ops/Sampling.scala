@@ -122,18 +122,25 @@ object Sampling {
     * the honest minimum for a MATERIALIZED global order. Same 60-bit
     * md5 arithmetic as [[deterministicSplit]] (null ids hash as the
     * empty id), so a DuckDB oracle replays shard and position
-    * exactly — across engines, partitionings and runs. */
-  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
-      shards: Int): DataFrame = {
+    * exactly — across engines, partitionings and runs.
+    *
+    * Output column names are parameters (the [[deterministicSplit]]
+    * `splitCol` convention) so a corpus that already carries a `shard`
+    * or `pos` column is not silently overwritten; the scratch hash
+    * column picks a collision-free name. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int, shards: Int,
+      shardCol: String = "shard", posCol: String = "pos"): DataFrame = {
     require(shards >= 1, "shards must be positive")
+    val hc = Iterator.from(0).map(i => s"__epochhash$i")
+      .filterNot(df.columns.contains).next()
     val hs = md5(concat(lit(s"$epoch:"),
       coalesce(col(idCol).cast("string"), lit(""))))
-    val w = Window.partitionBy(col("shard")).orderBy(col("__hs").asc, col(idCol).asc)
-    df.withColumn("__hs", hs)
-      .withColumn("shard",
-        pmod(conv(substring(col("__hs"), 1, 15), 16, 10).cast("long"),
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(hc).asc, col(idCol).asc)
+    df.withColumn(hc, hs)
+      .withColumn(shardCol,
+        pmod(conv(substring(col(hc), 1, 15), 16, 10).cast("long"),
           lit(shards.toLong)))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("__hs")
+      .withColumn(posCol, row_number().over(w).cast("long"))
+      .drop(hc)
   }
 }

@@ -285,7 +285,7 @@ object PipelineQueries {
       val tok = graft.sources.TableIO.sessionToken(s)
       Dedup.writeBandIndex(corpus, "doc_id", "text", s"graft_lsh_band_index_$tok",
         buckets = 8,
-        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed_lsh_$tok/index"))
+        path = Some(graft.sources.TableIO.scratchDir(s, "bucketed_lsh/index")))
       val index = graft.sources.TableIO.readTable(s, s"graft_lsh_band_index_$tok")
       Dedup.incrementalLshDups(batch, index, "doc_id", "text",
           shingleN = 3, k = 8, rowsPerBand = 2, forceShuffleJoin = true)

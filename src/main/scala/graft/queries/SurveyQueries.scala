@@ -550,7 +550,7 @@ object SurveyQueries {
       // session-suffixed name/path: concurrent runs on one machine must
       // not clobber each other's tables mid-query
       val tok = graft.sources.TableIO.sessionToken(s)
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_mtv_$tok"
+      val base = graft.sources.TableIO.scratchDir(s, "bucketed_mtv")
       versions.zipWithIndex.foreach { case (v, i) =>
         graft.sources.TableIO.replaceBucketed(v, s"graft_mtv_bucketed_${tok}_v${i + 1}",
           Seq("Connect_ID"), buckets = 8, path = Some(s"$base/v${i + 1}"))
@@ -612,8 +612,7 @@ object SurveyQueries {
   val maintenanceCompact: QueryDef = QueryDef(
     "maintenance_compact",
     (s, d) => {
-      val tok = graft.sources.TableIO.sessionToken(s)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_compact_$tok/orders"
+      val path = graft.sources.TableIO.scratchDir(s, "compact/orders")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .repartition(64)
@@ -636,8 +635,7 @@ object SurveyQueries {
   val maintenanceZorder: QueryDef = QueryDef(
     "maintenance_zorder",
     (s, d) => {
-      val tok = graft.sources.TableIO.sessionToken(s)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_$tok/orders"
+      val path = graft.sources.TableIO.scratchDir(s, "zorder/orders")
       graft.sources.TableIO.replaceZOrdered(
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
@@ -662,8 +660,7 @@ object SurveyQueries {
   val ingestCsvDirty: QueryDef = QueryDef(
     "ingest_csv_dirty",
     (s, d) => {
-      val tok = graft.sources.TableIO.sessionToken(s)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_csv_dirty_$tok"
+      val path = graft.sources.TableIO.scratchDir(s, "csv_dirty")
       Tables.documents(s, d).select(
         when(col("doc_id") % 7 === 0,
             concat(lit("notanum,v"), col("doc_id")))            // type violation
@@ -705,8 +702,7 @@ object SurveyQueries {
   val ingestSchemaEvolution: QueryDef = QueryDef(
     "ingest_schema_evolution",
     (s, d) => {
-      val tok = graft.sources.TableIO.sessionToken(s)
-      val base = s"${sys.props("java.io.tmpdir")}/graft_schemaevo_$tok"
+      val base = graft.sources.TableIO.scratchDir(s, "schemaevo")
       val docs = Tables.documents(s, d)
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("source").as("a"))

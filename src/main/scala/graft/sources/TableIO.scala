@@ -25,6 +25,23 @@ object TableIO {
   def sessionToken(spark: SparkSession): String =
     spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
 
+  private val scratchCleanup =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Session-scoped scratch path under java.io.tmpdir: unique per
+    * session (no cross-run clobbering) AND registered for recursive
+    * deletion at JVM exit (no cross-run leak — token-suffixed dirs
+    * would otherwise accumulate forever where the old fixed names at
+    * least self-overwrote). Catalog entries need no such hook: these
+    * sessions use the in-memory catalog, which dies with the JVM. */
+  def scratchDir(spark: SparkSession, name: String): String = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_scratch_${sessionToken(spark)}"
+    if (scratchCleanup.putIfAbsent(base, java.lang.Boolean.TRUE) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))))
+    s"$base/$name"
+  }
+
   def readTable(spark: SparkSession, name: String): DataFrame = spark.read.table(name)
 
   def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
@@ -116,22 +133,30 @@ object TableIO {
     * compaction must not pay a hash/range shuffle's skew exposure;
     * layout-aware rewrites are [[replaceClustered]]/[[replaceZOrdered]]).
     * The rewrite lands in a temp directory, then swaps in via
-    * rename-ASIDE (live -> .compact-old, tmp -> live, delete old): the
-    * table path is never absent — a crash mid-swap strands data in a
-    * sibling directory, never vanishes the table, and the old layout
-    * stays recoverable until the final delete. */
+    * rename-ASIDE (live -> .compact-old, tmp -> live, delete old). The
+    * table path is absent only for the instant between the two metadata
+    * renames (no data copies); a crash in that window strands nothing —
+    * the old layout survives in `.compact-old`, and the NEXT compact()
+    * call (or a manual rename) restores it before proceeding. Within
+    * one filesystem a rename is a metadata operation; concurrent
+    * readers racing that instant can observe a missing path and must
+    * retry — take the table offline for a zero-race guarantee. */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long): Unit = {
     require(rowsPerFile >= 1, "rowsPerFile must be positive")
-    val df = spark.read.parquet(path)
-    val n = df.count()
-    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    val tmp = path.stripSuffix("/") + ".compact-tmp"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact-old")
+    // self-heal a previous crashed swap: live path missing but the
+    // renamed-aside layout present -> restore it and carry on
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target), s"crash recovery failed: $old -> $path")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
     fs.delete(old, true) // clear debris from a previous crashed swap
     require(fs.rename(target, old), s"compaction swap failed: $path -> $old")
     if (!fs.rename(tmpPath, target)) {
