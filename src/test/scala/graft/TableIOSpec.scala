@@ -58,6 +58,25 @@ class TableIOSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).head().getLong(0) == (1 to 1000).map(_.toLong).sum)
   }
 
+  test("compact self-heals a crash between the two swap renames") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/c"
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    // simulate the crash window: live renamed aside, replacement never
+    // landed — the table path is missing, data stranded in .compact-old
+    val live = new java.io.File(dir)
+    val old = new java.io.File(dir + ".compact-old")
+    assert(live.renameTo(old) && !live.exists)
+    // the next compact() must restore the aside copy and then compact it
+    TableIO.compact(spark, dir, rowsPerFile = 100)
+    assert(live.exists && !old.exists, "recovery left the swap half-done")
+    val back = TableIO.readParquet(spark, dir)
+    assert(back.count() == 100)
+    assert(back.agg(sum(col("id"))).head().getLong(0) == (1 to 100).map(_.toLong).sum)
+  }
+
   test("readParquetMerged unions evolved schemas; missing columns are null") {
     val s = spark
     import s.implicits._
