@@ -18,17 +18,42 @@ import org.apache.spark.sql.SparkSession
   * only the last few KB of output): one short self-contained JSON line
   * per query as it finishes (`{"query":…,"sec":…}` — the per-query
   * timings live ONLY here), then a one-line `bench_meta` (git SHA, query
-  * count — staleness is self-evident), then ONE SHORT summary line with
+  * count, start/end loadavg — staleness and box load are self-evident
+  * from the artifact alone), then ONE SHORT summary line with
   * just the scalar fields (`metric`/`value`/`reps`/`sf`/`failed`). No
   * line embeds the full per-query map, so no single line can overflow
   * the capture budget: the tail keeps dozens of per-query lines AND the
   * complete summary.
   */
 object Bench {
+  /** First three fields of /proc/loadavg (1/5/15-min run-queue), or
+    * "unavailable" off Linux. Captured at start AND end of the run so a
+    * load-inflated artifact carries its own evidence — round 6's
+    * headline (144.67 s loaded vs 115.32 s idle, same SHA) was only
+    * adjudicable by an out-of-band rerun. */
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+      finally src.close()
+    } catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // Optional positional args = query names: re-time a subset without a
+    // full 129-query run (the artifact path for targeted re-measurement;
+    // unknown names fail fast rather than silently timing nothing).
+    val selected: Seq[graft.queries.QueryDef] =
+      if (args.isEmpty) SparkEntry.allQueries
+      else {
+        val byName = SparkEntry.allQueries.map(q => q.name -> q).toMap
+        val unknown = args.filterNot(byName.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        args.toSeq.map(byName)
+      }
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,7 +68,11 @@ object Bench {
       .config("spark.sql.codegen.maxFields", "1500")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign per-query WARN spam (e.g. WindowExec's
+    // no-partition notice from the k-row kmeans seeding window) flooded
+    // the driver's bounded tail capture in round 6 and evicted 123 of
+    // 129 streamed per-query lines. Log level doesn't touch plans.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed global warmup: initializes codegen infra, parquet reader,
     // shuffle and noop-sink paths so the first query doesn't absorb
     // one-off JVM/session setup. Best-effort.
@@ -55,7 +84,7 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.allQueries.map { q =>
+    val results = selected.map { q =>
       def run(): Unit =
         q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
       // rep 0: untimed warmup; also the failure probe
@@ -100,11 +129,17 @@ object Bench {
         if (dirty) s"$head-dirty" else head
       } catch { case _: Throwable => "unknown" }
     spark.stop()
+    val loadEnd = loadavg()
+    val procs = Runtime.getRuntime.availableProcessors()
     // The summary line is SHORT by design: the per-query timings live in
     // the streamed {"query":…,"sec":…} lines above (one per query), so a
     // bounded tail capture retains dozens of those PLUS this complete
     // summary — no single line can overflow the capture budget.
-    println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size}}}""")
-    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps,"wide_reps":${reps.max(3)},"sf":"$sfDir","failed":$failedJson}""")
+    println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size},"loadavg":{"start":"$loadStart","end":"$loadEnd"},"procs":$procs}}""")
+    // wide_reps only when a *_wide query actually ran — reporting a rep
+    // policy that was never exercised misstates the run's protocol.
+    val wideReps =
+      if (selected.exists(_.name.endsWith("_wide"))) s""","wide_reps":${reps.max(3)}""" else ""
+    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps$wideReps,"sf":"$sfDir","failed":$failedJson}""")
   }
 }

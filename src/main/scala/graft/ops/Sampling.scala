@@ -125,12 +125,22 @@ object Sampling {
     * exactly — across engines, partitionings and runs.
     *
     * Output column names are parameters (the [[deterministicSplit]]
-    * `splitCol` convention) so a corpus that already carries a `shard`
-    * or `pos` column is not silently overwritten; the scratch hash
-    * column picks a collision-free name. */
+    * `splitCol` convention) and must be ABSENT from the input — a corpus
+    * already carrying a `shard`/`pos` column fails fast instead of being
+    * silently overwritten (pass different names); the scratch hash
+    * column picks a collision-free name automatically.
+    *
+    * Reproducibility contract: (shard, pos) is exactly replayable iff
+    * `idCol` values are UNIQUE and NON-NULL. Null ids all hash as the
+    * empty id and — like any duplicated id — tie on both sort keys, so
+    * their relative order is engine/partitioning-dependent. Run an
+    * id-assignment or dedup pass first if the corpus can violate this. */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int, shards: Int,
       shardCol: String = "shard", posCol: String = "pos"): DataFrame = {
     require(shards >= 1, "shards must be positive")
+    require(!df.columns.contains(shardCol) && !df.columns.contains(posCol),
+      s"output columns ($shardCol, $posCol) already exist in the input — " +
+        "pass different shardCol/posCol instead of silently overwriting")
     val hc = Iterator.from(0).map(i => s"__epochhash$i")
       .filterNot(df.columns.contains).next()
     val hs = md5(concat(lit(s"$epoch:"),

@@ -128,7 +128,9 @@ object TableIO {
   /** Small-files compaction — the lakehouse maintenance pass a 100 TB
     * table needs continuously: streaming/incremental writers leave
     * thousands of KB-sized files whose per-file open/footer/task cost
-    * eventually dominates scans. Rewrite the directory into
+    * eventually dominates scans. The row count comes from parquet footer
+    * metadata (no count job — the data is read exactly once, by the
+    * rewrite itself); the directory is rewritten into
     * ⌈rows / rowsPerFile⌉ files via a round-robin repartition (no key —
     * compaction must not pay a hash/range shuffle's skew exposure;
     * layout-aware rewrites are [[replaceClustered]]/[[replaceZOrdered]]).
@@ -153,16 +155,33 @@ object TableIO {
     // renamed-aside layout present -> restore it and carry on
     if (!fs.exists(target) && fs.exists(old))
       require(fs.rename(old, target), s"crash recovery failed: $old -> $path")
-    val df = spark.read.parquet(path)
-    val n = df.count()
+    // Row count from parquet footers (driver-side metadata reads, one
+    // tiny range-read per file) instead of a count() job — the data is
+    // then read EXACTLY once, by the rewrite. The input is by definition
+    // a many-small-files directory, so O(files) footer reads are the
+    // cheap side of the trade at any scale.
+    val n = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(path)
+      .repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
     fs.delete(old, true) // clear debris from a previous crashed swap
     require(fs.rename(target, old), s"compaction swap failed: $path -> $old")
     if (!fs.rename(tmpPath, target)) {
-      // roll back so the table path is restored before we report failure
-      fs.rename(old, target)
-      throw new IllegalStateException(s"compaction swap failed: $tmp -> $path")
+      // roll back so the table path is restored before we report failure,
+      // and say whether the rollback itself worked — if it didn't, the
+      // data is stranded in `old` and the next compact()'s self-heal (or
+      // a manual rename) must restore it
+      val rolledBack = fs.rename(old, target)
+      throw new IllegalStateException(
+        s"compaction swap failed: $tmp -> $path; rollback " +
+          (if (rolledBack) s"succeeded ($path restored)"
+           else s"FAILED — table offline, data stranded in $old"))
     }
     fs.delete(old, true)
   }

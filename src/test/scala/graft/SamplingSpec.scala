@@ -67,4 +67,15 @@ class SamplingSpec extends SparkSpec {
     assert(coords(df.repartition(13), 1).forall { case (id, c) => m1(id) == c },
       "shuffle order depends on input partitioning")
   }
+
+  test("epochShuffle fails fast when an output column already exists") {
+    val df = (1L to 10L).toDF("id").withColumn("shard", lit(0))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(df, "id", epoch = 1, shards = 2)
+    }
+    assert(e.getMessage.contains("already exist"))
+    // and renaming the outputs sidesteps the collision
+    val ok = Sampling.epochShuffle(df, "id", 1, 2, shardCol = "eshard", posCol = "epos")
+    assert(ok.columns.count(_ == "shard") == 1 && ok.columns.contains("eshard"))
+  }
 }

@@ -58,6 +58,34 @@ class TableIOSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).head().getLong(0) == (1 to 1000).map(_.toLong).sum)
   }
 
+  test("compact reads the data exactly once — no count job, row count from footers") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/c"
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(16).write.parquet(dir)
+    val callSites = scala.collection.mutable.ListBuffer.empty[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        callSites += Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TableIO.compact(spark, dir, rowsPerFile = 500)
+      // compact is synchronous, so its jobs have run; the listener bus is
+      // async — poll until the rewrite job's start event has drained
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (callSites.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(callSites.nonEmpty, "listener saw no jobs at all")
+      Thread.sleep(200) // grace for any trailing (count) job event
+      assert(!callSites.exists(_.startsWith("count at")),
+        s"compact ran a count job — row count must come from parquet footers: $callSites")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the footer-derived count sized the output correctly
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 2)
+  }
+
   test("compact self-heals a crash between the two swap renames") {
     val s = spark
     import s.implicits._
