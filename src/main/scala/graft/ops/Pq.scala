@@ -321,6 +321,134 @@ object Pq {
     }
   }
 
+  /** Build and PERSIST an IVF-PQ index — the production serving split
+    * [[ivfPqTopK]] deliberately doesn't make: that method retrains
+    * coarse centroids and codebooks inside every query, which is right
+    * for a self-contained gate but wrong for serving, where the corpus
+    * is indexed ONCE and every incremental batch probes it with zero
+    * retraining (the [[graft.ops.Dedup.writeBandIndex]] /
+    * `incrementalLshDups` shape, for ANN).
+    *
+    * Persisted layout:
+    *  - `table`: one packed row per vector `(id, cell, code)` — the cell
+    *    from the coarse quantizer and the m codeword ids as one small
+    *    array (the PQ compression actually realized at rest: m bytes-ish
+    *    per vector, not d floats) — BUCKETED + sorted by `cell`, so a
+    *    probe's literal cell filter prunes whole buckets at the SCAN
+    *    (`SelectedBucketsCount` in the plan) and the index never
+    *    shuffles;
+    *  - `sidecarPath/centroids`: the nCells coarse centroids;
+    *  - `sidecarPath/codebook`: the m·ks PQ codebook — both a few KB,
+    *    broadcast whole by every probe.
+    *
+    * Training is the same integer Lloyd recipe as [[ivfPqTopK]]
+    * (id-stride seeds, `iters` assignment rounds), so a probe over the
+    * persisted index returns bit-identical results to the inline
+    * composition — the oracle is shared. The build pays one extra
+    * (id, cell) shuffle to pack the m code rows per vector; each
+    * vector's rows are co-partitioned by construction, so the pack
+    * partial-aggregates map-side to one row per vector first. */
+  def writeIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      table: String, buckets: Int, sidecarPath: String, dim: Int,
+      path: Option[String] = None, m: Int = 8, ks: Int = 16,
+      iters: Int = 2, nCells: Int = 16): Unit = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ks >= 2 && iters >= 1, "need ks >= 2 and iters >= 1")
+    require(nCells >= 2, s"need nCells >= 2, got $nCells")
+    val dsub = dim / m
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      Clustering.microVec(col(vecCol)).as("xm"), lit(false).as("is_q"))
+    val maxIdRow = base.agg(max(col("id"))).head()
+    require(!maxIdRow.isNullAt(0), "cannot index an empty corpus")
+    val maxId = maxIdRow.getLong(0)
+    // nProbe is a QUERY-time knob; the build only needs the centroids
+    val (coarse, withCell, _) = coarseStage(base, maxId, nCells, nProbe = 1)
+
+    val slices = array((0 until m).map(s => slice(col("xm"), s * dsub + 1, dsub)): _*)
+    val subv = withCell
+      .select(col("id"), col("cell"), posexplode(slices).as(Seq("sub", "sv")))
+      .select(col("id"), col("cell"), col("sub").cast("long").as("sub"), col("sv"))
+    val stride = math.max(1L, (maxId + 1) / ks)
+    val (codes, codebook) = trainAndEncode(subv, stride, ks, iters)
+
+    // pack m code rows -> one (id, cell, code) row; rows of a vector are
+    // co-partitioned (narrow explode), so this combines map-side
+    val packed = codes.groupBy(col("id"), col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("code"))
+    graft.sources.TableIO.replaceBucketed(packed, table, Seq("cell"), buckets, path)
+    graft.sources.TableIO.replaceParquet(
+      coarse.select(col("cell_id"), col("ccm")), s"$sidecarPath/centroids")
+    graft.sources.TableIO.replaceParquet(
+      codebook.select(col("sub"), col("cid"), col("cm")), s"$sidecarPath/codebook")
+  }
+
+  /** Probe a [[writeIvfPqIndex]]-persisted index with a NEW query batch —
+    * zero retraining, zero index-side exchanges: the batch encodes
+    * row-locally against the broadcast sidecar centroids/codebook, its
+    * bounded probed-cell set (≤ min(nq·nProbe, nCells) values, collected
+    * once at plan-build time like the seeding `.head()`s) becomes a
+    * LITERAL filter on the bucketed codes scan — so bucket pruning skips
+    * the index files no query probes (`SelectedBucketsCount`) — and the
+    * ADC join against the (also broadcast) distance tables leaves only
+    * the (query, cand, partial-dist) pairs to shuffle into the final
+    * bounded-heap top-k. At 100 TB the ever-growing index never crosses
+    * the network: each batch reads back a pruned slice of it in place.
+    *
+    * Returns (query_id, rk, cand_id, adist) exactly as [[ivfPqTopK]];
+    * candidates sharing the query's id are excluded, so a corpus member
+    * used as a query never matches itself. */
+  def ivfPqIndexedTopK(queries: DataFrame, idCol: String, vecCol: String,
+      table: String, sidecarPath: String, k: Int, dim: Int, m: Int = 8,
+      nProbe: Int = 4): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    val spark = queries.sparkSession
+    val dsub = dim / m
+    val coarse = graft.sources.TableIO.readParquet(spark, s"$sidecarPath/centroids")
+    val codebook = graft.sources.TableIO.readParquet(spark, s"$sidecarPath/codebook")
+
+    val qbase = queries.select(col(idCol).cast("long").as("id"),
+      Clustering.microVec(col(vecCol)).as("xm"))
+    // nProbe nearest cells per query — same integer ranking as the
+    // inline coarse stage; the window runs on the (small) batch side
+    val qcells = qbase
+      .select(col("id").as("query_id"), col("xm"))
+      .join(broadcast(coarse), lit(true))
+      .select(col("query_id"), col("cell_id"),
+        long_sqdist(col("xm"), col("ccm")).as("cd"))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cd").asc, col("cell_id").asc)))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("cell_id").as("cell"))
+
+    // the probed-cell set is bounded by nCells (a build-time constant,
+    // thousands at most) — collect it ONCE so the codes scan carries a
+    // literal predicate bucket pruning can act on
+    val probed = qcells.select(col("cell")).distinct().collect().map(_.getLong(0))
+    if (probed.isEmpty) return emptyResult(queries)
+    val codes = graft.sources.TableIO.readTable(spark, table)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id"), col("cell"), posexplode(col("code")).as(Seq("sub", "cid")))
+      .select(col("id"), col("cell"), col("sub").cast("long").as("sub"), col("cid"))
+
+    // per-query ADC tables over the persisted codebook — broadcast side
+    val qslices = array((0 until m).map(s => slice(col("xm"), s * dsub + 1, dsub)): _*)
+    val qsub = qbase
+      .select(col("id").as("query_id"), posexplode(qslices).as(Seq("sub", "qsv")))
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("qsv"))
+    val dtab = qsub.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        long_sqdist(col("qsv"), col("cm")).as("d"))
+    val scored = codes.join(broadcast(qcells), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d")).as("adist"))
+    rankAdc(scored, k)
+  }
+
   /** RESIDUAL IVF-PQ — the complete FAISS IVFADC design: PQ codebooks
     * are trained on the residuals `x − centroid(cell(x))` instead of the
     * raw vectors, so the ks codewords per subspace spend their capacity

@@ -669,6 +669,35 @@ object PipelineQueries {
         |SELECT query_id, rk, cand_id, dist FROM rr WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin))
 
+  /** The same IVF-PQ search served from a PERSISTED index
+    * ([[graft.ops.Pq.writeIvfPqIndex]] / `ivfPqIndexedTopK`) — the
+    * production serving split: the corpus is trained + encoded ONCE into
+    * a codes table bucketed by coarse cell plus tiny centroid/codebook
+    * sidecars, and the query batch probes it with ZERO retraining — it
+    * encodes row-locally against the broadcast sidecars and its bounded
+    * probed-cell set prunes the index scan at the bucket level
+    * (`SelectedBucketsCount`, PlanAudit pin). The incremental-ANN twin
+    * of [[dedupIncrementalLshBucketed]]. Training arithmetic is
+    * identical to the inline composition, so values match
+    * [[simIvfPq]] bit-for-bit and the oracle is shared. */
+  val simIvfPqIndexed: QueryDef = simIvfPq.copy(
+    name = "sim_ivf_pq_indexed",
+    build = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // session-suffixed name/paths: concurrent runs must not clobber
+      // each other's index mid-query
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val sidecar = graft.sources.TableIO.scratchDir(s, "ivfpq_index/sidecar")
+      graft.ops.Pq.writeIvfPqIndex(emb, "vec_id", "embedding",
+        s"graft_ivfpq_codes_$tok", buckets = 8, sidecarPath = sidecar,
+        dim = 64, path = Some(graft.sources.TableIO.scratchDir(s, "ivfpq_index/codes")),
+        m = 8, ks = 64, iters = 2, nCells = 16)
+      graft.ops.Pq.ivfPqIndexedTopK(emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", s"graft_ivfpq_codes_$tok", sidecar,
+          k = 5, dim = 64, m = 8, nProbe = 4)
+        .orderBy("query_id", "rk")
+    })
+
   /** RESIDUAL IVF-PQ — the complete FAISS IVFADC design
     * ([[graft.ops.Pq.ivfPqResidualTopK]]): PQ codebooks train on the
     * residuals to each vector's coarse centroid, so codewords describe
@@ -1404,7 +1433,7 @@ object PipelineQueries {
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
-    simIvfPq, simIvfPqRerank, simIvfPqResidual,
+    simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,

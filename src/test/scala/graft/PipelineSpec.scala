@@ -116,6 +116,29 @@ class PipelineSpec extends SparkSpec {
       s"exact re-rank REDUCED precision: $goodRr < $goodIvf of ${rerank.length}")
   }
 
+  test("persisted IVF-PQ index probe returns the inline composition bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf)
+    val isQuery = col("vec_id") % 50 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "cand_id", "adist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inline = rows(graft.ops.Pq.ivfPqTopK(emb, "vec_id", "embedding",
+      isQuery, k = 5, dim = 64, m = 8, ks = 64, iters = 2, nCells = 16, nProbe = 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      graft.ops.Pq.writeIvfPqIndex(emb, "vec_id", "embedding",
+        "ivfpq_codes_spec", buckets = 4, sidecarPath = s"$dir/sidecar",
+        dim = 64, path = Some(s"$dir/codes"), m = 8, ks = 64, iters = 2, nCells = 16)
+      val probed = rows(graft.ops.Pq.ivfPqIndexedTopK(emb.filter(isQuery),
+        "vec_id", "embedding", "ivfpq_codes_spec", s"$dir/sidecar",
+        k = 5, dim = 64, m = 8, nProbe = 4))
+      assert(probed.nonEmpty, "index probe returned nothing")
+      assert(probed == inline,
+        s"persisted-index probe diverged from inline IVF-PQ: " +
+          s"${(probed -- inline).take(3)} vs ${(inline -- probed).take(3)}")
+    } finally spark.sql("DROP TABLE IF EXISTS ivfpq_codes_spec")
+  }
+
   test("int8-quantized top-k stays close to the float top-k (within brute-force top-20)") {
     val emb = Tables.embeddings(spark, sf)
     val isQuery = col("vec_id") % 50 === 0

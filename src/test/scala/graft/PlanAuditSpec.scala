@@ -106,6 +106,19 @@ class PlanAuditSpec extends SparkSpec {
       s"index side grew an exchange:\n${p.linesIterator.take(40).mkString("\n")}")
   }
 
+  test("sim_ivf_pq_indexed: probe prunes the persisted codes table at the bucket level, index side exchange-free") {
+    val p = plan("sim_ivf_pq_indexed")
+    // the probed-cell literal filter must reach the bucketed codes scan
+    assert(p.contains("SelectedBucketsCount"), "codes scan is not bucket-pruned")
+    // index side joins only against broadcasts — any sort-merge join
+    // here would mean the persisted index is shuffling
+    assert(!p.contains("SortMergeJoin"), "index side shuffled into a join")
+    // exchanges: query-side probe window (query_id), scored pair agg,
+    // final top-k agg, output sort — the index side adds NONE
+    assert(nodes(p, "Exchange") <= 4,
+      s"index side grew an exchange:\n${p.linesIterator.take(40).mkString("\n")}")
+  }
+
   test("mix_domain_cap ranks through WindowGroupLimit (per-partition top-k heap, no full sort)") {
     val p = plan("mix_domain_cap")
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
