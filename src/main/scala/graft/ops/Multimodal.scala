@@ -29,9 +29,10 @@ import org.apache.spark.sql.types._
   * PCM WAV container bytes through `javax.sound.sampled.AudioSystem` —
   * the JDK's own audio file codec, the aural twin of ImageIO.
   *
-  * ==STUB== What remains stand-ins: COMPRESSED codecs only (H.264,
-  * JPEG, MP3 — the JDK ships none; a real one swaps in at the same
-  * raster/sample boundary) and the generic any-modality feature fake
+  * ==STUB== What remains stand-ins: COMPRESSED codecs the JDK lacks
+  * only (H.264, MP3/Vorbis — a real one swaps in at the same
+  * raster/sample boundary; JPEG is REAL via the JDK's own codec, see
+  * [[jpegCorpus]]) and the generic any-modality feature fake
   * ([[decodeStub]], kept for `mm_decode`'s modality-agnostic rows).
   * [[frameSampleStub]] is also kept: it exercises the explode plumbing
   * on arbitrary payloads that are not containers at all.
@@ -228,6 +229,32 @@ object Multimodal {
   def jpegCorpus(docs: DataFrame): DataFrame =
     imageCorpusAs(docs, _ => "jpg")
 
+  /** Cross-format DUPLICATE slice for the near-dup composition: every
+    * `every`-th image re-encoded in the OTHER lossless container
+    * (PNG↔BMP) under `media_id + idOffset`. The decoded rasters are
+    * bit-identical to the originals' while the payload bytes are
+    * completely different — the duplicate class byte-level exact dedup
+    * cannot see and decoded-feature near-dup must. Same per-partition
+    * encode shape as [[imageCorpus]]; at scale this models the
+    * re-encoded/re-uploaded copies every crawled image corpus carries. */
+  def imageCorpusCrossDup(docs: DataFrame, every: Int, idOffset: Long): DataFrame = {
+    require(every >= 1 && idOffset > 0, "need every >= 1 and a positive id offset")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id").cast(LongType).as("media_id"))
+      .filter(col("media_id") % every === 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val fmt = if (id % 2 == 0) "bmp" else "png" // flipped vs imageCorpus
+          Row(id + idOffset, fmt, encodeImage(synthImage(id), fmt))
+        }
+      }(enc)
+  }
+
   /** REAL image decode: `javax.imageio.ImageIO.read` parses the PNG/BMP
     * container and the reported width/height/pixel_sum come from the
     * decoded raster — any codec bug breaks the oracle's closed-form
@@ -366,6 +393,58 @@ object Multimodal {
           val n = w.toLong * h
           Row(r.getLong(0), Seq(w.toFloat, h.toFloat,
             (rs / n).toFloat, (gs / n).toFloat, (bs / n).toFloat))
+        }
+      }(enc)
+  }
+
+  /** PERMISSIVE decode + features in ONE codec pass — the composition
+    * kernel of `pipeline_multimodal`: each payload is decoded exactly
+    * once and yields BOTH the quarantine verdict ([[decodeImagesSafe]]'s
+    * decode_ok contract: a corrupt container flags, never fails the
+    * task) and, for healthy rows, the dims + integer pixel features of
+    * [[imagePixelFeatures]] (small exact integers — the downstream
+    * float cosine stays bit-deterministic). Running decodeImagesSafe
+    * then imagePixelFeatures instead would parse every container twice;
+    * at 100 TB the decode IS the dominant cost, so the fused pass
+    * halves it, and everything downstream of this boundary is
+    * payload-free — container bytes never leave their scan partition. */
+  def imagePixelFeaturesSafe(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("fmt"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val fmt = r.getString(1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.get(2).asInstanceOf[Array[Byte]]))
+            catch { case _: Exception => null } // a corrupt container, not a bug
+          if (img == null) Row(id, fmt, false, null, null, null)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Row(id, fmt, true, w.toLong, h.toLong,
+              Seq(w.toFloat, h.toFloat, (rs / n).toFloat, (gs / n).toFloat, (bs / n).toFloat))
+          }
         }
       }(enc)
   }

@@ -52,4 +52,43 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"))
+
+  /** Chunk assignment in a SUPPLIED read order: packs the token stream
+    * along existing (`shardCol`, `orderCol`) coordinates instead of
+    * [[assignChunks]]' `id % nShards` / id order — the seam that lets
+    * [[Sampling.epochShuffle]]'s per-epoch permutation DRIVE the packing
+    * (shard-major, position-minor is exactly the training read order).
+    * Both windows partition by the same shard key, so Catalyst reuses
+    * one hash partitioning across the rank and the prefix sum — the
+    * epoch shuffle's single exchange is the composition's single
+    * exchange too; only a partition-local re-sort (hash order →
+    * position order) is added. */
+  def assignChunksBy(df: DataFrame, shardCol: String, orderCol: String,
+      textCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1)
+    val base = df.select(
+      col(shardCol).cast(LongType).as("shard"),
+      col(orderCol).cast(LongType).as("pos"),
+      TextOps.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("cum_before") / lit(budgetTokens)))
+      .withColumn("straddles", col("n_tokens") > 0 &&
+        floor((col("cum_before") + col("n_tokens") - 1) / lit(budgetTokens)) > col("chunk_id"))
+  }
+
+  /** [[chunkSummary]] over a supplied read order, with the position
+    * span each chunk covers — first_pos/last_pos make the gate prove
+    * the ORDER drove the packing, not just the totals. */
+  def chunkSummaryBy(df: DataFrame, shardCol: String, orderCol: String,
+      textCol: String, budgetTokens: Int): DataFrame =
+    assignChunksBy(df, shardCol, orderCol, textCol, budgetTokens)
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
 }

@@ -248,4 +248,31 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
+
+  /** BLOCKED near-duplicate pairs: candidates are generated within a
+    * blocking key (e.g. decoded width×height for image features) instead
+    * of [[cosineNearDupPairs]]' all-pairs broadcast — the equi-join on
+    * the block columns is the candidate generator, so cost is
+    * sum-of-squares per block, not corpus². The pair join shuffles only
+    * (block, id, vector) rows; at 100 TB the block key is whatever
+    * cheap invariant survives the duplication channel (dims for
+    * re-encoded images here; an LSH band for free-form embeddings —
+    * [[Dedup]]'s MinHash banding is the same pattern one ring earlier).
+    * Zero-norm vectors are excluded (NaN cosine), matching
+    * cosineNearDupPairs. */
+  def cosineNearDupPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    val side = emb.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+ col(vecCol).as("v")): _*)
+      .withColumn("vn", norm(col("v")))
+      .filter(col("vn") > 0)
+    val on = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    side.as("a").join(side.as("b"), on)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Packing, Scd, Sketches, Skew, TextOps}
+import graft.ops.{Multimodal, Packing, Sampling, Scd, Similarity, Sketches, Skew, TextOps}
 
 /** Third-ring surface: corpus-curation and lakehouse-maintenance
   * operators a 100 TB training-data pipeline runs daily — sequence
@@ -421,6 +421,149 @@ object CurationQueries {
         |FROM labeled GROUP BY split ORDER BY split""".stripMargin
     })
 
+  /** The multimodal curation chain in ONE dataflow — every stage the
+    * image path grew across rounds 4-6, composed end-to-end under a
+    * single oracle: dirty ingest (every 10th payload truncated, plus a
+    * cross-format duplicate slice — every 25th image re-encoded PNG↔BMP
+    * under a new id: identical rasters, different bytes) → ONE fused
+    * codec pass ([[Multimodal.imagePixelFeaturesSafe]]: quarantine
+    * verdict + decoded integer features, each container parsed exactly
+    * once) → dims-blocked cosine near-dup pairs over the DECODED
+    * features (catching the re-encoded copies byte-exact dedup cannot
+    * see) → per-status/fmt survivor accounting.
+    *
+    * Scale shape: payloads never leave their scan partition — the codec
+    * boundary is eagerly checkpointed (the [[pipelinePretrain]] gate
+    * precedent; at 100 TB decode IS the dominant cost and its output is
+    * the small fraction worth materializing), so every exchange in the
+    * dataflow moves only (id, dims, 5-float feature) rows. Threshold
+    * 0.999999: true duplicate pairs have identical integer features
+    * (cos = 1 within one ulp) while the closest distinct feature
+    * vectors differ by ≥ 1 in one mean (cos ≤ ~1 − 2e-5) — two orders
+    * of magnitude of margin on each side of the cut, so the gate can
+    * never ride on a razor-edge float compare. */
+  val pipelineMultimodal: QueryDef = QueryDef(
+    "pipeline_multimodal",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Multimodal.imageCorpus(docs)
+        .union(Multimodal.imageCorpusCrossDup(docs, every = 25, idOffset = 100000L))
+      val dirty = corpus.withColumn("payload",
+        when(col("media_id") % 10 === 0, expr("substring(payload, 1, 10)"))
+          .otherwise(col("payload")))
+      val feats = Multimodal.imagePixelFeaturesSafe(dirty).localCheckpoint()
+      val healthy = feats.filter(col("decode_ok"))
+      val drop = Similarity.cosineNearDupPairsBlocked(healthy, "media_id", "feature",
+          Seq("width", "height"), threshold = 0.999999)
+        .select(col("id_b").as("media_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      feats.join(drop, Seq("media_id"), "left_outer")
+        .withColumn("status",
+          when(!col("decode_ok"), lit("quarantined"))
+            .when(col("is_dup"), lit("dropped"))
+            .otherwise(lit("survivor")))
+        .groupBy(col("status"), col("fmt"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("width") * col("height")).as("sum_px"),
+          sum(element_at(col("feature"), 3).cast("long")).as("sum_r_mean"))
+        .orderBy("status", "fmt")
+    },
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+      |px AS (
+      |  SELECT id, w, h,
+      |    sum((id*31 + x*7 + y*13) % 256) AS rs,
+      |    sum((id*17 + x*11 + y*3) % 256) AS gs,
+      |    sum((id*13 + x*5 + y*19) % 256) AS bs
+      |  FROM dims, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY id, w, h),
+      |feat AS (
+      |  SELECT id, w, h, rs // (w*h) AS rm, gs // (w*h) AS gm, bs // (w*h) AS bm FROM px),
+      |corpus AS (
+      |  SELECT id AS media_id, CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |         w, h, rm, gm, bm
+      |  FROM feat
+      |  UNION ALL
+      |  SELECT id + 100000 AS media_id, CASE WHEN id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+      |         w, h, rm, gm, bm
+      |  FROM feat WHERE id % 25 = 0),
+      |flagged AS (
+      |  SELECT media_id, fmt, media_id % 10 <> 0 AS decode_ok, w, h, rm, gm, bm FROM corpus),
+      |healthy AS (
+      |  SELECT media_id, w, h,
+      |    [CAST(w AS DOUBLE), CAST(h AS DOUBLE), CAST(rm AS DOUBLE),
+      |     CAST(gm AS DOUBLE), CAST(bm AS DOUBLE)] AS v
+      |  FROM flagged WHERE decode_ok),
+      |pairs AS (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM healthy a JOIN healthy b
+      |    ON a.w = b.w AND a.h = b.h AND a.media_id < b.media_id),
+      |dup AS (SELECT DISTINCT id_b AS media_id FROM pairs WHERE cos >= 0.999999),
+      |status AS (
+      |  SELECT f.media_id, f.fmt,
+      |    CASE WHEN NOT f.decode_ok THEN 'quarantined'
+      |         WHEN d.media_id IS NOT NULL THEN 'dropped'
+      |         ELSE 'survivor' END AS status,
+      |    CASE WHEN f.decode_ok THEN CAST(f.w * f.h AS BIGINT) END AS px,
+      |    CASE WHEN f.decode_ok THEN CAST(f.rm AS BIGINT) END AS rmv
+      |  FROM flagged f LEFT JOIN dup d ON f.media_id = d.media_id)
+      |SELECT status, fmt, count(*) AS n_media,
+      |  CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(rmv) AS BIGINT) AS sum_r_mean
+      |FROM status GROUP BY status, fmt ORDER BY status, fmt""".stripMargin))
+
+  /** Epoch-shuffle → sequence-packing composition: the per-epoch
+    * training read order ([[Sampling.epochShuffle]]'s (shard, pos)
+    * permutation) DRIVES concat-and-chunk packing
+    * ([[Packing.chunkSummaryBy]] packs each shard's token stream in pos
+    * order) — the last link between the materialized global order and
+    * the training-read path, gated end-to-end: the oracle replays the
+    * md5 shard assignment, the within-shard rank, the prefix sums and
+    * the chunk boundaries, and the first_pos/last_pos span per chunk
+    * proves the ORDER (not just the totals) drove the packing. Both
+    * windows partition by the same shard key, so the whole composition
+    * runs on the epoch shuffle's single exchange. */
+  val pipelineEpochPack: QueryDef = QueryDef(
+    "pipeline_epoch_pack",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val shuffled = Sampling.epochShuffle(docs, "doc_id", epoch = 3, shards = 8)
+      Packing.chunkSummaryBy(shuffled, "shard", "pos", "text", budgetTokens = 1000)
+        .orderBy("shard", "chunk_id")
+    },
+    Some("""WITH h AS (
+      |  SELECT doc_id, text, md5(concat('3:', CAST(doc_id AS VARCHAR))) AS hc
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, text, hc,
+      |    CAST(concat('0x', substr(hc, 1, 15)) AS BIGINT) % 8 AS shard
+      |  FROM h),
+      |p AS (
+      |  SELECT shard, text,
+      |    row_number() OVER (PARTITION BY shard ORDER BY hc ASC, doc_id ASC) AS pos
+      |  FROM sh),
+      |base AS (
+      |  SELECT shard, pos,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM p),
+      |c AS (
+      |  SELECT shard, pos, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM base),
+      |a AS (
+      |  SELECT shard, pos, n_tokens, CAST(cum_before // 1000 AS BIGINT) AS chunk_id,
+      |    CASE WHEN n_tokens > 0 AND (cum_before + n_tokens - 1) // 1000 > cum_before // 1000
+      |         THEN 1 ELSE 0 END AS straddles
+      |  FROM c)
+      |SELECT shard, chunk_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(straddles) AS BIGINT) AS n_straddling,
+      |  min(pos) AS first_pos, max(pos) AS last_pos
+      |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
+
   /** KMV sketch MERGE: the distinct-part estimate of two lineitem shards'
     * union, built from two independently-computed bottom-256 sketches
     * (the associative-merge property that lets per-shard/per-day sketches
@@ -459,5 +602,6 @@ object CurationQueries {
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     sketchKmvUnion,
     sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qSkewAdaptive,
-    qSkewAdaptiveList, qWindowRangeFrame, pipelineCurate)
+    qSkewAdaptiveList, qWindowRangeFrame, pipelineCurate,
+    pipelineMultimodal, pipelineEpochPack)
 }

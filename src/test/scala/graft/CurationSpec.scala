@@ -80,4 +80,41 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 1L)) // doc 3 clean
   }
+
+  test("chunkSummaryBy packs in the SUPPLIED order, not id order") {
+    val s = spark
+    import s.implicits._
+    // read order (pos) is the REVERSE of id order; budget 5
+    // pos stream: doc4 "l m"(2) -> doc3 "h i j k"(4) -> doc2(4) -> doc1 "a b c"(3)
+    // cum_before: 0, 2, 6, 10 -> chunks 0, 0, 1, 2; pos2 spans [2,5] -> straddles
+    val df = Seq(
+      (1L, "a b c", 0L, 4L), (2L, "d e f g", 0L, 3L),
+      (3L, "h i j k", 0L, 2L), (4L, "l m", 0L, 1L))
+      .toDF("doc_id", "text", "shard", "pos")
+    val got = Packing.assignChunksBy(df, "shard", "pos", "text", budgetTokens = 5)
+      .select("pos", "chunk_id", "straddles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L, false), (2L, 0L, true), (3L, 1L, false), (4L, 2L, false)))
+    // id-order packing of the same docs differs -> the order genuinely drives the chunks
+    val byId = Packing.assignChunks(df.select("doc_id", "text"), "doc_id", "text",
+        nShards = 1, budgetTokens = 5)
+      .select("id", "chunk_id", "straddles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(byId.toSeq === Seq((1L, 0L, false), (2L, 0L, true), (3L, 1L, true), (4L, 2L, false)))
+  }
+
+  test("epoch-shuffle -> packing composition is invariant to input partitioning") {
+    val docs = queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def summary(df: org.apache.spark.sql.DataFrame) =
+      Packing.chunkSummaryBy(
+          graft.ops.Sampling.epochShuffle(df, "doc_id", epoch = 3, shards = 8),
+          "shard", "pos", "text", budgetTokens = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val a = summary(docs)
+    val b = summary(docs.repartition(7))
+    assert(a.nonEmpty && a === b,
+      "epoch pack summary changed under a different input partitioning")
+  }
 }

@@ -431,4 +431,65 @@ class PipelineSpec extends SparkSpec {
       assert(fs == (0L until n by 2).toSeq, s"id=$id sampled $fs of $n frames")
     }
   }
+
+  test("fused safe-feature pass equals decodeImagesSafe + imagePixelFeatures, one decode each") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+    val media = Multimodal.imageCorpus(docs)
+      .withColumn("payload",
+        when(col("media_id") % 10 === 0, expr("substring(payload, 1, 10)"))
+          .otherwise(col("payload")))
+    val fused = Multimodal.imagePixelFeaturesSafe(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // quarantine verdicts match decodeImagesSafe exactly
+    val safe = Multimodal.decodeImagesSafe(media).collect()
+    safe.foreach { r =>
+      val f = fused(r.getLong(0))
+      assert(f.getBoolean(2) === r.getBoolean(2), s"decode_ok diverged for ${r.getLong(0)}")
+      if (r.getBoolean(2)) {
+        assert(f.getLong(3) === r.getLong(3) && f.getLong(4) === r.getLong(4))
+      } else assert(f.isNullAt(3) && f.isNullAt(4) && f.isNullAt(5))
+    }
+    // healthy features match the strict single-purpose extractor
+    val healthyIds = safe.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val feats = Multimodal.imagePixelFeatures(
+        Multimodal.imageCorpus(docs).filter(col("media_id").isInCollection(healthyIds)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    healthyIds.foreach { id =>
+      assert(fused(id).getSeq[Float](5) === feats(id), s"feature diverged for $id")
+    }
+  }
+
+  test("blocked near-dup pairs = unblocked pairs restricted to equal block keys") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 120)
+    val feats = Multimodal.imagePixelFeatures(Multimodal.imageCorpus(docs))
+      .withColumn("width", element_at(col("feature"), 1).cast("long"))
+      .withColumn("height", element_at(col("feature"), 2).cast("long"))
+    val blocked = Similarity.cosineNearDupPairsBlocked(
+        feats, "media_id", "feature", Seq("width", "height"), threshold = 0.9999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dims = feats.select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val unblocked = Similarity.cosineNearDupPairs(
+        feats, "media_id", "feature", lit(true), threshold = 0.9999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === unblocked.filter { case (a, b) => dims(a) == dims(b) })
+  }
+
+  test("cross-format duplicates are caught by decoded-feature near-dup, invisible to byte dedup") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val corpus = Multimodal.imageCorpus(docs)
+      .union(Multimodal.imageCorpusCrossDup(docs, every = 25, idOffset = 100000L))
+    // payload bytes differ (PNG vs BMP container), so byte-exact dedup sees nothing
+    val byteDup = corpus.groupBy(md5(col("payload"))).count().filter(col("count") > 1).count()
+    assert(byteDup === 0, "cross-format copies should have distinct payload bytes")
+    // decoded features are identical -> every dup id pairs with its original at cos=1
+    val pairs = Similarity.cosineNearDupPairsBlocked(
+        Multimodal.imagePixelFeaturesSafe(corpus).filter(col("decode_ok")),
+        "media_id", "feature", Seq("width", "height"), threshold = 0.999999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupIds = (0L until 200L by 25).map(id => (id, id + 100000L))
+    dupIds.foreach { case (orig, dup) =>
+      assert(pairs.contains((orig, dup)), s"missed cross-format duplicate ($orig, $dup)")
+    }
+  }
 }

@@ -195,4 +195,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "stats join shuffled the corpus")
     assert(p.contains("BroadcastHashJoin"), "stats not broadcast")
   }
+
+  test("pipeline_epoch_pack: epoch rank and pack prefix-sum share ONE shard exchange") {
+    val p = plan("pipeline_epoch_pack")
+    assert(nodes(p, "Window") == 2, "composition lost a window (rank or prefix sum)")
+    // one hashpartitioning(shard) reused by BOTH windows + the output
+    // sort's range partitioning — a third exchange means the packing
+    // stopped riding the epoch shuffle's partitioning
+    assert(nodes(p, "Exchange") <= 2,
+      s"epoch order and packing no longer share the shard partitioning:\n${p.linesIterator.take(25).mkString("\n")}")
+  }
+
+  test("pipeline_multimodal: payloads never shuffle — codec segment narrow, downstream payload-free") {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    val ops = graft.ops.Multimodal
+    // the pre-checkpoint codec segment (ingest + dirty truncation + dup
+    // slice + fused decode): payload bytes must stay inside their scan
+    // partition — ZERO exchanges of any kind before the checkpoint cut
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val dirty = ops.imageCorpus(docs)
+      .union(ops.imageCorpusCrossDup(docs, every = 25, idOffset = 100000L))
+      .withColumn("payload",
+        when(col("media_id") % 10 === 0, expr("substring(payload, 1, 10)"))
+          .otherwise(col("payload")))
+    val seg = ops.imagePixelFeaturesSafe(dirty)
+      .queryExecution.explainString(FormattedMode)
+    assert(nodes(seg, "Exchange") == 0 && !seg.contains("BroadcastExchange"),
+      s"codec segment shuffles payloads:\n${seg.linesIterator.take(20).mkString("\n")}")
+    // downstream of the checkpoint the payload column must not exist at
+    // all — every exchange moves only (id, dims, 5-float feature) rows
+    val p = plan("pipeline_multimodal")
+    assert(!p.contains("payload"), "payload column crossed the codec boundary")
+    // one scale-honest SMJ only: the dup-id status join (both sides
+    // corpus-sized at 100 TB); the blocked pair join broadcasts at test
+    // scale and shuffles on the (width, height) block key beyond it
+    assert(nodes(p, "SortMergeJoin") <= 1, "a second join stopped broadcasting")
+    assert(!p.contains("CartesianProduct"), "blocked pair join degenerated to a cross product")
+  }
 }
