@@ -61,6 +61,41 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("supplied-order packing matches a serial reference on random permutations") {
+    val s = spark
+    import s.implicits._
+    val budget = 17
+    val gen = for { docs <- corpusGen; seed <- Gen.chooseNum(0, 100000) } yield (docs, seed)
+    forAll(gen) { case (docs, seed) =>
+      // random within-shard read order — the epoch-shuffle stand-in
+      val rnd = new scala.util.Random(seed)
+      val rows = docs.groupBy(_._1 % 3).toSeq.flatMap { case (shard, ds) =>
+        rnd.shuffle(ds).zipWithIndex.map { case ((id, t), i) =>
+          (id, t, shard, (i + 1).toLong)
+        }
+      }
+      val got = Packing.assignChunksBy(rows.toDF("doc_id", "text", "shard", "pos"),
+          "shard", "pos", "text", budgetTokens = budget)
+        .select("shard", "pos", "n_tokens", "chunk_id", "straddles")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sortBy(t => (t._1, t._2))
+      val tokenRe = graft.ops.TextOps.TokenPattern.r
+      val expected = rows.groupBy(_._3).toSeq.flatMap { case (shard, rs) =>
+        var cum = 0L
+        rs.sortBy(_._4).map { case (_, t, _, pos) =>
+          val nt = tokenRe.findAllIn(t).size.toLong
+          val chunk = cum / budget
+          val straddles = nt > 0 && (cum + nt - 1) / budget > chunk
+          val out = (shard, pos, nt, chunk, straddles)
+          cum += nt
+          out
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq == expected, s"rows=$rows")
+    }
+  }
+
   private val changeLogGen: Gen[List[(Long, Long, String)]] = for {
     nKeys <- Gen.chooseNum(1, 8)
     rows <- Gen.listOfN(nKeys, for {
