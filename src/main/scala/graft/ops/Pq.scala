@@ -383,6 +383,57 @@ object Pq {
       codebook.select(col("sub"), col("cid"), col("cm")), s"$sidecarPath/codebook")
   }
 
+  /** Absorb a NEW batch into a [[writeIvfPqIndex]]-persisted index with
+    * ZERO retraining — the maintenance half of the index lifecycle
+    * (write builds, this appends, [[ivfPqIndexedTopK]] probes): each new
+    * vector is cell-assigned and PQ-encoded ROW-LOCALLY against the
+    * broadcast sidecar centroids/codebook — the exact arithmetic the
+    * build ran, so the appended codes are bit-identical to what a
+    * rebuild WITH THE SAME frozen sidecars would store — packed to one
+    * (id, cell, code) row, and appended to the codes table with the
+    * SAME bucket spec. Existing index files are never rewritten; probes
+    * keep bucket-pruning over old + new rows alike (each bucket gains
+    * one file per append; `TableIO.compact` is the antidote when small
+    * appended files accumulate). At 100 TB this is the continuous-crawl
+    * maintenance pass: daily batches land in one narrow encode pass +
+    * one (id, cell) pack shuffle; only codebook DRIFT (a distribution
+    * shift that degrades ADC precision) forces a retrain + rebuild.
+    * The two sidecar `head()`/`count()` actions are O(nCells)/O(m·ks)
+    * reads of few-KB files, run once at plan-build time. */
+  def appendIvfPqIndex(newBatch: DataFrame, idCol: String, vecCol: String,
+      table: String, buckets: Int, sidecarPath: String, dim: Int,
+      m: Int = 8): Unit = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = newBatch.sparkSession
+    val dsub = dim / m
+    val coarse = graft.sources.TableIO.readParquet(spark, s"$sidecarPath/centroids")
+    val codebook = graft.sources.TableIO.readParquet(spark, s"$sidecarPath/codebook")
+    // ks/nCells are properties of the persisted sidecars — derived as
+    // max(id)+1, NOT count(): a seed excluded at build time leaves a
+    // hole in the id range, and a count-based packing base b <= max id
+    // makes the argmin key dist*b + id AMBIGUOUS (id = b unpacks as 0 —
+    // a wrong-cell assignment that surfaced as a missed candidate).
+    // max+1 always exceeds every packed id, so (dist, id) argmin and
+    // unpack stay exact whatever holes the sidecar carries.
+    val ks = codebook.agg(max(col("cid"))).head().getLong(0).toInt + 1
+    val nCells = coarse.agg(max(col("cell_id"))).head().getLong(0).toInt + 1
+    val base = newBatch.select(col(idCol).cast("long").as("id"),
+      Clustering.microVec(col(vecCol)).as("xm"))
+    val withCell = base.crossJoin(broadcast(packCells(
+        coarse.select(col("cell_id"), col("ccm")))))
+      .withColumn("ckey", long_argmin_key(col("xm"), col("cmat"), col("cids"), nCells))
+      .select(col("id"), col("xm"), (col("ckey") % nCells).as("cell"))
+    val slices = array((0 until m).map(s => slice(col("xm"), s * dsub + 1, dsub)): _*)
+    val subv = withCell
+      .select(col("id"), col("cell"), posexplode(slices).as(Seq("sub", "sv")))
+      .select(col("id"), col("cell"), col("sub").cast("long").as("sub"), col("sv"))
+    val codes = assign(subv, codebook, ks)
+    val packed = codes.groupBy(col("id"), col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("code"))
+    graft.sources.TableIO.appendBucketed(packed, table, Seq("cell"), buckets)
+  }
+
   /** Probe a [[writeIvfPqIndex]]-persisted index with a NEW query batch —
     * zero retraining, zero index-side exchanges: the batch encodes
     * row-locally against the broadcast sidecar centroids/codebook, its
@@ -429,7 +480,7 @@ object Pq {
     val probed = qcells.select(col("cell")).distinct().collect().map(_.getLong(0))
     if (probed.isEmpty) return emptyResult(queries)
     val codes = graft.sources.TableIO.readTable(spark, table)
-      .filter(col("cell").isin(probed: _*))
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .select(col("id"), col("cell"), posexplode(col("code")).as(Seq("sub", "cid")))
       .select(col("id"), col("cell"), col("sub").cast("long").as("sub"), col("cid"))
 

@@ -524,14 +524,14 @@ object PipelineQueries {
     * exactly the arithmetic [[graft.ops.Pq]] executes. */
   /** One Lloyd assignment in SQL against codebook CTE `cb` — the packed
     * (dist·ks + cid) argmin over the `sub` CTE's subvector rows. */
-  private def pqAssignSql(cb: String, ks: Int): String =
+  private def pqAssignSql(cb: String, ks: Int, src: String = "sub"): String =
     s"""SELECT id, sub, sv, CAST(min(key) % $ks AS BIGINT) AS cid
        |  FROM (
        |    SELECT s.id, s.sub, s.sv,
        |      CAST(list_sum([(s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i])
        |                     for i in range(1, len(s.sv) + 1)]) AS BIGINT)
        |        * $ks + c.cid AS key
-       |    FROM sub s JOIN $cb c ON s.sub = c.sub)
+       |    FROM $src s JOIN $cb c ON s.sub = c.sub)
        |  GROUP BY id, sub, sv""".stripMargin
 
   /** One Lloyd centroid update in SQL over assignment CTE `a`. */
@@ -544,9 +544,21 @@ object PipelineQueries {
        |    GROUP BY sub, cid, dim)
        |  GROUP BY sub, cid""".stripMargin
 
-  private def pqOracleCtes(m: Int, ks: Int, dsub: Int): String = {
-    def assign(cb: String): String = pqAssignSql(cb, ks)
+  /** `trainWhere`: optional id predicate restricting TRAINING (stride
+    * derivation, seeds, Lloyd assignment+update rounds) to a corpus
+    * slice while the final encode (`a2`), queries and ADC still span the
+    * full corpus — the oracle shape of the frozen-sidecar index append
+    * ([[graft.ops.Pq.appendIvfPqIndex]]). None reproduces the original
+    * full-corpus text byte-identically. */
+  private def pqOracleCtes(m: Int, ks: Int, dsub: Int,
+      trainWhere: Option[String] = None): String = {
+    def assign(cb: String, src: String = "sub"): String = pqAssignSql(cb, ks, src)
     def update(a: String): String = pqUpdateSql(a)
+    val mxFrom = trainWhere.fold("FROM v")(w => s"FROM v WHERE $w")
+    val cb1And = trainWhere.fold("")(w => s" AND $w")
+    val subtCte = trainWhere.fold("")(w =>
+      s"\nsubt AS (SELECT * FROM sub WHERE $w),")
+    val a1Src = trainWhere.fold("sub")(_ => "subt")
     s"""WITH v AS (
       |  SELECT CAST(vec_id AS BIGINT) AS id,
       |    list_transform(embedding,
@@ -554,12 +566,12 @@ object PipelineQueries {
       |  FROM embeddings),
       |sub AS (
       |  SELECT id, r.sub, xm[r.sub * $dsub + 1 : r.sub * $dsub + $dsub] AS sv
-      |  FROM v, (SELECT unnest(range(0, $m)) AS sub) r),
-      |mx AS (SELECT greatest(1, (max(id) + 1) // $ks) AS stride FROM v),
+      |  FROM v, (SELECT unnest(range(0, $m)) AS sub) r),$subtCte
+      |mx AS (SELECT greatest(1, (max(id) + 1) // $ks) AS stride $mxFrom),
       |cb1 AS (
       |  SELECT sub, id // stride AS cid, sv AS cm FROM sub, mx
-      |  WHERE id % stride = 0 AND id // stride < $ks),
-      |a1 AS (${assign("cb1")}),
+      |  WHERE id % stride = 0 AND id // stride < $ks$cb1And),
+      |a1 AS (${assign("cb1", a1Src)}),
       |cb2 AS (${update("a1")}),
       |a2 AS (${assign("cb2")}),
       |q AS (SELECT id AS query_id, sub, sv AS qsv FROM sub WHERE id % 50 = 0),
@@ -590,14 +602,27 @@ object PipelineQueries {
 
   /** Shared IVF-ADC oracle CTE chain (coarse assignment, probing, ADC
     * scoring, per-query ADC ranking): sim_ivf_pq selects straight from
-    * `ranked`; sim_ivf_pq_rerank refines it with an exact pass. */
-  private val ivfAdcRankedCtes: String =
-    pqOracleCtes(m = 8, ks = 64, dsub = 8) + ",\n" +
-      """mxc AS (SELECT greatest(1, (max(id) + 1) // 16) AS stridec FROM v),
+    * `ranked`; sim_ivf_pq_rerank refines it with an exact pass.
+    * `trainWhere` restricts TRAINING (PQ seeds/rounds + coarse seeds) to
+    * a corpus slice while cell assignment, encode, queries and ADC span
+    * the full corpus — the append-to-frozen-index oracle; None
+    * reproduces the full-corpus text byte-identically. */
+  private def ivfAdcRankedCtesFor(trainWhere: Option[String]): String = {
+    val mxcFrom = trainWhere.fold("FROM v")(w => s"FROM v WHERE $w")
+    val ccAnd = trainWhere.fold("")(w => s" AND $w")
+    pqOracleCtes(m = 8, ks = 64, dsub = 8, trainWhere) + ",\n" +
+      s"""mxc AS (SELECT greatest(1, (max(id) + 1) // 16) AS stridec $mxcFrom),
         |cc AS (
         |  SELECT id // stridec AS cell_id, xm AS ccm FROM v, mxc
-        |  WHERE id % stridec = 0 AND id // stridec < 16),
-        |ca AS (
+        |  WHERE id % stridec = 0 AND id // stridec < 16$ccAnd),""".stripMargin + "\n" +
+      ivfAdcTail
+  }
+
+  // a def, not a val: ivfAdcRankedCtes (a val above in init order) calls
+  // ivfAdcRankedCtesFor which reads this — a val here would still be
+  // null at that point in the object's initialization
+  private def ivfAdcTail: String =
+    """ca AS (
         |  SELECT id, CAST(min(
         |      CAST(list_sum([(v.xm[i] - c.ccm[i]) * (v.xm[i] - c.ccm[i])
         |                     for i in range(1, len(v.xm) + 1)]) AS BIGINT)
@@ -624,6 +649,8 @@ object PipelineQueries {
         |  SELECT query_id, cand_id, adist,
         |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
         |  FROM scored)""".stripMargin
+
+  private val ivfAdcRankedCtes: String = ivfAdcRankedCtesFor(None)
 
   /** IVF-PQ composition (the FAISS IVFADC shape): 16 id-stride coarse
     * cells prune each query to its 4 nearest, and the SAME PQ-ADC
@@ -697,6 +724,40 @@ object PipelineQueries {
           k = 5, dim = 64, m = 8, nProbe = 4)
         .orderBy("query_id", "rk")
     })
+
+  /** Index MAINTENANCE gate — the append half of the persisted-index
+    * lifecycle ([[graft.ops.Pq.appendIvfPqIndex]]): the index is built
+    * on 90% of the corpus (vec_id % 10 != 9), the remaining 10% batch
+    * is absorbed with ZERO retraining (row-local encode against the
+    * frozen sidecars, bucketed append — existing index files never
+    * rewritten), and the probe then searches old + new rows through the
+    * same bucket-pruned scan. The oracle trains stride seeds, coarse
+    * centroids and both Lloyd rounds on the 90% slice only but encodes
+    * and ranks the FULL corpus — exactly what build-then-append
+    * persists — so a drifted append (any retraining, any re-encode of
+    * old rows) breaks the match. */
+  val simIvfPqAppended: QueryDef = simIvfPq.copy(
+    name = "sim_ivf_pq_appended",
+    build = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val sidecar = graft.sources.TableIO.scratchDir(s, "ivfpq_index_app/sidecar")
+      val table = s"graft_ivfpq_codes_app_$tok"
+      graft.ops.Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", table, buckets = 8, sidecarPath = sidecar,
+        dim = 64, path = Some(graft.sources.TableIO.scratchDir(s, "ivfpq_index_app/codes")),
+        m = 8, ks = 64, iters = 2, nCells = 16)
+      graft.ops.Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", table, buckets = 8, sidecarPath = sidecar,
+        dim = 64, m = 8)
+      graft.ops.Pq.ivfPqIndexedTopK(emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", table, sidecar, k = 5, dim = 64, m = 8,
+          nProbe = 4)
+        .orderBy("query_id", "rk")
+    },
+    oracle = Some(ivfAdcRankedCtesFor(Some("id % 10 <> 9")) + "\n" +
+      """SELECT query_id, rk, cand_id, adist FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin))
 
   /** RESIDUAL IVF-PQ — the complete FAISS IVFADC design
     * ([[graft.ops.Pq.ivfPqResidualTopK]]): PQ codebooks train on the
@@ -1433,7 +1494,7 @@ object PipelineQueries {
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
-    simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed,
+    simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,

@@ -97,6 +97,23 @@ object TableIO {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Append into an EXISTING bucketed table with a matching bucket spec
+    * (Spark validates the spec against the catalog's and rejects a
+    * mismatch): the appended files are hashed into the same buckets, so
+    * readers keep their exchange-free joins and bucket-pruned scans over
+    * old + new data alike — the maintenance write of the incremental
+    * index pattern ([[graft.ops.Pq.appendIvfPqIndex]]). Existing files
+    * are never rewritten; each bucket simply gains a file per append
+    * (compact() is the antidote when small appended files accumulate). */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketed append needs at least one key")
+    df.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Hive-style partitioned overwrite: one directory per distinct value
     * of `partitionCols`. At 100 TB this is the primary pruning lever —
     * a reader filtering on a partition column never opens the other

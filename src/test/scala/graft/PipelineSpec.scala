@@ -139,6 +139,44 @@ class PipelineSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivfpq_codes_spec")
   }
 
+  test("IVF-PQ index append: frozen-sidecar encode, old files untouched, batch-split invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 10 =!= 9)
+    val nw = emb.filter(col("vec_id") % 10 === 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    def build(tbl: String, codes: String): Unit =
+      graft.ops.Pq.writeIvfPqIndex(old, "vec_id", "embedding", tbl, buckets = 4,
+        sidecarPath = s"$dir/sidecar", dim = 64, path = Some(s"$dir/$codes"),
+        m = 8, ks = 64, iters = 2, nCells = 16)
+    def rows(tbl: String) = spark.table(tbl)
+      .select(col("id"), col("cell"), concat_ws(",", col("code")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    try {
+      build("ivfpq_app_a", "codesA")
+      val before = rows("ivfpq_app_a")
+      graft.ops.Pq.appendIvfPqIndex(nw, "vec_id", "embedding", "ivfpq_app_a",
+        buckets = 4, sidecarPath = s"$dir/sidecar", dim = 64, m = 8)
+      val after = rows("ivfpq_app_a")
+      // append only ADDS: every pre-append row survives byte-identically,
+      // and exactly the new-batch ids arrive
+      assert(before.subsetOf(after), "append rewrote or dropped existing index rows")
+      assert(after.size == before.size + nw.count(), "append missed new-batch rows")
+      assert((after -- before).forall(_._1 % 10 == 9), "append invented non-batch ids")
+      // batch-split invariance: absorbing the batch in two appends lands
+      // the identical table — the encode is row-local against the frozen
+      // sidecars, nothing retrains on batch composition
+      build("ivfpq_app_b", "codesB")
+      graft.ops.Pq.appendIvfPqIndex(nw.filter(col("vec_id") < 250), "vec_id",
+        "embedding", "ivfpq_app_b", buckets = 4, s"$dir/sidecar", dim = 64, m = 8)
+      graft.ops.Pq.appendIvfPqIndex(nw.filter(col("vec_id") >= 250), "vec_id",
+        "embedding", "ivfpq_app_b", buckets = 4, s"$dir/sidecar", dim = 64, m = 8)
+      assert(rows("ivfpq_app_b") == after, "append result depends on batch split")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_app_a")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_app_b")
+    }
+  }
+
   test("int8-quantized top-k stays close to the float top-k (within brute-force top-20)") {
     val emb = Tables.embeddings(spark, sf)
     val isQuery = col("vec_id") % 50 === 0

@@ -196,6 +196,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "stats not broadcast")
   }
 
+  test("sim_ivf_pq_appended: probe keeps bucket pruning over build + appended files") {
+    val p = plan("sim_ivf_pq_appended")
+    assert(p.contains("SelectedBucketsCount"),
+      "appended codes scan lost bucket pruning")
+    assert(!p.contains("SortMergeJoin"), "index side shuffled into a join")
+    assert(nodes(p, "Exchange") <= 4,
+      s"index side grew an exchange:\n${p.linesIterator.take(40).mkString("\n")}")
+  }
+
   test("pipeline_epoch_pack: epoch rank and pack prefix-sum share ONE shard exchange") {
     val p = plan("pipeline_epoch_pack")
     assert(nodes(p, "Window") == 2, "composition lost a window (rank or prefix sum)")
