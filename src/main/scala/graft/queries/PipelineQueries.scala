@@ -36,7 +36,7 @@ object PipelineQueries {
       |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
       |UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' extratoken' AS text FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
-  private val normalizeSql: String =
+  private[queries] val normalizeSql: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Exact dedup via content fingerprint: one groupBy on md5(normalized). */

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.DecimalType
+
+import graft.streaming.EventStreams
+
+/** Driver-gated Structured Streaming queries: each drains a streaming
+  * plan to completion with `Trigger.AvailableNow`
+  * ([[EventStreams.drainToMemory]]) and returns the final result, so the
+  * batch/streaming consistency contract is proven against the SAME
+  * DuckDB oracles that gate the batch twins — not just against Spark's
+  * own batch plans in specs. Every query here exercises a distinct
+  * streaming capability class:
+  *
+  *  - `stream_events_hourly` — watermarked windowed aggregation
+  *    (bounded keyed state, watermark eviction);
+  *  - `stream_dedup_keys` — stateful streaming dedup (`dropDuplicates`
+  *    on a key set — exactly-once emission of first arrivals);
+  *  - `stream_curated_docs` — the batch curation gates (langid /
+  *    word-count / fingerprint expressions) run UNCHANGED on a streaming
+  *    relation, then fingerprint dedup: row-local expressions compose
+  *    transparently across the batch/stream boundary;
+  *  - `stream_kmv_users` — arbitrary keyed state (`mapGroupsWithState`
+  *    KMV bottom-k sketch), O(k) state forever, final estimate replayed
+  *    cross-engine;
+  *  - `stream_interval_join` — stream-stream event-time interval join
+  *    with watermark-bounded buffered state.
+  *
+  * Determinism: each gate projects exactly the arrival-order-INDEPENDENT
+  * part of its stream (aggregate values, the distinct key/fingerprint
+  * SET, the order-insensitive sketch state, the complete join pair set) —
+  * what a resumed or re-partitioned run would also produce, which is why
+  * a cross-engine oracle can exist at all. Arrival-order-dependent parts
+  * (WHICH duplicate survives) stay spec-pinned in StreamingSpec.
+  *
+  * Scale: state bounds per query are noted on the source combinators in
+  * [[EventStreams]]; the memory sink is the gate harness and only ever
+  * holds the bounded result (see [[EventStreams.drainToMemory]]).
+  */
+object StreamingQueries {
+
+  /** Watermarked tumbling-window agg drained to its final table — the
+    * streaming twin of `q_events_hourly`, gated on the same SQL shape. */
+  val streamEventsHourly: QueryDef = QueryDef(
+    "stream_events_hourly",
+    (s, d) => EventStreams.drainToMemory(
+        EventStreams.hourlyAgg(EventStreams.readEvents(s, d)),
+        OutputMode.Complete, "stream_hourly")
+      .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+
+  /** Streaming stateful dedup: the distinct (user_id, event_type) key
+    * set, emitted exactly once per key across all micro-batches. The
+    * projection keeps only the key — WHICH event carried it first is
+    * arrival-order-dependent and deliberately not part of the gate.
+    * (The watermark-bounded variant [[EventStreams.dedupedEvents]] stays
+    * spec-pinned: its re-emission horizon depends on per-batch watermark
+    * advancement, which no cross-engine oracle can replay.) */
+  val streamDedupKeys: QueryDef = QueryDef(
+    "stream_dedup_keys",
+    (s, d) => EventStreams.drainToMemory(
+        EventStreams.readEvents(s, d)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type"),
+        OutputMode.Append, "stream_dedup")
+      .orderBy("user_id", "event_type"),
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin))
+
+  /** The batch text-curation gates on a stream: language gate + length
+    * gate + fingerprint dedup ([[EventStreams.curatedDocuments]]), gate
+    * value = the surviving fingerprint SET. */
+  val streamCuratedDocs: QueryDef = QueryDef(
+    "stream_curated_docs",
+    (s, d) => EventStreams.drainToMemory(
+        EventStreams.curatedDocuments(EventStreams.readDocuments(s, d)),
+        OutputMode.Append, "stream_curated")
+      .select(col("fp"))
+      .orderBy("fp"),
+    Some {
+      val norm = PipelineQueries.normalizeSql
+      def hits(l: String, ws: Seq[String]) =
+        s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS h_$l"
+      val en = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+      val es = Seq("el", "la", "de", "que", "los", "las", "una", "por")
+      val fr = Seq("le", "la", "les", "des", "est", "dans", "pour", "que")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+      s"""WITH words AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+        |h AS (SELECT doc_id, ${hits("de", de)}, ${hits("en", en)}, ${hits("es", es)}, ${hits("fr", fr)} FROM words),
+        |b AS (SELECT doc_id, h_de, h_en, h_es, h_fr, greatest(h_de, h_en, h_es, h_fr) AS best FROM h),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en'
+        |       WHEN h_es = best THEN 'es' ELSE 'fr' END AS lang_pred FROM b),
+        |filt AS (SELECT d.doc_id FROM documents d JOIN lang USING (doc_id)
+        |  WHERE lang_pred = 'en'
+        |    AND (CASE WHEN length($norm) = 0 THEN 0
+        |         ELSE len(string_split($norm, ' ')) END) >= 20)
+        |SELECT DISTINCT md5($norm) AS fp
+        |FROM documents JOIN filt USING (doc_id) ORDER BY fp""".stripMargin
+    })
+
+  /** Streaming KMV cardinality sketch: the FINAL per-type state after
+    * the whole stream — bottom-k is order-insensitive, so the final
+    * (n_kept, kth, estimate) is exactly the batch sketch's, replayed by
+    * the same bottom-k SQL as `sketch_kmv_distinct` (shared md5
+    * arithmetic, shared IEEE estimate formula). Under multi-batch runs
+    * the sink holds one update row per (type, batch); the final row per
+    * type is selected by the state's own monotonicity — n_kept is
+    * nondecreasing, and once the sketch is full kth only decreases. */
+  val streamKmvUsers: QueryDef = QueryDef(
+    "stream_kmv_users",
+    (s, d) => EventStreams.drainToMemory(
+        EventStreams.kmvDistinctPerType(EventStreams.readEvents(s, d), k = 256).toDF(),
+        OutputMode.Update, "stream_kmv")
+      .groupBy(col("event_type"))
+      .agg(max_by(struct(col("n_kept"), col("kth"), col("est")),
+        struct(col("n_kept"), -col("kth"))).as("f"))
+      .select(col("event_type"), col("f.n_kept").as("n_kept"),
+        col("f.kth").as("kth"), round(col("f.est"), 2).as("est_distinct"))
+      .orderBy("event_type"),
+    Some("""WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn FROM h),
+      |b AS (SELECT event_type, count(*) AS n_kept, max(h) AS kth
+      |  FROM r WHERE rn <= 256 GROUP BY 1)
+      |SELECT event_type, CAST(n_kept AS INT) AS n_kept, kth,
+      |  round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+      |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth AS DOUBLE)
+      |    END, 2) AS est_distinct
+      |FROM b ORDER BY event_type""".stripMargin))
+
+  /** Stream-stream event-time interval join drained to its complete
+    * pair set, aggregated per user (count + click-id checksum) so the
+    * gate pins that EVERY qualifying pair was emitted — the
+    * completeness half of the interval-join contract (state-boundedness
+    * is the spec-pinned half). */
+  val streamIntervalJoin: QueryDef = QueryDef(
+    "stream_interval_join",
+    (s, d) => EventStreams.drainToMemory(
+        EventStreams.purchasesWithRecentClicks(EventStreams.readEvents(s, d)),
+        OutputMode.Append, "stream_ssj")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("click_id")).as("click_sum"))
+      .orderBy("user_id"),
+    Some("""SELECT p.user_id, count(*) AS n_pairs, CAST(sum(c.event_id) AS BIGINT) AS click_sum
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |GROUP BY 1 ORDER BY p.user_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
+    streamIntervalJoin)
+}

@@ -296,4 +296,34 @@ object EventStreams {
     q.processAllAvailable()
     q
   }
+
+  private val drainCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drain a streaming relation synchronously (`Trigger.AvailableNow`)
+    * into a uniquely-named in-memory sink and return the sink table —
+    * the batch-over-stream drive the driver-gated `stream_*` queries run
+    * on. The sink name carries the session token plus a per-call counter,
+    * so concurrent sessions and repeated runs (bench reps) never collide
+    * or read a stale table; the checkpoint lands under the session
+    * scratch dir (JVM-exit cleaned).
+    *
+    * Scale contract: the memory sink materializes RESULT rows on the
+    * driver — correct here because every gated stream is
+    * cardinality-bounded (windowed aggregates, distinct key sets, O(k)
+    * sketch states), which is the same boundedness that keeps their
+    * streaming STATE small. An unbounded result (e.g. the raw enriched
+    * firehose) takes the production sinks instead: a file sink or
+    * `foreachBatch` (the [[lshDedupStream]] shape). */
+  def drainToMemory(df: DataFrame, mode: OutputMode, baseName: String): DataFrame = {
+    val spark = df.sparkSession
+    val name =
+      s"${baseName}_${graft.sources.TableIO.sessionToken(spark)}_${drainCounter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.TableIO.scratchDir(spark, s"stream_ckpt_$name"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }

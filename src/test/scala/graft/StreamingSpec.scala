@@ -291,4 +291,20 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("drained stream gates re-run safely in one session (unique sink per drain)") {
+    // Bench reps and the driver both run a query's build() repeatedly in
+    // ONE session — each drain must get a fresh sink/checkpoint (no
+    // name collision with the stopped prior query, no stale table) and
+    // the arrival-order-independent projection must come back identical.
+    val q = graft.queries.StreamingQueries.streamDedupKeys
+    val a = q.build(spark, sf).collect().map(_.toString)
+    val b = q.build(spark, sf).collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+    // and the drained set IS the batch distinct on the same files
+    val batch = graft.queries.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type").collect().map(_.toString)
+    assert(a.sameElements(batch))
+  }
 }
