@@ -21,21 +21,31 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events schema as Spark reads it (ns timestamps arrive as long —
-    * see [[graft.queries.Tables.events]]). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Events schema as the stream source must declare it. `readStream`
+    * requires a user-supplied schema, but FORCING one is exactly how a
+    * silent-wrong class of bug happens: round 7's driver testdata moved
+    * `ts` from TIMESTAMP(NANOS) to TIMESTAMP_NTZ(µs), and a pinned
+    * `LongType` made Spark reinterpret raw µs int64s as nanos — no error,
+    * timestamps compressed 1000×. So the declared schema is read from the
+    * batch reader's parquet footer (one driver-side footer read, no data
+    * scan), and the ts column is then normalized by the SAME
+    * schema-adaptive rule as the batch path
+    * ([[graft.queries.Tables.normalizeTsExpr]]) — batch and stream cannot
+    * disagree on what an instant means. */
+  def rawSchema(spark: SparkSession, sfDir: String): StructType =
+    spark.read.parquet(s"$sfDir/events.parquet").schema
 
   /** Streaming source over the events parquet (file-stream; the source
     * needs a directory, so glob-filter the events file out of the sf
     * dir). */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(rawSchema).format("parquet")
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = rawSchema(spark, sfDir)
+    spark.readStream.schema(schema).format("parquet")
       .option("pathGlobFilter", "events.parquet")
       .load(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts",
+        graft.queries.Tables.normalizeTsExpr(schema("ts").dataType, "ts"))
+  }
 
   /** Watermarked tumbling-hour aggregation — streaming twin of the batch
     * query `q_events_hourly`. */
