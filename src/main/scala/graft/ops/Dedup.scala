@@ -239,8 +239,9 @@ object Dedup {
     * minimum label among itself and its neighbors; converges in
     * O(component diameter) rounds (near-dup clusters are shallow). Each
     * round is one |E| shuffle — the textbook large-graph formulation
-    * (no driver-side graph). `localCheckpoint` truncates the growing
-    * lineage so round N's plan doesn't replay rounds 1..N-1.
+    * (no driver-side graph). A per-round reliable checkpoint
+    * ([[Materialize.carried]]) truncates the growing lineage so round
+    * N's plan doesn't replay rounds 1..N-1, and survives executor loss.
     *
     * Returns (id, cluster_id) for every vertex that appears in >= 1 edge.
     */
@@ -270,7 +271,7 @@ object Dedup {
     // Convergence via the label-sum invariant: min-propagation only ever
     // DECREASES labels, so an unchanged Σlbl means no label moved. The
     // sum rides the SAME job that materializes the round's labels
-    // (`observe` + eager localCheckpoint) — one action per round, no
+    // (`observe` + eager reliable checkpoint) — one action per round, no
     // separate scalar job. SHUFFLE_HASH hint: both join inputs are
     // hash-partitioned on the key (sym pre-partitioned, labels from the
     // previous round's groupBy via checkpoint, which preserves
@@ -293,7 +294,7 @@ object Dedup {
         .select(col("dst").as("id"), col("lbl"))
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum"))
-        .localCheckpoint(true)
+        .transform(Materialize.carried)
       val s = obs.get("lbl_sum").asInstanceOf[java.math.BigDecimal]
       labels = neighborMin
       converged = prevSum.exists(p => p.compareTo(s) == 0)
@@ -337,7 +338,7 @@ object Dedup {
     var e = e0.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Materialize.carried)
 
     // one star half-round: per node u, m = min(Γ(u) ∪ {u}); attach the
     // selected neighbors (strictly greater for large-star, smaller-or-
@@ -362,7 +363,7 @@ object Dedup {
           count(lit(1)).as("cnt"),
           sum(col("u").cast("decimal(38,0)")).as("su"),
           sum(col("v").cast("decimal(38,0)")).as("sv"))
-        .localCheckpoint(true)
+        .transform(Materialize.carried)
       val m = obs.get
       (next, (m("cnt").asInstanceOf[Long],
         m("su").asInstanceOf[java.math.BigDecimal],

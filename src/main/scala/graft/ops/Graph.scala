@@ -31,25 +31,27 @@ import org.apache.spark.sql.functions._
   * rides along as a broadcast one-row aggregate — no driver action. */
 object Graph {
 
-  /** `materialize = true` localCheckpoints the loop-invariant relations
-    * (edges, node set, degrees) once — the connectedComponents pattern —
-    * so each iteration re-reads cached blocks instead of re-deriving the
-    * edge list from its upstream plan. Worth it when the iteration count
-    * is deep or the edge list comes from an expensive join; at few
-    * iterations over a cheap scan the eager materialization jobs cost
-    * more than they save (measured at sf0.1: cold 4.4s lazy vs ~11s
-    * materialized, warm equal), so it defaults off. The same guidance
-    * applies in `redistributeDangling` mode, whose per-round eager
-    * checkpoint (below) bounds PLAN growth but still re-derives the
-    * lazy invariants each round's action — deep dangling runs want
-    * `materialize = true` for the same reason
+  /** `materialize = true` persists the loop-invariant relations
+    * (edges, node set, degrees) DISK_ONLY — the connectedComponents
+    * pattern — so each iteration re-reads cached blocks instead of
+    * re-deriving the edge list from its upstream plan
+    * ([[Materialize.invariant]]: recoverable from lineage on block loss,
+    * no executor-memory pinning — unlike the localCheckpoint this
+    * replaced). Worth it when the iteration count is deep or the edge
+    * list comes from an expensive join; at few iterations over a cheap
+    * scan the materialization costs more than it saves (measured at
+    * sf0.1: cold 4.4s lazy vs ~11s materialized, warm equal), so it
+    * defaults off. The same guidance applies in `redistributeDangling`
+    * mode, whose per-round eager checkpoint (below) bounds PLAN growth
+    * but still re-derives the lazy invariants each round's action — deep
+    * dangling runs want `materialize = true` for the same reason
     * [[pagerankMicroConverged]] materializes them unconditionally
     * (it, too, is one action per round). */
   def pagerankMicro(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, materialize: Boolean = false,
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "need iters >= 1")
-    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    def mat(df: DataFrame): DataFrame = if (materialize) Materialize.invariant(df) else df
     val e = mat(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")))
     val nodes = mat(e.select(col("src").as("node"))
@@ -83,9 +85,10 @@ object Graph {
             // so a lazy plan embeds the previous round's whole lineage
             // twice — 2^iters growth (measured: 366 plan exchanges at 5
             // rounds vs 94 for the drop-mass mode). The eager per-round
-            // checkpoint (the connectedComponents pattern: one action
-            // per round) keeps the plan constant-size; same integers.
-            .localCheckpoint(true)
+            // reliable checkpoint (the connectedComponents pattern: one
+            // action per round) keeps the plan constant-size AND survives
+            // executor loss (Materialize.carried); same integers.
+            .transform(Materialize.carried)
         }
     }
     ranks
@@ -108,10 +111,11 @@ object Graph {
     * against the fixed-count unrolled oracle. Positive tolerances trade
     * exactness for rounds and leave the fixed-count equivalence behind.
     *
-    * Loop-invariant relations (edges, node set, degrees) are eagerly
-    * localCheckpointed once: unlike [[pagerankMicro]]'s lazy default,
-    * the convergence mode is already one action per round, so each round
-    * re-reads cached blocks instead of re-deriving the edge list.
+    * Loop-invariant relations (edges, node set, degrees) are persisted
+    * DISK_ONLY once ([[Materialize.invariant]]): unlike
+    * [[pagerankMicro]]'s lazy default, the convergence mode is already
+    * one action per round, so each round re-reads cached blocks instead
+    * of re-deriving the edge list.
     * Returns (ranks, roundsRun). */
   def pagerankMicroConverged(edges: DataFrame, maxIters: Int,
       scale: Long = 1000000000000L,
@@ -119,16 +123,16 @@ object Graph {
       tolScaled: Long = 0L): (DataFrame, Int) = {
     require(maxIters >= 1, "need maxIters >= 1")
     require(tolScaled >= 0L, "need tolScaled >= 0")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = Materialize.invariant(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    val nodes = Materialize.invariant(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).localCheckpoint()
+    val deg = Materialize.invariant(
+      e.groupBy(col("src")).agg(count(lit(1)).as("d")))
     val baseMass = scale * 15 / 100
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), expr(s"$scale div n_nodes").as("r"))
-      .localCheckpoint(true)
+    var ranks = Materialize.carried(nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"$scale div n_nodes").as("r")))
     var rounds = 0
     var done = false
     while (!done && rounds < maxIters) {
@@ -159,10 +163,9 @@ object Graph {
         }
       // fresh single-shot Observation per round (see connectedComponents)
       val obs = org.apache.spark.sql.Observation(s"pr_round_$rounds")
-      val next = updated
+      val next = Materialize.carried(updated
         .observe(obs, coalesce(sum(abs(col("r") - col("r_prev"))), lit(0L)).as("delta"))
-        .select(col("node"), col("r"))
-        .localCheckpoint(true)
+        .select(col("node"), col("r")))
       val delta = obs.get("delta").asInstanceOf[Long]
       ranks = next
       rounds += 1

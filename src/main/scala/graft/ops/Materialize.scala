@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Cluster-safe materialization for iterative operators.
+  *
+  * `localCheckpoint` is the wrong tool on a real cluster: its blocks pin
+  * executor memory/disk and are NOT recoverable — one lost executor kills
+  * the whole job mid-iteration (Spark documents it as unsafe under
+  * dynamic allocation for exactly this reason). The repo already moved
+  * the wide-survey materialization to a DISK_ONLY persist on this
+  * rationale (`queries/SurveyQueries.scala`); these helpers extend the
+  * precedent to the iterative graph/CC loops, which need one more
+  * property: LINEAGE TRUNCATION. A loop that re-reads its own previous
+  * round (PageRank's ranks, CC's labels) grows its logical plan every
+  * round — exponentially when a round references the carried state twice
+  * (dangling-mass PageRank: measured 366 plan exchanges at 5 rounds vs 94
+  * without truncation) — so persist alone (which caches execution but
+  * leaves the analyzed plan growing) is not enough.
+  */
+object Materialize {
+
+  /** Loop-INVARIANT relation (edge list, node set, degrees): DISK_ONLY
+    * persist. Lazy; the first round's action materializes it. A lost
+    * block rebuilds from lineage (the input is a stable source), and
+    * nothing pins executor memory. */
+  def invariant(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.DISK_ONLY)
+
+  /** Loop-CARRIED state (this round's ranks/labels): eager RELIABLE
+    * checkpoint — truncates lineage like `localCheckpoint(true)` did, but
+    * the files land in a driver-visible checkpoint directory (scratch dir
+    * locally; point `sparkContext.setCheckpointDir` at durable storage on
+    * a cluster) and survive executor loss.
+    *
+    * A bare `Dataset.checkpoint(eager = true)` computes the plan TWICE
+    * (once for the eager action, once for the checkpoint-write job), so
+    * the round is first persisted DISK_ONLY: the eager action populates
+    * the cache, the write job re-reads blocks instead of recomputing, and
+    * the transient cache is dropped immediately after — one compute + one
+    * local disk read per round.
+    *
+    * Partitioning is preserved (`LogicalRDD` carries the physical plan's
+    * outputPartitioning), so exchange-free round joins pinned by
+    * PlanAuditSpec keep holding. Observations attached to `df` fire on
+    * the eager action, exactly as they did on `localCheckpoint(true)`. */
+  def carried(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        graft.sources.TableIO.scratchDir(spark, "loop_checkpoints"))
+    val cached = df.persist(StorageLevel.DISK_ONLY)
+    try cached.checkpoint(eager = true)
+    finally cached.unpersist(blocking = false)
+  }
+}

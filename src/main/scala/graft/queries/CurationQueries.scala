@@ -345,17 +345,17 @@ object CurationQueries {
     (s, d) => {
       // The 4-regex language gate is the most expensive scalar subtree in
       // the pipeline and BOTH segment-dedup passes (frequency count +
-      // typed rewrite) would re-evaluate it; checkpoint the gated subset
-      // once (eager, lineage-truncating — the connectedComponents
-      // pattern). At 100 TB the gated survivor set is the small fraction
+      // typed rewrite) would re-evaluate it; materialize the gated subset
+      // once (DISK_ONLY persist — recoverable from lineage on block loss
+      // and no executor-memory pin, unlike the localCheckpoint this
+      // replaced). At 100 TB the gated survivor set is the small fraction
       // of the corpus worth materializing; measured here: 11s → ~7s warm.
-      val gated = Tables.documents(s, d)
+      val gated = graft.ops.Materialize.invariant(Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
           TextOps.langId(col("text")).as("lang_pred"),
           TextOps.wordCount(col("text")).as("nw"))
         .filter(col("lang_pred") === "en" && col("nw") >= 20)
-        .select(col("doc_id"), col("text"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("text")))
       val dd = TextOps.removeFrequentSegments(gated, "doc_id", "text", k = 3, minDocs = 2)
         .filter(col("deduped_text") =!= "")
       val survivors = dd
@@ -451,7 +451,10 @@ object CurationQueries {
       val dirty = corpus.withColumn("payload",
         when(col("media_id") % 10 === 0, expr("substring(payload, 1, 10)"))
           .otherwise(col("payload")))
-      val feats = Multimodal.imagePixelFeaturesSafe(dirty).localCheckpoint()
+      // decode runs once (DISK_ONLY persist), read by both the near-dup
+      // pair search and the final status join
+      val feats =
+        graft.ops.Materialize.invariant(Multimodal.imagePixelFeaturesSafe(dirty))
       val healthy = feats.filter(col("decode_ok"))
       val drop = Similarity.cosineNearDupPairsBlocked(healthy, "media_id", "feature",
           Seq("width", "height"), threshold = 0.999999)

@@ -231,10 +231,21 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
     assert(nodes(seg, "Exchange") == 0 && !seg.contains("BroadcastExchange"),
       s"codec segment shuffles payloads:\n${seg.linesIterator.take(20).mkString("\n")}")
-    // downstream of the checkpoint the payload column must not exist at
-    // all — every exchange moves only (id, dims, 5-float feature) rows
+    // downstream of the materialization cut the payload column must never
+    // cross an Exchange — every shuffle moves only (id, dims, 5-float
+    // feature) rows. The cached codec lineage IS visible in the formatted
+    // plan (DISK_ONLY persist keeps lineage for block recovery, unlike
+    // the localCheckpoint it replaced), so pin the precise property:
+    // no Exchange node's Input carries payload bytes.
     val p = plan("pipeline_multimodal")
-    assert(!p.contains("payload"), "payload column crossed the codec boundary")
+    val exchangeIds = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1)).toSet
+    for (id <- exchangeIds) {
+      val detail = p.linesIterator.dropWhile(!_.startsWith(s"($id) Exchange"))
+        .takeWhile(l => l.startsWith(s"($id)") || !l.matches("^\\(\\d+\\).*"))
+        .mkString("\n")
+      assert(!detail.contains("payload"),
+        s"payload column crossed Exchange ($id):\n$detail")
+    }
     // one scale-honest SMJ only: the dup-id status join (both sides
     // corpus-sized at 100 TB); the blocked pair join broadcasts at test
     // scale and shuffles on the (width, height) block key beyond it
