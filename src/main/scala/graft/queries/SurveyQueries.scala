@@ -26,9 +26,13 @@ object SurveyQueries {
         .when(id % 3 === 0, "1").otherwise("0").as("d_111111111"),
       when(id % 5 === 0, "").when(id % 2 === 0, "1").otherwise("0").as("d_222222222"),
       when(id % 4 === 0, "2").otherwise("1").as("d_333333333"),
+      // the four unwrap branches of core/utils.py:750-778, all value-level:
+      // "[]"→NULL, "[cid]"→cid, NULL→NULL, and a NON-MATCHING value
+      // ("junk") → NULL — the else branch no other gate exercised
       when(id % 11 === 0, "[]")
         .when(id % 11 === 1, "[178420302]")
         .when(id % 11 === 2, lit(null).cast(StringType))
+        .when(id % 11 === 3, "junk")
         .otherwise("[958239616]").as("d_578895128_d_578895128"),
       col("event_type").as("d_444444444"))
   }
@@ -39,7 +43,8 @@ object SurveyQueries {
       |  CASE WHEN event_id % 5 = 0 THEN '' WHEN event_id % 2 = 0 THEN '1' ELSE '0' END AS d_222222222,
       |  CASE WHEN event_id % 4 = 0 THEN '2' ELSE '1' END AS d_333333333,
       |  CASE WHEN event_id % 11 = 0 THEN '[]' WHEN event_id % 11 = 1 THEN '[178420302]'
-      |       WHEN event_id % 11 = 2 THEN NULL ELSE '[958239616]' END AS d_578895128_d_578895128,
+      |       WHEN event_id % 11 = 2 THEN NULL WHEN event_id % 11 = 3 THEN 'junk'
+      |       ELSE '[958239616]' END AS d_578895128_d_578895128,
       |  event_type AS d_444444444
       |FROM events""".stripMargin
 
@@ -111,6 +116,124 @@ object SurveyQueries {
       |  count(CASE WHEN d_444444444 IS NOT NULL AND d_444444444 NOT IN ('[]','[178420302]','[958239616]') THEN 1 END) = 0 AS d_444444444_only_false_array,
       |  count(DISTINCT d_444444444) FILTER (WHERE regexp_matches(d_444444444, '^\\[\\d{9}\\]$$')) AS d_444444444_bracketed
       |FROM s""".stripMargin))
+
+  // ---- profile_false_array_wide: the same A15/A16 false-array statistics
+  // at 150 columns over an ORDERS-derived input. Round 7 lost ALL
+  // false-array profiling coverage because its only gate's input derived
+  // from events, whose schema drifted — this wide twin keeps the
+  // reference-surface profiling coverage alive even if one source table
+  // breaks. Five column archetypes cycle so the classification boolean
+  // discriminates every branch of core/utils.py:616-694:
+  //   0: {NULL, "[]", "[178420302]"}         → qualifies (the true case)
+  //   1: all NULL                            → fails "≥1 non-null"
+  //   2: {NULL, two distinct bracketed cids} → fails "≤1 bracketed"
+  //   3: {NULL, "not_array", "[]"}           → fails "only false-array values"
+  //   4: {NULL, "[958239616]"}               → qualifies (single value)
+  // Moduli are coprime to the o_orderkey%10=0 row filter so every branch
+  // varies WITHIN each column, not just across columns.
+
+  private val wideFaN = 150
+  /** (name, kind 0-4) per generated column. */
+  private val wideFaSrcs: Seq[(String, Int)] =
+    (0 until wideFaN).map(i => (s"fa_${900000000 + i}", i % 5))
+
+  private def wideFalseArrayInput(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val cols = wideFaSrcs.zipWithIndex.map { case ((n, kind), idx) =>
+      val kk = k + lit(idx % 97)
+      val v = kind match {
+        case 0 => when(kk % 7 === 0, lit(null).cast(StringType))
+          .when(kk % 3 === 0, "[]").otherwise("[178420302]")
+        case 1 => lit(null).cast(StringType)
+        case 2 => when(kk % 7 === 0, lit(null).cast(StringType))
+          .when(kk % 3 === 0, "[178420302]").otherwise("[958239616]")
+        case 3 => when(kk % 7 === 0, lit(null).cast(StringType))
+          .when(kk % 3 === 0, "not_array").otherwise("[]")
+        case _ => when(kk % 7 === 0, lit(null).cast(StringType))
+          .otherwise("[958239616]")
+      }
+      v.as(n)
+    }
+    // same single-split parallelization fix as wideSurvey: shuffle only
+    // the narrow keys, then fan the generated columns out on all cores
+    Tables.orders(s, d).filter(k % 10 === 0)
+      .select(k).repartition(s.sparkContext.defaultParallelism)
+      .select(cols: _*)
+  }
+
+  private val wideFalseArraySql: String = {
+    val exprs = wideFaSrcs.zipWithIndex.map { case ((n, kind), idx) =>
+      val kk = s"(o_orderkey + ${idx % 97})"
+      val v = kind match {
+        case 0 => s"CASE WHEN $kk % 7 = 0 THEN NULL WHEN $kk % 3 = 0 THEN '[]' ELSE '[178420302]' END"
+        case 1 => "CAST(NULL AS VARCHAR)"
+        case 2 => s"CASE WHEN $kk % 7 = 0 THEN NULL WHEN $kk % 3 = 0 THEN '[178420302]' ELSE '[958239616]' END"
+        case 3 => s"CASE WHEN $kk % 7 = 0 THEN NULL WHEN $kk % 3 = 0 THEN 'not_array' ELSE '[]' END"
+        case _ => s"CASE WHEN $kk % 7 = 0 THEN NULL ELSE '[958239616]' END"
+      }
+      s"$v AS $n"
+    }
+    s"""SELECT
+       |  ${exprs.mkString(",\n  ")}
+       |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
+  }
+
+  /** Wide single-pass false-array profiling (A15 COUNT DISTINCT + A16
+    * filtered aggregates + the B21-computational classification verdict)
+    * over the 150-column orders-derived input: 4 statistics per column —
+    * distinct count, only-false-array flag, bracketed-distinct count, and
+    * the final qualifies boolean (≤3 distinct ∧ ≥1 non-null ∧ only
+    * false-array values ∧ ≤1 bracketed, `core/utils.py:616-694`) —
+    * batched ⌈600/500⌉ = 2 conditional-aggregate jobs whose 1-row results
+    * cross-join into one row, mirroring [[graft.profiling.Profiler
+    * .falseArrayColumnsComputational]]'s scan shape under a value-level
+    * oracle. */
+  val profileFalseArrayWide: QueryDef = QueryDef(
+    "profile_false_array_wide",
+    (s, d) => {
+      val df = wideFalseArrayInput(s, d)
+      val falseVals = Constants.FalseArrayValues
+      def stats(c: String): Seq[Column] = {
+        val distinctC = countDistinct(col(c))
+        val onlyFalse =
+          count(when(col(c).isNotNull && !col(c).isin(falseVals: _*), lit(1))) === 0
+        val bracketed =
+          countDistinct(when(col(c).rlike(Constants.BracketedNineDigitPattern), col(c)))
+        Seq(
+          distinctC.as(s"${c}_distinct"),
+          onlyFalse.as(s"${c}_only_false_array"),
+          bracketed.as(s"${c}_bracketed"),
+          (distinctC.leq(3) && distinctC.gt(0) && onlyFalse && bracketed.leq(1))
+            .as(s"${c}_qualifies"))
+      }
+      // 125 columns × 4 stats = 500 aggregates per job (the reference's
+      // batch-size discipline, here for codegen/planning width)
+      wideFaSrcs.map(_._1).grouped(125)
+        .map { batch =>
+          val checks = batch.flatMap(stats)
+          df.agg(checks.head, checks.tail: _*)
+        }
+        .reduce(_.crossJoin(_))
+    },
+    Some {
+      val inList = Constants.FalseArrayValues.map(v => s"'$v'").mkString(", ")
+      def stats(c: String): Seq[String] = {
+        val distinctC = s"count(DISTINCT $c)"
+        val onlyFalse = s"count(CASE WHEN $c IS NOT NULL AND $c NOT IN ($inList) THEN 1 END) = 0"
+        val bracketed =
+          s"count(DISTINCT $c) FILTER (WHERE regexp_matches($c, '^\\[\\d{9}\\]" + "$'))"
+        Seq(
+          s"$distinctC AS ${c}_distinct",
+          s"$onlyFalse AS ${c}_only_false_array",
+          s"$bracketed AS ${c}_bracketed",
+          s"($distinctC <= 3 AND $distinctC > 0 AND $onlyFalse AND $bracketed <= 1) AS ${c}_qualifies")
+      }
+      val exprs = wideFaSrcs.map(_._1).flatMap(stats)
+      s"""WITH s AS ($wideFalseArraySql)
+        |SELECT
+        |  ${exprs.mkString(",\n  ")}
+        |FROM s""".stripMargin
+    })
 
   // ---- survey_cols: input for clean_columns, derived from events
 
@@ -720,7 +843,8 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
-    profileBinary, profileBinaryWide, profileFalseArray, mergeTableVersions,
+    profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,
+    mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder, ingestCsvDirty,
     ingestSchemaEvolution)
