@@ -94,37 +94,56 @@ object Profiler {
     }
 
   /** Computational false-array detection (the reference's fallback,
-    * `core/utils.py:616-694`), collapsed from 3 scalar subqueries per
-    * column into one conditional-aggregate pass per batch. A column
-    * qualifies when, over the whole table:
+    * `core/utils.py:616-694`). A column qualifies when, over the whole
+    * table:
     *  1. it has ≤3 distinct values and ≥1 non-null value;
     *  2. every non-null value is in [[Constants.FalseArrayValues]];
     *  3. at most 1 distinct value matches `^\[\d{9}\]$`.
-    */
+    *
+    * Plan shape: MELT, not wide aggregation. The obvious wide form — one
+    * `df.agg` with 2 COUNT(DISTINCT col) per column — plants a distinct
+    * aggregate with a DIFFERENT child per column, and Catalyst plans
+    * multi-distinct via Expand: the scan is replicated once per distinct
+    * child, so 150 columns multiply the corpus ~300× before the shuffle
+    * (measured: 105s at sf0.1 where this form takes ~1s; at 100 TB it is
+    * fatal). Melting with `stack` to narrow (column-name, value) pairs
+    * makes ALL distinct aggregates share the single `value` child —
+    * Expand factor 2 regardless of width — and the per-(name, value)
+    * partial aggregation combines map-side, so the shuffle carries one
+    * row per distinct pair, not per input row. Batching bounds the stack
+    * expression width for codegen; rows are never re-read per column as
+    * in the reference's scalar-subquery fallback.
+    *
+    * approxDistinct: HLL++ (rsd=0.02 — cannot confuse 3 with 4) instead
+    * of the exact two-stage distinct; with the melt shape exact distinct
+    * already combines map-side, so this is now a memory knob for
+    * ultra-high-cardinality columns, not a scalability requirement.
+    * Exact mode matches the reference bit-for-bit and is the
+    * oracle-checked path. */
   def falseArrayColumnsComputational(df: DataFrame, batchSize: Int = 500,
       approxDistinct: Boolean = false): Seq[String] = {
     val stringCols = df.schema.fields
       .filter(f => f.dataType == StringType && f.name != "Connect_ID").map(_.name).toSeq
     if (stringCols.isEmpty) return Seq.empty
     val falseVals = Constants.FalseArrayValues
-    stringCols.grouped(batchSize).flatMap { batch =>
-      val checks: Seq[Column] = batch.flatMap { c =>
-        // approxDistinct: at the 100 TB scale an exact COUNT(DISTINCT) per
-        // column shuffles every distinct value; HLL++ answers the "<= 3
-        // distinct" gate in the same single pass with bounded memory.
-        // rsd=0.02 cannot confuse 3 with 4 at these magnitudes. Exact mode
-        // matches the reference bit-for-bit and is the oracle-checked path.
-        val distinctCount =
-          if (approxDistinct) approx_count_distinct(col(c), 0.02)
-          else countDistinct(col(c))
-        val fewNonNull = distinctCount.leq(3) && distinctCount.gt(0)
-        val onlyFalse = count(when(col(c).isNotNull && !col(c).isin(falseVals: _*), lit(1))) === 0
-        val singleCid = countDistinct(
-          when(col(c).rlike(Constants.BracketedNineDigitPattern), col(c))).leq(1)
-        Seq((fewNonNull && onlyFalse && singleCid).as(c))
-      }
-      val row = df.agg(checks.head, checks.tail: _*).head()
-      batch.zipWithIndex.collect { case (c, i) if row.getBoolean(i) => c }
-    }.toSeq
+    val qualifying = stringCols.grouped(batchSize).flatMap { batch =>
+      val stackExpr = s"stack(${batch.size}, " +
+        batch.map(c => s"'$c', `$c`").mkString(", ") + ") AS (cname, value)"
+      val distinctCount =
+        if (approxDistinct) approx_count_distinct(col("value"), 0.02)
+        else countDistinct(col("value"))
+      df.selectExpr(stackExpr)
+        .groupBy(col("cname"))
+        .agg(
+          distinctCount.as("nd"),
+          count(when(col("value").isNotNull && !col("value").isin(falseVals: _*),
+            lit(1))).as("n_bad"),
+          countDistinct(when(col("value").rlike(Constants.BracketedNineDigitPattern),
+            col("value"))).as("nb"))
+        .filter(col("nd").leq(3) && col("nd").gt(0) &&
+          col("n_bad") === 0 && col("nb").leq(1))
+        .select("cname").collect().map(_.getString(0))
+    }.toSet
+    stringCols.filter(qualifying) // schema order, like the reference
   }
 }

@@ -184,36 +184,42 @@ object SurveyQueries {
     * distinct count, only-false-array flag, bracketed-distinct count, and
     * the final qualifies boolean (≤3 distinct ∧ ≥1 non-null ∧ only
     * false-array values ∧ ≤1 bracketed, `core/utils.py:616-694`) —
-    * batched ⌈600/500⌉ = 2 conditional-aggregate jobs whose 1-row results
-    * cross-join into one row, mirroring [[graft.profiling.Profiler
-    * .falseArrayColumnsComputational]]'s scan shape under a value-level
-    * oracle. */
+    * in [[graft.profiling.Profiler.falseArrayColumnsComputational]]'s
+    * MELT shape: stack to (column-name, value) pairs so every
+    * COUNT(DISTINCT) shares one child (Expand factor 2, width-
+    * independent — the wide-agg form replicated the scan ~300× and
+    * measured 105s at sf0.1 where this takes ~1s), aggregate per name,
+    * then pivot the 150 stat rows back into the single wide profiling
+    * row the oracle hashes. */
   val profileFalseArrayWide: QueryDef = QueryDef(
     "profile_false_array_wide",
     (s, d) => {
       val df = wideFalseArrayInput(s, d)
       val falseVals = Constants.FalseArrayValues
-      def stats(c: String): Seq[Column] = {
-        val distinctC = countDistinct(col(c))
-        val onlyFalse =
-          count(when(col(c).isNotNull && !col(c).isin(falseVals: _*), lit(1))) === 0
-        val bracketed =
-          countDistinct(when(col(c).rlike(Constants.BracketedNineDigitPattern), col(c)))
-        Seq(
-          distinctC.as(s"${c}_distinct"),
-          onlyFalse.as(s"${c}_only_false_array"),
-          bracketed.as(s"${c}_bracketed"),
-          (distinctC.leq(3) && distinctC.gt(0) && onlyFalse && bracketed.leq(1))
+      val names = wideFaSrcs.map(_._1)
+      val stackExpr = s"stack(${names.size}, " +
+        names.map(c => s"'$c', $c").mkString(", ") + ") AS (cname, value)"
+      val stats = df.selectExpr(stackExpr)
+        .groupBy(col("cname"))
+        .agg(
+          countDistinct(col("value")).as("nd"),
+          (count(when(col("value").isNotNull && !col("value").isin(falseVals: _*),
+            lit(1))) === 0).as("of"),
+          countDistinct(when(col("value").rlike(Constants.BracketedNineDigitPattern),
+            col("value"))).as("nb"))
+      // the 150 per-column stat rows → one wide row; pivot values are the
+      // static column list, so no extra distinct-discovery job runs
+      val wide = stats.groupBy().pivot("cname", names).agg(
+        first(col("nd")).as("distinct"),
+        first(col("of")).as("only_false_array"),
+        first(col("nb")).as("bracketed"))
+      wide.select(names.flatMap { c =>
+        Seq(col(s"${c}_distinct"), col(s"${c}_only_false_array"),
+          col(s"${c}_bracketed"),
+          (col(s"${c}_distinct").leq(3) && col(s"${c}_distinct").gt(0) &&
+            col(s"${c}_only_false_array") && col(s"${c}_bracketed").leq(1))
             .as(s"${c}_qualifies"))
-      }
-      // 125 columns × 4 stats = 500 aggregates per job (the reference's
-      // batch-size discipline, here for codegen/planning width)
-      wideFaSrcs.map(_._1).grouped(125)
-        .map { batch =>
-          val checks = batch.flatMap(stats)
-          df.agg(checks.head, checks.tail: _*)
-        }
-        .reduce(_.crossJoin(_))
+      }: _*)
     },
     Some {
       val inList = Constants.FalseArrayValues.map(v => s"'$v'").mkString(", ")
