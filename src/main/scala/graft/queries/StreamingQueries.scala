@@ -45,9 +45,11 @@ object StreamingQueries {
     * streaming twin of `q_events_hourly`, gated on the same SQL shape. */
   val streamEventsHourly: QueryDef = QueryDef(
     "stream_events_hourly",
+    // all five gates are one-shot bounded drains → 8 state partitions
+    // (see stream_interval_join's note and drainToMemory's scaladoc)
     (s, d) => EventStreams.drainToMemory(
         EventStreams.hourlyAgg(EventStreams.readEvents(s, d)),
-        OutputMode.Complete, "stream_hourly")
+        OutputMode.Complete, "stream_hourly", statePartitions = Some(8))
       .orderBy("hour", "event_type"),
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
       |  count(*) AS n_events,
@@ -67,7 +69,7 @@ object StreamingQueries {
         EventStreams.readEvents(s, d)
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type"),
-        OutputMode.Append, "stream_dedup")
+        OutputMode.Append, "stream_dedup", statePartitions = Some(8))
       .orderBy("user_id", "event_type"),
     Some("""SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin))
@@ -79,7 +81,7 @@ object StreamingQueries {
     "stream_curated_docs",
     (s, d) => EventStreams.drainToMemory(
         EventStreams.curatedDocuments(EventStreams.readDocuments(s, d)),
-        OutputMode.Append, "stream_curated")
+        OutputMode.Append, "stream_curated", statePartitions = Some(8))
       .select(col("fp"))
       .orderBy("fp"),
     Some {
@@ -117,7 +119,7 @@ object StreamingQueries {
     "stream_kmv_users",
     (s, d) => EventStreams.drainToMemory(
         EventStreams.kmvDistinctPerType(EventStreams.readEvents(s, d), k = 256).toDF(),
-        OutputMode.Update, "stream_kmv")
+        OutputMode.Update, "stream_kmv", statePartitions = Some(8))
       .groupBy(col("event_type"))
       .agg(max_by(struct(col("n_kept"), col("kth"), col("est")),
         struct(col("n_kept"), -col("kth"))).as("f"))
@@ -145,9 +147,14 @@ object StreamingQueries {
     * is the spec-pinned half). */
   val streamIntervalJoin: QueryDef = QueryDef(
     "stream_interval_join",
+    // one-shot drain of one bounded file: 8 state partitions, not the
+    // session's 32 — a stream-stream join commits FOUR stores per
+    // partition per batch, and that fixed cost dominates a 1-2-batch
+    // drain (3.1s vs 7.9s at sf0.1, identical results; see
+    // drainToMemory's scaladoc — production streams keep the default)
     (s, d) => EventStreams.drainToMemory(
         EventStreams.purchasesWithRecentClicks(EventStreams.readEvents(s, d)),
-        OutputMode.Append, "stream_ssj")
+        OutputMode.Append, "stream_ssj", statePartitions = Some(8))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("click_id")).as("click_sum"))
       .orderBy("user_id"),
