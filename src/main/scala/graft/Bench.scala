@@ -73,6 +73,9 @@ object Bench {
     // the driver's bounded tail capture in round 6 and evicted 123 of
     // 129 streamed per-query lines. Log level doesn't touch plans.
     spark.sparkContext.setLogLevel("ERROR")
+    // name any testdata drift in the artifact's own stderr (round-7
+    // lesson: 17 queries failed with no self-evident cause)
+    graft.sources.TestdataContract.warn(spark, sfDir)
     // Untimed global warmup: initializes codegen infra, parquet reader,
     // shuffle and noop-sink paths so the first query doesn't absorb
     // one-off JVM/session setup. Best-effort.

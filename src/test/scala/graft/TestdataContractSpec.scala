@@ -20,37 +20,13 @@ import org.apache.spark.sql.types._
 class TestdataContractSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def fieldsOf(table: String): Map[String, DataType] =
-    spark.read.parquet(s"$sfDir/$table.parquet")
-      .schema.fields.map(f => f.name -> f.dataType).toMap
-
-  private def assertCols(table: String,
-      expected: Map[String, Set[DataType]]): Unit = {
-    val actual = fieldsOf(table)
-    val missing = expected.keySet -- actual.keySet
-    assert(missing.isEmpty,
-      s"testdata schema changed: $table lost column(s) ${missing.mkString(", ")}")
-    for ((name, allowed) <- expected) {
-      val got = actual(name)
-      assert(allowed.contains(got),
-        s"testdata schema changed: $table.$name " +
-          s"${allowed.mkString("|")} → $got — update Tables/normalizeTsExpr " +
-          "and the affected oracles together")
-    }
-  }
-
-  private def exact(pairs: (String, DataType)*): Map[String, Set[DataType]] =
-    pairs.map { case (n, t) => n -> Set(t) }.toMap
-
-  /** Any timestamp encoding the schema-adaptive reader normalizes. */
-  private val anyEventTime: Set[DataType] =
-    Set(LongType, TimestampType, TimestampNTZType)
-
-  test("events schema contract (the round-7 drift class)") {
-    assertCols("events", exact(
-      "event_id" -> LongType, "user_id" -> LongType,
-      "event_type" -> StringType, "value" -> DoubleType,
-      "props" -> StringType) + ("ts" -> anyEventTime))
+  test("all driver tables satisfy the schema contract (the round-7 drift class)") {
+    // the contract itself lives in main (sources/TestdataContract) so
+    // Verify and Bench report drift in their own stderr; the spec is the
+    // loud red version of the same check
+    val drift = graft.sources.TestdataContract.check(spark, sfDir)
+    assert(drift.isEmpty, drift.mkString("\n") +
+      "\n— update Tables/normalizeTsExpr and the affected oracles together")
   }
 
   test("events ts normalizes to TimestampType under the current encoding") {
@@ -73,43 +49,23 @@ class TestdataContractSpec extends SparkSpec {
         "forced stream schemas are how µs-as-ns silent corruption happens")
   }
 
-  test("documents and embeddings schema contract") {
-    assertCols("documents", exact(
-      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
-      "source" -> StringType, "n_chars" -> LongType))
-    assertCols("embeddings", exact(
-      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
-      "label" -> IntegerType))
-  }
-
-  test("TPC-H-ish tables schema contract") {
-    val dateLike: Set[DataType] = Set(DateType, TimestampType, TimestampNTZType)
-    assertCols("region", exact(
-      "r_regionkey" -> IntegerType, "r_name" -> StringType))
-    assertCols("nation", exact(
-      "n_nationkey" -> IntegerType, "n_name" -> StringType,
-      "n_regionkey" -> IntegerType))
-    assertCols("customer", exact(
-      "c_custkey" -> LongType, "c_name" -> StringType,
-      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
-      "c_mktsegment" -> StringType))
-    assertCols("supplier", exact(
-      "s_suppkey" -> LongType, "s_name" -> StringType,
-      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType))
-    assertCols("part", exact(
-      "p_partkey" -> LongType, "p_name" -> StringType,
-      "p_brand" -> StringType, "p_type" -> StringType,
-      "p_size" -> IntegerType, "p_retailprice" -> DoubleType))
-    assertCols("orders", exact(
-      "o_orderkey" -> LongType, "o_custkey" -> LongType,
-      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
-      "o_orderpriority" -> StringType) + ("o_orderdate" -> dateLike))
-    assertCols("lineitem", exact(
-      "l_orderkey" -> LongType, "l_partkey" -> LongType,
-      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
-      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
-      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
-      "l_returnflag" -> StringType, "l_linestatus" -> StringType)
-      + ("l_shipdate" -> dateLike))
+  test("contract check names the drifted column precisely") {
+    // simulate the round-7 drift in-memory: a contract run against a dir
+    // where events.ts has an unsupported type must report exactly that
+    // column (this validates the MESSAGE, the thing a 3am red round
+    // depends on)
+    val dir = java.nio.file.Files.createTempDirectory("graft-contract-drift")
+    for (t <- graft.sources.TestdataContract.expected.keys)
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    // replace events with a drifted schema (ts as string)
+    java.nio.file.Files.delete(dir.resolve("events.parquet"))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("string"))
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val drift = graft.sources.TestdataContract.check(spark, dir.toString)
+    assert(drift.size == 1 && drift.head.contains("events.ts") &&
+      drift.head.contains("StringType"), drift.mkString("; "))
   }
 }
