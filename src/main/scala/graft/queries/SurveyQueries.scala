@@ -398,7 +398,10 @@ object SurveyQueries {
   val profileBinaryWide: QueryDef = QueryDef(
     "profile_binary_wide",
     (s, d) => {
-      val df = wideSurvey(s, d)
+      // each of the ⌈1231/500⌉ = 3 batched agg jobs re-reads the input;
+      // persist the 1231-expression derivation once (DISK_ONLY — the
+      // clean_rows_wide precedent: lineage-recoverable, no memory pin)
+      val df = graft.ops.Materialize.invariant(wideSurvey(s, d))
       val checks = df.schema.fieldNames.toSeq.map { c =>
         val notBinary = !(col(c) === "0" || col(c) === "1" || col(c).isNull || col(c) === "")
         (count(when(notBinary, lit(1))) === 0).as(c)
