@@ -66,6 +66,10 @@ object Bench {
       // clean_columns_wide at sf0.1, min-of-3). Compile cost is one-off
       // per query and amortizes at scale.
       .config("spark.sql.codegen.maxFields", "1500")
+      // reliable checkpoints from iterative loops (Materialize.carried)
+      // are deleted when their RDD is GC'd instead of accumulating one
+      // carried-state copy per round until JVM exit
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign per-query WARN spam (e.g. WindowExec's
@@ -134,15 +138,45 @@ object Bench {
     spark.stop()
     val loadEnd = loadavg()
     val procs = Runtime.getRuntime.availableProcessors()
-    // The summary line is SHORT by design: the per-query timings live in
-    // the streamed {"query":…,"sec":…} lines above (one per query), so a
-    // bounded tail capture retains dozens of those PLUS this complete
-    // summary — no single line can overflow the capture budget.
-    println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size},"loadavg":{"start":"$loadStart","end":"$loadEnd"},"procs":$procs}}""")
+    // Round-8 lesson: the driver's tail capture preserved only the last
+    // 42 of 139 streamed per-query lines — two-thirds of the evidence was
+    // unreadable. Two redundant recovery paths, BOTH at the very end of
+    // the output (the part a tail capture keeps by construction):
+    //  1. chunked {"timings":{...}} lines, ~40 queries each, so no single
+    //     line can overflow a capture bound yet together they carry every
+    //     timing;
+    //  2. BENCH_LINES.jsonl in the working directory — a committed
+    //     artifact with one line per query, readable without any capture.
+    val timingLines = results.grouped(40).map { chunk =>
+      val entries = chunk.map { case (n, v, ok) =>
+        s""""$n":${if (ok) f"$v%.2f" else "-1"}"""
+      }.mkString(",")
+      s"""{"timings":{$entries}}"""
+    }.toSeq
+    timingLines.foreach(println)
+    try {
+      val jsonl = results.map { case (n, v, ok) =>
+        f"""{"query":"$n","sec":${if (ok) f"$v%.2f" else "-1"}}"""
+      }.mkString("", "\n", "\n") +
+        f"""{"bench_meta":{"git_sha":"$sha","sf":"$sfDir","loadavg":{"start":"$loadStart","end":"$loadEnd"}}}\n"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINES.jsonl"),
+        jsonl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LINES.jsonl write skipped: ${e.getMessage}") }
+    // Loud validity flags (round-7/8 artifacts were only adjudicable
+    // out-of-band): dirty = uncommitted edits in the measured tree;
+    // load_high = 1-min run-queue above ~1 at start, i.e. the box was
+    // not idle when measurement began. The run still completes — a
+    // flagged artifact beats no artifact — but the flags travel with
+    // the headline number.
+    val dirty = sha.endsWith("-dirty") || sha == "unknown"
+    val loadHigh =
+      try loadStart.split("\\s+").head.toDouble > 1.0
+      catch { case _: Throwable => false }
+    println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size},"loadavg":{"start":"$loadStart","end":"$loadEnd"},"procs":$procs,"dirty":$dirty,"load_high":$loadHigh}}""")
     // wide_reps only when a *_wide query actually ran — reporting a rep
     // policy that was never exercised misstates the run's protocol.
     val wideReps =
       if (selected.exists(_.name.endsWith("_wide"))) s""","wide_reps":${reps.max(3)}""" else ""
-    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps$wideReps,"sf":"$sfDir","failed":$failedJson}""")
+    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps$wideReps,"sf":"$sfDir","dirty":$dirty,"load_high":$loadHigh,"failed":$failedJson}""")
   }
 }

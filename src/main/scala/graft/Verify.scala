@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // wide survey schemas stay inside whole-stage codegen (see Bench)
       .config("spark.sql.codegen.maxFields", "1500")
+      // GC'd loop checkpoints are deleted, not accumulated (see Bench)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

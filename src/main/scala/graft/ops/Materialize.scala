@@ -48,9 +48,19 @@ object Materialize {
   def carried(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
+    if (sc.getCheckpointDir.isEmpty) {
+      // The tmpdir fallback is DRIVER/EXECUTOR-LOCAL: on a real cluster
+      // each executor would write its checkpoint partitions to its own
+      // local filesystem and reads scheduled elsewhere would fail — the
+      // exact failure this reliable-checkpoint path exists to prevent.
+      // Fail fast with the fix named instead of corrupting an iteration.
+      require(sc.isLocal,
+        "Materialize.carried: no checkpoint dir set and master is not local — " +
+          "call sparkContext.setCheckpointDir(<durable shared storage, e.g. an " +
+          "HDFS/object-store path>) before running iterative operators on a cluster")
       sc.setCheckpointDir(
         graft.sources.TableIO.scratchDir(spark, "loop_checkpoints"))
+    }
     val cached = df.persist(StorageLevel.DISK_ONLY)
     try cached.checkpoint(eager = true)
     finally cached.unpersist(blocking = false)

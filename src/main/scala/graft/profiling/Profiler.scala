@@ -127,8 +127,14 @@ object Profiler {
     if (stringCols.isEmpty) return Seq.empty
     val falseVals = Constants.FalseArrayValues
     val qualifying = stringCols.grouped(batchSize).flatMap { batch =>
+      // the stack() text interpolates column NAMES: escape backticks in
+      // the identifier position and single quotes in the literal position,
+      // or a hostile name breaks parsing / silently mislabels melted rows
+      // (the replaced col(c)-based wide form handled arbitrary names)
       val stackExpr = s"stack(${batch.size}, " +
-        batch.map(c => s"'$c', `$c`").mkString(", ") + ") AS (cname, value)"
+        batch.map(c =>
+          s"'${c.replace("\\", "\\\\").replace("'", "\\'")}', `${c.replace("`", "``")}`")
+          .mkString(", ") + ") AS (cname, value)"
       val distinctCount =
         if (approxDistinct) approx_count_distinct(col("value"), 0.02)
         else countDistinct(col("value"))

@@ -1238,6 +1238,70 @@ object PipelineQueries {
       |  CASE WHEN doc_id % 10 <> 0 THEN CAST(8 + doc_id % 5 AS BIGINT) END AS height
       |FROM documents ORDER BY media_id""".stripMargin))
 
+  /** GIF decode through the same ImageIO boundary — a compressed format
+    * the JDK genuinely ships, and unlike JPEG it is LOSSLESS here: the
+    * corpus is indexed-color ([[Multimodal.synthIndexedImage]] — GIF
+    * stores a palette + indices verbatim), so the gate carries exact
+    * decoded pixel sums, not just the dims contract. Palette entry i is
+    * (i, 7i mod 256, 13i mod 256) and pixel (x,y) holds index
+    * (id·31 + x·7 + y·13) mod 256, so the codec-less oracle recomputes
+    * every decoded value. */
+  val mmDecodeGif: QueryDef = QueryDef(
+    "mm_decode_gif",
+    (s, d) => Multimodal.decodeImages(
+        Multimodal.gifCorpus(Tables.documents(s, d)))
+      .select(col("media_id"), col("fmt"), col("width"), col("height"),
+        col("pixel_sum"))
+      .orderBy("media_id"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+      |px AS (
+      |  SELECT id, w, h,
+      |    sum((id*31 + x*7 + y*13) % 256
+      |      + ((id*31 + x*7 + y*13) % 256 * 7) % 256
+      |      + ((id*31 + x*7 + y*13) % 256 * 13) % 256) AS ps
+      |  FROM dims, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY id, w, h)
+      |SELECT id AS media_id, 'gif' AS fmt,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(ps AS BIGINT) AS pixel_sum
+      |FROM px ORDER BY media_id""".stripMargin))
+
+  /** COMPRESSED video frames, genuinely decoded: the corpus is MJPEG
+    * AVI (per-frame JPEGs in '00dc' chunks — the one compressed video
+    * codec a bare JVM can really decode), every 10th payload truncated
+    * to 10 bytes. [[Multimodal.sampleVideoFramesMjpegSafe]] index-seeks
+    * to every 2nd frame and runs each chunk through the JDK JPEG codec;
+    * corrupt containers flag `decode_ok = false`, healthy frames report
+    * the DECODED raster dims (exact under lossy round trips — the
+    * `mm_decode_jpeg` contract, now for video). */
+  val mmFrameSampleMjpeg: QueryDef = QueryDef(
+    "mm_frame_sample_mjpeg",
+    (s, d) => Multimodal.sampleVideoFramesMjpegSafe(
+        Multimodal.videoCorpusMjpeg(Tables.documents(s, d))
+          .withColumn("payload",
+            when(col("media_id") % 10 === 0, expr("substring(payload, 1, 10)"))
+              .otherwise(col("payload"))),
+        everyNth = 2)
+      .orderBy("media_id", "frame_no"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+      |    2 + doc_id % 4 AS n FROM documents),
+      |fr AS (
+      |  SELECT id, w, h, f FROM dims, range(0, 6) fs(f)
+      |  WHERE id % 10 <> 0 AND f < n AND f % 2 = 0),
+      |bad AS (
+      |  SELECT id FROM dims WHERE id % 10 = 0)
+      |SELECT id AS media_id, TRUE AS decode_ok, CAST(f AS BIGINT) AS frame_no,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+      |FROM fr
+      |UNION ALL
+      |SELECT id AS media_id, FALSE AS decode_ok, CAST(NULL AS BIGINT) AS frame_no,
+      |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height
+      |FROM bad
+      |ORDER BY media_id, frame_no""".stripMargin))
+
   /** REAL audio decode (JDK `javax.sound.sampled`, zero new
     * dependencies): the corpus is genuine PCM WAV container bytes whose
     * int16 samples follow a closed form of (id, i), so the codec-less
@@ -1499,5 +1563,6 @@ object PipelineQueries {
     textTokens, textFingerprint, textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
-    mmSimilarityPixels, mmDecodeImageSafe, mmDecodeJpeg)
+    mmSimilarityPixels, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
+    mmFrameSampleMjpeg)
 }

@@ -165,7 +165,44 @@ object StreamingQueries {
       |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |GROUP BY 1 ORDER BY p.user_id""".stripMargin))
 
+  /** State-BOUNDEDNESS of the interval join, promoted from a spec pin to
+    * a driver gate: the events table is replayed as 8 deterministic
+    * ts-ordered micro-batches ([[EventStreams.eventsMultiBatchStream]]),
+    * and the gated row carries (a) the complete pair count — the
+    * completeness half, oracle-replayed exactly — plus (b) two
+    * engine-measured booleans: `multi_batch` (state existed across >= 2
+    * committed batches, i.e. this actually exercised cross-batch
+    * buffering) and `state_bounded` (the PEAK per-batch state-store row
+    * count stayed under half the qualifying input rows — watermark
+    * eviction demonstrably ran; without eviction the final batch buffers
+    * the full qualifying set). The raw numbers behind the booleans are
+    * printed to stderr so the driver artifact carries the evidence, not
+    * just the verdict. */
+  val streamIntervalJoinBounded: QueryDef = QueryDef(
+    "stream_interval_join_bounded",
+    (s, d) => {
+      val (tbl, stateRows) = EventStreams.drainToMemoryWithStateRows(
+        EventStreams.purchasesWithRecentClicks(
+          EventStreams.eventsMultiBatchStream(s, d, nFiles = 8)),
+        OutputMode.Append, "stream_ssj_b", statePartitions = Some(8))
+      val peak = if (stateRows.isEmpty) 0L else stateRows.max
+      val statefulBatches = stateRows.count(_ > 0)
+      val qualifying = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click")).count()
+      System.err.println(s"[stream] interval_join_bounded: per-batch state rows=" +
+        s"${stateRows.mkString("[", ",", "]")} peak=$peak qualifying=$qualifying")
+      tbl.agg(count(lit(1)).cast("long").as("n_pairs"))
+        .withColumn("multi_batch", lit(statefulBatches >= 2))
+        .withColumn("state_bounded", lit(peak > 0 && peak * 2 < qualifying))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  TRUE AS multi_batch, TRUE AS state_bounded
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
-    streamIntervalJoin)
+    streamIntervalJoin, streamIntervalJoinBounded)
 }

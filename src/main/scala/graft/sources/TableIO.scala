@@ -203,6 +203,50 @@ object TableIO {
     fs.delete(old, true)
   }
 
+  /** True when `e` (or any cause below it) is a missing-path/file error —
+    * the failure a reader racing [[compact]]'s rename swap observes,
+    * at EITHER stage: plan-time path resolution (AnalysisException
+    * PATH_NOT_FOUND) or task execution over already-listed files that
+    * the swap moved (FileNotFoundException under a SparkException). */
+  private[sources] def isPathMissing(e: Throwable): Boolean = e match {
+    case null => false
+    case _: java.io.FileNotFoundException => true
+    case e2 if e2.getMessage != null &&
+      (e2.getMessage.contains("PATH_NOT_FOUND") ||
+        e2.getMessage.contains("Path does not exist") ||
+        e2.getMessage.contains("FileNotFoundException")) => true
+    case e2 => isPathMissing(e2.getCause)
+  }
+
+  /** Run `f` over a parquet read of `path`, retrying the WHOLE
+    * read-plus-action when a missing-path error surfaces — the
+    * swap-window companion to [[compact]]: its rename-aside swap leaves
+    * the table path absent for one metadata instant, and a plan built
+    * just before the swap can also lose its listed files to the rename
+    * mid-execution. Both failure shapes are transient (the new layout is
+    * in place within the same instant), so a bounded retry with linear
+    * backoff closes the race without any manifest indirection — and
+    * without `ignoreMissingFiles`, which would silently DROP the moved
+    * files' rows instead of re-planning over the new layout. Non-missing
+    * errors propagate immediately; exhausting attempts rethrows the last
+    * missing-path error (the table really is gone). */
+  def withCompactSafeRead[T](spark: SparkSession, path: String,
+      attempts: Int = 8, backoffMs: Long = 50)(f: DataFrame => T): T = {
+    require(attempts >= 1, "need at least one attempt")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f(spark.read.parquet(path))
+      catch {
+        case scala.util.control.NonFatal(e) if isPathMissing(e) =>
+          last = e
+          Thread.sleep(backoffMs * (i + 1))
+      }
+      i += 1
+    }
+    throw last
+  }
+
   /** ORC sink/source pair — second columnar format the engine speaks
     * natively (same pushdown/pruning machinery as parquet). */
   def replaceOrc(df: DataFrame, path: String): Unit =

@@ -70,7 +70,11 @@ object TestdataContract {
         }
         missing ++ drifted
       } catch {
-        case e: Throwable => Seq(s"testdata unreadable: $table ($sfDir): ${e.getMessage}")
+        // NonFatal only: an OOM/interrupt must propagate, not be
+        // converted into a "testdata unreadable" drift line on a
+        // poisoned JVM that then keeps running
+        case scala.util.control.NonFatal(e) =>
+          Seq(s"testdata unreadable: $table ($sfDir): ${e.getMessage}")
       }
     }
 

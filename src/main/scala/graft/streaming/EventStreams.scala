@@ -290,6 +290,34 @@ object EventStreams {
       }
   }
 
+  /** Stage the (ts-normalized) events table as `nFiles` ts-RANGE parquet
+    * files with strictly increasing modification times and return a
+    * file-stream over them admitting ONE file per micro-batch — a
+    * DETERMINISTIC multi-batch drive: the file source admits files in
+    * mtime order, so batch k carries exactly the k-th ts range, the
+    * watermark advances monotonically across batches, and per-batch
+    * state metrics ([[drainToMemoryWithStateRows]]) are reproducible
+    * rather than an accident of directory listing. This is the
+    * staging shape a production backfill uses to replay history through
+    * a streaming pipeline in event-time order. */
+  def eventsMultiBatchStream(spark: SparkSession, sfDir: String,
+      nFiles: Int): DataFrame = {
+    require(nFiles >= 2, "a multi-batch drive needs at least 2 files")
+    val staged = graft.sources.TableIO.scratchDir(spark, s"events_batches_$nFiles")
+    val ev = graft.queries.Tables.events(spark, sfDir)
+    ev.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(staged)
+    // range partition index == ascending ts range == part-file name order
+    val parts = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    spark.readStream.schema(ev.schema).format("parquet")
+      .option("maxFilesPerTrigger", "1")
+      .load(staged)
+  }
+
   /** Run the hourly aggregation to a named in-memory sink until all
     * available data is processed (synchronous batch-over-stream drive).
     * Complete mode so the final in-memory table includes windows the
@@ -337,22 +365,43 @@ object EventStreams {
     * streaming STATE small. An unbounded result (e.g. the raw enriched
     * firehose) takes the production sinks instead: a file sink or
     * `foreachBatch` (the [[lshDedupStream]] shape). */
+  /** Serializes the session-global shuffle-partitions set/restore below:
+    * two concurrent drains racing it could pin the second drain's state
+    * stores to the first's restored value. Coarse (one drain at a time
+    * per JVM) but drains are short and the gate harness is serial —
+    * a concurrency-hungry caller should use a cloned session instead. */
+  private val drainLock = new Object
+
   def drainToMemory(df: DataFrame, mode: OutputMode, baseName: String,
-      statePartitions: Option[Int] = None): DataFrame = {
-    val spark = df.sparkSession
-    val name =
-      s"${baseName}_${graft.sources.TableIO.sessionToken(spark)}_${drainCounter.incrementAndGet()}"
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation",
-          graft.sources.TableIO.scratchDir(spark, s"stream_ckpt_$name"))
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally statePartitions.foreach(_ => spark.conf.set(key, saved))
-    spark.table(name)
-  }
+      statePartitions: Option[Int] = None): DataFrame =
+    drainToMemoryWithStateRows(df, mode, baseName, statePartitions)._1
+
+  /** [[drainToMemory]] plus the drained query's per-batch total
+    * state-store row counts (summed over state operators, one entry per
+    * committed micro-batch, from `recentProgress`) — the observable that
+    * turns "watermark eviction bounds state" from a scaladoc claim into
+    * a gateable number (`stream_interval_join_bounded`). */
+  def drainToMemoryWithStateRows(df: DataFrame, mode: OutputMode, baseName: String,
+      statePartitions: Option[Int] = None): (DataFrame, Seq[Long]) =
+    drainLock.synchronized {
+      val spark = df.sparkSession
+      val name =
+        s"${baseName}_${graft.sources.TableIO.sessionToken(spark)}_${drainCounter.incrementAndGet()}"
+      val key = "spark.sql.shuffle.partitions"
+      val saved = spark.conf.get(key)
+      statePartitions.foreach(n => spark.conf.set(key, n.toString))
+      val stateRows =
+        try {
+          val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation",
+              graft.sources.TableIO.scratchDir(spark, s"stream_ckpt_$name"))
+            .start()
+          try {
+            q.processAllAvailable()
+            q.recentProgress.toSeq.map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          } finally q.stop()
+        } finally statePartitions.foreach(_ => spark.conf.set(key, saved))
+      (spark.table(name), stateRows)
+    }
 }

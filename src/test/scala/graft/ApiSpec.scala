@@ -43,6 +43,43 @@ class ApiSpec extends SparkSpec {
     val auditFiles = new java.io.File(audit).list().toSeq
     assert(auditFiles.exists(_.endsWith(".sql")))
     assert(auditFiles.exists(_.endsWith(".plan.txt")))
+    // the artifacts must be READABLE evidence with the expected clause
+    // structure, not just present — the audit can't silently rot into
+    // empty files (reference: every generated query persisted before
+    // execution, core/utils.py:54-89)
+    def readAudit(suffix: String): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        audit, auditFiles.find(_.endsWith(suffix)).get)))
+    val sql = readAudit(".sql")
+    assert(sql.contains("SELECT") && sql.contains(s"FROM $src"), sql.take(200))
+    assert(sql.contains("d_987654321"), "renamed column missing from audited SQL")
+    assert(!sql.contains("token"), "dropped column must not appear in the SELECT list")
+    val plan = readAudit(".plan.txt")
+    assert(plan.contains("-- analyzed plan") && plan.contains("-- optimized plan")
+      && plan.contains("-- physical plan"), plan.take(200))
+    assert(plan.contains("Project"), "plan artifact lost the projection node")
+  }
+
+  test("merge and sensitive-tier endpoints archive plan artifacts too") {
+    val s1 = tmp("s1"); val s2 = tmp("s2"); val dst = tmp("dst")
+    val srcTier = tmp("tier_src"); val dst2 = tmp("dst2"); val audit = tmp("audit")
+    writeSurvey(s1); writeSurvey(s2)
+    // sensitive tier projects the fixed 18-column PII list — its source
+    // must actually carry those columns
+    val tierSchema = StructType(graft.config.Constants.SensitiveTierColumns
+      .map(c => StructField(c, StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row.fromSeq(
+        graft.config.Constants.SensitiveTierColumns.map(c => s"v_$c"))), 1),
+      tierSchema).write.mode("overwrite").parquet(srcTier)
+    val rm = PipelineApi.mergeTableVersions(spark, Seq(s1, s2), dst, auditDir = audit)
+    val rt = PipelineApi.createSensitiveTier(spark, srcTier, dst2, auditDir = audit)
+    for (r <- Seq(rm, rt)) {
+      val f = new java.io.File(r.submittedSqlPath)
+      assert(f.isFile && f.length() > 0, s"missing audit artifact ${r.submittedSqlPath}")
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(text.contains("-- physical plan"), text.take(120))
+    }
   }
 
   test("clean_rows endpoint: recode + unwrap through the API") {

@@ -68,6 +68,53 @@ class ContainerPropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.parseAvi(bytes) }
   }
 
+  test("MJPEG AVI round trip: header + per-frame JPEG decode across geometries") {
+    // JPEG needs non-degenerate dims; sums are lossy so the pin is
+    // dims-exact plus per-pixel closeness on a smooth (low-frequency)
+    // raster — the honest compressed-codec contract
+    val mjGen = for {
+      w <- Gen.chooseNum(8, 40)
+      h <- Gen.chooseNum(8, 24)
+      n <- Gen.chooseNum(1, 5)
+      base <- Gen.chooseNum(0, 160)
+    } yield (w, h, n, base)
+    forAll(mjGen, samples = 40) { case (w, h, n, base) =>
+      val frames = (0 until n).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = base + f * 3 + (x + y) / 4 // smooth gradient, JPEG-friendly
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        img
+      }
+      val bytes = Multimodal.encodeAviMjpeg(frames)
+      val idx = Multimodal.parseAvi(bytes)
+      assert(idx.width == w && idx.height == h && idx.nFrames == n,
+        s"MJPEG header mismatch for ($w x $h x $n)")
+      for (f <- 0 until n) {
+        val (dw, dh) = Multimodal.aviFrameJpegDims(bytes, idx, f)
+        assert(dw == w && dh == h, s"decoded frame $f dims ($dw x $dh) != ($w x $h)")
+      }
+    }
+  }
+
+  test("GIF indexed-color round trip is LOSSLESS (exact pixels), unlike JPEG") {
+    for (id <- 0L until 40L) {
+      val img = Multimodal.synthIndexedImage(id)
+      val bytes = Multimodal.encodeImage(img, "gif")
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(back != null && back.getWidth == img.getWidth &&
+        back.getHeight == img.getHeight, s"GIF dims lost for id=$id")
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val i = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val expected = (i << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)
+        assert((back.getRGB(x, y) & 0xFFFFFF) == expected,
+          s"GIF pixel ($x,$y) of id=$id decoded ${back.getRGB(x, y) & 0xFFFFFF}, wanted $expected")
+      }
+    }
+  }
+
   test("WAV round trip holds for arbitrary sample counts and values") {
     val wavGen = for {
       n <- Gen.chooseNum(1, 500)

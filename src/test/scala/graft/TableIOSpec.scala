@@ -105,6 +105,57 @@ class TableIOSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).head().getLong(0) == (1 to 100).map(_.toLong).sum)
   }
 
+  test("withCompactSafeRead survives the swap's missing-path instant") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/c"
+    (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    // deterministic replay of the swap window: the live path vanishes
+    // (renamed aside) and reappears 150 ms later — a plain read thrown
+    // at that window fails, the safe reader must retry through it
+    val live = new java.io.File(dir)
+    val aside = new java.io.File(dir + ".swaptest")
+    assert(live.renameTo(aside) && !live.exists)
+    intercept[Exception] { spark.read.parquet(dir).count() } // the race, unguarded
+    val restorer = new Thread(() => {
+      Thread.sleep(150)
+      assert(aside.renameTo(live))
+    })
+    restorer.start()
+    val n = TableIO.withCompactSafeRead(spark, dir)(_.count())
+    restorer.join()
+    assert(n == 200, s"safe read returned $n rows")
+    // and a genuinely-absent table still errors after bounded attempts
+    intercept[Exception] {
+      TableIO.withCompactSafeRead(spark, dir + "-nope", attempts = 2,
+        backoffMs = 10)(_.count())
+    }
+  }
+
+  test("withCompactSafeRead races repeated live compactions without errors") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString + "/c"
+    (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    val expected = (1 to 500).map(_.toLong).sum
+    @volatile var compactErr: Throwable = null
+    val compactor = new Thread(() => {
+      try (1 to 5).foreach(_ => TableIO.compact(spark, dir, rowsPerFile = 250))
+      catch { case e: Throwable => compactErr = e }
+    })
+    compactor.start()
+    try {
+      while (compactor.isAlive) {
+        val sum0 = TableIO.withCompactSafeRead(spark, dir)(
+          _.agg(sum(col("id"))).head().getLong(0))
+        assert(sum0 == expected, s"reader saw $sum0 mid-swap, wanted $expected")
+      }
+    } finally compactor.join()
+    assert(compactErr == null, s"compactor failed: $compactErr")
+  }
+
   test("readParquetMerged unions evolved schemas; missing columns are null") {
     val s = spark
     import s.implicits._
