@@ -164,13 +164,15 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LINES.jsonl write skipped: ${e.getMessage}") }
     // Loud validity flags (round-7/8 artifacts were only adjudicable
     // out-of-band): dirty = uncommitted edits in the measured tree;
-    // load_high = 1-min run-queue above ~1 at start, i.e. the box was
-    // not idle when measurement began. The run still completes — a
-    // flagged artifact beats no artifact — but the flags travel with
-    // the headline number.
+    // load_high = the 5-MIN run-queue above 2 at start — the 1-min field
+    // is self-poisoned by sbt's own compile burst (measured 4.2 on an
+    // otherwise-idle box), while the 5-min average mostly predates this
+    // JVM and reflects whether the BOX was busy. The run still
+    // completes — a flagged artifact beats no artifact — but the flags
+    // travel with the headline number.
     val dirty = sha.endsWith("-dirty") || sha == "unknown"
     val loadHigh =
-      try loadStart.split("\\s+").head.toDouble > 1.0
+      try loadStart.split("\\s+")(1).toDouble > 2.0
       catch { case _: Throwable => false }
     println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size},"loadavg":{"start":"$loadStart","end":"$loadEnd"},"procs":$procs,"dirty":$dirty,"load_high":$loadHigh}}""")
     // wide_reps only when a *_wide query actually ran — reporting a rep
