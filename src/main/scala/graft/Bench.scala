@@ -54,6 +54,17 @@ object Bench {
         args.toSeq.map(byName)
       }
     val loadStart = loadavg()
+    // provenance captured at START: the tree sbt just compiled is what
+    // runs, so HEAD/dirty NOW describes the measured code — an edit made
+    // while the bench runs must not retroactively flag (or unflag) it.
+    val sha =
+      try {
+        val head = scala.sys.process.Process(
+          Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+        val dirty = scala.sys.process.Process(
+          Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
+        if (dirty) s"$head-dirty" else head
+      } catch { case _: Throwable => "unknown" }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -123,18 +134,6 @@ object Bench {
     // headline number only reflects completed work.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // provenance: the tree the numbers were measured at. Bench always
-    // runs through `sbt runMain` from this checkout, so HEAD IS the
-    // executed tree — except for uncommitted edits, which the -dirty
-    // suffix makes self-evident.
-    val sha =
-      try {
-        val head = scala.sys.process.Process(
-          Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
-        val dirty = scala.sys.process.Process(
-          Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
-        if (dirty) s"$head-dirty" else head
-      } catch { case _: Throwable => "unknown" }
     spark.stop()
     val loadEnd = loadavg()
     val procs = Runtime.getRuntime.availableProcessors()

@@ -745,6 +745,116 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- REAL compressed animation: multi-frame (animated) GIF ----
+  //
+  // The JDK's GIF codec pair also speaks SEQUENCES (ImageWriter
+  // prepareWriteSequence / ImageReader getNumImages), and with
+  // indexed-color frames the compression is lossless — so unlike
+  // MJPEG-in-AVI (dims-only contract, JPEG is lossy) animated-GIF frame
+  // sampling is value-gated on EXACT per-frame pixel sums: a genuinely
+  // compressed multi-frame container, decoded bit-exactly, zero new
+  // dependencies.
+
+  /** Frame `f` of animated GIF `media_id = id`: [[synthIndexedImage]]'s
+    * palette with a frame term in the index formula —
+    * index(x, y) = (id·31 + f·41 + x·7 + y·13) mod 256. */
+  private[graft] def synthIndexedFrame(id: Long, f: Int): java.awt.image.BufferedImage = {
+    require(id >= 0 && f >= 0, s"need non-negative id/frame, got ($id, $f)")
+    val base = synthIndexedImage(id)
+    val raster = base.getRaster
+    var y = 0
+    while (y < base.getHeight) {
+      var x = 0
+      while (x < base.getWidth) {
+        raster.setSample(x, y, 0, ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    base
+  }
+
+  /** Encode frames as ONE animated GIF through the JDK writer's
+    * sequence API. Frames share dims and palette (ours always do). */
+  private[graft] def encodeGifAnimated(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeGifAnimated needs at least one frame")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Animated-GIF corpus: `2 + id % 4` indexed-color frames per id. */
+  def gifVideoCorpus(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id").cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (2 + id % 4).toInt
+          Row(id, n.toLong,
+            encodeGifAnimated((0 until n).map(f => synthIndexedFrame(id, f))))
+        }
+      }(enc)
+  }
+
+  /** REAL animated-GIF frame sampling: one ImageReader per container,
+    * `getNumImages` for the frame count, `read(f)` decodes only the
+    * sampled frames. Lossless indexed color → the emitted pixel sums are
+    * exact and closed-form (the [[sampleVideoFrames]] contract for a
+    * genuinely COMPRESSED container). Same codec-boundary shape:
+    * per-partition batches, payloads never shuffle. */
+  def sampleGifFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, "everyNth must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.get(1).asInstanceOf[Array[Byte]]
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n >= 1, s"payload for media_id=$id holds no GIF frames")
+            // materialized inside the try: the reader/stream close in
+            // finally, so a lazy iterator would read from a closed stream
+            (0 until n by everyNth).map { f =>
+              val img = reader.read(f)
+              Row(id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+                pixelSum(img))
+            }
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }(enc)
+  }
+
   // ---- REAL compressed video: MJPEG-in-AVI ----
   //
   // Motion-JPEG is the one compressed VIDEO codec a bare JVM can truly

@@ -1302,6 +1302,38 @@ object PipelineQueries {
       |FROM bad
       |ORDER BY media_id, frame_no""".stripMargin))
 
+  /** COMPRESSED multi-frame container, decoded EXACTLY: animated GIF
+    * through the JDK codec's sequence API. Indexed-color frames make
+    * the compression lossless, so unlike `mm_frame_sample_mjpeg`
+    * (dims-only, JPEG is lossy) every sampled frame gates on its exact
+    * decoded pixel sum — frame f's palette index at (x,y) is
+    * (id·31 + f·41 + x·7 + y·13) mod 256 under the
+    * (i, 7i mod 256, 13i mod 256) palette, closed-form for the
+    * codec-less oracle. */
+  val mmFrameSampleGif: QueryDef = QueryDef(
+    "mm_frame_sample_gif",
+    (s, d) => Multimodal.sampleGifFrames(
+        Multimodal.gifVideoCorpus(Tables.documents(s, d)), everyNth = 2)
+      .orderBy("media_id", "frame_no"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+      |    2 + doc_id % 4 AS n FROM documents),
+      |fr AS (
+      |  SELECT id, w, h, f FROM dims, range(0, 6) fs(f)
+      |  WHERE f < n AND f % 2 = 0),
+      |px AS (
+      |  SELECT id, f, w, h,
+      |    sum((id*31 + f*41 + x*7 + y*13) % 256
+      |      + ((id*31 + f*41 + x*7 + y*13) % 256 * 7) % 256
+      |      + ((id*31 + f*41 + x*7 + y*13) % 256 * 13) % 256) AS ps
+      |  FROM fr, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY id, f, w, h)
+      |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_no,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(ps AS BIGINT) AS pixel_sum
+      |FROM px ORDER BY media_id, frame_no""".stripMargin))
+
   /** REAL audio decode (JDK `javax.sound.sampled`, zero new
     * dependencies): the corpus is genuine PCM WAV container bytes whose
     * int16 samples follow a closed form of (id, i), so the codec-less
@@ -1564,5 +1596,5 @@ object PipelineQueries {
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
-    mmFrameSampleMjpeg)
+    mmFrameSampleMjpeg, mmFrameSampleGif)
 }

@@ -115,6 +115,30 @@ class ContainerPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIF sequence round trip: frame count + exact pixels") {
+    for (id <- 0L until 25L) {
+      val n = (1 + id % 5).toInt
+      val frames = (0 until n).map(f => Multimodal.synthIndexedFrame(id, f))
+      val bytes = Multimodal.encodeGifAnimated(frames)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        assert(reader.getNumImages(true) == n, s"frame count lost for id=$id")
+        for (f <- 0 until n) {
+          val img = reader.read(f)
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+            val i = ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+            val expected = (i << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)
+            assert((img.getRGB(x, y) & 0xFFFFFF) == expected,
+              s"frame $f pixel ($x,$y) of id=$id decoded ${img.getRGB(x, y) & 0xFFFFFF}, wanted $expected")
+          }
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
   test("WAV round trip holds for arbitrary sample counts and values") {
     val wavGen = for {
       n <- Gen.chooseNum(1, 500)
