@@ -61,8 +61,12 @@ object Bench {
       try {
         val head = scala.sys.process.Process(
           Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+        // BENCH_LINES.jsonl is this program's OWN output artifact — its
+        // presence from the previous run must not flag the measured tree
+        // dirty, or every bench run after the first self-poisons.
         val dirty = scala.sys.process.Process(
-          Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
+          Seq("git", "status", "--porcelain")).!!.linesIterator
+          .filterNot(_.endsWith("BENCH_LINES.jsonl")).exists(_.nonEmpty)
         if (dirty) s"$head-dirty" else head
       } catch { case _: Throwable => "unknown" }
     val spark = SparkSession.builder()
