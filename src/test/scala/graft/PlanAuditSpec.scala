@@ -215,6 +215,28 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch order and packing no longer share the shard partitioning:\n${p.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("round-9 codec queries: one sort exchange, no joins, payloads never cross an Exchange") {
+    // mm_decode_gif / mm_frame_sample_mjpeg / mm_frame_sample_gif share
+    // the codec-boundary shape: encode + decode both inside
+    // mapPartitions, payload column dropped at the boundary, so the ONLY
+    // exchange is the deterministic output sort and it moves no bytes of
+    // container payload
+    for (name <- Seq("mm_decode_gif", "mm_frame_sample_mjpeg", "mm_frame_sample_gif")) {
+      val p = plan(name)
+      assert(nodes(p, "Exchange") == 1, s"$name: expected only the output-sort exchange")
+      assert(nodes(p, "SortMergeJoin") == 0 && nodes(p, "BroadcastHashJoin") == 0,
+        s"$name: codec query must not join")
+      val exchangeIds = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1)).toSet
+      for (id <- exchangeIds) {
+        val detail = p.linesIterator.dropWhile(!_.startsWith(s"($id) Exchange"))
+          .takeWhile(l => l.startsWith(s"($id)") || !l.matches("^\\(\\d+\\).*"))
+          .mkString("\n")
+        assert(!detail.contains("payload"),
+          s"$name: payload column crossed Exchange ($id):\n$detail")
+      }
+    }
+  }
+
   test("pipeline_multimodal: payloads never shuffle — codec segment narrow, downstream payload-free") {
     import org.apache.spark.sql.functions.{col, expr, when}
     val ops = graft.ops.Multimodal
