@@ -75,6 +75,88 @@ object TextOps {
       }.toDF("id", "sh")
   }
 
+  /** Overlapping token-window chunking (the RAG / context-packing
+    * primitive): each document's normalized word stream is cut into
+    * windows of `window` tokens starting every `stride` tokens, the
+    * final (possibly short) windows included — so every token lands in
+    * at least one chunk and consecutive chunks overlap by
+    * `window - stride` tokens.
+    *
+    * Chunk grammar (the cross-engine contract): starts are
+    * `0, stride, 2*stride, …` for every start strictly below the token
+    * count; chunk i spans tokens `[start, min(start+window, n))`;
+    * `chunk_idx = start / stride`. Empty normalized text behaves as the
+    * single-empty-token list (both Spark's `split` and DuckDB's
+    * `string_split` return `['']`), yielding one empty chunk.
+    *
+    * Same NARROW typed-pass boundary decision as [[wordShingleRows]]
+    * (measured there): one partition-local slide per document, no
+    * shuffle, ~n/stride output rows per n-token document — at corpus
+    * scale the chunker pipelines straight from the scan into whatever
+    * consumes the chunks (embedding, packing, indexing).
+    *
+    * Output: (id, chunk_idx, n_tokens, chunk) — chunk as text so callers
+    * hash/embed/pack it downstream. */
+  def chunkRows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          // mirrors normalize()/words(): lowercase, strip, collapse, trim
+          val norm = text.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val toks = norm.split(" ", -1)
+          (0 until toks.length by stride).iterator.map { start =>
+            val slice = toks.slice(start, math.min(start + window, toks.length))
+            (id, (start / stride).toLong, slice.length.toLong, slice.mkString(" "))
+          }
+        }
+      }.toDF("id", "chunk_idx", "n_tokens", "chunk")
+  }
+
+  /** Corpus-level duplicated-span statistics (the detection half of
+    * substring-level dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, how many of its
+    * distinct `k`-token grams also occur in at least one OTHER document.
+    * A high `dup_ratio` marks boilerplate and cross-document copied
+    * spans that survive whole-document dedup; pipelines drop or trim
+    * those documents (the span-removal step is a local rewrite once the
+    * grams are flagged).
+    *
+    * Plan shape, sized for 100 TB: one narrow shingle pass
+    * ([[wordShingleRows]], distinct per doc), grams compressed to 64-bit
+    * `xxhash64` keys before anything shuffles (8-byte shuffle rows, not
+    * 40+-char strings — the hash is internal, so cross-engine outputs
+    * are unaffected modulo astronomically-unlikely collisions), one
+    * map-side-combined count per gram, one hash-partitioned join back
+    * (both sides already keyed by the gram hash), one per-doc agg.
+    * Nothing in the plan materializes the corpus gram set on fewer than
+    * all partitions.
+    *
+    * Output: (id, n_grams, dup_grams, dup_ratio) over documents with at
+    * least one full k-gram; `dup_ratio` is one IEEE division of the two
+    * exact counts, so any engine recomputing it matches bits. */
+  def dupGramStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val grams = wordShingleRows(df, idCol, textCol, k)
+      .select(col("id"), xxhash64(col("sh")).as("gh"))
+    val counts = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"))
+    grams.join(counts, "gh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_grams"))
+      .select(col("id"), col("n_grams"), col("dup_grams"),
+        (col("dup_grams").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("dup_ratio"))
+  }
+
   /** BPE-ish token count: alpha runs, single digits, and single
     * punctuation marks each count as one token (a cheap, deterministic
     * stand-in for a real BPE vocabulary; the regex is the contract). */

@@ -116,6 +116,52 @@ object MlPrepQueries {
       |      FROM documents)
       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin))
 
+  /** Temperature-based source re-weighting (the multilingual /
+    * multi-domain sampling rule p_i ∝ c_i^α, here α = 1/2): up-weights
+    * small sources relative to proportional sampling when assembling a
+    * training mix. Determinism recipe (cross-engine bit-match): the only
+    * irrational step is `sqrt(c_i / total)` — one IEEE-exact division of
+    * exact counts and one correctly-rounded sqrt — which is immediately
+    * snapped to integer micro-units (`round(1e6 * …)`); normalization
+    * then happens over the EXACT integer micro-weights (integer sum, one
+    * final IEEE division each), so no engine-dependent double summation
+    * order ever exists. α values other than 1/2 need `pow`, which IEEE
+    * does not require correctly rounded — they stay engine-local.
+    *
+    * Plan: one map-side-combined count per source, two 1-row/tiny
+    * broadcast joins; the corpus shuffles nothing but its count. */
+  val mixTemperature: QueryDef = QueryDef(
+    "mix_temperature",
+    (s, d) => {
+      val counts = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val total = counts.agg(sum(col("n_docs")).as("total"))
+      val micro = counts.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"),
+          round(sqrt(col("n_docs").cast("double") / col("total").cast("double"))
+            * 1000000).cast("long").as("w_micro"))
+      val microTotal = micro.agg(sum(col("w_micro")).as("w_total"))
+      micro.crossJoin(broadcast(microTotal))
+        .select(col("source"), col("n_docs"), col("w_micro"),
+          (col("w_micro").cast("double") / col("w_total").cast("double"))
+            .as("share"),
+          floor(col("w_micro").cast("double") / col("w_total").cast("double")
+            * 10000).cast("long").as("budget_rows"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+      |m AS (SELECT source, n_docs,
+      |        CAST(round(sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+      |          * 1000000) AS BIGINT) AS w_micro
+      |      FROM c CROSS JOIN t),
+      |mt AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM m)
+      |SELECT source, n_docs, w_micro,
+      |  CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) AS share,
+      |  CAST(floor(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) * 10000)
+      |    AS BIGINT) AS budget_rows
+      |FROM m CROSS JOIN mt ORDER BY source""".stripMargin))
+
   /** Per-dimension z-score normalization of the embedding corpus (feature
     * scaling before ANN / clustering). Determinism recipe: each float is
     * snapped to exact integer micro-units (round half away from zero —
@@ -495,6 +541,7 @@ object MlPrepQueries {
   }
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    embZscore, textBm25, clusterKmeans, dedupSemantic, sampleHashSplit,
-    sampleEpochShuffle, packLengthBuckets, embCovariance, embProject)
+    mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
+    sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
+    embProject)
 }

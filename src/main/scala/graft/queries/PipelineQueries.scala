@@ -966,6 +966,53 @@ object PipelineQueries {
     Some(s"""SELECT doc_id, md5($normalizeSql) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Overlapping token-window chunking ([[TextOps.chunkRows]], the RAG /
+    * context-packing primitive): 32-token windows every 24 tokens, chunk
+    * content verified through its md5 so the oracle pins the exact token
+    * span of every chunk, not just the counts. */
+  val textChunkOverlap: QueryDef = QueryDef(
+    "text_chunk_overlap",
+    (s, d) => TextOps.chunkRows(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w
+      |  FROM documents),
+      |s AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st FROM t)
+      |SELECT doc_id, st // 24 AS chunk_idx,
+      |  least(st + 32, len(w)) - st AS n_tokens,
+      |  md5(array_to_string(w[st + 1:least(st + 32, len(w))], ' ')) AS chunk_hash
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Corpus-level duplicated-span statistics ([[TextOps.dupGramStats]],
+    * the detection half of substring-level dedup — Lee et al. 2022): per
+    * document, the share of its distinct 8-token grams occurring in at
+    * least one other document. Runs on the dup-synthesized corpus so the
+    * three duplicate classes are all exercised: exact copies (ratio 1),
+    * one-token-appended near copies (ratio ~1 — every original gram
+    * still duplicated), and untouched docs (ratio from incidental
+    * word-soup overlap only). */
+  val textDupGrams: QueryDef = QueryDef(
+    "text_dup_grams",
+    (s, d) => TextOps.dupGramStats(docsWithDups(s, d), "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("n_grams"), col("dup_grams"),
+        col("dup_ratio"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS ($docsWithDupsSql),
+      |w AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
+      |g AS (SELECT DISTINCT doc_id,
+      |        array_to_string(w[st:st + 7], ' ') AS gram
+      |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6, 1)) AS st FROM w)),
+      |d AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+      |SELECT g.doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+      |  CAST(CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS DOUBLE) AS dup_ratio
+      |FROM g JOIN d USING (gram)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin))
+
   /** Multimodal plumbing: binary payload + metadata -> per-partition
     * batched (stub) decode -> feature rows. The metadata surface
     * (modality routing, byte accounting, md5 content hash) is
@@ -1592,7 +1639,8 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     textLangid, textQuality, textQualityModel,
-    textTokens, textFingerprint, textWordcount, textRepetition,
+    textTokens, textFingerprint, textChunkOverlap, textDupGrams,
+    textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
