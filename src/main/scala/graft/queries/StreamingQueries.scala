@@ -209,7 +209,69 @@ object StreamingQueries {
       |  ON p.user_id = c.user_id
       |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin))
 
+  // per-run suffix: bench reps re-run the builder in one session, and the
+  // append sink + checkpoint must not be reused across runs
+  private val lshRunCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Continuous-crawl streaming near-dup flagging, driver-gated — the
+    * [[EventStreams.lshDedupStream]] production shape end-to-end: the
+    * static corpus band index is built once (batch side), the probe set
+    * is staged as 4 parquet files and replayed as 4 deterministic
+    * micro-batches (mtime order, same recipe as
+    * [[EventStreams.eventsMultiBatchStream]]), and each micro-batch
+    * probes the index inside `foreachBatch`, appending its flagged
+    * (doc_id, dup_of) pairs to a parquet sink directory.
+    *
+    * Why the oracle transfers verbatim from `dedup_incremental_lsh`:
+    * each probe document lives in exactly one micro-batch, and its
+    * verdict (min matching corpus id over shared LSH bands) depends only
+    * on the STATIC index — so the union over batches equals the one-shot
+    * batch probe, file-split-independent. Exactly-once: one
+    * `Trigger.AvailableNow` pass over a fresh checkpoint; a restarted
+    * production stream wants an idempotent sink keyed on
+    * (batchId, doc_id) per the foreachBatch contract (noted at
+    * [[EventStreams.lshDedupStream]]). */
+  val streamLshDedup: QueryDef = QueryDef(
+    "stream_lsh_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val index = graft.ops.Dedup.minhashBandIndex(corpus, "doc_id", "text",
+        shingleN = 3, k = 8, rowsPerBand = 2)
+      val probe = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" extratoken")).as("text")))
+      val run = s"${graft.sources.TableIO.sessionToken(s)}_${lshRunCounter.incrementAndGet()}"
+      val staged = graft.sources.TableIO.scratchDir(s, s"stream_lsh/probe_$run")
+      probe.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(staged)
+      val parts = new java.io.File(staged).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+      val outDir = graft.sources.TableIO.scratchDir(s, s"stream_lsh/out_$run")
+      // seed the sink with the empty (doc_id, dup_of) schema so the
+      // final read is well-typed even if no batch flags anything
+      s.range(0).select(col("id").as("doc_id"), col("id").as("dup_of"))
+        .write.mode("overwrite").parquet(outDir)
+      val stream = s.readStream.schema(probe.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(staged)
+      val q = EventStreams.lshDedupStream(stream, index,
+          (batch, _) => batch.write.mode("append").parquet(outDir))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.sources.TableIO.scratchDir(s, s"stream_lsh/ckpt_$run"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir).orderBy("doc_id")
+    },
+    PipelineQueries.dedupIncrementalLsh.oracle)
+
   val all: Seq[QueryDef] = Seq(
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
-    streamIntervalJoin, streamIntervalJoinBounded)
+    streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup)
 }

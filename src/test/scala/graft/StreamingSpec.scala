@@ -169,6 +169,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("staged multi-batch LSH probe: >=2 micro-batches, union independent of the file split") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val index = graft.ops.Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      shingleN = 3, k = 8, rowsPerBand = 2)
+    val probe = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" extratoken")).as("text"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-lsh-staged").toString
+    probe.repartitionByRange(3, col("doc_id")).write.mode("overwrite").parquet(staged)
+    val parts = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    val flagged = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    val stream = spark.readStream.schema(probe.schema).format("parquet")
+      .option("maxFilesPerTrigger", "1").load(staged)
+    val q = EventStreams.lshDedupStream(stream, index,
+        (out, bid) => flagged.synchronized {
+          batchIds += bid
+          flagged ++= out.collect().map(r => (r.getLong(0), r.getLong(1)))
+        })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-lsh-stg-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batchIds.size >= 2, s"expected a multi-batch drive, got $batchIds")
+      val oneShot = graft.ops.Dedup.incrementalLshDups(
+          probe, index, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(oneShot.nonEmpty)
+      assert(flagged.toSet == oneShot)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer runs and emits sessions on timeout-free drain") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, sf)
