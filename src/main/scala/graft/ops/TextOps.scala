@@ -129,15 +129,20 @@ object TextOps {
     * those documents (the span-removal step is a local rewrite once the
     * grams are flagged).
     *
-    * Plan shape, sized for 100 TB: one narrow shingle pass
+    * Plan shape, sized for 100 TB: narrow shingle passes
     * ([[wordShingleRows]], distinct per doc), grams compressed to 64-bit
     * `xxhash64` keys before anything shuffles (8-byte shuffle rows, not
     * 40+-char strings — the hash is internal, so cross-engine outputs
     * are unaffected modulo astronomically-unlikely collisions), one
     * map-side-combined count per gram, one hash-partitioned join back
-    * (both sides already keyed by the gram hash), one per-doc agg.
-    * Nothing in the plan materializes the corpus gram set on fewer than
-    * all partitions.
+    * (both sides keyed by the gram hash), one per-doc agg. The gram
+    * rows feed both join sides, so the corpus is shingled TWICE — the
+    * deliberate trade: re-running the CPU-cheap narrow pass beats
+    * persisting a corpus-sized gram table, and the one-pass alternative
+    * (collect_list of doc ids per gram, then explode) puts every
+    * occurrence of a boilerplate gram on ONE row — the skew killer this
+    * join shape avoids. Nothing here materializes the corpus gram set
+    * on fewer than all partitions.
     *
     * Output: (id, n_grams, dup_grams, dup_ratio) over documents with at
     * least one full k-gram; `dup_ratio` is one IEEE division of the two

@@ -128,20 +128,25 @@ object MlPrepQueries {
     * order ever exists. α values other than 1/2 need `pow`, which IEEE
     * does not require correctly rounded — they stay engine-local.
     *
-    * Plan: one map-side-combined count per source, two 1-row/tiny
-    * broadcast joins; the corpus shuffles nothing but its count. */
+    * Plan: ONE corpus scan into a map-side-combined count per source,
+    * then whole-frame windows over the #sources-row counts frame for
+    * both normalization sums. The crossJoin(broadcast(agg)) formulation
+    * reads better but re-expands the counts subtree at every reference —
+    * four corpus scans for a 20-row result (observed in the formatted
+    * plan); the window form keeps the corpus at exactly one scan, and a
+    * single-partition window over per-source rows is free at any corpus
+    * size. */
   val mixTemperature: QueryDef = QueryDef(
     "mix_temperature",
     (s, d) => {
-      val counts = Tables.documents(s, d).groupBy(col("source"))
+      val whole = Window.partitionBy()
+      Tables.documents(s, d).groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
-      val total = counts.agg(sum(col("n_docs")).as("total"))
-      val micro = counts.crossJoin(broadcast(total))
-        .select(col("source"), col("n_docs"),
+        .withColumn("total", sum(col("n_docs")).over(whole))
+        .withColumn("w_micro",
           round(sqrt(col("n_docs").cast("double") / col("total").cast("double"))
-            * 1000000).cast("long").as("w_micro"))
-      val microTotal = micro.agg(sum(col("w_micro")).as("w_total"))
-      micro.crossJoin(broadcast(microTotal))
+            * 1000000).cast("long"))
+        .withColumn("w_total", sum(col("w_micro")).over(whole))
         .select(col("source"), col("n_docs"), col("w_micro"),
           (col("w_micro").cast("double") / col("w_total").cast("double"))
             .as("share"),
