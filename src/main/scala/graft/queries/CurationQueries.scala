@@ -567,6 +567,60 @@ object CurationQueries {
       |  min(pos) AS first_pos, max(pos) AS last_pos
       |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
 
+  /** End-to-end RAG indexing composition: overlapping token-window
+    * chunking ([[TextOps.chunkRows]]) → per-chunk embedding → cosine
+    * top-k retrieval of chunks for a query set — the chunk-level
+    * retrieval pipeline a RAG corpus build runs, value-gated whole.
+    * The embedding stage is the same md5-hash stand-in as
+    * `mm_similarity` (16 md5 bytes as floats — regenerable in SQL, so
+    * the END-TO-END composition is oracle-checked; a real deployment
+    * swaps in a learned encoder and keeps chunking + retrieval
+    * unchanged). Retrieval here is the brute-force verifiable baseline;
+    * the scale path is the same [[Similarity]]/[[graft.ops.Pq]] IVF-PQ
+    * machinery the `sim_*` queries gate — chunk features are just
+    * another embedding corpus to it. chunk_id = doc_id*1000 + chunk_idx
+    * (collision-free below 1000 chunks/doc ≈ 24k tokens; the synthetic
+    * corpus tops out far lower). */
+  val pipelineRag: QueryDef = QueryDef(
+    "pipeline_rag",
+    (s, d) => {
+      val chunks = TextOps.chunkRows(Tables.documents(s, d), "doc_id", "text",
+          window = 32, stride = 24)
+        .select((col("id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk"))
+      val hex = md5(col("chunk"))
+      val feats = chunks.select(col("chunk_id"),
+        array((0 until 16).map(b =>
+          conv(substring(hex, 2 * b + 1, 2), 16, 10).cast("float")): _*)
+          .as("feature"))
+      Similarity.bruteForceTopK(feats, "chunk_id", "feature",
+          col("chunk_id") % 97 === 0, k = 5)
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(${PipelineQueries.normalizeSql}, ' ') AS w
+      |  FROM documents),
+      |st AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st FROM t),
+      |ch AS (SELECT doc_id * 1000 + st // 24 AS chunk_id,
+      |        array_to_string(w[st + 1:least(st + 32, len(w))], ' ') AS chunk
+      |      FROM st),
+      |f AS (SELECT chunk_id,
+      |    [CAST(CAST(concat('0x', substr(md5(chunk), 2 * b + 1, 2)) AS BIGINT) AS DOUBLE)
+      |     for b in range(0, 16)] AS v
+      |  FROM ch),
+      |q AS (SELECT chunk_id AS query_id, v AS qv FROM f WHERE chunk_id % 97 = 0),
+      |c AS (SELECT chunk_id AS cand_id, v AS cv FROM f),
+      |scored AS (
+      |  SELECT query_id, cand_id,
+      |    list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      |  FROM c, q WHERE query_id <> cand_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
+      |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
+
   /** KMV sketch MERGE: the distinct-part estimate of two lineitem shards'
     * union, built from two independently-computed bottom-256 sketches
     * (the associative-merge property that lets per-shard/per-day sketches
@@ -606,5 +660,5 @@ object CurationQueries {
     sketchKmvUnion,
     sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qSkewAdaptive,
     qSkewAdaptiveList, qWindowRangeFrame, pipelineCurate,
-    pipelineMultimodal, pipelineEpochPack)
+    pipelineMultimodal, pipelineEpochPack, pipelineRag)
 }
