@@ -68,6 +68,35 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads unreferenced columns: $readSchema")
   }
 
+  test("text_chunk_overlap: narrow chunk pass — only the output sort exchanges") {
+    val p = plan("text_chunk_overlap")
+    assert(nodes(p, "Exchange") <= 1, "chunker grew a shuffle beyond the final sort")
+    assert(!p.contains("Generate"), "chunker exploded rows declaratively instead of the narrow pass")
+  }
+
+  test("text_dup_grams: join-back shape — no per-gram doc-list aggregation, no cartesian") {
+    val p = plan("text_dup_grams")
+    assert(!p.contains("collect_list"),
+      "dup-gram stats must not gather doc ids per gram (skew killer)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mix_temperature: exactly one (column-pruned) corpus scan") {
+    val p = plan("mix_temperature")
+    assert(nodes(p, "Scan parquet") == 1,
+      "normalization re-expanded the counts subtree into extra corpus scans")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("source") && !readSchema.contains("text"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("pipeline_rag: query chunks broadcast into retrieval; no ranking Window") {
+    val p = plan("pipeline_rag")
+    assert(nodes(p, "BroadcastExchange") >= 1, "query side no longer broadcasts")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Window"), "top-k fell back to a ranking window")
+  }
+
   test("q1_agg pushes its shipdate filter into the parquet scan") {
     val p = plan("q1_agg")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
