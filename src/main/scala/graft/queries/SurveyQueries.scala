@@ -850,11 +850,72 @@ object SurveyQueries {
       |  CASE WHEN doc_id % 2 = 1 THEN CAST(length(text) AS BIGINT) END AS b
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** ingest_jsonl: the JSON-lines interchange format round-tripped — the
+    * corpus (with a NESTED metadata struct, the shape crawl dumps
+    * actually have) is written as JSONL, read back under an explicit
+    * schema, and the nested fields projected out. Gates the JSON
+    * source/sink pair plus nested-field access; the oracle recomputes
+    * the projection closed-form from the parquet original, so any
+    * serialization loss (type coercion, field drop, encoding) fails the
+    * hash. Schema-on-read, not inference: at 100 TB an inferred-schema
+    * pass over JSONL is a full extra scan. */
+  val ingestJsonl: QueryDef = QueryDef(
+    "ingest_jsonl",
+    (s, d) => {
+      val path = graft.sources.TableIO.scratchDir(s, "jsonl/docs")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          struct(col("source"), col("n_chars")).as("meta"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("meta",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source", StringType),
+            org.apache.spark.sql.types.StructField("n_chars",
+              org.apache.spark.sql.types.LongType))))))
+      s.read.schema(schema).json(path)
+        .select(col("doc_id"), col("meta.source").as("meta_source"),
+          col("meta.n_chars").as("meta_n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source AS meta_source, n_chars AS meta_n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** ingest_orc: the second columnar format — a lineitem projection is
+    * written as ORC and read back through a filtered aggregation, so
+    * the gate covers the ORC sink, the ORC scan, and that the filter
+    * still reaches the scan across the format switch (pinned in
+    * PlanAuditSpec — cross-format pushdown is exactly what silently
+    * breaks when a reader lacks predicate support). Oracle recomputes
+    * from the parquet original. */
+  val ingestOrc: QueryDef = QueryDef(
+    "ingest_orc",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val path = graft.sources.TableIO.scratchDir(s, "orc/lineitem")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(path)
+      s.read.orc(path)
+        .filter(col("l_quantity") >= 25.0)
+        .groupBy(col("l_returnflag"))
+        // decimal-sum-then-cast: the q1_agg determinism recipe
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(money)).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_quantity >= 25.0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,
     mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder, ingestCsvDirty,
-    ingestSchemaEvolution)
+    ingestSchemaEvolution, ingestJsonl, ingestOrc)
 }

@@ -103,6 +103,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.contains("l_shipdate"), s"no pushed filter: $pushed")
   }
 
+  test("ingest_orc: the quantity filter survives the format switch into the ORC scan") {
+    val p = plan("ingest_orc")
+    assert(p.contains("Scan orc"), "lineitem projection no longer read back as ORC")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_quantity"), s"ORC scan lost the pushed filter: $pushed")
+  }
+
+  test("ingest_jsonl: schema-on-read JSON scan (explicit nested schema, no inference pass)") {
+    val p = plan("ingest_jsonl")
+    assert(p.contains("Scan json"), "documents no longer read back as JSON")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("meta") && readSchema.contains("struct"),
+      s"JSON read lost the declared nested schema: $readSchema")
+  }
+
   test("text_repetition computes its metrics without a shuffle (only the output sort exchanges)") {
     val p = plan("text_repetition")
     assert(nodes(p, "Exchange") <= 1, "repetition metrics grew a shuffle beyond the final sort")
