@@ -508,4 +508,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Directed n-gram CONTAINMENT pairs: emit (a, b, c) where
+    * c = |grams(A) ∩ grams(B)| / |grams(A)| >= `threshold` — "A is
+    * (nearly) contained in B". Resemblance (Jaccard) misses this class
+    * entirely: a paragraph quoted inside a 100× longer page has Jaccard
+    * ≈ 0.01 but containment ≈ 1.0, and it is containment that catches
+    * quote-plagiarism, subset-crawls and doc-in-doc training leakage
+    * (Broder's original resemblance/containment split).
+    *
+    * Same exact-pruning discipline as [[ngramJaccardPairs]], adapted to
+    * the asymmetric score. Qualifying needs overlap >= ceil(t*|A|), so
+    * if NONE of A's (|A| - ceil(t*|A|) + 1) globally-rarest shingles
+    * occurs in B, the remaining ceil(t*|A|) - 1 cannot reach the bound —
+    * probing only A's prefix rows against the inverted index is exact.
+    * No size filter exists here (B may be arbitrarily large — that is
+    * the point), so the prefix is the entire defense: it is built
+    * rare-first (ascending global document frequency), which keeps the
+    * probed posting lists short. Cost stays candidate-bound, never
+    * corpus²: the index join touches only prefix-shingle postings, and
+    * the exact-overlap count expands candidate pairs against the
+    * persisted index with the small side broadcastable. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val inv = TextOps.wordShingleRows(df, idCol, textCol, shingleN)
+      .select(col("id"), graft.functions.md5_hash64(col("sh")).as("sh"))
+      .persist()
+    val counts = inv.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("sh").asc)
+    val prefix = inv.join(dfreq, "sh").join(counts, "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("sh"))
+    val cand = prefix.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shared = cand
+      .join(inv.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(inv.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    val ratio = DecimalType(18, 6)
+    shared
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .withColumn("containment",
+        (col("n_shared").cast(ratio) / col("n_a").cast(ratio)).cast(ratio))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

@@ -143,6 +143,36 @@ object AnalyticsQueries {
       |  count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Approximate per-group median (Greenwald-Khanna `percentile_approx`)
+    * with an in-query RANK-error gate. Like the HLL twin
+    * (`sketch_hll_distinct`), the approximate VALUE is engine-specific,
+    * so what crosses the oracle is the portable part: the group count
+    * plus a boolean asserting the returned value's true rank sits within
+    * 1% of the 0.5 target (GK guarantees n/accuracy = 0.01% here — 100×
+    * slack). The rank is audited against the data itself by joining the
+    * 3-row sketch result back to the corpus (broadcast — the corpus
+    * never shuffles). Scale story: GK state is O(1/ε log εn) per group
+    * and mergeable, vs an exact median's full per-group sort. */
+  val qPercentileApprox: QueryDef = QueryDef(
+    "q_percentile_approx",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val apx = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("apx"))
+      li.join(broadcast(apx), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L))
+            .as("n_le"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("n_le").cast("double") / col("n_rows").cast("double") - 0.5)
+            <= 0.01).as("rank_within_bound"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_rows, TRUE AS rank_within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** Sliding (overlapping) time windows: 2-hour windows sliding by 1
     * hour — each event lands in two windows (the overlap structure
     * streaming monitoring uses; the oracle expands the window membership
@@ -332,6 +362,6 @@ object AnalyticsQueries {
       |FROM j, tot""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
-    qGroupPercentiles, qWindowSliding, qPagerank, qPagerankConverged,
+    qGroupPercentiles, qPercentileApprox, qWindowSliding, qPagerank, qPagerankConverged,
     qPagerankDangling, qSourceDrift)
 }

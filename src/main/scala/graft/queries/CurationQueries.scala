@@ -98,6 +98,35 @@ object CurationQueries {
       |  exact_distinct
       |FROM s, e""".stripMargin))
 
+  /** HyperLogLog++ per-group distinct-count sketch with an in-query
+    * error gate. The sketch value itself is engine-specific (Spark's
+    * HLL++ and any oracle's will disagree), so the GATE is the part
+    * that's portable: the exact per-group count plus a boolean asserting
+    * the estimate landed within 3× the configured relative standard
+    * deviation — deterministic on fixed data, and FALSE (an oracle
+    * mismatch) if the estimator ever degrades. Scale story vs the KMV
+    * twin: HLL++ is a fixed ~kilobyte mergeable state per group — the
+    * map-side partial aggregate ships sketches, not values, so distinct
+    * counting costs one narrow shuffle of O(groups) sketch bytes where
+    * exact COUNT(DISTINCT) shuffles every distinct value. */
+  val sketchHllDistinct: QueryDef = QueryDef(
+    "sketch_hll_distinct",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val approx = Sketches.approxDistinct(li, Seq("l_returnflag"), "l_partkey",
+        rsd = 0.05)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      approx.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+            col("exact_distinct").cast("double") <= 0.15).as("within_bound"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** Bloom-pre-filtered join: probe lineitem is filtered by a bloom
     * filter built on the small build side BEFORE the shuffle; the exact
     * join then removes false positives, so the result — and the oracle —
@@ -658,7 +687,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     sketchKmvUnion,
-    sketchKmvDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qSkewAdaptive,
+    sketchKmvDistinct, sketchHllDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qSkewAdaptive,
     qSkewAdaptiveList, qWindowRangeFrame, pipelineCurate,
     pipelineMultimodal, pipelineEpochPack, pipelineRag)
 }

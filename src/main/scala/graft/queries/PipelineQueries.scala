@@ -174,6 +174,40 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin
     })
 
+  /** Directed n-gram containment pairs >= 0.9 — the doc-in-doc /
+    * quote-leakage detector Jaccard resemblance cannot express (the
+    * planted near-copies are SUPERSETS of their originals: the original
+    * is ~fully contained in its copy while the reverse direction and
+    * the Jaccard score both fall below a tight threshold). Exact
+    * prefix-pruned inverted-index plan in
+    * [[Dedup.ngramContainmentPairs]]; the asymmetric score means the
+    * output is DIRECTED (id_a contained-in id_b). */
+  val dedupContainment: QueryDef = QueryDef(
+    "dedup_containment",
+    (s, d) => Dedup.ngramContainmentPairs(docsWithDups(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .withColumn("containment", col("containment").cast("double"))
+      .orderBy("id_a", "id_b"),
+    Some {
+      val shingles =
+        s"""list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))])"""
+      s"""WITH t AS ($docsWithDupsSql),
+        |words AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
+        |sh AS (SELECT doc_id, $shingles AS shingles FROM words),
+        |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(CAST(CAST(n_shared AS DECIMAL(18,6)) / CAST(ca.n_sh AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS DOUBLE) AS containment
+        |FROM shared
+        |JOIN counts ca ON ca.doc_id = id_a
+        |WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) / CAST(ca.n_sh AS DECIMAL(18,6)) AS DECIMAL(18,6)) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
+    })
+
   /** Incremental dedup: a new batch (odd doc ids + re-ingested copies of
     * every 9th doc) against the existing corpus (even doc ids) — batch
     * self-dedup then fingerprint anti-join. */
@@ -1633,7 +1667,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
     dedupMinhashLsh, dedupCluster, dedupClusterStar,
-    dedupNgramJaccard, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
+    dedupNgramJaccard, dedupContainment, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,

@@ -850,6 +850,41 @@ object SurveyQueries {
       |  CASE WHEN doc_id % 2 = 1 THEN CAST(length(text) AS BIGINT) END AS b
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** maintenance_incremental_agg: incremental materialized-view
+    * maintenance — the third lakehouse maintenance pass. The
+    * "historical" 90% of orders is aggregated ONCE into a persisted
+    * partial-aggregate MV (count + decimal sum per priority: mergeable
+    * states), then a delta ingest merges ONLY the new rows' partials
+    * with the MV — the historical data is never rescanned. The oracle is
+    * the full recompute over everything, so a green row proves
+    * partial-merge == recompute exactly (decimal arithmetic, no float
+    * drift). At 100 TB this is THE pattern for keeping corpus-level
+    * stats current: per-batch cost is O(delta) + O(groups), not
+    * O(corpus); a PlanAuditSpec pin holds the merged plan to one orders
+    * scan (the delta) plus the tiny MV scan. */
+  val maintenanceIncrementalAgg: QueryDef = QueryDef(
+    "maintenance_incremental_agg",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val path = graft.sources.TableIO.scratchDir(s, "incr_agg/orders_mv")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(money)).as("sum_price"))
+      val orders = Tables.orders(s, d)
+      partials(orders.filter(col("o_orderkey") % 10 =!= 0))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      s.read.parquet(path)
+        .unionByName(partials(orders.filter(col("o_orderkey") % 10 === 0)))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("sum_price")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** ingest_jsonl: the JSON-lines interchange format round-tripped — the
     * corpus (with a NESTED metadata struct, the shape crawl dumps
     * actually have) is written as JSONL, read back under an explicit
@@ -916,6 +951,7 @@ object SurveyQueries {
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,
     mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
-    sensitiveTier, maintenanceCompact, maintenanceZorder, ingestCsvDirty,
+    sensitiveTier, maintenanceCompact, maintenanceZorder,
+    maintenanceIncrementalAgg, ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc)
 }

@@ -118,6 +118,28 @@ class PlanAuditSpec extends SparkSpec {
       s"JSON read lost the declared nested schema: $readSchema")
   }
 
+  test("dedup_containment: candidate-bound plan — no corpus-wide array gather, no cartesian") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("collect_list"),
+      "containment must not materialize per-doc shingle arrays corpus-wide")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("maintenance_incremental_agg: merge scans only the delta + the tiny MV — no join, no second corpus scan") {
+    val p = plan("maintenance_incremental_agg")
+    assert(nodes(p, "Scan parquet") == 2,
+      s"incremental merge grew extra scans:\n${p.linesIterator.take(30).mkString("\n")}")
+    assert(!p.contains("Join"), "partial-aggregate merge turned into a join")
+  }
+
+  test("sketch_hll_distinct and q_percentile_approx: sketch-vs-exact audits join by broadcast, never shuffle the corpus into a sort-merge join") {
+    for (q <- Seq("sketch_hll_distinct", "q_percentile_approx")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: audit join no longer broadcasts")
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus shuffled into the audit join")
+    }
+  }
+
   test("text_repetition computes its metrics without a shuffle (only the output sort exchanges)") {
     val p = plan("text_repetition")
     assert(nodes(p, "Exchange") <= 1, "repetition metrics grew a shuffle beyond the final sort")
