@@ -213,6 +213,29 @@ class PipelineSpec extends SparkSpec {
       s"simhash missed too many planted near-dups: $found/${expected.size}")
   }
 
+  test("containment catches a quote inside a much longer doc that Jaccard cannot see, directed") {
+    import spark.implicits._
+    // doc 1 = a 12-word paragraph; doc 2 = that paragraph quoted verbatim
+    // inside ~10x filler; doc 3 = unrelated. All words distinct so the
+    // shingle arithmetic is exact: grams(1) ⊂ grams(2), |grams(1)| = 10.
+    val para = (0 until 12).map(i => s"p$i").mkString(" ")
+    val filler = (0 until 110).map(i => s"f$i").mkString(" ")
+    val other = (0 until 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, para), (2L, s"$filler $para"), (3L, other))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L)),
+      s"expected exactly the directed contained-in pair (1,2), got $cont")
+    // the same pair is invisible to resemblance at any usable threshold:
+    // J(1,2) = 10 / (10 + 120 - 10) ≈ 0.08
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.isEmpty, s"Jaccard unexpectedly fired on the quote pair: $jac")
+  }
+
   test("minhash signatures are deterministic and band-join finds exact copies") {
     val docs = Tables.documents(spark, sf).limit(50)
     val copies = docs.select((col("doc_id") + 1000).as("doc_id"), col("text"))
