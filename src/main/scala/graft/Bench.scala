@@ -38,6 +38,42 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => "unavailable" }
 
+  /** Fixed-work single-thread CPU probe (~0.3 s on an idle box): seconds
+    * to hash a fixed buffer a fixed number of times. Round-9 lesson: two
+    * clean-stamped runs on this box differed 1.35x uniformly — neither
+    * loadavg nor a disk probe explained it (external contention the
+    * kernel run-queue does not count). A fixed-work probe measured at
+    * start AND end turns "this run looks slow" into a number the
+    * artifact carries itself: timings are comparable across runs via
+    * the probe ratio. */
+  private def cpuProbeSec(): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 600) { md.update(buf); i += 1 }
+    md.digest()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed-work fsync'd write probe (256 MiB): seconds, for the
+    * checkpoint/shuffle-heavy families whose cost is disk-bound. */
+  private def diskProbeSec(): Double =
+    try {
+      val f = java.io.File.createTempFile("graft-diskprobe", ".bin")
+      try {
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 256) { buf.rewind(); ch.write(buf); i += 1 }
+        ch.force(true); ch.close()
+        (System.nanoTime() - t0) / 1e9
+      } finally f.delete()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,6 +90,7 @@ object Bench {
         args.toSeq.map(byName)
       }
     val loadStart = loadavg()
+    val probeStart = (cpuProbeSec(), diskProbeSec())
     // provenance captured at START: the tree sbt just compiled is what
     // runs, so HEAD/dirty NOW describes the measured code — an edit made
     // while the bench runs must not retroactively flag (or unflag) it.
@@ -140,6 +177,10 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     spark.stop()
     val loadEnd = loadavg()
+    val probeEnd = (cpuProbeSec(), diskProbeSec())
+    val probesJson =
+      f"""{"cpu_sec":{"start":${probeStart._1}%.3f,"end":${probeEnd._1}%.3f},""" +
+        f""""disk_sec":{"start":${probeStart._2}%.3f,"end":${probeEnd._2}%.3f}}"""
     val procs = Runtime.getRuntime.availableProcessors()
     // Round-8 lesson: the driver's tail capture preserved only the last
     // 42 of 139 streamed per-query lines — two-thirds of the evidence was
@@ -161,7 +202,7 @@ object Bench {
       val jsonl = results.map { case (n, v, ok) =>
         f"""{"query":"$n","sec":${if (ok) f"$v%.2f" else "-1"}}"""
       }.mkString("", "\n", "\n") +
-        f"""{"bench_meta":{"git_sha":"$sha","sf":"$sfDir","loadavg":{"start":"$loadStart","end":"$loadEnd"}}}\n"""
+        f"""{"bench_meta":{"git_sha":"$sha","sf":"$sfDir","loadavg":{"start":"$loadStart","end":"$loadEnd"},"probes":$probesJson}}\n"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINES.jsonl"),
         jsonl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LINES.jsonl write skipped: ${e.getMessage}") }
@@ -177,7 +218,7 @@ object Bench {
     val loadHigh =
       try loadStart.split("\\s+")(1).toDouble > 2.0
       catch { case _: Throwable => false }
-    println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size},"loadavg":{"start":"$loadStart","end":"$loadEnd"},"procs":$procs,"dirty":$dirty,"load_high":$loadHigh}}""")
+    println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size},"loadavg":{"start":"$loadStart","end":"$loadEnd"},"probes":$probesJson,"procs":$procs,"dirty":$dirty,"load_high":$loadHigh}}""")
     // wide_reps only when a *_wide query actually ran — reporting a rep
     // policy that was never exercised misstates the run's protocol.
     val wideReps =

@@ -127,6 +127,49 @@ object CurationQueries {
       |  TRUE AS within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Count-min frequency sketch audited by its ONE-SIDED error contract:
+    * CM never undercounts (every counter the key hashes to saw all its
+    * increments — `never_under` is a hard guarantee, not probabilistic)
+    * and overcounts by at most ε·N with the configured confidence. The
+    * audit runs the sketch against the exact counts of the top-10
+    * heaviest supplier keys (deterministically selected: count desc, key
+    * asc — planned as TakeOrdered, a bounded per-partition heap, never a
+    * global sort) and ships only the exact counts + the two verdict
+    * booleans across the oracle. Scale story: the sketch is a fixed
+    * ~(2/ε)·depth counter grid built in one mergeable pass — frequency
+    * estimation for ANY later key probe without touching the corpus
+    * again; the 10-key estimate loop is driver-side by design (bounded,
+    * over a collected 10-row TakeOrdered result). */
+  val sketchCmTopk: QueryDef = QueryDef(
+    "sketch_cm_topk",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val eps = 0.0005
+      val n = li.count()
+      val cms = Sketches.countMinSketch(li.select(col("l_suppkey")), "l_suppkey",
+        eps = eps)
+      val slack = math.ceil(eps * n).toLong
+      val top = li.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey").asc)
+        .limit(10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      top.map { case (k, exact) =>
+        val est = cms.estimateCount(Long.box(k))
+        (k, exact, est >= exact, est <= exact + slack)
+      }.toSeq
+        .toDF("l_suppkey", "exact_cnt", "never_under", "within_eps")
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT * FROM (
+      |  SELECT l_suppkey, count(*) AS exact_cnt,
+      |    TRUE AS never_under, TRUE AS within_eps
+      |  FROM lineitem GROUP BY l_suppkey
+      |  ORDER BY exact_cnt DESC, l_suppkey ASC LIMIT 10)
+      |ORDER BY l_suppkey""".stripMargin))
+
   /** Bloom-pre-filtered join: probe lineitem is filtered by a bloom
     * filter built on the small build side BEFORE the shuffle; the exact
     * join then removes false positives, so the result — and the oracle —
@@ -687,7 +730,8 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     sketchKmvUnion,
-    sketchKmvDistinct, sketchHllDistinct, qBloomJoin, mergeScd2, qSaltedAgg, qSkewAdaptive,
+    sketchKmvDistinct, sketchHllDistinct, sketchCmTopk, qBloomJoin, mergeScd2,
+    qSaltedAgg, qSkewAdaptive,
     qSkewAdaptiveList, qWindowRangeFrame, pipelineCurate,
     pipelineMultimodal, pipelineEpochPack, pipelineRag)
 }

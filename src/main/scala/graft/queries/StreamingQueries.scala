@@ -271,7 +271,112 @@ object StreamingQueries {
     },
     PipelineQueries.dedupIncrementalLsh.oracle)
 
+  /** The LATE-DATA DROP policy, driver-gated — the seventh streaming
+    * capability class: what happens to rows arriving AFTER their window
+    * is finalized. [[EventStreams.eventsLateReplayStream]] stages the
+    * on-time events as 6 ts-ordered micro-batch files plus one final
+    * replay file duplicating the earliest hour; when it arrives the
+    * watermark is already max(ts) − 1h, so Append-mode aggregation must
+    * (a) have emitted exactly the finalized windows — window_end ≤ the
+    * ms-floored watermark, the oracle replays Spark's exact boundary
+    * arithmetic closed-form — and (b) DROP every replayed row instead of
+    * double-counting it (the gated counts equal the clean single-pass
+    * aggregation) or crashing. `late_all_dropped` audits (b) directly
+    * from the progress log's `numRowsDroppedByWatermark` total: planted
+    * count in, same count dropped. Scale contract: the drop is a
+    * row-local predicate against the broadcast watermark — late data
+    * costs zero state and zero shuffle at any volume. */
+  val streamLateData: QueryDef = QueryDef(
+    "stream_late_data",
+    (s, d) => {
+      val (stream, nLate) = EventStreams.eventsLateReplayStream(s, d, nFiles = 6)
+      val (tbl, dropped) = EventStreams.drainToMemoryWithWatermarkDrops(
+        EventStreams.hourlyAgg(stream), OutputMode.Append, "stream_late",
+        statePartitions = Some(2))
+      System.err.println(
+        s"[stream] late_data: planted_groups=$nLate droppedByWatermark=$dropped")
+      tbl.withColumn("late_all_dropped", lit(nLate > 0 && dropped == nLate))
+        .orderBy("hour", "event_type")
+    },
+    // finalized-window predicate = Spark's exact eviction arithmetic:
+    // watermark is the ms-floored max event time minus the 1h delay;
+    // a window emits in Append mode iff window_end <= that watermark
+    Some("""WITH b AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  TRUE AS late_all_dropped
+      |FROM events, b
+      |WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm_us
+      |GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin))
+
+  /** EVENT-TIME sessionization driver-gated — the eighth streaming
+    * capability class: arbitrary keyed state with EVENT-TIME timeouts
+    * ([[EventStreams.sessionizeEventTime]], `flatMapGroupsWithState` +
+    * `EventTimeTimeout`). A session closes by DATA (a later event past
+    * the 30-min gap — emitted deterministically with its batch) or by
+    * WATERMARK (the idle-user path — state evicted, session emitted when
+    * the watermark passes last + gap). The oracle replays both paths
+    * closed-form: the batch gaps-and-islands sessionization (the
+    * q_events_sessions recipe) restricted to sessions that either have a
+    * successor session (closed by data) or whose timeout timestamp
+    * (last_sec + 1800, in ms) is within the final ms-floored watermark —
+    * Spark's exact timeout arithmetic. Trailing sessions the watermark
+    * never passes are deliberately unemitted (they are still OPEN —
+    * emitting them would be wrong); exact arithmetic throughout
+    * (seconds-floor gaps, DECIMAL(18,4) scaled totals) makes the
+    * replayed values bit-identical. */
+  val streamSessions: QueryDef = QueryDef(
+    "stream_sessions",
+    (s, d) => {
+      import s.implicits._
+      val stream = EventStreams.eventsMultiBatchStream(s, d, nFiles = 6)
+        .filter(col("user_id") % 10 === 0)
+        .as[EventStreams.Event]
+      EventStreams.drainToMemory(
+          EventStreams.sessionizeEventTime(stream, gapMinutes = 30).toDF(),
+          OutputMode.Append, "stream_sessions", statePartitions = Some(2))
+        .select(col("user_id"),
+          from_unixtime(col("start_sec"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+    // watermark derives from the FILTERED stream's observed max ts; the
+    // timeout fires when (last_sec + gap)·1000 <= the ms-floored final
+    // watermark. Sessions with a successor emitted by data regardless.
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE user_id % 10 = 0),
+      |b AS (SELECT (epoch_us(max(ts)) // 1000 - 1800000) AS wm_ms FROM e),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, session_id,
+      |    min(epoch_us(ts) // 1000000) AS start_sec,
+      |    max(epoch_us(ts) // 1000000) AS last_sec,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM sess GROUP BY user_id, session_id),
+      |fin AS (
+      |  SELECT a.*, max(session_id) OVER (PARTITION BY user_id) AS max_sid
+      |  FROM agg a)
+      |SELECT user_id,
+      |  strftime(make_timestamp(start_sec * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  n_events, total_value
+      |FROM fin, b
+      |WHERE session_id < max_sid OR (last_sec + 1800) * 1000 <= wm_ms
+      |ORDER BY user_id, session_start""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
-    streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup)
+    streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
+    streamSessions)
 }

@@ -92,6 +92,79 @@ object EventStreams {
       }
   }
 
+  /** Event-time sessionizer state/output: exact arithmetic only — epoch
+    * seconds for gap logic (mirrors `unix_timestamp`'s floor), values
+    * accumulated at DECIMAL(18,4) as scaled longs (mirrors the
+    * `cast(value as decimal(18,4))` recipe every gate sums under), so a
+    * cross-engine oracle can replay the session totals bit-for-bit. */
+  final case class EtSessionState(startSec: Long, lastSec: Long,
+      nEvents: Long, totalScaled: Long)
+  final case class SessionOut(user_id: Long, start_sec: Long,
+      n_events: Long, total_value: Double)
+
+  /** EVENT-TIME sessionization via `flatMapGroupsWithState` +
+    * `EventTimeTimeout` — the production shape ([[sessionize]]'s
+    * processing-time timeout is the demo): a per-user session closes
+    * either when a LATER EVENT arrives past the gap (emitted with that
+    * batch, deterministically) or when the WATERMARK passes
+    * lastEvent + gap (the timeout path — an idle user's session still
+    * closes, bounded state forever). Determinism contract (what makes
+    * the driver gate possible): batches must arrive ts-ordered
+    * ([[eventsMultiBatchStream]]) and rows are sorted by full-µs ts
+    * within each batch, so gap decisions replay exactly; all arithmetic
+    * is exact (seconds-floor gaps, DECIMAL(18,4) scaled-long totals).
+    * State per user is ONE open session — O(users) bounded, evicted by
+    * timeout. */
+  def sessionizeEventTime(events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def scaled(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    // exact decimal total -> correctly-rounded double, the same
+    // conversion both engines' CAST(DECIMAL(18,4) AS DOUBLE) performs
+    def emit(userId: Long, s: EtSessionState): SessionOut =
+      SessionOut(userId, s.startSec, s.nEvents,
+        new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(s.totalScaled), 4).doubleValue)
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EtSessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[EtSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(userId, s))
+          } else {
+            val evs = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var st = state.getOption
+            for (e <- evs) {
+              val sec = e.ts.getTime / 1000
+              st = st match {
+                case Some(s) if sec - s.lastSec > gapSec =>
+                  out += emit(userId, s)
+                  Some(EtSessionState(sec, sec, 1L, scaled(e.value)))
+                case Some(s) =>
+                  Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1,
+                    totalScaled = s.totalScaled + scaled(e.value)))
+                case None =>
+                  Some(EtSessionState(sec, sec, 1L, scaled(e.value)))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastSec + gapSec) * 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * within the watermark horizon — the streaming twin of
     * [[graft.ops.Dedup.exact]]; state is bounded by watermark eviction. */
@@ -335,6 +408,54 @@ object EventStreams {
     q
   }
 
+  /** Stage events as `nFiles` ts-range on-time files PLUS one LATE
+    * replay file — a duplicate of the earliest hour's rows — whose mtime
+    * sorts LAST, so the file source admits it only after every on-time
+    * batch. By then the watermark sits at max(ts) − delay (far past the
+    * replayed hour), so watermark eviction must DROP every replayed row
+    * rather than re-open its long-finalized window: the late-data
+    * policy, staged deterministically.
+    *
+    * Returns the stream plus the planted late GROUP count — distinct
+    * (hourly window, event_type) pairs among the replayed rows — because
+    * that is what the state operator observes: the map-side PARTIAL
+    * aggregate compresses the late rows before the state boundary
+    * (single-file batch → one input partition → exactly one partial row
+    * per group), so `numRowsDroppedByWatermark` counts evicted groups,
+    * not raw rows. (Empirically: raw-row audits read 21 planted / 5
+    * dropped at sf0.01 — the 5 being the late hour's distinct event
+    * types.) */
+  def eventsLateReplayStream(spark: SparkSession, sfDir: String,
+      nFiles: Int): (DataFrame, Long) = {
+    require(nFiles >= 2, "a multi-batch drive needs at least 2 files")
+    val staged = graft.sources.TableIO.scratchDir(spark, s"events_late_$nFiles")
+    val ev = graft.queries.Tables.events(spark, sfDir)
+    ev.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(staged)
+    val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0)
+    val late = ev.filter(col("ts") < lit(minTs) + expr("INTERVAL 1 HOUR"))
+    val nLate = late
+      .select(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .distinct().count()
+    val lateTmp = graft.sources.TableIO.scratchDir(spark, s"events_late_batch_$nFiles")
+    late.coalesce(1).write.mode("overwrite").parquet(lateTmp)
+    val dir = new java.io.File(staged)
+    val parts = dir.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - (parts.length + 2) * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    val lateFile = new java.io.File(lateTmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("late replay batch produced no parquet file"))
+    val dest = new java.io.File(dir, "zzz-late-replay.parquet")
+    java.nio.file.Files.move(lateFile.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(base + (parts.length + 1) * 2000L)
+    (spark.readStream.schema(ev.schema).format("parquet")
+      .option("maxFilesPerTrigger", "1").load(staged), nLate)
+  }
+
   private val drainCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Drain a streaming relation synchronously (`Trigger.AvailableNow`)
@@ -383,6 +504,23 @@ object EventStreams {
     * a gateable number (`stream_interval_join_bounded`). */
   def drainToMemoryWithStateRows(df: DataFrame, mode: OutputMode, baseName: String,
       statePartitions: Option[Int] = None): (DataFrame, Seq[Long]) =
+    drainObserving(df, mode, baseName, statePartitions)(
+      _.recentProgress.toSeq.map(p => p.stateOperators.map(_.numRowsTotal).sum))
+
+  /** [[drainToMemory]] plus the drained query's TOTAL
+    * `numRowsDroppedByWatermark` across state operators and batches —
+    * the observable that turns "late rows are dropped, not
+    * re-aggregated" from a semantics claim into a gateable number
+    * (`stream_late_data`). */
+  def drainToMemoryWithWatermarkDrops(df: DataFrame, mode: OutputMode,
+      baseName: String, statePartitions: Option[Int] = None): (DataFrame, Long) =
+    drainObserving(df, mode, baseName, statePartitions)(
+      _.recentProgress.toSeq
+        .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
+
+  private def drainObserving[T](df: DataFrame, mode: OutputMode, baseName: String,
+      statePartitions: Option[Int])(
+      extract: org.apache.spark.sql.streaming.StreamingQuery => T): (DataFrame, T) =
     drainLock.synchronized {
       val spark = df.sparkSession
       val name =
@@ -390,7 +528,7 @@ object EventStreams {
       val key = "spark.sql.shuffle.partitions"
       val saved = spark.conf.get(key)
       statePartitions.foreach(n => spark.conf.set(key, n.toString))
-      val stateRows =
+      val observed =
         try {
           val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
             .trigger(Trigger.AvailableNow())
@@ -399,9 +537,9 @@ object EventStreams {
             .start()
           try {
             q.processAllAvailable()
-            q.recentProgress.toSeq.map(p => p.stateOperators.map(_.numRowsTotal).sum)
+            extract(q)
           } finally q.stop()
         } finally statePartitions.foreach(_ => spark.conf.set(key, saved))
-      (spark.table(name), stateRows)
+      (spark.table(name), observed)
     }
 }
