@@ -209,6 +209,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionizer is file-split invariant (2-batch == 6-batch drive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def run(nFiles: Int): Set[(Long, Long, Long, Double)] =
+      EventStreams.drainToMemory(
+          EventStreams.sessionizeEventTime(
+            EventStreams.eventsMultiBatchStream(spark, sf, nFiles)
+              .filter(col("user_id") % 10 === 0)
+              .as[EventStreams.Event],
+            gapMinutes = 30).toDF(),
+          OutputMode.Append, s"sess_split_$nFiles", statePartitions = Some(2))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val two = run(2)
+    val six = run(6)
+    assert(two.nonEmpty, "sessionizer emitted nothing")
+    // WHAT is emitted (the closed session set, timeout- and data-closed
+    // alike) must depend only on the data and the final watermark, never
+    // on which micro-batch carried which rows
+    assert(two == six,
+      s"session set depends on the file split: only-in-2=${two.diff(six).take(3)} " +
+        s"only-in-6=${six.diff(two).take(3)}")
+  }
+
   test("stateful sessionizer runs and emits sessions on timeout-free drain") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, sf)
