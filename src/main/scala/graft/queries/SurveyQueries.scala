@@ -885,6 +885,33 @@ object SurveyQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** ingest_partitioned: hive-style directory partitioning driver-gated
+    * end-to-end — orders is written one directory per priority
+    * ([[graft.sources.TableIO.replacePartitioned]], dynamic overwrite)
+    * and read back under a partition-column filter. The oracle is the
+    * filtered original, so a green row proves the layout rewrite loses
+    * nothing and the filter semantics survive the column's round trip
+    * through directory names (string-typed on read-back). The pruning
+    * itself — the scan's PartitionFilters entry, directories never
+    * opened — is pinned in PlanAuditSpec: at 100 TB this is the primary
+    * lever that turns a full-corpus scan into one directory's worth of
+    * IO. */
+  val ingestPartitioned: QueryDef = QueryDef(
+    "ingest_partitioned",
+    (s, d) => {
+      val path = graft.sources.TableIO.scratchDir(s, "partitioned/orders")
+      graft.sources.TableIO.replacePartitioned(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+        path, Seq("o_orderpriority"))
+      s.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin))
+
   /** ingest_jsonl: the JSON-lines interchange format round-tripped — the
     * corpus (with a NESTED metadata struct, the shape crawl dumps
     * actually have) is written as JSONL, read back under an explicit
@@ -953,5 +980,5 @@ object SurveyQueries {
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder,
     maintenanceIncrementalAgg, ingestCsvDirty,
-    ingestSchemaEvolution, ingestJsonl, ingestOrc)
+    ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestPartitioned)
 }

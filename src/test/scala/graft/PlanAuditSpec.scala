@@ -118,6 +118,14 @@ class PlanAuditSpec extends SparkSpec {
       s"JSON read lost the declared nested schema: $readSchema")
   }
 
+  test("ingest_partitioned: the priority filter prunes at the DIRECTORY level (PartitionFilters, not a data filter)") {
+    val p = plan("ingest_partitioned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderpriority"),
+      s"partition filter did not reach the directory level: $pf")
+    assert(nodes(p, "Scan parquet") == 1)
+  }
+
   test("dedup_containment: candidate-bound plan — no corpus-wide array gather, no cartesian") {
     val p = plan("dedup_containment")
     assert(!p.contains("collect_list"),
