@@ -371,9 +371,13 @@ object Dedup {
       // takes a lazy DISK_ONLY persist that materializes inside the SAME
       // job as the small-star checkpoint: one job + one reliable
       // checkpoint write per round, where checkpointing both half-rounds
-      // paid two of each (measured 6.5s → ~4s on dedup_cluster_star at
-      // sf0.1). Lineage still truncates every round at the small-star
-      // checkpoint, so plan growth stays bounded.
+      // paid two of each. Locally the variants measure within noise
+      // (same-session A/B at sf0.1: 9.5s lazy-persist vs 10.25s
+      // double-checkpoint on a contended box) — the shape is kept for
+      // the CLUSTER posture, where each skipped checkpoint write is a
+      // round trip to durable shared storage, not a local disk. Lineage
+      // still truncates every round at the small-star checkpoint, so
+      // plan growth stays bounded.
       val afterLarge = star(e, large = true).persist(StorageLevel.DISK_ONLY)
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = star(afterLarge, large = false)
