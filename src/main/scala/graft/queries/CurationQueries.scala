@@ -127,6 +127,63 @@ object CurationQueries {
       |  TRUE AS within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Corpus snapshot diff — the dataset-governance pass between two
+    * crawl/ingest versions: classify every doc id as added / removed /
+    * modified / unchanged by comparing content fingerprints across a
+    * FULL OUTER join on the id, and report per-source counts. The v2
+    * snapshot is synthesized with all three change classes (every 17th
+    * doc removed, every 13th re-crawled with changed content, a new-id
+    * slice added), so each branch of the classifier is value-gated.
+    * Scale: one shuffle per side on the id; only (id, source, 16-byte
+    * fingerprint) rows move — content never shuffles — and the
+    * aggregation is map-side partial. This is the audit a 100 TB corpus
+    * runs between snapshots before retraining: what churned, where. */
+  val curateSnapshotDiff: QueryDef = QueryDef(
+    "curate_snapshot_diff",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      def fpOf(df: org.apache.spark.sql.DataFrame, fpCol: String) =
+        df.select(col("doc_id"), col("source"), md5(col("text")).as(fpCol))
+      val v1 = fpOf(base, "fp1")
+      val v2 = fpOf(
+        base.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" recrawled")))
+              .otherwise(col("text")))
+          .unionByName(base.filter(col("doc_id") % 23 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"), col("text"),
+              col("source"))),
+        "fp2")
+      v1.join(v2.withColumnRenamed("source", "source2"), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp2").isNull, "removed")
+            .when(col("fp1").isNull, "added")
+            .when(col("fp1") =!= col("fp2"), "modified")
+            .otherwise("unchanged"))
+        .withColumn("src", coalesce(col("source"), col("source2")))
+        .groupBy(col("src"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("src", "status")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, source, md5(text) AS fp1 FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' recrawled' ELSE text END) AS fp2
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id, source, md5(text) AS fp2
+      |  FROM documents WHERE doc_id % 23 = 0),
+      |j AS (
+      |  SELECT COALESCE(v1.source, v2.source) AS src,
+      |    CASE WHEN fp2 IS NULL THEN 'removed'
+      |         WHEN fp1 IS NULL THEN 'added'
+      |         WHEN fp1 <> fp2 THEN 'modified'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      |SELECT src, status, count(*) AS n_docs
+      |FROM j GROUP BY src, status ORDER BY src, status""".stripMargin))
+
   /** Count-min frequency sketch audited by its ONE-SIDED error contract:
     * CM never undercounts (every counter the key hashes to saw all its
     * increments — `never_under` is a hard guarantee, not probabilistic)
@@ -744,7 +801,8 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     sketchKmvUnion,
-    sketchKmvDistinct, sketchHllDistinct, sketchCmTopk, qBloomJoin, mergeScd2,
+    sketchKmvDistinct, sketchHllDistinct, sketchCmTopk, curateSnapshotDiff,
+    qBloomJoin, mergeScd2,
     qSaltedAgg, qSkewAdaptive,
     qSkewAdaptiveList, qWindowRangeFrame, pipelineCurate,
     pipelineMultimodal, pipelineEpochPack, pipelineRag)

@@ -289,6 +289,19 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch order and packing no longer share the shard partitioning:\n${p.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("curate_snapshot_diff: document content never shuffles — only ids, sources and fingerprints cross an Exchange") {
+    val p = plan("curate_snapshot_diff")
+    assert(!p.contains("CartesianProduct"))
+    val exchangeIds = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1)).toSet
+    for (id <- exchangeIds) {
+      val detail = p.linesIterator.dropWhile(!_.startsWith(s"($id) Exchange"))
+        .takeWhile(l => l.startsWith(s"($id)") || !l.matches("^\\(\\d+\\).*"))
+        .mkString("\n")
+      assert(!detail.contains("text#"),
+        s"document text crossed Exchange ($id):\n$detail")
+    }
+  }
+
   test("round-9 codec queries: one sort exchange, no joins, payloads never cross an Exchange") {
     // mm_decode_gif / mm_frame_sample_mjpeg / mm_frame_sample_gif share
     // the codec-boundary shape: encode + decode both inside
