@@ -122,6 +122,12 @@ object Bench {
       // are deleted when their RDD is GC'd instead of accumulating one
       // carried-state copy per round until JVM exit
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // lz4 on reliable-checkpoint blocks (loop-carried state): measured
+      // a wash on this box's local disk (same-session A/B 7.30s vs 7.16s
+      // on dedup_cluster_star), kept because on a cluster the checkpoint
+      // dir is durable SHARED storage where the compressed bytes are the
+      // cost that matters
+      .config("spark.checkpoint.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign per-query WARN spam (e.g. WindowExec's

@@ -19,6 +19,7 @@ object Verify {
       .config("spark.sql.codegen.maxFields", "1500")
       // GC'd loop checkpoints are deleted, not accumulated (see Bench)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.checkpoint.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
