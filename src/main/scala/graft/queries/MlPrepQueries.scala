@@ -93,6 +93,63 @@ object MlPrepQueries {
       |  CAST((sum_rarity * 10000) // n_toks AS DOUBLE) / 10000.0 AS mean_rarity
       |FROM scored ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic source UPSAMPLING — the APPLY side of mix
+    * re-weighting (`mix_temperature` computes weights; this materializes
+    * a repeated-epoch mix from them): each source's docs repeat
+    * `ceil(max_source_count / source_count)` times, capped at 4 — the
+    * "small domains get more epochs" rule pretraining mixes use (e.g.
+    * up-sampling low-resource languages). Every repeat carries its
+    * epoch index so downstream shuffling/packing can keep copies apart.
+    * Plan: the per-source counts are a tiny agg broadcast back; the
+    * corpus expands row-locally via `explode(sequence(...))` — no
+    * shuffle of the repeated rows at all before the output sort, and
+    * the expansion factor is bounded by the cap. */
+  val mixUpsample: QueryDef = QueryDef(
+    "mix_upsample",
+    (s, d) => {
+      // the synthetic corpus has equal-sized sources, which would make
+      // every repeat factor 1 and the gate vacuous — skew it
+      // deterministically (source number mod 3 picks a 100%/50%/33%
+      // keep rate) so factors 1, 2 and 3 all materialize and the
+      // replication arithmetic is actually value-gated
+      // (doc_id div 20) decorrelates the keep decision from the
+      // round-robin source assignment (doc_id mod 20), so no source
+      // empties and all three factors materialize
+      val docs = Tables.documents(s, d)
+        .withColumn("srcnum", substring(col("source"), 4, 10).cast("int"))
+        .filter(expr("(doc_id div 20) % (srcnum % 3 + 1) = 0"))
+        .drop("srcnum")
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      val withMax = counts.crossJoin(
+        broadcast(counts.agg(max(col("n_src")).as("n_max"))))
+        .select(col("source"),
+          least(ceil(col("n_max").cast("double") / col("n_src")).cast("long"),
+            lit(4L)).as("n_epochs"))
+      docs.join(broadcast(withMax), "source")
+        .select(col("source"), col("doc_id"), col("n_epochs"),
+          explode(sequence(lit(0L), col("n_epochs") - 1)).as("epoch"))
+        .groupBy(col("source"), col("n_epochs"))
+        .agg(count(lit(1)).as("n_rows_out"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("epoch")).as("n_epochs_seen"))
+        .orderBy("source")
+    },
+    Some("""WITH docs AS (
+      |  SELECT * FROM documents
+      |  WHERE (doc_id // 20) % (CAST(substr(source, 4) AS INT) % 3 + 1) = 0),
+      |c AS (SELECT source, count(*) AS n_src FROM docs GROUP BY source),
+      |m AS (SELECT max(n_src) AS n_max FROM c),
+      |w AS (SELECT source,
+      |    least(CAST(ceil(CAST(n_max AS DOUBLE) / n_src) AS BIGINT), 4) AS n_epochs
+      |  FROM c, m)
+      |SELECT d.source, w.n_epochs,
+      |  count(*) * w.n_epochs AS n_rows_out,
+      |  count(DISTINCT d.doc_id) AS n_docs,
+      |  w.n_epochs AS n_epochs_seen
+      |FROM docs d JOIN w ON d.source = w.source
+      |GROUP BY d.source, w.n_epochs ORDER BY d.source""".stripMargin))
+
   /** Per-source document cap (domain balancing): keep the 5 largest
     * documents per source, deterministic tie-break on doc_id. The
     * row_number window triggers Spark's WindowGroupLimit rewrite — each
@@ -546,6 +603,7 @@ object MlPrepQueries {
   }
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
+    mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
     embProject)
