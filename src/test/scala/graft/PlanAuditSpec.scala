@@ -289,6 +289,14 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch order and packing no longer share the shard partitioning:\n${p.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("mix_upsample: repeated rows never shuffle — factors broadcast in, expansion row-local") {
+    val p = plan("mix_upsample")
+    assert(p.contains("Generate"), "epoch expansion lost its explode")
+    assert(nodes(p, "BroadcastHashJoin") >= 1, "factor table no longer broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled into the factor join — the factor side must broadcast")
+  }
+
   test("curate_snapshot_diff: document content never shuffles — only ids, sources and fingerprints cross an Exchange") {
     val p = plan("curate_snapshot_diff")
     assert(!p.contains("CartesianProduct"))
