@@ -62,6 +62,21 @@ object Sampling {
     df.filter(u < w)
   }
 
+  /** Deterministic uniform sample of EXACTLY `k` rows (or all rows when
+    * the input is smaller): the bottom k by md5(id) — the distributed
+    * equivalent of reservoir sampling, but reproducible and
+    * accretion-stable (a row's membership changes only when a new row
+    * hashes below the current kth, exactly as a true uniform-without-
+    * replacement sample must). Plans as TakeOrdered: a k-element heap
+    * per partition + a driver merge of k rows — no global sort, no
+    * shuffle of the corpus, O(k) driver memory. The standard way to cut
+    * a fixed-budget eval/calibration slice from a 100 TB corpus in one
+    * pass. */
+  def uniformK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    df.orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc).limit(k)
+  }
+
   def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String,
       fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")

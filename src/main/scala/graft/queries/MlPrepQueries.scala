@@ -440,6 +440,22 @@ object MlPrepQueries {
     * stable across engines, partitionings AND corpus growth (a doc's
     * split never moves when the corpus accretes), the property count-based
     * splits lack. See [[graft.ops.Sampling.deterministicSplit]]. */
+  /** Deterministic exactly-k uniform sample ([[graft.ops.Sampling.uniformK]]):
+    * bottom-150 by md5(doc_id) — the reproducible reservoir-sample
+    * equivalent, planned as TakeOrdered (per-partition k-heap + driver
+    * merge, no global sort). The oracle replays the same hash order. */
+  val sampleUniformK: QueryDef = QueryDef(
+    "sample_uniform_k",
+    (s, d) => graft.ops.Sampling.uniformK(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", k = 150)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM (
+      |  SELECT doc_id, source FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 150)
+      |ORDER BY doc_id""".stripMargin))
+
   val sampleHashSplit: QueryDef = QueryDef(
     "sample_hash_split",
     (s, d) => graft.ops.Sampling.deterministicSplit(
@@ -605,6 +621,6 @@ object MlPrepQueries {
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
-    sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
+    sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
     embProject)
 }

@@ -289,6 +289,14 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch order and packing no longer share the shard partitioning:\n${p.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("sample_uniform_k: exactly-k sample plans as TakeOrdered (k-heap per partition), never a global sort") {
+    val p = plan("sample_uniform_k")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k sample lost its TakeOrdered plan")
+    assert(nodes(p, "Exchange") == 0,
+      s"uniform-k sample grew a shuffle:\n${p.linesIterator.take(20).mkString("\n")}")
+  }
+
   test("mix_upsample: repeated rows never shuffle — factors broadcast in, expansion row-local") {
     val p = plan("mix_upsample")
     assert(p.contains("Generate"), "epoch expansion lost its explode")
