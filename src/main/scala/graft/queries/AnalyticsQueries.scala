@@ -160,14 +160,22 @@ object AnalyticsQueries {
       val apx = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("apx"))
+      // Tie-robust rank audit (round-10 ADVICE): a run of duplicates at the
+      // returned value occupies the whole rank interval [n_lt/n, n_le/n], and
+      // GK only promises SOME rank in that interval is within the bound — so
+      // the gate asserts the 0.5 target falls inside the interval widened by
+      // the bound, not that n_le/n alone lands near 0.5.
       li.join(broadcast(apx), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") < col("apx"), 1L).otherwise(0L))
+            .as("n_lt"),
           sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L))
             .as("n_le"))
         .select(col("l_returnflag"), col("n_rows"),
-          (abs(col("n_le").cast("double") / col("n_rows").cast("double") - 0.5)
-            <= 0.01).as("rank_within_bound"))
+          (col("n_lt").cast("double") / col("n_rows").cast("double") - 0.01 <= 0.5
+            && col("n_le").cast("double") / col("n_rows").cast("double") + 0.01 >= 0.5)
+            .as("rank_within_bound"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS n_rows, TRUE AS rank_within_bound

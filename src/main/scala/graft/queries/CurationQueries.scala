@@ -213,16 +213,26 @@ object CurationQueries {
         .limit(10)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      top.map { case (k, exact) =>
+      // Round-10 ADVICE: only `never_under` is a HARD (deterministic) CMS
+      // guarantee; `est <= exact + eps*n` holds per-key with 99% confidence,
+      // so asserting it as constant TRUE cross-engine would make the gate
+      // data-dependent (a regenerated corpus could legitimately violate it).
+      // The eps audit stays as a stderr diagnostic + SketchesSpec pin on the
+      // shipped deterministic data; the oracle crosses only the hard bound.
+      top.foreach { case (k, exact) =>
         val est = cms.estimateCount(Long.box(k))
-        (k, exact, est >= exact, est <= exact + slack)
+        System.err.println(
+          s"[sketch] cm_topk key=$k exact=$exact est=$est slack=$slack " +
+            s"within_eps=${est <= exact + slack}")
+      }
+      top.map { case (k, exact) =>
+        (k, exact, cms.estimateCount(Long.box(k)) >= exact)
       }.toSeq
-        .toDF("l_suppkey", "exact_cnt", "never_under", "within_eps")
+        .toDF("l_suppkey", "exact_cnt", "never_under")
         .orderBy("l_suppkey")
     },
     Some("""SELECT * FROM (
-      |  SELECT l_suppkey, count(*) AS exact_cnt,
-      |    TRUE AS never_under, TRUE AS within_eps
+      |  SELECT l_suppkey, count(*) AS exact_cnt, TRUE AS never_under
       |  FROM lineitem GROUP BY l_suppkey
       |  ORDER BY exact_cnt DESC, l_suppkey ASC LIMIT 10)
       |ORDER BY l_suppkey""".stripMargin))

@@ -293,9 +293,17 @@ object StreamingQueries {
       val (tbl, dropped) = EventStreams.drainToMemoryWithWatermarkDrops(
         EventStreams.hourlyAgg(stream), OutputMode.Append, "stream_late",
         statePartitions = Some(2))
+      // Round-10 ADVICE: `numRowsDroppedByWatermark` counts PARTIAL-aggregate
+      // rows reaching the state store, one per (group × input partition of the
+      // replay batch) — equal to the planted group count only while the
+      // coalesce(1) replay file reads as a single partition. The cross-engine
+      // gate is therefore >= (every planted group evicted, no double-count —
+      // the emitted counts already prove no replayed row landed); exact
+      // equality stays as a logged diagnostic of the single-partition read.
       System.err.println(
-        s"[stream] late_data: planted_groups=$nLate droppedByWatermark=$dropped")
-      tbl.withColumn("late_all_dropped", lit(nLate > 0 && dropped == nLate))
+        s"[stream] late_data: planted_groups=$nLate droppedByWatermark=$dropped" +
+          s" exact_single_partition=${dropped == nLate}")
+      tbl.withColumn("late_all_dropped", lit(nLate > 0 && dropped >= nLate))
         .orderBy("hour", "event_type")
     },
     // finalized-window predicate = Spark's exact eviction arithmetic:
@@ -372,7 +380,7 @@ object StreamingQueries {
       |  strftime(make_timestamp(start_sec * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
       |  n_events, total_value
       |FROM fin, b
-      |WHERE session_id < max_sid OR (last_sec + 1800) * 1000 <= wm_ms
+      |WHERE session_id < max_sid OR (last_sec + 1800) * 1000 < wm_ms
       |ORDER BY user_id, session_start""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(

@@ -71,6 +71,27 @@ class SketchesSpec extends SparkSpec {
     assert(hh.exists(_._1 == 7L) && !hh.exists(_._1 == 9999L))
   }
 
+  test("count-min eps bound holds for top-10 suppkeys on shipped sf0.001 data") {
+    // The within-eps audit that sketch_cm_topk used to assert cross-engine:
+    // est <= exact + ceil(eps*n) is a 99%-confidence (not hard) guarantee,
+    // so the driver oracle crosses only never_under; the eps pin lives here,
+    // deterministic for the fixed seed + shipped corpus.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val eps = 0.0005
+    val n = li.count()
+    val cms = Sketches.countMinSketch(li.select(col("l_suppkey")), "l_suppkey",
+      eps = eps)
+    val slack = math.ceil(eps * n).toLong
+    val top = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l_suppkey").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    top.foreach { case (k, exact) =>
+      val est = cms.estimateCount(Long.box(k))
+      assert(est >= exact, s"undercount for $k")
+      assert(est <= exact + slack, s"eps bound violated for $k: $est > $exact + $slack")
+    }
+  }
+
   test("heavy hitters with distributed candidate discovery find the hot keys") {
     val df = skewed
     // hot keys: k in 1..99 not divisible by 10 (200 rows each, 1% share);
