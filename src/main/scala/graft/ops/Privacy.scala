@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving release operators for training-data pipelines.
+  *
+  * [[kAnonymize]] enforces k-anonymity (Samarati & Sweeney 1998) over a
+  * quasi-identifier (QI) column set with a one-step generalization
+  * hierarchy: rows whose full-QI group reaches `k` are released as-is
+  * (level 0); rows in under-k groups are retried with the LAST QI column
+  * generalized away (level 1, the column set to NULL); rows still in an
+  * under-k group after generalization are suppressed (dropped). This is
+  * the release gate a pipeline applies before survey-style records (the
+  * reference's domain — Connect survey tables, see
+  * `/root/reference/core/constants.py:77` for the QI-bearing column
+  * shape) can feed a training corpus.
+  *
+  * 100 TB shape: the corpus is NEVER shuffled. Group sizes are one
+  * map-side-combined aggregation whose output is bounded by QI
+  * cardinality (tiny); the level-1 sizes derive from the level-0 counts
+  * alone (`sum` of failing child groups per parent — no second corpus
+  * pass); both failing-key sets broadcast, and the release decision is a
+  * row-local two-flag CASE fused with the scan. A hot QI cell (the skew
+  * case) only makes its COUNT hot, which the partial aggregation
+  * absorbs; no per-row state ever concentrates.
+  *
+  * Null semantics: QI columns join null-safely (`<=>`), so rows with a
+  * NULL QI value form their own group rather than silently escaping the
+  * k test — NULL is itself identifying.
+  */
+object Privacy {
+
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int,
+      levelCol: String = "anon_level"): DataFrame = {
+    require(qiCols.size >= 2, "need at least 2 QI columns to generalize one away")
+    require(k >= 2, "k-anonymity needs k >= 2")
+    val parent = qiCols.dropRight(1)
+    val last = qiCols.last
+    val lastType = df.schema(last).dataType
+
+    // level-0 group sizes: bounded by QI-combination cardinality
+    val counts0 = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__n0"))
+    val fail0 = counts0.filter(col("__n0") < k)
+    // level-1 sizes derived from the level-0 counts — only rows of
+    // FAILING level-0 groups participate in a level-1 group, so the
+    // parent size is the sum of its failing children
+    val fail1 = fail0.groupBy(parent.map(col): _*)
+      .agg(sum(col("__n0")).as("__n1"))
+      .filter(col("__n1") < k)
+
+    // the flag tables derive FROM df (self-join lineage) — rename their
+    // QI columns so resolution is unambiguous by construction
+    val f0 = broadcast(fail0.select(
+      qiCols.map(c => col(c).as(s"__q0_$c")) :+ lit(1).as("__f0"): _*))
+    val f1 = broadcast(fail1.select(
+      parent.map(c => col(c).as(s"__q1_$c")) :+ lit(1).as("__f1"): _*))
+
+    val released = df
+      .join(f0, qiCols.map(c => col(c) <=> col(s"__q0_$c")).reduce(_ && _), "left")
+      .join(f1, parent.map(c => col(c) <=> col(s"__q1_$c")).reduce(_ && _), "left")
+      .withColumn(levelCol,
+        when(col("__f0").isNull, lit(0))
+          .when(col("__f1").isNull, lit(1)))
+      .filter(col(levelCol).isNotNull)
+    val outCols = df.columns.map {
+      case c if c == last =>
+        when(col(levelCol) === 1, lit(null).cast(lastType))
+          .otherwise(df(c)).as(last)
+      case c => df(c)
+    } :+ col(levelCol)
+    released.select(outCols.toIndexedSeq: _*)
+  }
+}

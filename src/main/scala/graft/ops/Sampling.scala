@@ -168,4 +168,34 @@ object Sampling {
       .withColumn(posCol, row_number().over(w).cast("long"))
       .drop(hc)
   }
+
+  /** Deterministic exactly-k-PER-GROUP uniform sample: within each group,
+    * the bottom k rows by md5(id) — [[uniformK]]'s per-stratum twin, for
+    * balanced eval slices ("200 docs from every source") where a global
+    * budget would starve small groups.
+    *
+    * Scale shape: NOT a ranking window (which shuffles every row of the
+    * corpus on the group key and sorts). The per-group bottom-k is the
+    * bounded-heap [[graft.functions.TopKPairs]] aggregate — each map task
+    * forwards at most k (hash, id) pairs per group to the shuffle, so
+    * shuffle volume is O(groups x k) regardless of corpus size, and a hot
+    * group costs its partial heaps, never a sort. The hash score is the
+    * 52-bit md5 prefix (exactly representable in the aggregate's Double
+    * score, so heap order == the oracle's hex-string order; ties fall to
+    * the aggregate's id-ASC rule, the same order the oracle's
+    * (hash, id) sort yields).
+    *
+    * Returns (group columns, rank 1..k by hash order, id). Ids must be
+    * non-null for a reproducible draw (the [[nullSafeIdHash]] caveat). */
+  def groupK(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val score = -conv(substring(md5(coalesce(col(idCol).cast("string"), lit(""))),
+      1, 13), 16, 10).cast("long").cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.topk_pairs(score, col(idCol), k).as("__tk"))
+      .select(groupCols.map(col) :+ posexplode(col("__tk")).as(Seq("__pos", "__p")): _*)
+      .select(groupCols.map(col) :+ (col("__pos") + 1).cast("long").as("rk") :+
+        col("__p.id").as(idCol): _*)
+  }
 }

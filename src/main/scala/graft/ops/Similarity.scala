@@ -56,6 +56,49 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rk"),
         col("p.id").as("cand_id"), round(col("p.score"), 4).as("cos_r"))
 
+  /** Margin-based candidate mining (the ratio margin of Artetxe &
+    * Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings"): for each query, the best corpus match scored
+    * RELATIVE to the local cosine neighborhood — margin = cos(best) /
+    * mean(top-k cos). A raw cosine threshold misfires in dense regions
+    * (hubs score high against everything); the margin normalizes by the
+    * hub's own neighborhood, the standard alignment-mining gate
+    * (bitext mining, semantic near-dup triage, retrieval calibration).
+    *
+    * Determinism across engines: the top-k extraction is the exact
+    * bounded-heap [[rankTopK]] path; the mean is a FIXED-ORDER
+    * left-associated sum over the rank-ordered scores (element_at on the
+    * best-first array), so the one IEEE sum+divide at the boundary is the
+    * same expression tree the oracle writes. Scale: identical to
+    * [[bruteForceTopK]] (broadcast queries, map-side heaps) — swap the
+    * scorer for an ANN route ([[annTopK]], [[Pq]]) when the corpus side
+    * outgrows brute force; the margin algebra is unchanged. */
+  def marginTopK(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    require(k >= 2, "margin needs at least 2 neighbors")
+    val queries = emb.filter(isQuery).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
+    val corpus = emb.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val tk = scored.groupBy(col("query_id"))
+      .agg(graft.functions.topk_pairs(col("cos"), col("cand_id"), k).as("topk"))
+    // left-associated fixed-order sum: ((s1 + s2) + ...) + sk
+    val meanTopK = (2 to k).foldLeft(element_at(col("topk"), 1).getField("score")) {
+      (acc, i) => acc + element_at(col("topk"), i).getField("score")
+    } / lit(k.toDouble)
+    tk.select(col("query_id"),
+        element_at(col("topk"), 1).getField("id").as("best_id"),
+        round(element_at(col("topk"), 1).getField("score"), 4).as("cos_r"),
+        round(element_at(col("topk"), 1).getField("score") / meanTopK, 4)
+          .as("margin_r"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `isQuery`), the k nearest corpus vectors by cosine. The query side is
     * broadcast; ranking is the map-side-bounded heap aggregate. */

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Privacy, Sampling}
+
+/** Data-governance operators a production training-data pipeline runs
+  * before anything ships: k-anonymity release gating, Deequ-style
+  * declarative data-quality constraint audits, and balanced per-group
+  * sampling. (The reference's governance surface is the sensitive-tier
+  * projection, `/root/reference/core/transformations.py:727` — these are
+  * the engine-grade generalizations of that gate.)
+  *
+  * House determinism rules apply: exact integer/DECIMAL interiors, one
+  * IEEE expression at the boundary written identically in both engines.
+  */
+object GovernanceQueries {
+
+  /** k-anonymity with one-step generalization ([[graft.ops.Privacy]]):
+    * QI = (nation, market segment, account-balance band). Full-QI groups
+    * of >= 3 release at level 0; failing rows retry with the band
+    * generalized to NULL (level 1); still-failing rows are suppressed.
+    * The oracle replays both levels as window counts — the engine's
+    * derivation of level-1 sizes from level-0 counts (no second corpus
+    * pass) must agree with the oracle's direct recount. */
+  val privacyKAnon: QueryDef = QueryDef(
+    "privacy_k_anon",
+    (s, d) => {
+      val qi = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / lit(2000.0)).cast("long").as("bal_band"))
+      Privacy.kAnonymize(qi, Seq("nation", "mktsegment", "bal_band"), k = 3)
+        .orderBy("c_custkey")
+    },
+    Some("""WITH b AS (
+      |  SELECT c_custkey, c_nationkey AS nation, c_mktsegment AS mktsegment,
+      |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band FROM customer),
+      |l0 AS (SELECT *, count(*) OVER (PARTITION BY nation, mktsegment, bal_band) AS n0 FROM b),
+      |f AS (SELECT *, count(*) OVER (PARTITION BY nation, mktsegment) AS n1
+      |      FROM l0 WHERE n0 < 3)
+      |SELECT * FROM (
+      |  SELECT c_custkey, nation, mktsegment, bal_band, 0 AS anon_level
+      |  FROM l0 WHERE n0 >= 3
+      |  UNION ALL
+      |  SELECT c_custkey, nation, mktsegment, CAST(NULL AS BIGINT), 1
+      |  FROM f WHERE n1 >= 3)
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** Declarative data-quality constraint audit (the Deequ/"unit tests
+    * for data" shape, Schelter et al. 2018): five constraints —
+    * completeness, key uniqueness, numeric range, value-set membership,
+    * regex pattern — evaluated in ONE aggregation pass over the table
+    * (each constraint is a conditional-count column; no per-constraint
+    * scans), then unpivoted to a (constraint, metric, passed) report.
+    * Metrics are exact-integer ratios with the single divide at the
+    * boundary. 100 TB: one map-side-combined scan, 6 longs per task. */
+  val auditConstraints: QueryDef = QueryDef(
+    "audit_constraints",
+    (s, d) => Tables.orders(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("o_custkey")).as("n_c"),
+        countDistinct(col("o_orderkey")).as("n_k"),
+        sum(when(col("o_totalprice") > 0.0 && col("o_totalprice") < 1000000.0,
+          1L).otherwise(0L)).as("n_p"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("n_s"),
+        sum(when(col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 1L)
+          .otherwise(0L)).as("n_pr"))
+      .selectExpr("""stack(5,
+        'completeness_custkey', CAST(n_c AS DOUBLE) / n, n_c = n,
+        'pattern_orderpriority', CAST(n_pr AS DOUBLE) / n, n_pr = n,
+        'range_totalprice', CAST(n_p AS DOUBLE) / n, n_p = n,
+        'set_orderstatus', CAST(n_s AS DOUBLE) / n, n_s = n,
+        'uniqueness_orderkey', CAST(n_k AS DOUBLE) / n, n_k = n
+        ) AS (constraint_name, metric, passed)""")
+      .orderBy("constraint_name"),
+    Some("""WITH m AS (SELECT count(*) AS n, count(o_custkey) AS n_c,
+      |    count(DISTINCT o_orderkey) AS n_k,
+      |    sum(CASE WHEN o_totalprice > 0.0 AND o_totalprice < 1000000.0
+      |        THEN 1 ELSE 0 END) AS n_p,
+      |    sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS n_s,
+      |    sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+      |        THEN 1 ELSE 0 END) AS n_pr
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'completeness_custkey' AS constraint_name,
+      |    CAST(n_c AS DOUBLE) / n AS metric, n_c = n AS passed FROM m
+      |  UNION ALL SELECT 'pattern_orderpriority', CAST(n_pr AS DOUBLE) / n, n_pr = n FROM m
+      |  UNION ALL SELECT 'range_totalprice', CAST(n_p AS DOUBLE) / n, n_p = n FROM m
+      |  UNION ALL SELECT 'set_orderstatus', CAST(n_s AS DOUBLE) / n, n_s = n FROM m
+      |  UNION ALL SELECT 'uniqueness_orderkey', CAST(n_k AS DOUBLE) / n, n_k = n FROM m)
+      |ORDER BY constraint_name""".stripMargin))
+
+  /** Exactly-20-per-source deterministic sample
+    * ([[graft.ops.Sampling.groupK]]): the balanced eval-slice draw. The
+    * engine's bounded-heap aggregate (O(groups x k) shuffle rows) must
+    * reproduce the oracle's full ranking window over the md5 hash
+    * order — same rows, same ranks. */
+  val sampleGroupK: QueryDef = QueryDef(
+    "sample_group_k",
+    (s, d) => Sampling.groupK(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("source"), "doc_id", k = 20)
+      .orderBy("source", "rk"),
+    Some("""SELECT source, rk, doc_id FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |      PARTITION BY source
+      |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) ASC, doc_id ASC
+      |    ) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY source, rk""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(privacyKAnon, auditConstraints, sampleGroupK)
+}

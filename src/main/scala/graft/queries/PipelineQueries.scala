@@ -426,6 +426,40 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
+  /** Margin-based alignment mining ([[graft.ops.Similarity.marginTopK]],
+    * the Artetxe & Schwenk 2019 ratio margin): each query's best match
+    * scored relative to its top-4 cosine neighborhood — the hub-robust
+    * gate bitext mining and semantic-dedup triage use instead of a raw
+    * cosine threshold. The oracle replays the brute top-4 ranking and
+    * the SAME left-associated mean, so margin values hash-match. */
+  val simBitextMargin: QueryDef = QueryDef(
+    "sim_bitext_margin",
+    (s, d) => Similarity.marginTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 50 === 0, k = 4)
+      .orderBy("query_id"),
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, cand_id,
+      |    list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))) AS cos
+      |  FROM c, q WHERE query_id <> cand_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+      |  FROM scored),
+      |t AS (SELECT query_id,
+      |    max(CASE WHEN rk = 1 THEN cand_id END) AS best_id,
+      |    max(CASE WHEN rk = 1 THEN cos END) AS c1,
+      |    max(CASE WHEN rk = 2 THEN cos END) AS c2,
+      |    max(CASE WHEN rk = 3 THEN cos END) AS c3,
+      |    max(CASE WHEN rk = 4 THEN cos END) AS c4
+      |  FROM ranked WHERE rk <= 4 GROUP BY query_id)
+      |SELECT query_id, best_id, round(c1, 4) AS cos_r,
+      |  round(c1 / ((((c1 + c2) + c3) + c4) / 4.0), 4) AS margin_r
+      |FROM t ORDER BY query_id""".stripMargin))
+
   /** Sign-LSH ANN top-5. Hyperplanes are md5-derived ±1 vectors, so the
     * oracle regenerates them and recomputes buckets + cosines exactly
     * (multiplying by ±1 is exact, making the projection bit-identical
@@ -1670,7 +1704,8 @@ object PipelineQueries {
     dedupNgramJaccard, dedupContainment, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
-    textPercentiles, simTopkBrute, simAnnLsh, simIvf, simTopkInt8, simPqAdc,
+    textPercentiles, simTopkBrute, simBitextMargin, simAnnLsh, simIvf,
+    simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams,

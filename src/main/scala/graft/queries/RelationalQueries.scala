@@ -268,6 +268,46 @@ object RelationalQueries {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin))
 
+  /** `q_events_sessions`'s NATIVE twin: Spark's built-in `session_window`
+    * generator instead of the lag/flag/running-sum window algebra. The
+    * two define sessions identically — session_window merges events whose
+    * gap is <= the 30-min gap duration (adjacent ranges merge; verified
+    * empirically: two events exactly 1800s apart form ONE session, 1µs
+    * over forms two — SessionWindowSpec pins the boundary), which is
+    * exactly the lag formulation's "new session iff diff > 1800".
+    * The oracle replays the lag algebra at MICROSECOND precision
+    * (epoch_us diffs, not second-truncated unix_timestamp — session_window
+    * compares raw event times). Scale: one shuffle on user_id, then an
+    * in-partition sort+merge — same exchange count as the window route,
+    * but a single operator Catalyst plans directly. */
+  val qSessionWindowNative: QueryDef = QueryDef(
+    "q_session_window_native",
+    (s, d) => Tables.events(s, d).filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin))
+
   /** Correlated-subquery shape — customers richer than their nation's
     * average balance — decorrelated manually into an aggregate+join so
     * the arithmetic stays in exact DECIMAL (balance * n > sum instead of
@@ -399,5 +439,6 @@ object RelationalQueries {
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
     qSetOps, qTopkOrders, qEventsHourly, qRollup, qEventsSessions,
+    qSessionWindowNative,
     qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs)
 }

@@ -30,6 +30,25 @@ class PipelineSpec extends SparkSpec {
       s"ANN precision vs brute-force top-20 too low: $recallable/${ann.length}")
   }
 
+  test("margin mining: best match = brute top-1, margin >= 1, hub-normalized") {
+    val emb = Tables.embeddings(spark, sf)
+    val isQuery = col("vec_id") % 50 === 0
+    val brute1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQuery, k = 1)
+      .select("query_id", "cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = Similarity.marginTopK(emb, "vec_id", "embedding", isQuery, k = 4)
+      .collect()
+    assert(m.nonEmpty, "margin mining returned nothing")
+    m.foreach { r =>
+      val (q, best, cos, margin) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(brute1(q) == best, s"query $q: best_id $best != brute top-1 ${brute1(q)}")
+      // for a positive best cosine: best >= each of top-4 => best >= their
+      // mean => ratio margin >= 1 (the sign flips the inequality otherwise)
+      if (cos > 0) assert(margin >= 1.0, s"query $q: margin $margin < 1")
+    }
+  }
+
   test("IVF ANN results are genuinely similar vectors (within brute-force top-20)") {
     val emb = Tables.embeddings(spark, sf)
     val isQuery = col("vec_id") % 50 === 0

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Privacy
+
+/** Invariants of the k-anonymity release gate ([[graft.ops.Privacy]])
+  * on adversarial synthetic QI distributions — the properties the
+  * driver-gated `privacy_k_anon` query cannot isolate. */
+class PrivacySpec extends SparkSpec {
+
+  // 3 QI columns; engineered group sizes:
+  //  (a, x, 0): 5 rows  -> level 0
+  //  (a, x, 1): 2 rows  -> fails L0; parent (a, x) fail-sum = 2 + 1 = 3 -> level 1
+  //  (a, x, 2): 1 row   -> fails L0; same parent                       -> level 1
+  //  (b, y, 0): 2 rows  -> fails L0; parent (b, y) fail-sum = 2 < 3    -> suppressed
+  //  (c, null, 0): 3 rows -> NULL QI value forms its own level-0 group
+  private def qiRows = {
+    val s = spark
+    import s.implicits._
+    (Seq.fill(5)(("a", "x", 0)) ++ Seq.fill(2)(("a", "x", 1)) ++
+      Seq(("a", "x", 2)) ++ Seq.fill(2)(("b", "y", 0)) ++
+      Seq.fill(3)(("c", null.asInstanceOf[String], 0)))
+      .zipWithIndex.map { case ((g1, g2, band), i) => (i.toLong, g1, g2, band) }
+      .toDF("id", "g1", "g2", "band")
+  }
+
+  test("k-anon: release levels, generalization, and suppression are exact") {
+    val out = Privacy.kAnonymize(qiRows, Seq("g1", "g2", "band"), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .sortBy(_._1)
+    // ids 0-4: (a,x,0) level 0, band kept
+    assert(out.filter(_._1 <= 4).forall { case (_, lvl, b) => lvl == 0 && b == Some(0) })
+    // ids 5-7: (a,x,1)+(a,x,2) generalize to (a,x) at level 1, band nulled
+    assert(out.filter(t => t._1 >= 5 && t._1 <= 7)
+      .forall { case (_, lvl, b) => lvl == 1 && b.isEmpty })
+    // ids 8-9: (b,y) fail-sum 2 < k -> suppressed entirely
+    assert(!out.exists(t => t._1 == 8 || t._1 == 9), "under-k rows leaked")
+    // ids 10-12: NULL g2 is its own group of 3 -> released at level 0
+    assert(out.filter(_._1 >= 10).map(_._1).toSeq == Seq(10L, 11L, 12L))
+    assert(out.count(_._2 == 0) == 8 && out.count(_._2 == 1) == 3)
+  }
+
+  test("k-anon: every released group satisfies k at its own level") {
+    val released = Privacy.kAnonymize(qiRows, Seq("g1", "g2", "band"), k = 3)
+    val l0 = released.filter(col("anon_level") === 0)
+      .groupBy("g1", "g2", "band").count().collect().map(_.getLong(3))
+    val l1 = released.filter(col("anon_level") === 1)
+      .groupBy("g1", "g2").count().collect().map(_.getLong(2))
+    assert(l0.forall(_ >= 3), s"level-0 group under k: ${l0.mkString(",")}")
+    assert(l1.forall(_ >= 3), s"level-1 group under k: ${l1.mkString(",")}")
+  }
+
+  test("k-anon: a passing level-0 group is never generalized by a failing sibling") {
+    val s = spark
+    import s.implicits._
+    // (a, x, 0) passes alone; (a, x, 1) fails and its parent fail-sum (1)
+    // also fails -> suppressed. The passing group must keep its band.
+    val df = (Seq.fill(3)(("a", "x", 0)) ++ Seq(("a", "x", 1)))
+      .zipWithIndex.map { case ((g1, g2, b), i) => (i.toLong, g1, g2, b) }
+      .toDF("id", "g1", "g2", "band")
+    val out = Privacy.kAnonymize(df, Seq("g1", "g2", "band"), k = 3).collect()
+    assert(out.length == 3 && out.forall(r => r.getInt(4) == 0 && r.getInt(3) == 0))
+  }
+}

@@ -68,6 +68,31 @@ class SamplingSpec extends SparkSpec {
       "shuffle order depends on input partitioning")
   }
 
+  test("groupK: exactly min(k, |group|) rows per group, equal to the window formulation") {
+    val s = spark
+    import s.implicits._
+    // group sizes 3, 20, 200 — straddle k = 10 on both sides
+    val df = ((1 to 3).map(i => ("small", i.toLong * 7)) ++
+      (1 to 20).map(i => ("mid", 1000L + i)) ++
+      (1 to 200).map(i => ("big", 5000L + i))).toDF("g", "id")
+    val got = Sampling.groupK(df, Seq("g"), "id", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySize = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySize == Map("small" -> 3, "mid" -> 10, "big" -> 10), s"$bySize")
+    // window-formulation ground truth: rank by 52-bit md5 prefix, id asc
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(substring(md5(col("id").cast("string")), 1, 13).asc, col("id").asc)
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("g", "rk", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == want.toSet, "heap draw differs from the ranking window")
+    // reproducible under adversarial partitioning
+    val again = Sampling.groupK(df.repartition(17), Seq("g"), "id", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
+
   test("epochShuffle fails fast when an output column already exists") {
     val df = (1L to 10L).toDF("id").withColumn("shard", lit(0))
     val e = intercept[IllegalArgumentException] {
