@@ -383,8 +383,108 @@ object StreamingQueries {
       |WHERE session_id < max_sid OR (last_sec + 1800) * 1000 < wm_ms
       |ORDER BY user_id, session_start""".stripMargin))
 
+  /** NATIVE session windows on a stream — the tenth streaming capability
+    * class: `session_window` merged incrementally in the state store
+    * across micro-batches (vs `stream_sessions`' hand-rolled
+    * `flatMapGroupsWithState`). The 6-file ts-ordered replay makes
+    * sessions span batch boundaries, so the state-store session MERGE
+    * path (not just insertion) is exercised. Append mode emits a merged
+    * session only once the watermark passes its end (last event + gap) —
+    * unlike the sessionizer there is no closed-by-data early emission.
+    * The oracle replays the same µs-precision gap algebra as
+    * `q_session_window_native` (the merge boundary is pinned in
+    * SessionWindowSpec) restricted to watermark-finalized sessions,
+    * using the tumbling-window family's eviction arithmetic
+    * (end <= ms-floored watermark; µs-grain timestamps keep the
+    * boundary equality unobservable, as with every gate in this file).
+    * Scale contract: state is one merged (user, session) range per open
+    * session, evicted at watermark passage — bounded by session
+    * concurrency, not stream length. */
+  val streamSessionWindow: QueryDef = QueryDef(
+    "stream_session_window",
+    (s, d) => {
+      val stream = EventStreams.eventsMultiBatchStream(s, d, nFiles = 6)
+        .filter(col("user_id") % 10 === 0)
+        .withWatermark("ts", "30 minutes")
+      EventStreams.drainToMemory(
+          stream.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(DecimalType(18, 4))).cast("double")
+                .as("total_value")),
+          OutputMode.Append, "stream_swin", statePartitions = Some(2))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE user_id % 10 = 0),
+      |b AS (SELECT (epoch_us(max(ts)) // 1000 - 1800000) AS wm_ms FROM e),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, min(ts) AS ts_start, max(epoch_us(ts)) AS last_us,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, strftime(ts_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  n_events, total_value
+      |FROM agg, b WHERE last_us + 1800000000 <= wm_ms * 1000
+      |ORDER BY user_id, session_start""".stripMargin))
+
+  /** Streaming heavy hitters driver-gated — the eleventh capability
+    * class: a bounded mergeable summary (SpaceSaving,
+    * [[EventStreams.spaceSavingHitters]]) maintained in keyed state and
+    * read out as the final per-type top-10. Gate determinism: capacity
+    * 4096 exceeds every type's distinct-user count at all shipped SFs
+    * (max 1500 at sf0.1), so no eviction occurs and the tracked counts
+    * are EXACT — the oracle is the plain groupBy count ranked with the
+    * operator's own tie-break (cnt desc, user_id string asc). The
+    * under-capacity eviction path (where entries become arrival-order
+    * dependent and only the classical error bound holds) stays
+    * spec-pinned in StreamingSpec — no cross-engine oracle can replay
+    * arrival order. State: O(capacity) per event type, forever. */
+  val streamHitters: QueryDef = QueryDef(
+    "stream_hitters",
+    (s, d) => {
+      val drained = EventStreams.drainToMemory(
+        EventStreams.spaceSavingHitters(EventStreams.readEvents(s, d),
+          capacity = 4096, topN = 10).toDF(),
+        OutputMode.Update, "stream_hitters", statePartitions = Some(8))
+      // final row per type = the one with the largest n_seen (monotonic)
+      drained.groupBy(col("event_type"))
+        .agg(max_by(struct(col("n_seen"), col("top")), col("n_seen")).as("f"))
+        .select(col("event_type"), col("f.n_seen").as("n_seen"),
+          posexplode(col("f.top")).as(Seq("pos", "h")))
+        .select(col("event_type"), col("n_seen"),
+          (col("pos") + 1).cast("long").as("rk"),
+          col("h.user_id").as("user_id"), col("h.cnt").as("cnt"))
+        .orderBy("event_type", "rk")
+    },
+    Some("""WITH c AS (
+      |  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, user_id, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_seen,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cnt DESC, user_id ASC) AS rk
+      |  FROM c)
+      |SELECT event_type, n_seen, rk, user_id, cnt
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY event_type, rk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
-    streamSessions)
+    streamSessions, streamSessionWindow, streamHitters)
 }

@@ -234,6 +234,35 @@ class StreamingSpec extends SparkSpec {
         s"only-in-6=${six.diff(two).take(3)}")
   }
 
+  test("native session_window stream is file-split invariant (2-batch == 6-batch drive)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types.DecimalType
+    // sessions MERGE in the state store when split across micro-batches;
+    // the emitted (watermark-finalized) session set must depend only on
+    // the data and the final watermark, never on the file split
+    def run(nFiles: Int): Set[(Long, java.sql.Timestamp, Long, Double)] =
+      EventStreams.drainToMemory(
+          EventStreams.eventsMultiBatchStream(spark, sf, nFiles)
+            .filter(col("user_id") % 10 === 0)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(DecimalType(18, 4))).cast("double")
+                .as("total_value")),
+          OutputMode.Append, s"swin_split_$nFiles", statePartitions = Some(2))
+        .select(col("user_id"), col("session_window.start"), col("n_events"),
+          col("total_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val two = run(2)
+    val six = run(6)
+    assert(two.nonEmpty, "session_window stream emitted nothing")
+    assert(two == six,
+      s"session set depends on the file split: only-in-2=${two.diff(six).take(3)} " +
+        s"only-in-6=${six.diff(two).take(3)}")
+  }
+
   test("stateful sessionizer runs and emits sessions on timeout-free drain") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, sf)
