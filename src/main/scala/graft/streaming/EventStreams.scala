@@ -239,7 +239,30 @@ object EventStreams {
     * Scale: state is keyed by user_id (the equi-join key → one shuffle
     * per side); the range width bounds per-key state volume, and late
     * data beyond the watermark is discarded rather than buffered. */
-  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame =
+    purchaseClickJoin(events, "inner")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+
+  /** LEFT OUTER purchase–click interval join: every matched pair emits
+    * eagerly (identical to the inner join), and a purchase with NO click
+    * in its 1-hour lookback emits once with a null click side — but only
+    * after the watermark proves no matching click can still arrive and
+    * the purchase's buffered state is evicted. From the join condition
+    * `c_ts <= p_ts`, any future click for purchase p has `c_ts >= wm`,
+    * so p is provably unmatched once `p_ts < wm` — Spark derives exactly
+    * this state-value watermark from the condition
+    * (StreamingJoinHelper), and the null row emits on the eviction pass.
+    * Purchases above the final watermark remain buffered and deliberately
+    * DON'T emit a null row: the stream cannot yet know they are
+    * unmatched. State: both sides bounded by the 1-hour condition span +
+    * watermark delay, as with the inner variant. */
+  def purchasesWithClicksLeftOuter(events: DataFrame): DataFrame =
+    purchaseClickJoin(events, "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+
+  private def purchaseClickJoin(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
@@ -251,9 +274,8 @@ object EventStreams {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
-        col("c_ts") <= col("p_ts"))
-      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
-        col("p_ts"), col("c_ts"))
+        col("c_ts") <= col("p_ts"),
+      joinType)
   }
 
   /** Stream–static enrichment: every event joined to a static dimension

@@ -234,6 +234,30 @@ class StreamingSpec extends SparkSpec {
         s"only-in-6=${six.diff(two).take(3)}")
   }
 
+  test("left-outer interval join: null rows are file-split invariant and disjoint from matches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // across a multi-batch drive, null rows trickle out as the watermark
+    // advances; the FINAL emitted set (matches + nulls) must equal the
+    // one-shot drain's — eviction timing is pacing, not semantics
+    def run(src: org.apache.spark.sql.DataFrame, tag: String) =
+      EventStreams.drainToMemory(
+          EventStreams.purchasesWithClicksLeftOuter(src),
+          OutputMode.Append, s"louter_$tag", statePartitions = Some(2))
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val oneShot = run(EventStreams.readEvents(spark, sf), "one")
+    val multi = run(EventStreams.eventsMultiBatchStream(spark, sf, nFiles = 4), "multi")
+    assert(oneShot.nonEmpty && oneShot == multi,
+      s"outer-join result depends on batching: only-one=${oneShot.diff(multi).take(3)} " +
+        s"only-multi=${multi.diff(oneShot).take(3)}")
+    // a purchase never emits both a matched row and a null row
+    val nullIds = oneShot.collect { case (_, p, -1L) => p }
+    val matchedIds = oneShot.collect { case (_, p, c) if c != -1L => p }.toSet
+    assert(nullIds.forall(!matchedIds.contains(_)), "null row for a matched purchase")
+  }
+
   test("native session_window stream is file-split invariant (2-batch == 6-batch drive)") {
     import org.apache.spark.sql.streaming.OutputMode
     import org.apache.spark.sql.types.DecimalType
