@@ -468,6 +468,109 @@ object TextOps {
     }
   }
 
+  /** Remove cross-document DUPLICATED SPANS: any word whose position is
+    * covered by some OVERLAPPING k-gram occurring in >= `minDocs`
+    * distinct documents is struck; documents reassemble from the
+    * surviving words. This is the apply side of [[dupGramStats]] — the
+    * fixed-k approximation of exact-substring training-data dedup (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", which removes 50-token repeated substrings via a suffix
+    * array; a k-gram hit set marks the same spans without the global
+    * suffix sort, at the cost of missing duplicates shorter than k).
+    * Unlike [[removeFrequentSegments]] (disjoint k-word BLOCKS), spans
+    * overlap: covered = union of [start, start+k) over every frequent
+    * gram start, so a duplicated run of any length >= k is removed in
+    * full while its unique flanks survive.
+    *
+    * Same bounded-broadcast/distributed-fallback scale contract as
+    * [[removeFrequentSegments]]: the frequent-gram set broadcasts when
+    * it fits (`maxBroadcastGrams`), making the rewrite ONE narrow typed
+    * pass fused with the scan (per doc: one boolean coverage array, one
+    * sliding gram walk); above the cap, an automatic distributed rewrite
+    * (gram-start rows shuffle-joined against the frequent set, covered
+    * positions exploded + distinct'd, kept words reassembled by
+    * position) produces byte-identical output — pinned in MlPrepSpec at
+    * the cap boundary.
+    *
+    * Output: (`idCol`, cleaned_text, n_removed_words); a fully-duplicated
+    * document comes back as the empty string, not null. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int, maxBroadcastGrams: Int = 1 << 20): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would delete every gram")
+    require(k >= 1, "gram width must be >= 1")
+    require(maxBroadcastGrams >= 0, "maxBroadcastGrams must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = wordShingleRows(docs, idCol, textCol, k)
+      .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+    val probe = freq.select(col("sh")).limit(maxBroadcastGrams + 1)
+      .as[String].collect()
+    if (probe.length <= maxBroadcastGrams) {
+      val bc = spark.sparkContext.broadcast(probe.toSet)
+      docs.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val ws = norm.split(" ", -1)
+          val n = ws.length
+          if (n < k) (id, norm, 0L)
+          else {
+            val covered = new Array[Boolean](n)
+            var i = 0
+            while (i <= n - k) {
+              if (bc.value.contains(ws.view.slice(i, i + k).mkString(" "))) {
+                var j = i; while (j < i + k) { covered(j) = true; j += 1 }
+              }
+              i += 1
+            }
+            val kept = new StringBuilder
+            var removed = 0L
+            var p = 0
+            while (p < n) {
+              if (covered(p)) removed += 1
+              else { if (kept.nonEmpty) kept.append(' '); kept.append(ws(p)) }
+              p += 1
+            }
+            (id, kept.toString, removed)
+          }
+        }.toDF(idCol, "cleaned_text", "n_removed_words")
+    } else {
+      // distributed rewrite: non-distinct gram-START rows (0-based) join
+      // the frequent set; covered positions explode + distinct; kept
+      // words reassemble by position. One corpus shuffle, no driver set.
+      val gramStarts = docs
+        .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val ws = norm.split(" ", -1)
+          (0 to ws.length - k).iterator
+            .map(i => (id, i, ws.view.slice(i, i + k).mkString(" ")))
+        }.toDF("id", "st", "sh")
+      val cov = gramStarts
+        .join(freq.select(col("sh")).hint("shuffle_hash"), Seq("sh"))
+        .select(col("id"), explode(sequence(col("st"), col("st") + lit(k - 1)))
+          .as("pos"))
+        .distinct()
+      val wordRows = docs
+        .select(col(idCol).cast(LongType).as("id"),
+          posexplode(words(coalesce(col(textCol), lit("")))).as(Seq("pos", "w")))
+      wordRows
+        .join(cov.withColumn("__c", lit(true)), Seq("id", "pos"), "left")
+        .groupBy(col("id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("__c").isNull,
+              struct(col("pos"), col("w"))))),
+            s => s.getField("w")), " ").as("cleaned_text"),
+          count(col("__c")).as("n_removed_words"))
+        .withColumnRenamed("id", idCol)
+    }
+  }
+
   /** CCNet-style unigram rarity score per document, in integer arithmetic
     * so every engine agrees digit-for-digit (ln() parity across engines is
     * not guaranteed to the last ulp — same decision as the log-free

@@ -1081,6 +1081,39 @@ object PipelineQueries {
       |FROM g JOIN d USING (gram)
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** The APPLY side of `text_dup_grams`
+    * ([[graft.ops.TextOps.removeDuplicatedSpans]], the fixed-k
+    * approximation of Lee et al. 2022 exact-substring dedup): every word
+    * covered by an 8-gram shared across >= 2 documents is struck, and the
+    * cleaned documents reassemble from the survivors — duplicated runs of
+    * any length >= 8 vanish while unique flanks survive. Gated on the
+    * same synthesized-duplicate corpus as `text_dup_grams`; the oracle
+    * replays gram starts, coverage union, and positional reassembly. */
+  val textDedupSpans: QueryDef = QueryDef(
+    "text_dedup_spans",
+    (s, d) => TextOps.removeDuplicatedSpans(docsWithDups(s, d), "doc_id", "text",
+        k = 8, minDocs = 2)
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS ($docsWithDupsSql),
+      |w AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
+      |g AS (SELECT doc_id, st, array_to_string(w[st:st + 7], ' ') AS gram
+      |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6, 1)) AS st FROM w)),
+      |f AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      |      GROUP BY gram HAVING count(*) >= 2),
+      |occ AS (SELECT DISTINCT g.doc_id, g.st FROM g JOIN f USING (gram)),
+      |cov AS (SELECT DISTINCT doc_id, st + i AS pos
+      |        FROM occ, unnest(range(0, 8)) AS r(i)),
+      |wr AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM w),
+      |kept AS (SELECT wr.doc_id, wr.word, wr.pos FROM wr
+      |         LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.pos = cov.pos
+      |         WHERE cov.pos IS NULL),
+      |k2 AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS txt,
+      |              count(*) AS nk
+      |       FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, coalesce(k2.txt, '') AS cleaned_text,
+      |  CAST(len(w.w) - coalesce(k2.nk, 0) AS BIGINT) AS n_removed_words
+      |FROM w LEFT JOIN k2 USING (doc_id) ORDER BY w.doc_id""".stripMargin))
+
   /** Multimodal plumbing: binary payload + metadata -> per-partition
     * batched (stub) decode -> feature rows. The metadata surface
     * (modality routing, byte accounting, md5 content hash) is
@@ -1708,7 +1741,7 @@ object PipelineQueries {
     simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     textLangid, textQuality, textQualityModel,
-    textTokens, textFingerprint, textChunkOverlap, textDupGrams,
+    textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
     textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,

@@ -74,6 +74,38 @@ class MlPrepSpec extends SparkSpec {
     assert(run(0).map(_._1) == Seq(1L, 2L, 3L)) // cap 0 -> always fallback
   }
 
+  test("removeDuplicatedSpans: overlapping coverage union, unique flanks survive") {
+    val docs = Seq(
+      (1L, "a b c d a b c"),     // "a b c" at starts 0 and 4
+      (2L, "x a b c y"),          // "a b c" at start 1
+      (3L, "unique words only")).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .select("cleaned_text", "n_removed_words").as[(String, Long)].collect()
+    // doc 1: positions 0-2 and 4-6 covered -> only "d" survives
+    assert(out(0) == (("d", 6L)))
+    // doc 2: positions 1-3 covered -> flanks "x y" survive
+    assert(out(1) == (("x y", 3L)))
+    assert(out(2) == (("unique words only", 0L)))
+  }
+
+  test("removeDuplicatedSpans: distributed fallback above the broadcast cap is byte-identical") {
+    val docs = Seq(
+      (1L, "a b c d a b c e f g h i"),
+      (2L, "x a b c y e f g h j"),
+      (3L, "e f g h unique tail stuff")).toDF("doc_id", "text")
+    def run(cap: Int) = TextOps.removeDuplicatedSpans(
+        docs, "doc_id", "text", k = 3, minDocs = 2, maxBroadcastGrams = cap)
+      .orderBy("doc_id")
+      .select("doc_id", "cleaned_text", "n_removed_words")
+      .as[(Long, String, Long)].collect().toSeq
+    val broadcastPath = run(10)  // frequent set fits: narrow pass
+    val joinPath = run(0)        // cap 0: always the distributed rewrite
+    assert(broadcastPath == joinPath,
+      s"paths diverge:\n  bc=$broadcastPath\n  dj=$joinPath")
+    assert(broadcastPath.forall(_._3 > 0), "expected removals in every doc")
+  }
+
   test("unigramRarityScores: maxVocab caps the broadcast; OOV under the cap scores as singleton") {
     // c(a)=3, c(b)=2, c(z)=1, n_total=6; maxVocab=2 keeps {a,b} (count
     // desc, token asc), z becomes OOV -> rarity n_total*scale
