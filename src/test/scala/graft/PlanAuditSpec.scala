@@ -377,4 +377,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "SortMergeJoin") <= 1, "a second join stopped broadcasting")
     assert(!p.contains("CartesianProduct"), "blocked pair join degenerated to a cross product")
   }
+
+  test("privacy_k_anon: both failing-key sets join by broadcast; the corpus never sort-merges") {
+    val p = plan("privacy_k_anon")
+    assert(nodes(p, "BroadcastHashJoin") == 2,
+      "expected exactly the two failing-key broadcast joins")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      "release decision stopped being row-local")
+  }
+
+  test("sample_group_k: per-group draw is the bounded-heap aggregate, not a ranking window") {
+    val p = plan("sample_group_k")
+    assert(!p.contains("Window"), "group sample ranks through a window")
+    assert(p.contains("topk_pairs"), "group sample lost the heap aggregate")
+  }
+
+  test("audit_constraints: all five constraints in one scan, no joins") {
+    val p = plan("audit_constraints")
+    assert(nodes(p, "Scan parquet") == 1, "constraint audit re-scanned the table")
+    assert(!p.contains("Join"), "constraint audit grew a join")
+  }
+
+  test("sim_bitext_margin: margin ranks through the heap aggregate; queries broadcast") {
+    val p = plan("sim_bitext_margin")
+    assert(!p.contains("Window"), "margin mining ranks through a window")
+    assert(p.contains("topk_pairs"), "margin mining lost the heap aggregate")
+    assert(!p.contains("SortMergeJoin"), "query side stopped broadcasting")
+  }
+
+  test("text_dedup_spans: broadcast-set rewrite is one narrow pass (no join)") {
+    val p = plan("text_dedup_spans")
+    assert(!p.contains("Join"), "corpus joined instead of broadcast-set rewrite")
+    assert(nodes(p, "Exchange") <= 1, "rewrite pass grew a shuffle beyond the final sort")
+  }
 }
