@@ -169,6 +169,54 @@ object Sampling {
       .drop(hc)
   }
 
+  /** Dense global rank 0..n-1 WITHOUT a single-partition window: the
+    * standard scalable recipe for "give every row its position in a
+    * global order". A bare `row_number() OVER (ORDER BY ...)` collapses
+    * the corpus into ONE partition (the plan every 100 TB job dies on);
+    * this instead (1) range-repartitions on the order columns, (2) ranks
+    * WITHIN each partition in parallel, (3) counts rows per partition
+    * (a tiny aggregate) and broadcasts the cumulative offsets back, so
+    * `index = partition offset + local rank - 1`. Two passes over the
+    * corpus, both parallel; the only global object is the numPartitions-
+    * sized offset table.
+    *
+    * Ties across `orderCols` fall to engine-dependent order — pass a
+    * tie-breaking unique column last (the [[epochShuffle]] contract) for
+    * a reproducible index. Consumers: negative sampling
+    * ([[graft.ops.Similarity.negativeSamples]]), equi-depth binning,
+    * array-style lookups into an ordered corpus. */
+  def denseIndex(df: DataFrame, orderCols: Seq[String], idxCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(!df.columns.contains(idxCol), s"output column $idxCol already exists")
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted BEFORE the counts action: range boundaries are sampled at
+    // shuffle planning, so the counts pass and the rank pass must consume
+    // the SAME materialized partitioning, not two independent evaluations
+    val parts = Materialize.invariant(
+      df.repartitionByRange(nPart, orderCols.map(col): _*)
+        .withColumn("__pid", spark_partition_id()))
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__pc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPart).scanLeft(0L) {
+      (acc, p) => acc + counts.getOrElse(p, 0L)
+    }
+    val offsetRows = offsets.zipWithIndex.take(nPart)
+      .map { case (off, p) => (p, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsetRows.toDF("__pid", "__off"))
+    val localRank = row_number().over(
+      Window.partitionBy(col("__pid"))
+        .orderBy(orderCols.map(col(_).asc): _*))
+    parts.withColumn("__rn", localRank)
+      .join(offsetDf, Seq("__pid"))
+      .withColumn(idxCol, col("__off") + col("__rn") - 1)
+      .drop("__pid", "__rn", "__off")
+  }
+
   /** Deterministic exactly-k-PER-GROUP uniform sample: within each group,
     * the bottom k rows by md5(id) — [[uniformK]]'s per-stratum twin, for
     * balanced eval slices ("200 docs from every source") where a global

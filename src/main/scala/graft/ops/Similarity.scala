@@ -99,6 +99,41 @@ object Similarity {
           .as("margin_r"))
   }
 
+  /** Deterministic contrastive NEGATIVE sampling: for each query, `m`
+    * pseudo-random corpus rows drawn by hashing (query_id, draw index)
+    * into a dense 0..n-1 corpus index — the uniform-negatives step of
+    * contrastive / embedding training (in-batch negatives' offline twin).
+    * Reproducible across engines, partitionings and runs: the draw is
+    * 60-bit md5 arithmetic mod corpus size, and the index is
+    * [[graft.ops.Sampling.denseIndex]] (range-partitioned global rank —
+    * no single-partition window). Each drawn row carries the query–
+    * negative cosine, the diagnostic hardness-filtering reads off
+    * directly; self-collisions are flagged, not silently dropped, so
+    * consumers choose their own policy (and the row count stays exactly
+    * queries × m). Scale: draws (queries × m rows) BROADCAST into the
+    * indexed corpus — the corpus side never shuffles for the lookup. */
+  def negativeSamples(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, m: Int): DataFrame = {
+    require(m >= 1, "need at least one negative per query")
+    val corpus = graft.ops.Sampling.denseIndex(
+      emb.select(col(idCol), col(vecCol)), Seq(idCol), "idx")
+    val n = emb.count()
+    val queries = emb.filter(isQuery).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    val draws = queries
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .withColumn("nidx", pmod(
+        conv(substring(md5(concat(col("query_id").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 15), 16, 10).cast("long"), lit(n)))
+    corpus.join(broadcast(draws), col("idx") === col("nidx"))
+      .select(col("query_id"), col("j").cast("long").as("j"),
+        col(idCol).as("neg_id"),
+        round(dot(col("qv"), col(vecCol)) / (col("qn") * norm(col(vecCol))), 4)
+          .as("cos_r"),
+        (col(idCol) === col("query_id")).as("is_self"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `isQuery`), the k nearest corpus vectors by cosine. The query side is
     * broadcast; ranking is the map-side-bounded heap aggregate. */

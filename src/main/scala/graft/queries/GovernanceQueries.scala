@@ -111,5 +111,39 @@ object GovernanceQueries {
       |  FROM documents)
       |WHERE rk <= 20 ORDER BY source, rk""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(privacyKAnon, auditConstraints, sampleGroupK)
+  /** Equi-depth feature discretization (10 bins over price) built on the
+    * scalable dense rank ([[graft.ops.Sampling.denseIndex]] — range-
+    * partitioned, NOT a single-partition ntile window): bin =
+    * idx·10 div n, per-bin count and [lo, hi] boundary report — the
+    * quantile-binning pass feature pipelines run before bucketized
+    * training. Exact-integer bin assignment (no percentile estimate), so
+    * the oracle replays it with a plain ranking window at test scale.
+    * Tie order is pinned by the (price, orderkey, linenumber) composite —
+    * unique, so both engines rank identically. */
+  val mlBinsEquidepth: QueryDef = QueryDef(
+    "ml_bins_equidepth",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val n = li.count()
+      Sampling.denseIndex(li,
+          Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "idx")
+        .withColumn("bin", expr(s"(idx * 10) div ${n}L"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("bin")
+    },
+    Some("""WITH r AS (SELECT l_extendedprice,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |      - 1 AS idx
+      |  FROM lineitem),
+      |n AS (SELECT count(*) AS cnt FROM lineitem)
+      |SELECT CAST((idx * 10) // cnt AS BIGINT) AS bin, count(*) AS n_rows,
+      |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM r, n GROUP BY bin ORDER BY bin""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(privacyKAnon, auditConstraints, sampleGroupK,
+    mlBinsEquidepth)
 }

@@ -460,6 +460,34 @@ object PipelineQueries {
       |  round(c1 / ((((c1 + c2) + c3) + c4) / 4.0), 4) AS margin_r
       |FROM t ORDER BY query_id""".stripMargin))
 
+  /** Deterministic contrastive negative sampling
+    * ([[graft.ops.Similarity.negativeSamples]]): 8 hash-drawn corpus
+    * negatives per query with their cosine hardness, reproducible across
+    * engines because the draw is md5 mod corpus size into a dense
+    * range-partitioned index ([[graft.ops.Sampling.denseIndex]] — the
+    * no-global-window rank). The oracle replays index, draw, and cosine. */
+  val sampleNegatives: QueryDef = QueryDef(
+    "sample_negatives",
+    (s, d) => Similarity.negativeSamples(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 50 === 0, m = 8)
+      .orderBy("query_id", "j"),
+    Some("""WITH c AS (SELECT vec_id, embedding,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM embeddings),
+      |n AS (SELECT count(*) AS cnt FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT query_id, qv, j,
+      |    CAST(concat('0x', substr(md5(concat(CAST(query_id AS VARCHAR), ':',
+      |      CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % cnt AS nidx
+      |  FROM q, n, unnest(range(0, 8)) AS t(j))
+      |SELECT query_id, j, c.vec_id AS neg_id,
+      |  round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+      |    4) AS cos_r,
+      |  (c.vec_id = query_id) AS is_self
+      |FROM d JOIN c ON d.nidx = c.idx
+      |ORDER BY query_id, j""".stripMargin))
+
   /** Sign-LSH ANN top-5. Hyperplanes are md5-derived ±1 vectors, so the
     * oracle regenerates them and recomputes buckets + cosines exactly
     * (multiplying by ±1 is exact, making the projection bit-identical
@@ -1737,8 +1765,8 @@ object PipelineQueries {
     dedupNgramJaccard, dedupContainment, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
-    textPercentiles, simTopkBrute, simBitextMargin, simAnnLsh, simIvf,
-    simTopkInt8, simPqAdc,
+    textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
+    simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     textLangid, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,

@@ -405,6 +405,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "query side stopped broadcasting")
   }
 
+  test("ml_bins_equidepth and sample_negatives: rank through RANGE partitioning, never a single-partition exchange") {
+    for (q <- Seq("ml_bins_equidepth", "sample_negatives")) {
+      val p = plan(q)
+      assert(p.contains("rangepartitioning"), s"$q lost the range-partitioned rank")
+      assert(!p.contains("SinglePartition"),
+        s"$q collapsed into a single-partition exchange (the global-window plan)")
+    }
+    // the negative lookup broadcasts the tiny draw table into the corpus
+    assert(plan("sample_negatives").contains("BroadcastHashJoin"),
+      "negative draws stopped broadcasting")
+  }
+
   test("text_dedup_spans: broadcast-set rewrite is one narrow pass (no join)") {
     val p = plan("text_dedup_spans")
     assert(!p.contains("Join"), "corpus joined instead of broadcast-set rewrite")

@@ -93,6 +93,23 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSet == got.toSet)
   }
 
+  test("denseIndex: dense 0..n-1 global rank equal to a ranking window, partitioning-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5000L).map(i => (i * 13 % 4999, i)).toDF("k", "id")
+    val got = Sampling.denseIndex(df, Seq("k", "id"), "gidx", numPartitions = 7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.values.toSeq.sorted == (0L until 5000L).toSeq, "index not dense 0..n-1")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))
+    val want = df.withColumn("gidx", row_number().over(w).cast("long") - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want, "range-partitioned rank differs from the global window")
+    val again = Sampling.denseIndex(df.repartition(11), Seq("k", "id"), "gidx",
+      numPartitions = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(again == want, "index depends on input partitioning")
+  }
+
   test("epochShuffle fails fast when an output column already exists") {
     val df = (1L to 10L).toDF("id").withColumn("shard", lit(0))
     val e = intercept[IllegalArgumentException] {
