@@ -339,6 +339,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual AVERAGE HASH (aHash) of the decoded raster: 8x8
+    * nearest-neighbor downsample (`sx = cx·W div 8` — the exact integer
+    * sampling [[resizeImages]] uses), per-cell gray = r+g+b (no lossy
+    * luma division), threshold at the integer mean (`sum div 64`), bit
+    * order row-major — emitted as a 64-char '0'/'1' string so the hash
+    * survives any engine's integer width (a 2^63 bit would overflow
+    * signed BIGINT arithmetic in the oracle). Equal rasters hash equal
+    * regardless of container bytes — the cross-format duplicate class
+    * ([[imageCorpusCrossDup]]) byte-level dedup cannot see. Same codec
+    * boundary as [[decodeImages]]: per-partition decode, payloads never
+    * shuffle; only (media_id, 64-char hash) rows leave the boundary —
+    * the hash table is what a corpus-wide image-dedup groupBy runs on. */
+  def imageAHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.get(1).asInstanceOf[Array[Byte]]))
+          require(img != null, s"payload for media_id=${r.getLong(0)} is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Long](64)
+          var sum = 0L
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              val p = img.getRGB(cx * w / 8, cy * h / 8)
+              val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              gray(cy * 8 + cx) = g
+              sum += g
+              cx += 1
+            }
+            cy += 1
+          }
+          val mean = sum / 64
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < 64) { sb.append(if (gray(i) > mean) '1' else '0'); i += 1 }
+          Row(r.getLong(0), sb.toString)
+        }
+      }(enc)
+  }
+
   /** PERMISSIVE image decode for dirty corpora: a payload that fails to
     * parse yields `decode_ok = false` with null stats instead of
     * failing the task. At 100 TB corrupt containers are a certainty

@@ -1313,6 +1313,55 @@ object PipelineQueries {
       |  CAST(ps AS BIGINT) AS pixel_sum
       |FROM px ORDER BY media_id, frame_no""".stripMargin))
 
+  /** Perceptual-hash image dedup ([[graft.ops.Multimodal.imageAHashes]]):
+    * the corpus plus its cross-format re-encodes (every 10th image as the
+    * OTHER lossless container under id+100000 — different payload bytes,
+    * identical decoded raster) hashed with the 8x8 average hash, then
+    * grouped by hash. Every re-encode must land in its original's group —
+    * the duplicate class byte dedup (`dedup_exact` on payload bytes)
+    * cannot see, caught here by a 64-bit structural signature instead of
+    * a full pixel-feature ANN pass. Output: hash groups of >= 2 members
+    * as bounded stats (hash, n, min/max id) — robust to structural-hash
+    * collisions, which the closed-form oracle reproduces exactly anyway.
+    * Scale: decode+hash is the one codec pass; the groupBy shuffles
+    * 72-byte hash rows, never payloads (PlanAuditSpec pins the payload
+    * column off every Exchange). */
+  val mmAHashDedup: QueryDef = QueryDef(
+    "mm_ahash_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.imageCorpus(docs)
+        .unionByName(Multimodal.imageCorpusCrossDup(docs, every = 10,
+          idOffset = 100000))
+      Multimodal.imageAHashes(media)
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("media_id")).as("min_id"), max(col("media_id")).as("max_id"))
+        .filter(col("n_members") >= 2)
+        .orderBy("ahash")
+    },
+    Some("""WITH ids AS (
+      |  SELECT doc_id AS id, doc_id AS sid FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 10 = 0),
+      |dims AS (SELECT id, sid, 8 + sid % 8 AS w, 8 + sid % 5 AS h FROM ids),
+      |cells AS (
+      |  SELECT id, cy*8 + cx AS i,
+      |      (sid*31 + ((cx*w)//8)*7  + ((cy*h)//8)*13) % 256
+      |    + (sid*17 + ((cx*w)//8)*11 + ((cy*h)//8)*3)  % 256
+      |    + (sid*13 + ((cx*w)//8)*5  + ((cy*h)//8)*19) % 256 AS gray
+      |  FROM dims, range(0, 8) xs(cx), range(0, 8) ys(cy)),
+      |m AS (SELECT id, sum(gray) // 64 AS mean FROM cells GROUP BY id),
+      |h AS (
+      |  SELECT cells.id,
+      |    string_agg(CASE WHEN gray > mean THEN '1' ELSE '0' END, '' ORDER BY i)
+      |      AS ahash
+      |  FROM cells JOIN m ON cells.id = m.id GROUP BY cells.id)
+      |SELECT ahash, count(*) AS n_members,
+      |  min(id) AS min_id, max(id) AS max_id
+      |FROM h GROUP BY ahash HAVING count(*) >= 2
+      |ORDER BY ahash""".stripMargin))
+
   /** The multimodal→ANN composition with EVERY stage real: genuine
     * PNG/BMP container bytes → JDK ImageIO decode → pixel-statistics
     * feature vector ([w, h, integer channel means] — small exact
@@ -1773,6 +1822,6 @@ object PipelineQueries {
     textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
-    mmSimilarityPixels, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
+    mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
     mmFrameSampleMjpeg, mmFrameSampleGif)
 }

@@ -555,6 +555,21 @@ class PipelineSpec extends SparkSpec {
     assert(blocked === unblocked.filter { case (a, b) => dims(a) == dims(b) })
   }
 
+  test("aHash is container-invariant: every cross-format re-encode hashes equal to its original") {
+    val docs = Tables.documents(spark, sf)
+    val orig = Multimodal.imageAHashes(Multimodal.imageCorpus(docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dups = Multimodal.imageAHashes(
+        Multimodal.imageCorpusCrossDup(docs, every = 10, idOffset = 100000))
+      .collect().map(r => (r.getLong(0) - 100000) -> r.getString(1))
+    assert(dups.nonEmpty)
+    dups.foreach { case (sid, h) =>
+      assert(orig(sid) == h, s"re-encode of $sid hashes differently")
+    }
+    // and the hash is a genuine 64-bit structural signature, not constant
+    assert(orig.values.toSet.size > 1, "aHash degenerate: all images hash equal")
+  }
+
   test("cross-format duplicates are caught by decoded-feature near-dup, invisible to byte dedup") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
     val corpus = Multimodal.imageCorpus(docs)
