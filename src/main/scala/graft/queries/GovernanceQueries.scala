@@ -144,6 +144,74 @@ object GovernanceQueries {
       |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
       |FROM r, n GROUP BY bin ORDER BY bin""".stripMargin))
 
+  /** Keyed PSEUDONYMIZATION (identifier tokenization): user ids replaced
+    * by a peppered md5 token — stable across runs/engines (joinable),
+    * irreversible without the pepper; the release shape GDPR-style
+    * pipelines apply before events leave the trust boundary. Row-local
+    * (fuses with the scan). The gate audits the property that makes
+    * pseudonyms USABLE: injectivity — per event type, distinct pseudonyms
+    * must equal distinct users (a collision would silently merge two
+    * users' histories). */
+  val privacyPseudonymize: QueryDef = QueryDef(
+    "privacy_pseudonymize",
+    (s, d) => Tables.events(s, d)
+      .withColumn("pseudo",
+        substring(md5(concat(lit("pepper:"), col("user_id").cast("string"))), 1, 16))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("pseudo")).as("n_pseudo"),
+        count(lit(1)).as("n_events"))
+      .withColumn("injective", col("n_users") === col("n_pseudo"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT substr(md5(concat('pepper:', CAST(user_id AS VARCHAR))), 1, 16))
+      |    AS n_pseudo,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) =
+      |    count(DISTINCT substr(md5(concat('pepper:', CAST(user_id AS VARCHAR))), 1, 16))
+      |    AS injective
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Referential-integrity audit (the FK half of the Deequ constraint
+    * surface): per declared foreign key, total rows, orphan rows (no
+    * parent), and the pass verdict — ONE left-join + aggregate pass per
+    * FK, never a row-level dump (at 100 TB the orphan LIST is a quarantine
+    * query; the audit is counts). Parent key sides are dimension-sized
+    * here and broadcast; a fact-fact FK shuffles on the key, which is the
+    * honest minimum. */
+  val auditReferential: QueryDef = QueryDef(
+    "audit_referential",
+    (s, d) => {
+      def fkCheck(name: String, child: org.apache.spark.sql.DataFrame,
+          childKey: String, parentKeys: org.apache.spark.sql.DataFrame,
+          parentKey: String) =
+        child.join(parentKeys.withColumn("__hit", lit(1)),
+            col(childKey) === col(parentKey), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+            (col("n_orphans") === 0).as("fk_ok"))
+      fkCheck("lineitem_orderkey_orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d).select(col("o_orderkey")), "o_orderkey")
+        .unionByName(
+          fkCheck("orders_custkey_customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d).select(col("c_custkey")), "c_custkey"))
+        .orderBy("fk")
+    },
+    Some("""SELECT * FROM (
+      |  SELECT 'lineitem_orderkey_orders' AS fk, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_orphans,
+      |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS fk_ok
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'orders_custkey_customer', count(*),
+      |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+      |  FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey)
+      |ORDER BY fk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(privacyKAnon, auditConstraints, sampleGroupK,
-    mlBinsEquidepth)
+    mlBinsEquidepth, privacyPseudonymize, auditReferential)
 }

@@ -618,7 +618,40 @@ object MlPrepQueries {
         |FROM v, planes ORDER BY vec_id, p""".stripMargin))
   }
 
+  /** BPE merge-seed statistics: corpus-wide counts of adjacent CHARACTER
+    * pairs inside normalized words — the candidate table a byte-pair-
+    * encoding tokenizer's first merge is chosen from (Sennrich et al.
+    * 2016); each training iteration is this same aggregation over the
+    * re-tokenized stream. Top-20 by (count desc, pair asc) via
+    * TakeOrdered. The pair walk is a typed per-word flatMap — the same
+    * narrow-pass decision as [[graft.ops.TextOps.wordShingleRows]]: no
+    * per-doc array materialization, pipelines into the map-side count. */
+  val textBpePairs: QueryDef = QueryDef(
+    "text_bpe_pairs",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("text")).as[String]
+        .flatMap { text =>
+          val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          norm.split(" ", -1).iterator.filter(_.length >= 2).flatMap { w =>
+            (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
+          }
+        }
+        .toDF("pair")
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(20)
+    },
+    Some(s"""WITH w AS (
+      |  SELECT unnest(string_split($normalizeSql, ' ')) AS w FROM documents),
+      |p AS (SELECT substr(w, i, 2) AS pair
+      |      FROM (SELECT w, unnest(range(1, len(w), 1)) AS i FROM w
+      |            WHERE len(w) >= 2))
+      |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+      |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
+    textBpePairs,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,

@@ -523,8 +523,46 @@ object StreamingQueries {
       |FROM ranked WHERE rk <= 10
       |ORDER BY event_type, rk""".stripMargin))
 
+  /** STREAM-STATIC enrichment driver-gated — the reference-data join
+    * every production stream runs: each micro-batch broadcast-hash-joins
+    * the customer dimension ([[EventStreams.enrichedWithDim]] — the
+    * stream side carries NO state and never shuffles, unlike the
+    * stream-stream joins), then a row-local deterministic md5 split
+    * composes on the stream unchanged. Gated on the per-(segment, split)
+    * aggregate — bounded output, and exactly the batch semantics the
+    * oracle replays (stream-static joins are stateless, so batch ==
+    * stream by construction; this gate proves the engine keeps it so). */
+  val streamEnrich: QueryDef = QueryDef(
+    "stream_enrich",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val enriched = EventStreams.enrichedWithDim(
+        EventStreams.readEvents(s, d), dim, "user_id")
+      val split = graft.ops.Sampling.deterministicSplit(
+        enriched, "event_id", "split", Seq("train" -> 90, "test" -> 100))
+      EventStreams.drainToMemory(
+          split.groupBy(coalesce(col("segment"), lit("none")).as("segment"),
+              col("split"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(DecimalType(18, 4))).cast("double")
+                .as("sum_value")),
+          OutputMode.Complete, "stream_enrich", statePartitions = Some(8))
+        .orderBy("segment", "split")
+    },
+    Some("""WITH e AS (
+      |  SELECT event_id, value,
+      |    coalesce(c.c_mktsegment, 'none') AS segment,
+      |    CASE WHEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+      |  FROM events LEFT JOIN customer c ON events.user_id = c.c_custkey)
+      |SELECT segment, split, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY segment, split ORDER BY segment, split""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
-    streamSessions, streamSessionWindow, streamHitters, streamOuterJoin)
+    streamSessions, streamSessionWindow, streamHitters, streamOuterJoin,
+    streamEnrich)
 }
