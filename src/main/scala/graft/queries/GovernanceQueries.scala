@@ -212,6 +212,46 @@ object GovernanceQueries {
       |  FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey)
       |ORDER BY fk""".stripMargin))
 
+  /** The GOVERNED-RELEASE pipeline composer — the privacy ops chained the
+    * way a release job actually runs them: (1) pseudonymize the subject
+    * identifier (row-local peppered md5), (2) k-anonymize the event rows
+    * over QI = (event_type, hour) with the one-step hierarchy (rare
+    * hours generalize to the whole type at level 1, still-rare types
+    * suppress), (3) release only aggregate statistics over the surviving
+    * rows. End-to-end value gate: the oracle replays pseudonym
+    * arithmetic, both k-anonymity levels, and the released aggregates.
+    * Scale: step 1 fuses with the scan, step 2 is the broadcast two-flag
+    * CASE ([[graft.ops.Privacy.kAnonymize]]), step 3 map-combines — the
+    * event corpus crosses one exchange (the final group-by). */
+  val pipelineGoverned: QueryDef = QueryDef(
+    "pipeline_governed",
+    (s, d) => {
+      val pseudo = Tables.events(s, d).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"),
+        substring(md5(concat(lit("pepper:"), col("user_id").cast("string"))), 1, 16)
+          .as("pseudo"))
+      Privacy.kAnonymize(pseudo, Seq("event_type", "hr"), k = 5)
+        .groupBy(col("event_type"), col("anon_level"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("pseudo")).as("n_pseudo"))
+        .orderBy("event_type", "anon_level")
+    },
+    Some("""WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    substr(md5(concat('pepper:', CAST(user_id AS VARCHAR))), 1, 16) AS pseudo
+      |  FROM events),
+      |l0 AS (SELECT *, count(*) OVER (PARTITION BY event_type, hr) AS n0 FROM e),
+      |f AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n1
+      |      FROM l0 WHERE n0 < 5),
+      |rel AS (
+      |  SELECT event_type, pseudo, 0 AS anon_level FROM l0 WHERE n0 >= 5
+      |  UNION ALL
+      |  SELECT event_type, pseudo, 1 FROM f WHERE n1 >= 5)
+      |SELECT event_type, anon_level, count(*) AS n_events,
+      |  count(DISTINCT pseudo) AS n_pseudo
+      |FROM rel GROUP BY event_type, anon_level
+      |ORDER BY event_type, anon_level""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(privacyKAnon, auditConstraints, sampleGroupK,
-    mlBinsEquidepth, privacyPseudonymize, auditReferential)
+    mlBinsEquidepth, privacyPseudonymize, auditReferential, pipelineGoverned)
 }
