@@ -143,6 +143,52 @@ object AnalyticsQueries {
       |  count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Robust outlier gating via MAD (median absolute deviation): per
+    * source, median document length, MAD, and the count outside
+    * median ± 3·MAD — the robust twin of z-score gating (`emb_zscore`),
+    * immune to the outliers it hunts (mean/std are dragged by the very
+    * tail being flagged; medians are not). Two exact-percentile passes
+    * (the [[qGroupPercentiles]] sort-based aggregate) with the tiny
+    * per-source stats BROADCAST back between them — the corpus never
+    * shuffles, it is scanned twice (med pass, then dev+gate pass fused).
+    * The threshold compare runs on RAW doubles built by the identical
+    * expression tree in both engines; display values round at the
+    * boundary as usual. */
+  val textOutliersMad: QueryDef = QueryDef(
+    "text_outliers_mad",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      val med = docs.groupBy(col("source"))
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("adev", abs(col("n_chars") - col("med")))
+      val mad = dev.groupBy(col("source"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") > col("med") + lit(3.0) * col("mad")
+            || col("n_chars") < col("med") - lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          round(first(col("med")), 4).as("med_r"),
+          round(first(col("mad")), 4).as("mad_r"))
+        .orderBy("source")
+    },
+    Some("""WITH s AS (
+      |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY source),
+      |dev AS (
+      |  SELECT d.source, n_chars, med, abs(n_chars - med) AS adev
+      |  FROM documents d JOIN s USING (source)),
+      |m AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source)
+      |SELECT dev.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_chars > med + 3.0 * mad
+      |                  OR n_chars < med - 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  round(any_value(med), 4) AS med_r, round(any_value(mad), 4) AS mad_r
+      |FROM dev JOIN m USING (source)
+      |GROUP BY dev.source ORDER BY dev.source""".stripMargin))
+
   /** Approximate per-group median (Greenwald-Khanna `percentile_approx`)
     * with an in-query RANK-error gate. Like the HLL twin
     * (`sketch_hll_distinct`), the approximate VALUE is engine-specific,
@@ -370,6 +416,6 @@ object AnalyticsQueries {
       |FROM j, tot""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
-    qGroupPercentiles, qPercentileApprox, qWindowSliding, qPagerank, qPagerankConverged,
-    qPagerankDangling, qSourceDrift)
+    qGroupPercentiles, qPercentileApprox, textOutliersMad, qWindowSliding,
+    qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift)
 }

@@ -809,7 +809,48 @@ object CurationQueries {
       |  exact_distinct
       |FROM st, e""".stripMargin))
 
+  /** Exponential TIME-DECAY weighting (the recency prior of freshness-
+    * aware mixing/monitoring): each event's weight halves per hour of
+    * age and zeroes past a 20-hour horizon — weight = 2^(20 − age_h),
+    * EXACT integer arithmetic (a power-of-two shift, not a transcendental
+    * decay whose `exp()` last-ulp differs across engines), value mass in
+    * exact DECIMAL × integer weight with the one double cast at the
+    * boundary. The anchor (max event time) is a driver-side scalar (the
+    * [[sketchCmTopk]] precedent), so the weight is a row-local expression
+    * fused with the scan — no whole-frame window (which would plan a
+    * single-partition exchange), no broadcast-agg crossJoin (which
+    * re-expands the subtree into extra corpus scans — the
+    * `mix_temperature` lesson). */
+  val curateDecayCounts: QueryDef = QueryDef(
+    "curate_decay_counts",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      ev.withColumn("age_h", expr(s"(${maxUs}L - unix_micros(ts)) div 3600000000"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(expr("CASE WHEN age_h <= 20 THEN shiftleft(1L, cast(20 - age_h AS int)) ELSE 0L END"))
+            .as("decayed_weight"),
+          sum(expr("CASE WHEN age_h <= 20 THEN cast(value AS decimal(18,4)) * shiftleft(1L, cast(20 - age_h AS int)) ELSE cast(0 AS decimal(18,4)) END"))
+            .cast("double").as("decayed_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+      |w AS (SELECT event_type, value,
+      |    (mx - epoch_us(ts)) // 3600000000 AS age_h FROM events, b)
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN age_h <= 20
+      |    THEN (CAST(1 AS BIGINT) << CAST(20 - age_h AS INT)) ELSE 0 END) AS BIGINT)
+      |    AS decayed_weight,
+      |  CAST(sum(CASE WHEN age_h <= 20
+      |    THEN CAST(value AS DECIMAL(18,4)) * (CAST(1 AS BIGINT) << CAST(20 - age_h AS INT))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS decayed_value,
+      |  count(*) AS n_events
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
+    curateDecayCounts,
     sketchKmvUnion,
     sketchKmvDistinct, sketchHllDistinct, sketchCmTopk, curateSnapshotDiff,
     qBloomJoin, mergeScd2,
