@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical-profiling analytics: second-moment statistics computed
@@ -142,6 +143,62 @@ object AnalyticsQueries {
       |  round(quantile_cont(n_chars, 0.75), 4) AS q75,
       |  count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Ordered FUNNEL conversion (view → click → purchase, each stage
+    * strictly after the user's FIRST occurrence of the previous one) —
+    * the product-analytics sequence query, expressed as three chained
+    * conditional-min windows over ONE user_id partitioning: stage k's
+    * window references stage k−1's column, so Catalyst plans all three
+    * in a single exchange + sort. Per-stage user counts and the two
+    * conversion ratios (exact-integer division at the boundary). */
+  val qFunnelConversion: QueryDef = QueryDef(
+    "q_funnel_conversion",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(w))
+        .agg(
+          countDistinct(when(col("t_view").isNotNull, col("user_id")))
+            .as("n_view"),
+          countDistinct(when(col("t_click").isNotNull, col("user_id")))
+            .as("n_click"),
+          countDistinct(when(col("t_purchase").isNotNull, col("user_id")))
+            .as("n_purchase"))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          (col("n_click").cast("double") / col("n_view").cast("double"))
+            .as("view_to_click"),
+          (col("n_purchase").cast("double") / col("n_click").cast("double"))
+            .as("click_to_purchase"))
+    },
+    Some("""WITH s1 AS (
+      |  SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_view
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_click
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_purchase
+      |  FROM s2),
+      |agg AS (
+      |  SELECT count(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS n_view,
+      |    count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS n_click,
+      |    count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS n_purchase
+      |  FROM s3)
+      |SELECT n_view, n_click, n_purchase,
+      |  CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) AS view_to_click,
+      |  CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE) AS click_to_purchase
+      |FROM agg""".stripMargin))
 
   /** Robust outlier gating via MAD (median absolute deviation): per
     * source, median document length, MAD, and the count outside
@@ -416,6 +473,7 @@ object AnalyticsQueries {
       |FROM j, tot""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
-    qGroupPercentiles, qPercentileApprox, textOutliersMad, qWindowSliding,
+    qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
+    qWindowSliding,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift)
 }

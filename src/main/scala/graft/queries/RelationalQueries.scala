@@ -268,6 +268,33 @@ object RelationalQueries {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin))
 
+  /** Co-occurrence PAIR mining (market-basket shape): part pairs ordered
+    * together, top-20 by support — the co-occurrence statistics corpus
+    * analysis runs over tags/domains/entities. Pair generation is
+    * per-order and bounded by the max basket size (≤7 lineitems in
+    * TPC-H), so the self-join on the order key explodes |basket|², never
+    * corpus²; one shuffle on the order key, map-combined pair counts,
+    * TakeOrdered top-20 with the (count desc, pair asc) total order. */
+  val qCopurchasePairs: QueryDef = QueryDef(
+    "q_copurchase_pairs",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
+      a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pa").asc, col("pb").asc)
+        .limit(20)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_orders
+      |FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY pa, pb
+      |ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""".stripMargin))
+
   /** `q_events_sessions`'s NATIVE twin: Spark's built-in `session_window`
     * generator instead of the lag/flag/running-sum window algebra. The
     * two define sessions identically — session_window merges events whose
@@ -439,6 +466,6 @@ object RelationalQueries {
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
     qSetOps, qTopkOrders, qEventsHourly, qRollup, qEventsSessions,
-    qSessionWindowNative,
+    qSessionWindowNative, qCopurchasePairs,
     qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs)
 }

@@ -53,6 +53,38 @@ class PrivacySpec extends SparkSpec {
     assert(l1.forall(_ >= 3), s"level-1 group under k: ${l1.mkString(",")}")
   }
 
+  test("k-anon: equals the brute-force reference on 20 random QI distributions") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42) // deterministic seeds
+    for (trial <- 1 to 20) {
+      val k = 2 + rnd.nextInt(3) // 2..4
+      val n = 20 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"g${rnd.nextInt(3)}",
+          if (rnd.nextInt(10) == 0) null.asInstanceOf[String] else s"s${rnd.nextInt(3)}",
+          rnd.nextInt(4))
+      }
+      val df = rows.toDF("id", "g1", "g2", "band")
+      val got = Privacy.kAnonymize(df, Seq("g1", "g2", "band"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(4),
+          if (r.isNullAt(3)) None else Some(r.getInt(3))))
+        .toSet
+      // brute-force reference on the driver
+      val sizes0 = rows.groupBy(r => (r._2, r._3, r._4)).view.mapValues(_.size).toMap
+      val fail0 = rows.filter(r => sizes0((r._2, r._3, r._4)) < k)
+      val sizes1 = fail0.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+      val want = (rows.filter(r => sizes0((r._2, r._3, r._4)) >= k)
+          .map(r => (r._1, 0, Some(r._4))) ++
+        fail0.filter(r => sizes1((r._2, r._3)) >= k)
+          .map(r => (r._1, 1, None))).toSet
+      assert(got == want,
+        s"trial $trial (k=$k, n=$n): only-got=${got.diff(want).take(3)} " +
+          s"only-want=${want.diff(got).take(3)}")
+    }
+  }
+
   test("k-anon: a passing level-0 group is never generalized by a failing sibling") {
     val s = spark
     import s.implicits._
