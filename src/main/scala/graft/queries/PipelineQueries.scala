@@ -343,6 +343,62 @@ object PipelineQueries {
       |WHERE levenshtein(a.cmp, b.cmp) <= 30
       |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Cross-source RECORD LINKAGE (entity resolution between two tables —
+    * `dedup_fuzzy_block`'s cross-table sibling): an external "dirty"
+    * registry (deterministic perturbation: every 3rd customer re-keyed
+    * +1e6 with the last name character dropped — SQL-regenerable, so the
+    * oracle rebuilds the same source) is resolved against the canonical
+    * customer table by BLOCKING on (nation, segment) and picking each
+    * external record's BEST match by (edit distance asc, key asc) — the
+    * arg-min shape real linkage uses where a hard threshold would leave
+    * records unresolved. Emits the match plus a `true_match` audit bit
+    * (did linkage recover the actual source row?). Scale: candidate cost
+    * is per-block |A|·|B|, never corpus²; the arg-min is a map-combined
+    * `min_by` aggregate, no ranking window; the thresholded variant
+    * (when a cutoff applies) is the `plans/LevenshteinThreshold` pruned
+    * path `dedup_fuzzy_block` exercises. */
+  val linkEntities: QueryDef = QueryDef(
+    "link_entities",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 1000000).as("x_key"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("x_name"),
+          col("c_nationkey").as("x_nation"), col("c_mktsegment").as("x_segment"))
+      cust.join(dirty, col("c_nationkey") === col("x_nation")
+          && col("c_mktsegment") === col("x_segment"))
+        .select(col("x_key"), col("c_custkey"),
+          levenshtein(col("c_name"), col("x_name")).cast("long").as("dist"))
+        .groupBy(col("x_key"))
+        .agg(min_by(struct(col("c_custkey"), col("dist")),
+          struct(col("dist"), col("c_custkey"))).as("m"))
+        .select(col("x_key"), col("m.c_custkey").as("matched_key"),
+          col("m.dist").as("edit_distance"),
+          (col("m.c_custkey") === col("x_key") - 1000000).as("true_match"))
+        .orderBy("x_key")
+    },
+    Some("""WITH cust AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey + 1000000 AS x_key,
+      |    substr(c_name, 1, length(c_name) - 1) AS x_name,
+      |    c_nationkey AS x_nation, c_mktsegment AS x_segment
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |scored AS (
+      |  SELECT x_key, c_custkey, levenshtein(c_name, x_name) AS dist
+      |  FROM cust JOIN dirty
+      |    ON c_nationkey = x_nation AND c_mktsegment = x_segment),
+      |best AS (
+      |  SELECT x_key, c_custkey, dist,
+      |    row_number() OVER (PARTITION BY x_key
+      |      ORDER BY dist ASC, c_custkey ASC) AS rk
+      |  FROM scored)
+      |SELECT x_key, c_custkey AS matched_key, CAST(dist AS BIGINT) AS edit_distance,
+      |  (c_custkey = x_key - 1000000) AS true_match
+      |FROM best WHERE rk = 1 ORDER BY x_key""".stripMargin))
+
   /** SimHash near-dup candidates (md5-derived word hashes, so the oracle
     * recomputes the 64-bit signatures, 16-bit band buckets and Hamming
     * distances exactly; also verified against ground truth in
@@ -1811,7 +1867,8 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
     dedupMinhashLsh, dedupCluster, dedupClusterStar,
-    dedupNgramJaccard, dedupContainment, dedupSimhash, dedupFuzzyBlock, dedupIncremental,
+    dedupNgramJaccard, dedupContainment, dedupSimhash, dedupFuzzyBlock,
+    linkEntities, dedupIncremental,
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,

@@ -417,6 +417,17 @@ class PlanAuditSpec extends SparkSpec {
       "negative draws stopped broadcasting")
   }
 
+  test("q_funnel_conversion: three chained stage windows share ONE user_id exchange") {
+    val p = plan("q_funnel_conversion")
+    assert(nodes(p, "Window") == 3, "funnel stages not three windows")
+    assert(!p.contains("Join"), "funnel grew a join")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert("\\(\\d+\\) Exchange".r.findAllMatchIn(p)
+      .map(_.group(0)).toSet.size <= 3,
+      s"funnel re-shuffled between stages:\n${p.linesIterator.take(25).mkString("\n")}")
+    assert(userExchanges >= 1, "user_id partitioning disappeared")
+  }
+
   test("text_dedup_spans: broadcast-set rewrite is one narrow pass (no join)") {
     val p = plan("text_dedup_spans")
     assert(!p.contains("Join"), "corpus joined instead of broadcast-set rewrite")
