@@ -650,8 +650,53 @@ object MlPrepQueries {
       |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
       |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin))
 
+  /** Deterministic CURRICULUM ordering (easy→hard training schedule with
+    * intra-bin shuffle): documents ranked into length deciles
+    * ([[graft.ops.Sampling.denseIndex]] — the range-partitioned rank, no
+    * single-partition window), then given a global training position
+    * ordered by (decile asc, md5(doc_id)) — bins are consumed in
+    * difficulty order, documents within a bin in deterministic
+    * pseudo-random order (the [[sampleEpochShuffle]] hash discipline).
+    * The gate pins the schedule's structural contract: per decile, the
+    * position range is CONTIGUOUS (max_pos − min_pos + 1 == n_docs) and
+    * bins are mutually ordered — the property a resumable curriculum
+    * loader depends on. */
+  val mixCurriculum: QueryDef = QueryDef(
+    "mix_curriculum",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val n = docs.count()
+      val binned = graft.ops.Sampling.denseIndex(docs,
+          Seq("n_chars", "doc_id"), "lenrank")
+        .withColumn("decile", expr(s"(lenrank * 10) div ${n}L"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+      graft.ops.Sampling.denseIndex(binned.select(col("doc_id"), col("decile"),
+          col("h")), Seq("decile", "h", "doc_id"), "pos")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+        .withColumn("contiguous",
+          col("max_pos") - col("min_pos") + 1 === col("n_docs"))
+        .orderBy("decile")
+    },
+    Some("""WITH r AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS lenrank
+      |  FROM documents),
+      |n AS (SELECT count(*) AS cnt FROM documents),
+      |b AS (SELECT doc_id, (lenrank * 10) // cnt AS decile,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM r, n),
+      |p AS (SELECT decile,
+      |    row_number() OVER (ORDER BY decile, h, doc_id) - 1 AS pos
+      |  FROM b)
+      |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+      |  min(pos) AS min_pos, max(pos) AS max_pos,
+      |  max(pos) - min(pos) + 1 = count(*) AS contiguous
+      |FROM p GROUP BY decile ORDER BY decile""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    textBpePairs,
+    textBpePairs, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
