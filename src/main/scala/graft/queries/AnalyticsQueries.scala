@@ -144,6 +144,39 @@ object AnalyticsQueries {
       |  count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Time-series GAP FILLING over a generated calendar spine: hourly
+    * purchase counts with every missing hour materialized as an explicit
+    * zero — the densification step monitoring/forecasting needs before
+    * any window arithmetic (a lag over a gappy series silently compares
+    * non-adjacent hours). The spine is `sequence(min_hour, max_hour,
+    * 1 hour)` exploded from the 1-row extent aggregate — rows =
+    * calendar hours, independent of corpus size — left-joined to the
+    * aggregated counts (never to raw events). */
+  val qFillGaps: QueryDef = QueryDef(
+    "q_fill_gaps",
+    (s, d) => {
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val spine = p
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hr"))
+      val counts = p.groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("hr"), "left")
+        .select(date_format(col("hr"), "yyyy-MM-dd HH").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("hour")
+    },
+    Some("""WITH b AS (
+      |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      |  FROM events WHERE event_type = 'purchase'),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+      |c AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT strftime(spine.hr, '%Y-%m-%d %H') AS hour, coalesce(n, 0) AS n_events
+      |FROM spine LEFT JOIN c USING (hr) ORDER BY hour""".stripMargin))
+
   /** Ordered FUNNEL conversion (view → click → purchase, each stage
     * strictly after the user's FIRST occurrence of the previous one) —
     * the product-analytics sequence query, expressed as three chained
@@ -474,6 +507,6 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
-    qWindowSliding,
+    qFillGaps, qWindowSliding,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift)
 }
