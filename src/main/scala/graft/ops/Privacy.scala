@@ -35,6 +35,15 @@ object Privacy {
       levelCol: String = "anon_level"): DataFrame = {
     require(qiCols.size >= 2, "need at least 2 QI columns to generalize one away")
     require(k >= 2, "k-anonymity needs k >= 2")
+    // fail fast on name collisions (the epochShuffle/denseIndex contract):
+    // a pre-existing levelCol or internal working name would resolve
+    // ambiguously or silently misbehave instead of erroring
+    require(!df.columns.contains(levelCol),
+      s"output column $levelCol already exists in the input — pass a different levelCol")
+    val reserved = df.columns.filter(c =>
+      c.startsWith("__q0_") || c.startsWith("__q1_") || c == "__f0" || c == "__f1")
+    require(reserved.isEmpty,
+      s"input columns collide with kAnonymize internals: ${reserved.mkString(", ")}")
     val parent = qiCols.dropRight(1)
     val last = qiCols.last
     val lastType = df.schema(last).dataType

@@ -186,16 +186,29 @@ object Sampling {
     * ([[graft.ops.Similarity.negativeSamples]]), equi-depth binning,
     * array-style lookups into an ordered corpus. */
   def denseIndex(df: DataFrame, orderCols: Seq[String], idxCol: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    denseIndexWithCount(df, orderCols, idxCol, numPartitions)._1
+
+  /** [[denseIndex]] plus the total row count — the count falls out of
+    * the offset table already on the driver, so consumers that need n
+    * (modular draws in [[graft.ops.Similarity.negativeSamples]]) avoid
+    * a separate full-corpus `count()` scan. */
+  def denseIndexWithCount(df: DataFrame, orderCols: Seq[String], idxCol: String,
+      numPartitions: Int = 0): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains(idxCol), s"output column $idxCol already exists")
     val nPart =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // persisted BEFORE the counts action: range boundaries are sampled at
-    // shuffle planning, so the counts pass and the rank pass must consume
-    // the SAME materialized partitioning, not two independent evaluations
-    val parts = Materialize.invariant(
+    // Materialized BEFORE the counts action: range boundaries are sampled
+    // at shuffle planning, so the counts pass and the rank pass must
+    // consume the SAME materialized partitioning, not two independent
+    // evaluations. An eager reliable checkpoint (not a bare persist):
+    // the blocks live as checkpoint files released by the ContextCleaner
+    // once the plan is unreachable (cleanCheckpoints=true in the session
+    // builders), so repeated invocations don't accumulate session-
+    // lifetime cache entries the way an unreleased persist would.
+    val parts = Materialize.carried(
       df.repartitionByRange(nPart, orderCols.map(col): _*)
         .withColumn("__pid", spark_partition_id()))
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__pc"))
@@ -211,10 +224,11 @@ object Sampling {
     val localRank = row_number().over(
       Window.partitionBy(col("__pid"))
         .orderBy(orderCols.map(col(_).asc): _*))
-    parts.withColumn("__rn", localRank)
+    val indexed = parts.withColumn("__rn", localRank)
       .join(offsetDf, Seq("__pid"))
       .withColumn(idxCol, col("__off") + col("__rn") - 1)
       .drop("__pid", "__rn", "__off")
+    (indexed, offsets.last)
   }
 
   /** Deterministic exactly-k-PER-GROUP uniform sample: within each group,

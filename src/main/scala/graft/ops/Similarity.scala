@@ -115,11 +115,17 @@ object Similarity {
   def negativeSamples(emb: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, m: Int): DataFrame = {
     require(m >= 1, "need at least one negative per query")
-    val corpus = graft.ops.Sampling.denseIndex(
+    // n falls out of the dense index's driver-side offset table — no
+    // separate count() scan; fail fast on an empty corpus (pmod(x, 0)
+    // is NULL, which would silently join to zero rows instead)
+    val (corpus, n) = graft.ops.Sampling.denseIndexWithCount(
       emb.select(col(idCol), col(vecCol)), Seq(idCol), "idx")
-    val n = emb.count()
+    require(n > 0, "negativeSamples: empty corpus — nothing to draw from")
+    // zero-norm query vectors are filtered for consistency with
+    // marginTopK (they'd emit NULL cos_r rows, not a meaningful draw)
     val queries = emb.filter(isQuery).select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
     val draws = queries
       .select(col("query_id"), col("qv"), col("qn"),
         explode(sequence(lit(0), lit(m - 1))).as("j"))

@@ -590,7 +590,16 @@ object TextOps {
     * cap, every out-of-vocabulary token (rare by construction) takes the
     * rarity of a singleton, exactly like tokens dropped by the
     * `minCount` floor. The per-document sum is the one corpus-order
-    * shuffle, carrying 16-byte (id, rarity) pairs. */
+    * shuffle, carrying 16-byte (id, rarity) pairs.
+    *
+    * Exactly TWO corpus scans: the vocabulary pass is a `rollup` — the
+    * per-token counts AND the grand token total come out of ONE map-side-
+    * combined aggregation (the total is the rollup's all-null row) — and
+    * its vocab-sized output is materialized once ([[Materialize.carried]],
+    * so the returned plan re-reads checkpoint blocks, not the corpus);
+    * the scoring join-back is the second scan. The naive layout (counts,
+    * total, join-back each re-deriving the explode) evaluates the
+    * scan+explode subtree three times. */
   def unigramRarityScores(docs: DataFrame, idCol: String, textCol: String,
       scale: Long = 1000000L, minCount: Long = 1L,
       maxVocab: Int = 4 << 20): DataFrame = {
@@ -598,15 +607,20 @@ object TextOps {
     val toks = docs
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
-    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // w is never NULL here (explode skips nulls, empties filtered), so
+    // the rollup's null-w row is unambiguously the grand total
+    val countsAll = Materialize.carried(
+      toks.rollup(col("w")).agg(count(lit(1)).as("c")))
+    val total = countsAll.filter(col("w").isNull)
+      .head().getLong(1)
+    val counts = countsAll.filter(col("w").isNotNull)
       .filter(col("c") >= minCount)
       .orderBy(col("c").desc, col("w").asc).limit(maxVocab)
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    val vocab = counts.crossJoin(broadcast(total))
-      .select(col("w"), expr(s"(n_total * $scale) div c").as("r"))
-    toks.crossJoin(broadcast(total))
+    val vocab = counts
+      .select(col("w"), expr(s"(${total}L * ${scale}L) div c").as("r"))
+    toks
       .join(broadcast(vocab), Seq("w"), "left")
-      .withColumn("r", coalesce(col("r"), col("n_total") * lit(scale)))
+      .withColumn("r", coalesce(col("r"), lit(total * scale)))
       .groupBy(col("id"))
       .agg(sum(col("r")).as("sum_rarity"), count(lit(1)).as("n_toks"))
   }

@@ -205,10 +205,14 @@ object AnalyticsQueries {
           countDistinct(when(col("t_purchase").isNotNull, col("user_id")))
             .as("n_purchase"))
         .select(col("n_view"), col("n_click"), col("n_purchase"),
-          (col("n_click").cast("double") / col("n_view").cast("double"))
-            .as("view_to_click"),
-          (col("n_purchase").cast("double") / col("n_click").cast("double"))
-            .as("click_to_purchase"))
+          // nullif guards: Spark's Divide returns NULL on /0 while
+          // DuckDB (IEEE float ops) yields Inf/NaN — an empty funnel
+          // stage would split the engines; NULL-on-empty, identically
+          // written in both, keeps the gate data-independent
+          (col("n_click").cast("double") /
+            nullif(col("n_view"), lit(0)).cast("double")).as("view_to_click"),
+          (col("n_purchase").cast("double") /
+            nullif(col("n_click"), lit(0)).cast("double")).as("click_to_purchase"))
     },
     Some("""WITH s1 AS (
       |  SELECT user_id, event_type, ts,
@@ -229,8 +233,8 @@ object AnalyticsQueries {
       |    count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS n_purchase
       |  FROM s3)
       |SELECT n_view, n_click, n_purchase,
-      |  CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) AS view_to_click,
-      |  CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE) AS click_to_purchase
+      |  CAST(n_click AS DOUBLE) / CAST(nullif(n_view, 0) AS DOUBLE) AS view_to_click,
+      |  CAST(n_purchase AS DOUBLE) / CAST(nullif(n_click, 0) AS DOUBLE) AS click_to_purchase
       |FROM agg""".stripMargin))
 
   /** Robust outlier gating via MAD (median absolute deviation): per

@@ -530,7 +530,9 @@ object PipelineQueries {
     Some("""WITH c AS (SELECT vec_id, embedding,
       |    row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM embeddings),
       |n AS (SELECT count(*) AS cnt FROM embeddings),
-      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 50 = 0
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
       |d AS (SELECT query_id, qv, j,
       |    CAST(concat('0x', substr(md5(concat(CAST(query_id AS VARCHAR), ':',
       |      CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % cnt AS nidx
