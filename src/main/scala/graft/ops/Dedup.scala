@@ -450,6 +450,48 @@ object Dedup {
       .filter(col("edit_distance") >= 0)
   }
 
+  /** Cross-table record linkage ([[fuzzyBlockedPairs]]'s two-table
+    * sibling): resolve each EXTERNAL record against a CANONICAL table by
+    * blocking on a name prefix and picking the best in-block candidate
+    * by (Levenshtein asc, canonical key asc) — the arg-min shape real
+    * linkage uses where a hard threshold would leave records unresolved.
+    *
+    * The blocking key is `substr(name, 1, blockPrefixLen)` — a key whose
+    * CARDINALITY SCALES WITH THE DATA: more records means more distinct
+    * prefixes and roughly constant block size, so candidate cost stays
+    * Σ|blockA|·|blockB| ∝ N. Blocking on low-cardinality attributes
+    * (region, segment, resolution…) instead fixes the block count
+    * forever and makes within-block cost O(N²/constant) — quadratic at
+    * scale with guaranteed hot partitions; a longer prefix tightens
+    * blocks exactly like [[fuzzyBlockedPairs]]'s `blockPrefixLen`.
+    * The arg-min is a map-combined `min_by` aggregate (no ranking
+    * window — nothing sorts per key, partials combine). Externals whose
+    * block holds no canonical record drop out, standard blocking
+    * behavior: recall is the prefix-stability assumption, i.e. the true
+    * match's corruption must not touch the first `blockPrefixLen` chars.
+    *
+    * Output: one row per resolvable external — (extKey, matched
+    * canonical key, edit_distance). */
+  def linkBestMatchBlocked(canonical: DataFrame, keyCol: String, nameCol: String,
+      external: DataFrame, extKeyCol: String, extNameCol: String,
+      blockPrefixLen: Int): DataFrame = {
+    require(blockPrefixLen >= 1, "blockPrefixLen must be >= 1")
+    val c = canonical.select(col(keyCol).as("__ckey"), col(nameCol).as("__cname"),
+      substring(col(nameCol), 1, blockPrefixLen).as("__blk"))
+    val x = external.select(col(extKeyCol).as("__xkey"), col(extNameCol).as("__xname"),
+      substring(col(extNameCol), 1, blockPrefixLen).as("__blk"))
+    c.join(x, "__blk")
+      .select(col("__xkey"),
+        levenshtein(col("__cname"), col("__xname")).cast(LongType).as("__dist"),
+        col("__ckey"))
+      .groupBy(col("__xkey"))
+      .agg(min_by(struct(col("__ckey"), col("__dist")),
+        struct(col("__dist"), col("__ckey"))).as("__m"))
+      .select(col("__xkey").as(extKeyCol),
+        col("__m.__ckey").as("matched_key"),
+        col("__m.__dist").as("edit_distance"))
+  }
+
   /** Exact n-gram Jaccard pairs >= threshold, with PPJoin-style prefix
     * filtering for candidate generation (exact — no recall loss):
     *

@@ -344,52 +344,47 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin))
 
   /** Cross-source RECORD LINKAGE (entity resolution between two tables —
-    * `dedup_fuzzy_block`'s cross-table sibling): an external "dirty"
+    * `dedup_fuzzy_block`'s cross-table sibling,
+    * [[graft.ops.Dedup.linkBestMatchBlocked]]): an external "dirty"
     * registry (deterministic perturbation: every 3rd customer re-keyed
     * +1e6 with the last name character dropped — SQL-regenerable, so the
     * oracle rebuilds the same source) is resolved against the canonical
-    * customer table by BLOCKING on (nation, segment) and picking each
-    * external record's BEST match by (edit distance asc, key asc) — the
-    * arg-min shape real linkage uses where a hard threshold would leave
-    * records unresolved. Emits the match plus a `true_match` audit bit
-    * (did linkage recover the actual source row?). Scale: candidate cost
-    * is per-block |A|·|B|, never corpus²; the arg-min is a map-combined
-    * `min_by` aggregate, no ranking window; the thresholded variant
-    * (when a cutoff applies) is the `plans/LevenshteinThreshold` pruned
-    * path `dedup_fuzzy_block` exercises. */
+    * customer table by BLOCKING on a 16-char NAME PREFIX and picking
+    * each external record's BEST match by (edit distance asc, key asc) —
+    * the arg-min shape real linkage uses where a hard threshold would
+    * leave records unresolved. Emits the match plus a `true_match` audit
+    * bit (did linkage recover the actual source row?).
+    *
+    * Scale: the block key's cardinality GROWS WITH THE DATA (distinct
+    * name prefixes ∝ corpus; block sizes stay roughly constant), so
+    * candidate cost is Σ|blockA|·|blockB| ∝ N — the
+    * [[graft.ops.Dedup.fuzzyBlockedPairs]] shape. The previous
+    * (nation, segment) key fixed the block count at 125 forever, making
+    * within-block cost O(N²/125) — quadratic at 100× with guaranteed
+    * hot partitions. The arg-min is a map-combined `min_by` aggregate,
+    * no ranking window; recall holds because the perturbation (a
+    * last-char drop) never touches the 16-char prefix. */
   val linkEntities: QueryDef = QueryDef(
     "link_entities",
     (s, d) => {
       val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_mktsegment"))
       val dirty = cust.filter(col("c_custkey") % 3 === 0)
         .select((col("c_custkey") + 1000000).as("x_key"),
-          expr("substring(c_name, 1, length(c_name) - 1)").as("x_name"),
-          col("c_nationkey").as("x_nation"), col("c_mktsegment").as("x_segment"))
-      cust.join(dirty, col("c_nationkey") === col("x_nation")
-          && col("c_mktsegment") === col("x_segment"))
-        .select(col("x_key"), col("c_custkey"),
-          levenshtein(col("c_name"), col("x_name")).cast("long").as("dist"))
-        .groupBy(col("x_key"))
-        .agg(min_by(struct(col("c_custkey"), col("dist")),
-          struct(col("dist"), col("c_custkey"))).as("m"))
-        .select(col("x_key"), col("m.c_custkey").as("matched_key"),
-          col("m.dist").as("edit_distance"),
-          (col("m.c_custkey") === col("x_key") - 1000000).as("true_match"))
+          expr("substring(c_name, 1, length(c_name) - 1)").as("x_name"))
+      Dedup.linkBestMatchBlocked(cust, "c_custkey", "c_name",
+          dirty, "x_key", "x_name", blockPrefixLen = 16)
+        .select(col("x_key"), col("matched_key"), col("edit_distance"),
+          (col("matched_key") === col("x_key") - 1000000).as("true_match"))
         .orderBy("x_key")
     },
-    Some("""WITH cust AS (
-      |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
-      |dirty AS (
+    Some("""WITH dirty AS (
       |  SELECT c_custkey + 1000000 AS x_key,
-      |    substr(c_name, 1, length(c_name) - 1) AS x_name,
-      |    c_nationkey AS x_nation, c_mktsegment AS x_segment
+      |    substr(c_name, 1, length(c_name) - 1) AS x_name
       |  FROM customer WHERE c_custkey % 3 = 0),
       |scored AS (
       |  SELECT x_key, c_custkey, levenshtein(c_name, x_name) AS dist
-      |  FROM cust JOIN dirty
-      |    ON c_nationkey = x_nation AND c_mktsegment = x_segment),
+      |  FROM customer JOIN dirty
+      |    ON substr(c_name, 1, 16) = substr(x_name, 1, 16)),
       |best AS (
       |  SELECT x_key, c_custkey, dist,
       |    row_number() OVER (PARTITION BY x_key

@@ -68,9 +68,23 @@ object ScaleProbe {
 
     val scaled = graft.sources.TableIO.scratchDir(spark, s"scaleprobe_${k}x")
     new java.io.File(scaled).mkdirs()
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+    for (t <- Seq("region", "nation", "supplier", "part",
         "orders", "lineitem"))
       stageSingleFile(spark.read.parquet(s"$sf/$t.parquet"), scaled, t)
+
+    // customer scales like a fact for the record-linkage probe: K
+    // id-offset copies with the NAME REGENERATED from the new key
+    // (TPC-H's own convention) — verbatim name copies would multiply
+    // every linkage block K-fold, a quadratic pair count by design, not
+    // an engine property; regenerated names grow the distinct-prefix
+    // space linearly instead
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val maxCust = cust.agg(max("c_custkey")).head().getLong(0) + 1
+    stageSingleFile((0 until k).map { c =>
+      if (c == 0) cust
+      else cust.withColumn("c_custkey", col("c_custkey") + lit(c * maxCust))
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+    }.reduce(_ unionAll _), scaled, "customer")
 
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -133,6 +133,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("link_entities: candidate-bound linkage — blocked equi-join on the name-prefix key, no cartesian, no ranking window") {
+    val p = plan("link_entities")
+    // blocking must stay an equi-join on the prefix key (a cartesian or
+    // broadcast-nested-loop means the block key degenerated)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the arg-min is the map-combined min_by aggregate, not a ranking window
+    assert(!p.contains("Window"), "best-match arg-min regressed to a ranking window")
+    assert(p.contains("min_by"), "expected the min_by aggregate in the plan")
+  }
+
   test("maintenance_incremental_agg: merge scans only the delta + the tiny MV — no join, no second corpus scan") {
     val p = plan("maintenance_incremental_agg")
     assert(nodes(p, "Scan parquet") == 2,
