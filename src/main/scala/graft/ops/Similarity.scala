@@ -344,6 +344,61 @@ object Similarity {
     * [[Dedup]]'s MinHash banding is the same pattern one ring earlier).
     * Zero-norm vectors are excluded (NaN cosine), matching
     * cosineNearDupPairs. */
+  /** E2LSH-style quantized-projection block key (Datar et al. 2004,
+    * "Locality-Sensitive Hashing Scheme Based on p-Stable
+    * Distributions"): plane p contributes `floor(dot(v, ±1-plane_p) / w)`
+    * and the key is the `:`-joined tuple. Identical vectors ALWAYS
+    * collide (the key is a pure function of the vector), near vectors
+    * collide unless a projection straddles a quantization boundary, and
+    * the key's CARDINALITY GROWS WITH THE DATA — more distinct vectors
+    * means more occupied cells, block sizes stay roughly constant.
+    *
+    * Why not the sign-LSH band ([[lshBucket]])? Sign bits see only the
+    * ANGLE. Feature families that are magnitude-spread but angle-
+    * concentrated (decoded image stats: every vector is positive with
+    * similar shape, pairwise cosine ~0.999+) land almost entirely in ONE
+    * sign cell — a constant-cardinality key in disguise. The quantized
+    * projection splits by magnitude, which is exactly where such
+    * features differ.
+    *
+    * Exactness contract: with integer-valued components and ±1 planes
+    * the projection is an exact integer in double arithmetic, and for a
+    * power-of-two `w` the division is exact — the oracle regenerates
+    * planes (md5, the [[planeVector]] recipe) and keys bit-for-bit. */
+  def e2lshKey(vec: Column, nPlanes: Int, dim: Int, w: Double): Column =
+    concat_ws(":", (0 until nPlanes).map { p =>
+      floor(dot(vec, typedLit(planeVector(p, dim))) / lit(w))
+        .cast(LongType).cast(StringType)
+    }: _*)
+
+  /** Near-duplicate pairs blocked on the [[e2lshKey]] — the
+    * data-scaling replacement for attribute blocking
+    * ([[cosineNearDupPairsBlocked]] on width×height): attribute keys
+    * with a handful of dominant values (image resolutions, MIME types)
+    * fix the block count forever, making within-block cost
+    * O(N²/constant); the LSH cell count grows with the corpus instead,
+    * so candidate cost stays Σ|cell|² ∝ N. Exact-raster duplicates are
+    * ALWAYS in-block (equal features ⇒ equal key — recall 1 for the
+    * re-encode channel); near-but-unequal pairs have the standard LSH
+    * boundary-miss probability, tuned by `bucketWidth`/`nPlanes`.
+    * Zero-norm vectors are excluded (NaN cosine), matching
+    * [[cosineNearDupPairs]]. */
+  def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, dim: Int,
+      bucketWidth: Double = 4.0): DataFrame = {
+    require(nPlanes >= 1, "need at least one projection plane")
+    val side = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vn", norm(col("v")))
+      .filter(col("vn") > 0)
+      .withColumn("blk", e2lshKey(col("v"), nPlanes, dim, bucketWidth))
+    side.as("a").join(side.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+
   def cosineNearDupPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
     require(blockCols.nonEmpty, "need at least one blocking column")

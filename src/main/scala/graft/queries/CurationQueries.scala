@@ -595,8 +595,14 @@ object CurationQueries {
       val feats =
         graft.ops.Materialize.invariant(Multimodal.imagePixelFeaturesSafe(dirty))
       val healthy = feats.filter(col("decode_ok"))
-      val drop = Similarity.cosineNearDupPairsBlocked(healthy, "media_id", "feature",
-          Seq("width", "height"), threshold = 0.999999)
+      // blocked on the E2LSH quantized-projection key, NOT (width,
+      // height): real corpora have a handful of dominant resolutions —
+      // a constant-cardinality key, O(N²/constant) at scale — while LSH
+      // cell count grows with the data and identical rasters (the
+      // re-encode duplicates this stage exists to catch) always share a
+      // cell. See Similarity.e2lshKey for the exactness contract.
+      val drop = Similarity.cosineNearDupPairsLsh(healthy, "media_id", "feature",
+          threshold = 0.999999, nPlanes = 4, dim = 5, bucketWidth = 4.0)
         .select(col("id_b").as("media_id")).distinct()
         .withColumn("is_dup", lit(true))
       feats.join(drop, Seq("media_id"), "left_outer")
@@ -637,12 +643,22 @@ object CurationQueries {
       |    [CAST(w AS DOUBLE), CAST(h AS DOUBLE), CAST(rm AS DOUBLE),
       |     CAST(gm AS DOUBLE), CAST(bm AS DOUBLE)] AS v
       |  FROM flagged WHERE decode_ok),
+      |planes AS (
+      |  SELECT p, list(CASE WHEN strpos('13579bdf', substr(md5(p || ':' || d), 2, 1)) > 0
+      |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS pv
+      |  FROM range(0, 4) rp(p), range(1, 6) rd(d)
+      |  GROUP BY p),
+      |keyed AS (
+      |  SELECT media_id, any_value(v) AS v,
+      |    string_agg(CAST(CAST(floor(list_dot_product(v, pv) / 4.0) AS BIGINT) AS VARCHAR),
+      |               ':' ORDER BY p) AS blk
+      |  FROM healthy, planes GROUP BY media_id),
       |pairs AS (
       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
       |    list_dot_product(a.v, b.v) /
       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-      |  FROM healthy a JOIN healthy b
-      |    ON a.w = b.w AND a.h = b.h AND a.media_id < b.media_id),
+      |  FROM keyed a JOIN keyed b
+      |    ON a.blk = b.blk AND a.media_id < b.media_id),
       |dup AS (SELECT DISTINCT id_b AS media_id FROM pairs WHERE cos >= 0.999999),
       |status AS (
       |  SELECT f.media_id, f.fmt,

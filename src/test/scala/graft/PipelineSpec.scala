@@ -555,6 +555,34 @@ class PipelineSpec extends SparkSpec {
     assert(blocked === unblocked.filter { case (a, b) => dims(a) == dims(b) })
   }
 
+  test("e2lsh near-dup blocking: identical rasters always collide, cell count scales with the corpus") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val corpus = Multimodal.imageCorpus(docs)
+      .union(Multimodal.imageCorpusCrossDup(docs, every = 25, idOffset = 100000L))
+    val feats = Multimodal.imagePixelFeaturesSafe(corpus).filter(col("decode_ok"))
+    // recall 1 for the re-encode channel: equal features => equal key
+    val pairs = Similarity.cosineNearDupPairsLsh(feats, "media_id", "feature",
+        threshold = 0.999999, nPlanes = 4, dim = 5, bucketWidth = 4.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 200L by 25).foreach { case orig =>
+      assert(pairs.contains((orig, orig + 100000L)),
+        s"missed cross-format duplicate ($orig, ${orig + 100000L})")
+    }
+    // the block key's cardinality grows with the data — the property the
+    // (width, height) key lacked (it is capped at 8x5 forever)
+    def cells(n: Int): Long = {
+      val f = Multimodal.imagePixelFeaturesSafe(
+          Multimodal.imageCorpus(Tables.documents(spark, sf)
+            .filter(col("doc_id") < n)))
+        .filter(col("decode_ok"))
+      f.select(Similarity.e2lshKey(col("feature"), 4, 5, 4.0).as("blk"))
+        .distinct().count()
+    }
+    val (c100, c200) = (cells(100), cells(200))
+    assert(c200 > c100, s"cell count must grow with the corpus ($c100 -> $c200)")
+    assert(c200 > 40, s"cells must stay fine-grained, got $c200 for 200 images")
+  }
+
   test("aHash is container-invariant: every cross-format re-encode hashes equal to its original") {
     val docs = Tables.documents(spark, sf)
     val orig = Multimodal.imageAHashes(Multimodal.imageCorpus(docs))
