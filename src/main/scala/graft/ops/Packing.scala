@@ -53,6 +53,36 @@ object Packing {
         sum(col("n_tokens")).as("n_tokens"),
         sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"))
 
+  /** [[assignChunks]] over a PRECOMPUTED per-document token count
+    * (`countCol`) instead of the whitespace/regex count — the seam that
+    * lets a trained tokenizer ([[Bpe.tokenCounts]]) drive the packing:
+    * chunk budgets then mean model tokens, not word-ish proxies. Same
+    * shard/prefix-sum shape (one shuffle on the shard key). */
+  def assignChunksCounts(df: DataFrame, idCol: String, countCol: String,
+      nShards: Int, budgetTokens: Int): DataFrame = {
+    require(nShards >= 1 && budgetTokens >= 1)
+    val base = df.select(
+      pmod(col(idCol), lit(nShards)).cast(LongType).as("shard"),
+      col(idCol).as("id"),
+      col(countCol).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("cum_before") / lit(budgetTokens)))
+      .withColumn("straddles", col("n_tokens") > 0 &&
+        floor((col("cum_before") + col("n_tokens") - 1) / lit(budgetTokens)) > col("chunk_id"))
+  }
+
+  /** [[chunkSummary]] over precomputed counts. */
+  def chunkSummaryCounts(df: DataFrame, idCol: String, countCol: String,
+      nShards: Int, budgetTokens: Int): DataFrame =
+    assignChunksCounts(df, idCol, countCol, nShards, budgetTokens)
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"))
+
   /** Chunk assignment in a SUPPLIED read order: packs the token stream
     * along existing (`shardCol`, `orderCol`) coordinates instead of
     * [[assignChunks]]' `id % nShards` / id order — the seam that lets

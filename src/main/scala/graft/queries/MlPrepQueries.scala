@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextOps
+import graft.ops.{Bpe, Packing, TextOps}
 
 /** Training-data preparation operators beyond per-document gating:
   * segment-level (line/paragraph) dedup, unigram-LM rarity scoring,
@@ -650,6 +650,111 @@ object MlPrepQueries {
       |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
       |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin))
 
+  /** Shared BPE configuration for the train/apply/pack family: 16
+    * merges (output symbols U+00C0..U+00CF), word table capped at the
+    * 2000 most frequent words. */
+  private val bpeMerges = 16
+  private val bpeCap = 2000
+  private def bpeTrainWith: String =
+    Bpe.trainCtesSql(normalizeSql, bpeMerges, bpeCap)
+
+  /** Full BPE TRAINING ([[graft.ops.Bpe.train]] — Sennrich et al. 2016):
+    * the ordered merge table itself, gated. One distributed map-combined
+    * word-frequency aggregation (capped to the `bpeCap` most frequent
+    * words — the bounded collect that makes training safe at 100 TB),
+    * then the merge loop runs driver-side over that tiny table: each
+    * round counts candidate pairs (non-overlap replace formula), picks
+    * the (count desc, pair asc) argmax and rewrites segmentations. The
+    * oracle REPLAYS TRAINING UNROLLED — 16 rounds of count/argmax/
+    * rewrite CTEs (the k-means/PageRank fixed-rounds precedent) — so
+    * every merge decision, not just the result, is cross-engine gated. */
+  val textBpeTrain: QueryDef = QueryDef(
+    "text_bpe_train",
+    (s, d) => Bpe.mergesDf(s,
+      Bpe.train(Tables.documents(s, d), "text", bpeMerges, bpeCap))
+      .orderBy("rk"),
+    Some {
+      val rows = (1 to bpeMerges).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS rk, (SELECT pair FROM best$i) AS pair,
+           |  chr(${191 + i}) AS merged, (SELECT cnt FROM best$i) AS cnt""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\n")
+      s"WITH $bpeTrainWith$rows ORDER BY rk"
+    })
+
+  /** BPE APPLICATION: per-document token accounting under the trained
+    * merges ([[graft.ops.Bpe.tokenCounts]] — row-local replace chain,
+    * merge list in the task closure, nothing shuffles). The oracle
+    * retrains (unrolled CTEs) and re-segments every word with the same
+    * nested replace chain, so the gate covers train→apply end-to-end;
+    * docs with no normalized words keep a (0, 0) row in both engines. */
+  val textBpeApply: QueryDef = QueryDef(
+    "text_bpe_apply",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", bpeMerges, bpeCap)
+      Bpe.tokenCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
+    },
+    Some {
+      val chain = Bpe.segmentExprSql("w", bpeMerges)
+      s"""WITH $bpeTrainWith,
+         |wx AS (
+         |  SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, len($chain) AS t FROM wx WHERE len(w) >= 1),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS nw, sum(t) AS nt FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens_bpe
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
+
+  /** Sequence packing over REAL tokenizer counts: `pack_chunks`' shard/
+    * prefix-sum shape ([[graft.ops.Packing.chunkSummaryCounts]]) driven
+    * by the trained BPE token counts instead of the regex word proxy —
+    * chunk budgets now mean model tokens. Composition gate: training,
+    * application and packing all replayed by one oracle. */
+  val packChunksBpe: QueryDef = QueryDef(
+    "pack_chunks_bpe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", bpeMerges, bpeCap)
+      Packing.chunkSummaryCounts(
+          Bpe.tokenCounts(docs, "doc_id", "text", merges),
+          "doc_id", "n_tokens_bpe", nShards = 8, budgetTokens = 512)
+        .orderBy("shard", "chunk_id")
+    },
+    Some {
+      val chain = Bpe.segmentExprSql("w", bpeMerges)
+      s"""WITH $bpeTrainWith,
+         |wx AS (
+         |  SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, len($chain) AS t FROM wx WHERE len(w) >= 1),
+         |agg AS (SELECT doc_id, sum(t) AS nt FROM tok GROUP BY doc_id),
+         |base AS (
+         |  SELECT d.doc_id % 8 AS shard, d.doc_id AS id,
+         |    CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+         |c AS (
+         |  SELECT shard, id, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM base),
+         |a2 AS (
+         |  SELECT shard, n_tokens, CAST(cum_before // 512 AS BIGINT) AS chunk_id,
+         |    CASE WHEN n_tokens > 0 AND (cum_before + n_tokens - 1) // 512 > cum_before // 512
+         |         THEN 1 ELSE 0 END AS straddles
+         |  FROM c)
+         |SELECT shard, chunk_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(straddles) AS BIGINT) AS n_straddling
+         |FROM a2 GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin
+    })
+
   /** Deterministic CURRICULUM ordering (easy→hard training schedule with
     * intra-bin shuffle): documents ranked into length deciles
     * ([[graft.ops.Sampling.denseIndex]] — the range-partitioned rank, no
@@ -696,7 +801,7 @@ object MlPrepQueries {
       |FROM p GROUP BY decile ORDER BY decile""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    textBpePairs, mixCurriculum,
+    textBpePairs, textBpeTrain, textBpeApply, packChunksBpe, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
