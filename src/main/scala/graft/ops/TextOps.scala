@@ -625,6 +625,24 @@ object TextOps {
       .agg(sum(col("r")).as("sum_rarity"), count(lit(1)).as("n_toks"))
   }
 
+  /** Inter-tag text blocks of an HTML document: split on tags, trim.
+    * Row-local array algebra (no explode/shuffle) — the block list never
+    * leaves its row, so extraction fuses with the scan. */
+  def htmlBlocks(html: Column): Column =
+    transform(split(html, "<[^>]*>"), b => trim(b))
+
+  /** Boilerplate-stripping HTML text extraction — the jusText/boilerpipe
+    * signal reduced to its load-bearing core: tag-delimited text blocks
+    * are KEPT when long enough (`minBlockChars`), dropped otherwise.
+    * Navigation, titles, footers and sidebar chrome are short blocks by
+    * construction of the web (that is WHY block length is the classic
+    * boilerplate discriminator); body copy is long. Returns the kept
+    * blocks joined by ' '. Entirely codegen'd array expressions —
+    * at 100 TB this is a narrow pass fused with the scan, and the
+    * replay is the identical list algebra in the oracle engine. */
+  def htmlExtract(html: Column, minBlockChars: Int): Column =
+    array_join(filter(htmlBlocks(html), b => length(b) >= minBlockChars), " ")
+
   /** Winnowing-style robust fingerprint: minimum 64-bit hash over
     * character k-grams of the normalized text (k=8). Survives small edits
     * far from the minimal shingle — used for near-dup candidate keys.

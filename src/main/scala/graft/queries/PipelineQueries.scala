@@ -1061,6 +1061,82 @@ object PipelineQueries {
         |FROM b ORDER BY doc_id""".stripMargin
     })
 
+  /** HTML ingest front door: boilerplate-stripping text extraction
+    * ([[graft.ops.TextOps.htmlExtract]] — the jusText/boilerpipe block-
+    * length signal) composed with language ID over the EXTRACTED text.
+    * The corpus is closed-form HTML (title/nav/sidebar/footer chrome
+    * around the document body, SQL-regenerable), so the oracle rebuilds
+    * the pages, replays the identical tag-split/trim/length-filter list
+    * algebra, and re-derives the language votes — extraction and the
+    * downstream gate are value-checked end-to-end. Scale: one narrow
+    * codegen'd pass, block lists never leave their row, no shuffle
+    * before the output sort. */
+  val ingestHtmlExtract: QueryDef = QueryDef(
+    "ingest_html_extract",
+    (s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><nav>home | about | contact | login</nav>" +
+          "<div id=\"side\">related: item "),
+        (col("doc_id") % 7).cast("string"),
+        lit("</div><p>"), col("text"),
+        lit("</p><footer>copyright 2026 example corp</footer></body></html>"))
+      val blocks = TextOps.htmlBlocks(col("html"))
+      val nonempty = filter(blocks, b => length(b) > 0)
+      val dropped = filter(blocks, b => length(b) > 0 && length(b) < 40)
+      Tables.documents(s, d)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          size(nonempty).cast(LongType).as("n_blocks"),
+          aggregate(dropped, lit(0L),
+            (acc, x) => acc + length(x).cast(LongType)).as("boilerplate_chars"),
+          TextOps.htmlExtract(col("html"), 40).as("extracted"))
+        .withColumn("extracted_chars", length(col("extracted")).cast(LongType))
+        .withColumn("lang_pred", TextOps.langId(col("extracted")))
+        .orderBy("doc_id")
+    },
+    Some {
+      def hits(l: String, wordsList: Seq[String]) =
+        s"len(list_filter(w, x -> x IN (${wordsList.map(w => s"'$w'").mkString(", ")}))) AS h_$l"
+      val en = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+      val es = Seq("el", "la", "de", "que", "los", "las", "una", "por")
+      val fr = Seq("le", "la", "les", "des", "est", "dans", "pour", "que")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><nav>home | about | contact | login</nav>' ||
+        |    '<div id="side">related: item ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '</div><p>' || text ||
+        |    '</p><footer>copyright 2026 example corp</footer></body></html>' AS html
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(html, '<[^>]*>'), x -> trim(x)) AS bl
+        |  FROM h),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(bl, x -> len(x) > 0)) AS BIGINT) AS n_blocks,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_filter(bl, x -> len(x) > 0 AND len(x) < 40), x -> len(x))), 0)
+        |      AS BIGINT) AS boilerplate_chars,
+        |    array_to_string(list_filter(bl, x -> len(x) >= 40), ' ') AS extracted
+        |  FROM b),
+        |words AS (
+        |  SELECT doc_id, n_blocks, boilerplate_chars, extracted,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(extracted),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+        |  FROM e),
+        |sc AS (SELECT *, ${hits("de", de)}, ${hits("en", en)}, ${hits("es", es)}, ${hits("fr", fr)} FROM words),
+        |v AS (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM sc)
+        |SELECT doc_id, n_blocks, boilerplate_chars, extracted,
+        |  CAST(length(extracted) AS BIGINT) AS extracted_chars,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en'
+        |       WHEN h_es = best THEN 'es' ELSE 'fr' END AS lang_pred
+        |FROM v ORDER BY doc_id""".stripMargin
+    })
+
   /** Quality-scoring features per document. */
   val textQuality: QueryDef = QueryDef(
     "text_quality",
@@ -1871,7 +1947,7 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
     simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
-    textLangid, textQuality, textQualityModel,
+    textLangid, ingestHtmlExtract, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
     textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,

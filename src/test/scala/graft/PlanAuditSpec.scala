@@ -164,6 +164,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), "repetition metrics exploded word rows")
   }
 
+  test("ingest_html_extract: one narrow pass — block lists never explode, only the output sort exchanges") {
+    val p = plan("ingest_html_extract")
+    assert(nodes(p, "Exchange") <= 1, "html extraction grew a shuffle beyond the final sort")
+    assert(!p.contains("Generate"), "extraction exploded block rows instead of row-local list algebra")
+    assert(!p.contains("Join"), "extraction should not join")
+  }
+
   test("the full-outer merge is the only sort-merge join user") {
     val p = plan("merge_table_versions")
     assert(nodes(p, "SortMergeJoin") == 2) // 3-way fold = 2 joins
