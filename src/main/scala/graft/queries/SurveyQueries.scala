@@ -885,6 +885,59 @@ object SurveyQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** CDC MERGE INTO ([[graft.sources.TableIO.mergePartitioned]]): orders
+    * lands year-partitioned minus a 1997 slice, then ONE changelog batch
+    * (inserts = the held-out slice, updates = +100.00 on every
+    * `key % 10 == 1` 1997 order, deletes = every `key % 10 == 2` 1997
+    * order) merges in. Only the 1997 directory is read (partition-pruned
+    * scan) and rewritten (dynamic overwrite) — the other 6 years keep
+    * their original files byte-for-byte, pinned by listing in
+    * TableIOSpec; per-batch cost is O(touched partition)+O(changes),
+    * never O(table). The oracle recomputes the post-merge table
+    * closed-form from the original orders; prices ride DECIMAL(18,2) so
+    * update arithmetic and the audit sums are engine-exact. */
+  val maintenanceMergeUpsert: QueryDef = QueryDef(
+    "maintenance_merge_upsert",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val path = graft.sources.TableIO.scratchDir(s, "merge_upsert/orders")
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      graft.sources.TableIO.replacePartitioned(
+        orders.filter(!(col("o_orderkey") % 10 === 0 && col("o_year") === 1997)),
+        path, Seq("o_year"))
+      val y97 = orders.filter(col("o_year") === 1997)
+      val changes =
+        y97.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit("I"))
+          .unionByName(y97.filter(col("o_orderkey") % 10 === 1)
+            .withColumn("o_totalprice",
+              (col("o_totalprice") + lit(100)).cast(money))
+            .withColumn("op", lit("U")))
+          .unionByName(y97.filter(col("o_orderkey") % 10 === 2)
+            .withColumn("op", lit("D")))
+      graft.sources.TableIO.mergePartitioned(s, path, "o_year", "o_orderkey",
+        changes)
+      s.read.parquet(path)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .select(col("o_year").cast("long").as("o_year"),
+          col("n_rows"), col("sum_price"))
+        .orderBy("o_year")
+    },
+    Some("""WITH eff AS (
+      |  SELECT o_orderkey, year(o_orderdate) AS o_year,
+      |    CASE WHEN o_orderkey % 10 = 1 AND year(o_orderdate) = 1997
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+      |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+      |  FROM orders
+      |  WHERE NOT (o_orderkey % 10 = 2 AND year(o_orderdate) = 1997))
+      |SELECT CAST(o_year AS BIGINT) AS o_year, count(*) AS n_rows,
+      |  CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM eff GROUP BY o_year ORDER BY o_year""".stripMargin))
+
   /** ingest_partitioned: hive-style directory partitioning driver-gated
     * end-to-end — orders is written one directory per priority
     * ([[graft.sources.TableIO.replacePartitioned]], dynamic overwrite)
@@ -979,6 +1032,6 @@ object SurveyQueries {
     mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder,
-    maintenanceIncrementalAgg, ingestCsvDirty,
+    maintenanceIncrementalAgg, maintenanceMergeUpsert, ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestPartitioned)
 }

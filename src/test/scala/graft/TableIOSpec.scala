@@ -324,4 +324,44 @@ class TableIOSpec extends SparkSpec {
     assert(avgArea <= 4 * ideal,
       s"files are not 2-D local: avg box area $avgArea vs ideal $ideal")
   }
+
+  test("mergePartitioned rewrites ONLY touched partitions; untouched files stay byte-identical") {
+    val s = spark
+    import s.implicits._
+    val dir = TableIO.scratchDir(spark, "merge_part_spec")
+    val base = (1 to 300).map(i => (i.toLong, s"v$i", i % 3)).toDF("k", "payload", "part")
+    TableIO.replacePartitioned(base, dir, Seq("part"))
+    def listing(p: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/part=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = (0 to 2).map(p => p -> listing(p)).toMap
+    // changelog touches ONLY part=1: delete k=1, update k=4, insert k=1000
+    val changes = Seq(
+      (1L, null.asInstanceOf[String], 1, "D"),
+      (4L, "v4_new", 1, "U"),
+      (1000L, "fresh", 1, "I")).toDF("k", "payload", "part", "op")
+    TableIO.mergePartitioned(spark, dir, "part", "k", changes)
+    // untouched partitions: exact same files (name, size, mtime)
+    for (p <- Seq(0, 2))
+      assert(listing(p) === before(p), s"partition $p was rewritten")
+    assert(listing(1) !== before(1), "touched partition was not rewritten")
+    // content equals the closed-form recompute
+    val got = spark.read.parquet(dir)
+      .select(col("k"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (1 to 300).filterNot(_ == 1)
+      .map(i => i.toLong -> (if (i == 4) "v4_new" else s"v$i")).toMap +
+      (1000L -> "fresh")
+    assert(got === want)
+    // fail fast when a merge would empty a partition (dynamic overwrite
+    // cannot express it — old files would silently survive)
+    val wipeAll = spark.read.parquet(dir).filter(col("part") === 2)
+      .select(col("k"), col("payload"), col("part")).withColumn("op", lit("D"))
+    val e = intercept[IllegalArgumentException] {
+      TableIO.mergePartitioned(spark, dir, "part", "k", wipeAll)
+    }
+    assert(e.getMessage.contains("EMPTY"))
+  }
 }
