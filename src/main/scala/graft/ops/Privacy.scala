@@ -31,6 +31,50 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
+  /** Seeded DISCRETE noise for differentially-private count releases —
+    * the geometric-mechanism shape (Ghosh, Roughgarden & Sundararajan
+    * 2009: integer noise, the discrete analogue of Laplace) made
+    * engine-exact: the magnitude is the LEADING-ONES RUN of the 60-bit
+    * integer md5(seed||":mag") (P(run = k) = 2^-(k+1), capped), the sign
+    * is the parity of the first hex digit of md5(seed||":sign"). With a
+    * sign flip the noise G satisfies P(G=0) = 1/2 and P(G = ±k) =
+    * 2^-(k+2), so the worst neighboring-ratio is P(0)/P(1) = 4 — an
+    * ε = 2·ln 2 ≈ 1.386 pure-DP mechanism at sensitivity 1 (PrivacySpec
+    * pins both the distribution and the ratio bound). Everything is
+    * integer compares on md5 bits — no ln(), no floats — so the DuckDB
+    * oracle replays every noisy release digit-for-digit, and a fixed
+    * seed string makes the release REPRODUCIBLE (the property an
+    * auditable privacy pipeline needs: re-running the job must not
+    * re-randomize published statistics).
+    *
+    * Run cap 16 truncates tail mass 2^-16 per side — both engines apply
+    * the same cap, so replay is unaffected. */
+  def geometricNoise(seed: Column, cap: Int = 16): Column = {
+    require(cap >= 1 && cap <= 59, "run cap must fit the 60-bit draw")
+    val x = conv(substring(md5(concat(seed, lit(":mag"))), 1, 15), 16, 10)
+      .cast("long")
+    def th(k: Int): Long = ((1L << k) - 1L) << (60 - k)
+    val mag = (1 to cap).foldLeft(lit(0)) { (acc, k) =>
+      when(x >= th(k), lit(k)).otherwise(acc)
+    }
+    val sgn = when(
+      conv(substring(md5(concat(seed, lit(":sign"))), 1, 1), 16, 10)
+        .cast("long") % 2 === 1, lit(1)).otherwise(lit(-1))
+    (mag * sgn).cast("long")
+  }
+
+  /** The identical noise as SQL over a seed expression — paste into the
+    * oracle. Generated thresholds match [[geometricNoise]] bit-for-bit. */
+  def geometricNoiseSql(seedExpr: String, cap: Int = 16): String = {
+    def th(k: Int): Long = ((1L << k) - 1L) << (60 - k)
+    val x = s"CAST(concat('0x', substr(md5($seedExpr || ':mag'), 1, 15)) AS BIGINT)"
+    val magCases = (cap to 1 by -1)
+      .map(k => s"WHEN $x >= ${th(k)} THEN $k").mkString(" ")
+    s"""((CASE $magCases ELSE 0 END) *
+       | (CASE WHEN CAST(concat('0x', substr(md5($seedExpr || ':sign'), 1, 1)) AS BIGINT) % 2 = 1
+       |       THEN 1 ELSE -1 END))""".stripMargin
+  }
+
   def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int,
       levelCol: String = "anon_level"): DataFrame = {
     require(qiCols.size >= 2, "need at least 2 QI columns to generalize one away")

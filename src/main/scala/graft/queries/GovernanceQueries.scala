@@ -252,6 +252,66 @@ object GovernanceQueries {
       |FROM rel GROUP BY event_type, anon_level
       |ORDER BY event_type, anon_level""".stripMargin))
 
+  /** The governed release with DIFFERENTIAL PRIVACY on top
+    * ([[graft.ops.Privacy.geometricNoise]]): the `pipeline_governed`
+    * aggregate release (pseudonymize → k-anonymize → aggregate) gets
+    * seeded discrete geometric-style noise added to every published
+    * count — event-level ε = 2·ln 2 for n_events, user-level for
+    * n_pseudo (each pseudonym is one user) — then clamps at 0
+    * (post-processing, DP-safe). The seed is a fixed string plus the
+    * release cell, so the release is REPRODUCIBLE run-to-run and the
+    * oracle replays raw counts, both md5 noise draws and the clamp
+    * digit-for-digit; PrivacySpec pins the noise distribution and the
+    * e^ε neighboring-ratio bound. Scale: identical plan to
+    * pipeline_governed — the noise is a row-local expression over the
+    * tiny released aggregate. */
+  val privacyDpRelease: QueryDef = QueryDef(
+    "privacy_dp_release",
+    (s, d) => {
+      val pseudo = Tables.events(s, d).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"),
+        substring(md5(concat(lit("pepper:"), col("user_id").cast("string"))), 1, 16)
+          .as("pseudo"))
+      def seed(tag: String) = concat(lit(s"dp:$tag:"), col("event_type"),
+        lit(":"), col("anon_level").cast("string"))
+      Privacy.kAnonymize(pseudo, Seq("event_type", "hr"), k = 5)
+        .groupBy(col("event_type"), col("anon_level"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("pseudo")).as("n_pseudo"))
+        .select(col("event_type"), col("anon_level"),
+          greatest(lit(0L),
+            col("n_events") + Privacy.geometricNoise(seed("ev")))
+            .as("n_events_dp"),
+          greatest(lit(0L),
+            col("n_pseudo") + Privacy.geometricNoise(seed("ps")))
+            .as("n_pseudo_dp"))
+        .orderBy("event_type", "anon_level")
+    },
+    Some {
+      def seed(tag: String) =
+        s"('dp:$tag:' || event_type || ':' || CAST(anon_level AS VARCHAR))"
+      s"""WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    substr(md5(concat('pepper:', CAST(user_id AS VARCHAR))), 1, 16) AS pseudo
+        |  FROM events),
+        |l0 AS (SELECT *, count(*) OVER (PARTITION BY event_type, hr) AS n0 FROM e),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n1
+        |      FROM l0 WHERE n0 < 5),
+        |rel AS (
+        |  SELECT event_type, pseudo, 0 AS anon_level FROM l0 WHERE n0 >= 5
+        |  UNION ALL
+        |  SELECT event_type, pseudo, 1 FROM f WHERE n1 >= 5),
+        |agg AS (
+        |  SELECT event_type, anon_level, count(*) AS n_events,
+        |    count(DISTINCT pseudo) AS n_pseudo
+        |  FROM rel GROUP BY event_type, anon_level)
+        |SELECT event_type, anon_level,
+        |  greatest(0, n_events + ${Privacy.geometricNoiseSql(seed("ev"))}) AS n_events_dp,
+        |  greatest(0, n_pseudo + ${Privacy.geometricNoiseSql(seed("ps"))}) AS n_pseudo_dp
+        |FROM agg ORDER BY event_type, anon_level""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(privacyKAnon, auditConstraints, sampleGroupK,
-    mlBinsEquidepth, privacyPseudonymize, auditReferential, pipelineGoverned)
+    mlBinsEquidepth, privacyPseudonymize, auditReferential, pipelineGoverned,
+    privacyDpRelease)
 }

@@ -96,4 +96,42 @@ class PrivacySpec extends SparkSpec {
     val out = Privacy.kAnonymize(df, Seq("g1", "g2", "band"), k = 3).collect()
     assert(out.length == 3 && out.forall(r => r.getInt(4) == 0 && r.getInt(3) == 0))
   }
+
+  test("geometric noise: deterministic per seed, symmetric, capped") {
+    val s = spark
+    import s.implicits._
+    val seeds = (1 to 2000).map(i => s"seed:$i").toDF("seed")
+    val g1 = seeds.select(col("seed"), Privacy.geometricNoise(col("seed")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val g2 = seeds.select(col("seed"), Privacy.geometricNoise(col("seed")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g1 === g2, "noise must be a pure function of the seed")
+    assert(g1.values.forall(v => math.abs(v) <= 16), "run cap violated")
+    val plus = g1.values.count(_ > 0); val minus = g1.values.count(_ < 0)
+    assert(math.abs(plus - minus) < 200, s"sign asymmetry: +$plus vs -$minus")
+  }
+
+  test("geometric noise: distribution matches P(0)=1/2, P(+-k)=2^-(k+2); worst ratio e^eps with eps=2 ln 2") {
+    val s = spark
+    import s.implicits._
+    val n = 40000
+    val g = (1 to n).map(i => s"dist:$i").toDF("seed")
+      .select(Privacy.geometricNoise(col("seed")).as("g"))
+      .collect().map(_.getLong(0))
+    val freq = g.groupBy(identity).view.mapValues(_.length.toDouble / n).toMap
+    def expect(k: Long): Double =
+      if (k == 0) 0.5 else math.pow(2.0, -(math.abs(k) + 2).toDouble)
+    for (k <- Seq(0L, 1L, -1L, 2L, -2L, 3L, -3L)) {
+      val p = freq.getOrElse(k, 0.0)
+      assert(math.abs(p - expect(k)) < 0.015,
+        s"P(G=$k) = $p, expected ${expect(k)}")
+    }
+    // epsilon accounting: the mechanism's privacy loss at sensitivity 1
+    // is max_k P(G=k)/P(G=k+1) = P(0)/P(1) = 4 = e^(2 ln 2) — check the
+    // empirical worst adjacent ratio stays near that bound
+    val r01 = freq(0L) / freq(1L)
+    assert(r01 > 3.0 && r01 < 5.3, s"P(0)/P(1) = $r01, expected ~4")
+    val r12 = freq(1L) / freq(2L)
+    assert(r12 > 1.5 && r12 < 2.7, s"P(1)/P(2) = $r12, expected ~2")
+  }
 }
