@@ -560,9 +560,100 @@ object StreamingQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM e GROUP BY segment, split ORDER BY segment, split""".stripMargin))
 
+  private val cdcRunCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** STREAMING CDC apply — the eighth streaming capability class: a
+    * changelog STREAM (I/U/D batches) continuously merged into a
+    * partitioned table via
+    * [[graft.sources.TableIO.mergePartitioned]] inside `foreachBatch`.
+    * Orders lands year-partitioned; three staged micro-batches (updates,
+    * deletes, inserts — mtime-ordered, the
+    * [[EventStreams.eventsMultiBatchStream]] replay recipe) each touch
+    * ONLY the 1997 partition, so every merge is a partition-scoped
+    * rewrite: per-batch cost O(touched partition)+O(batch), the other
+    * years' files never rewritten (the TableIOSpec listing pin). The
+    * batches mutate disjoint key sets, so the final state is
+    * replay-order-independent and the oracle recomputes it closed-form;
+    * exactly-once comes from the foreachBatch contract + one
+    * AvailableNow pass over a fresh checkpoint (a production restart
+    * wants version-stamped changelog rows for idempotent re-merge). */
+  val streamMergeUpsert: QueryDef = QueryDef(
+    "stream_merge_upsert",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val run = s"${graft.sources.TableIO.sessionToken(s)}_${cdcRunCounter.incrementAndGet()}"
+      val tablePath = graft.sources.TableIO.scratchDir(s, s"stream_cdc/table_$run")
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      graft.sources.TableIO.replacePartitioned(orders, tablePath, Seq("o_year"))
+      val y97 = orders.filter(col("o_year") === 1997)
+      val batches = Seq(
+        y97.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", (col("o_totalprice") + lit(100)).cast(money))
+          .withColumn("op", lit("U")),
+        y97.filter(col("o_orderkey") % 10 === 2).withColumn("op", lit("D")),
+        y97.filter(col("o_orderkey") % 10 === 3)
+          .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+            (col("o_totalprice") + lit(1000)).cast(money).as("o_totalprice"),
+            col("o_year"))
+          .withColumn("op", lit("I")))
+      val staged = graft.sources.TableIO.scratchDir(s, s"stream_cdc/log_$run")
+      new java.io.File(staged).mkdirs()
+      val base = System.currentTimeMillis() - batches.length * 2000L
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = s"$staged/_tmp_$i"
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("no staged changelog file"))
+        val dst = new java.io.File(s"$staged/batch_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+        dst.setLastModified(base + i * 2000L)
+      }
+      val schema = batches.head.schema
+      val stream = s.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(staged)
+      val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.sources.TableIO.mergePartitioned(s, tablePath, "o_year",
+              "o_orderkey", batch)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.sources.TableIO.scratchDir(s, s"stream_cdc/ckpt_$run"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(tablePath)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .select(col("o_year").cast("long").as("o_year"),
+          col("n_rows"), col("sum_price"))
+        .orderBy("o_year")
+    },
+    Some("""WITH eff AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CASE WHEN o_orderkey % 10 = 1 AND year(o_orderdate) = 1997
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+      |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+      |  FROM orders
+      |  WHERE NOT (o_orderkey % 10 = 2 AND year(o_orderdate) = 1997)
+      |  UNION ALL
+      |  SELECT 1997, CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+      |  FROM orders
+      |  WHERE o_orderkey % 10 = 3 AND year(o_orderdate) = 1997)
+      |SELECT CAST(o_year AS BIGINT) AS o_year, count(*) AS n_rows,
+      |  CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM eff GROUP BY o_year ORDER BY o_year""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
     streamSessions, streamSessionWindow, streamHitters, streamOuterJoin,
-    streamEnrich)
+    streamEnrich, streamMergeUpsert)
 }
