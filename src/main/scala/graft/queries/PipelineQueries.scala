@@ -1137,6 +1137,93 @@ object PipelineQueries {
         |FROM v ORDER BY doc_id""".stripMargin
     })
 
+  /** URL canonicalization + dedup ([[graft.ops.Web.canonicalizeUrl]]):
+    * a closed-form crawl log carries each logical page under 4 chrome
+    * variants (case-shuffled scheme/host + explicit default port,
+    * tracking params, fragments, shuffled query order); canonicalization
+    * collapses them and the gate counts variants merged per canonical
+    * URL plus the registrable-domain key
+    * ([[graft.ops.Web.registrableDomain]]) the per-domain caps and
+    * blocklist joins run on. Raw-URL dedup would merge NOTHING here
+    * (all variants differ byte-wise) — the oracle replays the full
+    * normalization chain, so the rules themselves are value-gated.
+    * Scale: row-local regex/list algebra fused with the scan; the only
+    * exchange is the final group-by on the canonical key. */
+  val ingestUrlCanonicalize: QueryDef = QueryDef(
+    "ingest_url_canonicalize",
+    (s, d) => {
+      val k = expr("doc_id div 4")
+      val v = col("doc_id") % 4
+      val scheme = when(k % 2 === 0, lit("http")).otherwise(lit("https"))
+      val defPort = when(k % 2 === 0, lit(":80")).otherwise(lit(":443"))
+      val host = concat(lit("www.example"), (k % 50).cast("string"), lit(".com"))
+      val path = concat(lit("/a/b"), (k % 7).cast("string"))
+      val url =
+        when(v === 0, concat(scheme, lit("://"), host, path, lit("?a=1&b=2")))
+          .when(v === 1, concat(upper(scheme), lit("://"), upper(host), defPort,
+            path, lit("?b=2&a=1")))
+          .when(v === 2, concat(scheme, lit("://"), host, path,
+            lit("?utm_source=news&a=1&b=2#frag")))
+          .otherwise(concat(scheme, lit("://"), host, path,
+            lit("?fbclid=xyz&b=2&a=1#x")))
+      Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), graft.ops.Web.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_id"))
+        .withColumn("domain", graft.ops.Web.registrableDomain(
+          regexp_extract(col("canon"), "^[a-z]+://([^/]+)", 1)))
+        .orderBy("canon")
+    },
+    Some("""WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (doc_id // 4) % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+      |    CASE WHEN (doc_id // 4) % 2 = 0 THEN ':80' ELSE ':443' END AS defport,
+      |    'www.example' || CAST((doc_id // 4) % 50 AS VARCHAR) || '.com' AS host,
+      |    '/a/b' || CAST((doc_id // 4) % 7 AS VARCHAR) AS path,
+      |    doc_id % 4 AS v
+      |  FROM documents),
+      |raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN v = 0 THEN scheme || '://' || host || path || '?a=1&b=2'
+      |         WHEN v = 1 THEN upper(scheme) || '://' || upper(host) || defport || path || '?b=2&a=1'
+      |         WHEN v = 2 THEN scheme || '://' || host || path || '?utm_source=news&a=1&b=2#frag'
+      |         ELSE scheme || '://' || host || path || '?fbclid=xyz&b=2&a=1#x' END AS url
+      |  FROM u),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''), '#.*$', '') AS nofrag
+      |  FROM raw),
+      |p2 AS (
+      |  SELECT doc_id, scheme,
+      |    lower(regexp_extract(nofrag, '^([^/?]+)', 1)) AS hostport,
+      |    regexp_extract(nofrag, '^[^/?]+(/[^?]*)?', 1) AS path,
+      |    regexp_extract(nofrag, '\?(.*)$', 1) AS query
+      |  FROM parts),
+      |p3 AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |         ELSE hostport END AS host,
+      |    path,
+      |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)=') AND len(p) > 0)),
+      |      '&') AS q
+      |  FROM p2),
+      |c AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN path = '' THEN '/' ELSE path END ||
+      |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+      |  FROM p3),
+      |g AS (
+      |  SELECT canon, count(*) AS n_variants, min(doc_id) AS first_id
+      |  FROM c GROUP BY canon)
+      |SELECT canon, n_variants, first_id,
+      |  regexp_extract(regexp_extract(canon, '^[a-z]+://([^/]+)', 1),
+      |    '([^.]+\.[^.]+)$', 1) AS domain
+      |FROM g ORDER BY canon""".stripMargin))
+
   /** Quality-scoring features per document. */
   val textQuality: QueryDef = QueryDef(
     "text_quality",
@@ -1947,7 +2034,7 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
     simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
-    textLangid, ingestHtmlExtract, textQuality, textQualityModel,
+    textLangid, ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
     textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
