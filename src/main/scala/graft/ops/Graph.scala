@@ -173,4 +173,62 @@ object Graph {
     }
     (ranks, rounds)
   }
+
+  /** EXACT triangle census via degree-ordered orientation — the
+    * distributed-triangles recipe of Suri & Vassilvitskii 2011
+    * ("Counting Triangles and the Curse of the Last Reducer"): orient
+    * every undirected edge from its LOWER-(degree, id)-rank endpoint to
+    * the higher, enumerate oriented 2-paths a→b→c, and close them
+    * against the oriented edge a→c. The orientation is what makes this
+    * scale: every vertex's out-degree is O(√m) on any graph (a node of
+    * degree d only keeps out-edges to ≥-rank nodes, of which there are
+    * ≤ 2m/d), so the wedge join — the cost center — is Σ out-deg² ≤
+    * O(m^1.5) instead of the unoriented Σ deg² that dies on hub nodes
+    * ("the curse of the last reducer" is exactly a hub's reducer).
+    * Plain joins + one aggregate: three shuffles total, each on an edge
+    * endpoint key; no iteration, no driver state.
+    *
+    * Input: an edge table, any direction, self-loops/duplicates
+    * tolerated (normalized away). Output: one row
+    * (n_nodes, n_edges, n_wedges, n_triangles). */
+  def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // normalized edge list and the oriented list are each consumed by
+    // several downstream jobs — eager reliable checkpoints (the
+    // ContextCleaner-released Materialize.carried, not a never-dropped
+    // persist), so consumers re-read blocks instead of re-running the
+    // distinct/orientation
+    val und = Materialize.carried(edges
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct())
+    val deg = und.select(col("lo").as("node"))
+      .unionAll(und.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("lo"), col("d").as("dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("d").as("dhi")), "hi")
+    // orient from lower (degree, id) rank to higher
+    val oriented = withDeg.select(
+      when(col("dlo") < col("dhi") ||
+        (col("dlo") === col("dhi") && col("lo") < col("hi")), col("lo"))
+        .otherwise(col("hi")).as("src"),
+      when(col("dlo") < col("dhi") ||
+        (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
+        .otherwise(col("lo")).as("dst"))
+    val ed = Materialize.carried(oriented)
+    val wedges = ed.as("e1").join(ed.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    // ONE pass over the wedge join: the closure probe is a left join
+    // against the (unique) oriented edges, so n_wedges and n_triangles
+    // come out of a single aggregate instead of materializing the wedge
+    // set twice
+    val closed = wedges.join(
+      ed.select(col("src").as("a"), col("dst").as("c"), lit(1).as("__closed")),
+      Seq("a", "c"), "left")
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_wedges"),
+        count(col("__closed")).as("n_triangles")))
+  }
 }
