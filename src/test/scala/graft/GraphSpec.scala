@@ -82,4 +82,23 @@ class GraphSpec extends SparkSpec {
     assert(converged.orderBy("node").as[(Long, Long)].collect().toSeq ==
       fixed.orderBy("node").as[(Long, Long)].collect().toSeq)
   }
+
+  test("triangle census: hand-checked counts; direction/duplicate/self-loop robust") {
+    def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = Graph.triangleCensus(edges.toDF("a", "b"), "a", "b").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // K4: 4 nodes, 6 edges, C(4,3)=4 triangles
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(census(k4) === ((4L, 6L, 4L, 4L)))
+    // a 4-cycle has 4 edges, no triangles
+    assert(census(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))._4 === 0L)
+    // reversed duplicates and self-loops normalize away: same K4 census
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((2L, 2L), (0L, 0L))
+    assert(census(noisy) === ((4L, 6L, 4L, 4L)))
+    // two triangles sharing edge (2,3): 4 nodes, 5 edges; the orientation
+    // admits exactly one wedge per triangle (both through the hub edge)
+    assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)))
+      === ((4L, 5L, 2L, 2L)))
+  }
 }
