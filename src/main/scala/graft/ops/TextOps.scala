@@ -643,6 +643,36 @@ object TextOps {
   def htmlExtract(html: Column, minBlockChars: Int): Column =
     array_join(filter(htmlBlocks(html), b => length(b) >= minBlockChars), " ")
 
+  /** Feature-hashing document embedding (the hashing trick — Weinberger
+    * et al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
+    * every token updates component `md5(w) mod dim` by a ±1 second-hash
+    * sign, giving each document a fixed-width bag-of-words vector with
+    * NO vocabulary state — the embedding a pipeline can compute before
+    * any model exists (dedup blocking, cheap clustering, drift
+    * monitoring). Emitted as sparse (id, dim, v) rows: only components
+    * some token hashed into appear (signed sums may still cancel to 0 —
+    * a row either way, deterministically).
+    *
+    * Exactly engine-replayable: index and sign are md5 integer
+    * arithmetic, the component value is an integer sum. Scale: one
+    * narrow explode fused with the scan, one map-side-combined aggregate
+    * on (id, component) — shuffle rows are 24-byte triples bounded by
+    * docs × dim, not by token count. */
+  def hashEmbedRows(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, "need a positive embedding width")
+    docs
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("id"),
+        pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType),
+          lit(dim.toLong)).as("dim"),
+        when(conv(substring(md5(concat(col("w"), lit(":s"))), 1, 1), 16, 10)
+          .cast(LongType) % 2 === 1, lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy(col("id"), col("dim"))
+      .agg(sum(col("s")).as("v"))
+  }
+
   /** Winnowing-style robust fingerprint: minimum 64-bit hash over
     * character k-grams of the normalized text (k=8). Survives small edits
     * far from the minimal shingle — used for near-dup candidate keys.

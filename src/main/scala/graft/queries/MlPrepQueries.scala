@@ -755,6 +755,29 @@ object MlPrepQueries {
          |FROM a2 GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin
     })
 
+  /** Feature-hashing document embeddings
+    * ([[graft.ops.TextOps.hashEmbedRows]] — the vocabulary-free
+    * fixed-width bag-of-words vector, Weinberger et al. 2009), emitted
+    * sparse and fully value-gated: the oracle replays the md5
+    * index/sign arithmetic and the signed integer sums per (doc,
+    * component). */
+  val textHashEmbed: QueryDef = QueryDef(
+    "text_hash_embed",
+    (s, d) => TextOps.hashEmbedRows(Tables.documents(s, d), "doc_id", "text",
+        dim = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "dim"),
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0)
+      |SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 16 AS dim,
+      |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(w || ':s'), 1, 1)) AS BIGINT) % 2 = 1
+      |       THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |FROM toks GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin))
+
   /** Deterministic CURRICULUM ordering (easy→hard training schedule with
     * intra-bin shuffle): documents ranked into length deciles
     * ([[graft.ops.Sampling.denseIndex]] — the range-partitioned rank, no
@@ -801,7 +824,7 @@ object MlPrepQueries {
       |FROM p GROUP BY decile ORDER BY decile""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    textBpePairs, textBpeTrain, textBpeApply, packChunksBpe, mixCurriculum,
+    textBpePairs, textBpeTrain, textBpeApply, packChunksBpe, textHashEmbed, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
