@@ -643,6 +643,56 @@ object TextOps {
   def htmlExtract(html: Column, minBlockChars: Int): Column =
     array_join(filter(htmlBlocks(html), b => length(b) >= minBlockChars), " ")
 
+  /** All adjacent-word bigram INSTANCES per document (non-distinct —
+    * language-model statistics need occurrences, unlike the shingle
+    * index): row-local array transform + explode, fused with the scan.
+    * Documents with fewer than 2 words emit nothing. */
+  def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val idx = sequence(lit(1), size(w) - lit(1))
+    val pairs = transform(idx, i =>
+      concat_ws(" ", element_at(w, i), element_at(w, i + lit(1))))
+    docs.select(col(idCol).as("id"),
+      explode(when(size(w) < 2, array().cast("array<string>"))
+        .otherwise(pairs)).as("bg"))
+  }
+
+  /** Bigram-LM surprise per document — [[unigramRarityScores]]'
+    * conditional twin, still log-free: each bigram instance (w1, w2)
+    * scores `(count(w1) * scale) div count(w1 w2)` — the scaled inverse
+    * conditional frequency 1/P(w2|w1), summed exactly in integers. High
+    * sums flag improbable word TRANSITIONS (scrambled text, spam
+    * keyword-stuffing) that unigram rarity cannot see — every word can
+    * be common while every transition is absurd.
+    *
+    * Same bounded-broadcast discipline as the unigram scorer: both
+    * count tables cap to the most frequent entries ((count desc, key
+    * asc) — deterministic under ties) and broadcast; out-of-vocabulary
+    * falls to count 1 (maximum surprise), exactly like CCNet's unseen
+    * tokens. Three narrow corpus scans (unigram counts, bigram counts,
+    * score join-back), one map-combined aggregate each, and the
+    * per-doc sum is the one corpus-order shuffle. */
+  def bigramSurpriseScores(docs: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L, maxUnigrams: Int = 4 << 20,
+      maxBigrams: Int = 4 << 20): DataFrame = {
+    require(maxUnigrams >= 1 && maxBigrams >= 1, "caps must be positive")
+    val toks = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("w").asc).limit(maxUnigrams)
+    val bg = bigramRows(docs, idCol, textCol)
+    val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("bg").asc).limit(maxBigrams)
+    bg
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(broadcast(uni), Seq("w"), "left")
+      .join(broadcast(bc), Seq("bg"), "left")
+      .withColumn("r", expr(s"(coalesce(c1, 1L) * ${scale}L) div coalesce(cb, 1L)"))
+      .groupBy(col("id"))
+      .agg(sum(col("r")).as("sum_surprise"), count(lit(1)).as("n_bigrams"))
+  }
+
   /** Feature-hashing document embedding (the hashing trick — Weinberger
     * et al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
     * every token updates component `md5(w) mod dim` by a ±1 second-hash

@@ -755,6 +755,38 @@ object MlPrepQueries {
          |FROM a2 GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin
     })
 
+  /** Bigram-LM surprise scoring
+    * ([[graft.ops.TextOps.bigramSurpriseScores]] — the unigram scorer's
+    * conditional twin): per-doc exact integer sum of scaled inverse
+    * transition frequencies, caps exercised by the gate (unigram cap 20
+    * of ~31, bigram cap 200 — OOV falls to count 1, maximum surprise). */
+  val textBigramLm: QueryDef = QueryDef(
+    "text_bigram_lm",
+    (s, d) => TextOps.bigramSurpriseScores(Tables.documents(s, d), "doc_id",
+        "text", maxUnigrams = 20, maxBigrams = 200)
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_surprise"))
+      .orderBy("doc_id"),
+    Some(s"""WITH w AS (
+      |  SELECT doc_id, string_split($normalizeSql, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS bg,
+      |    ws[CAST(i AS INTEGER)] AS w1
+      |  FROM w, unnest(range(1, len(ws), 1)) r(i)
+      |  WHERE len(ws) >= 2),
+      |uni AS (
+      |  SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(string_split($normalizeSql, ' ')) AS w FROM documents) t
+      |  WHERE len(w) > 0 GROUP BY w ORDER BY c1 DESC, w ASC LIMIT 20),
+      |bc AS (
+      |  SELECT bg, count(*) AS cb FROM bg GROUP BY bg
+      |  ORDER BY cb DESC, bg ASC LIMIT 200),
+      |scored AS (
+      |  SELECT doc_id, (coalesce(uni.c1, 1) * 1000000) // coalesce(bc.cb, 1) AS r
+      |  FROM bg LEFT JOIN uni ON bg.w1 = uni.w LEFT JOIN bc ON bg.bg = bc.bg)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(r) AS BIGINT) AS sum_surprise
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Feature-hashing document embeddings
     * ([[graft.ops.TextOps.hashEmbedRows]] — the vocabulary-free
     * fixed-width bag-of-words vector, Weinberger et al. 2009), emitted
@@ -824,7 +856,7 @@ object MlPrepQueries {
       |FROM p GROUP BY decile ORDER BY decile""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    textBpePairs, textBpeTrain, textBpeApply, packChunksBpe, textHashEmbed, mixCurriculum,
+    textBpePairs, textBpeTrain, textBpeApply, packChunksBpe, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
