@@ -181,4 +181,44 @@ object Bpe {
     (1 to numMerges).foldLeft(wordExpr) { (acc, i) =>
       s"replace($acc, (SELECT pair FROM best$i), chr(${191 + i}))"
     }
+
+  /** Human-readable expansion of every merged symbol: merge i's token
+    * string is expansion(pair[0]) || expansion(pair[1]), base chars
+    * expanding to themselves — the inspectable vocabulary a tokenizer
+    * ships. */
+  def expansions(merges: Seq[Merge]): Seq[(Merge, String)] = {
+    val decode = scala.collection.mutable.Map.empty[Char, String]
+    merges.map { m =>
+      def ex(c: Char): String = decode.getOrElse(c, c.toString)
+      val e = ex(m.pair.charAt(0)) + ex(m.pair.charAt(1))
+      decode(m.merged.charAt(0)) = e
+      (m, e)
+    }
+  }
+
+  /** The expansion table in SQL: CTE chain `exp0..exp$n` where exp$i
+    * maps every symbol live after round i to its character expansion.
+    * Paste after [[trainCtesSql]]'s CTEs (depends on best$i). */
+  def expansionCtesSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """exp0 AS MATERIALIZED (
+        |  SELECT chr(CAST(x AS INTEGER)) AS sym, chr(CAST(x AS INTEGER)) AS ex
+        |  FROM (SELECT unnest(range(97, 123)) AS x UNION ALL
+        |        SELECT unnest(range(48, 58))) t)""".stripMargin)
+    for (i <- 1 to numMerges) {
+      val prev = s"exp${i - 1}"
+      sb.append(
+        s""",
+           |exp$i AS MATERIALIZED (
+           |  SELECT sym, ex FROM $prev
+           |  UNION ALL
+           |  SELECT chr(${191 + i}),
+           |    (SELECT e1.ex FROM $prev e1
+           |     WHERE e1.sym = substr((SELECT pair FROM best$i), 1, 1)) ||
+           |    (SELECT e2.ex FROM $prev e2
+           |     WHERE e2.sym = substr((SELECT pair FROM best$i), 2, 1)))""".stripMargin)
+    }
+    sb.toString()
+  }
 }

@@ -681,6 +681,30 @@ object MlPrepQueries {
       s"WITH $bpeTrainWith$rows ORDER BY rk"
     })
 
+  /** The learned BPE VOCABULARY, human-readable: each merge's rank,
+    * weighted count and the character string its symbol expands to
+    * ([[graft.ops.Bpe.expansions]]). The oracle retrains unrolled and
+    * rebuilds the decode table round-by-round (exp$i CTEs), so the
+    * inspectable vocabulary — the artifact a tokenizer release ships —
+    * is itself cross-engine gated. */
+  val textBpeVocab: QueryDef = QueryDef(
+    "text_bpe_vocab",
+    (s, d) => {
+      import s.implicits._
+      Bpe.expansions(Bpe.train(Tables.documents(s, d), "text", bpeMerges, bpeCap))
+        .map { case (m, e) => (m.rk, e, m.cnt) }
+        .toDF("rk", "token_str", "cnt")
+        .orderBy("rk")
+    },
+    Some {
+      val rows = (1 to bpeMerges).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS rk,
+           |  (SELECT ex FROM exp$bpeMerges WHERE sym = chr(${191 + i})) AS token_str,
+           |  (SELECT cnt FROM best$i) AS cnt""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\n")
+      s"WITH $bpeTrainWith,\n${Bpe.expansionCtesSql(bpeMerges)}$rows ORDER BY rk"
+    })
+
   /** BPE APPLICATION: per-document token accounting under the trained
     * merges ([[graft.ops.Bpe.tokenCounts]] — row-local replace chain,
     * merge list in the task closure, nothing shuffles). The oracle
@@ -856,7 +880,7 @@ object MlPrepQueries {
       |FROM p GROUP BY decile ORDER BY decile""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    textBpePairs, textBpeTrain, textBpeApply, packChunksBpe, textHashEmbed, textBigramLm, mixCurriculum,
+    textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
