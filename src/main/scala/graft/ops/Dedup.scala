@@ -492,6 +492,44 @@ object Dedup {
         col("__m.__dist").as("edit_distance"))
   }
 
+  /** SORTED-NEIGHBORHOOD candidate pairs (Hernández & Stolfo 1995, "The
+    * merge/purge problem") — the third classic blocking paradigm next to
+    * key blocking ([[linkBestMatchBlocked]]) and LSH
+    * ([[minhashLshPairs]]): sort the corpus by a discriminating key,
+    * pair every record with its `window` successors, verify by edit
+    * distance. Catches near-dups whose corruption moved them OFF a
+    * prefix block (prefix blocking needs the damage to spare the
+    * prefix; sorted order only needs it to keep the records CLOSE in
+    * sort order).
+    *
+    * Scale shape: the global sort is [[Sampling.denseIndex]] (range
+    * partitions, per-partition ranks, broadcast offsets — no
+    * single-partition window), and the windowed self-join is the binned
+    * range-join recipe: each record probes bucket `rnk div window` and
+    * its successor, so candidates are an equi-join with ≤2 buckets per
+    * row and total pair work is N·window — linear, skew-free (ranks are
+    * unique by construction). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, nameCol: String,
+      window: Int, maxDistance: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ranked = Sampling.denseIndex(
+      df.select(col(idCol).as("id"), col(nameCol).as("nm")),
+      Seq("nm", "id"), "rnk")
+    val build = ranked.select(col("id").as("id_b"), col("nm").as("nm_b"),
+      col("rnk").as("rnk_b"), expr(s"rnk div $window").as("bkt"))
+    val probe = ranked.select(col("id").as("id_a"), col("nm").as("nm_a"),
+        col("rnk").as("rnk_a"),
+        explode(array(expr(s"rnk div $window"), expr(s"rnk div $window + 1")))
+          .as("bkt"))
+    probe.join(build, "bkt")
+      .filter(col("rnk_b") > col("rnk_a") &&
+        col("rnk_b") <= col("rnk_a") + window)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("nm_a"), col("nm_b"), maxDistance)
+          .cast(LongType).as("edit_distance"))
+      .filter(col("edit_distance") >= 0)
+  }
+
   /** Exact n-gram Jaccard pairs >= threshold, with PPJoin-style prefix
     * filtering for candidate generation (exact — no recall loss):
     *

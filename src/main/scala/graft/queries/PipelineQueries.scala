@@ -394,6 +394,41 @@ object PipelineQueries {
       |  (c_custkey = x_key - 1000000) AS true_match
       |FROM best WHERE rk = 1 ORDER BY x_key""".stripMargin))
 
+  /** Sorted-neighborhood dedup
+    * ([[graft.ops.Dedup.sortedNeighborhoodPairs]] — Hernández & Stolfo's
+    * merge/purge windowing, the third blocking paradigm in the dedup
+    * family): customers plus a perturbed clone slice (every 4th,
+    * re-keyed +1e6, last name char dropped) sorted by name, each record
+    * paired with its 5 sort-successors, pairs verified at edit distance
+    * ≤ 2. Every clone sorts adjacent to its source (the prefix is the
+    * sort key), so recall is 1 for the planted channel; the oracle
+    * replays rank, window and distances. Scale: range-partitioned rank
+    * + ≤2-bucket binned self-join — N·window pair work, no
+    * single-partition window, skew-free unique ranks. */
+  val dedupSortedNeighborhood: QueryDef = QueryDef(
+    "dedup_sorted_neighborhood",
+    (s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val clones = cust.filter(col("c_custkey") % 4 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("c_name"))
+      Dedup.sortedNeighborhoodPairs(cust.unionByName(clones),
+          "c_custkey", "c_name", window = 5, maxDistance = 2)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH t AS (
+      |  SELECT c_custkey AS id, c_name AS nm FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, substr(c_name, 1, length(c_name) - 1)
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |r AS (SELECT id, nm,
+      |    row_number() OVER (ORDER BY nm, id) - 1 AS rnk FROM t)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_distance
+      |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+      |WHERE levenshtein(a.nm, b.nm) <= 2
+      |ORDER BY id_a, id_b""".stripMargin))
+
   /** SimHash near-dup candidates (md5-derived word hashes, so the oracle
     * recomputes the 64-bit signatures, 16-bit band buckets and Hamming
     * distances exactly; also verified against ground truth in
@@ -2027,7 +2062,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
     dedupMinhashLsh, dedupCluster, dedupClusterStar,
-    dedupNgramJaccard, dedupContainment, dedupSimhash, dedupFuzzyBlock,
+    dedupNgramJaccard, dedupContainment, dedupSimhash, dedupFuzzyBlock, dedupSortedNeighborhood,
     linkEntities, dedupIncremental,
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
