@@ -122,6 +122,48 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** KMV set ALGEBRA: Jaccard and intersection estimates of A and B from
+    * their two independent bottom-k sketches (Beyer et al. 2007,
+    * "On synopses for distinct-value estimation under multiset
+    * operations") — the merged bottom-k is a uniform sample of A ∪ B, so
+    * the fraction of its hashes present in BOTH sketches estimates
+    * J(A,B), and intersection ≈ J × union-estimate. This is the full
+    * sketch story at 100 TB: per-shard sketches of ≤ k hashes answer
+    * union AND overlap questions (shared users across days, corpus
+    * overlap between crawls) without revisiting data. All integer hash
+    * compares plus two boundary doubles — oracle-recomputable. */
+  def kmvIntersectEstimate(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2)
+    def bottomK(df: DataFrame, c: String) = {
+      val h = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long")
+      df.select(h.as("h")).where(col("h").isNotNull).distinct()
+        .orderBy(col("h").asc).limit(k)
+    }
+    val scale = (k - 1).toDouble * math.pow(2, 60)
+    val ba = bottomK(a, aCol)
+    val bb = bottomK(b, bCol)
+    val merged = ba.union(bb).distinct().orderBy(col("h").asc).limit(k)
+    val both = merged
+      .join(ba.withColumn("__ina", lit(1)), Seq("h"), "left")
+      .join(bb.withColumn("__inb", lit(1)), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+    // jaccard in integer basis points ((n_both * 10000) div n_kept):
+    // a dyadic-ratio double rounded at 4 decimals can land exactly on a
+    // rounding half-boundary — integer floor division sidesteps the
+    // cross-engine tie question entirely
+    both.select(col("n_kept"), col("kth"), col("n_both"),
+      round(when(col("n_kept") < k, col("n_kept").cast("double"))
+        .otherwise(lit(scale) / col("kth").cast("double")), 2).as("est_union"),
+      expr("(n_both * 10000) div n_kept").as("jaccard_bp"),
+      round((col("n_both").cast("double") / col("n_kept").cast("double")) *
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(scale) / col("kth").cast("double")), 2)
+        .as("est_intersect_r"))
+  }
+
   /** Count-min sketch over a column (frequency estimates; never
     * undercounts). */
   def countMinSketch(df: DataFrame, colName: String,

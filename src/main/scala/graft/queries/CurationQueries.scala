@@ -825,6 +825,57 @@ object CurationQueries {
       |  exact_distinct
       |FROM st, e""".stripMargin))
 
+  /** KMV set ALGEBRA ([[graft.ops.Sketches.kmvIntersectEstimate]] —
+    * Beyer et al. 2007): Jaccard + intersection estimates of two
+    * partially-overlapping lineitem shards (part keys %3 ∈ {0,1} vs
+    * {1,2} — true Jaccard ≈ 1/3, so the estimator is actually
+    * discriminating) from their independent bottom-256 sketches; the exact
+    * intersection rides along for accuracy eyeballing. Jaccard is
+    * emitted in integer basis points (floor division — no double
+    * rounding tie), and the oracle recomputes hashes, both bottom-k
+    * sets, the merged sample, the membership counts and both
+    * estimators. */
+  val sketchKmvIntersect: QueryDef = QueryDef(
+    "sketch_kmv_intersect",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_partkey") % 3 <= 1)
+      val b = li.filter(col("l_partkey") % 3 >= 1)
+      Sketches.kmvIntersectEstimate(a, "l_partkey", b, "l_partkey", k = 256)
+        .crossJoin(a.select(col("l_partkey")).intersect(b.select(col("l_partkey")))
+          .agg(count(lit(1)).as("exact_intersect")))
+    },
+    Some("""WITH ha AS (
+      |  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem WHERE l_partkey % 3 <= 1),
+      |ba AS (SELECT h FROM ha ORDER BY h ASC LIMIT 256),
+      |hb AS (
+      |  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem WHERE l_partkey % 3 >= 1),
+      |bb AS (SELECT h FROM hb ORDER BY h ASC LIMIT 256),
+      |u AS (SELECT DISTINCT h FROM (SELECT h FROM ba UNION ALL SELECT h FROM bb)),
+      |bu AS (SELECT h FROM u ORDER BY h ASC LIMIT 256),
+      |st AS (
+      |  SELECT count(*) AS n_kept, max(bu.h) AS kth,
+      |    CAST(sum(CASE WHEN ba.h IS NOT NULL AND bb.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |  FROM bu LEFT JOIN ba ON bu.h = ba.h LEFT JOIN bb ON bu.h = bb.h),
+      |e AS (
+      |  SELECT count(*) AS exact_intersect FROM (
+      |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 3 <= 1
+      |    INTERSECT
+      |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 3 >= 1))
+      |SELECT n_kept, kth, n_both,
+      |  round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+      |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth AS DOUBLE)
+      |    END, 2) AS est_union,
+      |  (n_both * 10000) // n_kept AS jaccard_bp,
+      |  round((CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE)) *
+      |    (CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+      |     ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth AS DOUBLE)
+      |     END), 2) AS est_intersect_r,
+      |  exact_intersect
+      |FROM st, e""".stripMargin))
+
   /** Exponential TIME-DECAY weighting (the recency prior of freshness-
     * aware mixing/monitoring): each event's weight halves per hour of
     * age and zeroes past a 20-hour horizon — weight = 2^(20 − age_h),
@@ -867,7 +918,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     curateDecayCounts,
-    sketchKmvUnion,
+    sketchKmvUnion, sketchKmvIntersect,
     sketchKmvDistinct, sketchHllDistinct, sketchCmTopk, curateSnapshotDiff,
     qBloomJoin, mergeScd2,
     qSaltedAgg, qSkewAdaptive,
