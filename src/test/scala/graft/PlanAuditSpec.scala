@@ -171,6 +171,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "extraction should not join")
   }
 
+  test("text_bigram_lm: both count tables broadcast; corpus never sort-merge-joins") {
+    val p = plan("text_bigram_lm")
+    assert(nodes(p, "BroadcastHashJoin") == 2, "expected unigram + bigram broadcast joins")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("text_hash_embed: no join — explode fused with the scan, one aggregate") {
+    val p = plan("text_hash_embed")
+    assert(!p.contains("Join"))
+    assert(nodes(p, "Exchange") <= 2, "hash embed grew exchanges beyond group-by + sort")
+  }
+
+  test("ingest_url_canonicalize: row-local normalization, only group-by + sort exchange") {
+    val p = plan("ingest_url_canonicalize")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Generate"), "canonicalization exploded params corpus-wide")
+  }
+
+  test("dedup_sorted_neighborhood: range-partitioned rank, no single-partition window, no cartesian") {
+    val p = plan("dedup_sorted_neighborhood")
+    assert(p.contains("rangepartitioning"), "denseIndex rank lost its range exchange")
+    assert(!p.contains("SinglePartition"), "rank collapsed to a single partition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("the full-outer merge is the only sort-merge join user") {
     val p = plan("merge_table_versions")
     assert(nodes(p, "SortMergeJoin") == 2) // 3-way fold = 2 joins
