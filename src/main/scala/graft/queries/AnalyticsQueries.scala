@@ -79,6 +79,65 @@ object AnalyticsQueries {
       |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin))
 
+  /** Per-group OLS regression (the SQL `REGR_SLOPE`/`REGR_INTERCEPT`/
+    * `REGR_R2` family) from the SAME exact-moment kernel as
+    * [[qStatsMoments]] — the point of the power-sum design: one
+    * map-side-combinable aggregation of (n, Σx, Σy, Σx², Σy², Σxy)
+    * serves stddev, correlation AND the least-squares fit, all
+    * order-free exact integers until the closed-form boundary doubles.
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − Σx²), intercept = (Σy − slope·Σx)/n,
+    * r² = (nΣxy − ΣxΣy)² / ((nΣx² − Σx²)(nΣy² − Σy²)); the oracle
+    * writes the identical expression trees on identically-reconstructed
+    * sums. */
+  val qRegressionByGroup: QueryDef = QueryDef(
+    "q_regression_by_group",
+    (s, d) => {
+      val m = graft.ops.Stats.moments(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice", scale = 2)
+      val n = col("n").cast("double")
+      val sxy = n * col("sxy") - col("sx") * col("sy")
+      val sxx = n * col("sxx") - col("sx") * col("sx")
+      val syy = n * col("syy") - col("sy") * col("sy")
+      m.select(col("l_returnflag"), col("n"),
+          round(sxy / sxx, 6).as("slope"),
+          round((col("sy") - (sxy / sxx) * col("sx")) / n, 4).as("intercept"),
+          round((sxy * sxy) / (sxx * syy), 6).as("r2"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS lx,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ly
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT l_returnflag, lx, ly, ly * ly AS pyy, lx * ly AS pxy FROM t),
+      |a AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(lx) AS sxl, sum(ly) AS syl, sum(lx * lx) AS sxxl,
+      |    sum(pyy // 8388608) AS syy_hi, sum(pyy % 8388608) AS syy_lo,
+      |    sum(pxy // 8388608) AS sxy_hi, sum(pxy % 8388608) AS sxy_lo
+      |  FROM p GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(sxl AS DOUBLE) / 100.0 AS sx,
+      |    CAST(syl AS DOUBLE) / 100.0 AS sy,
+      |    CAST(sxxl AS DOUBLE) / 10000.0 AS sxx,
+      |    (CAST(syy_hi AS DOUBLE) * 8388608.0 + CAST(syy_lo AS DOUBLE)) / 10000.0 AS syy,
+      |    (CAST(sxy_hi AS DOUBLE) * 8388608.0 + CAST(sxy_lo AS DOUBLE)) / 10000.0 AS sxy
+      |  FROM a),
+      |f AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) * sxy - sx * sy AS cxy,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx AS cxx,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS cyy,
+      |    sx, sy
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  round(cxy / cxx, 6) AS slope,
+      |  round((sy - (cxy / cxx) * sx) / CAST(n AS DOUBLE), 4) AS intercept,
+      |  round((cxy * cxy) / (cxx * cyy), 6) AS r2
+      |FROM f ORDER BY l_returnflag""".stripMargin))
+
   /** Fixed-width value histogram of order totals: bucket assignment is
     * one deterministic double division + floor (no arithmetic on the
     * aggregated values themselves — min/max/count carry parquet values
@@ -550,6 +609,6 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
-    qFillGaps, qWindowSliding,
+    qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles)
 }
