@@ -217,8 +217,10 @@ object Graph {
         (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
         .otherwise(col("lo")).as("dst"))
     val ed = Materialize.carried(oriented)
+    // the middle vertex is never consulted again — dropping it slims the
+    // wedge shuffle (the cost center) to 16-byte (a, c) pairs
     val wedges = ed.as("e1").join(ed.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .select(col("e1.src").as("a"), col("e2.dst").as("c"))
     // ONE pass over the wedge join: the closure probe is a left join
     // against the (unique) oriented edges, so n_wedges and n_triangles
     // come out of a single aggregate instead of materializing the wedge
