@@ -1150,6 +1150,57 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame-energy ACTIVITY gating over decoded audio — the
+    * voice-activity-detection shape a speech-corpus pipeline runs to
+    * drop silent/dead clips and locate speech onsets: the decoded sample
+    * stream is cut into fixed `frameLen` windows, each frame's energy is
+    * the exact integer Σ sample² (fits a long: 32767² × frame ≪ 2⁶³),
+    * and a frame is ACTIVE when energy ≥ threshold. Emits per clip the
+    * full-frame count, active count, first active frame (−1 if none)
+    * and the active ratio in integer basis points. The trailing partial
+    * frame is ignored (frames = n_samples div frameLen — the fixed-hop
+    * convention). Same per-partition decode discipline as
+    * [[decodeAudio]]: payloads never shuffle, one codec parse per
+    * clip. */
+  def audioFrameActivity(media: DataFrame, frameLen: Int,
+      energyThreshold: Long): DataFrame = {
+    require(frameLen >= 1 && energyThreshold >= 0)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_active", LongType, nullable = false),
+      StructField("first_active", LongType, nullable = false),
+      StructField("active_bp", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (_, samples) = decodeWav(r.get(1).asInstanceOf[Array[Byte]])
+          val nFrames = samples.length / frameLen
+          var active = 0L
+          var first = -1L
+          var f = 0
+          while (f < nFrames) {
+            var e = 0L
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) {
+              val a = samples(i).toLong
+              e += a * a
+              i += 1
+            }
+            if (e >= energyThreshold) {
+              active += 1
+              if (first < 0) first = f.toLong
+            }
+            f += 1
+          }
+          val bp = if (nFrames == 0) 0L else active * 10000L / nFrames
+          Row(r.getLong(0), nFrames.toLong, active, first, bp)
+        }
+      }(enc)
+  }
+
   /** Permissive twin of [[decodeAudio]] — the [[decodeImagesSafe]]
     * quarantine contract for WAV payloads: unparseable containers come
     * back `decode_ok = false` with null stats, never a task failure. */

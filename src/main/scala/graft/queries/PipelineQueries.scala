@@ -1832,6 +1832,38 @@ object PipelineQueries {
       |  CAST(sum(a) AS BIGINT) AS amp_sum, CAST(max(a) AS BIGINT) AS peak
       |FROM s GROUP BY id, n ORDER BY media_id""".stripMargin))
 
+  /** Voice-activity-style audio frame gating
+    * ([[graft.ops.Multimodal.audioFrameActivity]]): every synthesized
+    * WAV clip is REALLY decoded (AudioSystem), cut into 16-sample
+    * frames, and gated on exact integer frame energy Σsample² ≥ 5e6 —
+    * the silent-clip drop / speech-onset locate pass a speech corpus
+    * runs. The oracle regenerates the closed-form sample stream and
+    * replays framing, energies, the gate, the first-active index and
+    * the basis-point ratio; a wrong header parse, byte order or frame
+    * hop breaks the numbers. Payloads never shuffle (per-partition
+    * decode). */
+  val mmAudioVad: QueryDef = QueryDef(
+    "mm_audio_vad",
+    (s, d) => Multimodal.audioFrameActivity(
+        Multimodal.audioCorpus(Tables.documents(s, d)),
+        frameLen = 16, energyThreshold = 5000000L)
+      .orderBy("media_id"),
+    Some("""WITH d AS (
+      |  SELECT doc_id AS id, 64 + doc_id % 64 AS n FROM documents),
+      |sm AS (
+      |  SELECT id, i, ((id*31 + i*17) % 2003) - 1001 AS s
+      |  FROM d, range(0, 128) rs(i) WHERE i < (n // 16) * 16),
+      |fr AS (SELECT id, i // 16 AS f, sum(s*s) AS e FROM sm GROUP BY id, i // 16),
+      |ag AS (
+      |  SELECT id, count(*) AS n_frames,
+      |    CAST(sum(CASE WHEN e >= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |    coalesce(min(CASE WHEN e >= 5000000 THEN f END), -1) AS first_active
+      |  FROM fr GROUP BY id)
+      |SELECT id AS media_id, n_frames, n_active,
+      |  CAST(first_active AS BIGINT) AS first_active,
+      |  n_active * 10000 // n_frames AS active_bp
+      |FROM ag ORDER BY media_id""".stripMargin))
+
   /** Vocabulary top-k: explode word tokens, count, rank — the
     * tokenize/explode/aggregate shape of corpus statistics. */
   val textWordcount: QueryDef = QueryDef(
@@ -2075,5 +2107,5 @@ object PipelineQueries {
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
-    mmFrameSampleMjpeg, mmFrameSampleGif)
+    mmFrameSampleMjpeg, mmFrameSampleGif, mmAudioVad)
 }
