@@ -1832,6 +1832,63 @@ object PipelineQueries {
       |  CAST(sum(a) AS BIGINT) AS amp_sum, CAST(max(a) AS BIGINT) AS peak
       |FROM s GROUP BY id, n ORDER BY media_id""".stripMargin))
 
+  /** LEAKAGE-SAFE train/test split: folds are assigned by CONTENT
+    * FINGERPRINT (md5 of the normalized text), not by document id, so
+    * every exact-duplicate group lands wholly on one side of the
+    * boundary — the split discipline deduplicated-training-data work
+    * (Lee et al. 2022) demands: an id-hash split scatters a duplicate
+    * group's members across train AND test, leaking test content into
+    * training verbatim. The gate CONTRASTS the two: per split,
+    * doc/group counts plus the corpus-wide count of fingerprint groups
+    * spanning ≥2 folds under the fingerprint split (provably 0) and
+    * under the naive id split (>0 on the dup-synthesized corpus — the
+    * leak made visible). Scale: two map-combined aggregations on the
+    * 16-byte fingerprint; content never shuffles. */
+  val sampleSplitLeakageSafe: QueryDef = QueryDef(
+    "sample_split_leakage_safe",
+    (s, d) => {
+      val base = docsWithDups(s, d)
+        .withColumn("fp", md5(TextOps.normalize(col("text"))))
+        .withColumn("split_fp",
+          when(conv(substring(md5(col("fp")), 1, 15), 16, 10).cast("long")
+            % 100 < 80, lit("train")).otherwise(lit("test")))
+        .withColumn("split_id",
+          when(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100 < 80, lit("train")).otherwise(lit("test")))
+      val perSplit = base.groupBy(col("split_fp").as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_groups"))
+      val crossing = base.groupBy(col("fp"))
+        .agg(countDistinct(col("split_fp")).as("k_fp"),
+          countDistinct(col("split_id")).as("k_id"))
+        .agg(sum(when(col("k_fp") > 1, 1L).otherwise(0L)).as("fp_crossing_groups"),
+          sum(when(col("k_id") > 1, 1L).otherwise(0L)).as("id_crossing_groups"))
+      perSplit.crossJoin(broadcast(crossing)).orderBy("split")
+    },
+    Some(s"""WITH t AS ($docsWithDupsSql),
+      |b AS (
+      |  SELECT doc_id, md5($normalizeSql) AS fp FROM t),
+      |sp AS (
+      |  SELECT doc_id, fp,
+      |    CASE WHEN CAST(concat('0x', substr(md5(fp), 1, 15)) AS BIGINT) % 100 < 80
+      |         THEN 'train' ELSE 'test' END AS split_fp,
+      |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+      |         THEN 'train' ELSE 'test' END AS split_id
+      |  FROM b),
+      |per AS (
+      |  SELECT split_fp AS split, count(*) AS n_docs,
+      |    count(DISTINCT fp) AS n_groups
+      |  FROM sp GROUP BY split_fp),
+      |cr AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN k_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp_crossing_groups,
+      |    CAST(sum(CASE WHEN k_id > 1 THEN 1 ELSE 0 END) AS BIGINT) AS id_crossing_groups
+      |  FROM (SELECT fp, count(DISTINCT split_fp) AS k_fp,
+      |          count(DISTINCT split_id) AS k_id
+      |        FROM sp GROUP BY fp))
+      |SELECT split, n_docs, n_groups, fp_crossing_groups, id_crossing_groups
+      |FROM per, cr ORDER BY split""".stripMargin))
+
   /** Voice-activity-style audio frame gating
     * ([[graft.ops.Multimodal.audioFrameActivity]]): every synthesized
     * WAV clip is REALLY decoded (AudioSystem), cut into 16-sample
@@ -2107,5 +2164,5 @@ object PipelineQueries {
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
-    mmFrameSampleMjpeg, mmFrameSampleGif, mmAudioVad)
+    mmFrameSampleMjpeg, mmFrameSampleGif, mmAudioVad, sampleSplitLeakageSafe)
 }
