@@ -834,6 +834,40 @@ object MlPrepQueries {
       |       THEN 1 ELSE -1 END) AS BIGINT) AS v
       |FROM toks GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin))
 
+  /** Tokenizer FERTILITY monitoring per source (tokens-per-word in
+    * integer basis points) — the drift metric a tokenizer owner tracks
+    * per domain/language slice: a source whose fertility climbs is
+    * drifting away from the trained vocabulary (new jargon, new
+    * language) and inflating its effective training cost. Composes
+    * train → apply → per-source rollup; the oracle replays all three. */
+  val textBpeFertility: QueryDef = QueryDef(
+    "text_bpe_fertility",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", bpeMerges, bpeCap)
+      Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens_bpe")).as("n_tokens_bpe"))
+        .withColumn("fertility_bp",
+          expr("(n_tokens_bpe * 10000) div nullif(n_words, 0)"))
+        .orderBy("source")
+    },
+    Some {
+      val chain = Bpe.segmentExprSql("w", bpeMerges)
+      s"""WITH $bpeTrainWith,
+         |wx AS (
+         |  SELECT doc_id, source, unnest(string_split($normalizeSql, ' ')) AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT source, len($chain) AS t FROM wx WHERE len(w) >= 1)
+         |SELECT source, count(*) AS n_words,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens_bpe,
+         |  (CAST(sum(t) AS BIGINT) * 10000) // nullif(count(*), 0) AS fertility_bp
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin
+    })
+
   /** Deterministic CURRICULUM ordering (easy→hard training schedule with
     * intra-bin shuffle): documents ranked into length deciles
     * ([[graft.ops.Sampling.denseIndex]] — the range-partitioned rank, no
@@ -880,7 +914,7 @@ object MlPrepQueries {
       |FROM p GROUP BY decile ORDER BY decile""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textHashEmbed, textBigramLm, mixCurriculum,
+    textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
