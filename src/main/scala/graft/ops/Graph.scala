@@ -191,7 +191,8 @@ object Graph {
     * Input: an edge table, any direction, self-loops/duplicates
     * tolerated (normalized away). Output: one row
     * (n_nodes, n_edges, n_wedges, n_triangles). */
-  def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def triangleCensus(edges: DataFrame, aCol: String, bCol: String,
+      maxBroadcastEdges: Long = maxBroadcastAdjacencyEdges): DataFrame = {
     // normalized edge list and the oriented list are each consumed by
     // several downstream jobs — eager reliable checkpoints (the
     // ContextCleaner-released Materialize.carried, not a never-dropped
@@ -217,20 +218,59 @@ object Graph {
         (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
         .otherwise(col("lo")).as("dst"))
     val ed = Materialize.carried(oriented)
-    // the middle vertex is never consulted again — dropping it slims the
-    // wedge shuffle (the cost center) to 16-byte (a, c) pairs
-    val wedges = ed.as("e1").join(ed.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("a"), col("e2.dst").as("c"))
-    // ONE pass over the wedge join: the closure probe is a left join
-    // against the (unique) oriented edges, so n_wedges and n_triangles
-    // come out of a single aggregate instead of materializing the wedge
-    // set twice
-    val closed = wedges.join(
-      ed.select(col("src").as("a"), col("dst").as("c"), lit(1).as("__closed")),
-      Seq("a", "c"), "left")
+    val nEdges = ed.count()
+    val triangles =
+      if (nEdges <= maxBroadcastEdges) {
+        // EDGE-ITERATOR fast path (the bounded-broadcast/distributed-
+        // fallback house pattern): the oriented adjacency map totals
+        // exactly m entries, so under the cap it BROADCASTS and each
+        // edge (s, t) counts |N⁺(s) ∩ N⁺(t)| row-locally with a sorted-
+        // array intersect — every triangle a→b→c, a→c is counted exactly
+        // once, at its base edge (a, b) with apex c; ZERO shuffle beyond
+        // the adjacency build. Above the cap: the wedge-join route below
+        // (same answer — GraphSpec pins route equality).
+        val adj = ed.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        val emptyArr = array().cast(adj.schema("nbrs").dataType.catalogString)
+        ed
+          .join(broadcast(adj.select(col("src"), col("nbrs").as("nbrs_s"))),
+            Seq("src"), "left")
+          .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_t"))),
+            Seq("dst"), "left")
+          .select(size(array_intersect(
+            coalesce(col("nbrs_s"), emptyArr),
+            coalesce(col("nbrs_t"), emptyArr)))
+            .cast(org.apache.spark.sql.types.LongType).as("t"))
+          .agg(sum(col("t")).as("n_triangles"))
+      } else {
+        // wedge-join route: the middle vertex is never consulted again —
+        // dropping it slims the wedge shuffle (the cost center) to
+        // 16-byte (a, c) pairs; the closure probe is a join against the
+        // (unique) oriented edges
+        val wedges = ed.as("e1").join(ed.as("e2"), col("e1.dst") === col("e2.src"))
+          .select(col("e1.src").as("a"), col("e2.dst").as("c"))
+        wedges.join(
+            ed.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+      }
+    // wedge count from the oriented degree algebra — Σ_b in⁺(b)·out⁺(b)
+    // equals the e1.dst = e2.src join cardinality, no wedge
+    // materialization on either route
+    val outDeg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("od"))
+    val inDeg = ed.groupBy(col("dst").as("node")).agg(count(lit(1)).as("id"))
+    val nWedges = outDeg.join(inDeg, "node")
+      .agg(coalesce(sum(col("od") * col("id")), lit(0L)).as("n_wedges"))
+    val spark = edges.sparkSession
+    import spark.implicits._
     deg.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_wedges"),
-        count(col("__closed")).as("n_triangles")))
+      .crossJoin(Seq(nEdges).toDF("n_edges"))
+      .crossJoin(nWedges)
+      .crossJoin(triangles
+        .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles")))
   }
+
+  /** Edge cap under which [[triangleCensus]] broadcasts the oriented
+    * adjacency map (m entries total): 2M longs ≈ 30-40 MB serialized —
+    * comfortably broadcastable; beyond it the wedge-join route runs. */
+  val maxBroadcastAdjacencyEdges: Long = 2000000L
 }

@@ -83,9 +83,9 @@ class GraphSpec extends SparkSpec {
       fixed.orderBy("node").as[(Long, Long)].collect().toSeq)
   }
 
-  test("triangle census: hand-checked counts; direction/duplicate/self-loop robust") {
-    def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
-      val r = Graph.triangleCensus(edges.toDF("a", "b"), "a", "b").head()
+  test("triangle census: hand-checked counts; direction/duplicate/self-loop robust; both routes agree") {
+    def census(edges: Seq[(Long, Long)], maxBc: Long = 2000000L): (Long, Long, Long, Long) = {
+      val r = Graph.triangleCensus(edges.toDF("a", "b"), "a", "b", maxBc).head()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     // K4: 4 nodes, 6 edges, C(4,3)=4 triangles
@@ -100,5 +100,10 @@ class GraphSpec extends SparkSpec {
     // admits exactly one wedge per triangle (both through the hub edge)
     assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)))
       === ((4L, 5L, 2L, 2L)))
+    // broadcast edge-iterator route (default) == wedge-join route
+    // (maxBroadcastEdges = 0 forces the fallback) on a denser fixture
+    val dense = (for (i <- 0L to 19L; j <- (i + 1) to 19L
+      if (i * 31 + j * 17) % 3 != 0) yield (i, j)).toSeq
+    assert(census(dense) === census(dense, maxBc = 0L))
   }
 }
