@@ -938,6 +938,82 @@ object SurveyQueries {
       |  CAST(sum(p) AS DOUBLE) AS sum_price
       |FROM eff GROUP BY o_year ORDER BY o_year""".stripMargin))
 
+  /** ANALYZE-TABLE column statistics (the stats pass a cost-based
+    * optimizer and a data-quality dashboard both feed on): per column of
+    * orders — row count, null count, exact NDV, and min/max mapped to an
+    * INTEGER domain per type class (keys raw, money in cents, timestamps
+    * in epoch micros, strings NDV-only) so every statistic is exact
+    * integer arithmetic with zero cross-engine formatting risk (double/
+    * timestamp → string rendering differs between engines; integers
+    * don't). ONE aggregation pass over the table — the multi-column
+    * conditional-aggregate shape of the profiling family — unpivoted to
+    * a (column, stats) report. */
+  val maintenanceAnalyzeStats: QueryDef = QueryDef(
+    "maintenance_analyze_stats",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val aggd = o.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("ndv_orderkey"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn_orderkey"),
+        min(col("o_orderkey")).as("mn_orderkey"),
+        max(col("o_orderkey")).as("mx_orderkey"),
+        countDistinct(col("o_custkey")).as("ndv_custkey"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_custkey"),
+        min(col("o_custkey")).as("mn_custkey"),
+        max(col("o_custkey")).as("mx_custkey"),
+        countDistinct(col("o_totalprice")).as("ndv_totalprice"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_totalprice"),
+        min(round(col("o_totalprice") * 100).cast("long")).as("mn_totalprice"),
+        max(round(col("o_totalprice") * 100).cast("long")).as("mx_totalprice"),
+        countDistinct(col("o_orderdate")).as("ndv_orderdate"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn_orderdate"),
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn_orderdate"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx_orderdate"),
+        countDistinct(col("o_orderstatus")).as("ndv_orderstatus"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_orderstatus"),
+        countDistinct(col("o_orderpriority")).as("ndv_orderpriority"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn_orderpriority"))
+      aggd.select(expr(
+        """stack(6,
+          |  'o_custkey', n, nn_custkey, ndv_custkey, mn_custkey, mx_custkey,
+          |  'o_orderdate', n, nn_orderdate, ndv_orderdate, mn_orderdate, mx_orderdate,
+          |  'o_orderkey', n, nn_orderkey, ndv_orderkey, mn_orderkey, mx_orderkey,
+          |  'o_orderpriority', n, nn_orderpriority, ndv_orderpriority, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          |  'o_orderstatus', n, nn_orderstatus, ndv_orderstatus, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          |  'o_totalprice', n, nn_totalprice, ndv_totalprice, mn_totalprice, mx_totalprice
+          |) AS (column_name, n_rows, n_null, ndv, min_i, max_i)""".stripMargin))
+        .orderBy("column_name")
+    },
+    Some("""WITH a AS (
+      |  SELECT count(*) AS n,
+      |    count(DISTINCT o_orderkey) AS ndv_orderkey,
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderkey,
+      |    min(o_orderkey) AS mn_orderkey, max(o_orderkey) AS mx_orderkey,
+      |    count(DISTINCT o_custkey) AS ndv_custkey,
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_custkey,
+      |    min(o_custkey) AS mn_custkey, max(o_custkey) AS mx_custkey,
+      |    count(DISTINCT o_totalprice) AS ndv_totalprice,
+      |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_totalprice,
+      |    min(CAST(round(o_totalprice * 100) AS BIGINT)) AS mn_totalprice,
+      |    max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx_totalprice,
+      |    count(DISTINCT o_orderdate) AS ndv_orderdate,
+      |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderdate,
+      |    min(epoch_us(o_orderdate)) AS mn_orderdate, max(epoch_us(o_orderdate)) AS mx_orderdate,
+      |    count(DISTINCT o_orderstatus) AS ndv_orderstatus,
+      |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderstatus,
+      |    count(DISTINCT o_orderpriority) AS ndv_orderpriority,
+      |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderpriority
+      |  FROM orders)
+      |SELECT column_name, n AS n_rows, n_null, ndv, min_i, max_i FROM (
+      |  SELECT 'o_custkey' AS column_name, n, nn_custkey AS n_null, ndv_custkey AS ndv, mn_custkey AS min_i, mx_custkey AS max_i FROM a
+      |  UNION ALL SELECT 'o_orderdate', n, nn_orderdate, ndv_orderdate, mn_orderdate, mx_orderdate FROM a
+      |  UNION ALL SELECT 'o_orderkey', n, nn_orderkey, ndv_orderkey, mn_orderkey, mx_orderkey FROM a
+      |  UNION ALL SELECT 'o_orderpriority', n, nn_orderpriority, ndv_orderpriority, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n, nn_orderstatus, ndv_orderstatus, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_totalprice', n, nn_totalprice, ndv_totalprice, mn_totalprice, mx_totalprice FROM a)
+      |ORDER BY column_name""".stripMargin))
+
   /** ingest_partitioned: hive-style directory partitioning driver-gated
     * end-to-end — orders is written one directory per priority
     * ([[graft.sources.TableIO.replacePartitioned]], dynamic overwrite)
@@ -1032,6 +1108,6 @@ object SurveyQueries {
     mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder,
-    maintenanceIncrementalAgg, maintenanceMergeUpsert, ingestCsvDirty,
+    maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats, ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestPartitioned)
 }
