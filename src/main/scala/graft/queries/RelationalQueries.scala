@@ -228,6 +228,22 @@ object RelationalQueries {
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin))
 
+  /** CUBE over the same aggregate — all four grouping sets ((p,s), (p),
+    * (s), ()) in one pass (ROLLUP's lattice superset; Spark plans both
+    * through Expand). Completes the grouping-sets family next to
+    * `q_rollup`. */
+  val qCube: QueryDef = QueryDef(
+    "q_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(money)).cast("double").as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin))
+
   /** Sessionization in batch (gaps-and-islands): a new session starts
     * after >30 min of per-user inactivity; lag + cumulative sum assigns
     * session ids, then one aggregate per session. The batch twin of the
@@ -465,7 +481,7 @@ object RelationalQueries {
 
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
-    qSetOps, qTopkOrders, qEventsHourly, qRollup, qEventsSessions,
+    qSetOps, qTopkOrders, qEventsHourly, qRollup, qCube, qEventsSessions,
     qSessionWindowNative, qCopurchasePairs,
     qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs)
 }
