@@ -273,4 +273,47 @@ object Graph {
     * adjacency map (m entries total): 2M longs ≈ 30-40 MB serialized —
     * comfortably broadcastable; beyond it the wedge-join route runs. */
   val maxBroadcastAdjacencyEdges: Long = 2000000L
+
+  /** Multi-source BFS hop distances via DELTA-FRONTIER propagation — the
+    * Pregel recipe: per round only the nodes FIRST REACHED last round
+    * join the edge list, so total join work across the whole run is
+    * O(Σ frontier sizes) = O(V + E), not O(rounds · E) as the naive
+    * full-relation "min over (prev ∪ neighbors+1)" relaxation would be.
+    * With unit edge weights a node's first-reached round IS its
+    * shortest-path distance, so the delta algebra lands on exactly the
+    * relation the full relaxation (and the unrolled SQL oracle) computes.
+    *
+    * Per round: one hash join frontier⋈edges (both keyed on the node
+    * id), a distinct, an anti-join against the settled set. Settled set
+    * and frontier are eagerly checkpointed ([[Materialize.carried]]) so
+    * the plan stays constant-size across rounds and the empty-frontier
+    * early exit counts already-materialized blocks instead of
+    * recomputing. `seeds` needs a `node` column; `edges` needs
+    * `src`/`dst` (pass both directions for an undirected graph).
+    * Returns (node, hops) for every node within `maxHops` of a seed —
+    * unreached nodes are absent, the distance-k neighborhood contract. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "need maxHops >= 0")
+    val e = Materialize.invariant(edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct())
+    var settled = Materialize.carried(
+      seeds.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("hops", lit(0)))
+    var frontier = settled.select(col("node"))
+    var round = 0
+    while (round < maxHops && frontier.count() > 0) {
+      round += 1
+      val next = Materialize.carried(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .withColumn("hops", lit(round)))
+      settled = Materialize.carried(settled.unionByName(next))
+      frontier = next.select(col("node"))
+    }
+    e.unpersist(false)
+    settled
+  }
 }

@@ -607,8 +607,154 @@ object AnalyticsQueries {
       |  (SELECT count(*) FROM w) AS n_wedges,
       |  (SELECT count(*) FROM w JOIN o ON w.a = o.src AND w.c = o.dst) AS n_triangles""".stripMargin))
 
+  /** Multi-source shortest-path hop distances
+    * ([[graft.ops.Graph.bfsHops]] — delta-frontier BFS, O(V+E) total join
+    * work) over the UNDIRECTED customer—supplier co-transaction graph
+    * (the q_pagerank edge set, symmetrized). Seeds are every 100th
+    * customer; 3 hops reaches customer → their suppliers → co-customers
+    * of those suppliers → THEIR suppliers — the "within k degrees of a
+    * known-bad account" reach query fraud/abuse curation runs at scale.
+    * The oracle replays the classic full min-relaxation unrolled
+    * (min over prev ∪ neighbors+1, three rounds), which the
+    * first-reached-round frontier algebra provably equals under unit
+    * weights. */
+  val qShortestPaths: QueryDef = QueryDef(
+    "q_shortest_paths",
+    (s, d) => {
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+        .distinct()
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = e0.filter(col("a") % 100 === 0)
+        .select(col("a").as("node")).distinct()
+      graft.ops.Graph.bfsHops(e, seeds, maxHops = 3).orderBy("node")
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      |r0 AS (SELECT DISTINCT a AS node, 0 AS hops FROM e0 WHERE a % 100 = 0),
+      |r1 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM r0
+      |  UNION ALL SELECT e.dst, r0.hops + 1 FROM e JOIN r0 ON e.src = r0.node) u
+      |  GROUP BY node),
+      |r2 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM r1
+      |  UNION ALL SELECT e.dst, r1.hops + 1 FROM e JOIN r1 ON e.src = r1.node) u
+      |  GROUP BY node),
+      |r3 AS (SELECT node, min(hops) AS hops FROM (
+      |  SELECT node, hops FROM r2
+      |  UNION ALL SELECT e.dst, r2.hops + 1 FROM e JOIN r2 ON e.src = r2.node) u
+      |  GROUP BY node)
+      |SELECT node, hops FROM r3 ORDER BY node""".stripMargin))
+
+  /** Market-basket ASSOCIATION RULES (Agrawal & Srikant's Apriori
+    * output shape) over brand-level order baskets: for each directed
+    * brand pair A→B above min support, confidence = P(B|A) and lift =
+    * P(AB)/(P(A)·P(B)) — all in exact integer basis points / ppm
+    * (`10000·n_both div n_ante`, `1e6·n_both·N div (n_ante·n_cons)`), so
+    * both engines land on identical BIGINTs, no float division. Brands
+    * (25 values) keep pair support meaningful on uniform TPC-H baskets
+    * where raw part pairs almost never repeat. Scale shape: the pair
+    * explosion is bounded by basket size (≤7 lines → ≤42 directed brand
+    * pairs per order), the per-item supports are a 25-row broadcast, and
+    * the total-basket count rides as a one-row broadcast aggregate —
+    * one shuffle on the basket key, one on the pair key. */
+  val qAssocRules: QueryDef = QueryDef(
+    "q_assoc_rules",
+    (s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+        .distinct()
+      val items = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val tot = baskets.agg(countDistinct(col("ok")).as("n_baskets"))
+      val a = baskets.select(col("ok"), col("item").as("ante"))
+      val c = baskets.select(col("ok").as("ok2"), col("item").as("cons"))
+      a.join(c, col("ok") === col("ok2") && col("ante") =!= col("cons"))
+        .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 5)
+        .join(broadcast(items.select(col("item").as("ante"),
+          col("n_item").as("n_ante"))), "ante")
+        .join(broadcast(items.select(col("item").as("cons"),
+          col("n_item").as("n_cons"))), "cons")
+        .crossJoin(broadcast(tot))
+        .select(col("ante"), col("cons"), col("n_both"),
+          expr("(10000 * n_both) div n_ante").as("conf_bp"),
+          expr("(1000000 * n_both * n_baskets) div (n_ante * n_cons)")
+            .as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("ante").asc, col("cons").asc)
+        .limit(40)
+    },
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+      |it AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item),
+      |p AS (SELECT a.item AS ante, c.item AS cons, CAST(count(*) AS BIGINT) AS n_both
+      |  FROM b a JOIN b c ON a.ok = c.ok AND a.item <> c.item GROUP BY 1, 2)
+      |SELECT ante, cons, n_both,
+      |  CAST((10000 * n_both) // ia.n_item AS BIGINT) AS conf_bp,
+      |  CAST((1000000 * n_both * n_baskets) // (ia.n_item * ic.n_item) AS BIGINT)
+      |    AS lift_ppm
+      |FROM p JOIN it ia ON p.ante = ia.item JOIN it ic ON p.cons = ic.item
+      |CROSS JOIN n
+      |WHERE n_both >= 5
+      |ORDER BY lift_ppm DESC, ante ASC, cons ASC LIMIT 40""".stripMargin))
+
+  /** Rolling z-score anomaly gate over the hourly event stream — the
+    * time-series outlier monitor a pipeline runs on its OWN ingest
+    * volumes. Per (event_type, hour): compare the hour's count against
+    * the trailing-24-observed-hours window (current hour excluded) and
+    * flag |z| > 3 — evaluated entirely in INTEGER algebra from the
+    * window sums, `(n·cnt − S1)² > 9·(n·S2 − S1²)` ⟺ (cnt−μ)² > 9σ²
+    * (population σ², both sides exact BIGINTs), so Spark and DuckDB
+    * agree bit-for-bit with no float stddev in sight. Warm-up hours
+    * (fewer than 12 trailing observations) never flag. One shuffle on
+    * event_type; the rolling frame is an in-partition sort. */
+  val qAnomalyHourly: QueryDef = QueryDef(
+    "q_anomaly_hourly",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-24, -1)
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("hour"), col("event_type"), col("cnt"),
+          count(lit(1)).over(w).as("n_w"),
+          coalesce(sum(col("cnt")).over(w), lit(0L)).as("s1"),
+          coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)).as("s2"))
+        .select(col("hour"), col("event_type"), col("cnt"), col("n_w"),
+          (col("n_w") >= 12 &&
+            (col("n_w") * col("cnt") - col("s1")) *
+              (col("n_w") * col("cnt") - col("s1")) >
+            lit(9L) * (col("n_w") * col("s2") - col("s1") * col("s1")))
+            .as("anomaly"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""WITH h AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |    event_type, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT hour, event_type, cnt,
+      |    CAST(count(*) OVER win AS BIGINT) AS n_w,
+      |    CAST(COALESCE(sum(cnt) OVER win, 0) AS BIGINT) AS s1,
+      |    CAST(COALESCE(sum(cnt * cnt) OVER win, 0) AS BIGINT) AS s2
+      |  FROM h
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT hour, event_type, cnt, n_w,
+      |  (n_w >= 12 AND
+      |   (n_w * cnt - s1) * (n_w * cnt - s1) > 9 * (n_w * s2 - s1 * s1))
+      |    AS anomaly
+      |FROM w ORDER BY event_type, hour""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
-    qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles)
+    qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
+    qShortestPaths, qAssocRules, qAnomalyHourly)
 }

@@ -1074,6 +1074,45 @@ object SurveyQueries {
     Some("""SELECT doc_id, source AS meta_source, n_chars AS meta_n_chars
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** ingest_xml: the XML interchange format round-tripped through
+    * Spark 4's NATIVE XML source (the spark-xml package merged into
+    * sql/core — no extra dependency): the corpus including the full
+    * free-text body is written `rowTag`-per-document, read back under an
+    * explicit schema (schema-on-read, same rationale as ingest_jsonl),
+    * and gated value-for-value against the parquet original — so entity
+    * escaping (&, <, quotes), multi-line text bodies, and numeric
+    * round-tripping are all on the hook. `ignoreSurroundingSpaces=false`
+    * keeps element text verbatim rather than XML-whitespace-trimmed:
+    * feed-shaped corpora (arXiv, PubMed, Wikipedia dumps) are exactly
+    * where a trimmed byte silently corrupts the document store. */
+  val ingestXml: QueryDef = QueryDef(
+    "ingest_xml",
+    (s, d) => {
+      val path = graft.sources.TableIO.scratchDir(s, "xml/docs")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("xml").option("rowTag", "doc").save(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", StringType),
+        org.apache.spark.sql.types.StructField("source", StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", StringType)))
+      s.read.schema(schema)
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(path)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, text
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** ingest_orc: the second columnar format — a lineitem projection is
     * written as ORC and read back through a filtered aggregation, so
     * the gate covers the ORC sink, the ORC scan, and that the filter
@@ -1109,5 +1148,5 @@ object SurveyQueries {
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder,
     maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats, ingestCsvDirty,
-    ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestPartitioned)
+    ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml, ingestPartitioned)
 }

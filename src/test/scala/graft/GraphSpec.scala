@@ -106,4 +106,24 @@ class GraphSpec extends SparkSpec {
       if (i * 31 + j * 17) % 3 != 0) yield (i, j)).toSeq
     assert(census(dense) === census(dense, maxBc = 0L))
   }
+
+  test("bfsHops: hand-checked distances, unreachable nodes absent, early exit, partitioning-invariant") {
+    // path 1-2-3-4 plus isolated pair 8-9; undirected = both directions
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    def run(parts: Int) =
+      Graph.bfsHops(e.repartition(parts), seeds, maxHops = 5)
+        .orderBy("node").as[(Long, Int)].collect().toSeq
+    // dist: 1->0, 2->1, 3->2, 4->3; 8/9 unreachable and ABSENT
+    assert(run(1) == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3)))
+    assert(run(1) == run(16))
+    // maxHops truncates: 1 hop reaches only nodes 1 and 2
+    assert(Graph.bfsHops(e, seeds, maxHops = 1)
+      .orderBy("node").as[(Long, Int)].collect().toSeq == Seq((1L, 0), (2L, 1)))
+    // two seed components: distances are per-closest-seed
+    val two = Graph.bfsHops(e, Seq(4L, 8L).toDF("node"), maxHops = 2)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    assert(two == Seq((2L, 2), (3L, 1), (4L, 0), (8L, 0), (9L, 1)))
+  }
 }

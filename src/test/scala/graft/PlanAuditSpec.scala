@@ -475,4 +475,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "corpus joined instead of broadcast-set rewrite")
     assert(nodes(p, "Exchange") <= 1, "rewrite pass grew a shuffle beyond the final sort")
   }
+
+  test("q_assoc_rules: support joins broadcast; pair explosion is the only corpus-keyed join; no cartesian") {
+    val p = plan("q_assoc_rules")
+    // the 25-row per-item support tables must broadcast into the rules
+    assert(nodes(p, "BroadcastHashJoin") >= 2,
+      s"item-support joins stopped broadcasting:\n${p.linesIterator.take(30).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "rules plan grew a cartesian")
+  }
+
+  test("q_anomaly_hourly: one corpus scan; rolling frame rides a single hash exchange on event_type") {
+    val p = plan("q_anomaly_hourly")
+    assert(nodes(p, "Scan parquet") == 1,
+      s"anomaly gate re-scans events:\n${p.linesIterator.take(30).mkString("\n")}")
+    assert(!p.contains("Join"), "window algebra turned into a join")
+  }
 }
