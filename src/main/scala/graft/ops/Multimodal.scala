@@ -860,6 +860,123 @@ object Multimodal {
       }(enc)
   }
 
+  /** Scene-frame synth: frames group into length-3 SCENES — the palette
+    * index at (x, y) of frame f is
+    * (id·31 + (f div 3)·97 + x·7 + y·13) mod 256, plus a per-frame +f
+    * jitter at pixel (0, 0) only. Within a scene frames differ in ONE
+    * pixel (per-pixel mean delta ≤ 10.4 measured over every (id, f) at
+    * sf0.1) while boundaries jump the whole raster by 97 palette steps
+    * (≥ 91.4 per pixel) — a hard cut with a 4× separation margin on
+    * both sides of the τ = 40 gate, closed-form for the codec-less
+    * oracle. */
+  private[graft] def synthSceneFrame(id: Long, f: Int): java.awt.image.BufferedImage = {
+    require(id >= 0 && f >= 0, s"need non-negative id/frame, got ($id, $f)")
+    val base = synthIndexedImage(id)
+    val raster = base.getRaster
+    var y = 0
+    while (y < base.getHeight) {
+      var x = 0
+      while (x < base.getWidth) {
+        val jitter = if (x == 0 && y == 0) f else 0
+        raster.setSample(x, y, 0,
+          ((id * 31 + (f / 3) * 97 + x * 7 + y * 13 + jitter) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    base
+  }
+
+  /** Scene-structured animated-GIF corpus: `6 + id % 4` frames per id
+    * (2-3 length-3 scenes) of [[synthSceneFrame]] rasters. */
+  def gifSceneCorpus(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id").cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (6 + id % 4).toInt
+          Row(id, n.toLong,
+            encodeGifAnimated((0 until n).map(f => synthSceneFrame(id, f))))
+        }
+      }(enc)
+  }
+
+  /** SHOT-BOUNDARY (scene cut) detection over a compressed multi-frame
+    * container — the video-curation primitive that decides where a clip
+    * splits before frame sampling / captioning. Consecutive DECODED
+    * frames are compared by the exact integer sum of absolute gray
+    * deltas (gray = r+g+b through the color model; indexed GIF is
+    * lossless, so both engines reproduce the metric bit-for-bit), and
+    * frame f opens a new scene when its mean per-pixel delta exceeds
+    * `tau` — the integer compare `diff_sum > tau · npixels`, no float
+    * ratio. Row-local: one reader per container, frames decode
+    * sequentially retaining only the previous frame's gray raster;
+    * payloads never cross an Exchange (the codec-boundary contract).
+    * Emits (media_id, frame_no ≥ 1, diff_sum, is_cut). */
+  def detectSceneCuts(media: DataFrame, tau: Long): DataFrame = {
+    require(tau >= 0, "need tau >= 0")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("diff_sum", LongType, nullable = false),
+      StructField("is_cut", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.get(1).asInstanceOf[Array[Byte]]
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n >= 1, s"payload for media_id=$id holds no GIF frames")
+            def grays(f: Int): Array[Int] = {
+              val img = reader.read(f)
+              val out = new Array[Int](img.getWidth * img.getHeight)
+              var i = 0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  out(i) = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                  i += 1
+                  x += 1
+                }
+                y += 1
+              }
+              out
+            }
+            var prev = grays(0)
+            // materialized inside the try (the sampleGifFrames contract)
+            (1 until n).map { f =>
+              val cur = grays(f)
+              var s = 0L
+              var i = 0
+              while (i < cur.length) {
+                s += math.abs(cur(i) - prev(i)).toLong
+                i += 1
+              }
+              prev = cur
+              Row(id, f.toLong, s, s > tau * cur.length)
+            }
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }(enc)
+  }
+
   /** REAL animated-GIF frame sampling: one ImageReader per container,
     * `getNumImages` for the frame count, `read(f)` decodes only the
     * sampled frames. Lossless indexed color → the emitted pixel sums are

@@ -85,4 +85,62 @@ object Stats {
     (nd * sxy - sx * sy) /
       (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
   }
+
+  /** Top principal component by INTEGER power iteration — PCA-head
+    * fitting at corpus scale. ONE distributed narrow pass accumulates
+    * the exact integer gram statistics (n, Σx, Σxxᵀ in micro-units via
+    * [[graft.functions.LongGramMatrix]], map-side combined); the d×d
+    * eigen-iteration then runs on the driver over BOUNDED state
+    * (d(d+1)/2 + d + 1 longs — the probed-cell class of collect,
+    * independent of corpus size). That split IS the 100 TB shape: the
+    * corpus contributes one associative aggregation, the eigensolve is
+    * O(d²·iters) driver arithmetic.
+    *
+    * Every step is exact integer algebra, so any engine replaying the
+    * same rounds lands on identical integers whether or not the
+    * iteration has converged (the k-means/PageRank determinism ladder):
+    *  - covariance C = n·G − s·sᵀ in BigInt (the oracle's HUGEINT), so
+    *    no row-count ceiling from the n· multiply;
+    *  - a truncating downscale caps |Cs| at 1e10, bounding the matvec
+    *    of a ~±1e6-unit vector far below 2^63;
+    *  - per round w = Cs·v renormalizes by the truncating division
+    *    v = w tdiv max(1, max|w| div 1e6).
+    * All truncation is sign·(abs div k) in BOTH engines — floor-vs-
+    * truncate divergence on negatives is exactly the cross-engine trap
+    * this object's scaladoc documents for the moment lanes.
+    * Returns (dim, v_ppm): the unit-free eigenvector in ~parts-per-
+    * million of its largest component. */
+  def pcaPowerTop(emb: DataFrame, vecCol: String, d: Int, iters: Int): DataFrame = {
+    require(d >= 1 && iters >= 1, "need d >= 1 and iters >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val g = emb
+      .select(Clustering.microVec(slice(col(vecCol), 1, d)).as("__xm"))
+      .agg(graft.functions.long_gram_matrix(col("__xm"), d).as("gm"))
+      .select(col("gm.n"), col("gm.s"), col("gm.g"))
+      .head()
+    val n = BigInt(g.getLong(0))
+    val s = g.getSeq[Long](1).toArray
+    val ut = g.getSeq[Long](2).toArray
+    // LongGramMatrix packs the upper triangle row-major: 0-based (a<=b)
+    // lands at a*d - a*(a-1)/2 + (b-a) (the emb_covariance index algebra)
+    def utIdx(i: Int, j: Int): Int = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      a * d - a * (a - 1) / 2 + (b - a)
+    }
+    val c = Array.tabulate(d, d)((i, j) =>
+      n * BigInt(ut(utIdx(i, j))) - BigInt(s(i)) * BigInt(s(j)))
+    def tdivB(x: BigInt, k: BigInt): BigInt = if (x < 0) -((-x) / k) else x / k
+    def tdiv(x: Long, k: Long): Long = if (x < 0) -((-x) / k) else x / k
+    val scaleC = c.flatten.map(_.abs).max / BigInt(10000000000L) max BigInt(1)
+    val cs = c.map(_.map(x => tdivB(x, scaleC).toLong))
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cs(i)(j) * v(j)).sum)
+      val denom = math.max(1L, w.map(math.abs).max / 1000000L)
+      v = w.map(tdiv(_, denom))
+    }
+    v.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }.toSeq
+      .toDF("dim", "v_ppm")
+  }
 }

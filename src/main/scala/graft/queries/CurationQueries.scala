@@ -307,6 +307,70 @@ object CurationQueries {
       |FROM iv WHERE c_custkey % 10 = 0
       |ORDER BY c_custkey, valid_from""".stripMargin))
 
+  /** Point-in-version SCD2 LOOKUP — the consumption side of
+    * [[mergeScd2]]: every fact row (orders, with an `at_version` event
+    * time derived from its key) is enriched with the dimension attribute
+    * that was VALID at that version, via key-equi-join + validity-range
+    * residual. The scale shape is the one that matters: the history
+    * table is dimension-sized, so it BROADCASTS and the fact corpus
+    * never shuffles — per-key histories are tiny, so the range residual
+    * scans a handful of broadcast-local intervals per probe. The SCD2
+    * intervals cover [0, ∞) by construction (snapshot at version 0), so
+    * exactly one interval matches per fact — the oracle replays the
+    * history compression and the temporal join verbatim. */
+  val qScd2Lookup: QueryDef = QueryDef(
+    "q_scd2_lookup",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val snapshot = c.select(col("c_custkey"), lit(0L).as("version"),
+        col("c_mktsegment").as("segment"))
+      val batch1 = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit(1L).as("version"),
+          when(col("c_custkey") % 30 === 0, col("c_mktsegment"))
+            .otherwise(lit("SEG_A")).as("segment"))
+      val batch2 = c.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"), lit(2L).as("version"),
+          lit("SEG_B").as("segment"))
+      val dim = Scd.scd2(snapshot.union(batch1).union(batch2),
+        Seq("c_custkey"), "version", Seq("segment"))
+      val facts = Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 3).as("at_version"))
+      facts.join(broadcast(dim),
+          facts("o_custkey") === dim("c_custkey") &&
+            col("at_version") >= col("valid_from") &&
+            (col("valid_to").isNull || col("at_version") <= col("valid_to")))
+        .select(col("o_orderkey"), col("o_custkey"), col("at_version"),
+          col("segment"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH changes AS (
+      |  SELECT c_custkey, 0::BIGINT AS version, c_mktsegment AS segment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 1::BIGINT,
+      |    CASE WHEN c_custkey % 30 = 0 THEN c_mktsegment ELSE 'SEG_A' END
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 2::BIGINT, 'SEG_B' FROM customer WHERE c_custkey % 20 = 0),
+      |dd AS (
+      |  SELECT c_custkey, version, segment,
+      |    lag(segment) OVER (PARTITION BY c_custkey ORDER BY version) AS prev_seg
+      |  FROM changes),
+      |kept AS (
+      |  SELECT c_custkey, version, segment FROM dd
+      |  WHERE prev_seg IS NULL OR segment <> prev_seg),
+      |iv AS (
+      |  SELECT c_custkey, segment, version AS valid_from,
+      |    lead(version) OVER (PARTITION BY c_custkey ORDER BY version) - 1 AS valid_to
+      |  FROM kept),
+      |f AS (SELECT o_orderkey, o_custkey, o_orderkey % 3 AS at_version
+      |  FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_custkey, at_version, segment
+      |FROM f JOIN iv ON f.o_custkey = iv.c_custkey
+      |  AND at_version >= valid_from
+      |  AND (valid_to IS NULL OR at_version <= valid_to)
+      |ORDER BY o_orderkey""".stripMargin))
+
   /** Two-phase salted aggregation over a 3-value hot grouping key — the
     * result equals the plain groupBy (which is the oracle); the salt
     * spreads each hot key over 16 reducers first. */
@@ -920,7 +984,7 @@ object CurationQueries {
     curateDecayCounts,
     sketchKmvUnion, sketchKmvIntersect,
     sketchKmvDistinct, sketchHllDistinct, sketchCmTopk, curateSnapshotDiff,
-    qBloomJoin, mergeScd2,
+    qBloomJoin, mergeScd2, qScd2Lookup,
     qSaltedAgg, qSkewAdaptive,
     qSkewAdaptiveList, qWindowRangeFrame, pipelineCurate,
     pipelineMultimodal, pipelineEpochPack, pipelineRag)

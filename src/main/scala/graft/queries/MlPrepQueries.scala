@@ -913,10 +913,60 @@ object MlPrepQueries {
       |  max(pos) - min(pos) + 1 = count(*) AS contiguous
       |FROM p GROUP BY decile ORDER BY decile""".stripMargin))
 
+  /** [[graft.ops.Stats.pcaPowerTop]]'s unrolled replay: gram statistics
+    * from the exploded self-join (the emb_covariance oracle shape, d×
+    * heavier than the engine's one-pass kernel — that asymmetry is the
+    * point), covariance in HUGEINT, the truncating downscale, then
+    * `iters` matvec+renorm rounds as CTEs. Every value BIGINT-exact. */
+  private def pcaOracleSql(d: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""w$t AS (SELECT cs.i AS dim, CAST(sum(cs.cs * r${t - 1}.v) AS BIGINT) AS w
+         |  FROM cs JOIN r${t - 1} ON cs.j = r${t - 1}.dim GROUP BY cs.i),
+         |m$t AS (SELECT greatest(CAST(1 AS BIGINT),
+         |  CAST(max(abs(w)) AS BIGINT) // 1000000) AS dnm FROM w$t),
+         |r$t AS (SELECT dim,
+         |  CASE WHEN w < 0 THEN -((-w) // dnm) ELSE w // dnm END AS v
+         |  FROM w$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding[1:$d],
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, generate_subscripts(xm, 1) AS dim, unnest(xm) AS x FROM v),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |s AS (SELECT dim, CAST(sum(x) AS BIGINT) AS sd FROM ex GROUP BY dim),
+      |g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) AS BIGINT) AS gij
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |c AS (SELECT i, j,
+      |    CAST(n AS HUGEINT) * gij - CAST(sa.sd AS HUGEINT) * sb.sd AS cij
+      |  FROM g JOIN s sa ON g.i = sa.dim JOIN s sb ON g.j = sb.dim CROSS JOIN nv),
+      |sc AS (SELECT greatest(CAST(1 AS HUGEINT),
+      |  max(abs(cij)) // 10000000000) AS s FROM c),
+      |cs AS (SELECT i, j,
+      |  CAST(CASE WHEN cij < 0 THEN -((-cij) // sc.s) ELSE cij // sc.s END
+      |    AS BIGINT) AS cs
+      |  FROM c CROSS JOIN sc),
+      |r0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM ex),
+      |$rounds
+      |SELECT CAST(dim AS BIGINT) AS dim, v AS v_ppm FROM r$iters ORDER BY dim""".stripMargin
+  }
+
+  /** Top principal component of the embedding corpus by integer power
+    * iteration ([[graft.ops.Stats.pcaPowerTop]]): one distributed gram
+    * pass, driver-side d×d eigensolve over bounded state — the PCA-head
+    * recipe that stays one narrow corpus aggregation at 100 TB. First 8
+    * dims, 8 rounds; unconverged-or-not, both engines replay identical
+    * integers (the k-means/PageRank ladder). */
+  val embPcaPower: QueryDef = QueryDef(
+    "emb_pca_power",
+    (s, d) => graft.ops.Stats.pcaPowerTop(
+      Tables.embeddings(s, d), "embedding", d = 8, iters = 8).orderBy("dim"),
+    Some(pcaOracleSql(8, 8)))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
-    embProject)
+    embProject, embPcaPower)
 }

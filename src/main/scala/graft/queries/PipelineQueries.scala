@@ -1786,6 +1786,45 @@ object PipelineQueries {
     * (id·31 + f·41 + x·7 + y·13) mod 256 under the
     * (i, 7i mod 256, 13i mod 256) palette, closed-form for the
     * codec-less oracle. */
+  /** SHOT-BOUNDARY detection over genuinely COMPRESSED video
+    * ([[Multimodal.detectSceneCuts]] on the scene-structured animated
+    * GIF corpus): frames decode through the real JDK codec, consecutive
+    * frames compare by the exact integer sum of absolute gray deltas,
+    * and a cut fires on the integer test diff_sum > τ·npixels. Scenes
+    * are length-3 by construction (single-pixel jitter inside, a
+    * whole-raster 97-step palette jump at boundaries — measured
+    * separation ≥ 91.4 vs ≤ 10.4 per pixel, 4× margin around τ = 40),
+    * so cuts land exactly at f ∈ {3, 6} — but the gate does not trust
+    * that: the oracle recomputes every per-frame diff closed-form from
+    * the frame formula and applies the same threshold, pixel for pixel.
+    * This is the curation primitive that splits clips before frame
+    * sampling / captioning. */
+  val mmSceneDetect: QueryDef = QueryDef(
+    "mm_scene_detect",
+    (s, d) => Multimodal.detectSceneCuts(
+        Multimodal.gifSceneCorpus(Tables.documents(s, d)), tau = 40L)
+      .orderBy("media_id", "frame_no"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+      |    6 + doc_id % 4 AS n FROM documents),
+      |fr AS (SELECT id, w, h, f FROM dims, range(1, 10) fs(f) WHERE f < n),
+      |px AS (
+      |  SELECT id, f, w, h, x, y,
+      |    (id*31 + (f//3)*97 + x*7 + y*13
+      |      + CASE WHEN x = 0 AND y = 0 THEN f ELSE 0 END) % 256 AS ic,
+      |    (id*31 + ((f-1)//3)*97 + x*7 + y*13
+      |      + CASE WHEN x = 0 AND y = 0 THEN f - 1 ELSE 0 END) % 256 AS ip
+      |  FROM fr, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h),
+      |d AS (
+      |  SELECT id, f, w, h,
+      |    sum(abs((ic + (ic*7) % 256 + (ic*13) % 256)
+      |          - (ip + (ip*7) % 256 + (ip*13) % 256))) AS ds
+      |  FROM px GROUP BY id, f, w, h)
+      |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_no,
+      |  CAST(ds AS BIGINT) AS diff_sum, ds > 40 * w * h AS is_cut
+      |FROM d ORDER BY media_id, frame_no""".stripMargin))
+
   val mmFrameSampleGif: QueryDef = QueryDef(
     "mm_frame_sample_gif",
     (s, d) => Multimodal.sampleGifFrames(
@@ -2164,5 +2203,6 @@ object PipelineQueries {
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
-    mmFrameSampleMjpeg, mmFrameSampleGif, mmAudioVad, sampleSplitLeakageSafe)
+    mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmAudioVad,
+    sampleSplitLeakageSafe)
 }

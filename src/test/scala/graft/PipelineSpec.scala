@@ -615,4 +615,20 @@ class PipelineSpec extends SparkSpec {
       assert(pairs.contains((orig, dup)), s"missed cross-format duplicate ($orig, $dup)")
     }
   }
+
+  test("scene cuts fire exactly at the synthetic scene boundaries, any partitioning") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    def cuts(parts: Int) = graft.ops.Multimodal.detectSceneCuts(
+        graft.ops.Multimodal.gifSceneCorpus(docs).repartition(parts), tau = 40L)
+      .orderBy("media_id", "frame_no")
+      .select("media_id", "frame_no", "is_cut")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val r = cuts(3)
+    assert(r.nonEmpty)
+    // scenes are length 3 by construction: a cut iff frame_no % 3 == 0
+    for ((id, f, c) <- r)
+      assert(c == (f % 3 == 0), s"media $id frame $f: is_cut=$c")
+    assert(cuts(11) == r)
+  }
 }

@@ -490,4 +490,11 @@ class PlanAuditSpec extends SparkSpec {
       s"anomaly gate re-scans events:\n${p.linesIterator.take(30).mkString("\n")}")
     assert(!p.contains("Join"), "window algebra turned into a join")
   }
+
+  test("q_scd2_lookup: dimension history broadcasts; the fact corpus never shuffles") {
+    val p = plan("q_scd2_lookup")
+    assert(p.contains("BroadcastHashJoin"), "temporal lookup stopped broadcasting the dimension")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fact corpus shuffled into the lookup:\n${p.linesIterator.take(30).mkString("\n")}")
+  }
 }

@@ -92,4 +92,22 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r - ref(g)._2) < 1e-9, s"corr $g")
     }
   }
+
+  test("pcaPowerTop: axis-aligned corpus recovers the axis exactly; partitioning/row-order invariant") {
+    import spark.implicits._
+    // variance lives ONLY in dim 1 (dims 2-4 constant) -> PC1 = e1:
+    // C has a single nonzero entry, so every round keeps v = (big, 0, 0, 0)
+    val rows = (1 to 40).map(i => Seq(i.toFloat, 2.0f, -1.0f, 0.5f))
+    val df = rows.toDF("embedding")
+    val r = Stats.pcaPowerTop(df, "embedding", d = 4, iters = 8)
+      .orderBy("dim").as[(Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // renorm is w tdiv (max|w| div 1e6), so the lead component sits at
+    // ~1e6 (within the truncation slack) and the rest are exactly zero
+    assert(r.head._2 >= 1000000L && r.head._2 <= 1001000L, r.toString)
+    assert(r.tail.map(_._2) == Seq(0L, 0L, 0L), r.toString)
+    val shuffled = scala.util.Random.shuffle(rows.toVector).toDF("embedding")
+    assert(Stats.pcaPowerTop(shuffled.repartition(16), "embedding", 4, 8)
+      .orderBy("dim").as[(Long, Long)].collect().toSeq == r)
+  }
 }
