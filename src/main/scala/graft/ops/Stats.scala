@@ -86,6 +86,29 @@ object Stats {
       (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
   }
 
+  /** EXACT AUC (Mann–Whitney U) of an integer score against a 0/1 label,
+    * in pure integer algebra with the ½-credit midrank tie rule doubled
+    * to stay integer: per score bucket s with p(s) positives, n(s)
+    * negatives and negBelow(s) the cumulative negatives at lower scores,
+    * U2 = Σ_s p(s)·(2·negBelow(s) + n(s)) and
+    * auc_ppm = 10⁶·U2 div (2·P·N). The corpus reduces to ONE hash
+    * aggregation keyed by score; the cumulative window runs over the
+    * bucket relation (cardinality = distinct scores, not corpus rows),
+    * so the single-partition window is bounded regardless of data size.
+    * Returns one row (n_pos, n_neg, auc_ppm). */
+  def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val per = df.select(scoreCol.as("__score"), labelCol.cast("long").as("__y"))
+      .groupBy(col("__score"))
+      .agg(sum(col("__y")).as("p"), (count(lit(1)) - sum(col("__y"))).as("ng"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    per.withColumn("nb", coalesce(sum(col("ng")).over(w), lit(0L)))
+      .agg(sum(col("p") * (lit(2L) * col("nb") + col("ng"))).as("u2"),
+        sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("(1000000 * u2) div (2 * n_pos * n_neg)").as("auc_ppm"))
+  }
+
   /** Top principal component by INTEGER power iteration — PCA-head
     * fitting at corpus scale. ONE distributed narrow pass accumulates
     * the exact integer gram statistics (n, Σx, Σxxᵀ in micro-units via

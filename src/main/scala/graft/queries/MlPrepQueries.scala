@@ -963,10 +963,59 @@ object MlPrepQueries {
       Tables.embeddings(s, d), "embedding", d = 8, iters = 8).orderBy("dim"),
     Some(pcaOracleSql(8, 8)))
 
+  /** EXACT AUC of a classifier gate — the quality-filter calibration
+    * number every curation pipeline reports before trusting a model
+    * threshold. Computed as the Mann–Whitney U statistic in pure integer
+    * algebra: scores bucket (ties are real and handled by the ½-credit
+    * midrank rule, doubled to stay integer — U2 = Σ_s p(s)·(2·negBelow(s)
+    * + neg(s))), then auc_ppm = 10⁶·U2 div (2·P·N). Scale shape: the
+    * corpus reduces to one hash aggregation per score bucket; the
+    * cumulative window runs over the BUCKET relation (cardinality =
+    * distinct scores, not corpus rows), so the single-partition window
+    * the repo bans on corpus data is bounded and cheap here. */
+  val mlAuc: QueryDef = QueryDef(
+    "ml_auc",
+    (s, d) => graft.ops.Stats.aucExact(Tables.documents(s, d),
+      expr("n_chars div 50"), col("lang") === "en"),
+    Some("""WITH per AS (
+      |  SELECT n_chars // 50 AS score,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS ng
+      |  FROM documents GROUP BY 1),
+      |c AS (
+      |  SELECT p, ng, CAST(COALESCE(sum(ng) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb
+      |  FROM per),
+      |u AS (SELECT CAST(sum(p * (2 * nb + ng)) AS BIGINT) AS u2,
+      |  CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(ng) AS BIGINT) AS n_neg FROM c)
+      |SELECT n_pos, n_neg,
+      |  CAST((1000000 * u2) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+      |FROM u""".stripMargin))
+
+  /** Classifier-gate CALIBRATION curve: per score bin, the observed
+    * positive rate in exact basis points — the reliability-diagram table
+    * that decides whether a model score can be thresholded as a
+    * probability. One hash aggregation; bin cardinality bounded. */
+  val mlCalibrationBins: QueryDef = QueryDef(
+    "ml_calibration_bins",
+    (s, d) => Tables.documents(s, d)
+      .select(expr("n_chars div 50").as("bin"),
+        (col("lang") === "en").cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(10000 * n_pos) div n").as("pos_rate_bp"))
+      .orderBy("bin"),
+    Some("""SELECT n_chars // 50 AS bin, count(*) AS n,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST((10000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) // count(*)
+      |    AS BIGINT) AS pos_rate_bp
+      |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
-    embProject, embPcaPower)
+    embProject, embPcaPower, mlAuc, mlCalibrationBins)
 }

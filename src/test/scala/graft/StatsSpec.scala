@@ -110,4 +110,23 @@ class StatsSpec extends SparkSpec {
     assert(Stats.pcaPowerTop(shuffled.repartition(16), "embedding", 4, 8)
       .orderBy("dim").as[(Long, Long)].collect().toSeq == r)
   }
+
+  test("aucExact: hand-checked midrank ties; invariant to partitioning; perfect/inverted/random anchors") {
+    import spark.implicits._
+    // scores [1,1,2,3], labels [0,1,0,1]: tie pair 1/2-credits, one
+    // discordant, two concordant -> U = 2.5 of 4 -> 625000 ppm
+    val df = Seq((1L, 0), (1L, 1), (2L, 0), (3L, 1)).toDF("s", "y")
+    def auc(d: org.apache.spark.sql.DataFrame) =
+      Stats.aucExact(d, col("s"), col("y") === 1)
+        .as[(Long, Long, Long)].head()
+    assert(auc(df) == ((2L, 2L, 625000L)))
+    assert(auc(df.repartition(16)) == ((2L, 2L, 625000L)))
+    // perfectly separated -> 1.0; inverted -> 0.0; all-tied -> 0.5
+    val sep = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("s", "y")
+    assert(auc(sep)._3 == 1000000L)
+    val inv = Seq((4L, 0), (3L, 0), (2L, 1), (1L, 1)).toDF("s", "y")
+    assert(auc(inv)._3 == 0L)
+    val tied = Seq((7L, 0), (7L, 1), (7L, 0), (7L, 1)).toDF("s", "y")
+    assert(auc(tied)._3 == 500000L)
+  }
 }
