@@ -752,9 +752,69 @@ object AnalyticsQueries {
       |    AS anomaly
       |FROM w ORDER BY event_type, hour""".stripMargin))
 
+  /** Clickstream PATH MINING: the top event-type TRIGRAMS inside
+    * sessions — the "what do users do in three steps" sequence-pattern
+    * query behind funnel design and anomaly triage. Sessionize with the
+    * q_events_sessions 30-min-gap algebra (deterministic (ts, event_id)
+    * total order), then take steps that never cross a session boundary
+    * and count trigrams into a top 20 under a total order. The boundary
+    * gate runs as `lead(session_id) == session_id` over the SAME
+    * user-keyed window as the sessionizer (session rows are contiguous
+    * in (ts, event_id) order, so this equals the textbook
+    * per-(user, session) window the oracle replays) — a repartition by
+    * (user_id, session_id) for a second window would be a pointless
+    * second corpus shuffle. One Exchange on user_id total, then a
+    * map-combined count on the trigram key and a TakeOrdered top-k;
+    * PlanAuditSpec pins the single-exchange shape. */
+  val qUserPaths: QueryDef = QueryDef(
+    "q_user_paths",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val newSession = when(
+        unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(byUser)) > 1800, 1).otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_s", coalesce(newSession, lit(0)))
+        .withColumn("session_id", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("step2",
+          when(lead(col("session_id"), 1).over(byUser) === col("session_id"),
+            lead(col("event_type"), 1).over(byUser)))
+        .withColumn("step3",
+          when(lead(col("session_id"), 2).over(byUser) === col("session_id"),
+            lead(col("event_type"), 2).over(byUser)))
+        .filter(col("step2").isNotNull && col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("step1").asc, col("step2").asc,
+          col("step3").asc)
+        .limit(20)
+    },
+    Some("""WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |steps AS (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER w2 AS step2,
+      |    lead(event_type, 2) OVER w2 AS step3
+      |  FROM sessions
+      |  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC))
+      |SELECT step1, step2, step3, count(*) AS n_paths
+      |FROM steps WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
-    qShortestPaths, qAssocRules, qAnomalyHourly)
+    qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths)
 }

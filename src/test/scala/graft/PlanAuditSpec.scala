@@ -497,4 +497,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"fact corpus shuffled into the lookup:\n${p.linesIterator.take(30).mkString("\n")}")
   }
+
+  test("q_user_paths: sessionizer and path steps share ONE user-keyed exchange; no join") {
+    val p = plan("q_user_paths")
+    assert(nodes(p, "Exchange") <= 2,  // user_id window + trigram count agg
+      s"path mining grew exchanges:\n${p.linesIterator.take(30).mkString("\n")}")
+    assert(!p.contains("Join"), "path mining turned into a join")
+    assert(nodes(p, "Scan parquet") == 1, "events scanned more than once")
+  }
 }
