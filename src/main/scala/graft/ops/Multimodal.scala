@@ -386,6 +386,75 @@ object Multimodal {
       }(enc)
   }
 
+  /** Fixed integer DCT-II basis: Cq(u, x) = round(cos((2x+1)·u·π/16) ·
+    * 1024). Rounding the irrational cosines to 1/1024 units makes the
+    * transform EXACT integer arithmetic — any engine inlining the same
+    * 64 constants replays identical sums, the cross-engine ladder every
+    * float-free operator here rides. */
+  private[graft] val dctQ: Array[Array[Long]] =
+    Array.tabulate(8, 8)((u, x) =>
+      math.round(math.cos((2 * x + 1) * u * math.Pi / 16) * 1024))
+
+  /** DCT PERCEPTUAL hash — the pHash sibling of [[imageAHashes]]: the
+    * same 8×8 nearest-neighbor gray raster runs a 2-D integer DCT-II
+    * ([[dctQ]]), and the hash is the 15-bit SIGN pattern of the
+    * low-frequency block (u, v) ∈ [0, 3]² minus the DC cell — the
+    * signature that survives the brightness/contrast shifts which flip
+    * an aHash's mean threshold, at the cost of a 64·16-multiply kernel
+    * per image. Row-local; payloads never shuffle (the codec-boundary
+    * contract). Returns (media_id, phash: long). */
+  def imagePHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.get(1).asInstanceOf[Array[Byte]]))
+          require(img != null, s"payload for media_id=${r.getLong(0)} is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Long](64)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              val p = img.getRGB(cx * w / 8, cy * h / 8)
+              gray(cy * 8 + cx) =
+                (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
+              cx += 1
+            }
+            cy += 1
+          }
+          var phash = 0L
+          var v = 0
+          while (v < 4) {
+            var u = 0
+            while (u < 4) {
+              val idx = v * 4 + u
+              if (idx > 0) {
+                var d = 0L
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    d += gray(y * 8 + x) * dctQ(u)(x) * dctQ(v)(y)
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (d > 0) phash |= 1L << (idx - 1)
+              }
+              u += 1
+            }
+            v += 1
+          }
+          Row(r.getLong(0), phash)
+        }
+      }(enc)
+  }
+
   /** PERMISSIVE image decode for dirty corpora: a payload that fails to
     * parse yields `decode_ok = false` with null stats instead of
     * failing the task. At 100 TB corrupt containers are a certainty

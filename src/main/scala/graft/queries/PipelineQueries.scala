@@ -1577,6 +1577,59 @@ object PipelineQueries {
     * Scale: decode+hash is the one codec pass; the groupBy shuffles
     * 72-byte hash rows, never payloads (PlanAuditSpec pins the payload
     * column off every Exchange). */
+  /** DCT perceptual-hash dedup ([[Multimodal.imagePHashes]]) — the
+    * pHash twin of [[mmAHashDedup]] on the same cross-format duplicate
+    * corpus: the 15-bit sign pattern of the low-frequency integer DCT
+    * block groups re-encodes with their originals where byte dedup is
+    * blind. The cosine basis is rounded to 1/1024 integer units and the
+    * SAME 32 constants are inlined into the oracle, so the whole
+    * transform replays exactly — no float DCT anywhere. Same scale
+    * shape as aHash: one codec pass, hash-only shuffle. */
+  val mmPHashDedup: QueryDef = {
+    val coefValues = (for (u <- 0 until 4; x <- 0 until 8)
+      yield s"($u, $x, ${graft.ops.Multimodal.dctQ(u)(x)})").mkString(", ")
+    QueryDef(
+      "mm_phash_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val media = Multimodal.imageCorpus(docs)
+          .unionByName(Multimodal.imageCorpusCrossDup(docs, every = 10,
+            idOffset = 100000))
+        Multimodal.imagePHashes(media)
+          .groupBy(col("phash"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("media_id")).as("min_id"), max(col("media_id")).as("max_id"))
+          .filter(col("n_members") >= 2)
+          .orderBy("phash")
+      },
+      Some(s"""WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS sid FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 10 = 0),
+        |dims AS (SELECT id, sid, 8 + sid % 8 AS w, 8 + sid % 5 AS h FROM ids),
+        |cells AS (
+        |  SELECT id, cx, cy,
+        |      (sid*31 + ((cx*w)//8)*7  + ((cy*h)//8)*13) % 256
+        |    + (sid*17 + ((cx*w)//8)*11 + ((cy*h)//8)*3)  % 256
+        |    + (sid*13 + ((cx*w)//8)*5  + ((cy*h)//8)*19) % 256 AS gray
+        |  FROM dims, range(0, 8) xs(cx), range(0, 8) ys(cy)),
+        |coef AS (SELECT * FROM (VALUES $coefValues) t(u, k, c)),
+        |d AS (
+        |  SELECT id, cu.u AS u, cv.u AS v,
+        |    CAST(sum(gray * cu.c * cv.c) AS BIGINT) AS dct
+        |  FROM cells JOIN coef cu ON cu.k = cx JOIN coef cv ON cv.k = cy
+        |  GROUP BY id, cu.u, cv.u),
+        |hb AS (
+        |  SELECT id, CAST(sum(CASE WHEN v*4 + u > 0 AND dct > 0
+        |    THEN CAST(1 AS BIGINT) << CAST(v*4 + u - 1 AS INT)
+        |    ELSE 0 END) AS BIGINT) AS phash
+        |  FROM d GROUP BY id)
+        |SELECT phash, count(*) AS n_members,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM hb GROUP BY phash HAVING count(*) >= 2
+        |ORDER BY phash""".stripMargin))
+  }
+
   val mmAHashDedup: QueryDef = QueryDef(
     "mm_ahash_dedup",
     (s, d) => {
@@ -2203,6 +2256,6 @@ object PipelineQueries {
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
-    mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmAudioVad,
-    sampleSplitLeakageSafe)
+    mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmPHashDedup,
+    mmAudioVad, sampleSplitLeakageSafe)
 }

@@ -631,4 +631,31 @@ class PipelineSpec extends SparkSpec {
       assert(c == (f % 3 == 0), s"media $id frame $f: is_cut=$c")
     assert(cuts(11) == r)
   }
+
+  test("imagePHashes: flat raster hashes to 0; identical rasters collide; DCT is partitioning-invariant") {
+    import spark.implicits._
+    def png(gray: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // flat image: every AC DCT coefficient is exactly 0 -> sign bits all 0
+    val flat = Seq((1L, png(120, 9, 7)), (2L, png(200, 12, 8)))
+      .toDF("media_id", "payload")
+    val r = graft.ops.Multimodal.imagePHashes(flat)
+      .orderBy("media_id").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 0L), (2L, 0L)), r.toString)
+    // identical synthetic rasters (same source id) collide across ids
+    val docs = (0L until 30L).toDF("doc_id")
+    val media = graft.ops.Multimodal.imageCorpus(docs)
+    val h1 = graft.ops.Multimodal.imagePHashes(media)
+      .orderBy("media_id").as[(Long, Long)].collect().toSeq
+    val h2 = graft.ops.Multimodal.imagePHashes(media.repartition(7))
+      .orderBy("media_id").as[(Long, Long)].collect().toSeq
+    assert(h1 == h2)
+  }
 }
