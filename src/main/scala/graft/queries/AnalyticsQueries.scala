@@ -812,9 +812,72 @@ object AnalyticsQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC LIMIT 20""".stripMargin))
 
+  /** EXACT audience-overlap matrix — "how many users do segments A and B
+    * share" for every event-type pair, the co-occurrence table audience
+    * and dataset-mixture planning runs at scale. The trick that makes it
+    * ONE corpus shuffle instead of k² set intersections: per user, fold
+    * the types seen into a 5-bit MASK (one groupBy on user_id), count
+    * users per mask (≤ 2⁵ rows), then every pairwise intersection /
+    * union / Jaccard is integer algebra over the tiny mask-count
+    * relation broadcast against a 10-row pair list. Jaccard in exact
+    * ppm: 10⁶·|A∩B| div (|A|+|B|−|A∩B|). */
+  val qAudienceOverlap: QueryDef = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val idxSql = types.zipWithIndex
+      .map { case (t, i) => s"WHEN event_type = '$t' THEN $i" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    QueryDef(
+      "q_audience_overlap",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val masks = Tables.events(s, d)
+          .select(col("user_id"), expr(idxSql).as("ti"))
+          .filter(col("ti").isNotNull)
+          .groupBy(col("user_id"))
+          // bit_or folds per-user type bits without a distinct pass
+          .agg(expr("bit_or(1 << ti)").as("mask"))
+          .groupBy(col("mask")).agg(count(lit(1)).as("n_users"))
+        val pairs = (for {
+          a <- types.indices; b <- types.indices if a < b
+        } yield (types(a), types(b), a, b)).toDF("type_a", "type_b", "ba", "bb")
+        pairs.crossJoin(masks)
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(
+            sum(when(expr("(mask >> ba) % 2 = 1"), col("n_users"))
+              .otherwise(lit(0L))).as("n_a"),
+            sum(when(expr("(mask >> bb) % 2 = 1"), col("n_users"))
+              .otherwise(lit(0L))).as("n_b"),
+            sum(when(expr("(mask >> ba) % 2 = 1 AND (mask >> bb) % 2 = 1"),
+              col("n_users")).otherwise(lit(0L))).as("n_both"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            expr("(1000000 * n_both) div (n_a + n_b - n_both)").as("jaccard_ppm"))
+          .orderBy("type_a", "type_b")
+      },
+      Some(s"""WITH m AS (
+        |  SELECT user_id, bit_or(1 << ($idxSql)) AS mask
+        |  FROM events WHERE ($idxSql) IS NOT NULL GROUP BY user_id),
+        |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_users FROM m GROUP BY mask),
+        |p AS (SELECT * FROM (VALUES
+        |  ${(for { a <- types.indices; b <- types.indices if a < b }
+             yield s"('${types(a)}', '${types(b)}', $a, $b)").mkString(", ")})
+        |  t(type_a, type_b, ba, bb)),
+        |agg AS (
+        |  SELECT type_a, type_b,
+        |    CAST(sum(CASE WHEN (mask >> ba) % 2 = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN (mask >> bb) % 2 = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN (mask >> ba) % 2 = 1 AND (mask >> bb) % 2 = 1
+        |      THEN n_users ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM p CROSS JOIN mc GROUP BY type_a, type_b)
+        |SELECT type_a, type_b, n_a, n_b, n_both,
+        |  CAST((1000000 * n_both) // (n_a + n_b - n_both) AS BIGINT) AS jaccard_ppm
+        |FROM agg ORDER BY type_a, type_b""".stripMargin))
+  }
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
-    qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths)
+    qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap)
 }

@@ -1113,6 +1113,33 @@ object SurveyQueries {
     Some("""SELECT doc_id, lang, source, n_chars, text
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** ingest_fixedwidth: the mainframe/COBOL-export interchange shape —
+    * no delimiters, fields live at fixed byte offsets. The corpus is
+    * written as %10d%-2s%6d lines (right-aligned numerics, left-aligned
+    * text — both padding conventions on the hook), read back as raw
+    * text, and parsed by substring offsets with trim+cast. The oracle
+    * recomputes the projection from parquet, so a one-off column
+    * offset, swallowed padding, or a numeric that lost its sign would
+    * hash-mismatch. Row-local parse: the scan is the only pass, the
+    * split is codegen'd substring/trim, no inference. */
+  val ingestFixedWidth: QueryDef = QueryDef(
+    "ingest_fixedwidth",
+    (s, d) => {
+      val path = graft.sources.TableIO.scratchDir(s, "fixedwidth/docs")
+      Tables.documents(s, d)
+        .select(format_string("%10d%-2s%6d", col("doc_id"), col("lang"),
+          col("n_chars")).as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+      s.read.text(path)
+        .select(
+          trim(substring(col("value"), 1, 10)).cast("long").as("doc_id"),
+          trim(substring(col("value"), 11, 2)).as("lang"),
+          trim(substring(col("value"), 13, 6)).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""")
+  )
+
   /** ingest_orc: the second columnar format — a lineitem projection is
     * written as ORC and read back through a filtered aggregation, so
     * the gate covers the ORC sink, the ORC scan, and that the filter
@@ -1148,5 +1175,6 @@ object SurveyQueries {
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder,
     maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats, ingestCsvDirty,
-    ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml, ingestPartitioned)
+    ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
+    ingestFixedWidth, ingestPartitioned)
 }

@@ -505,4 +505,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "path mining turned into a join")
     assert(nodes(p, "Scan parquet") == 1, "events scanned more than once")
   }
+
+  test("q_audience_overlap: one corpus scan folds user masks; pair algebra never sort-merge-joins") {
+    val p = plan("q_audience_overlap")
+    assert(nodes(p, "Scan parquet") == 1,
+      s"overlap matrix re-scans events:\n${p.linesIterator.take(30).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"), "tiny mask relation shuffled into a sort-merge join")
+  }
 }
