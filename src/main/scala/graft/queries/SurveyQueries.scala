@@ -1113,6 +1113,46 @@ object SurveyQueries {
     Some("""SELECT doc_id, lang, source, n_chars, text
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** maintenance_vacuum: the [[graft.sources.TableIO.vacuum]] heal-then-
+    * clean pass driven through a SIMULATED mid-swap crash — live path
+    * renamed aside (the crash window between compact()'s two renames)
+    * with a stranded tmp rewrite. Vacuum must restore the live path
+    * from `.compact-old` FIRST and only then delete debris; the gate is
+    * the table's full content vs the source recompute, so a vacuum that
+    * deleted the wrong side would hash-mismatch, not just fail a flag
+    * check. At 100 TB this is the janitor every rename-swap protocol
+    * needs: crash residue accumulates storage forever and (worse) a
+    * later compact() could self-heal from a STALE `.compact-old` if
+    * debris from an old generation lingered. */
+  val maintenanceVacuum: QueryDef = QueryDef(
+    "maintenance_vacuum",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val path = graft.sources.TableIO.scratchDir(s, "vacuum/orders")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      val hconf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+      val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+      fs.delete(old, true)
+      require(fs.rename(p, old), "crash staging rename failed")
+      fs.mkdirs(tmp)
+      val (restored, removed) = graft.sources.TableIO.vacuum(s, path)
+      require(restored && removed >= 1,
+        s"vacuum did not heal the crash state: restored=$restored removed=$removed")
+      s.read.parquet(path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(money)).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+
   /** ingest_fixedwidth: the mainframe/COBOL-export interchange shape —
     * no delimiters, fields live at fixed byte offsets. The corpus is
     * written as %10d%-2s%6d lines (right-aligned numerics, left-aligned
@@ -1174,7 +1214,8 @@ object SurveyQueries {
     mergeTableVersions,
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder,
-    maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats, ingestCsvDirty,
+    maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats,
+    maintenanceVacuum, ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)
 }

@@ -244,6 +244,38 @@ object TableIO {
     fs.delete(old, true)
   }
 
+  /** VACUUM for the [[compact]] swap protocol: heal-then-clean. A crash
+    * anywhere in the rename swap leaves one of two residues — the live
+    * path missing with the data renamed aside (crash BETWEEN the two
+    * renames), or a healthy live path with `.compact-old` / stale
+    * `.compact-tmp` debris (crash after the second rename or before the
+    * first). Vacuum first restores a missing live path from
+    * `.compact-old` (the conservative choice compact() itself makes —
+    * the tmp rewrite may be incomplete, the renamed-aside original never
+    * is), THEN deletes both residue dirs. Ordering is the safety
+    * property: debris is only ever deleted while the live path exists,
+    * so vacuum can run on any schedule against any crash state without
+    * data loss. Returns (restored, removed dirs). */
+  def vacuum(spark: SparkSession, path: String): (Boolean, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact-old")
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact-tmp")
+    var restored = false
+    if (!fs.exists(target) && fs.exists(old)) {
+      require(fs.rename(old, target), s"vacuum crash recovery failed: $old -> $path")
+      restored = true
+    }
+    require(fs.exists(target),
+      s"vacuum refusing to clean debris: live path $path missing and no " +
+        ".compact-old to restore it from")
+    var removed = 0
+    if (fs.delete(old, true)) removed += 1
+    if (fs.delete(tmp, true)) removed += 1
+    (restored, removed)
+  }
+
   /** True when `e` (or any cause below it) is a missing-path/file error —
     * the failure a reader racing [[compact]]'s rename swap observes,
     * at EITHER stage: plan-time path resolution (AnalysisException

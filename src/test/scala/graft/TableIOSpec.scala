@@ -364,4 +364,31 @@ class TableIOSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("EMPTY"))
   }
+
+  test("vacuum: heals the mid-swap crash first, cleans debris only while live exists, refuses empty state") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = TableIO.scratchDir(spark, "vacuumspec/t")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(hconf)
+    def stage(): Unit = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
+    val old = new org.apache.hadoop.fs.Path(base + ".compact-old")
+    val tmp = new org.apache.hadoop.fs.Path(base + ".compact-tmp")
+    // healthy table + debris: debris removed, nothing restored
+    stage(); fs.mkdirs(old); fs.mkdirs(tmp)
+    assert(TableIO.vacuum(spark, base) == ((false, 2)))
+    assert(fs.exists(p) && !fs.exists(old) && !fs.exists(tmp))
+    assert(spark.read.parquet(base).count() == 2)
+    // mid-swap crash: live missing, data in old -> restored, tmp dropped
+    fs.delete(new org.apache.hadoop.fs.Path(base + ".compact-old"), true)
+    require(fs.rename(p, old)); fs.mkdirs(tmp)
+    assert(TableIO.vacuum(spark, base) == ((true, 1)))
+    assert(spark.read.parquet(base).orderBy("k").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(!fs.exists(old) && !fs.exists(tmp))
+    // nothing to restore from: refuse loudly rather than "clean" a void
+    fs.delete(p, true)
+    intercept[IllegalArgumentException] { TableIO.vacuum(spark, base) }
+  }
 }
