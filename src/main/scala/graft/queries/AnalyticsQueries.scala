@@ -875,9 +875,70 @@ object AnalyticsQueries {
         |FROM agg ORDER BY type_a, type_b""".stripMargin))
   }
 
+  /** Interval UNION (gaps-and-islands): each event opens a 15-minute
+    * activity interval; overlapping/touching intervals per user merge
+    * into islands, and the query reports per-user busy-time statistics —
+    * the coverage/utilization operator behind SLA windows, GPU-hour
+    * accounting, and dedup of overlapping crawl windows. The algebra is
+    * the classic one: running max of interval END over the (ts,
+    * event_id)-ordered history (current row EXCLUDED), island starts
+    * where ts exceeds it, island id = running sum of starts — every
+    * step integer micros, one user-keyed shuffle shared by both window
+    * passes, then two hash aggregations (island, then user). */
+  val qMergeIntervals: QueryDef = QueryDef(
+    "q_merge_intervals",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val prevMaxEnd = max(col("end_us"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+      Tables.events(s, d)
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("end_us", col("ts_us") + lit(900000000L))
+        .withColumn("new_i",
+          when(col("ts_us") > coalesce(prevMaxEnd, lit(Long.MinValue)), 1)
+            .otherwise(0))
+        .withColumn("island", sum(col("new_i")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("ts_us")).as("i_start"), max(col("end_us")).as("i_end"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_busy"),
+          expr("sum(i_end - i_start) div 1000000").as("busy_secs_total"),
+          expr("max(i_end - i_start) div 1000000").as("longest_secs"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    epoch_us(ts) + 900000000 AS end_us
+      |  FROM events WHERE user_id % 10 = 0),
+      |fl AS (
+      |  SELECT user_id, ts_us, end_us,
+      |    CASE WHEN ts_us > COALESCE(max(end_us) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -9223372036854775808) THEN 1 ELSE 0 END AS new_i,
+      |    event_id
+      |  FROM e),
+      |isl AS (
+      |  SELECT user_id, ts_us, end_us,
+      |    sum(new_i) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM fl),
+      |g AS (
+      |  SELECT user_id, island, min(ts_us) AS i_start, max(end_us) AS i_end
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, count(*) AS n_busy,
+      |  CAST(sum(i_end - i_start) // 1000000 AS BIGINT) AS busy_secs_total,
+      |  CAST(max(i_end - i_start) // 1000000 AS BIGINT) AS longest_secs
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
-    qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap)
+    qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap,
+    qMergeIntervals)
 }
