@@ -46,6 +46,34 @@ object GovernanceQueries {
       |  FROM f WHERE n1 >= 3)
       |ORDER BY c_custkey""".stripMargin))
 
+  /** l-DIVERSITY audit — the release gate k-anonymity alone misses:
+    * a group can be k-large yet expose its members because every row
+    * shares ONE sensitive value (the homogeneity attack). Per
+    * quasi-identifier group: size, distinct sensitive values, and the
+    * release verdict n >= k AND l >= l_min. One hash aggregation
+    * (count + count-distinct per group, map-side combined); the
+    * suppressed groups are exactly the rows a governed release must
+    * withhold even after k-anonymization passes them. */
+  val privacyLDiversity: QueryDef = QueryDef(
+    "privacy_l_diversity",
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / lit(2000.0)).cast("long").as("bal_band"))
+      .groupBy(col("nation"), col("mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_band")).as("l"))
+      .select(col("nation"), col("mktsegment"), col("n"), col("l"),
+        (col("n") >= 3 && col("l") >= 3).as("releasable"))
+      .orderBy("nation", "mktsegment"),
+    Some("""SELECT c_nationkey AS nation, c_mktsegment AS mktsegment,
+      |  count(*) AS n,
+      |  count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS l,
+      |  (count(*) >= 3 AND
+      |   count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) >= 3)
+      |    AS releasable
+      |FROM customer GROUP BY 1, 2 ORDER BY nation, mktsegment""".stripMargin))
+
   /** Declarative data-quality constraint audit (the Deequ/"unit tests
     * for data" shape, Schelter et al. 2018): five constraints —
     * completeness, key uniqueness, numeric range, value-set membership,
@@ -311,7 +339,8 @@ object GovernanceQueries {
         |FROM agg ORDER BY event_type, anon_level""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(privacyKAnon, auditConstraints, sampleGroupK,
+  val all: Seq[QueryDef] = Seq(privacyKAnon, privacyLDiversity, auditConstraints,
+    sampleGroupK,
     mlBinsEquidepth, privacyPseudonymize, auditReferential, pipelineGoverned,
     privacyDpRelease)
 }

@@ -1012,10 +1012,62 @@ object MlPrepQueries {
       |    AS BIGINT) AS pos_rate_bp
       |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin))
 
+  /** Two-sample Kolmogorov–Smirnov DRIFT statistic, exact — the
+    * distribution-shift gate between corpus slices (here: 4-char vs
+    * 5-char source families over document length). D = max|ECDF_a −
+    * ECDF_b| evaluated WITHOUT floats: at every observed value,
+    * |ca·n_b − cb·n_a| is an exact integer, the max picks the earliest
+    * threshold on ties, and d_ppm = 10⁶·max div (n_a·n_b). Same scale
+    * shape as [[mlAuc]]: corpus → one hash aggregation per distinct
+    * value, cumulative window over the bounded value relation, TakeOrdered
+    * head. */
+  val mlKsDrift: QueryDef = QueryDef(
+    "ml_ks_drift",
+    (s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("n_chars").as("score"),
+          (length(col("source")) === 4).cast("long").as("ya"))
+        .groupBy(col("score"))
+        .agg(sum(col("ya")).as("pa"), (count(lit(1)) - sum(col("ya"))).as("pb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      per
+        .select(col("score"),
+          sum(col("pa")).over(w).as("ca"), sum(col("pb")).over(w).as("cb"))
+        .crossJoin(broadcast(per.agg(sum(col("pa")).as("n_a"),
+          sum(col("pb")).as("n_b"))))
+        .withColumn("dnum", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+        .orderBy(col("dnum").desc, col("score").asc)
+        .limit(1)
+        .select(col("n_a"), col("n_b"),
+          expr("(1000000 * dnum) div (n_a * n_b)").as("d_ppm"),
+          col("score").as("ks_at"))
+    },
+    Some("""WITH per AS (
+      |  SELECT n_chars AS score,
+      |    CAST(sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS pa,
+      |    CAST(sum(CASE WHEN length(source) = 4 THEN 0 ELSE 1 END) AS BIGINT) AS pb
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(pa) AS BIGINT) AS n_a, CAST(sum(pb) AS BIGINT) AS n_b FROM per),
+      |c AS (
+      |  SELECT score,
+      |    CAST(sum(pa) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+      |    CAST(sum(pb) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+      |  FROM per),
+      |d AS (SELECT score, abs(ca * n_b - cb * n_a) AS dnum, n_a, n_b
+      |  FROM c CROSS JOIN t)
+      |SELECT n_a, n_b,
+      |  CAST((1000000 * dnum) // (n_a * n_b) AS BIGINT) AS d_ppm,
+      |  score AS ks_at
+      |FROM d ORDER BY dnum DESC, score ASC LIMIT 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
-    embProject, embPcaPower, mlAuc, mlCalibrationBins)
+    embProject, embPcaPower, mlAuc, mlCalibrationBins, mlKsDrift)
 }
