@@ -935,10 +935,96 @@ object AnalyticsQueries {
       |  CAST(max(i_end - i_start) // 1000000 AS BIGINT) AS longest_secs
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** User GROWTH accounting: new users per hour (hour of first-seen
+    * event) and the cumulative registered base — the activation curve.
+    * The running distinct is NOT a window over the corpus: first-seen
+    * hour per user is one min-aggregation, hourly news a second, and
+    * the cumulative sum runs over the tiny hour relation. */
+  val qUserGrowth: QueryDef = QueryDef(
+    "q_user_growth",
+    (s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .select(date_format(date_trunc("hour", col("first_ts")),
+          "yyyy-MM-dd HH").as("hour"))
+        .groupBy(col("hour")).agg(count(lit(1)).as("new_users"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("hour"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      firstSeen
+        .withColumn("total_users", sum(col("new_users")).over(w))
+        .orderBy("hour")
+    },
+    Some("""WITH fs AS (
+      |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+      |wk AS (
+      |  SELECT strftime(date_trunc('hour', first_ts), '%Y-%m-%d %H') AS hour,
+      |    count(*) AS new_users
+      |  FROM fs GROUP BY 1)
+      |SELECT hour, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS total_users
+      |FROM wk ORDER BY hour""".stripMargin))
+
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * customer-mart scoring operator: per customer, days since last
+    * order measured against the CORPUS max date (a one-row broadcast
+    * aggregate, so the anchor is data-derived yet identical in both
+    * engines — no wall-clock in the gate), order count, and exact
+    * decimal-cents spend; each dimension coded 0-2 by fixed thresholds
+    * into a 3-digit segment. One shuffle on the customer key, one
+    * broadcast. */
+  val qRfmSegments: QueryDef = QueryDef(
+    "q_rfm_segments",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val anchor = orders.agg(max(col("o_orderdate")).as("max_d"))
+      orders.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_cents"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey"),
+          datediff(col("max_d"), col("last_d")).cast("long").as("recency_days"),
+          col("frequency"), col("spend_cents"))
+        .withColumn("segment",
+          (when(col("recency_days") <= 30, 2)
+            .when(col("recency_days") <= 90, 1).otherwise(0) * 100 +
+           when(col("frequency") >= 20, 2)
+            .when(col("frequency") >= 10, 1).otherwise(0) * 10 +
+           when(col("spend_cents") >= 300000000L, 2)
+            .when(col("spend_cents") >= 100000000L, 1).otherwise(0))
+            .cast("long"))
+        .filter(col("o_custkey") % 10 === 0)
+        .orderBy("o_custkey")
+    },
+    Some("""WITH a AS (SELECT max(o_orderdate) AS max_d FROM orders),
+      |g AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_d,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS spend_cents
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey,
+      |  CAST(date_diff('day', CAST(last_d AS DATE), CAST(max_d AS DATE)) AS BIGINT)
+      |    AS recency_days,
+      |  frequency, spend_cents,
+      |  CAST((CASE WHEN date_diff('day', CAST(last_d AS DATE), CAST(max_d AS DATE)) <= 30 THEN 2
+      |        WHEN date_diff('day', CAST(last_d AS DATE), CAST(max_d AS DATE)) <= 90 THEN 1
+      |        ELSE 0 END) * 100
+      |    + (CASE WHEN frequency >= 20 THEN 2 WHEN frequency >= 10 THEN 1 ELSE 0 END) * 10
+      |    + (CASE WHEN spend_cents >= 300000000 THEN 2
+      |        WHEN spend_cents >= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS segment
+      |FROM g CROSS JOIN a
+      |WHERE o_custkey % 10 = 0
+      |ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
     qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap,
-    qMergeIntervals)
+    qMergeIntervals, qUserGrowth, qRfmSegments)
 }

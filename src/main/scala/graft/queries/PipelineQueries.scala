@@ -2031,6 +2031,87 @@ object PipelineQueries {
       |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Source-pair VOCABULARY similarity — the corpus-slice overlap matrix
+    * mixture planning reads before weighting sources (near-identical
+    * vocabularies → redundant slices; disjoint → coverage). Per source,
+    * the distinct word set; per source PAIR, exact Jaccard in ppm via a
+    * posting-list self-join on the word (each word contributes its
+    * source-pair co-occurrences — no all-pairs document work, the
+    * postings shape every dedup operator here already rides). Source
+    * cardinality is bounded (20), so per-source sizes broadcast. */
+  val textSourceSimilarity: QueryDef = QueryDef(
+    "text_source_similarity",
+    (s, d) => {
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+      val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+      val a = sw.select(col("source").as("src_a"), col("word"))
+      val b = sw.select(col("source").as("src_b"), col("word"))
+      a.join(b, Seq("word"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n_vocab").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n_vocab").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_shared"),
+          expr("(1000000 * n_shared) div (n_a + n_b - n_shared)")
+            .as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("src_a").asc, col("src_b").asc)
+        .limit(30)
+    },
+    Some(s"""WITH sw AS (
+      |  SELECT DISTINCT source, word FROM (
+      |    SELECT source, unnest(string_split($normalizeSql, ' ')) AS word
+      |    FROM documents) t WHERE length(word) > 0),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM sw GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, sa.n_vocab AS n_a, sb.n_vocab AS n_b, n_shared,
+      |  CAST((1000000 * n_shared) // (sa.n_vocab + sb.n_vocab - n_shared) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM p JOIN sz sa ON p.src_a = sa.source JOIN sz sb ON p.src_b = sb.source
+      |ORDER BY jaccard_ppm DESC, src_a ASC, src_b ASC LIMIT 30""".stripMargin))
+
+  /** Week-over-week volume deltas per event type in exact basis points —
+    * the trend monitor a pipeline dashboard runs on its ingest volumes
+    * (q_anomaly_hourly's longer-horizon sibling). date_trunc to weeks,
+    * one lag window over the tiny (type, week) relation, delta_bp =
+    * 10⁴·(cur − prev) div prev. */
+  val qEventsWow: QueryDef = QueryDef(
+    "q_events_wow",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("week"))
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+          .as("week"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+        .select(col("week"), col("event_type"), col("n_events"),
+          when(col("prev_n").isNotNull,
+            expr("(10000 * (n_events - prev_n)) div prev_n")).as("wow_bp"))
+        .orderBy("event_type", "week")
+    },
+    Some("""WITH h AS (
+      |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |    event_type, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT week, event_type, n_events,
+      |    lag(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      |  FROM h)
+      |SELECT week, event_type, n_events,
+      |  CASE WHEN prev_n IS NOT NULL
+      |    THEN CAST((10000 * (n_events - prev_n)) // prev_n AS BIGINT) END AS wow_bp
+      |FROM l ORDER BY event_type, week""".stripMargin))
+
   /** Repetition gates (Gopher-style): top-word share and duplicate
     * trigram fraction per document — one narrow typed pass, zero
     * shuffles; the oracle recomputes both from an explode + group
@@ -2257,5 +2338,5 @@ object PipelineQueries {
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
     mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmPHashDedup,
-    mmAudioVad, sampleSplitLeakageSafe)
+    mmAudioVad, sampleSplitLeakageSafe, textSourceSimilarity, qEventsWow)
 }
