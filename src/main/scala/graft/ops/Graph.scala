@@ -292,6 +292,41 @@ object Graph {
     * `src`/`dst` (pass both directions for an undirected graph).
     * Returns (node, hops) for every node within `maxHops` of a seed —
     * unreached nodes are absent, the distance-k neighborhood contract. */
+  /** k-CORE peeling, `rounds` synchronized iterations: repeatedly drop
+    * nodes whose degree in the SURVIVING subgraph is < k (Matula &
+    * Beck's algorithm, the bulk-synchronous variant) — the graph-quality
+    * prior that separates a densely-linked core from stragglers (spam
+    * rings and boilerplate sites peel off link graphs in early rounds).
+    * Determinism contract (the pagerankMicroConverged shape): a fixed
+    * round count, and a fixed point maps to itself under the peel — so
+    * an engine replaying the same unrolled rounds matches whether or
+    * not the peel has converged, and convergence-before-R is pure
+    * savings. Per round: one degree aggregation + two semi-joins, all
+    * keyed on edge endpoints; edges eagerly checkpointed
+    * ([[Materialize.carried]]) so plans stay constant-size.
+    * Input: undirected edge list as (lo, hi) normalized pairs.
+    * Returns (node, degree) of the surviving subgraph. */
+  def kCoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    var e = Materialize.carried(edges
+      .select(least(col("lo"), col("hi")).as("lo"),
+        greatest(col("lo"), col("hi")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct())
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("lo").as("node"))
+        .unionAll(e.select(col("hi").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      e = Materialize.carried(e
+        .join(keep.select(col("node").as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select(col("node").as("hi")), Seq("hi"), "left_semi"))
+    }
+    e.select(col("lo").as("node"))
+      .unionAll(e.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "need maxHops >= 0")
     val e = Materialize.invariant(edges

@@ -455,6 +455,56 @@ object Multimodal {
       }(enc)
   }
 
+  /** PATCH extraction (the ViT "patchify" primitive): the decoded
+    * raster splits into a `grid`×`grid` tile lattice — tile (tx, ty)
+    * covers x ∈ [tx·w div grid, (tx+1)·w div grid) (integer bounds, so
+    * uneven dims distribute remainder pixels deterministically) — and
+    * each tile reports its pixel count and exact gray sum, the stats a
+    * patch-level quality/blur gate consumes before embedding. Row-local
+    * decode; payloads never shuffle. Returns
+    * (media_id, tile_x, tile_y, n_px, gray_sum). */
+  def imageTileStats(media: DataFrame, grid: Int): DataFrame = {
+    require(grid >= 1, "need grid >= 1")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("tile_x", LongType, nullable = false),
+      StructField("tile_y", LongType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("gray_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.get(1).asInstanceOf[Array[Byte]]))
+          require(img != null, s"payload for media_id=$id is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          for {
+            ty <- 0 until grid
+            tx <- 0 until grid
+          } yield {
+            val (x0, x1) = (tx * w / grid, (tx + 1) * w / grid)
+            val (y0, y1) = (ty * h / grid, (ty + 1) * h / grid)
+            var s = 0L
+            var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = img.getRGB(x, y)
+                s += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, tx.toLong, ty.toLong, n, s)
+          }
+        }
+      }(enc)
+  }
+
   /** PERMISSIVE image decode for dirty corpora: a payload that fails to
     * parse yields `decode_ok = false` with null stats instead of
     * failing the task. At 100 TB corrupt containers are a certainty

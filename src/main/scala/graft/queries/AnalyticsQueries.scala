@@ -1021,10 +1021,56 @@ object AnalyticsQueries {
       |WHERE o_custkey % 10 = 0
       |ORDER BY o_custkey""".stripMargin))
 
+  /** [[graft.ops.Graph.kCoreRounds]] unrolled: each round recounts
+    * degrees over the surviving edge set and keeps both-endpoint-
+    * surviving edges — one CTE pair per round. The CTEs are
+    * MATERIALIZED: each e_t is referenced twice by round t+1, so the
+    * default inline expansion doubles the plan per round (measured:
+    * >9 min inlined vs 0.8 s materialized at sf0.1). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""n$t AS MATERIALIZED (SELECT node FROM (
+         |  SELECT node, count(*) AS d FROM (
+         |    SELECT lo AS node FROM e${t - 1} UNION ALL SELECT hi FROM e${t - 1}) u
+         |  GROUP BY node) q WHERE d >= $k),
+         |e$t AS MATERIALIZED (SELECT lo, hi FROM e${t - 1}
+         |  WHERE lo IN (SELECT node FROM n$t) AND hi IN (SELECT node FROM n$t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |$steps
+      |SELECT node, count(*) AS degree FROM (
+      |  SELECT lo AS node FROM e$rounds UNION ALL SELECT hi FROM e$rounds) u
+      |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** k-core of the co-purchase part graph ([[graft.ops.Graph.kCoreRounds]],
+    * k = 70, four synchronized peel rounds — the threshold sits inside
+    * the degree distribution at every SF, so the peel genuinely
+    * cascades: 200→153 nodes at sf0.001, 20000→19674 at sf0.1) — the dense-core extraction
+    * that ranks parts by embeddedness; on link graphs the same peel
+    * strips spam rings and orphan pages before PageRank spends rank on
+    * them. Fixed-round contract: both engines replay exactly four
+    * rounds, so the gate holds converged or not. */
+  val qKCore: QueryDef = QueryDef(
+    "q_kcore",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("lo"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("hi"))
+      val edges = a.join(b, col("ok") === col("ok2") && col("lo") < col("hi"))
+        .select(col("lo"), col("hi"))
+      graft.ops.Graph.kCoreRounds(edges, k = 70, rounds = 4).orderBy("node")
+    },
+    Some(kcoreOracleSql(70, 4)))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
     qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap,
-    qMergeIntervals, qUserGrowth, qRfmSegments)
+    qMergeIntervals, qUserGrowth, qRfmSegments, qKCore)
 }

@@ -2031,6 +2031,38 @@ object PipelineQueries {
       |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Patch extraction gated exactly: the image corpus decodes and
+    * splits into a 2×2 tile lattice ([[Multimodal.imageTileStats]] —
+    * the ViT patchify shape with integer tile bounds, remainder pixels
+    * deterministically assigned), and every tile's pixel count + exact
+    * gray sum replays closed-form from the synth formula — a wrong
+    * boundary on uneven dims moves a pixel column between tiles and
+    * breaks the hash. */
+  val mmImageTiles: QueryDef = QueryDef(
+    "mm_image_tiles",
+    (s, d) => Multimodal.imageTileStats(
+        Multimodal.imageCorpus(Tables.documents(s, d)), grid = 2)
+      .orderBy("media_id", "tile_y", "tile_x"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+      |px AS (
+      |  SELECT id, w, h, x, y,
+      |      (id*31 + x*7  + y*13) % 256
+      |    + (id*17 + x*11 + y*3)  % 256
+      |    + (id*13 + x*5  + y*19) % 256 AS gray
+      |  FROM dims, range(0, 16) xs(x), range(0, 13) ys(y)
+      |  WHERE x < w AND y < h),
+      |t AS (
+      |  SELECT id, tx, ty, w, h, x, y, gray
+      |  FROM px, range(0, 2) txs(tx), range(0, 2) tys(ty)
+      |  WHERE x >= (tx*w)//2 AND x < ((tx+1)*w)//2
+      |    AND y >= (ty*h)//2 AND y < ((ty+1)*h)//2)
+      |SELECT id AS media_id, CAST(tx AS BIGINT) AS tile_x,
+      |  CAST(ty AS BIGINT) AS tile_y,
+      |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(gray) AS BIGINT) AS gray_sum
+      |FROM t GROUP BY id, tx, ty
+      |ORDER BY media_id, tile_y, tile_x""".stripMargin))
+
   /** Source-pair VOCABULARY similarity — the corpus-slice overlap matrix
     * mixture planning reads before weighting sources (near-identical
     * vocabularies → redundant slices; disjoint → coverage). Per source,
@@ -2338,5 +2370,6 @@ object PipelineQueries {
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
     mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmPHashDedup,
-    mmAudioVad, sampleSplitLeakageSafe, textSourceSimilarity, qEventsWow)
+    mmAudioVad, mmImageTiles, sampleSplitLeakageSafe, textSourceSimilarity,
+    qEventsWow)
 }

@@ -126,4 +126,18 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").as[(Long, Int)].collect().toSeq
     assert(two == Seq((2L, 2), (3L, 1), (4L, 0), (8L, 0), (9L, 1)))
   }
+
+  test("kCoreRounds: pendant chain peels off, the clique survives; fixed point is stable") {
+    // K4 on {1,2,3,4} plus a pendant path 4-5-6: 3-core = exactly the K4
+    val e = (Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L)))
+      .toDF("lo", "hi")
+    val core = Graph.kCoreRounds(e, k = 3, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), core.toString)
+    // a fixed point maps to itself: more rounds change nothing
+    assert(Graph.kCoreRounds(e, k = 3, rounds = 7)
+      .orderBy("node").as[(Long, Long)].collect().toSeq == core)
+    // k above the max degree empties the graph
+    assert(Graph.kCoreRounds(e, k = 5, rounds = 3).count() == 0L)
+  }
 }
