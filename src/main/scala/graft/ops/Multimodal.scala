@@ -1437,6 +1437,40 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio RESAMPLE (decimate-by-2 with a 2-tap mean low-pass): decoded
+    * samples pair up as y_j = (x_{2j} + x_{2j+1}) div 2 (truncating
+    * integer mean — identical toward-zero semantics in both engines), a
+    * trailing odd sample drops. The downsample every speech pipeline
+    * runs before feature extraction, gated on the decimated stream's
+    * exact count/amplitude/peak statistics. Row-local; payloads never
+    * shuffle. */
+  def resampleAudioHalf(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("amp_sum", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (_, samples) = decodeWav(r.get(1).asInstanceOf[Array[Byte]])
+          val nOut = samples.length / 2
+          var s = 0L
+          var peak = 0L
+          var j = 0
+          while (j < nOut) {
+            val y = (samples(2 * j) + samples(2 * j + 1)) / 2
+            val a = math.abs(y.toLong)
+            s += a
+            if (a > peak) peak = a
+            j += 1
+          }
+          Row(r.getLong(0), nOut.toLong, s, peak)
+        }
+      }(enc)
+  }
+
   /** Permissive twin of [[decodeAudio]] — the [[decodeImagesSafe]]
     * quarantine contract for WAV payloads: unparseable containers come
     * back `decode_ok = false` with null stats, never a task failure. */

@@ -1067,10 +1067,63 @@ object AnalyticsQueries {
     },
     Some(kcoreOracleSql(70, 4)))
 
+  /** CUSUM changepoint detection over hourly volumes — q_anomaly_hourly
+    * flags SPIKES; CUSUM accumulates small persistent drifts until they
+    * cross a decision threshold (Page 1954), which is how ingest
+    * monitors catch a slow leak no single hour would flag. The
+    * recursive s_t = max(0, s_{t−1} + dev_t) is NOT a window aggregate,
+    * but the classic prefix identity s_t = P_t − min(0, min_{i≤t} P_i)
+    * (P = running sum of deviations) is — two cumulative windows over
+    * the bounded hourly relation, everything in integer milli-counts
+    * (mean scaled by 1000 with `div`, slack 250, threshold 5000), so
+    * both engines replay identical integers. */
+  val qChangepointCusum: QueryDef = QueryDef(
+    "q_changepoint_cusum",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH")
+          .as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val base = hourly.groupBy(col("event_type"))
+        .agg(expr("(1000 * sum(cnt)) div count(1)").as("mean_sc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      hourly.join(broadcast(base), "event_type")
+        .withColumn("dev", lit(1000L) * col("cnt") - col("mean_sc") - lit(250L))
+        .withColumn("p", sum(col("dev")).over(w))
+        .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(w)))
+        .select(col("hour"), col("event_type"), col("cnt"), col("cusum"),
+          (col("cusum") > 5000L).as("drifting"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""WITH h AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |    event_type, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type,
+      |  CAST((1000 * sum(cnt)) // count(*) AS BIGINT) AS mean_sc
+      |  FROM h GROUP BY event_type),
+      |p AS (
+      |  SELECT hour, h.event_type, cnt,
+      |    CAST(sum(1000 * cnt - mean_sc - 250) OVER win AS BIGINT) AS p
+      |  FROM h JOIN b ON h.event_type = b.event_type
+      |  WINDOW win AS (PARTITION BY h.event_type ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c AS (
+      |  SELECT hour, event_type, cnt,
+      |    p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      |  FROM p)
+      |SELECT hour, event_type, cnt, CAST(cusum AS BIGINT) AS cusum,
+      |  cusum > 5000 AS drifting
+      |FROM c ORDER BY event_type, hour""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
     qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap,
-    qMergeIntervals, qUserGrowth, qRfmSegments, qKCore)
+    qMergeIntervals, qUserGrowth, qRfmSegments, qKCore, qChangepointCusum)
 }

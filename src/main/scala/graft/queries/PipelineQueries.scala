@@ -2031,6 +2031,28 @@ object PipelineQueries {
       |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Audio decimation gated exactly ([[Multimodal.resampleAudioHalf]]):
+    * really-decoded WAV samples pair through the 2-tap truncating mean
+    * and the decimated stream's count/amplitude/peak replay closed-form
+    * from the sample formula — a dropped pair boundary or a
+    * floor-vs-truncate slip on negative samples breaks the hash. */
+  val mmAudioResample: QueryDef = QueryDef(
+    "mm_audio_resample",
+    (s, d) => Multimodal.resampleAudioHalf(
+        Multimodal.audioCorpus(Tables.documents(s, d)))
+      .orderBy("media_id"),
+    Some("""WITH d AS (
+      |  SELECT doc_id AS id, 64 + doc_id % 64 AS n FROM documents),
+      |y AS (
+      |  SELECT id,
+      |    ( ((id*31 + (2*j)*17) % 2003 - 1001)
+      |    + ((id*31 + (2*j+1)*17) % 2003 - 1001) ) // 2 AS y
+      |  FROM d, range(0, 64) js(j) WHERE 2*j + 1 < n)
+      |SELECT id AS media_id, CAST(count(*) AS BIGINT) AS n_out,
+      |  CAST(sum(abs(y)) AS BIGINT) AS amp_sum,
+      |  CAST(max(abs(y)) AS BIGINT) AS peak
+      |FROM y GROUP BY id ORDER BY media_id""".stripMargin))
+
   /** Patch extraction gated exactly: the image corpus decodes and
     * splits into a 2×2 tile lattice ([[Multimodal.imageTileStats]] —
     * the ViT patchify shape with integer tile bounds, remainder pixels
@@ -2370,6 +2392,6 @@ object PipelineQueries {
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
     mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmPHashDedup,
-    mmAudioVad, mmImageTiles, sampleSplitLeakageSafe, textSourceSimilarity,
-    qEventsWow)
+    mmAudioVad, mmAudioResample, mmImageTiles, sampleSplitLeakageSafe,
+    textSourceSimilarity, qEventsWow)
 }

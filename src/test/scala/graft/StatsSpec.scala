@@ -129,4 +129,21 @@ class StatsSpec extends SparkSpec {
     val tied = Seq((7L, 0), (7L, 1), (7L, 0), (7L, 1)).toDF("s", "y")
     assert(auc(tied)._3 == 500000L)
   }
+
+  test("CUSUM prefix identity equals the textbook recursion s_t = max(0, s_prev + dev)") {
+    // the query algebra computes s_t = P_t - min(0, min_{i<=t} P_i);
+    // verify it against Page's recursion on adversarial sequences
+    // (all-negative, drift-up, oscillating, spike-recover)
+    val seqs = Seq(
+      Seq(-5L, -3L, -8L), Seq(1L, 2L, 3L, 4L), Seq(5L, -9L, 5L, -9L, 20L),
+      Seq(0L, 0L, 7L, -20L, 7L, 7L), (1 to 50).map(i => ((i * 37) % 21) - 10L))
+    for (devs <- seqs) {
+      val rec = devs.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+      val prefixes = devs.scanLeft(0L)(_ + _).tail
+      val viaIdentity = prefixes.zipWithIndex.map { case (p, i) =>
+        p - math.min(0L, prefixes.take(i + 1).min)
+      }
+      assert(viaIdentity == rec, s"devs=$devs")
+    }
+  }
 }
