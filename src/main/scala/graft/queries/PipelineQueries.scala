@@ -2031,6 +2031,58 @@ object PipelineQueries {
       |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Vocabulary NOVELTY curve — the marginal-value-of-data signal: as
+    * the corpus is consumed in doc_id order, how many word types does
+    * each 50-doc slice see FIRST? Novelty attribution is one min-
+    * aggregation (word → first doc), slice totals a second, and the
+    * cumulative vocabulary a running sum over the bounded slice
+    * relation — the diminishing-returns curve data-acquisition planning
+    * reads without any ordered scan of the corpus itself. novelty_bp =
+    * 10⁴·novel div distinct-words-touched, exact integers. */
+  val textNoveltyCurve: QueryDef = QueryDef(
+    "text_novelty_curve",
+    (s, d) => {
+      val dw = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+      val firstDoc = dw.groupBy(col("word")).agg(min(col("doc_id")).as("fd"))
+      val novel = firstDoc
+        .groupBy(expr("fd div 50").as("slice"))
+        .agg(count(lit(1)).as("novel_words"))
+      val touched = dw
+        .groupBy(expr("doc_id div 50").as("slice"))
+        .agg(count(lit(1)).as("word_uses"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("slice"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      touched.join(novel, Seq("slice"), "left")
+        .select(col("slice"), col("word_uses"),
+          coalesce(col("novel_words"), lit(0L)).as("novel_words"))
+        .withColumn("vocab_cum", sum(col("novel_words")).over(w))
+        .withColumn("novelty_bp",
+          expr("(10000 * novel_words) div word_uses"))
+        .orderBy("slice")
+    },
+    Some(s"""WITH dw AS (
+      |  SELECT DISTINCT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS word
+      |    FROM documents) t WHERE length(word) > 0),
+      |fd AS (SELECT word, min(doc_id) AS fd FROM dw GROUP BY word),
+      |nv AS (SELECT fd // 50 AS slice, CAST(count(*) AS BIGINT) AS novel_words
+      |  FROM fd GROUP BY 1),
+      |tc AS (SELECT doc_id // 50 AS slice, CAST(count(*) AS BIGINT) AS word_uses
+      |  FROM dw GROUP BY 1)
+      |SELECT tc.slice, word_uses,
+      |  COALESCE(novel_words, 0) AS novel_words,
+      |  CAST(sum(COALESCE(novel_words, 0)) OVER (ORDER BY tc.slice
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS vocab_cum,
+      |  CAST((10000 * COALESCE(novel_words, 0)) // word_uses AS BIGINT)
+      |    AS novelty_bp
+      |FROM tc LEFT JOIN nv ON tc.slice = nv.slice
+      |ORDER BY tc.slice""".stripMargin))
+
   /** Audio decimation gated exactly ([[Multimodal.resampleAudioHalf]]):
     * really-decoded WAV samples pair through the 2-tap truncating mean
     * and the decimated stream's count/amplitude/peak replay closed-form
@@ -2393,5 +2445,5 @@ object PipelineQueries {
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
     mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmPHashDedup,
     mmAudioVad, mmAudioResample, mmImageTiles, sampleSplitLeakageSafe,
-    textSourceSimilarity, qEventsWow)
+    textSourceSimilarity, textNoveltyCurve, qEventsWow)
 }
