@@ -75,16 +75,9 @@ object ExtendedQueries {
       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin))
 
-  /** Full cube over (status, priority) — every subtotal combination. */
-  val qCube: QueryDef = QueryDef(
-    "q_cube",
-    (s, d) => Tables.orders(s, d)
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
-    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
-      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
+  // q_cube moved to RelationalQueries (the richer count+total twin of
+  // q_rollup); the count-only variant that used to live here shadowed
+  // it in the registry map and is gone.
 
   /** Window navigation battery: lag/lead/first/last/ntile in one pass
     * over each customer's order history (one shuffle on the partition
@@ -462,7 +455,7 @@ object ExtendedQueries {
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets,
-    qCube, qWindowLeadLag, qArrayFuncs, textTfidf, qUnpivot, qSetOpsAll,
+    qWindowLeadLag, qArrayFuncs, textTfidf, qUnpivot, qSetOpsAll,
     textRedact, qArgMinmax, qStringAgg, qTryFuncs, qWindowRankStats,
     qNullSafeJoin, qMapFuncs, qExplodeOuter, qWindowNtile)
 }
