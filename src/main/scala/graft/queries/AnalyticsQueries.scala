@@ -658,27 +658,32 @@ object AnalyticsQueries {
     * (25 values) keep pair support meaningful on uniform TPC-H baskets
     * where raw part pairs almost never repeat. Scale shape: the pair
     * explosion is bounded by basket size (≤7 lines → ≤42 directed brand
-    * pairs per order), the per-item supports are a 25-row broadcast, and
-    * the total-basket count rides as a one-row broadcast aggregate —
-    * one shuffle on the basket key, one on the pair key. */
+    * pairs per order), per-item supports RIDE the basket relation as a
+    * window count (so both self-join sides are the identical subplan
+    * and share one exchange — separate support aggregates re-expanded
+    * the lineitem⋈part scan, the unigramRarityScores class), and the
+    * total-basket count is a slim lineitem-only distinct (no part
+    * join). One join-scan + one single-column scan total. */
   val qAssocRules: QueryDef = QueryDef(
     "q_assoc_rules",
     (s, d) => {
-      val baskets = Tables.lineitem(s, d)
+      val bk = Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
         .distinct()
-      val items = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-      val tot = baskets.agg(countDistinct(col("ok")).as("n_baskets"))
-      val a = baskets.select(col("ok"), col("item").as("ante"))
-      val c = baskets.select(col("ok").as("ok2"), col("item").as("cons"))
+        .withColumn("n_item", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("item"))))
+      val tot = Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+      val a = bk.select(col("ok"), col("item").as("ante"),
+        col("n_item").as("n_ante"))
+      val c = bk.select(col("ok").as("ok2"), col("item").as("cons"),
+        col("n_item").as("n_cons"))
       a.join(c, col("ok") === col("ok2") && col("ante") =!= col("cons"))
-        .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("n_both"))
+        .groupBy(col("ante"), col("cons"))
+        .agg(count(lit(1)).as("n_both"),
+          max(col("n_ante")).as("n_ante"), max(col("n_cons")).as("n_cons"))
         .filter(col("n_both") >= 5)
-        .join(broadcast(items.select(col("item").as("ante"),
-          col("n_item").as("n_ante"))), "ante")
-        .join(broadcast(items.select(col("item").as("cons"),
-          col("n_item").as("n_cons"))), "cons")
         .crossJoin(broadcast(tot))
         .select(col("ante"), col("cons"), col("n_both"),
           expr("(10000 * n_both) div n_ante").as("conf_bp"),

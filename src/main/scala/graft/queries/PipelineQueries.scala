@@ -2038,7 +2038,11 @@ object PipelineQueries {
     * cumulative vocabulary a running sum over the bounded slice
     * relation — the diminishing-returns curve data-acquisition planning
     * reads without any ordered scan of the corpus itself. novelty_bp =
-    * 10⁴·novel div distinct-words-touched, exact integers. */
+    * 10⁴·novel div distinct-words-touched, exact integers. ONE corpus
+    * scan: first-doc attribution rides a per-word window over the same
+    * (doc, word) relation the slice rollup consumes — the two-branch
+    * formulation re-expanded the scan+explode subtree (the
+    * unigramRarityScores lesson), pinned away in PlanAuditSpec. */
   val textNoveltyCurve: QueryDef = QueryDef(
     "text_novelty_curve",
     (s, d) => {
@@ -2046,19 +2050,15 @@ object PipelineQueries {
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
         .distinct()
-      val firstDoc = dw.groupBy(col("word")).agg(min(col("doc_id")).as("fd"))
-      val novel = firstDoc
-        .groupBy(expr("fd div 50").as("slice"))
-        .agg(count(lit(1)).as("novel_words"))
-      val touched = dw
-        .groupBy(expr("doc_id div 50").as("slice"))
-        .agg(count(lit(1)).as("word_uses"))
+      val byWord = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("slice"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      touched.join(novel, Seq("slice"), "left")
-        .select(col("slice"), col("word_uses"),
-          coalesce(col("novel_words"), lit(0L)).as("novel_words"))
+      dw.withColumn("fd", min(col("doc_id")).over(byWord))
+        .groupBy(expr("doc_id div 50").as("slice"))
+        .agg(count(lit(1)).as("word_uses"),
+          sum(when(col("doc_id") === col("fd"), 1L).otherwise(0L))
+            .as("novel_words"))
         .withColumn("vocab_cum", sum(col("novel_words")).over(w))
         .withColumn("novelty_bp",
           expr("(10000 * novel_words) div word_uses"))

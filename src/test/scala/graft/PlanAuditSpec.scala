@@ -476,11 +476,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 1, "rewrite pass grew a shuffle beyond the final sort")
   }
 
-  test("q_assoc_rules: support joins broadcast; pair explosion is the only corpus-keyed join; no cartesian") {
-    val p = plan("q_assoc_rules")
-    // the 25-row per-item support tables must broadcast into the rules
-    assert(nodes(p, "BroadcastHashJoin") >= 2,
-      s"item-support joins stopped broadcasting:\n${p.linesIterator.take(30).mkString("\n")}")
+
+  test("q_assoc_rules: self-join sides share one exchange at RUNTIME; no cartesian") {
+    val q = SparkEntry.allQueries.find(_.name == "q_assoc_rules").get
+    val df = q.build(spark, sf)
+    df.collect() // drive THIS query execution so AQE finalizes its plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"basket self-join re-expanded its subplan at runtime:\n${p.linesIterator.take(40).mkString("\n")}")
     assert(!p.contains("CartesianProduct"), "rules plan grew a cartesian")
   }
 
@@ -511,5 +514,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "Scan parquet") == 1,
       s"overlap matrix re-scans events:\n${p.linesIterator.take(30).mkString("\n")}")
     assert(!p.contains("SortMergeJoin"), "tiny mask relation shuffled into a sort-merge join")
+  }
+
+  test("text_novelty_curve: the (doc, word) distinct relation is computed once (reused exchange, one corpus scan)") {
+    val p = plan("text_novelty_curve")
+    assert(nodes(p, "Scan parquet") == 1,
+      s"novelty curve re-scans the corpus:\n${p.linesIterator.take(30).mkString("\n")}")
   }
 }
