@@ -109,6 +109,47 @@ object Stats {
         expr("(1000000 * u2) div (2 * n_pos * n_neg)").as("auc_ppm"))
   }
 
+  /** 2-D SKYLINE (Pareto frontier, Börzsönyi et al. 2001): the
+    * non-dominated points under (minimize `xCol`, maximize `yCol`) —
+    * p dominates q iff p.x ≤ q.x ∧ p.y ≥ q.y with one strict. In 2-D
+    * the frontier is an ordered scan: a point survives iff its y tops
+    * its x-group AND beats the strict-prefix maximum over smaller x.
+    * A naive global window would be the SinglePartition shape this repo
+    * bans on corpus data; instead the denseIndex recipe: range-partition
+    * on x (same x never splits), local strict-prefix max via a RANGE
+    * frame (peers excluded exactly), per-partition maxima collected
+    * (bounded: one long per partition) and broadcast back as prefix
+    * offsets — O(n log n) work, no quadratic dominance join, no global
+    * sort on one executor. Both columns must be integral. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parts = Materialize.carried(
+      df.repartitionByRange(nPart, col(xCol).asc)
+        .withColumn("__pid", spark_partition_id()))
+    val pmax = parts.groupBy(col("__pid"))
+      .agg(max(col(yCol)).as("__pm"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until nPart).scanLeft(Long.MinValue) {
+      (acc, p) => math.max(acc, pmax.getOrElse(p, Long.MinValue))
+    }
+    val prefixDf = broadcast(
+      (0 until nPart).map(p => (p, prefix(p))).toDF("__pid", "__pref"))
+    val strictLocal = max(col(yCol)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
+        .orderBy(col(xCol).cast("long"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val grpMax = max(col(yCol)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"), col(xCol)))
+    parts.join(prefixDf, Seq("__pid"))
+      .withColumn("__strict",
+        greatest(coalesce(strictLocal, lit(Long.MinValue)), col("__pref")))
+      .withColumn("__gmax", grpMax)
+      .filter(col(yCol) === col("__gmax") && col(yCol) > col("__strict"))
+      .drop("__pid", "__pref", "__strict", "__gmax")
+  }
+
   /** Top principal component by INTEGER power iteration — PCA-head
     * fitting at corpus scale. ONE distributed narrow pass accumulates
     * the exact integer gram statistics (n, Σx, Σxxᵀ in micro-units via

@@ -1125,10 +1125,52 @@ object AnalyticsQueries {
       |  cusum > 5000 AS drifting
       |FROM c ORDER BY event_type, hour""".stripMargin))
 
+  /** Customer-value SKYLINE ([[graft.ops.Stats.skyline2d]]): the Pareto
+    * frontier under (recency ↓, spend ↑) — "no other customer is both
+    * more recent AND higher-spending". The multi-criteria shortlist
+    * operator (supplier selection, doc-quality frontiers) the top-k
+    * family cannot express: no single score ranks the frontier. The
+    * oracle is the textbook quadratic NOT EXISTS dominance test over
+    * the %10 sample; the engine's ordered-scan formulation must land on
+    * exactly the same frontier. */
+  val qSkyline: QueryDef = QueryDef(
+    "q_skyline",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val anchor = orders.agg(max(col("o_orderdate")).as("max_d"))
+      val pts = orders.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_cents"))
+        .crossJoin(broadcast(anchor))
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"),
+          datediff(col("max_d"), col("last_d")).cast("long").as("recency_days"),
+          col("spend_cents"))
+      graft.ops.Stats.skyline2d(pts, "recency_days", "spend_cents")
+        .orderBy("o_custkey")
+    },
+    Some("""WITH a AS (SELECT max(o_orderdate) AS max_d FROM orders),
+      |g AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |      CAST(max_d AS DATE)) AS BIGINT) AS recency_days,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS spend_cents
+      |  FROM orders CROSS JOIN a GROUP BY o_custkey, max_d),
+      |f AS (SELECT * FROM g WHERE o_custkey % 10 = 0)
+      |SELECT o_custkey, recency_days, spend_cents FROM f q
+      |WHERE NOT EXISTS (SELECT 1 FROM f p
+      |  WHERE p.recency_days <= q.recency_days
+      |    AND p.spend_cents >= q.spend_cents
+      |    AND (p.recency_days < q.recency_days
+      |      OR p.spend_cents > q.spend_cents))
+      |ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
     qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap,
-    qMergeIntervals, qUserGrowth, qRfmSegments, qKCore, qChangepointCusum)
+    qMergeIntervals, qUserGrowth, qRfmSegments, qKCore, qChangepointCusum,
+    qSkyline)
 }

@@ -146,4 +146,24 @@ class StatsSpec extends SparkSpec {
       assert(viaIdentity == rec, s"devs=$devs")
     }
   }
+
+  test("skyline2d: hand-checked frontier with ties and duplicates; partitioning-invariant") {
+    import spark.implicits._
+    // minimize x, maximize y. frontier: (1,5), (3,7); (1,5)-dup survives
+    // twice (neither dominates its twin — dominance needs one strict);
+    // (2,5) is dominated by (1,5); (4,7) by (3,7); (5,1) by everything
+    val pts = Seq((1L, 5L, "a"), (1L, 5L, "a2"), (2L, 5L, "b"),
+      (3L, 7L, "c"), (4L, 7L, "d"), (5L, 1L, "e"))
+      .toDF("x", "y", "tag")
+    def run(parts: Int) =
+      Stats.skyline2d(pts.repartition(parts), "x", "y")
+        .orderBy("x", "tag").select("x", "y", "tag")
+        .as[(Long, Long, String)].collect().toSeq
+    val expect = Seq((1L, 5L, "a"), (1L, 5L, "a2"), (3L, 7L, "c"))
+    assert(run(1) == expect, run(1).toString)
+    assert(run(16) == expect)
+    // a single all-dominating point leaves exactly itself
+    val one = Seq((0L, 99L, "z"), (1L, 98L, "y"), (2L, 1L, "x")).toDF("x", "y", "tag")
+    assert(Stats.skyline2d(one, "x", "y").count() == 1L)
+  }
 }
