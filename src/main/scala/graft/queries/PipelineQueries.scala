@@ -2031,6 +2031,53 @@ object PipelineQueries {
       |SELECT word, count(*) AS n FROM w WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Word BURSTINESS (Church & Gale dispersion): variance-to-mean ratio
+    * of per-document occurrence counts — bursty words (VMR ≫ 1)
+    * concentrate in few documents (topical/named entities), uniform
+    * words (VMR ≈ 1, Poisson) spread evenly; the lexical statistic
+    * keyword extraction and stopword induction both read. Exact integer
+    * algebra over the zero-inclusive moments: with S = Σx, Q = Σx² over
+    * the word's per-doc counts and N the corpus size (zeros contribute
+    * nothing to S/Q but inflate N), VMR·10⁶ = 10⁶·(N·Q − S²) div (N·S).
+    * One (doc, word) count aggregation, one per-word rollup, the corpus
+    * doc count rides as a one-row broadcast. Top 20 burstiest above a
+    * support floor, total-ordered. */
+  val textBurstiness: QueryDef = QueryDef(
+    "text_burstiness",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("x"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      counts.groupBy(col("word"))
+        .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"),
+          count(lit(1)).as("n_docs_with"))
+        .filter(col("s") >= 20)
+        .crossJoin(broadcast(nDocs))
+        .select(col("word"), col("s").as("n_occ"), col("n_docs_with"),
+          expr("(1000000 * (n_docs * q - s * s)) div (n_docs * s)")
+            .as("vmr_ppm"))
+        .orderBy(col("vmr_ppm").desc, col("word").asc)
+        .limit(20)
+    },
+    Some(s"""WITH c AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS x FROM (
+      |    SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS word
+      |    FROM documents) t WHERE length(word) > 0 GROUP BY doc_id, word),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT word, CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(sum(x * x) AS BIGINT) AS q,
+      |    CAST(count(*) AS BIGINT) AS n_docs_with
+      |  FROM c GROUP BY word)
+      |SELECT word, s AS n_occ, n_docs_with,
+      |  CAST((1000000 * (n_docs * q - s * s)) // (n_docs * s) AS BIGINT)
+      |    AS vmr_ppm
+      |FROM w CROSS JOIN nd
+      |WHERE s >= 20
+      |ORDER BY vmr_ppm DESC, word ASC LIMIT 20""".stripMargin))
+
   /** Vocabulary NOVELTY curve — the marginal-value-of-data signal: as
     * the corpus is consumed in doc_id order, how many word types does
     * each 50-doc slice see FIRST? Novelty attribution is one min-
@@ -2445,5 +2492,5 @@ object PipelineQueries {
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
     mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmPHashDedup,
     mmAudioVad, mmAudioResample, mmImageTiles, sampleSplitLeakageSafe,
-    textSourceSimilarity, textNoveltyCurve, qEventsWow)
+    textSourceSimilarity, textNoveltyCurve, textBurstiness, qEventsWow)
 }
