@@ -1064,7 +1064,174 @@ object MlPrepQueries {
       |  score AS ks_at
       |FROM d ORDER BY dnum DESC, score ASC LIMIT 1""".stripMargin))
 
+  /** Token-budget domain mixing: training jobs budget in TOKENS, not
+    * documents — each source contributes documents in deterministic
+    * md5 order until its token quota fills (the last document may
+    * overshoot; greedy prefix fill, the standard mixture-assembly rule).
+    * Reports what each source actually contributed plus the overshoot.
+    *
+    * Scale shape: one corpus scan computes per-doc token counts
+    * row-locally, then ONE shuffle keyed by source feeds the per-source
+    * cumulative fill (a running sum over positive values is inherently
+    * sequential PER SOURCE — that is the semantics, not a plan accident;
+    * sources partition independently, so 10k sources = 10k parallel
+    * fills). The output is one row per source. */
+  val mixTokenBudget: QueryDef = QueryDef(
+    "mix_token_budget",
+    (s, d) => {
+      val quota = 500L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("hs"))
+      val fill = Window.partitionBy(col("source"))
+        .orderBy(col("hs").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(fill), lit(0L)))
+        .filter(col("cum_before") < quota)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("tokens_kept"))
+        .withColumn("overshoot",
+          greatest(col("tokens_kept") - quota, lit(0L)))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hs
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY hs, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM t)
+      |SELECT source, count(*) AS n_docs_kept,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+      |  greatest(CAST(sum(n_tokens) AS BIGINT) - 500, 0) AS overshoot
+      |FROM c WHERE cum_before < 500
+      |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Leave-one-out target encoding (the leakage-safe categorical encoder:
+    * each row's category is replaced by the mean target of all OTHER rows
+    * in that category — including the row itself would leak the label).
+    * Target = order total price by customer market segment. Determinism
+    * recipe: prices snap to exact integer cents, per-segment sums are
+    * exact integer aggregation (map-side combined, 5 groups), the
+    * encoded value is ONE identical IEEE division at the boundary.
+    * Degenerate single-row categories nullif out identically on both
+    * engines (data-independent gate). Scale shape: the segment stats
+    * table is tiny and broadcasts back — the fact table never shuffles. */
+  val mlTargetEncodeLoo: QueryDef = QueryDef(
+    "ml_target_encode_loo",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("segment"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val seg = o.groupBy(col("segment"))
+        .agg(sum(col("cents")).as("seg_cents"), count(lit(1)).as("seg_n"))
+      o.join(broadcast(seg), "segment")
+        .select(col("o_orderkey"), col("segment"),
+          round((col("seg_cents") - col("cents")).cast("double") /
+            nullif((col("seg_n") - 1) * 100, lit(0)).cast("double"), 4)
+            .as("te_loo"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH o AS (
+      |  SELECT o_orderkey, c_mktsegment AS segment,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |seg AS (
+      |  SELECT segment, CAST(sum(cents) AS BIGINT) AS seg_cents,
+      |    count(*) AS seg_n
+      |  FROM o GROUP BY segment)
+      |SELECT o_orderkey, o.segment,
+      |  round(CAST(seg_cents - cents AS DOUBLE) /
+      |        CAST(nullif((seg_n - 1) * 100, 0) AS DOUBLE), 4) AS te_loo
+      |FROM o JOIN seg ON o.segment = seg.segment
+      |ORDER BY o_orderkey""".stripMargin))
+
+  /** Chi-square feature selection: association strength between token
+    * presence and document source for a fixed probe vocabulary — the
+    * classic supervised feature-selection statistic, computed over the
+    * full 2×K presence/source contingency through the closed form
+    * χ² = Σ_s (N·O_s − n_w·n_s)² / (N·n_s·n_w·(N−n_w)), which keeps every
+    * numerator an EXACT integer product (the (absent, s) cells fold in
+    * algebraically — they share the same squared deviation). Each
+    * per-source term is snapped to integer micro-units after its one IEEE
+    * division, then summed exactly, so per-word totals are
+    * order-independent across engines (the mix_temperature recipe).
+    * Scale shape: one scan → distinct (doc, word) presence pairs for the
+    * probe set only (filter pushed before the distinct), map-combined
+    * counts; the dense word×source grid is probe-sized and broadcast. */
+  val mlChi2Tokens: QueryDef = QueryDef(
+    "ml_chi2_tokens",
+    (s, d) => {
+      val probe = Seq("spark", "merge", "window", "table", "query", "scan")
+      val docs = Tables.documents(s, d)
+      val present = docs
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .filter(col("w").isin(probe: _*))
+        .select("doc_id", "source", "w").distinct()
+      val nTotal = docs.agg(count(lit(1)).as("n_total"))
+      val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val byWord = present.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("n_w"))
+      val obs = present.groupBy(col("w"), col("source"))
+        .agg(count(lit(1)).as("o_ws"))
+      val dev = col("n_total") * col("o_ws") - col("n_w") * col("n_s")
+      val denom = nullif(
+        col("n_total") * col("n_s") * col("n_w") * (col("n_total") - col("n_w")),
+        lit(0L))
+      byWord.crossJoin(broadcast(bySrc))
+        .join(obs, Seq("w", "source"), "left")
+        .na.fill(0L, Seq("o_ws"))
+        .crossJoin(broadcast(nTotal))
+        .withColumn("term_micro",
+          round((dev * dev).cast("double") / denom.cast("double") * 1000000)
+            .cast("long"))
+        .groupBy(col("w"))
+        .agg(first(col("n_w")).as("n_docs_with"),
+          sum(col("term_micro")).as("chi2_micro"))
+        .select(col("w").as("word"), col("n_docs_with"), col("chi2_micro"),
+          (col("chi2_micro").cast("double") / lit(1000000.0)).as("chi2"))
+        .orderBy("word")
+    },
+    Some(s"""WITH present AS (
+      |  SELECT DISTINCT doc_id, source, w
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split($normalizeSql, ' ')) AS w
+      |        FROM documents)
+      |  WHERE w IN ('spark', 'merge', 'window', 'table', 'query', 'scan')),
+      |t AS (SELECT count(*) AS n_total FROM documents),
+      |src AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+      |wrd AS (SELECT w, count(DISTINCT doc_id) AS n_w FROM present GROUP BY w),
+      |obs AS (SELECT w, source, count(*) AS o_ws FROM present GROUP BY w, source),
+      |grid AS (
+      |  SELECT wrd.w, wrd.n_w, src.source, src.n_s,
+      |    coalesce(obs.o_ws, 0) AS o_ws, t.n_total
+      |  FROM wrd CROSS JOIN src
+      |  LEFT JOIN obs ON wrd.w = obs.w AND src.source = obs.source
+      |  CROSS JOIN t),
+      |terms AS (
+      |  SELECT w, n_w,
+      |    CAST(round(
+      |      CAST((n_total * o_ws - n_w * n_s) * (n_total * o_ws - n_w * n_s) AS DOUBLE)
+      |      / CAST(nullif(n_total * n_s * n_w * (n_total - n_w), 0) AS DOUBLE)
+      |      * 1000000) AS BIGINT) AS term_micro
+      |  FROM grid)
+      |SELECT w AS word, n_w AS n_docs_with,
+      |  CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+      |  CAST(CAST(sum(term_micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
+      |FROM terms GROUP BY w, n_w ORDER BY word""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
+    mixTokenBudget, mlTargetEncodeLoo, mlChi2Tokens,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
