@@ -1166,7 +1166,55 @@ object AnalyticsQueries {
       |      OR p.spend_cents > q.spend_cents))
       |ORDER BY o_custkey""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts,
+  /** HITS hubs-and-authorities (Kleinberg) over the customer→supplier
+    * bipartite purchase graph: two mutual-reinforcement rounds with the
+    * raw INTEGER update (a ← Σ h over in-edges, h ← Σ a over out-edges —
+    * normalization only rescales, so the unnormalized integer ranking is
+    * the HITS ranking, exactly cross-engine; the PageRank integer-mass
+    * precedent). Top-20 authorities with both rounds' scores.
+    *
+    * Scale shape: the distinct edge list materializes once (DISK_ONLY,
+    * loop-invariant) and every round is one edge-partitioned join + one
+    * map-combined sum keyed by the node — no per-node windows, no driver
+    * state. At true web scale the scores need per-round rescaling before
+    * i64 overflow (~4 rounds at 1e9 edges); the ranking logic is
+    * unchanged. */
+  val qHits: QueryDef = QueryDef(
+    "q_hits",
+    (s, d) => {
+      val e = graft.ops.Materialize.invariant(
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("hub"), col("l_suppkey").as("auth"))
+          .distinct())
+      val h1 = e.groupBy(col("hub")).agg(count(lit(1)).as("h1"))
+      val a1 = e.join(h1, "hub").groupBy(col("auth"))
+        .agg(sum(col("h1")).as("authority_1"))
+      val h2 = e.join(a1, "auth").groupBy(col("hub"))
+        .agg(sum(col("authority_1")).as("h2"))
+      val a2 = e.join(h2, "hub").groupBy(col("auth"))
+        .agg(sum(col("h2")).as("authority_2"))
+      a2.join(a1, "auth")
+        .orderBy(col("authority_2").desc, col("auth").asc)
+        .limit(20)
+        .select(col("auth").as("supplier"), col("authority_1"),
+          col("authority_2"))
+    },
+    Some("""WITH e AS (
+      |  SELECT DISTINCT o_custkey AS hub, l_suppkey AS auth
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |h1 AS (SELECT hub, count(*) AS h1 FROM e GROUP BY hub),
+      |a1 AS (SELECT auth, CAST(sum(h1) AS BIGINT) AS a1
+      |       FROM e JOIN h1 USING (hub) GROUP BY auth),
+      |h2 AS (SELECT hub, CAST(sum(a1) AS BIGINT) AS h2
+      |       FROM e JOIN a1 USING (auth) GROUP BY hub),
+      |a2 AS (SELECT auth, CAST(sum(h2) AS BIGINT) AS a2
+      |       FROM e JOIN h2 USING (hub) GROUP BY auth)
+      |SELECT auth AS supplier, a1 AS authority_1, a2 AS authority_2
+      |FROM a2 JOIN a1 USING (auth)
+      |ORDER BY a2 DESC, auth ASC LIMIT 20""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts, qHits,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
