@@ -1117,8 +1117,113 @@ object CurationQueries {
       |        CAST(nullif(n_vocab * sxx - sx * sx, 0) AS DOUBLE), 4) AS zipf_slope
       |FROM a""".stripMargin))
 
+  /** END-TO-END benchmark decontamination: where [[textContamination]]
+    * reports overlap counts, this pipeline acts on them — documents
+    * sharing any word 5-gram with the probe set (benchmark-prompt
+    * stand-ins) are STRUCK from the corpus, and the per-source survival
+    * accounting (docs and tokens kept/dropped) is what a training-run
+    * datasheet records. Scale shape: probe shingles reduce to 8-byte
+    * hashes and broadcast (benchmark suites are MBs against a 100 TB
+    * corpus); the contaminated-id set — output-bounded, probe-driven —
+    * broadcasts back for the flagging join, so the corpus never
+    * shuffles: two broadcast probes fused into its one scan, then a
+    * 20-group map-combined aggregate. */
+  val pipelineDecontaminate: QueryDef = QueryDef(
+    "pipeline_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+      val dirty = TextOps.contaminationCounts(docs, "doc_id", "text",
+          probes, "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), lit(true).as("is_dirty"))
+      docs.join(broadcast(dirty), Seq("doc_id"), "left")
+        .select(col("source"),
+          coalesce(col("is_dirty"), lit(false)).as("is_dirty"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(!col("is_dirty"), 1L).otherwise(0L)).as("n_docs_kept"),
+          sum(when(col("is_dirty"), 1L).otherwise(0L)).as("n_docs_dropped"),
+          sum(when(!col("is_dirty"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("source")
+    },
+    Some {
+      val shingles =
+        "list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w) - 3, 1))])"
+      s"""WITH probes AS (
+        |  SELECT substr(text, 1, 200) AS text FROM documents WHERE doc_id % 50 = 0),
+        |pw AS (SELECT string_split($normalizeSql, ' ') AS w FROM probes),
+        |psh AS (SELECT DISTINCT unnest($shingles) AS s FROM pw),
+        |cw AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM documents),
+        |csh AS (SELECT DISTINCT doc_id, unnest($shingles) AS s FROM cw),
+        |dirty AS (SELECT DISTINCT doc_id FROM csh JOIN psh USING (s)),
+        |t AS (
+        |  SELECT d.source, (dirty.doc_id IS NOT NULL) AS is_dirty,
+        |    CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN dirty ON d.doc_id = dirty.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN NOT is_dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(CASE WHEN is_dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dropped,
+        |  CAST(sum(CASE WHEN NOT is_dirty THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM t GROUP BY source ORDER BY source""".stripMargin
+    })
+
+  /** Per-document keyword extraction: top-3 terms by tf·idf with the
+    * log-free ratio idf N/df (the text_bm25 cross-engine decision — ln
+    * ulp parity is not guaranteed and the ratio preserves per-document
+    * ordering). The score's interior is the exact integer product
+    * tf·N; one IEEE division by df at the boundary; ties break on the
+    * term string. Scale shape: map-combined (doc, term) counts, the
+    * df table broadcast back, and the per-doc top-3 triggers Spark's
+    * WindowGroupLimit rewrite — a 3-element heap per partition before
+    * the shuffle, so the corpus never fully sorts. */
+  val textKeywords: QueryDef = QueryDef(
+    "text_keywords",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = w.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = w.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w").asc)
+      tf.join(broadcast(df), "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w").as("keyword"),
+          round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rk")
+    },
+    Some(s"""WITH w AS (
+      |  SELECT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+      |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM w GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, w,
+      |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (w) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, w, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, w ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, w AS keyword, round(score, 4) AS score
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     textDiversity, textReadability, textZipfSlope,
+    pipelineDecontaminate, textKeywords,
     curateDecayCounts,
     sketchKmvUnion, sketchKmvIntersect,
     sketchKmvDistinct, sketchHllDistinct, sketchCmTopk, curateSnapshotDiff,
