@@ -651,7 +651,44 @@ object StreamingQueries {
       |  CAST(sum(p) AS DOUBLE) AS sum_price
       |FROM eff GROUP BY o_year ORDER BY o_year""".stripMargin))
 
+  /** Stateful streaming sequence packing
+    * ([[EventStreams.packChunksStream]]): chunk assignment happens as
+    * documents land, the per-shard pack cursor carried across
+    * micro-batches as keyed state (one long per shard). Gated against
+    * the IDENTICAL batch packer SQL (`pack_chunks`' oracle) — the
+    * batch/streaming consistency contract. */
+  val streamPackChunks: QueryDef = QueryDef(
+    "stream_pack_chunks",
+    (s, d) => EventStreams.drainToMemory(
+        EventStreams.packChunksStream(
+          EventStreams.readDocuments(s, d), nShards = 8, budgetTokens = 1000)
+          .toDF(),
+        OutputMode.Append, "stream_pack", statePartitions = Some(8))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("straddles")).as("n_straddling"))
+      .orderBy("shard", "chunk_id"),
+    Some("""WITH base AS (
+      |  SELECT doc_id % 8 AS shard, doc_id AS id,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, id, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM base),
+      |a AS (
+      |  SELECT shard, n_tokens, CAST(cum_before // 1000 AS BIGINT) AS chunk_id,
+      |    CASE WHEN n_tokens > 0 AND (cum_before + n_tokens - 1) // 1000 > cum_before // 1000
+      |         THEN 1 ELSE 0 END AS straddles
+      |  FROM c)
+      |SELECT shard, chunk_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(straddles) AS BIGINT) AS n_straddling
+      |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
+    streamPackChunks,
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
     streamSessions, streamSessionWindow, streamHitters, streamOuterJoin,

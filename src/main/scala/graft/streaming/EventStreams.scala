@@ -206,6 +206,49 @@ object EventStreams {
       .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .dropDuplicates("fp")
 
+  final case class DocTok(shard: Long, doc_id: Long, n_tokens: Long)
+  final case class PackAssign(shard: Long, doc_id: Long, chunk_id: Long,
+      n_tokens: Long, straddles: Long)
+  final case class PackCursor(cumTokens: Long)
+
+  /** STATEFUL STREAMING sequence packing — the streaming twin of the
+    * batch [[graft.ops.Packing.chunkSummary]]: documents arriving on a
+    * stream are assigned to fixed-token-budget training chunks per shard,
+    * with the pack cursor carried ACROSS micro-batches as keyed state.
+    * This is the shape of a continuously-packing ingest pipeline: chunk
+    * assignment happens as data lands, no terminal batch repack.
+    *
+    * State per shard is ONE long (the cumulative token cursor) —
+    * O(shards) forever, no timeout needed. Determinism contract (same as
+    * [[sessionizeEventTime]]): rows sort by doc_id within each batch, so
+    * a single-batch drive replays the batch packer exactly; a multi-batch
+    * drive is deterministic iff batches arrive id-ordered (the file
+    * source's list order — StreamingSpec pins the single-file case). */
+  def packChunksStream(docs: DataFrame, nShards: Int,
+      budgetTokens: Long): Dataset[PackAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col("doc_id") % nShards).as("shard"), col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .as[DocTok]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackCursor, PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[DocTok], state: GroupState[PackCursor]) =>
+          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val chunkId = cum / budgetTokens
+            val straddles =
+              if (r.n_tokens > 0 &&
+                  (cum + r.n_tokens - 1) / budgetTokens > chunkId) 1L else 0L
+            cum += r.n_tokens
+            PackAssign(shard, r.doc_id, chunkId, r.n_tokens, straddles)
+          }
+          state.update(PackCursor(cum))
+          out.iterator
+      }
+  }
+
   /** Continuous-crawl NEAR-dup flagging: each micro-batch of documents
     * probes the STATIC persisted corpus band index — written bucketed by
     * its probe key via [[graft.ops.Dedup.writeBandIndex]] — through
@@ -409,6 +452,27 @@ object EventStreams {
     val base = System.currentTimeMillis() - parts.length * 2000L
     parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
     spark.readStream.schema(ev.schema).format("parquet")
+      .option("maxFilesPerTrigger", "1")
+      .load(staged)
+  }
+
+  /** Documents staged as `nFiles` doc_id-ordered files consumed one per
+    * micro-batch — the multi-batch drive for the stateful packer
+    * ([[packChunksStream]]'s cursor-carry contract): range partition
+    * index == ascending doc_id range == file mtime order. */
+  def documentsMultiBatchStream(spark: SparkSession, sfDir: String,
+      nFiles: Int): DataFrame = {
+    require(nFiles >= 2, "a multi-batch drive needs at least 2 files")
+    val staged = graft.sources.TableIO.scratchDir(spark, s"docs_batches_$nFiles")
+    val docs = graft.queries.Tables.documents(spark, sfDir)
+    docs.repartitionByRange(nFiles, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(staged)
+    val parts = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    spark.readStream.schema(docs.schema).format("parquet")
       .option("maxFilesPerTrigger", "1")
       .load(staged)
   }

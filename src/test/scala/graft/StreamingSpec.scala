@@ -564,4 +564,31 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "event_type").collect().map(_.toString)
     assert(a.sameElements(batch))
   }
+
+  test("stateful packer carries the cursor across micro-batches (4-batch == batch packer)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // each shard's pack cursor lives in keyed state; a 4-file id-ordered
+    // drive must produce the IDENTICAL per-doc chunk assignment as the
+    // one-shot batch packer — state carry, not per-batch restart
+    val multi = EventStreams.drainToMemory(
+        EventStreams.packChunksStream(
+          EventStreams.documentsMultiBatchStream(spark, sf, nFiles = 4),
+          nShards = 8, budgetTokens = 1000).toDF(),
+        OutputMode.Append, "pack_multi", statePartitions = Some(2))
+      .select("shard", "doc_id", "chunk_id", "n_tokens", "straddles")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = graft.ops.Packing
+      .assignChunks(graft.queries.Tables.documents(spark, sf),
+        "doc_id", "text", nShards = 8, budgetTokens = 1000)
+      .select(col("shard"), col("id"), col("chunk_id"), col("n_tokens"),
+        when(col("straddles"), 1L).otherwise(0L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(multi.nonEmpty && multi == batch,
+      s"cursor lost across batches: only-stream=${multi.diff(batch).take(3)} " +
+        s"only-batch=${batch.diff(multi).take(3)}")
+  }
 }
