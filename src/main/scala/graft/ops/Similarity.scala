@@ -56,6 +56,64 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rk"),
         col("p.id").as("cand_id"), round(col("p.score"), 4).as("cos_r"))
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * retrieval rankings over the same corpus: ranker A = cosine, ranker
+    * B = raw dot product (they disagree exactly when candidate norms
+    * vary — the standard hybrid-retrieval shape; swap either for BM25 /
+    * ANN lists in production, the fusion is ranking-agnostic).
+    * TRUNCATED-list RRF: each ranker contributes its top `perList`
+    * candidates; a candidate absent from one list contributes 0 from it.
+    * RRF contribution 1/(rrfK + rank) is snapped to integer micro-units
+    * per list and the fused score is their exact integer sum — rank ties
+    * and fusion ties both break on candidate id, so the oracle replays
+    * the fusion bit-for-bit.
+    *
+    * Scale shape: queries broadcast against the corpus (one narrow
+    * scored pass, no corpus shuffle), each ranker's top-perList is the
+    * bounded-heap [[graft.functions.TopKPairs]] aggregate (shuffle =
+    * O(queries × perList), never a corpus sort), and the fusion join +
+    * final heap run on list-sized relations only. */
+  def rrfFusion(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, perList: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    val queries = emb.filter(isQuery).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
+    val corpus = emb.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"),
+        dot(col("qv"), col("cv")).as("dp"))
+    // BOTH ranker heaps in ONE corpus pass (two TopKPairs buffers in the
+    // same hash aggregate); only the O(queries)-row tops table is
+    // materialized for the two explode branches below — the corpus is
+    // scored exactly once.
+    val tops = Materialize.carried(scored.groupBy(col("query_id"))
+      .agg(
+        graft.functions.topk_pairs(col("cos"), col("cand_id"), perList)
+          .as("tc"),
+        graft.functions.topk_pairs(col("dp"), col("cand_id"), perList)
+          .as("td")))
+    def ranks(listCol: String, rkName: String) = tops
+      .select(col("query_id"), posexplode(col(listCol)).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("cand_id"),
+        (col("pos") + 1).cast(LongType).as(rkName))
+    val contrib = (rk: Column) =>
+      coalesce(round(lit(1000000.0) / (lit(rrfK) + rk)).cast(LongType), lit(0L))
+    val fused = ranks("tc", "rk_cos")
+      .join(ranks("td", "rk_dot"), Seq("query_id", "cand_id"), "full_outer")
+      .select(col("query_id"), col("cand_id"),
+        (contrib(col("rk_cos")) + contrib(col("rk_dot"))).as("rrf_micro"))
+    fused.groupBy(col("query_id"))
+      .agg(graft.functions.topk_pairs(
+        col("rrf_micro").cast(DoubleType), col("cand_id"), k).as("t"))
+      .select(col("query_id"), posexplode(col("t")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rk"),
+        col("p.id").as("cand_id"), col("p.score").cast(LongType).as("rrf_micro"))
+  }
+
   /** Margin-based candidate mining (the ratio margin of Artetxe &
     * Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
     * Sentence Embeddings"): for each query, the best corpus match scored

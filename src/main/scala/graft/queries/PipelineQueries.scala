@@ -512,6 +512,55 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
+  /** Hybrid-retrieval rank fusion ([[graft.ops.Similarity.rrfFusion]],
+    * reciprocal-rank fusion over truncated cosine and dot-product lists):
+    * one corpus pass fills BOTH ranker heaps, fusion runs on list-sized
+    * relations, micro-snapped contributions keep the fused ranking exact
+    * cross-engine. */
+  val simRrfFusion: QueryDef = QueryDef(
+    "sim_rrf_fusion",
+    (s, d) => Similarity.rrfFusion(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 200 === 0, perList = 32, k = 5)
+      .orderBy("query_id", "rk"),
+    Some("""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 200 = 0
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+      |c AS (
+      |  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+      |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+      |scored AS (
+      |  SELECT query_id, cand_id,
+      |    list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))) AS cos,
+      |    list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS dp
+      |  FROM c, q WHERE query_id <> cand_id),
+      |a AS (
+      |  SELECT query_id, cand_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, cand_id ASC) AS rk_cos
+      |  FROM scored QUALIFY rk_cos <= 32),
+      |b AS (
+      |  SELECT query_id, cand_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY dp DESC, cand_id ASC) AS rk_dot
+      |  FROM scored QUALIFY rk_dot <= 32),
+      |f AS (
+      |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+      |    coalesce(a.cand_id, b.cand_id) AS cand_id,
+      |    coalesce(CAST(round(1000000.0 / (60 + rk_cos)) AS BIGINT), 0)
+      |      + coalesce(CAST(round(1000000.0 / (60 + rk_dot)) AS BIGINT), 0) AS rrf_micro
+      |  FROM a FULL OUTER JOIN b
+      |    ON a.query_id = b.query_id AND a.cand_id = b.cand_id),
+      |r AS (
+      |  SELECT query_id, cand_id, rrf_micro,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY rrf_micro DESC, cand_id ASC) AS rk
+      |  FROM f QUALIFY rk <= 5)
+      |SELECT query_id, rk, cand_id, rrf_micro
+      |FROM r ORDER BY query_id, rk""".stripMargin))
+
   /** Margin-based alignment mining ([[graft.ops.Similarity.marginTopK]],
     * the Artetxe & Schwenk 2019 ratio margin): each query's best match
     * scored relative to its top-4 cosine neighborhood — the hub-robust
@@ -2484,6 +2533,7 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
     simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
+    simRrfFusion,
     textLangid, ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
     textWordcount, textRepetition,
