@@ -114,6 +114,85 @@ object Similarity {
         col("p.id").as("cand_id"), col("p.score").cast(LongType).as("rrf_micro"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily select k results balancing relevance against redundancy —
+    * round 1 takes the most relevant candidate, each later round takes
+    * argmax of λ·rel − (1−λ)·max-sim-to-already-selected. The diversity
+    * stage every RAG retrieval pipeline runs after ANN recall.
+    *
+    * Determinism recipe: the MMR score is snapped to integer micro-units
+    * BEFORE each round's argmax, so selection ties break on (score_micro,
+    * cand_id) identically cross-engine — the k-means unrolled-rounds
+    * precedent. λ = 0.7 fixed (one shared IEEE expression).
+    *
+    * Scale shape: relevance recall is the one corpus pass (broadcast
+    * queries + bounded TopKPairs heap); everything after — the candidate
+    * pairwise-similarity matrix (O(queries·perList²)) and k greedy rounds
+    * of join + max-aggregate — runs on CANDIDATE-sized relations that
+    * never touch the corpus again (the materialized candidate table is
+    * O(queries·perList) rows). Argmax per round is a struct-max
+    * aggregate, not a ranking window. */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, perList: Int, k: Int): DataFrame = {
+    require(k >= 1 && perList >= k, "perList must cover k selections")
+    val queries = emb.filter(isQuery).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
+    val corpus = emb.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
+    val rel = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val cand = rel.groupBy(col("query_id"))
+      .agg(graft.functions.topk_pairs(col("cos"), col("cand_id"), perList)
+        .as("t"))
+      .select(col("query_id"), explode(col("t")).as("p"))
+      .select(col("query_id"), col("p.id").as("cand_id"),
+        col("p.score").as("rel"))
+    // candidates + their vectors, materialized once: the k greedy rounds
+    // below never re-touch the corpus
+    val wv = Materialize.carried(
+      cand.join(corpus, "cand_id")
+        .select(col("query_id"), col("cand_id"), col("rel"),
+          col("cv"), col("cn")))
+    val x = wv.select(col("query_id"), col("cand_id").as("a"),
+      col("cv").as("av"), col("cn").as("an"))
+    val y = wv.select(col("query_id").as("qy"), col("cand_id").as("b"),
+      col("cv").as("bv"), col("cn").as("bn"))
+    val sims = Materialize.carried(
+      x.join(y, col("query_id") === col("qy") && col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim")))
+    def argmaxPick(scored: DataFrame, rk: Int): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(max(struct(col("score_micro").as("s"),
+          (-col("cand_id")).as("nc"))).as("m"))
+        .select(col("query_id"), lit(rk.toLong).as("rk"),
+          (-col("m.nc")).as("cand_id"), col("m.s").as("score_micro"))
+    val firstScores = wv.select(col("query_id"), col("cand_id"),
+      round(lit(1000000.0) * (lit(0.7) * col("rel"))).cast(LongType)
+        .as("score_micro"))
+    var sel = argmaxPick(firstScores, 1)
+    for (t <- 2 to k) {
+      val msim = sims
+        .join(sel.select(col("query_id"), col("cand_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("cand_id"))
+        .agg(max(col("sim")).as("msim"))
+      val scoredT = wv.join(msim, Seq("query_id", "cand_id"))
+        .join(sel.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .select(col("query_id"), col("cand_id"),
+          round(lit(1000000.0) *
+            (lit(0.7) * col("rel") - lit(0.3) * col("msim")))
+            .cast(LongType).as("score_micro"))
+      sel = sel.union(argmaxPick(scoredT, t))
+    }
+    sel
+  }
+
   /** Margin-based candidate mining (the ratio margin of Artetxe &
     * Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
     * Sentence Embeddings"): for each query, the best corpus match scored

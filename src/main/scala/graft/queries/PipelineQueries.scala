@@ -561,6 +561,77 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, rrf_micro
       |FROM r ORDER BY query_id, rk""".stripMargin))
 
+  /** MMR diversified re-ranking ([[graft.ops.Similarity.mmrTopK]]):
+    * 5 greedy rounds of λ·rel − (1−λ)·max-sim over a 16-candidate recall
+    * set, scores micro-snapped before every argmax so the DuckDB oracle
+    * replays each selection exactly (the unrolled-rounds recipe). */
+  val simMmr: QueryDef = QueryDef(
+    "sim_mmr",
+    (s, d) => Similarity.mmrTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 200 === 0, perList = 16, k = 5)
+      .orderBy("query_id", "rk"),
+    Some {
+      val rounds = (2 to 5).map { t =>
+        s"""ms$t AS (
+          |  SELECT s.query_id, s.a AS cand_id, max(s.sim) AS msim
+          |  FROM sims s JOIN sel${t - 1} p
+          |    ON s.query_id = p.query_id AND s.b = p.cand_id
+          |  GROUP BY s.query_id, s.a),
+          |sc$t AS (
+          |  SELECT c.query_id, c.cand_id,
+          |    CAST(round(1000000.0 * (0.7 * c.rel - 0.3 * m.msim)) AS BIGINT) AS score_micro
+          |  FROM cand c JOIN ms$t m
+          |    ON c.query_id = m.query_id AND c.cand_id = m.cand_id
+          |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} p
+          |                    WHERE p.query_id = c.query_id AND p.cand_id = c.cand_id)),
+          |pick$t AS (
+          |  SELECT query_id, CAST($t AS BIGINT) AS rk, cand_id, score_micro FROM sc$t
+          |  QUALIFY row_number() OVER (PARTITION BY query_id
+          |                             ORDER BY score_micro DESC, cand_id ASC) = 1),
+          |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t),""".stripMargin
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 200 = 0
+        |    AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+        |c AS (
+        |  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+        |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))) AS cos
+        |  FROM c, q WHERE query_id <> cand_id),
+        |cand AS (
+        |  SELECT query_id, cand_id, cos AS rel FROM (
+        |    SELECT query_id, cand_id, cos,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, cand_id ASC) AS rk0
+        |    FROM scored) WHERE rk0 <= 16),
+        |sims AS (
+        |  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+        |    list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS sim
+        |  FROM cand x JOIN cand y
+        |    ON x.query_id = y.query_id AND x.cand_id <> y.cand_id
+        |  JOIN embeddings ea ON ea.vec_id = x.cand_id
+        |  JOIN embeddings eb ON eb.vec_id = y.cand_id),
+        |sc1 AS (
+        |  SELECT query_id, cand_id,
+        |    CAST(round(1000000.0 * (0.7 * rel)) AS BIGINT) AS score_micro
+        |  FROM cand),
+        |sel1 AS (
+        |  SELECT query_id, CAST(1 AS BIGINT) AS rk, cand_id, score_micro FROM sc1
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |                             ORDER BY score_micro DESC, cand_id ASC) = 1),
+        |$rounds
+        |final AS (SELECT * FROM sel5)
+        |SELECT query_id, rk, cand_id, score_micro
+        |FROM final ORDER BY query_id, rk""".stripMargin
+    })
+
   /** Margin-based alignment mining ([[graft.ops.Similarity.marginTopK]],
     * the Artetxe & Schwenk 2019 ratio margin): each query's best match
     * scored relative to its top-4 cosine neighborhood — the hub-robust
@@ -2533,7 +2604,7 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
     simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
-    simRrfFusion,
+    simRrfFusion, simMmr,
     textLangid, ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
     textWordcount, textRepetition,
