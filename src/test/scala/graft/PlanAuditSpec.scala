@@ -521,4 +521,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "Scan parquet") == 1,
       s"novelty curve re-scans the corpus:\n${p.linesIterator.take(30).mkString("\n")}")
   }
+
+  test("text_keywords ranks through WindowGroupLimit; df and N broadcast (no sort-merge join)") {
+    val p = plan("text_keywords")
+    assert(p.contains("WindowGroupLimit"), "per-doc top-k lost the heap path")
+    assert(!p.contains("SortMergeJoin"), "tiny df/N tables shuffled into a sort-merge join")
+  }
+
+  test("ml_target_encode_loo: both stats joins broadcast; the fact table never sort-merge-joins") {
+    val p = plan("ml_target_encode_loo")
+    // 3 nodes: the customer broadcast on the fact side, the same join
+    // again inside the stats subtree, and the stats broadcast back
+    assert(nodes(p, "BroadcastHashJoin") == 3,
+      s"expected customer + stats-side customer + segment-stats broadcasts:\n${p.linesIterator.take(30).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("pipeline_decontaminate: probe and dirty-id joins broadcast — the corpus never shuffles") {
+    val p = plan("pipeline_decontaminate")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for a broadcast-sized probe")
+    assert(nodes(p, "BroadcastHashJoin") >= 2,
+      s"expected shingle-probe + dirty-flag broadcasts:\n${p.linesIterator.take(30).mkString("\n")}")
+  }
+
+  test("mix_token_budget: one corpus scan, no join — the fill is one source-keyed window") {
+    val p = plan("mix_token_budget")
+    assert(nodes(p, "Scan parquet") == 1, "budget fill re-scans the corpus")
+    assert(!p.contains("Join"), "budget fill grew a join")
+  }
+
+  test("sim_rrf_fusion: both ranker heaps fill in one corpus pass; fusion never sort-merge-joins the corpus") {
+    val p = plan("sim_rrf_fusion")
+    assert(nodes(p, "Scan parquet") <= 2,  // corpus + broadcast query side
+      s"rrf re-scans the corpus per ranker:\n${p.linesIterator.take(30).mkString("\n")}")
+    assert(!p.contains("Window"), "ranking fell back to a window over the corpus")
+  }
 }
