@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bpe, Packing, TextOps}
+import graft.ops.{Bpe, Packing, Sampling, TextOps}
 
 /** Training-data preparation operators beyond per-document gating:
   * segment-level (line/paragraph) dedup, unigram-LM rarity scoring,
@@ -1230,8 +1230,194 @@ object MlPrepQueries {
       |  CAST(CAST(sum(term_micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
       |FROM terms GROUP BY w, n_w ORDER BY word""".stripMargin))
 
+  // the text_quality_model scoring CTEs, reused by the classifier-gate
+  // audits below (same md5-bucket linear model, same integer weights)
+  private def modelScoreSql(extraCols: String): String = {
+    val u64 = "18446744073709551616::HUGEINT"
+    val i63 = "9223372036854775808::HUGEINT"
+    def md5u(e: String) =
+      s"""(CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)::HUGEINT * 4294967296::HUGEINT
+         | + CAST(concat('0x', substr(md5($e), 9, 8)) AS BIGINT)::HUGEINT)""".stripMargin
+    s"""w AS (
+      |  SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w FROM documents),
+      |wn AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+      |bkt AS (SELECT doc_id, CAST(${md5u("w")} % 4096 AS BIGINT) AS b FROM wn),
+      |wt AS (SELECT doc_id,
+      |  (CASE WHEN uw >= $i63 THEN uw - $u64 ELSE uw END % 7 + 7) % 7 - 3 AS wt
+      |  FROM (SELECT doc_id, ${md5u("'w:' || b")} AS uw FROM bkt)),
+      |ms AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM wt GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, coalesce(ms.score, 0) AS score$extraCols
+      |  FROM documents d LEFT JOIN ms USING (doc_id))""".stripMargin
+  }
+
+  /** Spark-side twin of [[modelScoreSql]]: the row-local
+    * [[graft.functions.HashedBagScore]] kernel plus any carried columns —
+    * zero shuffles, fused with the scan. */
+  private def modelScored(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = filter(TextOps.words(col("text")), w => length(w) > 0)
+    docs.select(col("doc_id"),
+      coalesce(graft.functions.hashed_bag_score(toks,
+        typedLit(TextOps.pseudoWeights(4096))), lit(0L)).as("score"),
+      (col("lang") === "en").as("label"))
+  }
+
+  /** Classifier-gate confusion audit: the hashed linear quality model's
+    * keep decision (score > 0) against the corpus language label, with
+    * precision / recall / F1 — the acceptance sheet for any learned
+    * filter before it gates a training mix. All four confusion cells are
+    * exact integer sums off ONE row-local scoring scan (no shuffle before
+    * the single-row aggregate); each metric is one IEEE division (F1 in
+    * its integer 2tp/(2tp+fp+fn) form), nullif-guarded. */
+  val mlConfusionThreshold: QueryDef = QueryDef(
+    "ml_confusion_threshold",
+    (s, d) => {
+      val D = (c: Column) => c.cast("double")
+      modelScored(Tables.documents(s, d))
+        .select(col("label"), (col("score") > 0).as("pred"))
+        .agg(
+          sum(when(col("label") && col("pred"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("label") && col("pred"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("label") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("label") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round(D(col("tp")) / D(nullif(col("tp") + col("fp"), lit(0L))), 4)
+            .as("precision"),
+          round(D(col("tp")) / D(nullif(col("tp") + col("fn"), lit(0L))), 4)
+            .as("recall"),
+          round(D(lit(2L) * col("tp")) /
+            D(nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L))), 4)
+            .as("f1"))
+    },
+    Some(s"""WITH ${modelScoreSql(", d.lang = 'en' AS label")},
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN label AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN NOT label AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN label AND score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN NOT label AND score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM scored)
+      |SELECT tp, fp, fn, tn,
+      |  round(CAST(tp AS DOUBLE) / CAST(nullif(tp + fp, 0) AS DOUBLE), 4) AS precision,
+      |  round(CAST(tp AS DOUBLE) / CAST(nullif(tp + fn, 0) AS DOUBLE), 4) AS recall,
+      |  round(CAST(2 * tp AS DOUBLE) /
+      |        CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 4) AS f1
+      |FROM cells""".stripMargin))
+
+  /** Decile gains/lift table for the quality model: corpus ranked by
+    * model score, cut into 10 equal-population bins, cumulative positive
+    * rate vs the base rate — the curve a curation team reads before
+    * picking a keep threshold. The global ranking uses the
+    * range-partitioned [[graft.ops.Sampling.denseIndex]] (NO
+    * single-partition window over the corpus); lift is the exact integer
+    * ratio (cum_pos·total_docs)/(cum_docs·total_pos), one IEEE division
+    * at the boundary. */
+  val mlLiftCurve: QueryDef = QueryDef(
+    "ml_lift_curve",
+    (s, d) => {
+      val scored = modelScored(Tables.documents(s, d))
+        .withColumn("negscore", -col("score"))
+      val (idx, n) = Sampling.denseIndexWithCount(
+        scored, Seq("negscore", "doc_id"), "idx")
+      val whole = Window.partitionBy()
+        .orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.partitionBy()
+      idx.withColumn("decile", expr(s"(idx * 10) div ${n}L"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("cum_docs", sum(col("n_docs")).over(whole))
+        .withColumn("cum_pos", sum(col("n_pos")).over(whole))
+        .withColumn("tot_docs", sum(col("n_docs")).over(all))
+        .withColumn("tot_pos", sum(col("n_pos")).over(all))
+        .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_pos"),
+          round((col("cum_pos") * col("tot_docs")).cast("double") /
+            nullif(col("cum_docs") * col("tot_pos"), lit(0L)).cast("double"), 4)
+            .as("lift"))
+        .orderBy("decile")
+    },
+    Some(s"""WITH ${modelScoreSql(", d.lang = 'en' AS label")},
+      |n AS (SELECT count(*) AS n FROM scored),
+      |r AS (
+      |  SELECT label,
+      |    (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1) * 10 // n AS decile
+      |  FROM scored CROSS JOIN n),
+      |b AS (
+      |  SELECT decile, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      |  FROM r GROUP BY decile),
+      |c AS (
+      |  SELECT decile, n_docs, n_pos,
+      |    CAST(sum(n_docs) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+      |    CAST(sum(n_pos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+      |    CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+      |    CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+      |  FROM b)
+      |SELECT decile, n_docs, n_pos, cum_pos,
+      |  round(CAST(cum_pos * tot_docs AS DOUBLE) /
+      |        CAST(nullif(cum_docs * tot_pos, 0) AS DOUBLE), 4) AS lift
+      |FROM c ORDER BY decile""".stripMargin))
+
+  /** Scalar int8 quantization error audit (the SQ8 codec every ANN
+    * deployment runs): per dimension, min/max-scaled 8-bit codes,
+    * reconstruction, and the exact sum of squared errors. Works entirely
+    * on the micro-unit integer lattice (the emb_zscore recipe: snap each
+    * float once, then EVERYTHING — codes, reconstructions, errors — is
+    * integer arithmetic with two spec'd roundings), so the error
+    * accounting is order-independent and cross-engine exact. One explode
+    * scan → 64-group stats → broadcast back (the corpus never
+    * shuffles). */
+  val embSq8Error: QueryDef = QueryDef(
+    "emb_sq8_error",
+    (s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("x").cast("double") * 1000000).cast("long").as("xm"))
+      val stats = ex.groupBy(col("dim"))
+        .agg(min(col("xm")).as("mn"), max(col("xm")).as("mx"),
+          count(lit(1)).as("n"))
+      ex.join(broadcast(stats), "dim")
+        .withColumn("q",
+          round(((col("xm") - col("mn")) * 255).cast("double") /
+            nullif(col("mx") - col("mn"), lit(0L)).cast("double")).cast("long"))
+        .withColumn("recon",
+          col("mn") + round((col("q") * (col("mx") - col("mn"))).cast("double")
+            / lit(255.0)).cast("long"))
+        .withColumn("err", (col("xm") - col("recon")) * (col("xm") - col("recon")))
+        .groupBy(col("dim"))
+        .agg(first(col("mn")).as("x_min_micro"), first(col("mx")).as("x_max_micro"),
+          count(lit(1)).as("n"), sum(col("err")).as("sse_micro2"))
+        .withColumn("mse_micro2", expr("sse_micro2 div n"))
+        .orderBy("dim")
+    },
+    Some("""WITH ex AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      |  FROM embeddings),
+      |stats AS (
+      |  SELECT dim, CAST(min(xm) AS BIGINT) AS mn, CAST(max(xm) AS BIGINT) AS mx,
+      |    count(*) AS n
+      |  FROM ex GROUP BY dim),
+      |qz AS (
+      |  SELECT ex.dim, mn, mx, n,
+      |    CAST(round(CAST((xm - mn) * 255 AS DOUBLE) /
+      |      CAST(nullif(mx - mn, 0) AS DOUBLE)) AS BIGINT) AS q, xm
+      |  FROM ex JOIN stats ON ex.dim = stats.dim),
+      |rc AS (
+      |  SELECT dim, mn, mx, n, xm,
+      |    mn + CAST(round(CAST(q * (mx - mn) AS DOUBLE) / 255.0) AS BIGINT) AS recon
+      |  FROM qz)
+      |SELECT dim, mn AS x_min_micro, mx AS x_max_micro, count(*) AS n,
+      |  CAST(sum((xm - recon) * (xm - recon)) AS BIGINT) AS sse_micro2,
+      |  CAST(sum((xm - recon) * (xm - recon)) AS BIGINT) // CAST(count(*) AS BIGINT) AS mse_micro2
+      |FROM rc GROUP BY dim, mn, mx ORDER BY dim""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     mixTokenBudget, mlTargetEncodeLoo, mlChi2Tokens,
+    mlConfusionThreshold, mlLiftCurve, embSq8Error,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
