@@ -1221,9 +1221,81 @@ object CurationQueries {
       |SELECT doc_id, rk, w AS keyword, round(score, 4) AS score
       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
 
+  /** Windowed co-occurrence PMI (the distributional statistic under
+    * word2vec/GloVe-era embedding prep and collocation mining): word
+    * pairs within a ±2 skip-gram radius, scored by pointwise mutual
+    * information in its exact ratio form c_ab·N²/(M·c_a·c_b) — integer
+    * numerator and denominator, ONE IEEE division micro-snapped, so the
+    * top collocations replay exactly. Pairs generate ROW-LOCALLY from
+    * the token array (no corpus self-join — the pair stream is linear in
+    * corpus size); unigram and pair totals are map-combined aggregates;
+    * the vocab-sized count tables broadcast back. Top-20 pairs with
+    * support ≥ 5. */
+  val textPmiPairs: QueryDef = QueryDef(
+    "text_pmi_pairs",
+    (s, d) => {
+      val w = TextOps.words(col("text"))
+      def skipPairs(off: Int) = {
+        val idx = sequence(lit(1), size(w) - lit(off))
+        when(size(w) < off + 1, array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(idx, i => struct(
+            least(element_at(w, i), element_at(w, i + lit(off))).as("a"),
+            greatest(element_at(w, i), element_at(w, i + lit(off))).as("b"))))
+      }
+      val docs = Tables.documents(s, d)
+      val pairs = docs
+        .select(explode(concat(skipPairs(1), skipPairs(2))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(length(col("a")) > 0 && length(col("b")) > 0)
+      val uni = docs
+        .select(explode(w).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val totals = uni.agg(sum(col("c")).as("n"))
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      cab
+        .join(broadcast(uni.select(col("word").as("a"), col("c").as("ca"))), "a")
+        .join(broadcast(uni.select(col("word").as("b"), col("c").as("cb"))), "b")
+        .crossJoin(broadcast(totals)).crossJoin(broadcast(m))
+        .filter(col("cab") >= 5)
+        .select(col("a"), col("b"), col("cab"),
+          round(lit(1000000.0) * (col("cab") * col("n") * col("n")).cast("double")
+            / (col("m") * col("ca") * col("cb")).cast("double")).cast("long")
+            .as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    },
+    Some(s"""WITH t AS (
+      |  SELECT string_split($normalizeSql, ' ') AS w FROM documents),
+      |pr AS (
+      |  SELECT unnest([{'a': least(w[i], w[i+1]), 'b': greatest(w[i], w[i+1])}
+      |                 for i in range(1, len(w))]) AS p
+      |  FROM t
+      |  UNION ALL
+      |  SELECT unnest([{'a': least(w[i], w[i+2]), 'b': greatest(w[i], w[i+2])}
+      |                 for i in range(1, len(w) - 1)]) AS p
+      |  FROM t),
+      |pp AS (SELECT p.a AS a, p.b AS b FROM pr
+      |       WHERE length(p.a) > 0 AND length(p.b) > 0),
+      |uni AS (
+      |  SELECT w AS word, count(*) AS c
+      |  FROM (SELECT unnest(string_split($normalizeSql, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |mm AS (SELECT count(*) AS m FROM pp),
+      |cab AS (SELECT a, b, count(*) AS cab FROM pp GROUP BY a, b)
+      |SELECT a, b, cab,
+      |  CAST(round(1000000.0 * CAST(cab * n * n AS DOUBLE)
+      |    / CAST(m * ua.c * ub.c AS DOUBLE)) AS BIGINT) AS pmi_micro
+      |FROM cab JOIN uni ua ON a = ua.word JOIN uni ub ON b = ub.word
+      |CROSS JOIN nn CROSS JOIN mm
+      |WHERE cab >= 5
+      |ORDER BY pmi_micro DESC, a ASC, b ASC LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
     textDiversity, textReadability, textZipfSlope,
-    pipelineDecontaminate, textKeywords,
+    pipelineDecontaminate, textKeywords, textPmiPairs,
     curateDecayCounts,
     sketchKmvUnion, sketchKmvIntersect,
     sketchKmvDistinct, sketchHllDistinct, sketchCmTopk, curateSnapshotDiff,
