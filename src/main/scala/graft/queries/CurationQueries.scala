@@ -1234,7 +1234,13 @@ object CurationQueries {
   val textPmiPairs: QueryDef = QueryDef(
     "text_pmi_pairs",
     (s, d) => {
-      val w = TextOps.words(col("text"))
+      // tokenize ONCE into an attribute: the skip-gram lambdas below are
+      // interpreted HOFs, and an inlined words(text) expression would
+      // re-run the normalize regexes per ELEMENT access — O(len²) regex
+      // work per row (measured 193 s at sf0.1 vs ~2 s for this shape)
+      val docs = Tables.documents(s, d)
+      val withW = docs.select(TextOps.words(col("text")).as("w"))
+      val w = col("w")
       def skipPairs(off: Int) = {
         val idx = sequence(lit(1), size(w) - lit(off))
         when(size(w) < off + 1, array().cast("array<struct<a:string,b:string>>"))
@@ -1242,12 +1248,11 @@ object CurationQueries {
             least(element_at(w, i), element_at(w, i + lit(off))).as("a"),
             greatest(element_at(w, i), element_at(w, i + lit(off))).as("b"))))
       }
-      val docs = Tables.documents(s, d)
-      val pairs = docs
+      val pairs = withW
         .select(explode(concat(skipPairs(1), skipPairs(2))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .filter(length(col("a")) > 0 && length(col("b")) > 0)
-      val uni = docs
+      val uni = withW
         .select(explode(w).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("c"))

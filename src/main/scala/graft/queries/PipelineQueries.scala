@@ -512,6 +512,88 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
+  /** ANN recall audit: IVF(16 cells, 2 probes) top-5 measured against the
+    * brute-force ground truth, per query — the acceptance number every
+    * approximate index ships with (FAISS's recall@k). Both rankings are
+    * already bit-exact cross-engine, so the overlap COUNT is too; recall
+    * is one guarded IEEE division. Scale shape: the brute pass is the
+    * audit's cost and runs on the SAME broadcast-query/heap plan as
+    * sim_topk_brute (audits run on a sampled query set, not the
+    * firehose); the join is list-sized. */
+  val simRecallAudit: QueryDef = QueryDef(
+    "sim_recall_audit",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val isQ = col("vec_id") % 50 === 0
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", isQ,
+          k = 5, nCells = 16, nProbe = 2)
+        .select(col("query_id"), col("cand_id"))
+      val hits = ivf.join(brute, Seq("query_id", "cand_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      brute.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            lit(5L).cast("double"), 4).as("recall_at_5"))
+        .orderBy("query_id")
+    },
+    Some("""WITH normed AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
+      |  FROM embeddings),
+      |nz AS (SELECT * FROM normed WHERE vn > 0),
+      |bs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    list_dot_product(q.v, c.v) / (q.vn * c.vn) AS cos
+      |  FROM nz c, nz q
+      |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      |bt AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY cos DESC, cand_id ASC) AS rk
+      |    FROM bs) WHERE rk <= 5),
+      |mx AS (SELECT greatest(1, (max(vec_id) + 1) // 16) AS stride FROM nz),
+      |cent AS (
+      |  SELECT vec_id AS cell_id, v AS cv, vn AS cn FROM nz, mx
+      |  WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+      |assigned AS (
+      |  SELECT vec_id, v, vn, cell_id FROM (
+      |    SELECT n.vec_id, n.v, n.vn, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY list_dot_product(n.v, c.cv) / (n.vn * c.cn) DESC, c.cell_id ASC) AS crk
+      |    FROM nz n, cent c) WHERE crk = 1),
+      |probes AS (
+      |  SELECT query_id, qv, qn, cell_id FROM (
+      |    SELECT n.vec_id AS query_id, n.v AS qv, n.vn AS qn, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY list_dot_product(n.v, c.cv) / (n.vn * c.cn) DESC, c.cell_id ASC) AS crk
+      |    FROM nz n, cent c WHERE n.vec_id % 50 = 0) WHERE crk <= 2),
+      |isc AS (
+      |  SELECT query_id, a.vec_id AS cand_id,
+      |    list_dot_product(qv, a.v) / (qn * a.vn) AS cos
+      |  FROM assigned a JOIN probes USING (cell_id) WHERE query_id <> a.vec_id),
+      |it AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY cos DESC, cand_id ASC) AS rk
+      |    FROM isc) WHERE rk <= 5),
+      |h AS (
+      |  SELECT i.query_id, count(*) AS n_hits
+      |  FROM it i JOIN bt b
+      |    ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+      |  GROUP BY i.query_id),
+      |bq AS (SELECT DISTINCT query_id FROM bt)
+      |SELECT bq.query_id,
+      |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 4) AS recall_at_5
+      |FROM bq LEFT JOIN h ON bq.query_id = h.query_id
+      |ORDER BY bq.query_id""".stripMargin))
+
   /** Hybrid-retrieval rank fusion ([[graft.ops.Similarity.rrfFusion]],
     * reciprocal-rank fusion over truncated cosine and dot-product lists):
     * one corpus pass fills BOTH ranker heaps, fusion runs on list-sized
@@ -2604,7 +2686,7 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
     simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
-    simRrfFusion, simMmr,
+    simRrfFusion, simMmr, simRecallAudit,
     textLangid, ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
     textWordcount, textRepetition,
