@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Privacy, Sampling}
@@ -339,7 +340,75 @@ object GovernanceQueries {
         |FROM agg ORDER BY event_type, anon_level""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(privacyKAnon, privacyLDiversity, auditConstraints,
+  /** Differentially-private MEDIAN via report-noisy-max over a PUBLIC
+    * candidate grid (the discrete selection twin of the geometric-noise
+    * count release): 32 fixed price candidates spanning the public
+    * [0, $500k] domain, utility −|rank(c) − N/2|, each candidate's score
+    * perturbed by the seeded integer [[Privacy.geometricNoise]], winner =
+    * noisy argmax. Everything is integer (histogram ranks, utilities,
+    * noise), so the released value replays exactly cross-engine —
+    * PrivacySpec's distribution pins cover the shared noise primitive.
+    * The true utility of the winner is emitted ONLY as an audit column
+    * for the gate (a production release would drop it).
+    *
+    * Scale shape: one corpus scan folds into a 32-bucket histogram
+    * (map-combined); ranks, utilities, noise and the argmax all run on
+    * the 32-row grid. */
+  val privacyDpQuantile: QueryDef = QueryDef(
+    "privacy_dp_quantile",
+    (s, d) => {
+      val step = 1562500L // cents: $15,625 grid over the public [0, $500k]
+      val cents = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val hist = cents
+        .withColumn("j",
+          least(greatest(expr(s"(cents + ${step - 1}) div $step"), lit(1L)),
+            lit(32L)))
+        .groupBy(col("j")).agg(count(lit(1)).as("cnt"))
+      val grid = s.range(1, 33).select(col("id").as("j"))
+        .join(hist, Seq("j"), "left").na.fill(0L, Seq("cnt"))
+      val w = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+      val whole = Window.partitionBy()
+      val seed = concat(lit("dpq:"), col("j").cast("string"))
+      grid
+        .withColumn("rank", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(whole))
+        .withColumn("score",
+          -abs(col("rank") - expr("n div 2")) + Privacy.geometricNoise(seed))
+        .agg(max(struct(col("score").as("s"), (-col("j")).as("nj"))).as("m"),
+          first(col("n")).as("n_public"))
+        .select((-col("m.nj") * step).as("dp_median_cents"),
+          col("m.s").as("noisy_score"), col("n_public"))
+    },
+    Some {
+      val step = 1562500L
+      s"""WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |hist AS (
+        |  SELECT least(greatest((cents + ${step - 1}) // $step, 1), 32) AS j,
+        |    count(*) AS cnt
+        |  FROM cents GROUP BY 1),
+        |grid AS (
+        |  SELECT g.j, coalesce(cnt, 0) AS cnt
+        |  FROM (SELECT unnest(generate_series(1, 32)) AS j) g
+        |  LEFT JOIN hist ON g.j = hist.j),
+        |r AS (
+        |  SELECT j, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rank,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM grid),
+        |sc AS (
+        |  SELECT j, n,
+        |    -abs(rank - n // 2) + ${Privacy.geometricNoiseSql(s"('dpq:' || CAST(j AS VARCHAR))")} AS score
+        |  FROM r)
+        |SELECT CAST(j * $step AS BIGINT) AS dp_median_cents,
+        |  CAST(score AS BIGINT) AS noisy_score,
+        |  n AS n_public
+        |FROM sc ORDER BY score DESC, j ASC LIMIT 1""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(privacyKAnon, privacyLDiversity, auditConstraints, privacyDpQuantile,
     sampleGroupK,
     mlBinsEquidepth, privacyPseudonymize, auditReferential, pipelineGoverned,
     privacyDpRelease)

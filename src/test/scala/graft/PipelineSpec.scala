@@ -658,4 +658,45 @@ class PipelineSpec extends SparkSpec {
       .orderBy("media_id").as[(Long, Long)].collect().toSeq
     assert(h1 == h2)
   }
+
+  test("MMR actually diversifies: round 2 skips the duplicate of round 1's pick") {
+    val s = spark
+    import s.implicits._
+    // hand-checked geometry: a (id 1) is most relevant, b (id 2) is an
+    // EXACT duplicate of a, c (id 3) is slightly less relevant but
+    // diverse. Pure relevance ranks (a, b); MMR round 2 must skip b
+    // (sim-to-selected = 1.0 costs the full 0.3 penalty) and take c:
+    //   score(b) = 0.7*0.9 - 0.3*1.0    = 0.33
+    //   score(c) = 0.7*0.8 - 0.3*0.4585 = 0.4225
+    val emb = Seq(
+      (100L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.4359f)),
+      (2L, Seq(0.9f, 0.4359f)),
+      (3L, Seq(0.8f, -0.6f))).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 100, perList = 3, k = 2)
+      .orderBy("rk").select("rk", "cand_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(sel == Seq((1L, 1L), (2L, 3L)),
+      s"expected relevance pick then diversity pick, got $sel")
+    // and the relevance-only ranking WOULD have taken the duplicate
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 100, k = 2)
+      .orderBy("rk").select("cand_id").as[Long].collect().toSeq
+    assert(brute == Seq(1L, 2L), s"geometry changed: brute top-2 = $brute")
+  }
+
+  test("DP quantile: deterministic, on the public grid, noise within the cap") {
+    val q = SparkEntry.allQueries.find(_.name == "privacy_dp_quantile").get
+    val a = q.build(spark, sf).collect()
+    val b = q.build(spark, sf).collect()
+    assert(a.sameElements(b), "seeded mechanism must replay exactly")
+    val row = a.head
+    val med = row.getAs[Long]("dp_median_cents")
+    assert(med % 1562500L == 0 && med >= 1562500L && med <= 32 * 1562500L,
+      s"released value off the public candidate grid: $med")
+    // score = -|rank - n/2| + G with |G| <= 16: the winner's score can
+    // never exceed the noise cap
+    assert(row.getAs[Long]("noisy_score") <= 16L)
+  }
 }
