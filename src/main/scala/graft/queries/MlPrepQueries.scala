@@ -1415,9 +1415,61 @@ object MlPrepQueries {
       |  CAST(sum((xm - recon) * (xm - recon)) AS BIGINT) // CAST(count(*) AS BIGINT) AS mse_micro2
       |FROM rc GROUP BY dim, mn, mx ORDER BY dim""".stripMargin))
 
+  /** Per-source DATASHEET (the "datasets for datasets" card a curated
+    * corpus ships with): volume (docs/tokens/mean length), exact-dup
+    * exposure, and the quality-model keep rate — every gate's headline
+    * number in ONE table. Composes the existing fingerprint, token-count
+    * and hashed-model expressions in a single corpus scan; the duplicated-
+    * fingerprint set is output-bounded and broadcasts back; the final
+    * aggregate is one map-combined 20-group pass. */
+  val pipelineDatasheet: QueryDef = QueryDef(
+    "pipeline_datasheet",
+    (s, d) => {
+      val toks = filter(TextOps.words(col("text")), w => length(w) > 0)
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        coalesce(graft.functions.hashed_bag_score(toks,
+          typedLit(TextOps.pseudoWeights(4096))), lit(0L)).as("score"))
+      val dups = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("fp"), lit(true).as("is_dup"))
+      base.join(broadcast(dups), Seq("fp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            nullif(col("n_docs"), lit(0L)).cast("double"), 2).as("mean_tokens"),
+          col("n_exact_dup"), col("n_keep"),
+          round(col("n_keep").cast("double") /
+            nullif(col("n_docs"), lit(0L)).cast("double"), 4).as("keep_rate"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${modelScoreSql(
+        s""", d.source AS source, md5($normalizeSql) AS fp,
+           |    CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens""".stripMargin)},
+      |dups AS (
+      |  SELECT fp FROM (SELECT fp, count(*) AS c FROM scored GROUP BY fp)
+      |  WHERE c > 1),
+      |j AS (
+      |  SELECT s.source, s.n_tokens, s.score,
+      |    (dups.fp IS NOT NULL) AS is_dup
+      |  FROM scored s LEFT JOIN dups ON s.fp = dups.fp)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) /
+      |        CAST(nullif(count(*), 0) AS DOUBLE), 2) AS mean_tokens,
+      |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  round(CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        CAST(nullif(count(*), 0) AS DOUBLE), 4) AS keep_rate
+      |FROM j GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     mixTokenBudget, mlTargetEncodeLoo, mlChi2Tokens,
-    mlConfusionThreshold, mlLiftCurve, embSq8Error,
+    mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
