@@ -454,7 +454,59 @@ object ExtendedQueries {
       |                      o_orderkey ASC)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets,
+  /** LAST-TOUCH ATTRIBUTION: each purchase attributed to the user's most
+    * recent preceding click's channel (derived from the click's JSON
+    * props), revenue rolled up per channel — the marketing-analytics
+    * sequence query. One user-keyed window carries the last non-null
+    * channel forward (NO per-purchase as-of join: the carry is a single
+    * exchange + sort, the sessionization shape); same-instant click/
+    * purchase ties break click-first then event_id, spec'd identically
+    * in both engines. Purchases with no preceding click attribute to
+    * 'organic'. Revenue accumulates in exact DECIMAL(18,4) (the house
+    * events recipe), one cast at the boundary. */
+  val qAttributionLastTouch: QueryDef = QueryDef(
+    "q_attribution_last_touch",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"),
+          when(col("event_type") === "click",
+            concat(lit("ch_"),
+              (get_json_object(col("props"), "$.k").cast("long") % 4)
+                .cast("string"))).as("ch"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc,
+          when(col("event_type") === "click", 0).otherwise(1).asc,
+          col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("attr_ch", last(col("ch"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attr_ch"), lit("organic")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double")
+            .as("revenue"))
+        .orderBy("channel")
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type = 'click'
+      |         THEN 'ch_' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
+      |    END AS ch
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |c AS (
+      |  SELECT *,
+      |    last_value(ch IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_ch
+      |  FROM ev)
+      |SELECT coalesce(attr_ch, 'organic') AS channel,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18, 4))) AS DOUBLE) AS revenue
+      |FROM c WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qJsonFuncs, qExplodeMonths, qGroupingSets, qAttributionLastTouch,
     qWindowLeadLag, qArrayFuncs, textTfidf, qUnpivot, qSetOpsAll,
     textRedact, qArgMinmax, qStringAgg, qTryFuncs, qWindowRankStats,
     qNullSafeJoin, qMapFuncs, qExplodeOuter, qWindowNtile)
