@@ -1214,7 +1214,124 @@ object AnalyticsQueries {
       |FROM a2 JOIN a1 USING (auth)
       |ORDER BY a2 DESC, auth ASC LIMIT 20""".stripMargin))
 
+  /** ROBUST per-group statistics: 10%-trimmed mean and winsorized mean of
+    * order totals per priority — the outlier-resistant location estimates
+    * metric pipelines prefer over the raw mean. Bounds come from exact
+    * integer rank cuts (trim the bottom/top ⌊n/10⌋ rows by (cents, key)
+    * order — a RANK cut, not a value percentile, so ties are
+    * deterministic), all sums exact integer cents, one IEEE division per
+    * output. One window over the group partitioning + one map-combined
+    * aggregate. */
+  val qTrimmedMean: QueryDef = QueryDef(
+    "q_trimmed_mean",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val w = Window.partitionBy(col("prio"))
+        .orderBy(col("cents").asc, col("o_orderkey").asc)
+      val wn = Window.partitionBy(col("prio"))
+      val ranked = o
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("cut", expr("n div 10"))
+      ranked
+        .groupBy(col("prio"))
+        .agg(first(col("n")).as("n"), first(col("cut")).as("cut"),
+          sum(col("cents")).as("sum_all"),
+          sum(when(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"),
+            col("cents")).otherwise(0L)).as("sum_trim"),
+          min(when(col("rk") === col("cut") + 1, col("cents"))).as("lo"),
+          min(when(col("rk") === col("n") - col("cut"), col("cents"))).as("hi"))
+        .select(col("prio"), col("n"),
+          round(col("sum_all").cast("double") /
+            nullif(col("n") * 100, lit(0L)).cast("double"), 4).as("mean"),
+          round(col("sum_trim").cast("double") /
+            nullif((col("n") - col("cut") * 2) * 100, lit(0L)).cast("double"), 4)
+            .as("trimmed_mean"),
+          round((col("sum_trim") + col("cut") * (col("lo") + col("hi")))
+              .cast("double") /
+            nullif(col("n") * 100, lit(0L)).cast("double"), 4)
+            .as("winsorized_mean"))
+        .orderBy("prio")
+    },
+    Some("""WITH o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT prio, cents,
+      |    CAST(row_number() OVER (PARTITION BY prio
+      |      ORDER BY cents ASC, o_orderkey ASC) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+      |  FROM o),
+      |c AS (SELECT *, n // 10 AS cut FROM r),
+      |a AS (
+      |  SELECT prio, any_value(n) AS n, any_value(cut) AS cut,
+      |    CAST(sum(cents) AS BIGINT) AS sum_all,
+      |    CAST(sum(CASE WHEN rk > cut AND rk <= n - cut THEN cents ELSE 0 END) AS BIGINT) AS sum_trim,
+      |    min(CASE WHEN rk = cut + 1 THEN cents END) AS lo,
+      |    min(CASE WHEN rk = n - cut THEN cents END) AS hi
+      |  FROM c GROUP BY prio)
+      |SELECT prio, n,
+      |  round(CAST(sum_all AS DOUBLE) / CAST(nullif(n * 100, 0) AS DOUBLE), 4) AS mean,
+      |  round(CAST(sum_trim AS DOUBLE) /
+      |        CAST(nullif((n - 2 * cut) * 100, 0) AS DOUBLE), 4) AS trimmed_mean,
+      |  round(CAST(sum_trim + cut * (lo + hi) AS DOUBLE) /
+      |        CAST(nullif(n * 100, 0) AS DOUBLE), 4) AS winsorized_mean
+      |FROM a ORDER BY prio""".stripMargin))
+
+  /** GINI COEFFICIENT of order value per market segment (revenue
+    * concentration — the inequality statistic behind "top 1% of
+    * customers" dashboards), via the exact rank formula
+    * G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over the (cents, key)-ordered
+    * ranks. Integer interior (Σ i·xᵢ in cents·rank units), one IEEE
+    * expression at the boundary. One group-partitioned window + one
+    * aggregate. */
+  val qGiniSegment: QueryDef = QueryDef(
+    "q_gini_segment",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("segment"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+      val w = Window.partitionBy(col("segment"))
+        .orderBy(col("cents").asc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("rk") * col("cents")).as("six"))
+        .select(col("segment"), col("n"),
+          round(
+            (lit(2L) * col("six")).cast("double") /
+              nullif(col("n") * col("sx"), lit(0L)).cast("double")
+            - (col("n") + 1).cast("double") / col("n").cast("double"), 4)
+            .as("gini"))
+        .orderBy("segment")
+    },
+    Some("""WITH o AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT segment, cents,
+      |    CAST(row_number() OVER (PARTITION BY segment
+      |      ORDER BY cents ASC, o_orderkey ASC) AS BIGINT) AS rk
+      |  FROM o),
+      |a AS (
+      |  SELECT segment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+      |    CAST(sum(rk * cents) AS BIGINT) AS six
+      |  FROM r GROUP BY segment)
+      |SELECT segment, n,
+      |  round(CAST(2 * six AS DOUBLE) / CAST(nullif(n * sx, 0) AS DOUBLE)
+      |        - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS gini
+      |FROM a ORDER BY segment""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts, qHits,
+    qTrimmedMean, qGiniSegment,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
