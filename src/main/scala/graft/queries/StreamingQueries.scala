@@ -687,8 +687,40 @@ object StreamingQueries {
       |  CAST(sum(straddles) AS BIGINT) AS n_straddling
       |FROM a GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
 
+  /** Streaming last-touch attribution ([[EventStreams.attributeLastTouch]]):
+    * purchases attributed as they arrive from per-user last-click keyed
+    * state; gated on the IDENTICAL channel/revenue rollup SQL as the
+    * batch window-carry query. */
+  val streamAttribution: QueryDef = QueryDef(
+    "stream_attribution",
+    (s, d) => EventStreams.drainToMemory(
+        EventStreams.attributeLastTouch(EventStreams.readEvents(s, d)).toDF(),
+        OutputMode.Append, "stream_attr", statePartitions = Some(8))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+      .orderBy("channel"),
+    Some("""WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type = 'click'
+      |         THEN 'ch_' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
+      |    END AS ch
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |c AS (
+      |  SELECT *,
+      |    last_value(ch IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_ch
+      |  FROM ev)
+      |SELECT coalesce(attr_ch, 'organic') AS channel,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18, 4))) AS DOUBLE) AS revenue
+      |FROM c WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    streamPackChunks,
+    streamPackChunks, streamAttribution,
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
     streamSessions, streamSessionWindow, streamHitters, streamOuterJoin,

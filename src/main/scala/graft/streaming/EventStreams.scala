@@ -165,6 +165,54 @@ object EventStreams {
       }
   }
 
+  final case class ClickPurchase(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String, value: Double, ch: String)
+  final case class AttrState(ch: String)
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+      channel: String, value: Double)
+
+  /** STREAMING last-touch attribution — the stateful twin of the batch
+    * `q_attribution_last_touch` window carry: each purchase is attributed
+    * AS IT ARRIVES to the user's most recent click channel, which lives
+    * in keyed state (one small string per user — bounded by active users,
+    * evictable with a timeout in production). Determinism contract: rows
+    * sort by (full-µs ts, click-before-purchase, event_id) within each
+    * batch — the identical tie-break the batch window specs — so a
+    * single-batch drive replays the batch result exactly and a
+    * ts-ordered multi-batch drive ([[eventsMultiBatchStream]]) carries
+    * the channel across batches (StreamingSpec pins both). */
+  def attributeLastTouch(events: DataFrame): Dataset[AttributedPurchase] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val ev = events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "click",
+          concat(lit("ch_"),
+            (get_json_object(col("props"), "$.k").cast("long") % 4)
+              .cast("string"))).otherwise(lit(null)).as("ch"))
+      .as[ClickPurchase]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ClickPurchase], state: GroupState[AttrState]) =>
+          var ch = state.getOption.map(_.ch).orNull
+          val out = scala.collection.mutable.ListBuffer.empty[AttributedPurchase]
+          rows.toSeq
+            .sortBy(e => (usOf(e.ts),
+              if (e.event_type == "click") 0 else 1, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "click") ch = e.ch
+              else out += AttributedPurchase(uid, e.event_id,
+                if (ch == null) "organic" else ch, e.value)
+            }
+          state.update(AttrState(ch))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * within the watermark horizon — the streaming twin of
     * [[graft.ops.Dedup.exact]]; state is bounded by watermark eviction. */

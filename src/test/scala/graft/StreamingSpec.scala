@@ -591,4 +591,24 @@ class StreamingSpec extends SparkSpec {
       s"cursor lost across batches: only-stream=${multi.diff(batch).take(3)} " +
         s"only-batch=${batch.diff(multi).take(3)}")
   }
+
+  test("streaming attribution carries the last-click channel across micro-batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // the per-user channel lives in keyed state: a 4-file ts-ordered
+    // drive must attribute every purchase identically to the one-shot
+    // drive (clicks in earlier batches attribute purchases in later ones)
+    def run(src: org.apache.spark.sql.DataFrame, tag: String) =
+      EventStreams.drainToMemory(
+          EventStreams.attributeLastTouch(src).toDF(),
+          OutputMode.Append, s"attr_$tag", statePartitions = Some(2))
+        .select("event_id", "channel")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val oneShot = run(EventStreams.readEvents(spark, sf), "one")
+    val multi = run(EventStreams.eventsMultiBatchStream(spark, sf, nFiles = 4), "multi")
+    assert(oneShot.nonEmpty && oneShot == multi,
+      s"attribution depends on batching: only-one=${oneShot.diff(multi).take(3)} " +
+        s"only-multi=${multi.diff(oneShot).take(3)}")
+    // and some purchase must be attributed to a non-organic channel
+    assert(oneShot.exists(_._2 != "organic"), "no click ever attributed")
+  }
 }
