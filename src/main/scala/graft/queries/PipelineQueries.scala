@@ -99,6 +99,79 @@ object PipelineQueries {
       |$minhashPairsSql
       |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin))
 
+  /** MinHash ESTIMATOR AUDIT: for every LSH candidate pair, the
+    * signature-agreement estimate (n_match/8) against the exact shingle
+    * Jaccard — the calibration sheet that justifies an LSH threshold
+    * before a dedup run acts on it (the sketch-vs-exact audit shape of
+    * sketch_hll_distinct, applied to the dedup estimator). All integer:
+    * match counts, shingle intersections (distinct inverted-index join
+    * restricted to the candidate pairs — never all-pairs), sizes; the
+    * Jaccard is one micro-snapped division. */
+  val dedupMinhashAudit: QueryDef = QueryDef(
+    "dedup_minhash_audit",
+    (s, d) => {
+      val docs = docsWithDups(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 8, rowsPerBand = 2)
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleN = 3, k = 8)
+      val matchCount = (0 until 8).map(i =>
+        when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val withEst = pairs
+        .join(sig.as("a"), col("id_a") === col("a.id"))
+        .join(sig.as("b"), col("id_b") === col("b.id"))
+        .select(col("id_a"), col("id_b"), matchCount.as("n_match_hashes"))
+      val sh = graft.ops.TextOps.wordShingleRows(docs, "doc_id", "text", 3)
+      val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      val common = pairs
+        .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+      val denom = nullif(col("n_a") + col("n_b") - col("n_common"), lit(0L))
+      withEst
+        .join(common, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_common"))
+        .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("n_match_hashes"),
+          (col("n_match_hashes") * 125000).as("est_micro"),
+          col("n_common"),
+          round(lit(1000000.0) * col("n_common").cast("double") /
+            denom.cast("double")).cast("long").as("jacc_micro"))
+        .withColumn("err_micro", abs(col("est_micro") - col("jacc_micro")))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH t AS ($docsWithDupsSql),
+      |$minhashPairsSql,
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id),
+      |common AS (
+      |  SELECT p.id_a, p.id_b, count(*) AS n_common
+      |  FROM pairs p
+      |  JOIN inv a ON a.doc_id = p.id_a
+      |  JOIN inv b ON b.doc_id = p.id_b AND b.s = a.s
+      |  GROUP BY p.id_a, p.id_b),
+      |est AS (
+      |  SELECT p.id_a, p.id_b,
+      |    (${(0 until 8).map(i =>
+             s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")}) AS n_match_hashes
+      |  FROM pairs p
+      |  JOIN sigcols sa ON sa.doc_id = p.id_a
+      |  JOIN sigcols sb ON sb.doc_id = p.id_b)
+      |SELECT e.id_a, e.id_b,
+      |  CAST(n_match_hashes AS BIGINT) AS n_match_hashes,
+      |  CAST(n_match_hashes * 125000 AS BIGINT) AS est_micro,
+      |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(round(1000000.0 * CAST(coalesce(n_common, 0) AS DOUBLE) /
+      |    CAST(nullif(za.n_sh + zb.n_sh - coalesce(n_common, 0), 0) AS DOUBLE)) AS BIGINT) AS jacc_micro,
+      |  abs(CAST(n_match_hashes * 125000 AS BIGINT)
+      |    - CAST(round(1000000.0 * CAST(coalesce(n_common, 0) AS DOUBLE) /
+      |        CAST(nullif(za.n_sh + zb.n_sh - coalesce(n_common, 0), 0) AS DOUBLE)) AS BIGINT)) AS err_micro
+      |FROM est e
+      |LEFT JOIN common c ON e.id_a = c.id_a AND e.id_b = c.id_b
+      |JOIN sizes za ON za.doc_id = e.id_a
+      |JOIN sizes zb ON zb.doc_id = e.id_b
+      |ORDER BY e.id_a, e.id_b""".stripMargin))
+
   /** Duplicate-cluster resolution: connected components over the minhash
     * pair list — every near-dup doc labeled with the smallest doc_id in
     * its cluster (iterative min-label propagation in Spark; the oracle
@@ -2686,7 +2759,7 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
     simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
-    simRrfFusion, simMmr, simRecallAudit,
+    simRrfFusion, simMmr, simRecallAudit, dedupMinhashAudit,
     textLangid, ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
     textWordcount, textRepetition,
