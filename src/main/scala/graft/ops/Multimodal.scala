@@ -1471,6 +1471,38 @@ object Multimodal {
       }(enc)
   }
 
+  /** Loudness / clipping QC over REALLY-decoded audio — the gain-staging
+    * audit a speech-corpus pipeline runs before training on found audio:
+    * per clip, the peak amplitude, the count of samples at/above the
+    * clip threshold (consecutive full-scale samples = clipped capture),
+    * and the exact integer energy Σa² (RMS is derived at the query
+    * boundary). Same per-partition decode shape as [[decodeAudio]];
+    * payloads never shuffle. */
+  def audioLoudness(media: DataFrame, clipThreshold: Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("n_clipped", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (_, samples) = decodeWav(r.get(1).asInstanceOf[Array[Byte]])
+          var peak = 0L; var clipped = 0L; var energy = 0L; var i = 0
+          while (i < samples.length) {
+            val a = math.abs(samples(i).toLong)
+            if (a > peak) peak = a
+            if (a >= clipThreshold) clipped += 1
+            energy += a * a
+            i += 1
+          }
+          Row(r.getLong(0), samples.length.toLong, peak, clipped, energy)
+        }
+      }(enc)
+  }
+
   /** Permissive twin of [[decodeAudio]] — the [[decodeImagesSafe]]
     * quarantine contract for WAV payloads: unparseable containers come
     * back `decode_ok = false` with null stats, never a task failure. */

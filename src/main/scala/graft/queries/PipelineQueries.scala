@@ -2199,6 +2199,32 @@ object PipelineQueries {
       |  CAST(sum(a) AS BIGINT) AS amp_sum, CAST(max(a) AS BIGINT) AS peak
       |FROM s GROUP BY id, n ORDER BY media_id""".stripMargin))
 
+  /** Audio loudness / clipping QC ([[Multimodal.audioLoudness]] over the
+    * really-encoded WAV corpus): peak, near-full-scale sample count and
+    * exact integer energy per clip, RMS derived at the boundary — the
+    * gain-staging audit before training on found audio. The oracle
+    * recomputes everything from the synthesis formula through the REAL
+    * decode path (wrong byte order breaks energy immediately). */
+  val mmAudioLoudness: QueryDef = QueryDef(
+    "mm_audio_loudness",
+    (s, d) => Multimodal.audioLoudness(
+        Multimodal.audioCorpus(Tables.documents(s, d)), clipThreshold = 950L)
+      .withColumn("rms_milli",
+        round(sqrt(col("energy").cast("double") /
+          col("n_samples").cast("double")) * 1000).cast("long"))
+      .orderBy("media_id"),
+    Some("""WITH d AS (
+      |  SELECT doc_id AS id, 64 + doc_id % 64 AS n FROM documents),
+      |s AS (
+      |  SELECT id, n, abs((id*31 + i*17) % 2003 - 1001) AS a
+      |  FROM d, range(0, 128) rs(i) WHERE i < n)
+      |SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(max(a) AS BIGINT) AS peak,
+      |  CAST(sum(CASE WHEN a >= 950 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |  CAST(sum(a * a) AS BIGINT) AS energy,
+      |  CAST(round(sqrt(CAST(sum(a * a) AS DOUBLE) / CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS rms_milli
+      |FROM s GROUP BY id, n ORDER BY media_id""".stripMargin))
+
   /** LEAKAGE-SAFE train/test split: folds are assigned by CONTENT
     * FINGERPRINT (md5 of the normalized text), not by document id, so
     * every exact-duplicate group lands wholly on one side of the
@@ -2767,6 +2793,6 @@ object PipelineQueries {
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,
     mmSimilarityPixels, mmAHashDedup, mmDecodeImageSafe, mmDecodeJpeg, mmDecodeGif,
     mmFrameSampleMjpeg, mmFrameSampleGif, mmSceneDetect, mmPHashDedup,
-    mmAudioVad, mmAudioResample, mmImageTiles, sampleSplitLeakageSafe,
+    mmAudioVad, mmAudioResample, mmAudioLoudness, mmImageTiles, sampleSplitLeakageSafe,
     textSourceSimilarity, textNoveltyCurve, textBurstiness, qEventsWow)
 }
