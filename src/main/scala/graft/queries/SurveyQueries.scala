@@ -1208,7 +1208,62 @@ object SurveyQueries {
       |FROM lineitem WHERE l_quantity >= 25.0
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** ingest_log_parse: the ACCESS-LOG front door — a staged
+    * Apache-combined-style text corpus (derived deterministically from
+    * events, with a malformed-line class mixed in) parsed back through
+    * one anchored regexp into typed columns, quarantined lines grouped
+    * under status −1 — no malformed line ever kills the ingest
+    * (the ingest_csv_dirty posture for unstructured server logs). The
+    * oracle replays the line synthesis + parse CLOSED-FORM from events,
+    * so a wrong capture group or a lost quarantine row breaks the match.
+    * Scale shape: text scan + one row-local regexp + one map-combined
+    * 5-group aggregate; extraction columns are ANSI-safe
+    * (`nullif('' …)` before the cast — empty extract means no match). */
+  val ingestLogParse: QueryDef = QueryDef(
+    "ingest_log_parse",
+    (s, d) => {
+      val path = graft.sources.TableIO.scratchDir(s, "logparse")
+      Tables.events(s, d).select(
+        when(col("event_id") % 97 === 0,
+            concat(lit("BADLINE "), col("event_id").cast(StringType)))
+          .otherwise(concat(
+            lit("10.0."), expr("(user_id div 256) % 256").cast(StringType),
+            lit("."), expr("user_id % 256").cast(StringType),
+            lit(" - - ["), unix_timestamp(col("ts")).cast(StringType),
+            lit("] \"GET /e/"), col("event_type"),
+            lit(" HTTP/1.1\" "),
+            expr("element_at(array(200, 301, 404, 500), cast(event_id % 4 as int) + 1)")
+              .cast(StringType),
+            lit(" "), round(col("value") * 100).cast("long").cast(StringType)))
+          .as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+      val re =
+        "^(\\S+) - - \\[(\\d+)\\] \"(\\w+) (\\S+) HTTP/1\\.1\" (\\d{3}) (\\d+)$"
+      s.read.text(path)
+        .select(
+          nullif(regexp_extract(col("value"), re, 5), lit("")).cast("long")
+            .as("status"),
+          nullif(regexp_extract(col("value"), re, 6), lit("")).cast("long")
+            .as("bytes"))
+        .groupBy(coalesce(col("status"), lit(-1L)).as("status"))
+        .agg(count(lit(1)).as("n_requests"),
+          sum(coalesce(col("bytes"), lit(0L))).as("total_bytes"))
+        .orderBy("status")
+    },
+    Some("""WITH e AS (
+      |  SELECT CASE WHEN event_id % 97 = 0 THEN NULL
+      |    ELSE CASE CAST(event_id % 4 AS INT)
+      |      WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404 ELSE 500 END
+      |    END AS status,
+      |    CASE WHEN event_id % 97 = 0 THEN 0
+      |         ELSE CAST(round(value * 100) AS BIGINT) END AS bytes
+      |  FROM events)
+      |SELECT coalesce(status, -1) AS status, count(*) AS n_requests,
+      |  CAST(sum(bytes) AS BIGINT) AS total_bytes
+      |FROM e GROUP BY 1 ORDER BY status""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
+    ingestLogParse,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,
     mergeTableVersions,
