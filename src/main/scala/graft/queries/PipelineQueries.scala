@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.expressions.Window
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline operators exercised on the `documents` and
@@ -1370,6 +1371,93 @@ object PipelineQueries {
         |       WHEN h_es = best THEN 'es' ELSE 'fr' END AS lang_pred
         |FROM b ORDER BY doc_id""".stripMargin
     })
+
+  /** LANGID CONFUSION MATRIX: the n-gram language heuristic's prediction
+    * against the corpus's labeled `lang` column — the acceptance audit
+    * for the heuristic itself (text_langid gates the predictions;
+    * this gates how often they're RIGHT, per (label, prediction) cell,
+    * with the per-label hit rate). Same one-scan row-local vote
+    * expression; one 16-cell map-combined aggregate; hit rate is one
+    * guarded IEEE division. */
+  val textLangConfusion: QueryDef = QueryDef(
+    "text_lang_confusion",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val perLabel = Window.partitionBy(col("lang"))
+      cells
+        .withColumn("n_label", sum(col("n")).over(perLabel))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round(col("n").cast("double") /
+            nullif(col("n_label"), lit(0L)).cast("double"), 4).as("cell_rate"))
+        .orderBy("lang", "lang_pred")
+    },
+    Some {
+      def hits(l: String, wordsList: Seq[String]) =
+        s"len(list_filter(w, x -> x IN (${wordsList.map(w => s"'$w'").mkString(", ")}))) AS h_$l"
+      val en = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+      val es = Seq("el", "la", "de", "que", "los", "las", "una", "por")
+      val fr = Seq("le", "la", "les", "des", "est", "dans", "pour", "que")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+      s"""WITH words AS (SELECT doc_id, lang, string_split($normalizeSql, ' ') AS w FROM documents),
+        |h AS (SELECT doc_id, lang, ${hits("de", de)}, ${hits("en", en)}, ${hits("es", es)}, ${hits("fr", fr)} FROM words),
+        |b AS (SELECT doc_id, lang, h_de, h_en, h_es, h_fr, greatest(h_de, h_en, h_es, h_fr) AS best FROM h),
+        |p AS (SELECT lang,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en'
+        |       WHEN h_es = best THEN 'es' ELSE 'fr' END AS lang_pred
+        |  FROM b),
+        |c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred),
+        |t AS (SELECT lang, lang_pred, n,
+        |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_label FROM c)
+        |SELECT lang, lang_pred, n,
+        |  round(CAST(n AS DOUBLE) / CAST(nullif(n_label, 0) AS DOUBLE), 4) AS cell_rate
+        |FROM t ORDER BY lang, lang_pred""".stripMargin
+    })
+
+  /** BENFORD FIRST-DIGIT AUDIT: observed leading-digit distribution of
+    * order totals against Benford's law — the forensic-accounting /
+    * data-quality screen for fabricated or truncated numeric columns.
+    * The expected shares are FIXED literals (log10(1+1/d) to 5 dp —
+    * spec'd constants, no runtime log), observed counts are exact
+    * integers, the deviation is one IEEE expression per digit. One scan,
+    * 9-group map-combined aggregate. */
+  val qBenfordDigits: QueryDef = QueryDef(
+    "q_benford_digits",
+    (s, d) => {
+      val expected = Seq(0.30103, 0.17609, 0.12494, 0.09691, 0.07918,
+        0.06695, 0.05799, 0.05115, 0.04576)
+      val expArr = array(expected.map(lit): _*)
+      val whole = Window.partitionBy()
+      Tables.orders(s, d)
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("n_total", sum(col("n")).over(whole))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("n_total").cast("double"), 4)
+            .as("observed"),
+          element_at(expArr, col("digit").cast("int")).as("expected"),
+          round(abs(col("n").cast("double") / col("n_total").cast("double")
+            - element_at(expArr, col("digit").cast("int"))), 4).as("abs_dev"))
+        .orderBy("digit")
+    },
+    Some("""WITH e AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, count(*) AS n FROM e GROUP BY digit),
+      |t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS n_total FROM c),
+      |x AS (SELECT digit, n, n_total,
+      |  CAST(([0.30103, 0.17609, 0.12494, 0.09691, 0.07918,
+      |    0.06695, 0.05799, 0.05115, 0.04576])[CAST(digit AS INT)] AS DOUBLE) AS expected
+      |  FROM t)
+      |SELECT digit, n,
+      |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS observed,
+      |  expected,
+      |  round(abs(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) - expected), 4) AS abs_dev
+      |FROM x ORDER BY digit""".stripMargin))
 
   /** HTML ingest front door: boilerplate-stripping text extraction
     * ([[graft.ops.TextOps.htmlExtract]] — the jusText/boilerpipe block-
@@ -2786,7 +2874,8 @@ object PipelineQueries {
     simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     simRrfFusion, simMmr, simRecallAudit, dedupMinhashAudit,
-    textLangid, ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
+    textLangid, textLangConfusion, qBenfordDigits,
+    ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
     textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
