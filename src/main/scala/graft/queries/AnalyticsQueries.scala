@@ -1330,8 +1330,55 @@ object AnalyticsQueries {
       |        - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS gini
       |FROM a ORDER BY segment""".stripMargin))
 
+  /** PARETO CONCENTRATION (the 80/20 dashboard number): revenue share of
+    * the top-1/top-10/top-25 percent of customers. The corpus collapses
+    * to per-customer revenue FIRST (map-combined, customer-dimension
+    * sized), so the ranking window runs over customers, never orders;
+    * shares are exact integer cent sums with one IEEE division each.
+    * Decile membership is an exact rank cut (rk ≤ ⌊n·p/100⌋),
+    * deterministic ties on (cents desc, custkey asc). */
+  val qPareto: QueryDef = QueryDef(
+    "q_pareto_share",
+    (s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+      val whole = Window.partitionBy()
+      val ranked = cust
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(whole))
+        .withColumn("total", sum(col("cents")).over(whole))
+      val tiers = Seq(1L, 10L, 25L)
+      val perTier = tiers.map { p =>
+        ranked.filter(col("rk") <= expr(s"(n * $p) div 100"))
+          .groupBy()
+          .agg(first(lit(p)).as("top_pct"), count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("tier_cents"), first(col("total")).as("total"))
+      }.reduce(_ union _)
+      perTier.select(col("top_pct"), col("n_customers"),
+        round(col("tier_cents").cast("double") /
+          nullif(col("total"), lit(0L)).cast("double"), 4).as("revenue_share"))
+        .orderBy("top_pct")
+    },
+    Some("""WITH cust AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT o_custkey, cents,
+      |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER () AS BIGINT) AS n,
+      |    CAST(sum(cents) OVER () AS BIGINT) AS total
+      |  FROM cust),
+      |tiers AS (SELECT CAST(unnest([1, 10, 25]) AS BIGINT) AS top_pct)
+      |SELECT top_pct, count(*) AS n_customers,
+      |  round(CAST(sum(cents) AS DOUBLE) /
+      |        CAST(nullif(any_value(total), 0) AS DOUBLE), 4) AS revenue_share
+      |FROM r JOIN tiers ON rk <= (n * top_pct) // 100
+      |GROUP BY top_pct ORDER BY top_pct""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts, qHits,
-    qTrimmedMean, qGiniSegment,
+    qTrimmedMean, qGiniSegment, qPareto,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
     qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
