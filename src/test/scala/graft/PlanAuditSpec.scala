@@ -556,4 +556,28 @@ class PlanAuditSpec extends SparkSpec {
       s"rrf re-scans the corpus per ranker:\n${p.linesIterator.take(30).mkString("\n")}")
     assert(!p.contains("Window"), "ranking fell back to a window over the corpus")
   }
+
+  test("pipeline_datasheet: one corpus scan per pass, dup-fingerprint set broadcasts back") {
+    val p = plan("pipeline_datasheet")
+    assert(!p.contains("SortMergeJoin"), "dup flag shuffled into a sort-merge join")
+    assert(nodes(p, "Scan parquet") <= 2,  // base pass + the dup-set aggregation pass
+      s"datasheet re-scans the corpus:\n${p.linesIterator.take(30).mkString("\n")}")
+  }
+
+  test("q_pareto_share and q_gini_segment rank over the reduced dimension, never raw orders") {
+    // the window input must be the customer/segment aggregate: exactly one
+    // aggregate BELOW the window (partial+final pairs print as one node
+    // id each side of the exchange)
+    val pg = plan("q_gini_segment")
+    assert(pg.contains("Window"), "gini lost its rank window")
+    assert(!pg.contains("SortMergeJoin"), "customer dim stopped broadcasting")
+    val pp = plan("q_pareto_share")
+    assert(pp.contains("Window") && !pp.contains("SortMergeJoin"))
+  }
+
+  test("ingest_log_parse: quarantine aggregate is one text scan, no join") {
+    val p = plan("ingest_log_parse")
+    assert(!p.contains("Join"), "log parse grew a join")
+    assert(p.contains("Scan text"), "front door no longer reads the staged text corpus")
+  }
 }
