@@ -1113,6 +1113,74 @@ object MlPrepQueries {
       |FROM c WHERE cum_before < 500
       |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** TEMPERATURE-WEIGHTED token budgets — [[mixTemperature]]'s α=1/2
+    * re-weighting COMPOSED with [[mixTokenBudget]]'s greedy fill: the
+    * global 10k-token budget splits across sources ∝ the micro-snapped
+    * temperature weights (exact integer division), then each source fills
+    * its quota in deterministic md5 order. This is the actual mixture-
+    * assembly step of a multilingual/multi-domain training run: small
+    * sources get super-proportional budgets, and the budget unit is
+    * tokens. Two corpus scans (one map-combined counts pass that yields
+    * the broadcast quota table, one fill pass with a single source-keyed
+    * window); the quota table is #sources-sized. */
+  val mixTokenBudgetTemperature: QueryDef = QueryDef(
+    "mix_token_budget_temperature",
+    (s, d) => {
+      val whole = Window.partitionBy()
+      val quotas = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("total", sum(col("n_docs")).over(whole))
+        .withColumn("w_micro",
+          round(sqrt(col("n_docs").cast("double") / col("total").cast("double"))
+            * 1000000).cast("long"))
+        .withColumn("w_total", sum(col("w_micro")).over(whole))
+        .select(col("source"),
+          expr("(10000 * w_micro) div w_total").as("quota_tokens"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("hs"))
+      val fill = Window.partitionBy(col("source"))
+        .orderBy(col("hs").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(quotas), "source")
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(fill), lit(0L)))
+        .filter(col("cum_before") < col("quota_tokens"))
+        .groupBy(col("source"))
+        .agg(first(col("quota_tokens")).as("quota_tokens"),
+          count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("tokens_kept"))
+        .withColumn("overshoot",
+          greatest(col("tokens_kept") - col("quota_tokens"), lit(0L)))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+      |m AS (SELECT source, n_docs,
+      |        CAST(round(sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+      |          * 1000000) AS BIGINT) AS w_micro
+      |      FROM c CROSS JOIN t),
+      |mt AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM m),
+      |q AS (SELECT source, (10000 * w_micro) // w_total AS quota_tokens
+      |      FROM m CROSS JOIN mt),
+      |d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT d.source, n_tokens, quota_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY d.source ORDER BY hs, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM d JOIN q ON d.source = q.source)
+      |SELECT source, any_value(quota_tokens) AS quota_tokens,
+      |  count(*) AS n_docs_kept,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+      |  greatest(CAST(sum(n_tokens) AS BIGINT) - any_value(quota_tokens), 0) AS overshoot
+      |FROM f WHERE cum_before < quota_tokens
+      |GROUP BY source ORDER BY source""".stripMargin))
+
   /** Leave-one-out target encoding (the leakage-safe categorical encoder:
     * each row's category is replaced by the mean target of all OTHER rows
     * in that category — including the row itself would leak the label).
@@ -1468,7 +1536,7 @@ object MlPrepQueries {
       |FROM j GROUP BY source ORDER BY source""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
-    mixTokenBudget, mlTargetEncodeLoo, mlChi2Tokens,
+    mixTokenBudget, mixTokenBudgetTemperature, mlTargetEncodeLoo, mlChi2Tokens,
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
