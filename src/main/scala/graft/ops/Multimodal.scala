@@ -1473,10 +1473,11 @@ object Multimodal {
 
   /** Loudness / clipping QC over REALLY-decoded audio — the gain-staging
     * audit a speech-corpus pipeline runs before training on found audio:
-    * per clip, the peak amplitude, the count of samples at/above the
-    * clip threshold (consecutive full-scale samples = clipped capture),
-    * and the exact integer energy Σa² (RMS is derived at the query
-    * boundary). Same per-partition decode shape as [[decodeAudio]];
+    * per clip, the peak amplitude, the count of INDIVIDUAL samples whose
+    * magnitude is at/above the clip threshold (a per-sample census, not a
+    * consecutive-run detector — runs-of-full-scale detection would be the
+    * stricter clipped-capture test), and the exact integer energy Σa²
+    * (RMS is derived at the query boundary). Same per-partition decode shape as [[decodeAudio]];
     * payloads never shuffle. */
   def audioLoudness(media: DataFrame, clipThreshold: Long): DataFrame = {
     val schema = StructType(Seq(

@@ -188,7 +188,13 @@ object Similarity {
           round(lit(1000000.0) *
             (lit(0.7) * col("rel") - lit(0.3) * col("msim")))
             .cast(LongType).as("score_micro"))
-      sel = sel.union(argmaxPick(scoredT, t))
+      // Materialize each round's selection: `sel` is referenced twice per
+      // round (the msim join and the union), so the un-materialized plan
+      // doubles every iteration — O(2^k) subtree copies with every earlier
+      // round's argmax re-executed. Checkpointing flattens round t's input
+      // to a t-row relation; greedy MMR is inherently sequential in k, so
+      // k bounded-size materializations are the intended cost.
+      sel = Materialize.carried(sel.union(argmaxPick(scoredT, t)))
     }
     sel
   }

@@ -1285,9 +1285,12 @@ object AnalyticsQueries {
     * concentration — the inequality statistic behind "top 1% of
     * customers" dashboards), via the exact rank formula
     * G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over the (cents, key)-ordered
-    * ranks. Integer interior (Σ i·xᵢ in cents·rank units), one IEEE
-    * expression at the boundary. One group-partitioned window + one
-    * aggregate. */
+    * ranks. Integer interior (Σ i·xᵢ in cents·rank units) accumulated in
+    * DECIMAL(38,0) (HUGEINT on the oracle side): rank·cents is ~n·x̄ per
+    * row and the moment sum ~n²·x̄, which blows through Int64 around
+    * 3e6 orders per segment — decimal lifts the exact bound to 1e38
+    * (n ≲ 1e14 orders at TPC-H prices). One IEEE expression at the
+    * boundary. One group-partitioned window + one aggregate. */
   val qGiniSegment: QueryDef = QueryDef(
     "q_gini_segment",
     (s, d) => {
@@ -1302,12 +1305,14 @@ object AnalyticsQueries {
         .orderBy(col("cents").asc, col("o_orderkey").asc)
       o.withColumn("rk", row_number().over(w).cast("long"))
         .groupBy(col("segment"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
-          sum(col("rk") * col("cents")).as("six"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("decimal(38,0)")).as("sx"),
+          sum(col("rk").cast("decimal(19,0)") * col("cents")).as("six"))
         .select(col("segment"), col("n"),
           round(
-            (lit(2L) * col("six")).cast("double") /
-              nullif(col("n") * col("sx"), lit(0L)).cast("double")
+            lit(2.0) * col("six").cast("double") /
+              nullif(col("n").cast("decimal(19,0)") * col("sx"),
+                lit(0L)).cast("double")
             - (col("n") + 1).cast("double") / col("n").cast("double"), 4)
             .as("gini"))
         .orderBy("segment")
@@ -1322,11 +1327,13 @@ object AnalyticsQueries {
       |      ORDER BY cents ASC, o_orderkey ASC) AS BIGINT) AS rk
       |  FROM o),
       |a AS (
-      |  SELECT segment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
-      |    CAST(sum(rk * cents) AS BIGINT) AS six
+      |  SELECT segment, count(*) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS sx,
+      |    sum(CAST(rk AS HUGEINT) * cents) AS six
       |  FROM r GROUP BY segment)
       |SELECT segment, n,
-      |  round(CAST(2 * six AS DOUBLE) / CAST(nullif(n * sx, 0) AS DOUBLE)
+      |  round(2.0 * CAST(six AS DOUBLE)
+      |          / CAST(nullif(CAST(n AS HUGEINT) * sx, 0) AS DOUBLE)
       |        - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS gini
       |FROM a ORDER BY segment""".stripMargin))
 
@@ -1356,9 +1363,12 @@ object AnalyticsQueries {
           .agg(first(lit(p)).as("top_pct"), count(lit(1)).as("n_customers"),
             sum(col("cents")).as("tier_cents"), first(col("total")).as("total"))
       }.reduce(_ union _)
-      perTier.select(col("top_pct"), col("n_customers"),
-        round(col("tier_cents").cast("double") /
-          nullif(col("total"), lit(0L)).cast("double"), 4).as("revenue_share"))
+      // A global agg over an empty tier (n·p/100 < 1 customer) still emits
+      // one all-null row; the oracle's JOIN+GROUP BY emits none — drop it.
+      perTier.filter(col("n_customers") > 0)
+        .select(col("top_pct"), col("n_customers"),
+          round(col("tier_cents").cast("double") /
+            nullif(col("total"), lit(0L)).cast("double"), 4).as("revenue_share"))
         .orderBy("top_pct")
     },
     Some("""WITH cust AS (

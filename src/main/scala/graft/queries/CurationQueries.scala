@@ -1071,7 +1071,11 @@ object CurationQueries {
     * to integer micro-units immediately (ln is not IEEE
     * correctly-rounded, but engines agree far beyond the 1e-6 snap at
     * these magnitudes — verified at all 3 SFs), every OLS moment then
-    * accumulates as an exact integer, one IEEE division at the boundary.
+    * accumulates as an exact integer in DECIMAL(38,0) (HUGEINT on the
+    * oracle side) — micro-log coordinates are ~3e7, so Σx·y alone passes
+    * Int64 near 1e4 vocab-years of web text and the n·Σxy − Σx·Σy
+    * numerator needs ~n²·1e15: decimal keeps the interior exact to
+    * n_vocab ≲ 3e11 — one IEEE division at the boundary.
     * Scale shape: the corpus collapses to map-combined vocabulary counts
     * in one scan; the ranking window runs over the VOCAB-sized frame
     * (bounded by language, not data), never the corpus. */
@@ -1089,13 +1093,16 @@ object CurationQueries {
         .select(
           round(log(col("r").cast("double")) * 1000000).cast("long").as("x"),
           round(log(col("f").cast("double")) * 1000000).cast("long").as("y"))
-        .agg(count(lit(1)).as("n_vocab"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
         .select(col("n_vocab"),
-          round((col("n_vocab") * col("sxy") - col("sx") * col("sy"))
-              .cast("double") /
-            nullif(col("n_vocab") * col("sxx") - col("sx") * col("sx"),
+          round((col("n_vocab").cast("decimal(19,0)") * col("sxy")
+              - col("sx") * col("sy")).cast("double") /
+            nullif(col("n_vocab").cast("decimal(19,0)") * col("sxx")
+              - col("sx") * col("sx"),
               lit(0L)).cast("double"), 4).as("zipf_slope"))
     },
     Some(s"""WITH w AS (
@@ -1108,13 +1115,14 @@ object CurationQueries {
       |             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
       |      FROM r),
       |a AS (SELECT count(*) AS n_vocab,
-      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |        CAST(sum(x * y) AS BIGINT) AS sxy,
-      |        CAST(sum(x * x) AS BIGINT) AS sxx
+      |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |        sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |        sum(CAST(x AS HUGEINT) * x) AS sxx
       |      FROM m)
       |SELECT n_vocab,
-      |  round(CAST(n_vocab * sxy - sx * sy AS DOUBLE) /
-      |        CAST(nullif(n_vocab * sxx - sx * sx, 0) AS DOUBLE), 4) AS zipf_slope
+      |  round(CAST(CAST(n_vocab AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+      |        CAST(nullif(CAST(n_vocab AS HUGEINT) * sxx - sx * sx, 0) AS DOUBLE),
+      |        4) AS zipf_slope
       |FROM a""".stripMargin))
 
   /** END-TO-END benchmark decontamination: where [[textContamination]]
@@ -1224,9 +1232,13 @@ object CurationQueries {
   /** Windowed co-occurrence PMI (the distributional statistic under
     * word2vec/GloVe-era embedding prep and collocation mining): word
     * pairs within a ±2 skip-gram radius, scored by pointwise mutual
-    * information in its exact ratio form c_ab·N²/(M·c_a·c_b) — integer
-    * numerator and denominator, ONE IEEE division micro-snapped, so the
-    * top collocations replay exactly. Pairs generate ROW-LOCALLY from
+    * information in its ratio form c_ab·N²/(M·c_a·c_b). The ratio is an
+    * ORDER-PINNED double chain (each count < 2⁵³ converts exactly; every
+    * product/division is IEEE correctly-rounded, written in the identical
+    * left-associated order in both engines), then micro-snapped — the
+    * integer form c_ab·N² passes Int64 near N ≈ 2e9 tokens and even
+    * HUGEINT near web scale, so the double chain is the form that
+    * survives 100 TB, and the top collocations still replay exactly. Pairs generate ROW-LOCALLY from
     * the token array (no corpus self-join — the pair stream is linear in
     * corpus size); unigram and pair totals are map-combined aggregates;
     * the vocab-sized count tables broadcast back. Top-20 pairs with
@@ -1265,8 +1277,10 @@ object CurationQueries {
         .crossJoin(broadcast(totals)).crossJoin(broadcast(m))
         .filter(col("cab") >= 5)
         .select(col("a"), col("b"), col("cab"),
-          round(lit(1000000.0) * (col("cab") * col("n") * col("n")).cast("double")
-            / (col("m") * col("ca") * col("cb")).cast("double")).cast("long")
+          round(lit(1000000.0) * col("cab").cast("double")
+            * col("n").cast("double") * col("n").cast("double")
+            / (col("m").cast("double") * col("ca").cast("double")
+              * col("cb").cast("double"))).cast("long")
             .as("pmi_micro"))
         .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)
         .limit(20)
@@ -1291,8 +1305,10 @@ object CurationQueries {
       |mm AS (SELECT count(*) AS m FROM pp),
       |cab AS (SELECT a, b, count(*) AS cab FROM pp GROUP BY a, b)
       |SELECT a, b, cab,
-      |  CAST(round(1000000.0 * CAST(cab * n * n AS DOUBLE)
-      |    / CAST(m * ua.c * ub.c AS DOUBLE)) AS BIGINT) AS pmi_micro
+      |  CAST(round(1000000.0 * CAST(cab AS DOUBLE)
+      |    * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |    / (CAST(m AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)))
+      |    AS BIGINT) AS pmi_micro
       |FROM cab JOIN uni ua ON a = ua.word JOIN uni ub ON b = ub.word
       |CROSS JOIN nn CROSS JOIN mm
       |WHERE cab >= 5

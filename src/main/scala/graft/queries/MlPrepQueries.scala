@@ -1227,12 +1227,15 @@ object MlPrepQueries {
     * presence and document source for a fixed probe vocabulary — the
     * classic supervised feature-selection statistic, computed over the
     * full 2×K presence/source contingency through the closed form
-    * χ² = Σ_s (N·O_s − n_w·n_s)² / (N·n_s·n_w·(N−n_w)), which keeps every
-    * numerator an EXACT integer product (the (absent, s) cells fold in
-    * algebraically — they share the same squared deviation). Each
-    * per-source term is snapped to integer micro-units after its one IEEE
-    * division, then summed exactly, so per-word totals are
-    * order-independent across engines (the mix_temperature recipe).
+    * χ² = Σ_s (N·O_s − n_w·n_s)² / (N·n_s·n_w·(N−n_w)): the deviation
+    * N·O_s − n_w·n_s is an EXACT DECIMAL(38,0)/HUGEINT integer (it is ~N²
+    * and wraps Int64 near 1e5 docs; the (absent, s) cells fold in
+    * algebraically — they share the same squared deviation), while its
+    * square and the N⁴-magnitude denominator run as an order-pinned IEEE
+    * double chain written identically in both engines. Each per-source
+    * term is snapped to integer micro-units, then summed exactly, so
+    * per-word totals are order-independent across engines (the
+    * mix_temperature recipe).
     * Scale shape: one scan → distinct (doc, word) presence pairs for the
     * probe set only (filter pushed before the distinct), map-combined
     * counts; the dense word×source grid is probe-sized and broadcast. */
@@ -1252,17 +1255,25 @@ object MlPrepQueries {
         .agg(countDistinct(col("doc_id")).as("n_w"))
       val obs = present.groupBy(col("w"), col("source"))
         .agg(count(lit(1)).as("o_ws"))
-      val dev = col("n_total") * col("o_ws") - col("n_w") * col("n_s")
+      // dev is an EXACT integer in DECIMAL(38,0)/HUGEINT — n_total·o_ws
+      // is ~N² and wraps Int64 near 1e5 docs; its square and the
+      // N⁴-magnitude denominator move to an order-pinned double chain
+      // (counts < 2⁵³ convert exactly; each IEEE product rounds
+      // identically in both engines), keeping the statistic exact-interior
+      // to N ≲ 1e19 docs with zero overflow beyond that.
+      val dev = (col("n_total").cast("decimal(19,0)") * col("o_ws")
+        - col("n_w").cast("decimal(19,0)") * col("n_s")).cast("double")
       val denom = nullif(
-        col("n_total") * col("n_s") * col("n_w") * (col("n_total") - col("n_w")),
-        lit(0L))
+        col("n_total").cast("double") * col("n_s").cast("double")
+          * col("n_w").cast("double")
+          * (col("n_total").cast("double") - col("n_w").cast("double")),
+        lit(0.0))
       byWord.crossJoin(broadcast(bySrc))
         .join(obs, Seq("w", "source"), "left")
         .na.fill(0L, Seq("o_ws"))
         .crossJoin(broadcast(nTotal))
         .withColumn("term_micro",
-          round((dev * dev).cast("double") / denom.cast("double") * 1000000)
-            .cast("long"))
+          round(dev * dev / denom * 1000000).cast("long"))
         .groupBy(col("w"))
         .agg(first(col("n_w")).as("n_docs_with"),
           sum(col("term_micro")).as("chi2_micro"))
@@ -1289,8 +1300,11 @@ object MlPrepQueries {
       |terms AS (
       |  SELECT w, n_w,
       |    CAST(round(
-      |      CAST((n_total * o_ws - n_w * n_s) * (n_total * o_ws - n_w * n_s) AS DOUBLE)
-      |      / CAST(nullif(n_total * n_s * n_w * (n_total - n_w), 0) AS DOUBLE)
+      |      CAST(CAST(n_total AS HUGEINT) * o_ws - CAST(n_w AS HUGEINT) * n_s AS DOUBLE)
+      |      * CAST(CAST(n_total AS HUGEINT) * o_ws - CAST(n_w AS HUGEINT) * n_s AS DOUBLE)
+      |      / nullif(CAST(n_total AS DOUBLE) * CAST(n_s AS DOUBLE)
+      |               * CAST(n_w AS DOUBLE)
+      |               * (CAST(n_total AS DOUBLE) - CAST(n_w AS DOUBLE)), 0)
       |      * 1000000) AS BIGINT) AS term_micro
       |  FROM grid)
       |SELECT w AS word, n_w AS n_docs_with,

@@ -204,7 +204,11 @@ object EventStreams {
             .sortBy(e => (usOf(e.ts),
               if (e.event_type == "click") 0 else 1, e.event_id))
             .foreach { e =>
-              if (e.event_type == "click") ch = e.ch
+              // ignoreNulls carry contract (matches the batch twin's
+              // last(ch, ignoreNulls=true) and the oracle's last_value
+              // IGNORE NULLS): a click with no parseable channel must NOT
+              // reset the carried attribution to organic.
+              if (e.event_type == "click") { if (e.ch != null) ch = e.ch }
               else out += AttributedPurchase(uid, e.event_id,
                 if (ch == null) "organic" else ch, e.value)
             }
