@@ -536,8 +536,26 @@ object PipelineQueries {
       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM ham
       |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin))
 
-  /** Embedding-cosine near-dup pairs over a synthesized near-dup corpus:
-    * embeddings ∪ slightly-perturbed copies. */
+  /** Embedding-cosine near-dup pairs over a synthesized near-dup corpus
+    * (embeddings ∪ 1.01×-scaled copies), blocked on the
+    * [[Similarity.e2lshKey]] over the UNIT-NORMALIZED vectors — the
+    * scale path, replacing the earlier broadcast all-pairs form whose
+    * candidate cost was O(N²/16) with a broadcast side ∝ corpus.
+    *
+    * Why normalize before keying: cosine is scale-invariant, so the
+    * block key must be too. Keyed on raw vectors, the 1.01× duplication
+    * channel shifts every projection by 1% of its magnitude — a real
+    * boundary-miss rate; keyed on v/‖v‖ the scaled copy differs from its
+    * original only by float-rounding noise (≤ a few ulps per component,
+    * projection shift ~1e-6 against bucketWidth 0.25), so the channel's
+    * recall is ~1 (pinned exactly in PipelineSpec) while the cell count
+    * still grows with the corpus: candidate cost Σ|cell|² ∝ N, no
+    * broadcast of anything data-sized. The full corpus participates —
+    * the old fixed-fraction sample existed only to bound the quadratic
+    * form. Determinism: normalization, projections and cosines are
+    * order-pinned IEEE chains the oracle replays bit-for-bit (the
+    * sim_topk_brute contract); floor-quantization therefore lands in the
+    * same cell in both engines even at a boundary. */
   val dedupEmbedding: QueryDef = QueryDef(
     "dedup_embedding",
     (s, d) => {
@@ -546,8 +564,14 @@ object PipelineQueries {
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
       val corpus = emb.select(col("vec_id"), col("embedding")).union(perturbed)
-      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
-        col("vec_id") % 4 === 0 || col("vec_id") >= 100000, threshold = 0.99)
+      val normed = corpus
+        .withColumn("vn0", Similarity.norm(col("embedding")))
+        .filter(col("vn0") > 0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") / col("vn0")).cast("float")).as("nv"))
+      Similarity.cosineNearDupPairsLsh(normed, "vec_id", "nv",
+        threshold = 0.99, nPlanes = 8, dim = 64, bucketWidth = 0.25)
         .orderBy("id_a", "id_b")
     },
     Some("""WITH corpus AS (
@@ -555,13 +579,29 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT vec_id + 100000 AS vec_id, [x * CAST(1.01 AS FLOAT) for x in embedding] AS embedding
       |  FROM embeddings WHERE vec_id % 20 = 0),
-      |side AS (SELECT vec_id, embedding FROM corpus WHERE vec_id % 4 = 0 OR vec_id >= 100000),
+      |normed AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn0
+      |  FROM corpus),
+      |nv AS (
+      |  SELECT vec_id, [CAST(CAST(x AS DOUBLE) / vn0 AS FLOAT) for x in embedding] AS v
+      |  FROM normed WHERE vn0 > 0),
+      |planes AS (
+      |  SELECT p, list(CASE WHEN strpos('13579bdf', substr(md5(p || ':' || d), 2, 1)) > 0
+      |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS pv
+      |  FROM range(0, 8) rp(p), range(1, 65) rd(d)
+      |  GROUP BY p),
+      |keyed AS (
+      |  SELECT vec_id, any_value(v) AS v,
+      |    string_agg(CAST(CAST(floor(list_dot_product(CAST(v AS DOUBLE[]), pv) / 0.25) AS BIGINT) AS VARCHAR),
+      |               ':' ORDER BY p) AS blk
+      |  FROM nv, planes GROUP BY vec_id),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-      |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-      |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
-      |  FROM side a JOIN side b ON a.vec_id < b.vec_id)
+      |    list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])))) AS cos
+      |  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.vec_id < b.vec_id)
       |SELECT id_a, id_b, round(cos, 4) AS cos_r FROM pairs WHERE cos >= 0.99
       |ORDER BY id_a, id_b""".stripMargin))
 

@@ -583,6 +583,29 @@ class PipelineSpec extends SparkSpec {
     assert(c200 > 40, s"cells must stay fine-grained, got $c200 for 200 images")
   }
 
+  test("dedup_embedding: unit-normalized e2lsh key recovers every 1.01x-scaled copy") {
+    // The near-dup gate keys on v/||v||, so the scaling channel shifts each
+    // projection only by float-rounding noise (~1e-6 vs bucketWidth 0.25)
+    // — recall on (k, k+100000) must be exactly 1. A raw-vector key would
+    // shift projections by 1% of magnitude and miss at cell boundaries.
+    val out = SparkEntry.allQueries.find(_.name == "dedup_embedding").get
+      .build(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseIds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(baseIds.nonEmpty)
+    baseIds.foreach { k =>
+      assert(out.contains((k, k + 100000L)),
+        s"missed 1.01x-scaled duplicate ($k, ${k + 100000L})")
+    }
+    // and the LSH blocking admits no spurious pairs on this corpus: the
+    // random synthetic embeddings have no organic cos >= 0.99 neighbors
+    assert(out.size == baseIds.length,
+      s"expected exactly the ${baseIds.length} scaled pairs, got ${out.size}")
+  }
+
   test("aHash is container-invariant: every cross-format re-encode hashes equal to its original") {
     val docs = Tables.documents(spark, sf)
     val orig = Multimodal.imageAHashes(Multimodal.imageCorpus(docs))

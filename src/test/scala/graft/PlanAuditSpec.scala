@@ -133,6 +133,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_embedding: e2lsh-blocked equi-join — no FORCED broadcast of the corpus side, no nested loop") {
+    val q = SparkEntry.allQueries.find(_.name == "dedup_embedding").get
+    val df = q.build(spark, "/root/testdata/sf0.001")
+    // the old form was join(broadcast(side), a.id < b.id): a broadcast
+    // HINT (forced regardless of size — OOM when side ∝ corpus) feeding a
+    // BroadcastNestedLoopJoin (all-pairs compare). The replacement must be
+    // a plain equi-join on the LSH cell key: the planner may still CHOOSE
+    // broadcast at tiny SFs from stats — that decision reverses itself at
+    // scale, a hint does not.
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "near-dup side carries a forced broadcast hint")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("blk"), "pair join lost the LSH cell equi-key")
+  }
+
   test("link_entities: candidate-bound linkage — blocked equi-join on the name-prefix key, no cartesian, no ranking window") {
     val p = plan("link_entities")
     // blocking must stay an equi-join on the prefix key (a cartesian or
