@@ -1070,12 +1070,21 @@ object MlPrepQueries {
     * overshoot; greedy prefix fill, the standard mixture-assembly rule).
     * Reports what each source actually contributed plus the overshoot.
     *
-    * Scale shape: one corpus scan computes per-doc token counts
-    * row-locally, then ONE shuffle keyed by source feeds the per-source
-    * cumulative fill (a running sum over positive values is inherently
-    * sequential PER SOURCE — that is the semantics, not a plan accident;
-    * sources partition independently, so 10k sources = 10k parallel
-    * fills). The output is one row per source. */
+    * Scale shape — SHARDED PREFIX SUM (the [[graft.ops.Packing]] recipe),
+    * not one running-sum window per source: realistic pretraining mixes
+    * have 10–50 sources, so a per-source window is 10–50 serial tasks
+    * each sorting its source's ENTIRE document set. Instead the md5 sort
+    * key's 2-hex-char prefix partitions each source's order into 256
+    * contiguous shards: (1) one map-combined pass reduces the corpus to
+    * the sources×256 shard-token table; (2) a window over that BOUNDED
+    * table yields each shard's cumulative offset; (3) shards whose offset
+    * already meets the quota are pruned — cum_before ≥ offset, so no doc
+    * in them can be kept; (4) the pruned offsets broadcast back and an
+    * inner join drops almost the whole corpus before (5) the in-shard
+    * prefix window runs per (source, shard) — parallel, and only over
+    * boundary-shard rows (~quota tokens per source, not ~N/#sources).
+    * cum_before = offset + in-shard prefix is EXACTLY the per-source
+    * running sum, so the oracle is unchanged. */
   val mixTokenBudget: QueryDef = QueryDef(
     "mix_token_budget",
     (s, d) => {
@@ -1084,11 +1093,22 @@ object MlPrepQueries {
         .select(col("doc_id"), col("source"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           md5(col("doc_id").cast("string")).as("hs"))
-      val fill = Window.partitionBy(col("source"))
+        .withColumn("shard", substring(col("hs"), 1, 2))
+      val shardSums = docs.groupBy(col("source"), col("shard"))
+        .agg(sum(col("n_tokens")).as("shard_tokens"))
+      val offW = Window.partitionBy(col("source")).orderBy(col("shard").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = shardSums
+        .withColumn("offset",
+          coalesce(sum(col("shard_tokens")).over(offW), lit(0L)))
+        .filter(col("offset") < quota)
+        .select(col("source"), col("shard"), col("offset"))
+      val inShard = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("hs").asc, col("doc_id").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      docs
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(fill), lit(0L)))
+      docs.join(broadcast(offsets), Seq("source", "shard"))
+        .withColumn("cum_before",
+          col("offset") + coalesce(sum(col("n_tokens")).over(inShard), lit(0L)))
         .filter(col("cum_before") < quota)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_kept"),
@@ -1121,8 +1141,11 @@ object MlPrepQueries {
     * assembly step of a multilingual/multi-domain training run: small
     * sources get super-proportional budgets, and the budget unit is
     * tokens. Two corpus scans (one map-combined counts pass that yields
-    * the broadcast quota table, one fill pass with a single source-keyed
-    * window); the quota table is #sources-sized. */
+    * the broadcast quota table, one fill pass); the fill is the same
+    * SHARDED prefix sum as [[mixTokenBudget]] — per-shard sums over a
+    * bounded sources×256 table, offsets broadcast back, shards past their
+    * source's quota pruned before the per-(source, shard) window — so no
+    * task ever sorts a whole source. */
   val mixTokenBudgetTemperature: QueryDef = QueryDef(
     "mix_token_budget_temperature",
     (s, d) => {
@@ -1140,12 +1163,23 @@ object MlPrepQueries {
         .select(col("doc_id"), col("source"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           md5(col("doc_id").cast("string")).as("hs"))
-      val fill = Window.partitionBy(col("source"))
+        .withColumn("shard", substring(col("hs"), 1, 2))
+      val shardSums = docs.groupBy(col("source"), col("shard"))
+        .agg(sum(col("n_tokens")).as("shard_tokens"))
+      val offW = Window.partitionBy(col("source")).orderBy(col("shard").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = shardSums
+        .join(quotas, "source")
+        .withColumn("offset",
+          coalesce(sum(col("shard_tokens")).over(offW), lit(0L)))
+        .filter(col("offset") < col("quota_tokens"))
+        .select(col("source"), col("shard"), col("offset"), col("quota_tokens"))
+      val inShard = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("hs").asc, col("doc_id").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      docs.join(broadcast(quotas), "source")
+      docs.join(broadcast(offsets), Seq("source", "shard"))
         .withColumn("cum_before",
-          coalesce(sum(col("n_tokens")).over(fill), lit(0L)))
+          col("offset") + coalesce(sum(col("n_tokens")).over(inShard), lit(0L)))
         .filter(col("cum_before") < col("quota_tokens"))
         .groupBy(col("source"))
         .agg(first(col("quota_tokens")).as("quota_tokens"),

@@ -149,6 +149,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("blk"), "pair join lost the LSH cell equi-key")
   }
 
+  test("mix_token_budget fills run per (source, shard) — no task ever sorts a whole source") {
+    for (name <- Seq("mix_token_budget", "mix_token_budget_temperature")) {
+      val p = plan(name)
+      // the corpus-side prefix window (the one ordered by the md5 sort
+      // key hs) must also be keyed by the 2-hex shard prefix — a window
+      // partitioned by source alone is one serial full-source sort task
+      // per source, and pretraining mixes have only 10-50 sources
+      val corpusWindows =
+        "windowspecdefinition\\([^)]*hs#[^)]*".r.findAllIn(p).toList
+      assert(corpusWindows.nonEmpty, s"$name: lost the in-shard prefix window")
+      corpusWindows.foreach { w =>
+        assert(w.contains("shard#"), s"$name: corpus window not shard-keyed: $w")
+      }
+    }
+  }
+
   test("link_entities: candidate-bound linkage — blocked equi-join on the name-prefix key, no cartesian, no ranking window") {
     val p = plan("link_entities")
     // blocking must stay an equi-join on the prefix key (a cartesian or
@@ -560,10 +576,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected shingle-probe + dirty-flag broadcasts:\n${p.linesIterator.take(30).mkString("\n")}")
   }
 
-  test("mix_token_budget: one corpus scan, no join — the fill is one source-keyed window") {
+  test("mix_token_budget: two bounded passes — shard-sum aggregate + broadcast-pruned fill") {
     val p = plan("mix_token_budget")
-    assert(nodes(p, "Scan parquet") == 1, "budget fill re-scans the corpus")
-    assert(!p.contains("Join"), "budget fill grew a join")
+    // pass 1 reduces the corpus to sources×256 shard sums; pass 2 joins
+    // the broadcast (quota-pruned) offsets back for the in-shard fill —
+    // trading the old single-scan-single-serial-window shape for two
+    // parallel scans and windows that never sort a whole source
+    assert(nodes(p, "Scan parquet") == 2, "expected shard-sum pass + fill pass")
+    assert(nodes(p, "BroadcastHashJoin") == 1, "offset join must broadcast (sources×256 rows)")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled against the tiny offset table")
   }
 
   test("sim_rrf_fusion: both ranker heaps fill in one corpus pass; fusion never sort-merge-joins the corpus") {
