@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   * training AND application bit-for-bit):
   *  - the symbol alphabet stays SINGLE-CHAR: initial symbols are the
   *    normalized chars [a-z0-9]; merge i's output symbol is the single
-  *    char `chr(191 + i)` (i 1-based — U+00C0..), disjoint from the
-  *    input alphabet. A segmentation is therefore a plain string, one
-  *    char per token;
+  *    char `chr(191 + i)` (i 1-based — U+00C0 upward through the BMP to
+  *    U+D7FF, so up to 55 104 merges: vocabulary scale, not a toy cap),
+  *    disjoint from the input alphabet. A segmentation is therefore a
+  *    plain string, one char per token. Both engines index strings by
+  *    codepoint and every symbol is a non-surrogate BMP codepoint, so
+  *    Java UTF-16 code units and DuckDB UTF-8 codepoints agree;
   *  - applying a merge is literal left-to-right non-overlapping
   *    `replace(seg, pair, mergedChar)` — Java `String.replace` and SQL
   *    `replace` agree exactly;
@@ -62,8 +65,10 @@ object Bpe {
     * the one aggregation job at call time. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       maxTrainWords: Int): Seq[Merge] = {
-    require(numMerges >= 1 && numMerges <= 63,
-      "merged symbols live in the single-char range U+00C0..U+00FF")
+    require(numMerges >= 1 && numMerges <= 55104,
+      "merged symbols live in the single-char non-surrogate BMP range " +
+        "U+00C0..U+D7FF (55104 merges) — beyond that a multi-char symbol " +
+        "representation is needed")
     require(maxTrainWords >= 1, "need a positive training-word cap")
     val freqRows = docs
       .select(explode(TextOps.words(col(textCol))).as("w"))
@@ -76,22 +81,38 @@ object Bpe {
       freqRows.map(r => r.getString(0) -> r.getLong(1))
     val merges = Seq.newBuilder[Merge]
     for (i <- 1 to numMerges) {
-      val counts = scala.collection.mutable.Map.empty[String, Long]
+      // One O(len) walk per word yields the exact non-overlap counts the
+      // replace formula defines (the naive candidate-pairs × countPair
+      // pass is O(distinct-pairs × words × len) — quadratic-ish, and the
+      // wall the old 63-merge ceiling hid; at vocabulary scale the loop
+      // runs thousands of rounds). For a pair xy with x≠y occurrences
+      // cannot overlap, so the positional count IS the replace count;
+      // for xx, a maximal run of L equal chars holds exactly ⌊L/2⌋
+      // greedy left-to-right occurrences.
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
       segs.foreach { case (s, f) =>
+        val n = s.length
         var j = 0
-        while (j + 2 <= s.length) { // candidate pairs from every position;
-          val p = s.substring(j, j + 2) // the COUNT is the non-overlap formula
-          if (!counts.contains(p)) counts(p) = 0L
-          j += 1
+        while (j < n - 1) {
+          if (s.charAt(j) == s.charAt(j + 1)) {
+            val c = s.charAt(j)
+            var k = j + 1
+            while (k < n && s.charAt(k) == c) k += 1
+            val run = k - j
+            val p = s.substring(j, j + 2)
+            counts.update(p, counts.getOrElse(p, 0L) + (run / 2).toLong * f)
+            j = k - 1 // next iteration sees the (c, following-char) pair
+          } else {
+            val p = s.substring(j, j + 2)
+            counts.update(p, counts.getOrElse(p, 0L) + f)
+            j += 1
+          }
         }
-      }
-      counts.keysIterator.toArray.foreach { p =>
-        counts(p) = segs.iterator.map { case (s, f) => countPair(s, p) * f }.sum
       }
       require(counts.nonEmpty,
         s"BPE round $i: no adjacent pairs left to merge (corpus too small " +
           s"for numMerges=$numMerges)")
-      val (bestPair, bestCnt) = counts.toSeq
+      val (bestPair, bestCnt) = counts
         .minBy { case (p, c) => (-c, p) } // (count desc, pair asc)
       val m = mergedChar(i)
       merges += Merge(i.toLong, bestPair, m, bestCnt)
@@ -102,11 +123,45 @@ object Bpe {
 
   /** Segment one normalized word under an ordered merge list: chars,
     * then each merge applied exhaustively left-to-right. One char of the
-    * result = one BPE token. */
+    * result = one BPE token. O(numMerges × len) — the reference
+    * semantics; use [[segmentRanked]] on the hot path. */
   def segment(word: String, merges: Seq[Merge]): String = {
     var s = word
     merges.foreach(m => s = s.replace(m.pair, m.merged))
     s
+  }
+
+  /** [[segment]] in O(len² ) per word, INDEPENDENT of vocabulary size:
+    * repeatedly replace the lowest-rank pair present. Equivalent to the
+    * sequential exhaustive chain because merge outputs are fresh
+    * symbols: applying merge i can only create pairs containing its
+    * fresh symbol (candidates for merges ranked AFTER i, never before),
+    * and replacing a pair never bridges two pre-existing symbols into a
+    * new adjacent pair of older rank. Pinned against [[segment]] in
+    * BpeSpec. `ranks` maps pair → Merge. */
+  def segmentRanked(word: String,
+      ranks: java.util.HashMap[String, Merge]): String = {
+    var s = word
+    var done = false
+    while (!done) {
+      var best: Merge = null
+      var j = 0
+      while (j < s.length - 1) {
+        val m = ranks.get(s.substring(j, j + 2))
+        if (m != null && (best == null || m.rk < best.rk)) best = m
+        j += 1
+      }
+      if (best == null) done = true
+      else s = s.replace(best.pair, best.merged)
+    }
+    s
+  }
+
+  /** Pair → Merge lookup for [[segmentRanked]]. */
+  def rankMap(merges: Seq[Merge]): java.util.HashMap[String, Merge] = {
+    val m = new java.util.HashMap[String, Merge](merges.size * 2)
+    merges.foreach(x => m.put(x.pair, x))
+    m
   }
 
   /** The trained merge table as a DataFrame (rk, pair, merged, cnt). */
@@ -124,18 +179,31 @@ object Bpe {
       merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ms = merges.map(m => (m.pair, m.merged))
+    val ms = merges.toIndexedSeq
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val ws = normalizeString(text).split(" ", -1).filter(_.nonEmpty)
-        var toks = 0L
-        ws.foreach { w =>
-          var s = w
-          ms.foreach { case (p, m) => s = s.replace(p, m) }
-          toks += s.length
+      .mapPartitions { it =>
+        // rank map built once per task; natural-language word frequency
+        // is Zipfian, so a bounded per-task memo (distinct word → token
+        // count) turns the per-occurrence cost into a hash probe. The
+        // cap keeps task memory bounded on adversarial corpora (every
+        // word distinct); beyond it words are segmented unmemoized.
+        val ranks = rankMap(ms)
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
+        it.map { case (id, text) =>
+          val ws = normalizeString(text).split(" ", -1).filter(_.nonEmpty)
+          var toks = 0L
+          ws.foreach { w =>
+            val cached = memo.get(w)
+            if (cached != null) toks += cached.longValue()
+            else {
+              val t = segmentRanked(w, ranks).length.toLong
+              if (memo.size < (1 << 16)) memo.put(w, t)
+              toks += t
+            }
+          }
+          (id, ws.length.toLong, toks)
         }
-        (id, ws.length.toLong, toks)
       }
       .toDF(idCol, "n_words", "n_tokens_bpe")
   }
@@ -195,6 +263,91 @@ object Bpe {
       (m, e)
     }
   }
+
+  // ---- oracle SQL generation, RECURSIVE form (vocabulary scale) ----
+  //
+  // The unrolled chain above binds one CTE level per merge round, which
+  // hits SQL expression-depth limits near ~200 rounds and pays fixed
+  // planner cost per round. The recursive form replays ANY number of
+  // rounds with a constant-size query: the working table carries round
+  // r's segmentations only; the merge table is re-derived per round from
+  // the ACCUMULATED union afterwards (same count formula, same
+  // (count desc, pair asc) argmax — verified equal to the driver loop).
+  // Paste these after `WITH RECURSIVE `.
+
+  /** Recursive training replay over `documents`: CTEs `bpe_w0` (capped
+    * word-frequency table over `normalizeSql`), `bpe_steps` (per-round
+    * segmentations), `bpe_merges(rk, pair, merged, cnt)`. The coalesce
+    * sentinel keeps an exhausted round a no-op instead of NULL-poisoning
+    * the segmentations (the driver loop fails fast instead — gated
+    * queries stay below exhaustion). */
+  def trainRecursiveCtesSql(normalizeSql: String, numMerges: Int,
+      maxTrainWords: Int): String =
+    s"""bpe_w0 AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split($normalizeSql, ' ')) AS w FROM documents) t
+       |  WHERE len(w) >= 1 GROUP BY w
+       |  ORDER BY freq DESC, word ASC LIMIT $maxTrainWords),
+       |bpe_steps(r, word, freq, s) AS (
+       |  SELECT 0, word, freq, word FROM bpe_w0
+       |  UNION ALL
+       |  SELECT r + 1, word, freq,
+       |    replace(s, coalesce(
+       |      (SELECT pair FROM (
+       |         SELECT pair,
+       |           CAST(sum(freq * (len(s) - len(replace(s, pair, ''))) // 2) AS BIGINT) AS cnt
+       |         FROM (SELECT DISTINCT word, freq, s, substr(s, CAST(x AS INTEGER), 2) AS pair
+       |               FROM bpe_steps, unnest(range(1, len(s), 1)) rr(x))
+       |         GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)),
+       |      chr(1) || chr(1)), chr(192 + r)) AS s
+       |  FROM bpe_steps WHERE r < $numMerges),
+       |bpe_pr AS MATERIALIZED (
+       |  SELECT r, pair,
+       |    CAST(sum(freq * (len(s) - len(replace(s, pair, ''))) // 2) AS BIGINT) AS cnt
+       |  FROM (SELECT DISTINCT r, word, freq, s, substr(s, CAST(x AS INTEGER), 2) AS pair
+       |        FROM bpe_steps, unnest(range(1, len(s), 1)) rr(x))
+       |  WHERE r < $numMerges
+       |  GROUP BY r, pair),
+       |bpe_merges AS MATERIALIZED (
+       |  SELECT r + 1 AS rk, pair, chr(192 + r) AS merged, cnt
+       |  FROM (SELECT r, pair, cnt,
+       |          row_number() OVER (PARTITION BY r ORDER BY cnt DESC, pair ASC) AS rn
+       |        FROM bpe_pr)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Recursive APPLICATION replay: segments the distinct words of
+    * `wordsRel` (a relation with one VARCHAR column `w`) under
+    * `bpe_merges` — CTEs `bpe_aw`, `bpe_app`, and `bpe_seg(w, t)` where
+    * `t` is the word's BPE token count. Append after
+    * [[trainRecursiveCtesSql]]. */
+  def applyRecursiveCtesSql(wordsRel: String, numMerges: Int): String =
+    s"""bpe_aw AS MATERIALIZED (SELECT DISTINCT w FROM $wordsRel WHERE len(w) >= 1),
+       |bpe_app(r, w, s) AS (
+       |  SELECT 0, w, w FROM bpe_aw
+       |  UNION ALL
+       |  SELECT r + 1, bpe_app.w,
+       |    replace(s, coalesce(m.pair, chr(1) || chr(1)), coalesce(m.merged, chr(2)))
+       |  FROM bpe_app LEFT JOIN bpe_merges m ON m.rk = r + 1
+       |  WHERE r < $numMerges),
+       |bpe_seg AS MATERIALIZED (
+       |  SELECT w, len(s) AS t FROM bpe_app WHERE r = $numMerges)""".stripMargin
+
+  /** Recursive vocabulary DECODE: `bpe_expd` carries the full
+    * symbol → expansion map across rounds, adding merge i's symbol at
+    * round i; the final map is the rows with r = numMerges. Append after
+    * [[trainRecursiveCtesSql]]. */
+  def vocabRecursiveCteSql(numMerges: Int): String =
+    s"""bpe_expd(r, sym, ex) AS (
+       |  SELECT 0, chr(CAST(x AS INTEGER)), chr(CAST(x AS INTEGER))
+       |  FROM (SELECT unnest(range(97, 123)) AS x UNION ALL
+       |        SELECT unnest(range(48, 58))) b
+       |  UNION ALL
+       |  (SELECT r + 1, sym, ex FROM bpe_expd WHERE r < $numMerges
+       |   UNION ALL
+       |   SELECT e1.r + 1, m.merged, e1.ex || e2.ex
+       |   FROM bpe_expd e1, bpe_expd e2, bpe_merges m
+       |   WHERE m.rk = e1.r + 1 AND e1.r = e2.r AND e1.r < $numMerges
+       |     AND e1.sym = substr(m.pair, 1, 1) AND e2.sym = substr(m.pair, 2, 1)))""".stripMargin
 
   /** The expansion table in SQL: CTE chain `exp0..exp$n` where exp$i
     * maps every symbol live after round i to its character expansion.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -868,6 +868,90 @@ object MlPrepQueries {
          |FROM tok GROUP BY source ORDER BY source""".stripMargin
     })
 
+  /** Shared configuration for the VOCABULARY-SCALE BPE family: 512
+    * merges (output symbols U+00C0 upward — the single-char symbol
+    * design holds to 55k merges), trained on the corpus text ENRICHED
+    * with each document's md5 hex fingerprint as one extra word. The
+    * enrichment matters: the synthetic corpus has only ~31 distinct
+    * natural words (BPE exhausts its pair supply near 90 merges), while
+    * the hex words give the trainer a deep character-level vocabulary to
+    * learn — the same "characters → subwords" dynamics a real corpus
+    * exhibits — deterministically and identically in both engines. The
+    * oracle replays all 512 training rounds with ONE recursive CTE
+    * ([[graft.ops.Bpe.trainRecursiveCtesSql]]) — constant query size,
+    * no expression-depth wall, unlike the unrolled 16-merge family
+    * above. */
+  private val bpeMergesLarge = 512
+  private val bpeLargeText =
+    "concat(coalesce(text, ''), ' ', md5(CAST(doc_id AS VARCHAR)))"
+  private val normalizeLargeSql =
+    s"trim(regexp_replace(regexp_replace(lower($bpeLargeText), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def bpeLargeDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("train_text",
+      concat(coalesce(col("text"), lit("")), lit(" "),
+        md5(col("doc_id").cast("string"))))
+  private def bpeLargeTrain(s: SparkSession, d: String): Seq[graft.ops.Bpe.Merge] =
+    Bpe.train(bpeLargeDocs(s, d), "train_text", bpeMergesLarge, bpeCap)
+
+  /** Vocabulary-scale BPE TRAINING: the full 512-merge table, every
+    * round's (pair, count) decision cross-engine gated — the oracle
+    * replays training with a single recursive CTE instead of 512
+    * unrolled rounds. */
+  val textBpeTrainLarge: QueryDef = QueryDef(
+    "text_bpe_train_large",
+    (s, d) => Bpe.mergesDf(s, bpeLargeTrain(s, d)).orderBy("rk"),
+    Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
+             bpeMergesLarge, bpeCap)}
+      |SELECT rk, pair, merged, cnt FROM bpe_merges ORDER BY rk""".stripMargin))
+
+  /** Vocabulary-scale BPE VOCABULARY: each of the 512 merges decoded to
+    * the character string its symbol expands to — the shippable
+    * tokenizer artifact. The oracle rebuilds the decode map with a
+    * second recursive CTE over the replayed merge table. */
+  val textBpeVocabLarge: QueryDef = QueryDef(
+    "text_bpe_vocab_large",
+    (s, d) => {
+      import s.implicits._
+      Bpe.expansions(bpeLargeTrain(s, d))
+        .map { case (m, e) => (m.rk, e, m.cnt) }
+        .toDF("rk", "token_str", "cnt")
+        .orderBy("rk")
+    },
+    Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
+             bpeMergesLarge, bpeCap)},
+      |${Bpe.vocabRecursiveCteSql(bpeMergesLarge)}
+      |SELECT m.rk, d.ex AS token_str, m.cnt
+      |FROM bpe_merges m
+      |JOIN (SELECT sym, ex FROM bpe_expd WHERE r = $bpeMergesLarge) d
+      |  ON d.sym = m.merged
+      |ORDER BY m.rk""".stripMargin))
+
+  /** Vocabulary-scale BPE APPLICATION: per-document token accounting
+    * under the 512-merge vocabulary. Spark applies row-locally with the
+    * rank-priority segmenter ([[graft.ops.Bpe.segmentRanked]] — cost
+    * independent of vocabulary size) plus a per-task distinct-word memo;
+    * the oracle segments the distinct word set with a recursive replace
+    * chain and joins the counts back. Train → apply end-to-end at
+    * vocabulary scale in one gate. */
+  val textBpeApplyLarge: QueryDef = QueryDef(
+    "text_bpe_apply_large",
+    (s, d) => Bpe.tokenCounts(bpeLargeDocs(s, d), "doc_id", "train_text",
+        bpeLargeTrain(s, d))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
+             bpeMergesLarge, bpeCap)},
+      |bpe_wx AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split($normalizeLargeSql, ' ')) AS w
+      |  FROM documents),
+      |${Bpe.applyRecursiveCtesSql("bpe_wx", bpeMergesLarge)},
+      |agg AS (
+      |  SELECT doc_id, count(*) AS nw, sum(t) AS nt
+      |  FROM bpe_wx JOIN bpe_seg ON bpe_wx.w = bpe_seg.w GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+      |  CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens_bpe
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   /** Deterministic CURRICULUM ordering (easy→hard training schedule with
     * intra-bin shuffle): documents ranked into length deciles
     * ([[graft.ops.Sampling.denseIndex]] — the range-partitioned rank, no
@@ -1586,7 +1670,9 @@ object MlPrepQueries {
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     mixTokenBudget, mixTokenBudgetTemperature, mlTargetEncodeLoo, mlChi2Tokens,
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
-    textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility, textHashEmbed, textBigramLm, mixCurriculum,
+    textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
+    textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
+    textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,

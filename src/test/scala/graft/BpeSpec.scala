@@ -58,6 +58,44 @@ class BpeSpec extends SparkSpec {
     assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L)
   }
 
+  test("segmentRanked equals the sequential exhaustive chain at vocabulary scale") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("train_text", concat_ws(" ", col("text"),
+        md5(col("doc_id").cast("string"))))
+    val merges = Bpe.train(docs, "train_text", numMerges = 512,
+      maxTrainWords = 2000)
+    assert(merges.size === 512)
+    val ranks = Bpe.rankMap(merges)
+    val words = docs.select(col("train_text")).collect()
+      .flatMap(r => Bpe.normalizeString(r.getString(0)).split(" "))
+      .filter(_.nonEmpty).distinct
+    assert(words.length > 400)
+    words.foreach { w =>
+      assert(Bpe.segmentRanked(w, ranks) === Bpe.segment(w, merges),
+        s"divergence on word '$w'")
+    }
+  }
+
+  test("vocabulary-scale training: counts non-increasing, symbols fresh, prefix-stable") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("train_text", concat_ws(" ", col("text"),
+        md5(col("doc_id").cast("string"))))
+    val m = Bpe.train(docs, "train_text", numMerges = 1024, maxTrainWords = 2000)
+    assert(m.size === 1024)
+    // counts never increase round-over-round: a merge's output pairs can
+    // only count at most the merged pair's count, and every surviving
+    // pair's count is monotonically consumed
+    m.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.cnt <= a.cnt, s"count rose ${a.rk}->${b.rk}: ${a.cnt}->${b.cnt}")
+    }
+    // merge 64+ crosses the old U+00FF ceiling into the wider BMP range
+    assert(m(100).merged.codePointAt(0) > 0xFF)
+    m.foreach(x => assert(x.merged.length === 1))
+    // prefix-stability: the first 512 merges equal an independent 512 run
+    val m512 = Bpe.train(docs, "train_text", numMerges = 512, maxTrainWords = 2000)
+    assert(m.take(512) === m512)
+  }
+
   test("more merges never increase a document's token count") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 50)
