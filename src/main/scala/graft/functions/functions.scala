@@ -20,6 +20,18 @@ package object functions {
   def min_shingle_hash(c: Column, k: Int = 8): Column = TextOps.minShingleHash(c, k)
   def word_shingles(c: Column, n: Int): Column = TextOps.wordShingles(c, n)
 
+  /** Unicode NFC canonical composition ([[NfcNormalize]], codegen'd) —
+    * decomposed combining sequences fold to their composed forms. */
+  def nfc(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+
+  /** Unicode-aware text normalization ([[TextOps.normalizeUnicode]]):
+    * NFC → lower → keep `\p{L}\p{N}` → collapse whitespace. The
+    * multilingual twin of [[normalize_text]], which is ASCII-only and
+    * empties CJK/Cyrillic/Arabic text. */
+  def normalize_text_unicode(c: Column): Column = TextOps.normalizeUnicode(c)
+  def word_tokens_unicode(c: Column): Column = TextOps.wordsUnicode(c)
+
   // --- survey cleaning expressions
   def binary_recode(colName: String): Column =
     graft.transform.CleanRows.binaryRecodeExpr(colName)

@@ -19,6 +19,38 @@ object TextOps {
   /** Whitespace word tokens of normalized text. */
   def words(c: Column): Column = split(normalize(c), " ")
 
+  /** Unicode-aware canonical normalization: NFC composition (the
+    * codegen'd [[graft.functions.NfcNormalize]] — decomposed `e`+U+0301
+    * folds to `é` BEFORE the letter class is applied, else the combining
+    * mark, which is `\p{M}` not `\p{L}`, is stripped and the base letter
+    * orphaned), then lowercase, keep letters/digits of EVERY script
+    * (`\p{L}\p{N}`), collapse whitespace. The multilingual twin of
+    * [[normalize]], which maps all non-ASCII to separators and so
+    * empties CJK/Cyrillic/Arabic/Greek documents through every text op.
+    * Cross-engine: DuckDB mirrors as
+    * `trim(regexp_replace(regexp_replace(lower(nfc_normalize(x)),
+    * '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))` — Java regex and
+    * RE2 agree on the `\p{L}`/`\p{N}` general categories, and JDK
+    * Normalizer / utf8proc agree on NFC (both pinned by the
+    * `text_*_unicode` oracle gates). */
+  def normalizeUnicode(c: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      lower(graft.functions.nfc(c)), "[^\\p{L}\\p{N} ]", " "), " +", " "))
+
+  /** Whitespace word tokens of Unicode-normalized text. (Scripts written
+    * without spaces — CJK — tokenize as one word per run; character-level
+    * ops, not this, are the unit for those.) */
+  def wordsUnicode(c: Column): Column = split(normalizeUnicode(c), " ")
+
+  /** JVM twin of [[normalizeUnicode]] for typed narrow passes — keep in
+    * sync with the column expression (equivalence pinned by
+    * `dedup_segments_unicode`'s oracle and TextChunkSpec). */
+  def normalizeUnicodeString(text: String): String =
+    java.text.Normalizer.normalize(Option(text).getOrElse(""),
+        java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^\\p{L}\\p{N} ]", " ").replaceAll(" +", " ").trim
+
   /** Word n-gram shingles (distinct). For n=1 this is the word set. */
   def wordShingles(c: Column, n: Int): Column = {
     val w = words(c)
@@ -381,9 +413,15 @@ object TextOps {
     * with real line breaks would use `split(text, "\n")` as the unit
     * instead — every consumer below is agnostic to how the segment column
     * was produced. */
-  def wordSegments(c: Column, k: Int): Column = {
+  def wordSegments(c: Column, k: Int): Column =
+    wordSegmentsOf(words(c), k)
+
+  /** [[wordSegments]] over the Unicode tokenizer ([[wordsUnicode]]). */
+  def wordSegmentsUnicode(c: Column, k: Int): Column =
+    wordSegmentsOf(wordsUnicode(c), k)
+
+  private def wordSegmentsOf(w: Column, k: Int): Column = {
     require(k >= 1, "segment width must be >= 1")
-    val w = words(c)
     // ceil(size/k) in integer arithmetic; size >= 1 always (split of ""
     // yields [""]), so the sequence bound never descends below 0
     val nblocks = floor((size(w) + lit(k - 1)) / lit(k)).cast("int")
@@ -420,13 +458,16 @@ object TextOps {
     * Output: (`idCol`, deduped_text, n_removed_segments); an entirely
     * boilerplate document comes back as the empty string, not null. */
   def removeFrequentSegments(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minDocs: Int, maxBroadcastSegments: Int = 1 << 20): DataFrame = {
+      k: Int, minDocs: Int, maxBroadcastSegments: Int = 1 << 20,
+      unicode: Boolean = false): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would delete every segment")
     require(k >= 1, "segment width must be >= 1")
     require(maxBroadcastSegments >= 0, "maxBroadcastSegments must be >= 0")
     val spark = docs.sparkSession
     import spark.implicits._
-    val freq = docs.select(col(idCol).as("__id"), explode(wordSegments(col(textCol), k)).as("seg"))
+    def segsOf(c: Column) =
+      if (unicode) wordSegmentsUnicode(c, k) else wordSegments(c, k)
+    val freq = docs.select(col(idCol).as("__id"), explode(segsOf(col(textCol))).as("seg"))
       .distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -442,8 +483,10 @@ object TextOps {
         .map { case (id, text) =>
           // mirrors normalize()/wordSegments() exactly — equivalence pinned
           // by the dedup_segments oracle and MlPrepSpec
-          val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val norm =
+            if (unicode) normalizeUnicodeString(text)
+            else Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+              .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
           val segs = norm.split(" ", -1).grouped(k).map(_.mkString(" ")).toArray
           val kept = segs.filterNot(bc.value.contains)
           (id, kept.mkString(" "), (segs.length - kept.length).toLong)
