@@ -1262,8 +1262,104 @@ object SurveyQueries {
       |  CAST(sum(bytes) AS BIGINT) AS total_bytes
       |FROM e GROUP BY 1 ORDER BY status""".stripMargin))
 
+  /** ingest_warc: the WARC CONTAINER front door — the multi-record
+    * format CommonCrawl-shaped corpora actually arrive in. A WARC file
+    * is a concatenation of records, each `WARC/1.0` + CRLF headers +
+    * blank line + payload + CRLF CRLF; the parse is record-split on the
+    * version line, header extraction through anchored per-field
+    * regexps, and a Content-Length integrity check that QUARANTINES
+    * (never kills) records whose declared length is missing or
+    * disagrees with the payload span — the ingest_log_parse posture for
+    * binary-ish containers.
+    *
+    * The corpus is synthesized deterministically from `documents`
+    * (16 files, records in doc_id order; doc_id % 37 lies in
+    * Content-Length, doc_id % 41 omits the header entirely), and the
+    * oracle computes the expected parse CLOSED-FORM — zero string
+    * parsing on the oracle side — so the gate proves the synthesized
+    * container round-trips through record split + header parse +
+    * integrity check to exactly the ground truth. Lengths are
+    * codepoint counts (== octets for this ASCII corpus; a byte-exact
+    * ingest would swap in octet_length over binary payloads).
+    *
+    * Scale shape: assembling test files costs one shuffle (synthesis,
+    * not the operator); the FRONT DOOR itself — split + posexplode +
+    * per-record regexps — is one narrow pass over file blobs, exactly
+    * how a 100 TB crawl lands (one task per WARC file read via
+    * binaryFile/text, records exploded in place, no shuffle until the
+    * user aggregates). */
+  val ingestWarc: QueryDef = QueryDef(
+    "ingest_warc",
+    (s, d) => {
+      val crlf = "\r\n"
+      val docs = Tables.documents(s, d)
+      val payload = coalesce(col("text"), lit(""))
+      val actualLen = length(payload)
+      val declared =
+        when(col("doc_id") % 37 === 0, actualLen + 7).otherwise(actualLen)
+      val wtype =
+        when(col("doc_id") % 5 === 0, lit("metadata")).otherwise(lit("response"))
+      val lenHeader = when(col("doc_id") % 41 === 0, lit(""))
+        .otherwise(concat(lit("Content-Length: "), declared.cast(StringType),
+          lit(crlf)))
+      val rec = concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: "), wtype, lit(crlf),
+        lit("WARC-Record-ID: urn:graft:"), col("doc_id").cast(StringType), lit(crlf),
+        lit("WARC-Target-URI: http://example.org/doc/"), col("doc_id").cast(StringType), lit(crlf),
+        lenHeader,
+        lit(crlf),
+        payload, lit(crlf + crlf))
+      val files = docs
+        .select((col("doc_id") % 16).as("file_id"),
+          struct(col("doc_id"), rec.as("rec")).as("sr"))
+        .groupBy(col("file_id"))
+        .agg(array_join(transform(array_sort(collect_list(col("sr"))),
+          x => x.getField("rec")), "").as("blob"))
+      val chunks = files.select(col("file_id"),
+          posexplode(split(col("blob"), "WARC/1\\.0\r\n"))
+            .as(Seq("rec_idx", "chunk")))
+        .filter(col("rec_idx") > 0) // split's leading element is empty
+      val parts = split(col("chunk"), "\r\n\r\n")
+      val headers = element_at(parts, 1)
+      val body = element_at(parts, 2)
+      chunks.select(
+          col("file_id"), col("rec_idx").cast("long").as("rec_idx"),
+          regexp_extract(headers, "WARC-Type: ([^\r]*)", 1).as("warc_type"),
+          regexp_extract(headers, "WARC-Record-ID: ([^\r]*)", 1).as("record_id"),
+          regexp_extract(headers, "WARC-Target-URI: ([^\r]*)", 1).as("target_uri"),
+          nullif(regexp_extract(headers, "Content-Length: (\\d+)", 1), lit(""))
+            .cast("long").as("declared_len"),
+          length(body).cast("long").as("actual_len"))
+        .withColumn("status",
+          when(col("declared_len").isNull, lit("quarantine_missing_length"))
+            .when(col("declared_len") =!= col("actual_len"),
+              lit("quarantine_length_mismatch"))
+            .otherwise(lit("ok")))
+        .orderBy("file_id", "rec_idx")
+    },
+    Some("""WITH g AS (
+      |  SELECT doc_id % 16 AS file_id,
+      |    row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rec_idx,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'metadata' ELSE 'response' END AS warc_type,
+      |    'urn:graft:' || doc_id AS record_id,
+      |    'http://example.org/doc/' || doc_id AS target_uri,
+      |    CASE WHEN doc_id % 41 = 0 THEN NULL
+      |         WHEN doc_id % 37 = 0 THEN len(coalesce(text, '')) + 7
+      |         ELSE len(coalesce(text, '')) END AS declared_len,
+      |    len(coalesce(text, '')) AS actual_len
+      |  FROM documents)
+      |SELECT file_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type,
+      |  record_id, target_uri,
+      |  CAST(declared_len AS BIGINT) AS declared_len,
+      |  CAST(actual_len AS BIGINT) AS actual_len,
+      |  CASE WHEN declared_len IS NULL THEN 'quarantine_missing_length'
+      |       WHEN declared_len <> actual_len THEN 'quarantine_length_mismatch'
+      |       ELSE 'ok' END AS status
+      |FROM g ORDER BY file_id, rec_idx""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    ingestLogParse,
+    ingestLogParse, ingestWarc,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,
     mergeTableVersions,
