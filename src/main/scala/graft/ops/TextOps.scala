@@ -614,6 +614,100 @@ object TextOps {
     }
   }
 
+  /** EXACT-SUBSTRING dedup with KEEP-ONE semantics — the Lee et al. 2022
+    * ExactSubstr paradigm: every repeated substring keeps exactly its
+    * FIRST occurrence (smallest (doc, position)) and loses every other
+    * copy, whether the repeat is cross-document or within one document.
+    * [[removeDuplicatedSpans]] is the strike-ALL-copies variant (and
+    * needs `minDocs` distinct documents); this one preserves one
+    * canonical copy of the duplicated content, the semantics a
+    * pretraining pipeline wants when the duplicated text is still
+    * legitimate content once.
+    *
+    * Detection: a repeated run of any length >= k is exactly a maximal
+    * run of repeated k-grams, so the k-gram occurrence table plays the
+    * role of the suffix array in the original (adjacent sorted suffixes
+    * sharing a >= k prefix ⇔ equal k-grams). On Spark the hash
+    * aggregation on the gram is the shuffle-friendly equivalent of the
+    * global suffix sort — same covered positions, no giant range
+    * partition/sort of every suffix, and skew degrades into a hot
+    * reduce key instead of a hot sort range.
+    *
+    * Canonical occurrence = min over (id, pos) packed into one 64-bit
+    * key (20 bits of position — documents are required < 2^20 words;
+    * ids must stay < 2^43). Positions covered by NON-canonical
+    * occurrences of any duplicated gram union into maximal spans; each
+    * document reassembles from its surviving words in one row-local
+    * rewrite (the covered-position arrays ride a doc_id join, bounded by
+    * document length).
+    *
+    * Shuffle ledger for the whole op: gram hash-agg (1), gram join (2,
+    * same key — AQE reuses the partitioning), covered-position distinct
+    * + per-doc collect (3), doc_id join for the rewrite (4). All keys
+    * are either the gram (hash-distributed, combiner-friendly) or
+    * doc_id (uniform); nothing sorts globally.
+    *
+    * Output: (`idCol`, deduped_text, n_removed_words, n_spans); a fully-
+    * duplicated document comes back as the empty string. */
+  def removeRepeatedSpansKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "gram width must be >= 2 (k=1 would dedup single words)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxPos = 1L << 20
+    val grams = docs
+      .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+        require(ws.length < maxPos && id >= 0 && id < (1L << 43),
+          s"keep-first span dedup packs (id, pos) into 64 bits: needs " +
+            s"0 <= id < 2^43 and < 2^20 words/doc, got id=$id n=${ws.length}")
+        if (ws.length < k) Iterator.empty
+        else (0 to ws.length - k).iterator.map { p =>
+          (id, p.toLong, ws.view.slice(p, p + k).mkString(" "))
+        }
+      }).toDF("id", "pos", "gram")
+      .withColumn("key", col("id") * lit(maxPos) + col("pos"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"), min(col("key")).as("canon"))
+      .filter(col("c") >= 2)
+    val cov = grams
+      .join(dup.select(col("gram"), col("canon")).hint("shuffle_hash"),
+        Seq("gram"))
+      .filter(col("key") =!= col("canon"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("cp"))
+      .distinct()
+    val covAgg = cov.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("cp"))).as("cps"))
+    docs.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .join(covAgg, Seq("id"), "left")
+      .as[(Long, String, Option[Seq[Long]])]
+      .map { case (id, text, cpsOpt) =>
+        val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+        val cps = cpsOpt.getOrElse(Seq.empty)
+        val covSet = cps.toSet
+        val kept = new StringBuilder
+        var p = 0
+        while (p < ws.length) {
+          if (!covSet.contains(p.toLong)) {
+            if (kept.nonEmpty) kept.append(' ')
+            kept.append(ws(p))
+          }
+          p += 1
+        }
+        var spans = 0L
+        var prev = Long.MinValue
+        cps.foreach { c => if (c != prev + 1) spans += 1; prev = c }
+        (id, kept.toString, cps.length.toLong, spans)
+      }.toDF(idCol, "deduped_text", "n_removed_words", "n_spans")
+  }
+
   /** CCNet-style unigram rarity score per document, in integer arithmetic
     * so every engine agrees digit-for-digit (ln() parity across engines is
     * not guaranteed to the last ulp — same decision as the log-free

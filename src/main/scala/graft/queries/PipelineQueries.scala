@@ -1796,6 +1796,51 @@ object PipelineQueries {
       |  CAST(len(w.w) - coalesce(k2.nk, 0) AS BIGINT) AS n_removed_words
       |FROM w LEFT JOIN k2 USING (doc_id) ORDER BY w.doc_id""".stripMargin))
 
+  /** EXACT-SUBSTRING dedup, KEEP-ONE flavor
+    * ([[graft.ops.TextOps.removeRepeatedSpansKeepFirst]] — Lee et al.
+    * 2022 ExactSubstr): every repeated run of >= 8 words keeps exactly
+    * its first occurrence (smallest (doc_id, position)) and loses every
+    * other copy; maximal struck spans are counted per document. The
+    * missing dedup paradigm next to `text_dedup_spans` (which strikes
+    * ALL copies): here the synthesized exact/near duplicates lose their
+    * text while the originals keep theirs verbatim. The oracle replays
+    * gram keys, the canonical min, coverage union, span runs, and
+    * positional reassembly. */
+  val dedupSubstrings: QueryDef = QueryDef(
+    "dedup_substrings",
+    (s, d) => TextOps.removeRepeatedSpansKeepFirst(docsWithDups(s, d),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS ($docsWithDupsSql),
+      |w AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
+      |g AS (SELECT doc_id, CAST(st AS BIGINT) - 1 AS pos,
+      |        array_to_string(w[CAST(st AS INTEGER):CAST(st AS INTEGER) + 7], ' ') AS gram,
+      |        doc_id * 1048576 + CAST(st AS BIGINT) - 1 AS key
+      |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6, 1)) AS st FROM w)),
+      |dup AS (SELECT gram, min(key) AS canon FROM g
+      |        GROUP BY gram HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT g.doc_id, CAST(g.pos + i AS BIGINT) AS cp
+      |        FROM g JOIN dup ON g.gram = dup.gram AND g.key <> dup.canon,
+      |             unnest(range(0, 8)) r(i)),
+      |sp AS (SELECT doc_id, cp,
+      |         CASE WHEN cp - lag(cp) OVER (PARTITION BY doc_id ORDER BY cp) = 1
+      |              THEN 0 ELSE 1 END AS brk FROM cov),
+      |ag AS (SELECT doc_id, count(*) AS nr, CAST(sum(brk) AS BIGINT) AS ns
+      |       FROM sp GROUP BY doc_id),
+      |wr AS (SELECT doc_id, unnest(w) AS word,
+      |         CAST(generate_subscripts(w, 1) AS BIGINT) - 1 AS pos
+      |       FROM w WHERE w <> ['']),
+      |kept AS (SELECT wr.doc_id, wr.word, wr.pos FROM wr
+      |         LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.pos = cov.cp
+      |         WHERE cov.cp IS NULL),
+      |k2 AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS txt
+      |       FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, coalesce(k2.txt, '') AS deduped_text,
+      |  CAST(coalesce(ag.nr, 0) AS BIGINT) AS n_removed_words,
+      |  CAST(coalesce(ag.ns, 0) AS BIGINT) AS n_spans
+      |FROM w LEFT JOIN k2 USING (doc_id) LEFT JOIN ag USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin))
+
   /** Multimodal plumbing: binary payload + metadata -> per-partition
     * batched (stub) decode -> feature rows. The metadata surface
     * (modality routing, byte accounting, md5 content hash) is
@@ -2916,7 +2961,7 @@ object PipelineQueries {
     simRrfFusion, simMmr, simRecallAudit, dedupMinhashAudit,
     textLangid, textLangConfusion, qBenfordDigits,
     ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
-    textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans,
+    textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans, dedupSubstrings,
     textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,

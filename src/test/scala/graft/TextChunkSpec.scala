@@ -72,4 +72,29 @@ class TextChunkSpec extends SparkSpec {
     val out = TextOps.dupGramStats(docs(1L -> "a b c"), "doc_id", "text", k = 8)
     assert(out.count() == 0L)
   }
+
+  test("removeRepeatedSpansKeepFirst: first occurrence survives, later copies struck") {
+    val run = (1 to 9).map(i => s"t$i").mkString(" ") // 9-word repeated run
+    val out = TextOps.removeRepeatedSpansKeepFirst(
+        docs(1L -> s"$run unique one",
+             2L -> s"other lead $run",
+             3L -> "no repeats here at all"),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc1 holds the canonical (smallest doc_id, pos) copy: untouched.
+    // doc2 loses the whole 9-word run (maximal span, not just one gram)
+    // but keeps its unique lead. doc3 untouched.
+    assert(out(0) === ((1L, s"$run unique one", 0L, 0L)))
+    assert(out(1) === ((2L, "other lead", 9L, 1L)))
+    assert(out(2) === ((3L, "no repeats here at all", 0L, 0L)))
+  }
+
+  test("removeRepeatedSpansKeepFirst: within-document repeats keep only the first") {
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val out = TextOps.removeRepeatedSpansKeepFirst(
+        docs(5L -> s"$run mid $run"), "doc_id", "text", k = 8)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((s"$run mid", 8L, 1L)))
+  }
 }
