@@ -200,35 +200,49 @@ object Sampling {
     val nPart =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // Materialized BEFORE the counts action: range boundaries are sampled
-    // at shuffle planning, so the counts pass and the rank pass must
-    // consume the SAME materialized partitioning, not two independent
-    // evaluations. An eager reliable checkpoint (not a bare persist):
-    // the blocks live as checkpoint files released by the ContextCleaner
-    // once the plan is unreachable (cleanCheckpoints=true in the session
-    // builders), so repeated invocations don't accumulate session-
-    // lifetime cache entries the way an unreleased persist would.
-    val parts = Materialize.carried(
-      df.repartitionByRange(nPart, orderCols.map(col): _*)
-        .withColumn("__pid", spark_partition_id()))
-    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__pc"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until nPart).scanLeft(0L) {
-      (acc, p) => acc + counts.getOrElse(p, 0L)
-    }
-    val offsetRows = offsets.zipWithIndex.take(nPart)
-      .map { case (off, p) => (p, off) }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = broadcast(offsetRows.toDF("__pid", "__off"))
-    val localRank = row_number().over(
-      Window.partitionBy(col("__pid"))
-        .orderBy(orderCols.map(col(_).asc): _*))
-    val indexed = parts.withColumn("__rn", localRank)
-      .join(offsetDf, Seq("__pid"))
-      .withColumn(idxCol, col("__off") + col("__rn") - 1)
-      .drop("__pid", "__rn", "__off")
-    (indexed, offsets.last)
+    // The RDD zipWithIndex recipe on ONE physical plan. Range boundaries
+    // are sampled at shuffle planning, so the counts pass and the rank
+    // pass must consume the SAME partitioning — two separately-derived
+    // Datasets would each instantiate their own RangePartitioner. Using
+    // one RDD gives that consistency for free AND without materializing
+    // anything: the counts job computes the shuffle map stage, and the
+    // rank job re-reads the SAME shuffle files (Spark never recomputes a
+    // computed ShuffleMapStage), so the corpus is written to local
+    // shuffle storage exactly once — no persist entry to leak, no
+    // reliable-checkpoint write+read (the round-11 fix for the former
+    // cost 2x on every caller; this keeps the leak closed at shuffle
+    // price). Cost ledger: shuffle write x1, shuffle read + in-partition
+    // sort x2 (the count job pays the plan's sort too — partitions are
+    // sized to sort in memory, cheaper than a checkpoint round-trip).
+    val sorted = df
+      .repartitionByRange(nPart, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col(_).asc): _*)
+    val internal = sorted.queryExecution.toRdd
+    val sizes = sorted.sparkSession.sparkContext.runJob(internal,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+      })
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val zipped = internal.mapPartitionsWithIndex({ (pid, it) =>
+      var i = offsets(pid)
+      it.map { row =>
+        // copy: shuffle readers reuse the UnsafeRow buffer per partition
+        val out: org.apache.spark.sql.catalyst.InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+            row.copy(),
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](i)))
+        i += 1
+        out
+      }
+    }, preservesPartitioning = true)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idxCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    (org.apache.spark.sql.graftbridge.Bridge.ofInternalRows(
+      df.sparkSession, zipped, schema), total)
   }
 
   /** Deterministic exactly-k-PER-GROUP uniform sample: within each group,

@@ -21,6 +21,17 @@ object Bridge {
   def eagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** DataFrame over an `RDD[InternalRow]`
+    * (`SparkSession.internalCreateDataFrame` is `private[sql]`) — the
+    * re-entry point for RDD-level kernels that must stay in the
+    * Tungsten row format (e.g. the zipWithIndex global-rank recipe)
+    * instead of round-tripping through external `Row` conversion. */
+  def ofInternalRows(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Connect split) — the entry point custom
     * logical operators need. */
