@@ -327,6 +327,53 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Deterministic LABEL PROPAGATION community detection (Raghavan et
+    * al. 2007), synchronous with two determinism repairs that keep the
+    * DuckDB oracle able to replay every round bit-for-bit:
+    *
+    *  - ties in the neighbor-label vote break (count desc, label asc) —
+    *    the random tie-break of the original is the one thing that makes
+    *    vanilla LPA non-reproducible;
+    *  - each node also votes for its OWN current label (weight 1). This
+    *    both damps the synchronous two-coloring oscillation LPA exhibits
+    *    on bipartite structure and removes the "no neighbors" special
+    *    case (isolated nodes keep their label).
+    *
+    * Fixed `rounds` (the kmeans/PageRank fixed-iteration precedent:
+    * ROUNDS is part of the operator's contract, so both engines run the
+    * same computation). Labels start as node ids; each round is one
+    * shuffle-join (edges × labels, both on node keys) + one
+    * (node, label) count + a struct-min argmax — no windows. Per-round
+    * [[Materialize.carried]] truncates the loop lineage.
+    *
+    * `edges` needs (src, dst); the graph is symmetrized + de-duplicated
+    * here. Returns (node, label) after `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val base = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = Materialize.invariant(base
+      .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var labels = Materialize.carried(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    for (_ <- 1 to rounds) {
+      val votes = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("lbl"))
+        .unionAll(labels)
+      labels = Materialize.carried(
+        votes.groupBy(col("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("b"))
+          .select(col("node"), col("b").getField("lbl").as("lbl")))
+    }
+    e.unpersist(false)
+    labels
+  }
+
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "need maxHops >= 0")
     val e = Materialize.invariant(edges

@@ -257,6 +257,71 @@ object TextOps {
       }.toDF("id", "top_word_share", "dup_ngram_frac")
   }
 
+  /** Gopher document-quality rule flags (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1 — the MassiveText quality filter), per document:
+    *
+    *  - word count in [50, 100 000];
+    *  - mean word length in [3, 10] characters;
+    *  - symbol-to-word ratio ("#" or "...") ≤ 0.1;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 distinct members of the English stop-word list present
+    *    (the "harmful boilerplate/gibberish" guard).
+    *
+    * (The bullet-/ellipsis-line rules need line structure this corpus
+    * does not have and are omitted; the repetition thresholds live in
+    * [[repetitionMetrics]].) Every comparison is exact-integer
+    * cross-multiplied (3·nw ≤ chars ≤ 10·nw, 5·alpha ≥ 4·nw,
+    * 10·symbols ≤ nw) — no ratio floats to disagree on. One NARROW
+    * typed pass, the [[repetitionMetrics]] boundary decision.
+    *
+    * Output: (id, n_words, pass_word_count, pass_mean_word_len,
+    * pass_symbol_ratio, pass_alpha_words, pass_stopwords, pass_all). */
+  def gopherQualityFlags(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stops = stopwords("en").toSet
+    df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = Option(text).getOrElse("")
+        val norm = raw.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+        val nw = ws.length
+        val chars = if (nw == 0) 0 else norm.length - (nw - 1)
+        var alpha = 0
+        val stopSeen = new java.util.HashSet[String]()
+        ws.foreach { w =>
+          var hasAlpha = false
+          var i = 0
+          while (i < w.length && !hasAlpha) {
+            if (w.charAt(i) >= 'a' && w.charAt(i) <= 'z') hasAlpha = true
+            i += 1
+          }
+          if (hasAlpha) alpha += 1
+          if (stops.contains(w)) stopSeen.add(w)
+        }
+        var sym = 0
+        var i = 0
+        while (i < raw.length) {
+          if (raw.charAt(i) == '#') sym += 1
+          else if (raw.startsWith("...", i)) { sym += 1; i += 2 }
+          i += 1
+        }
+        val rWc = nw >= 50 && nw <= 100000
+        val rMwl = nw > 0 && 3L * nw <= chars && chars <= 10L * nw
+        val rSym = 10L * sym <= nw
+        val rAlpha = nw > 0 && 5L * alpha >= 4L * nw
+        val rStop = stopSeen.size >= 2
+        (id, nw.toLong, rWc, rMwl, rSym, rAlpha, rStop,
+          rWc && rMwl && rSym && rAlpha && rStop)
+      }
+      .toDF(idCol, "n_words", "pass_word_count", "pass_mean_word_len",
+        "pass_symbol_ratio", "pass_alpha_words", "pass_stopwords", "pass_all")
+  }
+
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
     "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),

@@ -439,6 +439,43 @@ object AnalyticsQueries {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + 1000000).as("dst"))
 
+  /** Deterministic LABEL-PROPAGATION communities
+    * ([[graft.ops.Graph.labelPropagation]] — Raghavan et al. 2007 with
+    * the (count desc, label asc) tie-break and a self-vote, the two
+    * repairs that make synchronous LPA reproducible) over the
+    * symmetrized customer–supplier order graph, 3 fixed rounds; top-20
+    * communities by size. The oracle replays every round unrolled —
+    * vote union, (node, label) count, ranked argmax — so each label
+    * decision, not just the census, is cross-engine gated. */
+  val qLabelProp: QueryDef = QueryDef(
+    "q_label_prop",
+    (s, d) => graft.ops.Graph.labelPropagation(pagerankEdges(s, d), rounds = 3)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community").asc).limit(20)
+      .select(col("community"), col("n_nodes")),
+    Some {
+      val rounds = (1 to 3).map { t =>
+        s"""v$t AS (SELECT e.dst AS node, l.lbl FROM e JOIN l${t - 1} l ON e.src = l.node
+           |  UNION ALL SELECT node, lbl FROM l${t - 1}),
+           |c$t AS (SELECT node, lbl, count(*) AS c FROM v$t GROUP BY node, lbl),
+           |l$t AS (SELECT node, lbl FROM (
+           |  SELECT node, lbl,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+           |  FROM c$t) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH be AS (
+         |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM be UNION ALL SELECT dst AS src, src AS dst FROM be)
+         |  WHERE src <> dst),
+         |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT src AS node FROM e)),
+         |$rounds
+         |SELECT lbl AS community, count(*) AS n_nodes FROM l3
+         |GROUP BY lbl ORDER BY n_nodes DESC, community ASC LIMIT 20""".stripMargin
+    })
+
   val qPagerank: QueryDef = {
     val iters = 3
     val scale = 1000000000000L
@@ -1391,7 +1428,7 @@ object AnalyticsQueries {
     qTrimmedMean, qGiniSegment, qPareto,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
-    qPagerank, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
+    qPagerank, qLabelProp, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
     qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap,
     qMergeIntervals, qUserGrowth, qRfmSegments, qKCore, qChangepointCusum,
     qSkyline)

@@ -1314,7 +1314,67 @@ object CurationQueries {
       |WHERE cab >= 5
       |ORDER BY pmi_micro DESC, a ASC, b ASC LIMIT 20""".stripMargin))
 
+  /** The published GOPHER quality filter (Rae et al. 2021, Table A1 —
+    * [[graft.ops.TextOps.gopherQualityFlags]]): the five document-level
+    * rules a MassiveText-style pipeline applies before training (word
+    * count 50..100k, mean word length 3..10, symbol ratio ≤ 0.1, ≥ 80%
+    * alphabetic words, ≥ 2 distinct stop words), rolled up per source as
+    * a pass census plus per-rule failure counts — the dashboard a
+    * curation team reads to see WHICH rule is biting a source. Every
+    * threshold compares exact-integer cross-products; one narrow typed
+    * pass + one map-combined aggregate. The short-document rule is
+    * discriminating on this corpus (docs under 50 words fail), so the
+    * gate exercises both branches of every flag. */
+  val curateGopherRules: QueryDef = QueryDef(
+    "curate_gopher_rules",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.gopherQualityFlags(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass_all"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("pass_word_count"), 0L).otherwise(1L)).as("n_fail_word_count"),
+          sum(when(col("pass_mean_word_len"), 0L).otherwise(1L)).as("n_fail_mean_word_len"),
+          sum(when(col("pass_symbol_ratio"), 0L).otherwise(1L)).as("n_fail_symbol_ratio"),
+          sum(when(col("pass_alpha_words"), 0L).otherwise(1L)).as("n_fail_alpha_words"),
+          sum(when(col("pass_stopwords"), 0L).otherwise(1L)).as("n_fail_stopwords"))
+        .orderBy("source")
+    },
+    Some(s"""WITH base AS (
+      |  SELECT doc_id, source, coalesce(text, '') AS raw, $normalizeSql AS norm,
+      |    string_split($normalizeSql, ' ') AS w
+      |  FROM documents),
+      |f AS (
+      |  SELECT source,
+      |    CASE WHEN len(norm) = 0 THEN 0 ELSE len(w) END AS nw,
+      |    CASE WHEN len(norm) = 0 THEN 0 ELSE len(norm) - len(w) + 1 END AS chars,
+      |    (length(raw) - length(replace(raw, '...', ''))) // 3
+      |      + (length(raw) - length(replace(raw, '#', ''))) AS sym,
+      |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+      |    len(list_filter(['the','and','of','to','in','is','that','for'],
+      |        s -> list_contains(w, s))) AS nstop
+      |  FROM base),
+      |r AS (
+      |  SELECT source,
+      |    (nw >= 50 AND nw <= 100000) AS r_wc,
+      |    (nw > 0 AND 3 * nw <= chars AND chars <= 10 * nw) AS r_mwl,
+      |    (10 * sym <= nw) AS r_sym,
+      |    (nw > 0 AND 5 * alpha >= 4 * nw) AS r_alpha,
+      |    (nstop >= 2) AS r_stop
+      |  FROM f)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(sum(CASE WHEN r_wc THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_word_count,
+      |  CAST(sum(CASE WHEN r_mwl THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_mean_word_len,
+      |  CAST(sum(CASE WHEN r_sym THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_symbol_ratio,
+      |  CAST(sum(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_alpha_words,
+      |  CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stopwords
+      |FROM r GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
+    curateGopherRules,
     textDiversity, textReadability, textZipfSlope,
     pipelineDecontaminate, textKeywords, textPmiPairs,
     curateDecayCounts,

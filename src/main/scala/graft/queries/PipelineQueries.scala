@@ -634,6 +634,65 @@ object PipelineQueries {
     * audit's cost and runs on the SAME broadcast-query/heap plan as
     * sim_topk_brute (audits run on a sampled query set, not the
     * firehose); the join is list-sized. */
+  /** MATRYOSHKA truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): top-5 cosine neighbors under the FULL
+    * 64-dim embedding vs under its 32-dim PREFIX, overlap per query —
+    * the acceptance test for serving truncated embeddings (half the
+    * memory/bandwidth) off an MRL-style encoder. Same shape as
+    * `sim_recall_audit`: both rankings ride the broadcast-query/heap
+    * brute plan on a sampled query set, the join is list-sized, and the
+    * overlap COUNT is exact because both rankings are bit-exact
+    * cross-engine. */
+  val embMatryoshkaOverlap: QueryDef = QueryDef(
+    "emb_matryoshka_overlap",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val isQ = col("vec_id") % 50 === 0
+      val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val half = Similarity.bruteForceTopK(
+          emb.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding")),
+          "vec_id", "embedding", isQ, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val hits = half.join(full, Seq("query_id", "cand_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      full.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("query_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS cand_id, embedding AS v FROM embeddings),
+      |rank_full AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT q.query_id, c.cand_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_dot_product(CAST(q.v AS DOUBLE[]), CAST(c.v AS DOUBLE[])) /
+      |          (sqrt(list_dot_product(CAST(q.v AS DOUBLE[]), CAST(q.v AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(CAST(c.v AS DOUBLE[]), CAST(c.v AS DOUBLE[])))) DESC,
+      |        c.cand_id ASC) AS rk
+      |    FROM c, q WHERE q.query_id <> c.cand_id)
+      |  WHERE rk <= 5),
+      |rank_half AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT q.query_id, c.cand_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_dot_product(CAST(q.v[1:32] AS DOUBLE[]), CAST(c.v[1:32] AS DOUBLE[])) /
+      |          (sqrt(list_dot_product(CAST(q.v[1:32] AS DOUBLE[]), CAST(q.v[1:32] AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(CAST(c.v[1:32] AS DOUBLE[]), CAST(c.v[1:32] AS DOUBLE[])))) DESC,
+      |        c.cand_id ASC) AS rk
+      |    FROM c, q WHERE q.query_id <> c.cand_id)
+      |  WHERE rk <= 5),
+      |hits AS (
+      |  SELECT h.query_id, count(*) AS n_overlap
+      |  FROM rank_half h JOIN rank_full f
+      |    ON h.query_id = f.query_id AND h.cand_id = f.cand_id
+      |  GROUP BY h.query_id)
+      |SELECT q.query_id, CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap
+      |FROM (SELECT DISTINCT query_id FROM rank_full) q
+      |LEFT JOIN hits ON q.query_id = hits.query_id
+      |ORDER BY q.query_id""".stripMargin))
+
   val simRecallAudit: QueryDef = QueryDef(
     "sim_recall_audit",
     (s, d) => {
@@ -2958,7 +3017,7 @@ object PipelineQueries {
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
     simAnnLsh, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
-    simRrfFusion, simMmr, simRecallAudit, dedupMinhashAudit,
+    simRrfFusion, simMmr, simRecallAudit, embMatryoshkaOverlap, dedupMinhashAudit,
     textLangid, textLangConfusion, qBenfordDigits,
     ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans, dedupSubstrings,

@@ -117,4 +117,37 @@ class CurationSpec extends SparkSpec {
     assert(a.nonEmpty && a === b,
       "epoch pack summary changed under a different input partitioning")
   }
+
+  test("gopherQualityFlags: each rule passes and fails on closed-form docs") {
+    import spark.implicits._
+    val good = (("the and of to in is that for " * 7).trim + " " +
+      (1 to 10).map(i => s"word$i").mkString(" ")) // 66 words, 2+ stopwords
+    val docs = Seq(
+      (1L, good),                                   // passes every rule
+      (2L, "the and " + ("w " * 10).trim),          // 12 words: fails word count only
+      (3L, ("the and " * 30).trim + " aa"),         // 61 words, mean len < 3
+      (4L, good + " " + ("##########" * 2)),        // symbol ratio > 0.1
+      (5L, good.replaceAll("word", "99")),          // digit words: alpha < 80%? no - only 10/66; keep alpha pass
+      (6L, ("zz " * 60).trim))                      // 60 words, no stopwords
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.gopherQualityFlags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (got(i).getBoolean(2), got(i).getBoolean(3),
+      got(i).getBoolean(4), got(i).getBoolean(5), got(i).getBoolean(6),
+      got(i).getBoolean(7))
+    assert(flags(0) === ((true, true, true, true, true, true)), "doc1 all-pass")
+    assert(flags(1)._1 === false && flags(1)._6 === false, "doc2 word count")
+    assert(flags(2)._2 === false, "doc3 mean word length")
+    assert(flags(3)._3 === false, "doc4 symbol ratio")
+    assert(flags(5)._5 === false && flags(5)._1 === true, "doc6 stopwords")
+  }
+
+  test("gopherQualityFlags: alpha-word rule fails a digit-dominated doc") {
+    import spark.implicits._
+    val text = "the and " + (1 to 60).map(_.toString).mkString(" ") // 62 words, 60 numeric
+    val got = graft.ops.TextOps.gopherQualityFlags(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(got.getBoolean(5) === false, "alpha rule must fail")
+    assert(got.getBoolean(2) === true, "word count passes at 62")
+  }
 }

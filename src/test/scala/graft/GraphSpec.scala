@@ -140,4 +140,29 @@ class GraphSpec extends SparkSpec {
     // k above the max degree empties the graph
     assert(Graph.kCoreRounds(e, k = 5, rounds = 3).count() == 0L)
   }
+
+  test("labelPropagation: hand-checked communities; self-vote damps the 2-node swap") {
+    // triangle {1,2,3} + disjoint pair {4,5}: round 1 all-tie votes fall
+    // to the ascending label, round 2 reaches the fixed point
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // bipartite pair: synchronous LPA without a self-vote swaps labels
+    // forever (1<->2 each round); the self-vote reaches the fixed point
+    val pair = Seq((1L, 2L)).toDF("src", "dst")
+    val p = Graph.labelPropagation(pair, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(p === Seq(1L -> 1L, 2L -> 1L))
+  }
+
+  test("labelPropagation is partition-invariant and direction/duplicate robust") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    def run(parts: Int) =
+      Graph.labelPropagation(e.repartition(parts), rounds = 3)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(run(1) === run(8))
+    assert(run(1) === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
 }
