@@ -64,6 +64,25 @@ object Sketches {
       .join(build, key)
   }
 
+  /** ERASURE-shaped anti join with a bloom pre-filter — the
+    * right-to-be-forgotten deletion pass: rows whose key the bloom rules
+    * OUT are kept WITHOUT touching the join at all (under a small
+    * deletion set that is almost every row — no shuffle, no join probe,
+    * one codegen'd filter fused with the scan); only the might-contain
+    * sliver pays the exact anti-join that removes true matches and
+    * returns the false positives. Bloom false positives therefore cost
+    * a join probe, never a lost row — the exactness contract a deletion
+    * pass must keep. */
+  def bloomPrunedAntiJoin(probe: DataFrame, build: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val bf = bloomFilter(build, key, expectedItems, fpp)
+    val bcast = probe.sparkSession.sparkContext.broadcast(bf)
+    val might = graft.functions.bloom_might_contain_long(col(key), bcast)
+    probe.filter(!might)
+      .unionByName(probe.filter(might)
+        .join(build.select(col(key)).distinct(), Seq(key), "left_anti"))
+  }
+
   /** KMV (bottom-k / k-minimum-values) distinct-count estimate.
     *
     * Unlike HLL (whose sketch bytes are implementation-specific), KMV is

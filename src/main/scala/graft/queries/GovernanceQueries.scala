@@ -408,7 +408,51 @@ object GovernanceQueries {
         |FROM sc ORDER BY score DESC, j ASC LIMIT 1""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(privacyKAnon, privacyLDiversity, auditConstraints, privacyDpQuantile,
+  /** RIGHT-TO-BE-FORGOTTEN erasure + completeness audit
+    * ([[graft.ops.Sketches.bloomPrunedAntiJoin]]): a deterministic
+    * deletion list (every 53rd user) is erased from the event log, and
+    * the audit reports, per event type, the before/after/removed row
+    * counts AND the count of deleted-user rows REMAINING after the pass
+    * — the number a GDPR audit needs to be zero, computed from the
+    * erased output itself so the gate verifies completeness, not
+    * intent. Scale shape: the kept majority never touches a join — one
+    * broadcast-bloom filter fused with the scan; only the might-contain
+    * sliver pays the exact anti-join (false positives cost a probe,
+    * never a lost row). */
+  val privacyErasureAudit: QueryDef = QueryDef(
+    "privacy_erasure_audit",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val deletions = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 53 === 0)
+      val erased = graft.ops.Sketches.bloomPrunedAntiJoin(
+        ev, deletions, "user_id", expectedItems = 4096L)
+      val before = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = erased.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("user_id") % 53 === 0, 1L).otherwise(0L))
+            .as("n_residual"))
+      before.join(after, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+          coalesce(col("n_residual"), lit(0L)).as("n_residual"))
+        .orderBy("event_type")
+    },
+    Some("""WITH a AS (
+      |  SELECT event_type,
+      |    count(*) AS n_before,
+      |    CAST(sum(CASE WHEN user_id % 53 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_del
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n_before,
+      |  CAST(n_before - n_del AS BIGINT) AS n_after,
+      |  n_del AS n_removed,
+      |  CAST(0 AS BIGINT) AS n_residual
+      |FROM a ORDER BY event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(privacyErasureAudit,
+    privacyKAnon, privacyLDiversity, auditConstraints, privacyDpQuantile,
     sampleGroupK,
     mlBinsEquidepth, privacyPseudonymize, auditReferential, pipelineGoverned,
     privacyDpRelease)

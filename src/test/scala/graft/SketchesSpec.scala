@@ -104,4 +104,17 @@ class SketchesSpec extends SparkSpec {
     assert(hot.forall(keys.contains), s"missed hot keys: ${hot.filterNot(keys.contains)}")
     assert(keys.forall(hot.contains), s"non-hot keys leaked in: ${keys.filterNot(hot.contains).take(5)}")
   }
+
+  test("bloomPrunedAntiJoin equals a plain anti join (false positives cost a probe, never a row)") {
+    import spark.implicits._
+    val probe = (1L to 2000L).map(i => (i, s"v$i")).toDF("user_id", "v")
+    val build = (1L to 2000L).filter(_ % 53 == 0).map(Tuple1(_)).toDF("user_id")
+    val got = graft.ops.Sketches.bloomPrunedAntiJoin(probe, build, "user_id",
+        expectedItems = 64L, fpp = 0.5) // tiny + high fpp: false positives guaranteed
+      .select("user_id").as[Long].collect().sorted
+    val want = probe.join(build, Seq("user_id"), "left_anti")
+      .select("user_id").as[Long].collect().sorted
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 2000 - build.count())
+  }
 }
