@@ -617,4 +617,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "log parse grew a join")
     assert(p.contains("Scan text"), "front door no longer reads the staged text corpus")
   }
+
+  test("dedup_substrings: gram join hash-shuffles (no sort-merge), no ranking window, cover set broadcasts back") {
+    val p = plan("dedup_substrings")
+    assert(!p.contains("SortMergeJoin"), "gram or rebuild join fell to SMJ")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "span accounting must stay row-local")
+    assert(p.contains("ShuffledHashJoin"), "gram join lost the hash-join hint")
+  }
+
+  test("ingest_warc: the parse is narrow — zero joins, one synthesis exchange + the output sort") {
+    val p = plan("ingest_warc")
+    assert(!p.contains("Join"), "WARC parse grew a join")
+    assert(nodes(p, "Exchange") == 2, p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("privacy_erasure_audit: kept majority filters on the broadcast bloom; anti join never sort-merges") {
+    val p = plan("privacy_erasure_audit")
+    assert(p.contains("bloom_might_contain_long"), "bloom pre-filter missing from the plan")
+    assert(!p.contains("SortMergeJoin"), "erasure anti join fell to SMJ")
+  }
+
+  test("text_tokens_unicode and text_bpe_apply_large stay join-free narrow passes") {
+    val pu = plan("text_tokens_unicode")
+    assert(!pu.contains("Join"), "unicode census grew a join")
+    val pb = plan("text_bpe_apply_large")
+    assert(!pb.contains("Join"), "BPE application grew a join")
+    assert(nodes(pb, "Exchange") == 1, "BPE application should shuffle only for the output sort")
+    assert(pb.contains("MapPartitions"), "BPE application lost the narrow typed pass")
+  }
 }
