@@ -952,6 +952,130 @@ object MlPrepQueries {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin))
 
+  /** Sequence packing driven by the VOCABULARY-SCALE tokenizer:
+    * `pack_chunks_bpe`'s shard/prefix-sum shape with token counts from
+    * the 512-merge vocabulary — the composition a real pipeline runs
+    * (train tokenizer → tokenize → pack), end-to-end under one oracle
+    * that replays training recursively, re-segments the distinct word
+    * set, and re-runs the shard prefix sums. */
+  val packChunksBpeLarge: QueryDef = QueryDef(
+    "pack_chunks_bpe_large",
+    (s, d) => {
+      val docs = bpeLargeDocs(s, d)
+      Packing.chunkSummaryCounts(
+          Bpe.tokenCounts(docs, "doc_id", "train_text", bpeLargeTrain(s, d)),
+          "doc_id", "n_tokens_bpe", nShards = 8, budgetTokens = 512)
+        .orderBy("shard", "chunk_id")
+    },
+    Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
+             bpeMergesLarge, bpeCap)},
+      |bpe_wx AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split($normalizeLargeSql, ' ')) AS w
+      |  FROM documents),
+      |${Bpe.applyRecursiveCtesSql("bpe_wx", bpeMergesLarge)},
+      |agg AS (
+      |  SELECT doc_id, sum(t) AS nt
+      |  FROM bpe_wx JOIN bpe_seg ON bpe_wx.w = bpe_seg.w GROUP BY doc_id),
+      |base AS (
+      |  SELECT d.doc_id % 8 AS shard, d.doc_id AS id,
+      |    CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens
+      |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+      |c AS (
+      |  SELECT shard, id, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM base),
+      |a2 AS (
+      |  SELECT shard, n_tokens, CAST(cum_before // 512 AS BIGINT) AS chunk_id,
+      |    CASE WHEN n_tokens > 0 AND (cum_before + n_tokens - 1) // 512 > cum_before // 512
+      |         THEN 1 ELSE 0 END AS straddles
+      |  FROM c)
+      |SELECT shard, chunk_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(straddles) AS BIGINT) AS n_straddling
+      |FROM a2 GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
+
+  /** T5-style SPAN CORRUPTION accounting (Raffel et al. 2020): the
+    * masking step between packing and pretraining, made deterministic so
+    * both engines replay every decision. Position p of document d is
+    * masked iff the first two hex digits of md5(d || ':' || p) read as
+    * an integer < 38 (38/256 ≈ the 15% corruption rate); adjacent
+    * masked positions merge into one span, each span becoming one
+    * sentinel in the encoder input while its tokens move to the target.
+    * Emits per document: n_tokens, n_masked, n_spans, and the derived
+    * encoder/target lengths (input = kept + sentinels, target = masked
+    * + sentinels + 1 closing sentinel; zero-token docs emit 0/0) — the
+    * length accounting a packing budget needs BEFORE materializing the
+    * corrupted text. Row-local narrow pass; the oracle replays the md5
+    * draw per position and rebuilds spans with a lag window. */
+  val mlSpanCorruption: QueryDef = QueryDef(
+    "ml_span_corruption",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val norm = Option(text).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var masked = 0L
+          var spans = 0L
+          var prevMasked = false
+          var p = 0
+          while (p < ws.length) {
+            md.reset()
+            val h = md.digest(s"$id:$p".getBytes("UTF-8"))
+            val v = ((h(0) & 0xff).toInt)
+            val m = v < 38
+            if (m) {
+              masked += 1
+              if (!prevMasked) spans += 1
+            }
+            prevMasked = m
+            p += 1
+          }
+          val n = ws.length.toLong
+          val input = n - masked + spans
+          val target = if (n == 0) 0L else masked + spans + 1
+          (id, n, masked, spans, input, target)
+        }
+        .toDF("doc_id", "n_tokens", "n_masked", "n_spans",
+          "n_input_tokens", "n_target_tokens")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (
+      |  SELECT doc_id, string_split($normalizeSql, ' ') AS ws,
+      |    length($normalizeSql) AS nlen
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+      |    CAST(concat('0x', substr(md5(doc_id || ':' || (CAST(i AS BIGINT) - 1)), 1, 2)) AS BIGINT) < 38 AS m
+      |  FROM w, unnest(range(1, len(ws) + 1, 1)) r(i)
+      |  WHERE nlen > 0),
+      |sp AS (
+      |  SELECT doc_id, m,
+      |    CASE WHEN m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false)
+      |         THEN 1 ELSE 0 END AS span_start
+      |  FROM tok),
+      |ag AS (
+      |  SELECT doc_id, count(*) AS n,
+      |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS masked,
+      |    CAST(sum(span_start) AS BIGINT) AS spans
+      |  FROM sp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(ag.n, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(ag.masked, 0) AS BIGINT) AS n_masked,
+      |  CAST(coalesce(ag.spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(ag.n - ag.masked + ag.spans, 0) AS BIGINT) AS n_input_tokens,
+      |  CAST(CASE WHEN ag.n IS NULL OR ag.n = 0 THEN 0
+      |       ELSE ag.masked + ag.spans + 1 END AS BIGINT) AS n_target_tokens
+      |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   /** Deterministic CURRICULUM ordering (easy→hard training schedule with
     * intra-bin shuffle): documents ranked into length deciles
     * ([[graft.ops.Sampling.denseIndex]] — the range-partitioned rank, no
@@ -1672,6 +1796,7 @@ object MlPrepQueries {
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
     textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
+    packChunksBpeLarge, mlSpanCorruption,
     textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
