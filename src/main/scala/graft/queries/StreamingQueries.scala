@@ -651,6 +651,75 @@ object StreamingQueries {
       |  CAST(sum(p) AS DOUBLE) AS sum_price
       |FROM eff GROUP BY o_year ORDER BY o_year""".stripMargin))
 
+  /** STREAMING right-to-be-forgotten: deletion requests arrive as a
+    * changelog stream (3 mtime-ordered micro-batches of user ids, each
+    * confined to its user-bucket range) and are applied through
+    * `foreachBatch` → [[graft.sources.TableIO.erasePartitioned]] — the
+    * user-bucket-partitioned event table has only the touched buckets
+    * rewritten per batch, and inside a bucket the kept majority rides
+    * the bloom pre-filter, never a join. The gate reads the final table
+    * and counts deleted-user rows REMAINING per event type (the
+    * completeness zero a GDPR audit needs) next to row/value-mass
+    * totals; the oracle computes the post-erasure table closed-form.
+    * Completes the erasure story: batch pass (`privacy_erasure_audit`),
+    * keyed CDC delete (`stream_merge_upsert`), and now streaming
+    * predicate deletion against stored data. */
+  val streamErasure: QueryDef = QueryDef(
+    "stream_erasure",
+    (s, d) => {
+      val run = s"${graft.sources.TableIO.sessionToken(s)}_${cdcRunCounter.incrementAndGet()}"
+      val tablePath = graft.sources.TableIO.scratchDir(s, s"stream_erase/table_$run")
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        (col("user_id") % 12).as("ub"))
+      graft.sources.TableIO.replacePartitioned(ev, tablePath, Seq("ub"))
+      val delUsers = ev.filter(col("user_id") % 53 === 0)
+        .select(col("user_id"), col("ub")).distinct()
+      val batches = (0 until 3).map(i =>
+        delUsers.filter(col("ub") >= i * 4 && col("ub") < (i + 1) * 4))
+      val staged = graft.sources.TableIO.scratchDir(s, s"stream_erase/log_$run")
+      new java.io.File(staged).mkdirs()
+      val base = System.currentTimeMillis() - batches.length * 2000L
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = s"$staged/_tmp_$i"
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("no staged deletion file"))
+        val dst = new java.io.File(s"$staged/batch_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+        dst.setLastModified(base + i * 2000L)
+      }
+      val schema = batches.head.schema
+      val stream = s.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(staged)
+      val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.sources.TableIO.erasePartitioned(s, tablePath, "ub",
+              "user_id", batch)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.sources.TableIO.scratchDir(s, s"stream_erase/ckpt_$run"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(tablePath)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id") % 53 === 0, 1L).otherwise(0L)).as("n_residual"),
+          sum(col("value_cents")).as("sum_cents"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_residual,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id % 53 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** Stateful streaming sequence packing
     * ([[EventStreams.packChunksStream]]): chunk assignment happens as
     * documents land, the per-shard pack cursor carried across
@@ -724,5 +793,5 @@ object StreamingQueries {
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
     streamSessions, streamSessionWindow, streamHitters, streamOuterJoin,
-    streamEnrich, streamMergeUpsert)
+    streamEnrich, streamMergeUpsert, streamErasure)
 }

@@ -167,6 +167,37 @@ object TableIO {
     replacePartitioned(merged, path, Seq(partitionCol))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN predicate delete against a partitioned
+    * table: remove every row whose `keyCol` appears in `deletions`,
+    * rewriting ONLY the partitions the deletion batch touches
+    * (`deletions` must carry `partitionCol` — derivable when the
+    * partition is a function of the key, e.g. a user bucket). The kept
+    * majority inside a touched partition never joins:
+    * [[graft.ops.Sketches.bloomPrunedAntiJoin]] keeps bloom-negative
+    * rows with a scan-fused filter and sends only the might-contain
+    * sliver through the exact anti-join. Same empty-partition fail-fast
+    * as [[mergePartitioned]] (dynamic overwrite cannot express an empty
+    * partition). */
+  def erasePartitioned(spark: SparkSession, path: String, partitionCol: String,
+      keyCol: String, deletions: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val touched = deletions.select(col(partitionCol)).distinct().collect()
+      .map(_.get(0)).toSeq
+    require(touched.nonEmpty, "empty deletion batch: nothing to erase")
+    val base = spark.read.parquet(path)
+      .filter(col(partitionCol).isInCollection(touched))
+    val nDel = deletions.count().max(1L)
+    val kept = graft.ops.Sketches.bloomPrunedAntiJoin(base,
+      deletions.select(col(keyCol)), keyCol, expectedItems = nDel)
+    val outParts = kept.select(col(partitionCol)).distinct().collect()
+      .map(_.get(0)).toSet
+    require(touched.forall(outParts.contains),
+      s"erasePartitioned: partition(s) ${touched.filterNot(outParts.contains)
+        .mkString(", ")} would be left EMPTY — delete the directory " +
+        "explicitly instead")
+    replacePartitioned(kept, path, Seq(partitionCol))
+  }
+
   /** Clustered overwrite: RANGE-repartition by the cluster key and sort
     * within partitions, so every output file covers a disjoint key range
     * (verified by TableIOSpec) and rows inside a file are key-ordered.
