@@ -282,10 +282,10 @@ object Bpe {
     * the segmentations (the driver loop fails fast instead — gated
     * queries stay below exhaustion). */
   def trainRecursiveCtesSql(normalizeSql: String, numMerges: Int,
-      maxTrainWords: Int): String =
+      maxTrainWords: Int, fromRel: String = "documents"): String =
     s"""bpe_w0 AS MATERIALIZED (
        |  SELECT w AS word, count(*) AS freq FROM (
-       |    SELECT unnest(string_split($normalizeSql, ' ')) AS w FROM documents) t
+       |    SELECT unnest(string_split($normalizeSql, ' ')) AS w FROM $fromRel) t
        |  WHERE len(w) >= 1 GROUP BY w
        |  ORDER BY freq DESC, word ASC LIMIT $maxTrainWords),
        |bpe_steps(r, word, freq, s) AS (

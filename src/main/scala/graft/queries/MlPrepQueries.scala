@@ -1076,6 +1076,110 @@ object MlPrepQueries {
       |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
       |ORDER BY d.doc_id""".stripMargin))
 
+  /** END-TO-END LLM DATA PIPELINE in one oracle-gated call — the
+    * composition a pretraining data team actually runs, each stage an
+    * operator this engine already gates individually:
+    *
+    *   1. QUALITY: the Gopher document rules
+    *      ([[graft.ops.TextOps.gopherQualityFlags]]) minus the stop-word
+    *      rule (the synthetic corpus holds a single stop word, so that
+    *      rule would zero the corpus — the other four discriminate);
+    *   2. DEDUP: exact fingerprint dedup, keep-first (min doc_id per
+    *      md5 of normalized text);
+    *   3. TOKENIZE: a BPE vocabulary TRAINED ON THE SURVIVING corpus
+    *      (64 merges — the tokenizer a pipeline trains after cleaning,
+    *      not before) and applied row-locally;
+    *   4. PACK: 512-token concatenated chunks per source
+    *      (ceil(Σtokens/512) — contiguous packing within a source).
+    *
+    * Output per source: docs in → after quality → after dedup, BPE
+    * token mass, and packed chunk count. The oracle replays all four
+    * stages — rule census, keep-first dedup, RECURSIVE-CTE tokenizer
+    * training over the filtered relation, application, packing — as one
+    * SQL statement, so a divergence anywhere in the chain breaks the
+    * gate. Scale: stages 1–2 are one narrow pass + one fingerprint
+    * aggregate; training is the capped collect; application is narrow;
+    * the rollup is map-combined. */
+  val pipelineLlmData: QueryDef = QueryDef(
+    "pipeline_llm_data",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val flags = TextOps.gopherQualityFlags(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          (col("pass_word_count") && col("pass_mean_word_len") &&
+            col("pass_symbol_ratio") && col("pass_alpha_words")).as("q"))
+      val withQ = docs.join(flags, "doc_id")
+      val quality = withQ.filter(col("q"))
+      val fp = quality.withColumn("fp", TextOps.fingerprint(col("text")))
+      val keepIds = fp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val deduped = fp.join(keepIds, Seq("doc_id"), "left_semi")
+      val merges = Bpe.train(deduped, "text", numMerges = 64, maxTrainWords = bpeCap)
+      val counts = Bpe.tokenCounts(deduped, "doc_id", "text", merges)
+        .join(deduped.select(col("doc_id"), col("source")), "doc_id")
+      val perSource = counts.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_dedup"),
+          sum(col("n_tokens_bpe")).as("n_tokens_bpe"))
+        .withColumn("n_chunks",
+          expr("(n_tokens_bpe + 511) div 512"))
+      val census = withQ.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_in"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("n_docs_quality"))
+      census.join(perSource, Seq("source"), "left")
+        .select(col("source"), col("n_docs_in"), col("n_docs_quality"),
+          coalesce(col("n_docs_dedup"), lit(0L)).as("n_docs_dedup"),
+          coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE qf AS (
+      |  SELECT doc_id, source, text,
+      |    (CASE WHEN len($normalizeSql) = 0 THEN 0
+      |          ELSE len(string_split($normalizeSql, ' ')) END) AS nw,
+      |    (CASE WHEN len($normalizeSql) = 0 THEN 0
+      |          ELSE len($normalizeSql) - len(string_split($normalizeSql, ' ')) + 1 END) AS chars,
+      |    (length(coalesce(text, '')) - length(replace(coalesce(text, ''), '...', ''))) // 3
+      |      + (length(coalesce(text, '')) - length(replace(coalesce(text, ''), '#', ''))) AS sym,
+      |    len(list_filter(string_split($normalizeSql, ' '),
+      |        x -> regexp_matches(x, '[a-z]'))) AS alpha
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source, text,
+      |    (nw >= 50 AND nw <= 100000 AND nw > 0
+      |     AND 3 * nw <= chars AND chars <= 10 * nw
+      |     AND 10 * sym <= nw AND 5 * alpha >= 4 * nw) AS ok
+      |  FROM qf),
+      |quality AS (SELECT doc_id, source, text FROM q WHERE ok),
+      |fpt AS (SELECT doc_id, source, text, md5($normalizeSql) AS fp FROM quality),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp),
+      |ded AS (SELECT fpt.doc_id, fpt.source, fpt.text
+      |        FROM fpt JOIN keep ON fpt.doc_id = keep.doc_id),
+      |${Bpe.trainRecursiveCtesSql(normalizeSql, 64, bpeCap, fromRel = "ded")},
+      |bpe_wx AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w FROM ded),
+      |${Bpe.applyRecursiveCtesSql("bpe_wx", 64)},
+      |tok AS (
+      |  SELECT d.source, d.doc_id, coalesce(a.nt, 0) AS nt
+      |  FROM ded d LEFT JOIN (
+      |    SELECT doc_id, sum(t) AS nt
+      |    FROM bpe_wx JOIN bpe_seg ON bpe_wx.w = bpe_seg.w GROUP BY doc_id) a
+      |    ON d.doc_id = a.doc_id),
+      |per_source AS (
+      |  SELECT source, count(*) AS n_docs_dedup,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens_bpe,
+      |    CAST((sum(nt) + 511) // 512 AS BIGINT) AS n_chunks
+      |  FROM tok GROUP BY source),
+      |census AS (
+      |  SELECT source, count(*) AS n_docs_in,
+      |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_quality
+      |  FROM q GROUP BY source)
+      |SELECT c.source, c.n_docs_in, c.n_docs_quality,
+      |  CAST(coalesce(p.n_docs_dedup, 0) AS BIGINT) AS n_docs_dedup,
+      |  CAST(coalesce(p.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe,
+      |  CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks
+      |FROM census c LEFT JOIN per_source p ON c.source = p.source
+      |ORDER BY c.source""".stripMargin))
+
   /** Deterministic CURRICULUM ordering (easy→hard training schedule with
     * intra-bin shuffle): documents ranked into length deciles
     * ([[graft.ops.Sampling.denseIndex]] — the range-partitioned rank, no
@@ -1796,7 +1900,7 @@ object MlPrepQueries {
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
     textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
-    packChunksBpeLarge, mlSpanCorruption,
+    packChunksBpeLarge, mlSpanCorruption, pipelineLlmData,
     textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
