@@ -42,6 +42,15 @@ import org.apache.spark.sql.functions._
   * Sequential exhaustive application in training order equals standard
   * priority application: a merge's output symbol is fresh, so later
   * merges can never create new occurrences of an earlier merge's pair.
+  *
+  * Scope: the input alphabet is the ASCII-normalized [a-z0-9] space
+  * ([[normalizeString]]) — the char-packed symbol representation RELIES
+  * on the merged-symbol range U+00C0.. being disjoint from input
+  * characters. A multilingual tokenizer over
+  * [[TextOps.normalizeUnicode]] output would collide with that range
+  * and needs an Array[Int] symbol-id segmentation instead (the train
+  * loop and the recursive oracle shape both survive that change; the
+  * plain-string `replace` exactness trick does not).
   */
 object Bpe {
 

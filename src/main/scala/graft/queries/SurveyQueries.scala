@@ -1288,57 +1288,72 @@ object SurveyQueries {
     * how a 100 TB crawl lands (one task per WARC file read via
     * binaryFile/text, records exploded in place, no shuffle until the
     * user aggregates). */
+  /** One synthesized WARC record per document (see [[ingestWarc]]). */
+  private def warcRecordCol: org.apache.spark.sql.Column = {
+    val crlf = "\r\n"
+    val payload = coalesce(col("text"), lit(""))
+    val actualLen = length(payload)
+    val declared =
+      when(col("doc_id") % 37 === 0, actualLen + 7).otherwise(actualLen)
+    val wtype =
+      when(col("doc_id") % 5 === 0, lit("metadata")).otherwise(lit("response"))
+    val lenHeader = when(col("doc_id") % 41 === 0, lit(""))
+      .otherwise(concat(lit("Content-Length: "), declared.cast(StringType),
+        lit(crlf)))
+    concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: "), wtype, lit(crlf),
+      lit("WARC-Record-ID: urn:graft:"), col("doc_id").cast(StringType), lit(crlf),
+      lit("WARC-Target-URI: http://example.org/doc/"), col("doc_id").cast(StringType), lit(crlf),
+      lenHeader,
+      lit(crlf),
+      payload, lit(crlf + crlf))
+  }
+
+  /** 16 assembled WARC files: (file_id, records-in-doc_id-order array). */
+  private def warcFiles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select((col("doc_id") % 16).as("file_id"),
+        struct(col("doc_id"), warcRecordCol.as("rec")).as("sr"))
+      .groupBy(col("file_id"))
+      .agg(transform(array_sort(collect_list(col("sr"))),
+        x => x.getField("rec")).as("recs"))
+
+  /** The WARC FRONT DOOR over (file_id, blob): record split on the
+    * version line, anchored header regexps, Content-Length integrity
+    * check that quarantines — one narrow pass. */
+  private def parseWarc(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val chunks = files.select(col("file_id"),
+        posexplode(split(col("blob"), "WARC/1\\.0\r\n"))
+          .as(Seq("rec_idx", "chunk")))
+      .filter(col("rec_idx") > 0) // split's leading element is empty
+    val parts = split(col("chunk"), "\r\n\r\n")
+    val headers = element_at(parts, 1)
+    val body = element_at(parts, 2)
+    chunks.select(
+        col("file_id"), col("rec_idx").cast("long").as("rec_idx"),
+        regexp_extract(headers, "WARC-Type: ([^\r]*)", 1).as("warc_type"),
+        regexp_extract(headers, "WARC-Record-ID: ([^\r]*)", 1).as("record_id"),
+        regexp_extract(headers, "WARC-Target-URI: ([^\r]*)", 1).as("target_uri"),
+        nullif(regexp_extract(headers, "Content-Length: (\\d+)", 1), lit(""))
+          .cast("long").as("declared_len"),
+        length(body).cast("long").as("actual_len"))
+      .withColumn("status",
+        when(col("declared_len").isNull, lit("quarantine_missing_length"))
+          .when(col("declared_len") =!= col("actual_len"),
+            lit("quarantine_length_mismatch"))
+          .otherwise(lit("ok")))
+      .orderBy("file_id", "rec_idx")
+  }
+
   val ingestWarc: QueryDef = QueryDef(
     "ingest_warc",
-    (s, d) => {
-      val crlf = "\r\n"
-      val docs = Tables.documents(s, d)
-      val payload = coalesce(col("text"), lit(""))
-      val actualLen = length(payload)
-      val declared =
-        when(col("doc_id") % 37 === 0, actualLen + 7).otherwise(actualLen)
-      val wtype =
-        when(col("doc_id") % 5 === 0, lit("metadata")).otherwise(lit("response"))
-      val lenHeader = when(col("doc_id") % 41 === 0, lit(""))
-        .otherwise(concat(lit("Content-Length: "), declared.cast(StringType),
-          lit(crlf)))
-      val rec = concat(
-        lit("WARC/1.0" + crlf),
-        lit("WARC-Type: "), wtype, lit(crlf),
-        lit("WARC-Record-ID: urn:graft:"), col("doc_id").cast(StringType), lit(crlf),
-        lit("WARC-Target-URI: http://example.org/doc/"), col("doc_id").cast(StringType), lit(crlf),
-        lenHeader,
-        lit(crlf),
-        payload, lit(crlf + crlf))
-      val files = docs
-        .select((col("doc_id") % 16).as("file_id"),
-          struct(col("doc_id"), rec.as("rec")).as("sr"))
-        .groupBy(col("file_id"))
-        .agg(array_join(transform(array_sort(collect_list(col("sr"))),
-          x => x.getField("rec")), "").as("blob"))
-      val chunks = files.select(col("file_id"),
-          posexplode(split(col("blob"), "WARC/1\\.0\r\n"))
-            .as(Seq("rec_idx", "chunk")))
-        .filter(col("rec_idx") > 0) // split's leading element is empty
-      val parts = split(col("chunk"), "\r\n\r\n")
-      val headers = element_at(parts, 1)
-      val body = element_at(parts, 2)
-      chunks.select(
-          col("file_id"), col("rec_idx").cast("long").as("rec_idx"),
-          regexp_extract(headers, "WARC-Type: ([^\r]*)", 1).as("warc_type"),
-          regexp_extract(headers, "WARC-Record-ID: ([^\r]*)", 1).as("record_id"),
-          regexp_extract(headers, "WARC-Target-URI: ([^\r]*)", 1).as("target_uri"),
-          nullif(regexp_extract(headers, "Content-Length: (\\d+)", 1), lit(""))
-            .cast("long").as("declared_len"),
-          length(body).cast("long").as("actual_len"))
-        .withColumn("status",
-          when(col("declared_len").isNull, lit("quarantine_missing_length"))
-            .when(col("declared_len") =!= col("actual_len"),
-              lit("quarantine_length_mismatch"))
-            .otherwise(lit("ok")))
-        .orderBy("file_id", "rec_idx")
-    },
-    Some("""WITH g AS (
+    (s, d) => parseWarc(
+      warcFiles(Tables.documents(s, d))
+        .select(col("file_id"), array_join(col("recs"), "").as("blob"))),
+    Some(warcOracleSql))
+
+  private def warcOracleSql: String =
+    """WITH g AS (
       |  SELECT doc_id % 16 AS file_id,
       |    row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rec_idx,
       |    CASE WHEN doc_id % 5 = 0 THEN 'metadata' ELSE 'response' END AS warc_type,
@@ -1356,10 +1371,56 @@ object SurveyQueries {
       |  CASE WHEN declared_len IS NULL THEN 'quarantine_missing_length'
       |       WHEN declared_len <> actual_len THEN 'quarantine_length_mismatch'
       |       ELSE 'ok' END AS status
-      |FROM g ORDER BY file_id, rec_idx""".stripMargin))
+      |FROM g ORDER BY file_id, rec_idx""".stripMargin
+
+  /** ingest_warc_gz: the COMPRESSED container CommonCrawl actually
+    * ships — `warc.gz` concatenates one gzip MEMBER per record, so the
+    * file is itself a valid multi-member gzip stream while record
+    * offsets stay individually seekable. The synthesis gzips every
+    * record separately (real `java.util.zip` DEFLATE bytes in a binary
+    * column) and concatenates the members; the front door decompresses
+    * the member stream back to text in one narrow typed pass
+    * (GZIPInputStream consumes concatenated members) and feeds the SAME
+    * parse + quarantine pipeline as `ingest_warc`, gated by the SAME
+    * closed-form oracle — so the gate proves the compressed round trip
+    * is byte-lossless end-to-end, not just that parsing works.
+    * Compressed bytes never cross an exchange: gzip and gunzip happen
+    * inside the per-file row. */
+  val ingestWarcGz: QueryDef = QueryDef(
+    "ingest_warc_gz",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val gz = warcFiles(Tables.documents(s, d))
+        .select(col("file_id").cast("long"), col("recs"))
+        .as[(Long, Seq[String])]
+        .map { case (fid, recs) =>
+          val out = new java.io.ByteArrayOutputStream()
+          recs.foreach { r =>
+            val g = new java.util.zip.GZIPOutputStream(out)
+            g.write(r.getBytes("UTF-8"))
+            g.finish()
+          }
+          (fid, out.toByteArray)
+        }
+        .toDF("file_id", "gz")
+      val text = gz.as[(Long, Array[Byte])]
+        .map { case (fid, bytes) =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          (fid, new String(out.toByteArray, "UTF-8"))
+        }
+        .toDF("file_id", "blob")
+      parseWarc(text)
+    },
+    Some(warcOracleSql))
 
   val all: Seq[QueryDef] = Seq(
-    ingestLogParse, ingestWarc,
+    ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,
     mergeTableVersions,
