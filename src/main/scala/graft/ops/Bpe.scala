@@ -98,7 +98,12 @@ object Bpe {
       // cannot overlap, so the positional count IS the replace count;
       // for xx, a maximal run of L equal chars holds exactly ⌊L/2⌋
       // greedy left-to-right occurrences.
-      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      // pairs are packed into one Long key ((c1 << 16) | c2) — packed-key
+      // ascending order IS the 2-char string's lexicographic order for
+      // BMP chars, so the tie-break survives the encoding; the packed map
+      // avoids a substring allocation per position (the dominant cost of
+      // a 512-round loop, measured ~2s/gate before)
+      val counts = scala.collection.mutable.LongMap.empty[Long]
       segs.foreach { case (s, f) =>
         val n = s.length
         var j = 0
@@ -108,12 +113,12 @@ object Bpe {
             var k = j + 1
             while (k < n && s.charAt(k) == c) k += 1
             val run = k - j
-            val p = s.substring(j, j + 2)
-            counts.update(p, counts.getOrElse(p, 0L) + (run / 2).toLong * f)
+            val key = (c.toLong << 16) | c.toLong
+            counts(key) = counts.getOrElse(key, 0L) + (run / 2).toLong * f
             j = k - 1 // next iteration sees the (c, following-char) pair
           } else {
-            val p = s.substring(j, j + 2)
-            counts.update(p, counts.getOrElse(p, 0L) + f)
+            val key = (s.charAt(j).toLong << 16) | s.charAt(j + 1).toLong
+            counts(key) = counts.getOrElse(key, 0L) + f
             j += 1
           }
         }
@@ -121,8 +126,13 @@ object Bpe {
       require(counts.nonEmpty,
         s"BPE round $i: no adjacent pairs left to merge (corpus too small " +
           s"for numMerges=$numMerges)")
-      val (bestPair, bestCnt) = counts
-        .minBy { case (p, c) => (-c, p) } // (count desc, pair asc)
+      var bestKey = -1L
+      var bestCnt = -1L
+      counts.foreachEntry { (k, c) =>
+        if (c > bestCnt || (c == bestCnt && k < bestKey)) { bestKey = k; bestCnt = c }
+      }
+      val bestPair =
+        "" + (bestKey >> 16).toChar + (bestKey & 0xffff).toChar
       val m = mergedChar(i)
       merges += Merge(i.toLong, bestPair, m, bestCnt)
       segs = segs.map { case (s, f) => (s.replace(bestPair, m), f) }
