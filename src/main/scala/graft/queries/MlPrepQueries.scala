@@ -995,6 +995,39 @@ object MlPrepQueries {
       |  CAST(sum(straddles) AS BIGINT) AS n_straddling
       |FROM a2 GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
 
+  /** Per-source tokenizer FERTILITY under the 512-merge vocabulary —
+    * `text_bpe_fertility`'s vocabulary-scale twin, completing the large
+    * family's parity (train / vocab / apply / pack / fertility). The
+    * fertility denominator counts the enriched stream's words (text +
+    * the md5 fingerprint word), same basis as `text_bpe_apply_large`. */
+  val textBpeFertilityLarge: QueryDef = QueryDef(
+    "text_bpe_fertility_large",
+    (s, d) => {
+      val docs = bpeLargeDocs(s, d)
+      Bpe.tokenCounts(docs, "doc_id", "train_text", bpeLargeTrain(s, d))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens_bpe")).as("n_tokens_bpe"))
+        .withColumn("fertility_bp",
+          expr("(n_tokens_bpe * 10000) div nullif(n_words, 0)"))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
+             bpeMergesLarge, bpeCap)},
+      |bpe_wx AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split($normalizeLargeSql, ' ')) AS w
+      |  FROM documents),
+      |${Bpe.applyRecursiveCtesSql("bpe_wx", bpeMergesLarge)},
+      |tok AS (
+      |  SELECT d.source, bpe_seg.t
+      |  FROM bpe_wx JOIN bpe_seg ON bpe_wx.w = bpe_seg.w
+      |  JOIN documents d ON bpe_wx.doc_id = d.doc_id)
+      |SELECT source, count(*) AS n_words,
+      |  CAST(sum(t) AS BIGINT) AS n_tokens_bpe,
+      |  (CAST(sum(t) AS BIGINT) * 10000) // nullif(count(*), 0) AS fertility_bp
+      |FROM tok GROUP BY source ORDER BY source""".stripMargin))
+
   /** T5-style SPAN CORRUPTION accounting (Raffel et al. 2020): the
     * masking step between packing and pretraining, made deterministic so
     * both engines replay every decision. Position p of document d is
@@ -1900,7 +1933,7 @@ object MlPrepQueries {
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
     textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
-    packChunksBpeLarge, mlSpanCorruption, pipelineLlmData,
+    packChunksBpeLarge, textBpeFertilityLarge, mlSpanCorruption, pipelineLlmData,
     textHashEmbed, textBigramLm, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
