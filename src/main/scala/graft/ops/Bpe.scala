@@ -62,11 +62,6 @@ object Bpe {
     Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
 
-  /** Non-overlapping left-to-right occurrences of 2-char `pair` in `s` —
-    * the `(len - len(replace)) / 2` formula, same as the oracle's. */
-  private def countPair(s: String, pair: String): Int =
-    (s.length - s.replace(pair, "").length) / 2
-
   def mergedChar(rank1Based: Int): String = (191 + rank1Based).toChar.toString
 
   /** Train `numMerges` merges over the corpus' word-frequency table
@@ -91,10 +86,11 @@ object Bpe {
     val merges = Seq.newBuilder[Merge]
     for (i <- 1 to numMerges) {
       // One O(len) walk per word yields the exact non-overlap counts the
-      // replace formula defines (the naive candidate-pairs × countPair
-      // pass is O(distinct-pairs × words × len) — quadratic-ish, and the
-      // wall the old 63-merge ceiling hid; at vocabulary scale the loop
-      // runs thousands of rounds). For a pair xy with x≠y occurrences
+      // `(len - len(s.replace(pair,""))) / 2` formula defines (a naive
+      // per-candidate-pair replace pass is O(distinct-pairs × words ×
+      // len) — quadratic-ish, and the wall the old 63-merge ceiling hid;
+      // at vocabulary scale the loop runs thousands of rounds). For a
+      // pair xy with x≠y occurrences
       // cannot overlap, so the positional count IS the replace count;
       // for xx, a maximal run of L equal chars holds exactly ⌊L/2⌋
       // greedy left-to-right occurrences.

@@ -72,13 +72,19 @@ object Sketches {
     * sliver pays the exact anti-join that removes true matches and
     * returns the false positives. Bloom false positives therefore cost
     * a join probe, never a lost row — the exactness contract a deletion
-    * pass must keep. */
+    * pass must keep.
+    *
+    * NULL-key probe rows are kept explicitly: might-contain is
+    * null-propagating, so both `!might` and `might` would silently drop
+    * them, while the plain left_anti this equals keeps them (NULL never
+    * equi-matches a deletion key). A deletion pass must not erase rows
+    * nobody asked to erase. */
   def bloomPrunedAntiJoin(probe: DataFrame, build: DataFrame, key: String,
       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val bf = bloomFilter(build, key, expectedItems, fpp)
     val bcast = probe.sparkSession.sparkContext.broadcast(bf)
     val might = graft.functions.bloom_might_contain_long(col(key), bcast)
-    probe.filter(!might)
+    probe.filter(col(key).isNull || !might)
       .unionByName(probe.filter(might)
         .join(build.select(col(key)).distinct(), Seq(key), "left_anti"))
   }

@@ -1153,6 +1153,58 @@ object SurveyQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
 
+  /** maintenance_snapshot: the manifest-pointer transactional layer
+    * ([[graft.sources.SnapshotTable]]) driver-gated end-to-end — the
+    * atomic-by-construction successor to the rename-aside swap. The
+    * gate drives the full lifecycle: commit v1 (full projection),
+    * commit v2 (halved content — proves the pointer advanced), compact
+    * to v3 (layout rewrite under snapshot isolation), time-travel back
+    * to v1 pre-vacuum, vacuum keepLast=2 (v1 reclaimed, v2/v3 retained),
+    * then returns per-retained-snapshot (rows, decimal sum) — a green
+    * row proves compact preserved content exactly (v3 == v2) AND vacuum
+    * deleted only the right generation. The zero-retry reader-isolation
+    * guarantee (plain reads racing 20 live compactions + vacuums) is
+    * pinned in SnapshotTableSpec. Reference anchor: atomic
+    * `CREATE OR REPLACE TABLE` (`core/transformations.py:149`) — this
+    * is that contract for a path-based lake, plus BigQuery's implicit
+    * reader isolation made explicit. */
+  val maintenanceSnapshot: QueryDef = QueryDef(
+    "maintenance_snapshot",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(orders, root)
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(16), root)
+      graft.sources.SnapshotTable.compact(s, root, rowsPerFile = 200000)
+      require(graft.sources.SnapshotTable.readAt(s, root, 1L).count() ==
+        orders.count(), "time travel to v1 lost rows")
+      val removed = graft.sources.SnapshotTable.vacuum(s, root, keepLast = 2)
+      require(removed == 1 &&
+        graft.sources.SnapshotTable.snapshots(s, root) == Seq(2L, 3L),
+        "vacuum reclaimed the wrong generation")
+      Seq(2L, 3L).map(id =>
+          graft.sources.SnapshotTable.readAt(s, root, id)
+            .withColumn("snap_id", lit(id)))
+        .reduce(_ unionByName _)
+        .groupBy(col("snap_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("snap_id")
+    },
+    Some("""WITH evens AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT s.snap_id, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM (SELECT CAST(2 AS BIGINT) AS snap_id UNION ALL SELECT 3) s
+      |CROSS JOIN evens GROUP BY s.snap_id ORDER BY snap_id""".stripMargin))
+
   /** ingest_fixedwidth: the mainframe/COBOL-export interchange shape —
     * no delimiters, fields live at fixed byte offsets. The corpus is
     * written as %10d%-2s%6d lines (right-aligned numerics, left-aligned
@@ -1399,7 +1451,7 @@ object SurveyQueries {
           recs.foreach { r =>
             val g = new java.util.zip.GZIPOutputStream(out)
             g.write(r.getBytes("UTF-8"))
-            g.finish()
+            g.close() // finishes the gzip member AND releases the Deflater's native buffers
           }
           (fid, out.toByteArray)
         }
@@ -1427,7 +1479,7 @@ object SurveyQueries {
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder,
     maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats,
-    maintenanceVacuum, ingestCsvDirty,
+    maintenanceVacuum, maintenanceSnapshot, ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)
 }

@@ -307,18 +307,29 @@ object TableIO {
     (restored, removed)
   }
 
-  /** True when `e` (or any cause below it) is a missing-path/file error —
-    * the failure a reader racing [[compact]]'s rename swap observes,
-    * at EITHER stage: plan-time path resolution (AnalysisException
-    * PATH_NOT_FOUND) or task execution over already-listed files that
-    * the swap moved (FileNotFoundException under a SparkException). */
+  /** True when `e` (or any cause below it) is a failure shape a reader
+    * racing [[compact]]'s rename swap can observe, at EITHER stage:
+    * plan-time path resolution (AnalysisException PATH_NOT_FOUND),
+    * task execution over already-listed files that the swap moved
+    * (FileNotFoundException under a SparkException), or a directory
+    * LISTING that catches the swap mid-rename — on Linux local FS the
+    * rename window can surface as `AccessDeniedException: ... Permission
+    * denied` from InMemoryFileIndex, not a missing-path shape (observed
+    * in the r12 closing-tree race test). All are transient inside the
+    * bounded retry window; a genuinely unreadable path still fails after
+    * `attempts` tries, so widening the predicate costs only bounded
+    * extra latency on a real permission error. */
   private[sources] def isPathMissing(e: Throwable): Boolean = e match {
     case null => false
     case _: java.io.FileNotFoundException => true
+    case _: java.nio.file.NoSuchFileException => true
+    case _: java.nio.file.AccessDeniedException => true
     case e2 if e2.getMessage != null &&
       (e2.getMessage.contains("PATH_NOT_FOUND") ||
         e2.getMessage.contains("Path does not exist") ||
-        e2.getMessage.contains("FileNotFoundException")) => true
+        e2.getMessage.contains("FileNotFoundException") ||
+        e2.getMessage.contains("AccessDeniedException") ||
+        e2.getMessage.contains("Permission denied")) => true
     case e2 => isPathMissing(e2.getCause)
   }
 

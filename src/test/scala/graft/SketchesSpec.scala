@@ -117,4 +117,21 @@ class SketchesSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
     assert(got.length === 2000 - build.count())
   }
+
+  test("bloomPrunedAntiJoin keeps NULL-key probe rows, like the plain anti join") {
+    import spark.implicits._
+    // Two null-key probe rows: a null-propagating bloom filter would drop
+    // them from BOTH branches; the plain left_anti keeps them.
+    val probe = ((1L to 100L).map(i => (java.lang.Long.valueOf(i), s"v$i"))
+      :+ ((null: java.lang.Long), "null_a") :+ ((null: java.lang.Long), "null_b"))
+      .toDF("user_id", "v")
+    val build = (1L to 100L).filter(_ % 7 == 0).map(Tuple1(_)).toDF("user_id")
+    val got = graft.ops.Sketches.bloomPrunedAntiJoin(probe, build, "user_id",
+        expectedItems = 32L, fpp = 0.5)
+      .select("v").as[String].collect().sorted
+    val want = probe.join(build, Seq("user_id"), "left_anti")
+      .select("v").as[String].collect().sorted
+    assert(got.toSeq === want.toSeq)
+    assert(got.count(_.startsWith("null_")) === 2)
+  }
 }

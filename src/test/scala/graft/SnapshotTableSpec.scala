@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** The manifest-pointer snapshot layer: atomic replace BY CONSTRUCTION.
+  * The load-bearing test is the live-race one — 20 consecutive
+  * compactions under a hammering PLAIN reader (no retry wrapper): with
+  * the pointer flip there is no swap window at all, so zero read
+  * errors is a structural guarantee, not a retry outcome. */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+
+  test("commit/read round trip; each commit bumps the snapshot id") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    val id1 = SnapshotTable.commit((1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
+    assert(id1 == 1L)
+    assert(SnapshotTable.read(spark, root).count() == 50)
+    val id2 = SnapshotTable.commit((1 to 80).map(i => (i.toLong, s"w$i")).toDF("id", "v"), root)
+    assert(id2 == 2L)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 2L)
+    assert(SnapshotTable.read(spark, root).count() == 80)
+    assert(SnapshotTable.snapshots(spark, root) == Seq(1L, 2L))
+  }
+
+  test("time travel: old snapshots stay readable until vacuumed") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "old")).toDF("id", "tag"), root)
+    SnapshotTable.commit((1 to 20).map(i => (i.toLong, "new")).toDF("id", "tag"), root)
+    val v1 = SnapshotTable.readAt(spark, root, 1L)
+    assert(v1.count() == 10 && v1.select("tag").distinct().head().getString(0) == "old")
+    val v2 = SnapshotTable.readAt(spark, root, 2L)
+    assert(v2.count() == 20 && v2.select("tag").distinct().head().getString(0) == "new")
+  }
+
+  test("compact rewrites layout, preserves content exactly, keeps prior snapshot") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      (1 to 400).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(32), root)
+    val before = SnapshotTable.read(spark, root)
+      .agg(count(lit(1)), sum(col("id"))).head()
+    val newId = SnapshotTable.compact(spark, root, rowsPerFile = 200)
+    assert(newId == 2L)
+    val snapDir = new java.io.File(root, f"snap-${2L}%020d")
+    val files = snapDir.listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(files == 2, s"expected 2 compacted files, got $files")
+    val after = SnapshotTable.read(spark, root)
+      .agg(count(lit(1)), sum(col("id"))).head()
+    assert(after == before)
+    // old layout still time-travel-readable
+    assert(SnapshotTable.readAt(spark, root, 1L).count() == 400)
+  }
+
+  test("zorder commit preserves content under snapshot isolation") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      (1 to 256).map(i => (i.toLong, (i * 37 % 256).toLong, s"v$i"))
+        .toDF("x", "y", "v"), root)
+    SnapshotTable.zorder(spark, root, Seq("x", "y"), numFiles = 4, bits = 8)
+    val got = SnapshotTable.read(spark, root).orderBy("x")
+      .select("x", "y", "v").collect().toSeq
+    val want = (1 to 256).map(i =>
+      org.apache.spark.sql.Row(i.toLong, (i * 37 % 256).toLong, s"v$i"))
+    assert(got == want)
+  }
+
+  test("vacuum keeps the newest keepLast snapshots and reclaims the rest + orphans") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    (1 to 4).foreach(k =>
+      SnapshotTable.commit((1 to k * 10).map(i => (i.toLong, k)).toDF("id", "gen"), root))
+    // simulate a crashed commit: orphan snap dir with no manifest
+    val orphan = new java.io.File(root, f"snap-${99L}%020d")
+    assert(orphan.mkdirs())
+    val removed = SnapshotTable.vacuum(spark, root, keepLast = 2)
+    assert(removed == 2)
+    assert(SnapshotTable.snapshots(spark, root) == Seq(3L, 4L))
+    assert(!orphan.exists, "orphan snapshot dir survived vacuum")
+    assert(SnapshotTable.read(spark, root).count() == 40)
+    assert(SnapshotTable.readAt(spark, root, 3L).count() == 30)
+    intercept[Exception] { SnapshotTable.readAt(spark, root, 1L).count() }
+  }
+
+  test("PLAIN readers race 20 consecutive live compactions with zero errors") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(8), root)
+    val expected = (1 to 500).map(_.toLong).sum
+    @volatile var maintErr: Throwable = null
+    val maintainer = new Thread(() => {
+      try (1 to 20).foreach { k =>
+        SnapshotTable.compact(spark, root, rowsPerFile = if (k % 2 == 0) 250 else 100)
+        // retention pressure mid-race: the reader also races deletions.
+        // keepLast=10 is the documented retention-vs-reader-latency
+        // trade: a reader would have to lag TEN full compact+vacuum
+        // cycles inside one aggregate for its snapshot to be reclaimed.
+        SnapshotTable.vacuum(spark, root, keepLast = 10)
+      }
+      catch { case e: Throwable => maintErr = e }
+    })
+    maintainer.start()
+    var reads = 0
+    try {
+      while (maintainer.isAlive) {
+        // no withCompactSafeRead, no retry: atomicity is structural
+        val sum0 = SnapshotTable.read(spark, root)
+          .agg(sum(col("id"))).head().getLong(0)
+        assert(sum0 == expected, s"reader saw $sum0 mid-commit, wanted $expected")
+        reads += 1
+      }
+    } finally maintainer.join()
+    assert(maintErr == null, s"maintenance failed: $maintErr")
+    assert(reads > 0, "race produced no overlapping reads")
+    assert(SnapshotTable.read(spark, root).count() == 500)
+  }
+}

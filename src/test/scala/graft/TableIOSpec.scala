@@ -141,8 +141,12 @@ class TableIOSpec extends SparkSpec {
       .repartition(8).write.parquet(dir)
     val expected = (1 to 500).map(_.toLong).sum
     @volatile var compactErr: Throwable = null
+    // 20 consecutive live compactions: the swap window opens 20 times
+    // under a hammering reader — the r12 closing-tree failure mode
+    // (AccessDeniedException from a listing that catches the rename
+    // mid-flight) must be absorbed by the widened retry predicate.
     val compactor = new Thread(() => {
-      try (1 to 5).foreach(_ => TableIO.compact(spark, dir, rowsPerFile = 250))
+      try (1 to 20).foreach(_ => TableIO.compact(spark, dir, rowsPerFile = 250))
       catch { case e: Throwable => compactErr = e }
     })
     compactor.start()
