@@ -56,6 +56,28 @@ object Bpe {
 
   final case class Merge(rk: Long, pair: String, merged: String, cnt: Long)
 
+  /** A merge decision over INT symbol ids — the representation-capless
+    * twin of [[Merge]]: base symbols are codepoints, merge rank i's
+    * output symbol is id `191 + i` (the same value the char encoding
+    * uses, so numeric id order == the oracle's char order wherever both
+    * exist — but ids are unbounded ints, so the trainer itself has NO
+    * vocabulary cap; only the conversion back to char symbols
+    * ([[toCharMerges]], needed for SQL-oracle replay and the string
+    * apply path) keeps the 55104 BMP ceiling). */
+  final case class MergeI(rk: Int, a: Int, b: Int, cnt: Long)
+
+  /** Char-encoded view of an int-symbol merge list — valid while every
+    * symbol id is still a single non-surrogate BMP char (rank ≤ 55104).
+    * The bridge that lets the capless trainer feed the existing
+    * string-based apply path and the SQL oracle generators. */
+  def toCharMerges(ms: Seq[MergeI]): Seq[Merge] = {
+    ms.foreach(m => require(m.a < 0xD800 && m.b < 0xD800 && 191 + m.rk < 0xD800,
+      s"merge rank ${m.rk} leaves the single-char BMP range — keep the " +
+        "MergeI form (string apply / SQL oracle replay need char symbols)"))
+    ms.map(m => Merge(m.rk.toLong, "" + m.a.toChar + m.b.toChar,
+      (191 + m.rk).toChar.toString, m.cnt))
+  }
+
   /** JVM twin of [[TextOps.normalize]] (lowercase, strip non-alnum,
     * collapse spaces) — keep in sync with the column expression. */
   def normalizeString(text: String): String =
@@ -65,14 +87,79 @@ object Bpe {
   def mergedChar(rank1Based: Int): String = (191 + rank1Based).toChar.toString
 
   /** Train `numMerges` merges over the corpus' word-frequency table
-    * (capped to `maxTrainWords` by (freq desc, word asc)). Eager: runs
-    * the one aggregation job at call time. */
+    * (capped to `maxTrainWords` by (freq desc, word asc)), returned in
+    * the char-symbol encoding (≤ 55104 merges — the BMP ceiling of the
+    * ENCODING, not of the trainer: [[trainIds]] underneath is capless).
+    * Eager: runs the one aggregation job at call time. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      maxTrainWords: Int): Seq[Merge] = {
-    require(numMerges >= 1 && numMerges <= 55104,
-      "merged symbols live in the single-char non-surrogate BMP range " +
-        "U+00C0..U+D7FF (55104 merges) — beyond that a multi-char symbol " +
-        "representation is needed")
+      maxTrainWords: Int): Seq[Merge] =
+    toCharMerges(trainIds(docs, textCol, numMerges, maxTrainWords))
+
+  /** Greedy non-overlapping pair walk over an int-symbol word — the
+    * exact units the `(len - len(replace(s, pair, ''))) / 2` formula
+    * defines: for a pair xy with x≠y occurrences cannot overlap, so
+    * each adjacency is one unit; for xx, a maximal run of L equal
+    * symbols holds exactly ⌊L/2⌋ greedy left-to-right occurrences. */
+  private def walkPairs(w: Array[Int])(fn: (Int, Int, Long) => Unit): Unit = {
+    val n = w.length
+    var j = 0
+    while (j < n - 1) {
+      if (w(j) == w(j + 1)) {
+        val c = w(j)
+        var k = j + 1
+        while (k < n && w(k) == c) k += 1
+        fn(c, c, ((k - j) / 2).toLong)
+        j = k - 1 // next iteration sees the (c, following-symbol) pair
+      } else {
+        fn(w(j), w(j + 1), 1L)
+        j += 1
+      }
+    }
+  }
+
+  /** Literal left-to-right non-overlapping replace of (a,b) with z —
+    * `String.replace(pair, merged)` lifted to int symbols. */
+  private def applyMergeIds(w: Array[Int], a: Int, b: Int, z: Int): Array[Int] = {
+    val out = new Array[Int](w.length)
+    var i = 0
+    var o = 0
+    while (i < w.length) {
+      if (i < w.length - 1 && w(i) == a && w(i + 1) == b) {
+        out(o) = z; o += 1; i += 2
+      } else {
+        out(o) = w(i); o += 1; i += 1
+      }
+    }
+    if (o == w.length) w else java.util.Arrays.copyOf(out, o)
+  }
+
+  /** The trainer proper, over INT symbol ids — no vocabulary cap, and
+    * INCREMENTAL pair maintenance: each round rewrites only the words
+    * that contain the chosen pair and applies exact per-word count
+    * DELTAS (old-walk minus new-walk), instead of recounting every pair
+    * in every word per round. The argmax comes from a lazy-deletion
+    * max-heap — every count change pushes a fresh (count, pair) entry;
+    * stale entries are discarded at pop time by checking against the
+    * live count. Per-round cost is O(Σ len of affected words × log)
+    * instead of O(Σ len of ALL words): at 8k+ merges, where late-round
+    * pairs live in a handful of words, this is the difference between
+    * seconds and minutes. Decision sequence is IDENTICAL to the full
+    * recount (pinned in BpeSpec against a reference recount trainer):
+    * the pair key packs (a,b) as (a << 32 | b), whose ascending order
+    * is the char encoding's lexicographic order wherever char symbols
+    * exist, so ties break exactly as the SQL oracle breaks them.
+    *
+    * Correctness of the delta scheme leans on one invariant (also the
+    * reason sequential application equals priority application): a
+    * merge's output symbol z is FRESH, so every pair whose count can
+    * GROW in an affected word involves z — old-symbol pairs only ever
+    * lose units. Hence registering affected-word membership for
+    * z-pairs only keeps the pair→words index complete; a chosen pair's
+    * count falls to zero and can never re-form (new adjacencies always
+    * border z), so popped-and-merged pairs never return. */
+  def trainIds(docs: DataFrame, textCol: String, numMerges: Int,
+      maxTrainWords: Int): Seq[MergeI] = {
+    require(numMerges >= 1, "need at least one merge")
     require(maxTrainWords >= 1, "need a positive training-word cap")
     val freqRows = docs
       .select(explode(TextOps.words(col(textCol))).as("w"))
@@ -81,57 +168,93 @@ object Bpe {
       .orderBy(col("freq").desc, col("w").asc).limit(maxTrainWords)
       .collect()
     require(freqRows.nonEmpty, "BPE training corpus has no words")
-    var segs: Array[(String, Long)] =
-      freqRows.map(r => r.getString(0) -> r.getLong(1))
-    val merges = Seq.newBuilder[Merge]
-    for (i <- 1 to numMerges) {
-      // One O(len) walk per word yields the exact non-overlap counts the
-      // `(len - len(s.replace(pair,""))) / 2` formula defines (a naive
-      // per-candidate-pair replace pass is O(distinct-pairs × words ×
-      // len) — quadratic-ish, and the wall the old 63-merge ceiling hid;
-      // at vocabulary scale the loop runs thousands of rounds). For a
-      // pair xy with x≠y occurrences
-      // cannot overlap, so the positional count IS the replace count;
-      // for xx, a maximal run of L equal chars holds exactly ⌊L/2⌋
-      // greedy left-to-right occurrences.
-      // pairs are packed into one Long key ((c1 << 16) | c2) — packed-key
-      // ascending order IS the 2-char string's lexicographic order for
-      // BMP chars, so the tie-break survives the encoding; the packed map
-      // avoids a substring allocation per position (the dominant cost of
-      // a 512-round loop, measured ~2s/gate before)
-      val counts = scala.collection.mutable.LongMap.empty[Long]
-      segs.foreach { case (s, f) =>
-        val n = s.length
-        var j = 0
-        while (j < n - 1) {
-          if (s.charAt(j) == s.charAt(j + 1)) {
-            val c = s.charAt(j)
-            var k = j + 1
-            while (k < n && s.charAt(k) == c) k += 1
-            val run = k - j
-            val key = (c.toLong << 16) | c.toLong
-            counts(key) = counts.getOrElse(key, 0L) + (run / 2).toLong * f
-            j = k - 1 // next iteration sees the (c, following-char) pair
-          } else {
-            val key = (s.charAt(j).toLong << 16) | s.charAt(j + 1).toLong
-            counts(key) = counts.getOrElse(key, 0L) + f
-            j += 1
+    val nw = freqRows.length
+    val words = new Array[Array[Int]](nw)
+    val freqs = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      val s = freqRows(i).getString(0)
+      words(i) = s.toCharArray.map(_.toInt) // normalized text: BMP-only
+      freqs(i) = freqRows(i).getLong(1)
+      i += 1
+    }
+    @inline def pk(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    val counts = scala.collection.mutable.LongMap.empty[Long]
+    val members = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Int]] // dups/stale OK
+    // heap of (count, pairKey): count desc, key asc; lazy deletion
+    val heap = new java.util.PriorityQueue[Array[Long]](64,
+      (x: Array[Long], y: Array[Long]) =>
+        if (x(0) != y(0)) java.lang.Long.compare(y(0), x(0))
+        else java.lang.Long.compare(x(1), y(1)))
+    i = 0
+    while (i < nw) {
+      val f = freqs(i)
+      val wi = i
+      walkPairs(words(i)) { (a, b, u) =>
+        val k = pk(a, b)
+        counts(k) = counts.getOrElse(k, 0L) + u * f
+        members.getOrElseUpdate(k,
+          new scala.collection.mutable.ArrayBuffer[Int](4)) += wi
+      }
+      i += 1
+    }
+    counts.foreachEntry((k, c) => heap.add(Array(c, k)))
+    val delta = scala.collection.mutable.LongMap.empty[Long]
+    val merges = Seq.newBuilder[MergeI]
+    var r = 1
+    while (r <= numMerges) {
+      var bestKey = 0L
+      var bestCnt = -1L
+      while (bestCnt < 0) {
+        val top = heap.poll()
+        require(top != null,
+          s"BPE round $r: no adjacent pairs left to merge (corpus too " +
+            s"small for numMerges=$numMerges)")
+        if (top(0) > 0 && counts.getOrElse(top(1), 0L) == top(0)) {
+          bestKey = top(1); bestCnt = top(0)
+        }
+      }
+      val a = (bestKey >>> 32).toInt
+      val b = (bestKey & 0xffffffffL).toInt
+      val z = 191 + r
+      merges += MergeI(r, a, b, bestCnt)
+      val affected = members.remove(bestKey)
+        .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+      val seen = new java.util.HashSet[Integer](affected.size * 2)
+      affected.foreach { wi =>
+        if (seen.add(wi)) {
+          val w = words(wi)
+          // stale-entry fast path: membership lists are append-only
+          var has = false
+          var j = 0
+          while (!has && j < w.length - 1) {
+            has = w(j) == a && w(j + 1) == b; j += 1
+          }
+          if (has) {
+            val f = freqs(wi)
+            delta.clear()
+            walkPairs(w)((x, y, u) =>
+              delta(pk(x, y)) = delta.getOrElse(pk(x, y), 0L) - u * f)
+            val w2 = applyMergeIds(w, a, b, z)
+            words(wi) = w2
+            walkPairs(w2) { (x, y, u) =>
+              delta(pk(x, y)) = delta.getOrElse(pk(x, y), 0L) + u * f
+              if (x == z || y == z) // only z-pairs can be NEW (see doc)
+                members.getOrElseUpdate(pk(x, y),
+                  new scala.collection.mutable.ArrayBuffer[Int](4)) += wi
+            }
+            delta.foreachEntry { (k, d) =>
+              if (d != 0L) {
+                val nc = counts.getOrElse(k, 0L) + d
+                counts(k) = nc
+                heap.add(Array(nc, k))
+              }
+            }
           }
         }
       }
-      require(counts.nonEmpty,
-        s"BPE round $i: no adjacent pairs left to merge (corpus too small " +
-          s"for numMerges=$numMerges)")
-      var bestKey = -1L
-      var bestCnt = -1L
-      counts.foreachEntry { (k, c) =>
-        if (c > bestCnt || (c == bestCnt && k < bestKey)) { bestKey = k; bestCnt = c }
-      }
-      val bestPair =
-        "" + (bestKey >> 16).toChar + (bestKey & 0xffff).toChar
-      val m = mergedChar(i)
-      merges += Merge(i.toLong, bestPair, m, bestCnt)
-      segs = segs.map { case (s, f) => (s.replace(bestPair, m), f) }
+      r += 1
     }
     merges.result()
   }

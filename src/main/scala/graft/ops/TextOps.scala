@@ -431,6 +431,49 @@ object TextOps {
       .withColumn("keep", col("score") > 0)
   }
 
+  /** TRAIN the [[hashedQualityScore]] weight table in-engine: hashed-
+    * unigram Naive Bayes over a labeled split, exact integer counts →
+    * log-free integer weights (the text_bm25 discipline — no floats, so
+    * a SQL oracle replays training bit-for-bit). Bucket b's weight is
+    * the Laplace-smoothed class-1 posterior in parts-per-million,
+    * centered at the 500 000 decision point:
+    * `(c1+1) * 1_000_000 / (c1+c0+2) - 500_000`, where c1/c0 count
+    * class-1/class-0 TOKEN occurrences hashed into b over the training
+    * docs. A document's summed score is then > 0 iff its tokens'
+    * average bucket posterior exceeds ½ — Naive Bayes with the
+    * log-likelihood ratio replaced by a centered posterior sum (same
+    * decision family, integer-exact).
+    *
+    * Scale shape: one distributed explode → groupBy(bucket) with
+    * map-side partial aggregation — at MOST `buckets` groups regardless
+    * of corpus size, so the shuffle AND the driver collect are bounded
+    * by the model size (the same contract that makes BPE training safe
+    * at 100 TB). Unseen buckets get the neutral prior weight 0.
+    * Null labels count as class 0 (a doc nobody vouched for is not
+    * "good"). Scoring then rides the existing zero-shuffle
+    * [[hashedQualityScore]] path with the trained vector as the plan
+    * literal. */
+  def trainHashedNbWeights(docs: DataFrame, textCol: String,
+      goodLabel: Column, buckets: Int): Seq[Long] = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "bucket count must be a power of two (hash-mod agreement)")
+    val counts = docs
+      .select(coalesce(goodLabel.cast("boolean"), lit(false)).as("g"),
+        explode(filter(words(col(textCol)), w => length(w) > 0)).as("w"))
+      .groupBy(pmod(graft.functions.md5_hash64(col("w")),
+        lit(buckets.toLong)).as("b"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("c0"))
+      .collect()
+    val w = new Array[Long](buckets)
+    counts.foreach { r =>
+      val c1 = r.getLong(1)
+      val c0 = r.getLong(2)
+      w(r.getLong(0).toInt) = (c1 + 1L) * 1000000L / (c1 + c0 + 2L) - 500000L
+    }
+    w.toIndexedSeq
+  }
+
   /** Deterministic demo weight table for [[hashedQualityScore]]: bucket
     * i weighs pmod(md5_64("w:i"), 7) - 3 ∈ [-3, 3] — md5-derived, so a
     * DuckDB oracle regenerates the identical table from nothing. */

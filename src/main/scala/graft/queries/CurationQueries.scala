@@ -1373,8 +1373,59 @@ object CurationQueries {
       |  CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stopwords
       |FROM r GROUP BY source ORDER BY source""".stripMargin))
 
+  /** curate_model_filter_trained: the model-based quality filter with
+    * weights TRAINED IN-ENGINE ([[TextOps.trainHashedNbWeights]] —
+    * hashed-unigram Naive Bayes, exact integer counts, log-free
+    * centered-posterior weights), closing the last "model" stub: the
+    * md5-synthesized demo vector of `text_quality_model` is replaced by
+    * a vector learned from a deterministic labeled split (train = the
+    * 75% of docs with doc_id % 4 ≠ 0; label good = lang = 'en').
+    * Training is one bounded groupBy(bucket) — ≤ 4096 groups at any
+    * corpus size; scoring is the zero-shuffle HashedBagScore path with
+    * the trained vector as a plan literal. The oracle replays the WHOLE
+    * lifecycle — split, token hashing, per-bucket class counts, the
+    * smoothed-posterior weight formula, and every document's summed
+    * score — so a green row pins training, not just inference. */
+  val curateModelFilterTrained: QueryDef = QueryDef(
+    "curate_model_filter_trained",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val weights = TextOps.trainHashedNbWeights(
+        docs.filter(col("doc_id") % 4 =!= 0), "text",
+        col("lang") === "en", buckets = 4096)
+      TextOps.hashedQualityScore(docs, "doc_id", "text", weights)
+        .orderBy("doc_id")
+    },
+    Some {
+      val u64 = "18446744073709551616::HUGEINT"
+      def md5u(e: String) =
+        s"""(CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)::HUGEINT * 4294967296::HUGEINT
+           | + CAST(concat('0x', substr(md5($e), 9, 8)) AS BIGINT)::HUGEINT)""".stripMargin
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split($normalizeSql, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0),
+        |bkt AS (
+        |  SELECT doc_id, lang, CAST(${md5u("w")} % 4096 AS BIGINT) AS b FROM toks),
+        |cnt AS (
+        |  SELECT b,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c0
+        |  FROM bkt WHERE doc_id % 4 <> 0 GROUP BY b),
+        |wt AS (
+        |  SELECT b, (c1 + 1) * 1000000 // (c1 + c0 + 2) - 500000 AS wt FROM cnt),
+        |scored AS (
+        |  SELECT bkt.doc_id, CAST(sum(coalesce(wt.wt, 0)) AS BIGINT) AS score
+        |  FROM bkt LEFT JOIN wt ON bkt.b = wt.b GROUP BY bkt.doc_id)
+        |SELECT d.doc_id, coalesce(s.score, 0) AS score,
+        |  coalesce(s.score, 0) > 0 AS keep
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(packChunks, textContamination, pipelinePretrain,
-    curateGopherRules,
+    curateGopherRules, curateModelFilterTrained,
     textDiversity, textReadability, textZipfSlope,
     pipelineDecontaminate, textKeywords, textPmiPairs,
     curateDecayCounts,

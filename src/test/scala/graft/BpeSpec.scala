@@ -96,6 +96,83 @@ class BpeSpec extends SparkSpec {
     assert(m.take(512) === m512)
   }
 
+  /** The pre-r13 trainer verbatim: full pair recount every round over
+    * STRING segmentations — the executable spec the incremental
+    * Array[Int]-symbol trainer must match decision-for-decision. */
+  private def trainReference(segs0: Seq[(String, Long)],
+      numMerges: Int): Seq[Bpe.Merge] = {
+    var segs = segs0.toArray
+    val out = Seq.newBuilder[Bpe.Merge]
+    for (i <- 1 to numMerges) {
+      val counts = scala.collection.mutable.LongMap.empty[Long]
+      segs.foreach { case (s, f) =>
+        val n = s.length
+        var j = 0
+        while (j < n - 1) {
+          if (s.charAt(j) == s.charAt(j + 1)) {
+            val c = s.charAt(j)
+            var k = j + 1
+            while (k < n && s.charAt(k) == c) k += 1
+            val key = (c.toLong << 16) | c.toLong
+            counts(key) = counts.getOrElse(key, 0L) + ((k - j) / 2).toLong * f
+            j = k - 1
+          } else {
+            val key = (s.charAt(j).toLong << 16) | s.charAt(j + 1).toLong
+            counts(key) = counts.getOrElse(key, 0L) + f
+            j += 1
+          }
+        }
+      }
+      var bestKey = -1L
+      var bestCnt = -1L
+      counts.foreachEntry { (k, c) =>
+        if (c > bestCnt || (c == bestCnt && k < bestKey)) { bestKey = k; bestCnt = c }
+      }
+      val bestPair = "" + (bestKey >> 16).toChar + (bestKey & 0xffff).toChar
+      val m = Bpe.mergedChar(i)
+      out += Bpe.Merge(i.toLong, bestPair, m, bestCnt)
+      segs = segs.map { case (s, f) => (s.replace(bestPair, m), f) }
+    }
+    out.result()
+  }
+
+  test("incremental trainer equals the full-recount reference at vocabulary scale") {
+    // real corpus: sf0.001 docs enriched with two md5 words per doc (the
+    // r13 large-family corpus), deep into the count-1 tail where stale
+    // heap entries and delta bookkeeping are most stressed
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("train_text", concat_ws(" ", col("text"),
+        md5(col("doc_id").cast("string")),
+        md5(concat(col("doc_id").cast("string"), lit("x")))))
+    val segs0 = docs.select(col("train_text")).collect()
+      .flatMap(r => Bpe.normalizeString(r.getString(0)).split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(2000)
+    val want = trainReference(segs0, 2000)
+    val got = Bpe.train(docs, "train_text", numMerges = 2000, maxTrainWords = 2000)
+    assert(got.size === 2000)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g === w, s"divergence at rank ${w.rk}: got $g want $w")
+    }
+  }
+
+  test("incremental trainer equals the reference on adversarial run-heavy corpora") {
+    // repeated-symbol runs are where the ⌊L/2⌋ convention and the delta
+    // walk interact; exhaust nearly the whole supply
+    val docs = corpus((1L, "aaaaaaa aaab abab bbbb abba baab aabb a b"),
+      (2L, "aaaaaaa abab abab aaab xxyyxx yxxy xyxy"))
+    val segs0 = docs.select(col("text")).collect()
+      .flatMap(r => Bpe.normalizeString(r.getString(0)).split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      .toSeq.sortBy { case (w, f) => (-f, w) }
+    val n = 20
+    val want = trainReference(segs0, n)
+    val got = Bpe.train(docs, "text", numMerges = n, maxTrainWords = 2000)
+    assert(got === want)
+  }
+
   test("more merges never increase a document's token count") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 50)
