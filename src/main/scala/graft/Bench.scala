@@ -165,6 +165,12 @@ object Bench {
       // (codegen compile + GC interplay) — give them one extra timed rep
       // so the min is a stable floor, not a coin flip
       val qReps = if (q.name.endsWith("_wide")) reps.max(3) else reps
+      // stream gates: harvest micro-batch accounting over the timed reps
+      // so the artifact separates OPERATOR time (triggerExecution, what a
+      // long-lived stream pays per batch) from harness scaffolding
+      // (query start/stop + fresh checkpoint per drain, a fixed cost the
+      // gate wall time includes but production never re-pays)
+      graft.streaming.EventStreams.resetDrainStats()
       val best =
         if (!ok) -1.0
         else (1 to qReps).map { _ =>
@@ -172,9 +178,14 @@ object Bench {
           run()
           (System.nanoTime() - t0) / 1e9
         }.min
+      val ds = graft.streaming.EventStreams.drainStats
+      val streamJson =
+        if (ds.batches > 0 && ok)
+          f""","stream_batches":${ds.batches / qReps},"stream_trigger_sec":${ds.triggerMs / 1000.0 / qReps}%.2f"""
+        else ""
       // per-query progress line: short, self-contained JSON — the
       // redundant recovery path if the tail capture clips the summary
-      println(f"""{"query":"${q.name}","sec":${if (ok) f"$best%.2f" else "-1"}}""")
+      println(f"""{"query":"${q.name}","sec":${if (ok) f"$best%.2f" else "-1"}$streamJson}""")
       (q.name, best, ok)
     }
     // A failed query reports -1 and is excluded from "value": the
@@ -225,10 +236,33 @@ object Bench {
       try loadStart.split("\\s+")(1).toDouble > 2.0
       catch { case _: Throwable => false }
     println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size},"loadavg":{"start":"$loadStart","end":"$loadEnd"},"probes":$probesJson,"procs":$procs,"dirty":$dirty,"load_high":$loadHigh}}""")
+    // PER-QUERY REGRESSION GUARD: compare each timing against the
+    // committed clean floor (BENCH_FLOORS.json — the min across recorded
+    // clean full-registry benches) at a 2x + 0.5 s tolerance, so a silent
+    // plan regression surfaces IN the bench artifact instead of waiting
+    // for a cross-round diff. Floors are sf0.1 numbers measured on this
+    // box class: the check only arms on sf0.1 runs, skips queries without
+    // a recorded floor (new gates), and is advisory under load_high (the
+    // flags travel with the load evidence above).
+    val regressions: Seq[String] =
+      if (!sfDir.contains("sf0.1")) Seq.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FLOORS.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val floors = """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.collect {
+          case (n, v, true) if floors.get(n).exists(f => v > f * 2.0 + 0.5) =>
+            f"""{"query":"$n","sec":$v%.2f,"floor":${floors(n)}%.2f}"""
+        }
+      } catch { case _: Throwable => Seq.empty }
+    if (regressions.nonEmpty)
+      println(s"""{"bench_regressions":[${regressions.mkString(",")}]}""")
     // wide_reps only when a *_wide query actually ran — reporting a rep
     // policy that was never exercised misstates the run's protocol.
     val wideReps =
       if (selected.exists(_.name.endsWith("_wide"))) s""","wide_reps":${reps.max(3)}""" else ""
-    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps$wideReps,"sf":"$sfDir","dirty":$dirty,"load_high":$loadHigh,"failed":$failedJson}""")
+    println(f"""{"metric":"total","unit":"sec","value":$total%.2f,"reps":$reps$wideReps,"sf":"$sfDir","dirty":$dirty,"load_high":$loadHigh,"n_regressions":${regressions.size},"failed":$failedJson}""")
   }
 }

@@ -470,22 +470,32 @@ object Bpe {
        |bpe_seg AS MATERIALIZED (
        |  SELECT w, len(s) AS t FROM bpe_app WHERE r = $numMerges)""".stripMargin
 
-  /** Recursive vocabulary DECODE: `bpe_expd` carries the full
-    * symbol → expansion map across rounds, adding merge i's symbol at
-    * round i; the final map is the rows with r = numMerges. Append after
-    * [[trainRecursiveCtesSql]]. */
+  /** Recursive vocabulary DECODE, DEPTH-bounded: every merged symbol
+    * starts as its 2-symbol pair string; each iteration substitutes
+    * EVERY still-merged symbol (anything outside the [a-z0-9] base
+    * alphabet) with its pair via one shared map lookup, until the
+    * expansion is pure base characters. Iterations needed = the longest
+    * derivation chain ≤ the longest training word (31 for this corpus;
+    * bound 64), NOT numMerges — the per-ROUND accumulation of the old
+    * shape was O(numMerges²) rows (33 M at 8192 merges, minutes of
+    * replay); this is O(numMerges × depth). Emits `bpe_expd_fin(sym,
+    * ex)`. Append after [[trainRecursiveCtesSql]]. */
   def vocabRecursiveCteSql(numMerges: Int): String =
-    s"""bpe_expd(r, sym, ex) AS (
-       |  SELECT 0, chr(CAST(x AS INTEGER)), chr(CAST(x AS INTEGER))
-       |  FROM (SELECT unnest(range(97, 123)) AS x UNION ALL
-       |        SELECT unnest(range(48, 58))) b
+    s"""bpe_mp AS MATERIALIZED (
+       |  SELECT map(list(merged), list(pair)) AS m FROM bpe_merges),
+       |bpe_expd(it, sym, ex) AS (
+       |  SELECT 0, merged, pair FROM bpe_merges
        |  UNION ALL
-       |  (SELECT r + 1, sym, ex FROM bpe_expd WHERE r < $numMerges
-       |   UNION ALL
-       |   SELECT e1.r + 1, m.merged, e1.ex || e2.ex
-       |   FROM bpe_expd e1, bpe_expd e2, bpe_merges m
-       |   WHERE m.rk = e1.r + 1 AND e1.r = e2.r AND e1.r < $numMerges
-       |     AND e1.sym = substr(m.pair, 1, 1) AND e2.sym = substr(m.pair, 2, 1)))""".stripMargin
+       |  SELECT it + 1, sym,
+       |    list_aggregate(list_transform(string_split_regex(ex, ''),
+       |      c -> coalesce(bpe_mp.m[c][1], c)), 'string_agg', '')
+       |  FROM bpe_expd, bpe_mp
+       |  WHERE it < 64 AND regexp_matches(ex, '[^a-z0-9]')),
+       |bpe_expd_fin AS MATERIALIZED (
+       |  SELECT sym, ex FROM (
+       |    SELECT sym, ex,
+       |      row_number() OVER (PARTITION BY sym ORDER BY it DESC) AS rn
+       |    FROM bpe_expd) WHERE rn = 1)""".stripMargin
 
   /** The expansion table in SQL: CTE chain `exp0..exp$n` where exp$i
     * maps every symbol live after round i to its character expansion.

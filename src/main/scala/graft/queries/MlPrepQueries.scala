@@ -868,43 +868,55 @@ object MlPrepQueries {
          |FROM tok GROUP BY source ORDER BY source""".stripMargin
     })
 
-  /** Shared configuration for the VOCABULARY-SCALE BPE family: 512
-    * merges (output symbols U+00C0 upward — the single-char symbol
-    * design holds to 55k merges), trained on the corpus text ENRICHED
-    * with each document's md5 hex fingerprint as one extra word. The
-    * enrichment matters: the synthetic corpus has only ~31 distinct
-    * natural words (BPE exhausts its pair supply near 90 merges), while
-    * the hex words give the trainer a deep character-level vocabulary to
-    * learn — the same "characters → subwords" dynamics a real corpus
-    * exhibits — deterministically and identically in both engines. The
-    * oracle replays all 512 training rounds with ONE recursive CTE
-    * ([[graft.ops.Bpe.trainRecursiveCtesSql]]) — constant query size,
-    * no expression-depth wall, unlike the unrolled 16-merge family
-    * above. */
-  private val bpeMergesLarge = 512
+  /** Shared configuration for the VOCABULARY-SCALE BPE family —
+    * PRODUCTION-vocabulary size as of r13: 8192 merges (up from 512;
+    * output symbols U+00C0 upward — the single-char symbol design holds
+    * to 55k, and the Array[Int] trainer underneath has no cap at all),
+    * trained on the corpus text ENRICHED with TWO md5 hex fingerprint
+    * words per document. The enrichment matters: the synthetic corpus
+    * has only ~31 distinct natural words (BPE exhausts its pair supply
+    * near 90 merges), while the hex words give the trainer a deep
+    * character-level vocabulary — the "characters → subwords" dynamics
+    * a real corpus exhibits — deterministically and identically in both
+    * engines; ONE fingerprint word caps the merge supply near 7.8k
+    * rounds, two lift it past 9.3k (8192 + 14% margin, measured at all
+    * three SFs). The word table is capped at the 650 most frequent
+    * words — enough supply for 8192 rounds while keeping the oracle's
+    * per-round recursive replay ~3× cheaper than the full table (the
+    * oracle replays all 8192 rounds with ONE recursive CTE,
+    * [[graft.ops.Bpe.trainRecursiveCtesSql]]: constant query size, no
+    * expression-depth wall, unlike the unrolled 16-merge family above;
+    * ~80 s in DuckDB at this configuration — the price of value-gating
+    * every one of 8192 merge decisions). Spark-side training is the
+    * incremental delta trainer: ~8k rounds in well under a second after
+    * the one word-frequency job. */
+  private val bpeMergesLarge = 8192
+  private val bpeCapLarge = 650
   private val bpeLargeText =
-    "concat(coalesce(text, ''), ' ', md5(CAST(doc_id AS VARCHAR)))"
+    "concat(coalesce(text, ''), ' ', md5(CAST(doc_id AS VARCHAR)), " +
+      "' ', md5(concat(CAST(doc_id AS VARCHAR), 'x')))"
   private val normalizeLargeSql =
     s"trim(regexp_replace(regexp_replace(lower($bpeLargeText), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private def bpeLargeDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("train_text",
       concat(coalesce(col("text"), lit("")), lit(" "),
-        md5(col("doc_id").cast("string"))))
+        md5(col("doc_id").cast("string")), lit(" "),
+        md5(concat(col("doc_id").cast("string"), lit("x")))))
   private def bpeLargeTrain(s: SparkSession, d: String): Seq[graft.ops.Bpe.Merge] =
-    Bpe.train(bpeLargeDocs(s, d), "train_text", bpeMergesLarge, bpeCap)
+    Bpe.train(bpeLargeDocs(s, d), "train_text", bpeMergesLarge, bpeCapLarge)
 
-  /** Vocabulary-scale BPE TRAINING: the full 512-merge table, every
+  /** Vocabulary-scale BPE TRAINING: the full 8192-merge table, every
     * round's (pair, count) decision cross-engine gated — the oracle
-    * replays training with a single recursive CTE instead of 512
+    * replays training with a single recursive CTE instead of 8192
     * unrolled rounds. */
   val textBpeTrainLarge: QueryDef = QueryDef(
     "text_bpe_train_large",
     (s, d) => Bpe.mergesDf(s, bpeLargeTrain(s, d)).orderBy("rk"),
     Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
-             bpeMergesLarge, bpeCap)}
+             bpeMergesLarge, bpeCapLarge)}
       |SELECT rk, pair, merged, cnt FROM bpe_merges ORDER BY rk""".stripMargin))
 
-  /** Vocabulary-scale BPE VOCABULARY: each of the 512 merges decoded to
+  /** Vocabulary-scale BPE VOCABULARY: each of the 8192 merges decoded to
     * the character string its symbol expands to — the shippable
     * tokenizer artifact. The oracle rebuilds the decode map with a
     * second recursive CTE over the replayed merge table. */
@@ -918,16 +930,16 @@ object MlPrepQueries {
         .orderBy("rk")
     },
     Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
-             bpeMergesLarge, bpeCap)},
+             bpeMergesLarge, bpeCapLarge)},
       |${Bpe.vocabRecursiveCteSql(bpeMergesLarge)}
       |SELECT m.rk, d.ex AS token_str, m.cnt
       |FROM bpe_merges m
-      |JOIN (SELECT sym, ex FROM bpe_expd WHERE r = $bpeMergesLarge) d
+      |JOIN bpe_expd_fin d
       |  ON d.sym = m.merged
       |ORDER BY m.rk""".stripMargin))
 
   /** Vocabulary-scale BPE APPLICATION: per-document token accounting
-    * under the 512-merge vocabulary. Spark applies row-locally with the
+    * under the 8192-merge vocabulary. Spark applies row-locally with the
     * rank-priority segmenter ([[graft.ops.Bpe.segmentRanked]] — cost
     * independent of vocabulary size) plus a per-task distinct-word memo;
     * the oracle segments the distinct word set with a recursive replace
@@ -939,7 +951,7 @@ object MlPrepQueries {
         bpeLargeTrain(s, d))
       .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
-             bpeMergesLarge, bpeCap)},
+             bpeMergesLarge, bpeCapLarge)},
       |bpe_wx AS MATERIALIZED (
       |  SELECT doc_id, unnest(string_split($normalizeLargeSql, ' ')) AS w
       |  FROM documents),
@@ -954,7 +966,7 @@ object MlPrepQueries {
 
   /** Sequence packing driven by the VOCABULARY-SCALE tokenizer:
     * `pack_chunks_bpe`'s shard/prefix-sum shape with token counts from
-    * the 512-merge vocabulary — the composition a real pipeline runs
+    * the 8192-merge vocabulary — the composition a real pipeline runs
     * (train tokenizer → tokenize → pack), end-to-end under one oracle
     * that replays training recursively, re-segments the distinct word
     * set, and re-runs the shard prefix sums. */
@@ -968,7 +980,7 @@ object MlPrepQueries {
         .orderBy("shard", "chunk_id")
     },
     Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
-             bpeMergesLarge, bpeCap)},
+             bpeMergesLarge, bpeCapLarge)},
       |bpe_wx AS MATERIALIZED (
       |  SELECT doc_id, unnest(string_split($normalizeLargeSql, ' ')) AS w
       |  FROM documents),
@@ -995,7 +1007,7 @@ object MlPrepQueries {
       |  CAST(sum(straddles) AS BIGINT) AS n_straddling
       |FROM a2 GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
 
-  /** Per-source tokenizer FERTILITY under the 512-merge vocabulary —
+  /** Per-source tokenizer FERTILITY under the 8192-merge vocabulary —
     * `text_bpe_fertility`'s vocabulary-scale twin, completing the large
     * family's parity (train / vocab / apply / pack / fertility). The
     * fertility denominator counts the enriched stream's words (text +
@@ -1014,7 +1026,7 @@ object MlPrepQueries {
         .orderBy("source")
     },
     Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
-             bpeMergesLarge, bpeCap)},
+             bpeMergesLarge, bpeCapLarge)},
       |bpe_wx AS MATERIALIZED (
       |  SELECT doc_id, unnest(string_split($normalizeLargeSql, ' ')) AS w
       |  FROM documents),

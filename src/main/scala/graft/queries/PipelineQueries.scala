@@ -1900,6 +1900,62 @@ object PipelineQueries {
       |FROM w LEFT JOIN k2 USING (doc_id) LEFT JOIN ag USING (doc_id)
       |ORDER BY w.doc_id""".stripMargin))
 
+  /** dedup_substr50: the PAPER-FIDELITY parameterization of keep-first
+    * exact-substring dedup — Lee et al. 2022 strike runs of >= 50
+    * tokens, not 8 (k=8 over-strikes: natural 8-word collisions get
+    * deduped that the paper would keep). Same operator
+    * ([[graft.ops.TextOps.removeRepeatedSpansKeepFirst]]), k=50, over a
+    * corpus with SYNTHESIZED long repeats: every doc_id % 9 == 0 doc is
+    * self-concatenated (a >= 50-word within-doc repeat for long docs)
+    * and every doc_id % 10 == 0 doc gets a verbatim cross-doc copy —
+    * both repeat shapes the paper targets. The oracle replays gram
+    * keys, canonical min, coverage union and reassembly at k=50. */
+  val dedupSubstr50: QueryDef = QueryDef(
+    "dedup_substr50",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      TextOps.removeRepeatedSpansKeepFirst(corpus, "doc_id", "text", k = 50)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text || ' ' || text
+      |                      ELSE text END AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |w AS (SELECT doc_id, string_split($normalizeSql, ' ') AS w FROM t),
+      |g AS (SELECT doc_id, CAST(st AS BIGINT) - 1 AS pos,
+      |        array_to_string(w[CAST(st AS INTEGER):CAST(st AS INTEGER) + 49], ' ') AS gram,
+      |        doc_id * 1048576 + CAST(st AS BIGINT) - 1 AS key
+      |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 48, 1)) AS st FROM w)),
+      |dup AS (SELECT gram, min(key) AS canon FROM g
+      |        GROUP BY gram HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT g.doc_id, CAST(g.pos + i AS BIGINT) AS cp
+      |        FROM g JOIN dup ON g.gram = dup.gram AND g.key <> dup.canon,
+      |             unnest(range(0, 50)) r(i)),
+      |sp AS (SELECT doc_id, cp,
+      |         CASE WHEN cp - lag(cp) OVER (PARTITION BY doc_id ORDER BY cp) = 1
+      |              THEN 0 ELSE 1 END AS brk FROM cov),
+      |ag AS (SELECT doc_id, count(*) AS nr, CAST(sum(brk) AS BIGINT) AS ns
+      |       FROM sp GROUP BY doc_id),
+      |wr AS (SELECT doc_id, unnest(w) AS word,
+      |         CAST(generate_subscripts(w, 1) AS BIGINT) - 1 AS pos
+      |       FROM w WHERE w <> ['']),
+      |kept AS (SELECT wr.doc_id, wr.word, wr.pos FROM wr
+      |         LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.pos = cov.cp
+      |         WHERE cov.cp IS NULL),
+      |k2 AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS txt
+      |       FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, coalesce(k2.txt, '') AS deduped_text,
+      |  CAST(coalesce(ag.nr, 0) AS BIGINT) AS n_removed_words,
+      |  CAST(coalesce(ag.ns, 0) AS BIGINT) AS n_spans
+      |FROM w LEFT JOIN k2 USING (doc_id) LEFT JOIN ag USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin))
+
   /** Multimodal plumbing: binary payload + metadata -> per-partition
     * batched (stub) decode -> feature rows. The metadata surface
     * (modality routing, byte accounting, md5 content hash) is
@@ -3021,6 +3077,7 @@ object PipelineQueries {
     textLangid, textLangConfusion, qBenfordDigits,
     ingestHtmlExtract, ingestUrlCanonicalize, textQuality, textQualityModel,
     textTokens, textFingerprint, textChunkOverlap, textDupGrams, textDedupSpans, dedupSubstrings,
+    dedupSubstr50,
     textWordcount, textRepetition,
     mmDecode, mmResize, mmFrameSample, mmSimilarity,
     mmDecodeImage, mmResizeImage, mmFrameSampleAvi, mmDecodeWav,

@@ -306,7 +306,7 @@ object StreamingQueries {
         .option("checkpointLocation",
           graft.sources.TableIO.scratchDir(s, s"stream_lsh/ckpt_$run"))
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable(); EventStreams.recordDrain(q) } finally q.stop()
       s.read.parquet(outDir).orderBy("doc_id")
     },
     PipelineQueries.dedupIncrementalLsh.oracle)
@@ -627,7 +627,7 @@ object StreamingQueries {
         .option("checkpointLocation",
           graft.sources.TableIO.scratchDir(s, s"stream_cdc/ckpt_$run"))
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable(); EventStreams.recordDrain(q) } finally q.stop()
       s.read.parquet(tablePath)
         .groupBy(col("o_year"))
         .agg(count(lit(1)).as("n_rows"),
@@ -706,7 +706,7 @@ object StreamingQueries {
         .option("checkpointLocation",
           graft.sources.TableIO.scratchDir(s, s"stream_erase/ckpt_$run"))
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable(); EventStreams.recordDrain(q) } finally q.stop()
       s.read.parquet(tablePath)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_rows"),

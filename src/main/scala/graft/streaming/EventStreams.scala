@@ -596,6 +596,32 @@ object EventStreams {
 
   private val drainCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Cumulative micro-batch accounting across drains since the last
+    * [[resetDrainStats]]: committed batches and their summed
+    * `triggerExecution` wall time (from `recentProgress`). The bench
+    * reads this to report OPERATOR time per stream gate alongside gate
+    * wall time — the wall number includes query start/stop and
+    * checkpoint scaffolding that a long-lived production stream pays
+    * once, so `trigger_sec / batches` is the steady-state per-batch
+    * latency the operator would actually run at. */
+  final case class DrainStats(batches: Long, triggerMs: Long)
+  private val drainStatsAcc =
+    new java.util.concurrent.atomic.AtomicReference(DrainStats(0L, 0L))
+  def resetDrainStats(): Unit = drainStatsAcc.set(DrainStats(0L, 0L))
+  def drainStats: DrainStats = drainStatsAcc.get()
+  /** Public for gates that start their own foreachBatch queries. */
+  def recordDrain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ps = q.recentProgress
+    var b = 0L
+    var ms = 0L
+    ps.foreach { p =>
+      b += 1
+      val d = p.durationMs.get("triggerExecution")
+      if (d != null) ms += d.longValue()
+    }
+    drainStatsAcc.updateAndGet(s => DrainStats(s.batches + b, s.triggerMs + ms))
+  }
+
   /** Drain a streaming relation synchronously (`Trigger.AvailableNow`)
     * into a uniquely-named in-memory sink and return the sink table —
     * the batch-over-stream drive the driver-gated `stream_*` queries run
@@ -675,6 +701,7 @@ object EventStreams {
             .start()
           try {
             q.processAllAvailable()
+            recordDrain(q)
             extract(q)
           } finally q.stop()
         } finally statePartitions.foreach(_ => spark.conf.set(key, saved))
