@@ -1205,6 +1205,159 @@ object SurveyQueries {
       |FROM (SELECT CAST(2 AS BIGINT) AS snap_id UNION ALL SELECT 3) s
       |CROSS JOIN evens GROUP BY s.snap_id ORDER BY snap_id""".stripMargin))
 
+  /** maintenance_snapshot_append: the O(delta) ingest path of the
+    * manifest-pointer layer ([[graft.sources.SnapshotTable.append]]) —
+    * a manifest is a FILE LIST, so appending writes ONLY the delta rows
+    * into a fresh immutable dir and lists `previous dirs + new dir`:
+    * an O(delta) commit at any table size, nothing existing rewritten.
+    * The gate builds a 3-snapshot append chain (orders split by
+    * o_orderkey mod 3), structurally verifies the chain (snapshot N
+    * lists exactly N dirs; the O(delta) CDC fast path
+    * [[graft.sources.SnapshotTable.appendedBetween]] reads exactly the
+    * rows added after snapshot 1 without touching the base), then
+    * value-gates every snapshot's time-travel state in one result.
+    * Reference anchor: the reference's pipeline is full-replace only
+    * (`core/transformations.py:149`) — append is the capability a
+    * continuously-ingesting lake adds on top. */
+  val maintenanceSnapshotAppend: QueryDef = QueryDef(
+    "maintenance_snapshot_append",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_append")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 3 === 0), root)
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 3 === 1), root)
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 3 === 2), root)
+      require(graft.sources.SnapshotTable.dirsAt(s, root, 3L).size == 3,
+        "append rewrote the chain instead of adding one dir per commit")
+      // O(delta) CDC fast path: the dirs added in (1, 3] hold exactly
+      // the mod-3 in {1,2} rows — read WITHOUT scanning the base dir
+      val deltaRows = graft.sources.SnapshotTable
+        .appendedBetween(s, root, 1L, 3L).count()
+      val wantDelta = orders.filter(col("o_orderkey") % 3 =!= 0).count()
+      require(deltaRows == wantDelta,
+        s"appendedBetween read $deltaRows rows, expected $wantDelta")
+      Seq(1L, 2L, 3L).map(id =>
+          graft.sources.SnapshotTable.readAt(s, root, id)
+            .withColumn("snap_id", lit(id)))
+        .reduce(_ unionByName _)
+        .groupBy(col("snap_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("snap_id")
+    },
+    Some("""WITH p AS (
+      |  SELECT o_orderkey % 3 AS m, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders)
+      |SELECT CAST(s.snap_id AS BIGINT) AS snap_id, count(*) AS n_rows,
+      |  CAST(sum(p.p) AS DOUBLE) AS sum_price
+      |FROM (SELECT 1 AS snap_id UNION ALL SELECT 2 UNION ALL SELECT 3) s
+      |JOIN p ON p.m <= s.snap_id - 1
+      |GROUP BY s.snap_id ORDER BY snap_id""".stripMargin))
+
+  /** maintenance_snapshot_cdc: general row-level change capture between
+    * two retained snapshots ([[graft.sources.SnapshotTable.diff]]) —
+    * one full-outer join on the key with null-safe value comparison,
+    * classifying every row as insert / delete / update and dropping the
+    * unchanged majority. This is the arbitrary-rewrite complement of
+    * the O(delta) append fast path: v2 deletes every 7th key, bumps the
+    * price of the surviving 5th keys, and inserts shifted keys for
+    * every 11th — the gate value-pins the per-class counts and key
+    * sums, the oracle recomputes the change sets closed-form. Scale:
+    * the diff shuffles both states on the key — the honest lower bound
+    * for comparing two arbitrary table versions. */
+  val maintenanceSnapshotCdc: QueryDef = QueryDef(
+    "maintenance_snapshot_cdc",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_cdc")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val v1 = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      val v2 = v1.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0,
+            (col("o_totalprice") + lit(1)).cast(money))
+            .otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      graft.sources.SnapshotTable.commit(v1, root)
+      graft.sources.SnapshotTable.commit(v2, root)
+      graft.sources.SnapshotTable.diff(s, root, 1L, 2L, Seq("o_orderkey"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+        .orderBy("change_type")
+    },
+    Some("""WITH ch AS (
+      |  SELECT o_orderkey, 'delete' AS change_type FROM orders
+      |  WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'update' FROM orders
+      |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'insert' FROM orders
+      |  WHERE o_orderkey % 11 = 0)
+      |SELECT change_type, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin))
+
+  /** maintenance_data_skipping: manifest-level file pruning — commits
+    * carry a per-file min/max sidecar harvested from the parquet
+    * FOOTERS of the just-written files (no second data pass), and
+    * [[graft.sources.SnapshotTable.readPruned]] plans a scan over ONLY
+    * the files whose range intersects the predicate. On the
+    * range-clustered layout here (16 range-partitioned files on
+    * o_orderkey) a 10%-of-keyspace band provably selects a strict
+    * subset of files (the gate REQUIREs it — structural evidence the
+    * skip actually skipped), while the re-applied predicate makes the
+    * answer identical to the full-scan filter by construction. This is
+    * the mechanism that turns a point/range query on a range- or
+    * z-order-clustered 100 TB table into a few file reads; the same
+    * sidecar serves the [[graft.sources.SnapshotTable.zorder]] layout.
+    * The threshold band is derived from max(o_orderkey) so the gate
+    * prunes at every SF. */
+  val maintenanceDataSkipping: QueryDef = QueryDef(
+    "maintenance_data_skipping",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_skip")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(
+        base.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, statsCols = Seq("o_orderkey"))
+      val mx = base.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (0.3 * mx, 0.4 * mx)
+      val (selected, total) =
+        graft.sources.SnapshotTable.prunedFiles(s, root, "o_orderkey", lo, hi)
+      require(selected.size < total,
+        s"data skipping pruned nothing: ${selected.size} of $total files " +
+          s"selected for [$lo, $hi]")
+      graft.sources.SnapshotTable.readPruned(s, root, "o_orderkey", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+    },
+    Some("""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders, m
+      |WHERE o_orderkey >= CAST(0.3 AS DOUBLE) * mx
+      |  AND o_orderkey <= CAST(0.4 AS DOUBLE) * mx""".stripMargin))
+
   /** ingest_fixedwidth: the mainframe/COBOL-export interchange shape —
     * no delimiters, fields live at fixed byte offsets. The corpus is
     * written as %10d%-2s%6d lines (right-aligned numerics, left-aligned
@@ -1479,7 +1632,8 @@ object SurveyQueries {
     mergeTableVersionsStrict, mergeTableVersionsWide, mergeTableVersionsBucketed,
     sensitiveTier, maintenanceCompact, maintenanceZorder,
     maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats,
-    maintenanceVacuum, maintenanceSnapshot, ingestCsvDirty,
+    maintenanceVacuum, maintenanceSnapshot, maintenanceSnapshotAppend,
+    maintenanceSnapshotCdc, maintenanceDataSkipping, ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)
 }

@@ -1,7 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.hadoop.fs.{FileSystem, Path}
+
+import scala.jdk.CollectionConverters._
 
 /** Manifest-pointer snapshot table: the transactional layer that makes
   * table REPLACEMENT (CTAS, compaction, re-clustering) atomic BY
@@ -13,52 +16,77 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Layout under the table root:
   * {{{
-  *   <root>/_manifest-00000000000000000001   # pointer file, content = "snap-...0001"
+  *   <root>/_manifest-00000000000000000001   # pointer file: one data-dir name per line
   *   <root>/_manifest-00000000000000000002
-  *   <root>/snap-00000000000000000001/       # immutable parquet snapshot dirs
+  *   <root>/snap-00000000000000000001/       # immutable parquet data dirs
   *   <root>/snap-00000000000000000002/
+  *   <root>/snap-00000000000000000002/_stats.tsv   # optional per-file min/max sidecar
   * }}}
   *
+  * A manifest is a FILE LIST (one immutable data dir per line), not a
+  * single pointer: [[commit]] writes a one-dir manifest (full replace);
+  * [[append]] writes ONLY the delta rows into a fresh dir and lists
+  * `previous dirs + the new dir` — an O(delta) commit at any table
+  * size, the property that makes incremental ingest into a 100 TB
+  * table affordable. Data dirs are shared across snapshots by name;
+  * nothing is ever rewritten by an append.
+  *
   * Protocol (single committer; readers unlimited):
-  *  - COMMIT: write parquet into a fresh `snap-N` dir, write the pointer
-  *    content to a dot-temp, then RENAME it to `_manifest-N`. The rename
-  *    is the commit point: one metadata operation creating a NEW name —
-  *    never a rename over the live path, so there is no instant where
-  *    the table is unreadable. A crash before the rename leaves an
-  *    orphan snapshot dir that no manifest references: invisible to
+  *  - COMMIT: write parquet into a fresh `snap-N` dir, write the
+  *    manifest content to a dot-temp, then RENAME it to `_manifest-N`.
+  *    The rename is the commit point: one metadata operation creating a
+  *    NEW name — never a rename over the live path, so there is no
+  *    instant where the table is unreadable. A crash before the rename
+  *    leaves an orphan data dir no manifest references: invisible to
   *    readers, reclaimed by [[vacuum]]. After the rename the committer
-  *    reads the pointer back and verifies it still resolves to its own
-  *    snapshot — a cheap lost-update detector for the documented
-  *    single-committer contract (true multi-writer CAS needs a catalog
-  *    or lock service the filesystem does not provide; same position as
-  *    Iceberg's HadoopTableOperations).
-  *  - READ: list `_manifest-*`, take the max sequence, read its one-line
-  *    content, scan that snapshot dir. Listing sees either the old
-  *    manifest set or old+new — both are complete, committed states.
-  *    Snapshot dirs are immutable once committed, so a plan built
-  *    against snap-N can execute concurrently with ANY number of later
-  *    commits: reader isolation with zero retries.
+  *    reads the pointer set back and verifies its own id is current — a
+  *    cheap lost-update detector for the documented single-committer
+  *    contract (true multi-writer CAS needs a catalog or lock service
+  *    the filesystem does not provide; same position as Iceberg's
+  *    HadoopTableOperations).
+  *  - READ: list `_manifest-*`, take the max sequence, read its dir
+  *    list, scan those dirs. Listing sees either the old manifest set
+  *    or old+new — both are complete, committed states. Data dirs are
+  *    immutable once committed, so a plan built against snap-N can
+  *    execute concurrently with ANY number of later commits: reader
+  *    isolation with zero retries.
   *  - TIME TRAVEL: [[readAt]] scans any still-retained snapshot id.
-  *  - VACUUM: drop all but the newest `keepLast` snapshots (and their
-  *    manifests) plus any orphan snap dirs newer than every manifest
-  *    (crashed commits). Deletion only ever touches non-current
-  *    versions, so vacuum is safe on any schedule; a reader still
-  *    executing against a snapshot older than the retention window is
-  *    the standard lakehouse retention trade, stated here explicitly.
+  *  - CDC: [[appendedBetween]] reads ONLY the dirs added between two
+  *    snapshots of an append-only chain (O(delta), no diff join);
+  *    [[diff]] is the general keyed row-level diff for arbitrary
+  *    rewrites (insert / delete / update via one full-outer join).
+  *  - DATA SKIPPING: commits may carry a per-file min/max sidecar for
+  *    chosen numeric columns, harvested from the parquet FOOTERS of the
+  *    just-written files (no second data pass); [[readPruned]] plans a
+  *    scan over only the files whose [min,max] intersects a predicate
+  *    range — the manifest-level pruning that turns a point/range query
+  *    on a range-clustered 100 TB table into a few file reads. Files
+  *    without stats are always kept (pruning is only ever a superset of
+  *    the matching files; the caller's real filter still applies).
+  *  - VACUUM: drop all but the newest `keepLast` snapshots' manifests,
+  *    then every data dir referenced by no surviving manifest (appends
+  *    share dirs, so reference-counting is by name across the kept
+  *    set), plus stale dot-temps from crashed commits. Deletion only
+  *    ever touches non-current versions, so vacuum is safe on any
+  *    schedule; a reader still executing against a snapshot older than
+  *    the retention window is the standard lakehouse retention trade,
+  *    stated here explicitly.
   *
   * 100 TB posture: the pointer flip costs one small-file write + one
-  * metadata rename regardless of table size; compaction/re-clustering
-  * rewrite data into the NEXT snapshot while readers keep scanning the
-  * current one — maintenance never takes the table offline and never
-  * races a reader. Reference anchor: the reference's only sink is atomic
-  * `CREATE OR REPLACE TABLE` (`/root/reference/core/transformations.py:149`);
-  * this layer supplies the same atomic-replace contract for a
-  * path-based lake, plus the reader isolation BigQuery gives for free.
+  * metadata rename regardless of table size; appends touch only the
+  * delta; compaction/re-clustering rewrite data into the NEXT snapshot
+  * while readers keep scanning the current one — maintenance never
+  * takes the table offline and never races a reader. Reference anchor:
+  * the reference's only sink is atomic `CREATE OR REPLACE TABLE`
+  * (`/root/reference/core/transformations.py:149`); this layer supplies
+  * the same atomic-replace contract for a path-based lake, plus the
+  * reader isolation BigQuery gives for free.
   */
 object SnapshotTable {
 
   private val ManifestPrefix = "_manifest-"
   private val SnapPrefix = "snap-"
+  private val StatsFile = "_stats.tsv"
 
   private def fmt(id: Long): String = f"$id%020d"
 
@@ -86,35 +114,54 @@ object SnapshotTable {
     s.last
   }
 
-  private def readManifest(fs: FileSystem, root: Path, id: Long): String = {
-    val in = fs.open(new Path(root, ManifestPrefix + fmt(id)))
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](256)
+      val buf = new Array[Byte](4096)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, "UTF-8").trim
+      new String(out.toByteArray, "UTF-8")
     } finally in.close()
   }
 
-  /** Commit `df` as the next snapshot of the table at `root`; returns
-    * the new snapshot id. The data write happens entirely in a fresh
-    * snapshot directory; the single-rename pointer flip at the end is
-    * the commit point (see object doc for the crash/concurrency
-    * contract). */
-  def commit(df: DataFrame, root: String): Long = {
+  private def readManifest(fs: FileSystem, root: Path, id: Long): Seq[String] =
+    readFile(fs, new Path(root, ManifestPrefix + fmt(id)))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Data-dir names (relative to root) that snapshot `id` is made of —
+    * one for a replace commit, several for an append chain. */
+  def dirsAt(spark: SparkSession, root: String, id: Long): Seq[String] = {
+    val (fs, rootPath) = fsFor(spark, root)
+    readManifest(fs, rootPath, id)
+  }
+
+  /** Write `df` into a fresh immutable data dir; returns (next id, dir
+    * name). Shared by commit/append — the dir is invisible until a
+    * manifest referencing it is committed. */
+  private def writeDataDir(df: DataFrame, root: String,
+      statsCols: Seq[String]): (Long, String) = {
     val spark = df.sparkSession
     val (fs, rootPath) = fsFor(spark, root)
     fs.mkdirs(rootPath)
     val next = snapshots(spark, root).lastOption.getOrElse(0L) + 1L
     val snapDir = SnapPrefix + fmt(next)
-    df.write.mode(SaveMode.Overwrite)
-      .parquet(new Path(rootPath, snapDir).toString)
-    // pointer flip: dot-temp (hidden from parquet listings) -> rename to
-    // the NEW manifest name; never touches the live pointer set
+    val snapPath = new Path(rootPath, snapDir)
+    df.write.mode(SaveMode.Overwrite).parquet(snapPath.toString)
+    if (statsCols.nonEmpty) writeStats(spark, fs, snapPath, statsCols)
+    (next, snapDir)
+  }
+
+  /** The commit point: write the manifest body to a dot-temp (hidden
+    * from parquet listings), rename to `_manifest-N` — one metadata op
+    * creating a NEW name, never touching the live pointer set. */
+  private def commitManifest(spark: SparkSession, root: String, next: Long,
+      dirs: Seq[String]): Long = {
+    val (fs, rootPath) = fsFor(spark, root)
     val tmp = new Path(rootPath, s".manifest-${fmt(next)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write((snapDir + "\n").getBytes("UTF-8")) finally out.close()
+    try out.write(dirs.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
     val manifest = new Path(rootPath, ManifestPrefix + fmt(next))
     require(fs.rename(tmp, manifest), s"snapshot commit failed: $tmp -> $manifest")
     // lost-update detector for the single-committer contract
@@ -125,8 +172,32 @@ object SnapshotTable {
     next
   }
 
-  /** Read the current snapshot. No retry wrapper needed: the pointer
-    * resolves to an immutable directory that survives any concurrent
+  /** Commit `df` as the next snapshot of the table at `root` (full
+    * REPLACE: the new manifest lists only the new data dir); returns
+    * the new snapshot id. `statsCols` optionally harvests per-file
+    * min/max for those numeric columns from the just-written parquet
+    * footers into the dir's `_stats.tsv` (see [[readPruned]]). */
+  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Long = {
+    val (next, snapDir) = writeDataDir(df, root, statsCols)
+    commitManifest(df.sparkSession, root, next, Seq(snapDir))
+  }
+
+  /** APPEND `df` to the table at `root`: writes only the delta rows
+    * into a fresh data dir and commits a manifest of `previous dirs +
+    * new dir` — O(delta) regardless of table size; nothing existing is
+    * rewritten. Returns the new snapshot id. */
+  def append(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    val prior =
+      snapshots(spark, root).lastOption
+        .map(id => readManifest(fs, rootPath, id)).getOrElse(Nil)
+    val (next, snapDir) = writeDataDir(df, root, statsCols)
+    commitManifest(spark, root, next, prior :+ snapDir)
+  }
+
+  /** Read the current snapshot. No retry wrapper needed: the manifest
+    * resolves to immutable directories that survive any concurrent
     * commit (until vacuumed past retention). */
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, currentSnapshot(spark, root))
@@ -134,41 +205,197 @@ object SnapshotTable {
   /** Time travel: read snapshot `id` (must still be retained). */
   def readAt(spark: SparkSession, root: String, id: Long): DataFrame = {
     val (fs, rootPath) = fsFor(spark, root)
-    val snapDir = readManifest(fs, rootPath, id)
-    spark.read.parquet(new Path(rootPath, snapDir).toString)
+    val dirs = readManifest(fs, rootPath, id)
+    spark.read.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+  }
+
+  /** O(delta) CDC over an append-only chain: the rows added between
+    * snapshot `fromId` (exclusive) and `toId` (inclusive), read from
+    * ONLY the data dirs that joined the manifest in between — no diff
+    * join, no scan of the pre-existing table. Requires every dir of
+    * `fromId` to still be listed by `toId` (i.e. no replace/compact in
+    * the window — those rewrite history, use [[diff]]). */
+  def appendedBetween(spark: SparkSession, root: String, fromId: Long,
+      toId: Long): DataFrame = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val fromDirs = readManifest(fs, rootPath, fromId)
+    val toDirs = readManifest(fs, rootPath, toId)
+    require(fromDirs.forall(toDirs.contains),
+      s"snapshots $fromId..$toId are not an append-only chain at $root " +
+        "(a replace/compact rewrote the file list) — use diff() instead")
+    val delta = toDirs.filterNot(fromDirs.contains)
+    if (delta.isEmpty) readAt(spark, root, toId).limit(0)
+    else spark.read.parquet(delta.map(d => new Path(rootPath, d).toString): _*)
+  }
+
+  /** General row-level CDC between two retained snapshots: one
+    * full-outer join on `keyCols` comparing every other column
+    * null-safely. Returns the key columns plus `change_type` in
+    * {'insert','delete','update'} — unchanged rows are dropped. Works
+    * across arbitrary rewrites (replace, compact, erasure); for
+    * append-only windows prefer [[appendedBetween]], which reads only
+    * the delta. Scale: the join shuffles both snapshot states on the
+    * key — the honest lower bound for diffing two arbitrary states. */
+  def diff(spark: SparkSession, root: String, fromId: Long, toId: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val from = readAt(spark, root, fromId)
+    val to = readAt(spark, root, toId)
+    val valueCols = from.columns.filterNot(keyCols.contains).toSeq
+    require(to.columns.sorted.sameElements(from.columns.sorted),
+      s"diff requires identical schemas between snapshots $fromId and $toId")
+    val f = from.select(
+      keyCols.map(col) :+
+        org.apache.spark.sql.functions.struct(valueCols.map(col): _*).as("__from"): _*)
+    val t = to.select(
+      keyCols.map(col) :+
+        org.apache.spark.sql.functions.struct(valueCols.map(col): _*).as("__to"): _*)
+    f.join(t, keyCols, "full_outer")
+      .withColumn("change_type",
+        org.apache.spark.sql.functions.when(col("__from").isNull, lit("insert"))
+          .when(col("__to").isNull, lit("delete"))
+          .when(!(col("__from") <=> col("__to")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
+
+  /** Harvest per-file min/max for `statsCols` from the parquet FOOTERS
+    * of the files just written under `snapPath` (row-group column-chunk
+    * statistics — no second pass over the data) into
+    * `<snapPath>/_stats.tsv`: `file \t column \t min \t max` with
+    * values as doubles. Numeric columns only (int/long/float/double/
+    * date days); a column absent from a file's footer stats (all-null
+    * chunk, unsupported type) simply emits no line — [[prunedFiles]]
+    * keeps such files, so skipping stats is always safe. */
+  private def writeStats(spark: SparkSession, fs: FileSystem, snapPath: Path,
+      statsCols: Seq[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val wanted = statsCols.toSet
+    val lines = new scala.collection.mutable.ArrayBuffer[String]
+    fs.listStatus(snapPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val perCol = new scala.collection.mutable.HashMap[String, (Double, Double)]
+          r.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.foreach { cc =>
+              val name = cc.getPath.toDotString
+              if (wanted.contains(name)) {
+                val stats = cc.getStatistics
+                if (stats != null && !stats.isEmpty && stats.hasNonNullValue) {
+                  (stats.genericGetMin, stats.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      val (lo, hi) = (mn.doubleValue(), mx.doubleValue())
+                      val cur = perCol.get(name)
+                      perCol(name) = cur match {
+                        case Some((clo, chi)) => (math.min(clo, lo), math.max(chi, hi))
+                        case None => (lo, hi)
+                      }
+                    case _ => () // non-numeric (e.g. Binary) — no stats line
+                  }
+                }
+              }
+            }
+          }
+          perCol.toSeq.sortBy(_._1).foreach { case (name, (lo, hi)) =>
+            lines += s"${st.getPath.getName}\t$name\t$lo\t$hi"
+          }
+        } finally r.close()
+      }
+    val out = fs.create(new Path(snapPath, StatsFile), true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Manifest-level data skipping for the current snapshot: the parquet
+    * file paths whose recorded `[min,max]` of `column` intersects
+    * `[lo,hi]`, plus every file with no recorded stats (absent sidecar,
+    * all-null chunk, unsupported type) — pruning returns a SUPERSET of
+    * the files that can match, never fewer. Returns (selected paths,
+    * total file count). Driver-side cost is O(files) tiny sidecar
+    * reads — the same class as listing; the point is the EXECUTOR cost
+    * avoided: on a range-clustered table a narrow predicate plans a
+    * scan over a handful of files instead of the whole table. */
+  def prunedFiles(spark: SparkSession, root: String, column: String,
+      lo: Double, hi: Double): (Seq[String], Int) = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val dirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
+    var total = 0
+    val selected = dirs.flatMap { d =>
+      val dirPath = new Path(rootPath, d)
+      val statsPath = new Path(dirPath, StatsFile)
+      val ranges: Map[String, (Double, Double)] =
+        if (!fs.exists(statsPath)) Map.empty
+        else readFile(fs, statsPath).split("\n").iterator
+          .map(_.trim).filter(_.nonEmpty)
+          .map(_.split("\t"))
+          .filter(p => p.length == 4 && p(1) == column)
+          .map(p => p(0) -> (p(2).toDouble, p(3).toDouble))
+          .toMap
+      fs.listStatus(dirPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .flatMap { st =>
+          total += 1
+          ranges.get(st.getPath.getName) match {
+            case Some((mn, mx)) if mx < lo || mn > hi => None // provably disjoint
+            case _ => Some(st.getPath.toString)
+          }
+        }
+    }
+    (selected, total)
+  }
+
+  /** Scan the current snapshot reading ONLY the files that can contain
+    * `column` values in `[lo,hi]` (see [[prunedFiles]]), with the
+    * predicate re-applied exactly — identical results to a full-scan
+    * filter by construction, at the cost of just the intersecting
+    * files. */
+  def readPruned(spark: SparkSession, root: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    val (selected, _) = prunedFiles(spark, root, column, lo, hi)
+    val pred: Column = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (selected.isEmpty) read(spark, root).filter(pred).limit(0)
+    else spark.read.parquet(selected: _*).filter(pred)
   }
 
   /** Maintenance rewrite as a snapshot commit: read the CURRENT
     * snapshot, rewrite it into ⌈rows/rowsPerFile⌉ round-robin files (the
-    * [[TableIO.compact]] layout policy), commit as the NEXT snapshot.
-    * Readers of the current snapshot are untouched throughout; the old
-    * layout stays time-travel-readable until vacuum. Returns the new
-    * snapshot id. */
-  def compact(spark: SparkSession, root: String, rowsPerFile: Long): Long = {
+    * [[TableIO.compact]] layout policy), commit as the NEXT snapshot
+    * (single-dir manifest — an append chain's many small delta dirs
+    * collapse back into one). Readers of the current snapshot are
+    * untouched throughout; the old layout stays time-travel-readable
+    * until vacuum. Returns the new snapshot id. */
+  def compact(spark: SparkSession, root: String, rowsPerFile: Long,
+      statsCols: Seq[String] = Nil): Long = {
     require(rowsPerFile >= 1, "rowsPerFile must be positive")
     val (fs, rootPath) = fsFor(spark, root)
-    val snapDir = readManifest(fs, rootPath, currentSnapshot(spark, root))
-    val snapPath = new Path(rootPath, snapDir)
+    val dirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
     // row count from parquet footers (same discipline as
     // [[TableIO.compact]]): the data itself is read exactly once, by
     // the rewrite — O(files) tiny footer range-reads are the cheap side
     // of the trade for a many-small-files input at any scale
     val hconf = spark.sparkContext.hadoopConfiguration
-    val n = fs.listStatus(snapPath)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    val n = dirs.iterator.flatMap { d =>
+      fs.listStatus(new Path(rootPath, d)).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    commit(spark.read.parquet(snapPath.toString).repartition(files), root)
+    commit(
+      spark.read.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+        .repartition(files),
+      root, statsCols)
   }
 
   /** Z-order maintenance rewrite as a snapshot commit (the
     * [[TableIO.replaceZOrdered]] layout under snapshot isolation). */
   def zorder(spark: SparkSession, root: String, clusterCols: Seq[String],
-      numFiles: Int, bits: Int = 16): Long = {
+      numFiles: Int, bits: Int = 16, statsCols: Seq[String] = Nil): Long = {
     val cur = read(spark, root)
     val z = TableIO.mortonCode(clusterCols.map(cur(_)), bits)
     val zc = Iterator.from(0).map(i => s"__zorder$i")
@@ -178,13 +405,15 @@ object SnapshotTable {
         .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(zc))
         .sortWithinPartitions(zc)
         .drop(zc),
-      root)
+      root, statsCols)
   }
 
-  /** Retention pass: keep the newest `keepLast` committed snapshots
-    * (manifest + data), delete everything older, plus orphan snapshot
-    * dirs and stale dot-temps from crashed commits. Returns the number
-    * of snapshots removed. Never deletes the current snapshot
+  /** Retention pass: keep the newest `keepLast` committed snapshots'
+    * manifests, delete the older manifests, then every data dir
+    * referenced by NO surviving manifest (append chains share dirs, so
+    * liveness is reference-counted by name across the kept set), plus
+    * stale dot-temps from crashed commits. Returns the number of
+    * snapshots removed. Never deletes the current snapshot
     * (`keepLast >= 1` enforced). */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Int = {
     require(keepLast >= 1, "must retain at least the current snapshot")
@@ -192,26 +421,24 @@ object SnapshotTable {
     val ids = snapshots(spark, root)
     require(ids.nonEmpty, s"no committed snapshot at $root")
     val keep = ids.takeRight(keepLast).toSet
-    val keptDirs = keep.map(id => readManifest(fs, rootPath, id))
+    val keptDirs: Set[String] =
+      keep.flatMap(id => readManifest(fs, rootPath, id))
     var removed = 0
+    // manifests first: once the old manifests are gone, "referenced by a
+    // surviving manifest" is exactly `keptDirs`, and the dir sweep below
+    // reclaims everything else — including dirs shared by several
+    // dropped snapshots (deleted once) and orphans from crashed commits
     ids.filterNot(keep).foreach { id =>
-      // data first, manifest last: a crash mid-vacuum leaves a manifest
-      // whose dir is gone (time travel to it fails loudly) rather than
-      // an orphan dir masquerading as retained
-      fs.delete(new Path(rootPath, readManifest(fs, rootPath, id)), true)
       fs.delete(new Path(rootPath, ManifestPrefix + fmt(id)), false)
       removed += 1
     }
-    // orphans: after the loop above the surviving manifests are exactly
-    // `keep`, so any snap dir outside `keptDirs` is unreferenced — a
-    // crashed commit's data write. Stale dot-temps likewise.
     fs.listStatus(rootPath).foreach { st =>
       val name = st.getPath.getName
-      val orphanSnap = st.isDirectory && name.startsWith(SnapPrefix) &&
+      val deadSnap = st.isDirectory && name.startsWith(SnapPrefix) &&
         !keptDirs.contains(name)
       val staleTmp = !st.isDirectory && name.startsWith(".manifest-") &&
         name.endsWith(".tmp")
-      if (orphanSnap || staleTmp) fs.delete(st.getPath, true)
+      if (deadSnap || staleTmp) fs.delete(st.getPath, true)
     }
     removed
   }

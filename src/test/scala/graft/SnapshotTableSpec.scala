@@ -127,4 +127,116 @@ class SnapshotTableSpec extends SparkSpec {
     assert(reads > 0, "race produced no overlapping reads")
     assert(SnapshotTable.read(spark, root).count() == 500)
   }
+
+  test("append is O(delta): each append adds exactly one data dir, read = union") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "a")).toDF("id", "tag"), root)
+    SnapshotTable.append((11 to 15).map(i => (i.toLong, "b")).toDF("id", "tag"), root)
+    SnapshotTable.append((16 to 18).map(i => (i.toLong, "c")).toDF("id", "tag"), root)
+    assert(SnapshotTable.dirsAt(spark, root, 1L).size == 1)
+    assert(SnapshotTable.dirsAt(spark, root, 2L).size == 2)
+    assert(SnapshotTable.dirsAt(spark, root, 3L).size == 3)
+    // dirs are SHARED by name across the chain — nothing was rewritten
+    assert(SnapshotTable.dirsAt(spark, root, 3L).take(2) ==
+      SnapshotTable.dirsAt(spark, root, 2L))
+    assert(SnapshotTable.read(spark, root).count() == 18)
+    assert(SnapshotTable.readAt(spark, root, 2L).count() == 15)
+    assert(SnapshotTable.readAt(spark, root, 1L).count() == 10)
+  }
+
+  test("appendedBetween reads only the delta dirs; refuses non-append windows") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "a")).toDF("id", "tag"), root)
+    SnapshotTable.append((11 to 15).map(i => (i.toLong, "b")).toDF("id", "tag"), root)
+    SnapshotTable.append((16 to 18).map(i => (i.toLong, "c")).toDF("id", "tag"), root)
+    val delta = SnapshotTable.appendedBetween(spark, root, 1L, 3L)
+    assert(delta.count() == 8)
+    assert(delta.select("tag").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("b", "c"))
+    assert(SnapshotTable.appendedBetween(spark, root, 3L, 3L).count() == 0)
+    // compact rewrites the file list -> the window is no longer append-only
+    SnapshotTable.compact(spark, root, rowsPerFile = 100)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendedBetween(spark, root, 1L, 4L)
+    }
+  }
+
+  test("diff classifies insert/delete/update between arbitrary snapshots") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      (1 to 10).map(i => (i.toLong, i * 100L)).toDF("id", "amt"), root)
+    // v2: delete ids 1-2, update amt of 3-4, keep 5-10, insert 11-12
+    SnapshotTable.commit(
+      ((3 to 4).map(i => (i.toLong, i * 100L + 1)) ++
+        (5 to 10).map(i => (i.toLong, i * 100L)) ++
+        (11 to 12).map(i => (i.toLong, i * 100L))).toDF("id", "amt"), root)
+    val d = SnapshotTable.diff(spark, root, 1L, 2L, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((1L, "delete"), (2L, "delete"), (3L, "update"),
+      (4L, "update"), (11L, "insert"), (12L, "insert")))
+  }
+
+  test("stats sidecar prunes disjoint files; pruned read == full-scan filter") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    // range-clustered layout: 8 files, each covering a narrow id band
+    SnapshotTable.commit(
+      (1 to 800).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      root, statsCols = Seq("id"))
+    val (selected, total) = SnapshotTable.prunedFiles(spark, root, "id", 150.0, 250.0)
+    assert(total == 8, s"expected 8 data files, saw $total")
+    assert(selected.size < total,
+      s"stats pruning selected all $total files for a narrow range")
+    val pruned = SnapshotTable.readPruned(spark, root, "id", 150.0, 250.0)
+      .orderBy("id").select("id", "v").collect().toSeq
+    val full = SnapshotTable.read(spark, root)
+      .filter(col("id") >= 150 && col("id") <= 250)
+      .orderBy("id").select("id", "v").collect().toSeq
+    assert(pruned == full)
+    assert(pruned.size == 101)
+  }
+
+  test("files without stats are always kept (pruning is a superset)") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    // no statsCols at commit -> no sidecar -> nothing may be pruned
+    SnapshotTable.commit(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4), root)
+    val (selected, total) = SnapshotTable.prunedFiles(spark, root, "id", 1.0, 2.0)
+    assert(total == 4 && selected.size == 4)
+    assert(SnapshotTable.readPruned(spark, root, "id", 1.0, 2.0).count() == 2)
+  }
+
+  test("vacuum on an append chain keeps dirs shared with retained manifests") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "a")).toDF("id", "tag"), root)
+    SnapshotTable.append((11 to 15).map(i => (i.toLong, "b")).toDF("id", "tag"), root)
+    SnapshotTable.append((16 to 18).map(i => (i.toLong, "c")).toDF("id", "tag"), root)
+    val removed = SnapshotTable.vacuum(spark, root, keepLast = 2)
+    assert(removed == 1)
+    // manifest 1 is gone but its dir is SHARED with snapshots 2 and 3 —
+    // reference-counted liveness must keep it
+    assert(SnapshotTable.readAt(spark, root, 2L).count() == 15)
+    assert(SnapshotTable.read(spark, root).count() == 18)
+    intercept[Exception] { SnapshotTable.readAt(spark, root, 1L).count() }
+    // replace ends the chain; vacuum keepLast=1 then reclaims all three
+    // chain dirs at once
+    SnapshotTable.commit((1 to 5).map(i => (i.toLong, "z")).toDF("id", "tag"), root)
+    assert(SnapshotTable.vacuum(spark, root, keepLast = 1) == 2)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+    assert(dirs.length == 1, s"chain dirs survived: ${dirs.map(_.getName).toSeq}")
+    assert(SnapshotTable.read(spark, root).count() == 5)
+  }
 }
