@@ -811,6 +811,64 @@ object MlPrepQueries {
       |  CAST(sum(r) AS BIGINT) AS sum_surprise
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** CCNet-style LM-perplexity filtering (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * documents are scored by the in-corpus bigram LM
+    * ([[graft.ops.TextOps.bigramSurpriseScores]] — exact integer scaled
+    * inverse transition frequencies, the log-free surrogate for
+    * perplexity) and KEPT when their per-bigram average surprise is at
+    * or below the corpus mean — the relative-threshold form that stays
+    * meaningful at any scale factor, unlike a hard-coded cutoff. The
+    * threshold is a one-row aggregate broadcast back into the plan (no
+    * driver round-trip, no global sort); result is the kept-docs
+    * rollup per source, which pins the filter's selection exactly. At
+    * 100 TB: three narrow corpus scans for the LM (the text_bigram_lm
+    * posture), one scalar broadcast, one semi-join-shaped filter. */
+  val curatePerplexityFilter: QueryDef = QueryDef(
+    "curate_perplexity_filter",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextOps.bigramSurpriseScores(docs, "doc_id", "text",
+          maxUnigrams = 20, maxBigrams = 200)
+        .withColumn("avg_surprise", expr("sum_surprise div n_bigrams"))
+      val thr = scored.agg(
+        expr("sum(avg_surprise) div count(1)").as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("avg_surprise") <= col("thr"))
+        .select(col("id").as("doc_id"), col("avg_surprise"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("avg_surprise")).as("sum_avg_surprise"))
+        .orderBy("source")
+    },
+    Some(s"""WITH w AS (
+      |  SELECT doc_id, string_split($normalizeSql, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS bg,
+      |    ws[CAST(i AS INTEGER)] AS w1
+      |  FROM w, unnest(range(1, len(ws), 1)) r(i)
+      |  WHERE len(ws) >= 2),
+      |uni AS (
+      |  SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(string_split($normalizeSql, ' ')) AS w FROM documents) t
+      |  WHERE len(w) > 0 GROUP BY w ORDER BY c1 DESC, w ASC LIMIT 20),
+      |bc AS (
+      |  SELECT bg, count(*) AS cb FROM bg GROUP BY bg
+      |  ORDER BY cb DESC, bg ASC LIMIT 200),
+      |perdoc AS (
+      |  SELECT doc_id,
+      |    sum((coalesce(uni.c1, 1) * 1000000) // coalesce(bc.cb, 1))
+      |      // count(*) AS a
+      |  FROM bg LEFT JOIN uni ON bg.w1 = uni.w LEFT JOIN bc ON bg.bg = bc.bg
+      |  GROUP BY doc_id),
+      |thr AS (SELECT sum(a) // count(*) AS t FROM perdoc)
+      |SELECT d.source, count(*) AS n_kept,
+      |  CAST(sum(p.a) AS BIGINT) AS sum_avg_surprise
+      |FROM perdoc p JOIN documents d USING (doc_id), thr
+      |WHERE p.a <= thr.t
+      |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   /** Feature-hashing document embeddings
     * ([[graft.ops.TextOps.hashEmbedRows]] — the vocabulary-free
     * fixed-width bag-of-words vector, Weinberger et al. 2009), emitted
@@ -1946,7 +2004,7 @@ object MlPrepQueries {
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
     textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
     packChunksBpeLarge, textBpeFertilityLarge, mlSpanCorruption, pipelineLlmData,
-    textHashEmbed, textBigramLm, mixCurriculum,
+    textHashEmbed, textBigramLm, curatePerplexityFilter, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,

@@ -788,8 +788,60 @@ object StreamingQueries {
       |FROM c WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin))
 
+  private val snapRunCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** STREAMING ingest into the manifest-pointer snapshot layer: each
+    * micro-batch lands as one O(delta)
+    * [[graft.sources.SnapshotTable.append]] commit — the delta rows go
+    * into a fresh immutable dir and the manifest grows by one line, so
+    * per-batch cost is O(batch) regardless of accumulated table size,
+    * and every concurrent reader keeps scanning its own committed
+    * snapshot (zero retries, the SnapshotTableSpec race pin). The gate
+    * drains 4 mtime-ordered event files one-per-trigger, structurally
+    * REQUIREs the result is a 4-commit pure append chain, then
+    * value-gates the final table state; the oracle is the same rollup
+    * straight off the events table — exactly-once from the foreachBatch
+    * contract + one AvailableNow pass over a fresh checkpoint (a
+    * production restart resumes from the checkpoint and the snapshot
+    * ids make replayed appends auditable). Completes the snapshot
+    * story: replace/compact/vacuum (`maintenance_snapshot`), batch
+    * append + CDC (`maintenance_snapshot_append`/`_cdc`), data skipping
+    * (`maintenance_data_skipping`), and now continuous ingest. */
+  val streamSnapshotAppend: QueryDef = QueryDef(
+    "stream_snapshot_append",
+    (s, d) => {
+      val run = s"${graft.sources.TableIO.sessionToken(s)}_${snapRunCounter.incrementAndGet()}"
+      val root = graft.sources.TableIO.scratchDir(s, s"stream_snap/table_$run")
+      val stream = EventStreams.eventsMultiBatchStream(s, d, nFiles = 4)
+      val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            graft.sources.SnapshotTable.append(batch, root)
+            ()
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.sources.TableIO.scratchDir(s, s"stream_snap/ckpt_$run"))
+        .start()
+      try { q.processAllAvailable(); EventStreams.recordDrain(q) } finally q.stop()
+      val snaps = graft.sources.SnapshotTable.snapshots(s, root)
+      require(snaps.size == 4, s"expected 4 append commits, got ${snaps.size}")
+      require(graft.sources.SnapshotTable.dirsAt(s, root, snaps.last).size == 4,
+        "streaming ingest rewrote the chain instead of appending")
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    streamPackChunks, streamAttribution,
+    streamPackChunks, streamAttribution, streamSnapshotAppend,
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
     streamSessions, streamSessionWindow, streamHitters, streamOuterJoin,
