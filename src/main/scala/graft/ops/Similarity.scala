@@ -360,6 +360,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Directed k-NN GRAPH over the whole corpus under sign-LSH blocking:
+    * every vector gets its top-`k` cosine neighbors among the vectors
+    * sharing its `nPlanes`-bit sign bucket. Unlike [[annTopK]] (small
+    * query set broadcast against the corpus), here EVERY vector is a
+    * query, so the candidate pairs come from a bucket-keyed EQUI
+    * self-join — no broadcast of anything corpus-sized, no all-pairs:
+    * candidate count is sum of squared bucket sizes, the standard LSH
+    * blocking bound, and a hot bucket splits under AQE like any skewed
+    * key. Per-node ranking is the bounded-heap [[rankTopK]] aggregate
+    * (map-side combined, at most k pairs per node per task shuffle —
+    * never a global sort, never a window over all candidate pairs).
+    * Within-bucket edges are exact cosine, so recall vs brute force is
+    * exactly LSH bucket recall; the whole construction (hash, pairs,
+    * ranks, ties on neighbor id) is deterministic integer/float algebra
+    * the oracle replays. The k-NN graph is the substrate for semantic
+    * clustering / mutual-NN dedup (pair with the label-propagation and
+    * connected-components ops); zero-norm vectors have no cosine and
+    * are excluded, as everywhere in this module. */
+  def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn"), lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      .filter(col("vn") > 0) // zero-norm -> NaN cosine, see bruteForceTopK
+    val left = base.select(col("bucket"), col("id").as("query_id"),
+      col("v").as("sv"), col("vn").as("sn"))
+    val right = base.select(col("bucket"), col("id").as("cand_id"),
+      col("v").as("dv"), col("vn").as("dn"))
+    val scored = left.join(right, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("cos"))
+    rankTopK(scored, k)
+      .withColumnRenamed("query_id", "src_id")
+      .withColumnRenamed("cand_id", "dst_id")
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
     * `nCells` deterministic seed centroids (every (corpus/nCells)-th
     * vector by id order — data points as centroids, a valid IVF seeding

@@ -989,6 +989,47 @@ object PipelineQueries {
       |SELECT query_id, rk, cand_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
 
+  /** Directed 3-NN GRAPH over the full embedding corpus under sign-LSH
+    * blocking ([[graft.ops.Similarity.knnGraphLsh]]) — every vector is
+    * a query, so candidates come from a bucket-keyed equi SELF-join
+    * (sum-of-squared-bucket-sizes pairs, never all-pairs, nothing
+    * corpus-sized broadcast) and per-node ranking is the bounded-heap
+    * top-k aggregate (map-side combined — no window over the candidate
+    * pairs). The k-NN graph is the substrate semantic clustering and
+    * mutual-NN dedup build on (feed the edges to the connected-
+    * components / label-propagation ops); the oracle replays hash,
+    * pairs, cosine and id-tie-broken ranks exactly. */
+  val simKnnGraph: QueryDef = QueryDef(
+    "sim_knn_graph",
+    (s, d) => Similarity.knnGraphLsh(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 3, nPlanes = 6, dim = 64)
+      .orderBy("src_id", "rk"),
+    Some("""WITH planes AS (
+      |  SELECT p, list(CASE WHEN strpos('13579bdf', substr(md5(p || ':' || d), 2, 1)) > 0
+      |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS pv
+      |  FROM range(0, 6) rp(p), range(1, 65) rd(d)
+      |  GROUP BY p),
+      |normed AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
+      |  FROM embeddings),
+      |nz AS (SELECT * FROM normed WHERE vn > 0),
+      |buckets AS (
+      |  SELECT vec_id, v, vn,
+      |    sum(CASE WHEN list_dot_product(v, pv) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      |  FROM nz, planes GROUP BY vec_id, v, vn),
+      |scored AS (
+      |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+      |    list_dot_product(a.v, b.v) / (a.vn * b.vn) AS cos
+      |  FROM buckets a JOIN buckets b USING (bucket)
+      |  WHERE a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT src_id, dst_id, cos,
+      |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id ASC) AS rk
+      |  FROM scored)
+      |SELECT src_id, rk, dst_id, round(cos, 4) AS cos_r
+      |FROM ranked WHERE rk <= 3 ORDER BY src_id, rk""".stripMargin))
+
   /** IVF ANN top-5 — the inverted-file scale path (probe 2 of 16 cells;
     * recall pinned in PipelineSpec). Centroid seeding is an id-stride
     * (deterministic, no trained state), and cell assignment/probing rank
@@ -3071,7 +3112,7 @@ object PipelineQueries {
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
-    simAnnLsh, simIvf, simTopkInt8, simPqAdc,
+    simAnnLsh, simKnnGraph, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     simRrfFusion, simMmr, simRecallAudit, embMatryoshkaOverlap, dedupMinhashAudit,
     textLangid, textLangConfusion, qBenfordDigits,

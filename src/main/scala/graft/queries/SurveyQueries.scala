@@ -1311,6 +1311,106 @@ object SurveyQueries {
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
       |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin))
 
+  /** maintenance_snapshot_evolution: schema evolution over an append
+    * chain — a later append carries a column the base commit never had
+    * (`o_tier`), and the `mergeSchema` read unions the footer schemas
+    * across the chain's immutable dirs so pre-evolution rows surface
+    * NULL there (parquet's standard evolution contract; nothing is
+    * rewritten — the base dir's files never change). The gate rolls the
+    * merged table up by the evolved column with NULL-bucket accounting;
+    * the oracle recomputes the union closed-form. This is the
+    * add-a-column migration a continuously-ingesting lake performs
+    * without a table rewrite — at 100 TB the alternative (rewriting
+    * history to backfill a NULL column) is exactly the cost this
+    * avoids. */
+  val maintenanceSnapshotEvolution: QueryDef = QueryDef(
+    "maintenance_snapshot_evolution",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_evolve")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 0), root)
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_tier",
+            when(col("o_totalprice") >= 100000, lit("high")).otherwise(lit("low"))),
+        root)
+      graft.sources.SnapshotTable.read(s, root, mergeSchema = true)
+        .groupBy(coalesce(col("o_tier"), lit("pre_evolution")).as("o_tier"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("o_tier")
+    },
+    Some("""WITH u AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    CAST(NULL AS VARCHAR) AS o_tier
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 100000
+      |         THEN 'high' ELSE 'low' END AS o_tier
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT coalesce(o_tier, 'pre_evolution') AS o_tier,
+      |  count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM u GROUP BY 1 ORDER BY o_tier""".stripMargin))
+
+  /** maintenance_snapshot_ivm: incremental view maintenance fed by the
+    * snapshot layer's O(delta) CDC — the aggregate state is seeded from
+    * the base commit, then each subsequent snapshot contributes ONLY
+    * its [[graft.sources.SnapshotTable.appendedBetween]] delta
+    * (partial-aggregate of the delta unioned into the state and
+    * re-combined: count and sum are the canonical self-maintainable
+    * aggregates). The maintained state is the gate's result and the
+    * oracle is the FULL recompute over all rows — green means the
+    * incremental path equals the from-scratch path exactly, the IVM
+    * correctness statement. At 100 TB the full nightly re-aggregate is
+    * the cost this kills: per refresh the engine touches O(delta) data
+    * plus O(groups) state, never the accumulated table. */
+  val maintenanceSnapshotIvm: QueryDef = QueryDef(
+    "maintenance_snapshot_ivm",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_ivm")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 3 === 0), root)
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 3 === 1), root)
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 3 === 2), root)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice")).as("sum_price"))
+      // seed from the base snapshot, then fold in ONLY each delta's
+      // partial aggregate — the accumulated table is never re-read
+      val state = (2L to 3L).foldLeft(
+          partial(graft.sources.SnapshotTable.readAt(s, root, 1L))) {
+        case (st, id) =>
+          st.unionByName(partial(
+              graft.sources.SnapshotTable.appendedBetween(s, root, id - 1, id)))
+            .groupBy(col("o_orderpriority"))
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sum(col("sum_price")).as("sum_price"))
+      }
+      state.select(col("o_orderpriority"), col("n_rows"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** maintenance_data_skipping: manifest-level file pruning — commits
     * carry a per-file min/max sidecar harvested from the parquet
     * FOOTERS of the just-written files (no second data pass), and
@@ -1633,7 +1733,8 @@ object SurveyQueries {
     sensitiveTier, maintenanceCompact, maintenanceZorder,
     maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats,
     maintenanceVacuum, maintenanceSnapshot, maintenanceSnapshotAppend,
-    maintenanceSnapshotCdc, maintenanceDataSkipping, ingestCsvDirty,
+    maintenanceSnapshotCdc, maintenanceSnapshotEvolution, maintenanceSnapshotIvm,
+    maintenanceDataSkipping, ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)
 }

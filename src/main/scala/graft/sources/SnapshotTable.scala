@@ -198,15 +198,23 @@ object SnapshotTable {
 
   /** Read the current snapshot. No retry wrapper needed: the manifest
     * resolves to immutable directories that survive any concurrent
-    * commit (until vacuumed past retention). */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readAt(spark, root, currentSnapshot(spark, root))
+    * commit (until vacuumed past retention). `mergeSchema` unions the
+    * footer schemas across the chain's dirs — the schema-evolution
+    * read for append chains whose later batches added columns (older
+    * rows surface NULL there, parquet's standard evolution contract);
+    * off by default because footer merging costs an O(files) driver
+    * pass a fixed-schema table never needs. */
+  def read(spark: SparkSession, root: String, mergeSchema: Boolean = false): DataFrame =
+    readAt(spark, root, currentSnapshot(spark, root), mergeSchema)
 
   /** Time travel: read snapshot `id` (must still be retained). */
-  def readAt(spark: SparkSession, root: String, id: Long): DataFrame = {
+  def readAt(spark: SparkSession, root: String, id: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     val (fs, rootPath) = fsFor(spark, root)
     val dirs = readManifest(fs, rootPath, id)
-    spark.read.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
   }
 
   /** O(delta) CDC over an append-only chain: the rows added between
