@@ -999,12 +999,11 @@ object PipelineQueries {
     * mutual-NN dedup build on (feed the edges to the connected-
     * components / label-propagation ops); the oracle replays hash,
     * pairs, cosine and id-tie-broken ranks exactly. */
-  val simKnnGraph: QueryDef = QueryDef(
-    "sim_knn_graph",
-    (s, d) => Similarity.knnGraphLsh(Tables.embeddings(s, d), "vec_id",
-        "embedding", k = 3, nPlanes = 6, dim = 64)
-      .orderBy("src_id", "rk"),
-    Some("""WITH planes AS (
+  /** Shared oracle CTE chain for the LSH-blocked k-NN graph (6 sign
+    * planes, dim 64, per-node rank over in-bucket cosine with id tie
+    * break) — extended by both the edge gate and the cluster gate. */
+  private val knnRankedSql: String =
+    """planes AS (
       |  SELECT p, list(CASE WHEN strpos('13579bdf', substr(md5(p || ':' || d), 2, 1)) > 0
       |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS pv
       |  FROM range(0, 6) rp(p), range(1, 65) rd(d)
@@ -1026,9 +1025,54 @@ object PipelineQueries {
       |ranked AS (
       |  SELECT src_id, dst_id, cos,
       |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id ASC) AS rk
-      |  FROM scored)
+      |  FROM scored)""".stripMargin
+
+  val simKnnGraph: QueryDef = QueryDef(
+    "sim_knn_graph",
+    (s, d) => Similarity.knnGraphLsh(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 3, nPlanes = 6, dim = 64)
+      .orderBy("src_id", "rk"),
+    Some(s"""WITH $knnRankedSql
       |SELECT src_id, rk, dst_id, round(cos, 4) AS cos_r
       |FROM ranked WHERE rk <= 3 ORDER BY src_id, rk""".stripMargin))
+
+  /** Mutual-NN semantic clustering — the composition the k-NN graph
+    * exists for: keep only RECIPROCAL edges (each endpoint ranks the
+    * other in its top-3 — the classic mutual-kNN density filter that
+    * strips hub/chain edges), then run min-label connected components
+    * ([[graft.ops.Dedup.connectedComponents]], the checkpointed
+    * iterative op already gated by `dedup_cluster`) over them. Result
+    * is every clustered vector with its cluster label; the oracle
+    * replays the graph CTE and closes the components with a recursive
+    * CTE. Scale: mutuality is one self-semi-join of the k-bounded edge
+    * list (corpus × k rows, never candidate pairs), and CC is the
+    * existing O(rounds) shuffle-join loop. */
+  val simKnnClusters: QueryDef = QueryDef(
+    "sim_knn_clusters",
+    (s, d) => {
+      val edges = Similarity.knnGraphLsh(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 3, nPlanes = 6, dim = 64)
+        .select(col("src_id"), col("dst_id"))
+      val mutual = edges.join(
+          edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
+          Seq("src_id", "dst_id"), "left_semi")
+        .filter(col("src_id") < col("dst_id"))
+      Dedup.connectedComponents(mutual, "src_id", "dst_id").orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE $knnRankedSql,
+      |knn AS (SELECT src_id, dst_id FROM ranked WHERE rk <= 3),
+      |mutual AS (
+      |  SELECT a.src_id, a.dst_id FROM knn a
+      |  JOIN knn b ON a.src_id = b.dst_id AND a.dst_id = b.src_id
+      |  WHERE a.src_id < a.dst_id),
+      |sym AS (SELECT src_id AS src, dst_id AS dst FROM mutual
+      |  UNION SELECT dst_id AS src, src_id AS dst FROM mutual),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      |  UNION
+      |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+      |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin))
 
   /** IVF ANN top-5 — the inverted-file scale path (probe 2 of 16 cells;
     * recall pinned in PipelineSpec). Centroid seeding is an id-stride
@@ -3112,7 +3156,7 @@ object PipelineQueries {
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
-    simAnnLsh, simKnnGraph, simIvf, simTopkInt8, simPqAdc,
+    simAnnLsh, simKnnGraph, simKnnClusters, simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     simRrfFusion, simMmr, simRecallAudit, embMatryoshkaOverlap, dedupMinhashAudit,
     textLangid, textLangConfusion, qBenfordDigits,
