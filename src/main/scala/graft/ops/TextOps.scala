@@ -980,6 +980,45 @@ object TextOps {
       .agg(sum(col("s")).as("v"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-n-gram distribution resembles a
+    * TARGET slice versus the RAW corpus. Features are hashed unigrams
+    * (the [[hashEmbedRows]] md5 bucket arithmetic, `dim` buckets); the
+    * per-bucket target and raw counts are Laplace-smoothed (+1), and
+    * each token contributes the scaled integer ratio
+    * `((t_h + 1) * scale) div (r_h + 1)` — a log-free integer surrogate
+    * of DSIR's per-feature log-likelihood ratio. Honest scope note: the
+    * paper sums LOGS of ratios; summing the ratios themselves preserves
+    * determinism and exact oracle replay at the cost of weighting
+    * high-ratio buckets more than the paper would — the selection
+    * signal (target-like docs score high) is the same, the exact
+    * ordering is not guaranteed to coincide. Returns
+    * (id, n_tokens, dsir_score).
+    *
+    * Scale: one dim-bounded bucket-count aggregate (map-side combined)
+    * broadcast back into a second token-level pass — two narrow corpus
+    * scans, never a vocabulary-sized shuffle; the per-doc sum is the
+    * one corpus-order shuffle (the [[bigramSurpriseScores]] posture). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int, scale: Long = 1000000L): DataFrame = {
+    require(dim >= 1, "need a positive feature-bucket count")
+    val toks = docs
+      .select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("id"), col("tgt"),
+        pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType),
+          lit(dim.toLong)).as("h"))
+    val counts = toks.groupBy(col("h"))
+      .agg(sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("t_h"),
+        count(lit(1)).as("r_h")) // raw = the whole corpus, target included
+    toks.join(broadcast(counts), Seq("h"))
+      .withColumn("r", expr(s"((t_h + 1L) * ${scale}L) div (r_h + 1L)"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("dsir_score"))
+  }
+
   /** Winnowing-style robust fingerprint: minimum 64-bit hash over
     * character k-grams of the normalized text (k=8). Survives small edits
     * far from the minimal shingle — used for near-dup candidate keys.

@@ -869,6 +869,46 @@ object MlPrepQueries {
       |WHERE p.a <= thr.t
       |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
+  /** DSIR-style importance weighting ([[graft.ops.TextOps.dsirScores]]
+    * — Xie et al. 2023): documents scored by the Laplace-smoothed
+    * target-vs-raw ratio of their hashed-unigram features, the
+    * data-selection signal that upweights target-domain-like documents
+    * corpus-wide with NO trained model (two narrow scans + a
+    * dim-bounded broadcast). Target slice = `src0`; the per-source
+    * rollup pins every document's integer score — src0 itself scoring
+    * highest is the expected (and oracle-verified) shape. */
+  val curateDsir: QueryDef = QueryDef(
+    "curate_dsir",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.dsirScores(docs, "doc_id", "text",
+          col("source") === "src0", dim = 64)
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dsir_score")).as("sum_score"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, tgt,
+      |    CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 64 AS h
+      |  FROM (SELECT doc_id, source = 'src0' AS tgt,
+      |          unnest(string_split($normalizeSql, ' ')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |counts AS (
+      |  SELECT h, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_h,
+      |    count(*) AS r_h
+      |  FROM toks GROUP BY h),
+      |scored AS (
+      |  SELECT t.doc_id, ((c.t_h + 1) * 1000000) // (c.r_h + 1) AS r
+      |  FROM toks t JOIN counts c USING (h)),
+      |perdoc AS (
+      |  SELECT doc_id, sum(r) AS sc FROM scored GROUP BY doc_id)
+      |SELECT d.source, count(*) AS n_docs, CAST(sum(p.sc) AS BIGINT) AS sum_score
+      |FROM perdoc p JOIN documents d USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   /** Feature-hashing document embeddings
     * ([[graft.ops.TextOps.hashEmbedRows]] — the vocabulary-free
     * fixed-width bag-of-words vector, Weinberger et al. 2009), emitted
@@ -2004,7 +2044,7 @@ object MlPrepQueries {
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
     textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
     packChunksBpeLarge, textBpeFertilityLarge, mlSpanCorruption, pipelineLlmData,
-    textHashEmbed, textBigramLm, curatePerplexityFilter, mixCurriculum,
+    textHashEmbed, textBigramLm, curatePerplexityFilter, curateDsir, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,

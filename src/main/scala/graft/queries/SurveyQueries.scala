@@ -1411,6 +1411,42 @@ object SurveyQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** maintenance_schema_drift: the pre-migration audit
+    * ([[graft.sources.SnapshotTable.schemaDrift]]) — every column
+    * added, removed, or retyped between two retained snapshots, from
+    * parquet footer METADATA only (merged across each snapshot's dirs,
+    * so append-chain evolution is visible; no data read). The gate
+    * replaces v1 (key, priority, decimal price) with v2 (key, price
+    * retyped to double, a new tier column) and pins the three-row drift
+    * report; the oracle is the closed-form expectation. */
+  val maintenanceSchemaDrift: QueryDef = QueryDef(
+    "maintenance_schema_drift",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_drift")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d)
+      graft.sources.SnapshotTable.commit(
+        orders.select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(money).as("o_totalprice")),
+        root)
+      graft.sources.SnapshotTable.commit(
+        orders.select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          when(col("o_totalprice") >= 100000, lit("high")).otherwise(lit("low"))
+            .as("o_tier")),
+        root)
+      graft.sources.SnapshotTable.schemaDrift(s, root, 1L, 2L)
+        .orderBy("column_name")
+    },
+    Some("""SELECT * FROM (VALUES
+      |  ('o_orderpriority', 'removed'),
+      |  ('o_tier', 'added'),
+      |  ('o_totalprice', 'retyped')) t(column_name, change)
+      |ORDER BY column_name""".stripMargin))
+
   /** maintenance_data_skipping: manifest-level file pruning — commits
     * carry a per-file min/max sidecar harvested from the parquet
     * FOOTERS of the just-written files (no second data pass), and
@@ -1734,7 +1770,7 @@ object SurveyQueries {
     maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats,
     maintenanceVacuum, maintenanceSnapshot, maintenanceSnapshotAppend,
     maintenanceSnapshotCdc, maintenanceSnapshotEvolution, maintenanceSnapshotIvm,
-    maintenanceDataSkipping, ingestCsvDirty,
+    maintenanceDataSkipping, maintenanceSchemaDrift, ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)
 }

@@ -267,6 +267,28 @@ object SnapshotTable {
       .select(keyCols.map(col) :+ col("change_type"): _*)
   }
 
+  /** Schema drift between two retained snapshots — the audit a lake
+    * runs before pointing consumers at a new version: every column that
+    * was `added`, `removed`, or `retyped` between `fromId` and `toId`,
+    * as (column_name, change) rows. Pure METADATA: both sides come from
+    * parquet footer schemas (merged across each snapshot's dirs so an
+    * append-chain evolution is visible), no data is read. Unchanged
+    * columns are omitted — an empty result IS the no-drift signal. */
+  def schemaDrift(spark: SparkSession, root: String, fromId: Long,
+      toId: Long): DataFrame = {
+    def types(id: Long): Map[String, String] =
+      readAt(spark, root, id, mergeSchema = true).schema
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    val (from, to) = (types(fromId), types(toId))
+    val rows =
+      (to.keySet -- from.keySet).toSeq.map(c => (c, "added")) ++
+        (from.keySet -- to.keySet).toSeq.map(c => (c, "removed")) ++
+        (from.keySet & to.keySet).toSeq.filter(c => from(c) != to(c))
+          .map(c => (c, "retyped"))
+    import spark.implicits._
+    rows.sorted.toDF("column_name", "change")
+  }
+
   /** Harvest per-file min/max for `statsCols` from the parquet FOOTERS
     * of the files just written under `snapPath` (row-group column-chunk
     * statistics — no second pass over the data) into
