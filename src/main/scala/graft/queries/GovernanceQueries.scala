@@ -75,6 +75,88 @@ object GovernanceQueries {
       |    AS releasable
       |FROM customer GROUP BY 1, 2 ORDER BY nation, mktsegment""".stripMargin))
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, "t-Closeness:
+    * Privacy Beyond k-Anonymity and l-Diversity") — the third rung of
+    * the release ladder: a QI group can be k-anonymous AND l-diverse
+    * yet still leak if its sensitive-value DISTRIBUTION diverges from
+    * the table's. For the ordered sensitive attribute (account-balance
+    * band) the distance is the ordered-categorical Earth Mover's
+    * Distance: mean |cumulative P − cumulative Q| over the band order,
+    * normalized by (m−1). Computed EXACTLY in integers on the common
+    * denominator g·G (group size × table size): per band
+    * |cum(c)·G − cum(Gb)·g|, summed, then one scaled division to
+    * micro-units at the boundary — both engines replay it bit-for-bit
+    * (longs stay < 2^63 for any bounded band count × ≤ ~3e9 rows; a
+    * larger table moves the numerator to DECIMAL, the q_gini_segment
+    * discipline). Shape: three map-side-combined aggregates, a
+    * groups × bands spine (bands are BOUNDED — the broadcast is a
+    * list, never data), per-group cumsum windows over ≤ m rows.
+    * Releasable = t ≤ 0.2, the paper's canonical example threshold. */
+  val privacyTCloseness: QueryDef = QueryDef(
+    "privacy_t_closeness",
+    (s, d) => {
+      val base = Tables.customer(s, d).select(
+        col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / lit(2000.0)).cast("long").as("band"))
+      val cells = base.groupBy(col("nation"), col("mktsegment"), col("band"))
+        .agg(count(lit(1)).as("c"))
+      val groups = base.groupBy(col("nation"), col("mktsegment"))
+        .agg(count(lit(1)).as("g"))
+      val globalB = base.groupBy(col("band")).agg(count(lit(1)).as("gb"))
+      val tot = base.agg(count(lit(1)).as("total"),
+        countDistinct(col("band")).as("m"))
+      val spine = groups.crossJoin(broadcast(globalB))
+      val filled = spine
+        .join(cells, Seq("nation", "mktsegment", "band"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(tot))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nation"), col("mktsegment")).orderBy(col("band"))
+      filled
+        .withColumn("cum_c", sum(col("c")).over(w))
+        .withColumn("cum_gb", sum(col("gb")).over(w))
+        .groupBy(col("nation"), col("mktsegment"))
+        .agg(max(col("g")).as("n"), max(col("total")).as("total"),
+          max(col("m")).as("m"),
+          sum(abs(col("cum_c") * col("total") - col("cum_gb") * col("g")))
+            .as("emd_num"))
+        .withColumn("t_micro",
+          expr("(emd_num * 1000000L) div (n * total * (m - 1))"))
+        .select(col("nation"), col("mktsegment"), col("n"), col("t_micro"),
+          (col("t_micro") <= 200000L).as("releasable"))
+        .orderBy("nation", "mktsegment")
+    },
+    Some("""WITH base AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS mktsegment,
+      |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+      |  FROM customer),
+      |cells AS (SELECT nation, mktsegment, band, count(*) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |grp AS (SELECT nation, mktsegment, count(*) AS g FROM base GROUP BY 1, 2),
+      |gball AS (SELECT band, count(*) AS gb FROM base GROUP BY 1),
+      |tot AS (SELECT count(*) AS total, count(DISTINCT band) AS m FROM base),
+      |filled AS (
+      |  SELECT s.nation, s.mktsegment, s.g, s.band, s.gb,
+      |    coalesce(c.c, 0) AS c, tot.total, tot.m
+      |  FROM (SELECT grp.nation, grp.mktsegment, grp.g, gball.band, gball.gb
+      |        FROM grp CROSS JOIN gball) s
+      |  LEFT JOIN cells c USING (nation, mktsegment, band)
+      |  CROSS JOIN tot),
+      |cum AS (
+      |  SELECT nation, mktsegment, g, total, m,
+      |    sum(c) OVER (PARTITION BY nation, mktsegment ORDER BY band) AS cum_c,
+      |    sum(gb) OVER (PARTITION BY nation, mktsegment ORDER BY band) AS cum_gb
+      |  FROM filled),
+      |emd AS (
+      |  SELECT nation, mktsegment, max(g) AS n, max(total) AS total,
+      |    max(m) AS m, sum(abs(cum_c * total - cum_gb * g)) AS emd_num
+      |  FROM cum GROUP BY 1, 2)
+      |SELECT nation, mktsegment, n,
+      |  (emd_num * 1000000) // (n * total * (m - 1)) AS t_micro,
+      |  (emd_num * 1000000) // (n * total * (m - 1)) <= 200000 AS releasable
+      |FROM emd ORDER BY nation, mktsegment""".stripMargin))
+
   /** Declarative data-quality constraint audit (the Deequ/"unit tests
     * for data" shape, Schelter et al. 2018): five constraints —
     * completeness, key uniqueness, numeric range, value-set membership,
@@ -452,7 +534,7 @@ object GovernanceQueries {
       |FROM a ORDER BY event_type""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(privacyErasureAudit,
-    privacyKAnon, privacyLDiversity, auditConstraints, privacyDpQuantile,
+    privacyKAnon, privacyLDiversity, privacyTCloseness, auditConstraints, privacyDpQuantile,
     sampleGroupK,
     mlBinsEquidepth, privacyPseudonymize, auditReferential, pipelineGoverned,
     privacyDpRelease)
