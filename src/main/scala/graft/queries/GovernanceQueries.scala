@@ -157,6 +157,54 @@ object GovernanceQueries {
       |  (emd_num * 1000000) // (n * total * (m - 1)) <= 200000 AS releasable
       |FROM emd ORDER BY nation, mktsegment""".stripMargin))
 
+  /** Right-to-be-forgotten ON THE SNAPSHOT LAYER — the erasure story's
+    * retention subtlety made executable: deleting under snapshot
+    * isolation writes a NEW version ([[graft.ops.Sketches
+    * .bloomPrunedAntiJoin]] keeps the majority on a scan-fused bloom
+    * filter, only the might-contain sliver pays the exact anti-join,
+    * then one [[graft.sources.SnapshotTable.commit]]), but the
+    * victims' rows REMAIN time-travel-readable in the prior snapshot
+    * until retention expires — GDPR completion is the erase commit PLUS
+    * the vacuum, and the gate REQUIREs both (old generation reclaimed,
+    * only the erased version retained) before counting victim residuals
+    * from the surviving table (the audit zero). The oracle recomputes
+    * the post-erasure state closed-form. */
+  val privacySnapshotErasure: QueryDef = QueryDef(
+    "privacy_snapshot_erasure",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_erasure")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(base, root)
+      val victims = base.filter(col("o_custkey") % 13 === 0)
+        .select(col("o_custkey")).distinct()
+      val kept = graft.ops.Sketches.bloomPrunedAntiJoin(
+        graft.sources.SnapshotTable.read(s, root), victims, "o_custkey",
+        expectedItems = 1 << 16)
+      graft.sources.SnapshotTable.commit(kept, root)
+      // erasure is COMPLETE only once retention reclaims the pre-erase
+      // snapshot — the lakehouse-specific step a table-format deploy
+      // must schedule, verified structurally here
+      val removed = graft.sources.SnapshotTable.vacuum(s, root, keepLast = 1)
+      require(removed == 1 &&
+        graft.sources.SnapshotTable.snapshots(s, root) == Seq(2L),
+        "pre-erase snapshot survived the retention pass")
+      graft.sources.SnapshotTable.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_custkey") % 13 === 0, lit(1L)).otherwise(lit(0L)))
+            .as("victim_residuals"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_custkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS victim_residuals,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_custkey % 13 <> 0""".stripMargin))
+
   /** Declarative data-quality constraint audit (the Deequ/"unit tests
     * for data" shape, Schelter et al. 2018): five constraints —
     * completeness, key uniqueness, numeric range, value-set membership,
@@ -534,7 +582,8 @@ object GovernanceQueries {
       |FROM a ORDER BY event_type""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(privacyErasureAudit,
-    privacyKAnon, privacyLDiversity, privacyTCloseness, auditConstraints, privacyDpQuantile,
+    privacyKAnon, privacyLDiversity, privacyTCloseness, privacySnapshotErasure,
+    auditConstraints, privacyDpQuantile,
     sampleGroupK,
     mlBinsEquidepth, privacyPseudonymize, auditReferential, pipelineGoverned,
     privacyDpRelease)
