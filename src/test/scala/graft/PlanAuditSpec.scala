@@ -646,4 +646,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(pb, "Exchange") == 1, "BPE application should shuffle only for the output sort")
     assert(pb.contains("MapPartitions"), "BPE application lost the narrow typed pass")
   }
+
+  test("knn graph: bucket equi self-join, heap ranking, never a cross product") {
+    // sim_knn_clusters shares this subtree but its visible plan is the
+    // post-checkpoint CC scan (Materialize.carried truncates lineage),
+    // so the pin lives on the edge query where the interior is visible
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("Window"), "knn graph ranks through a window")
+    assert(p.contains("topk_pairs"), "knn graph lost the heap aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "knn candidate pairing fell off the bucket equi join")
+  }
+
+  test("snapshot CDC diff is the deliberate sort-merge full-outer (both sides corpus-sized)") {
+    val p = plan("maintenance_snapshot_cdc")
+    assert(!p.contains("CartesianProduct"))
+    // a full-outer diff of two arbitrary table versions cannot broadcast
+    // either side at scale — SMJ here is the honest plan, pinned so a
+    // future 'optimization' to a forced broadcast fails loudly
+    assert(p.contains("SortMergeJoin FullOuter") || p.contains("Join type: FullOuter"),
+      "diff lost its full-outer join shape")
+  }
+
+  test("corpus scorers broadcast their count/threshold sides, never sort-merge") {
+    val dsir = plan("curate_dsir")
+    assert(dsir.contains("BroadcastHashJoin"), "dsir bucket counts not broadcast")
+    assert(!dsir.contains("SortMergeJoin"), "dsir corpus side shuffled into a join")
+    val ppl = plan("curate_perplexity_filter")
+    assert(!ppl.contains("SortMergeJoin"), "perplexity filter fell to SMJ")
+    // exactly one cross shape: the 1-row corpus-mean threshold broadcast
+    assert(nodes(ppl, "BroadcastNestedLoopJoin") <= 1 && !ppl.contains("CartesianProduct"),
+      "perplexity threshold must be the single 1-row broadcast cross")
+  }
+
+  test("t-closeness: spine crosses are bounded-list broadcasts; cumsums stay partitioned") {
+    val p = plan("privacy_t_closeness")
+    assert(!p.contains("CartesianProduct"))
+    assert(nodes(p, "BroadcastNestedLoopJoin") <= 2,
+      "t-closeness grew a cross beyond the bands spine + totals row")
+    assert(!p.contains("SortMergeJoin"), "cell fill join fell to SMJ")
+  }
 }

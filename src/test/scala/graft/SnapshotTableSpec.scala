@@ -128,6 +128,45 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 500)
   }
 
+  test("PLAIN readers race live appends + vacuums: every read is a committed prefix") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    // batch k carries ids (k*1000, k*1000+99]; a committed prefix after
+    // k appends sums to a unique, recognizable value
+    def batch(k: Int) = ((k * 1000 + 1) to (k * 1000 + 100))
+      .map(i => (i.toLong, k)).toDF("id", "gen")
+    SnapshotTable.commit(batch(0), root)
+    def prefixSum(k: Int): Long =
+      (0 to k).map(g => ((g * 1000 + 1) to (g * 1000 + 100)).map(_.toLong).sum).sum
+    val validSums = (0 to 20).map(prefixSum).toSet
+    @volatile var maintErr: Throwable = null
+    val maintainer = new Thread(() => {
+      try (1 to 20).foreach { k =>
+        SnapshotTable.append(batch(k), root)
+        // retention pressure mid-race: reclaims only manifests 10+ behind
+        SnapshotTable.vacuum(spark, root, keepLast = 10)
+      }
+      catch { case e: Throwable => maintErr = e }
+    })
+    maintainer.start()
+    var reads = 0
+    try {
+      while (maintainer.isAlive) {
+        // no retry wrapper: the manifest a read resolves is a complete,
+        // committed prefix of the append chain — never a torn state
+        val got = SnapshotTable.read(spark, root)
+          .agg(sum(col("id"))).head().getLong(0)
+        assert(validSums.contains(got),
+          s"reader saw $got, not a committed prefix sum")
+        reads += 1
+      }
+    } finally maintainer.join()
+    assert(maintErr == null, s"maintenance failed: $maintErr")
+    assert(reads > 0, "race produced no overlapping reads")
+    assert(SnapshotTable.read(spark, root).count() == 21 * 100)
+  }
+
   test("append is O(delta): each append adds exactly one data dir, read = union") {
     val s = spark
     import s.implicits._
