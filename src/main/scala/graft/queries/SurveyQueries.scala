@@ -1494,6 +1494,51 @@ object SurveyQueries {
       |WHERE o_orderkey >= CAST(0.3 AS DOUBLE) * mx
       |  AND o_orderkey <= CAST(0.4 AS DOUBLE) * mx""".stripMargin))
 
+  /** maintenance_zorder_skipping: the payoff interaction of the two
+    * maintenance primitives — a Z-ORDER rewrite
+    * ([[graft.sources.SnapshotTable.zorder]] with `normalize = true` —
+    * range-scaling both keys to full Morton width first, without which
+    * the wide orderkey's high bits dominate every boundary and the
+    * layout silently stripes on one column) makes each file cover a
+    * quadrant-ish region of (orderkey, custkey) space, so the SAME
+    * footer-stats sidecar that serves range-clustered layouts prunes on
+    * EITHER dimension: the gate REQUIREs a strict file subset for a 10% band
+    * of o_custkey — the dimension a single-column sort cannot skip on —
+    * then value-gates the pruned scan against the plain filter. This is
+    * why a 100 TB table z-orders: one layout, selective scans on every
+    * clustered column. */
+  val maintenanceZorderSkipping: QueryDef = QueryDef(
+    "maintenance_zorder_skipping",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_zskip")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(base, root)
+      graft.sources.SnapshotTable.zorder(s, root,
+        Seq("o_orderkey", "o_custkey"), numFiles = 16,
+        statsCols = Seq("o_orderkey", "o_custkey"), normalize = true)
+      val mx = base.agg(max(col("o_custkey"))).head().getLong(0)
+      val (lo, hi) = (0.3 * mx, 0.4 * mx)
+      val (selected, total) =
+        graft.sources.SnapshotTable.prunedFiles(s, root, "o_custkey", lo, hi)
+      require(selected.size < total,
+        s"z-order skipping pruned nothing on the second dimension: " +
+          s"${selected.size} of $total files for [$lo, $hi]")
+      graft.sources.SnapshotTable.readPruned(s, root, "o_custkey", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+    },
+    Some("""WITH m AS (SELECT max(o_custkey) AS mx FROM orders)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders, m
+      |WHERE o_custkey >= CAST(0.3 AS DOUBLE) * mx
+      |  AND o_custkey <= CAST(0.4 AS DOUBLE) * mx""".stripMargin))
+
   /** ingest_fixedwidth: the mainframe/COBOL-export interchange shape —
     * no delimiters, fields live at fixed byte offsets. The corpus is
     * written as %10d%-2s%6d lines (right-aligned numerics, left-aligned
@@ -1770,7 +1815,8 @@ object SurveyQueries {
     maintenanceIncrementalAgg, maintenanceMergeUpsert, maintenanceAnalyzeStats,
     maintenanceVacuum, maintenanceSnapshot, maintenanceSnapshotAppend,
     maintenanceSnapshotCdc, maintenanceSnapshotEvolution, maintenanceSnapshotIvm,
-    maintenanceDataSkipping, maintenanceSchemaDrift, ingestCsvDirty,
+    maintenanceDataSkipping, maintenanceSchemaDrift, maintenanceZorderSkipping,
+    ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)
 }

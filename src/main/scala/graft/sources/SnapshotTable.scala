@@ -425,9 +425,31 @@ object SnapshotTable {
   /** Z-order maintenance rewrite as a snapshot commit (the
     * [[TableIO.replaceZOrdered]] layout under snapshot isolation). */
   def zorder(spark: SparkSession, root: String, clusterCols: Seq[String],
-      numFiles: Int, bits: Int = 16, statsCols: Seq[String] = Nil): Long = {
+      numFiles: Int, bits: Int = 16, statsCols: Seq[String] = Nil,
+      normalize: Boolean = false): Long = {
     val cur = read(spark, root)
-    val z = TableIO.mortonCode(clusterCols.map(cur(_)), bits)
+    // `normalize` range-scales every cluster column to the full
+    // bits-wide range (v * 2^bits / (max+1); non-negative keys, one
+    // extent aggregate at plan-build time — the ivfTopK discipline).
+    // Raw low-bit interleaving silently degrades to a single-column
+    // sort when dimensions have unequal bit widths: a 16-bit key's high
+    // bits dominate every range boundary while an 11-bit key's top bits
+    // are constant zero, so files stripe on the wide column alone and
+    // min/max pruning on the narrow one selects everything. Range
+    // normalization is what Delta/Iceberg OPTIMIZE ZORDER does for the
+    // same reason.
+    val zin: Seq[Column] =
+      if (!normalize) clusterCols.map(cur(_))
+      else {
+        import org.apache.spark.sql.functions.max
+        val aggs = clusterCols.map(c => max(col(c).cast("long")).as(c))
+        val maxes = cur.agg(aggs.head, aggs.tail: _*).head()
+        clusterCols.zipWithIndex.map { case (c, i) =>
+          val mx = if (maxes.isNullAt(i)) 0L else math.max(maxes.getLong(i), 0L)
+          (cur(c).cast("long") * lit(1L << bits)) / lit(mx + 1L)
+        }
+      }
+    val z = TableIO.mortonCode(zin, bits)
     val zc = Iterator.from(0).map(i => s"__zorder$i")
       .filterNot(cur.columns.contains).next()
     commit(
