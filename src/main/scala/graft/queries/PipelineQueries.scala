@@ -1053,8 +1053,13 @@ object PipelineQueries {
       val edges = Similarity.knnGraphLsh(Tables.embeddings(s, d), "vec_id",
           "embedding", k = 3, nPlanes = 6, dim = 64)
         .select(col("src_id"), col("dst_id"))
+      // shuffle_hash: both sides are the k-bounded edge list (corpus × k
+      // rows, broadcast impossible at scale) and semi-join needs no
+      // sort order — the hash build skips two corpus-sized sorts (the
+      // dedup_substrings hint precedent, pinned in PlanAuditSpec)
       val mutual = edges.join(
-          edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
+          edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
+            .hint("shuffle_hash"),
           Seq("src_id", "dst_id"), "left_semi")
         .filter(col("src_id") < col("dst_id"))
       // star alternation, not plain min-label: a mutual-kNN graph forms
