@@ -114,6 +114,69 @@ object Similarity {
         col("p.id").as("cand_id"), col("p.score").cast(LongType).as("rrf_micro"))
   }
 
+  /** TRUE hybrid retrieval — the production RAG shape [[rrfFusion]]'s
+    * doc anticipates: fuse a DENSE ranking (cosine over the embedding
+    * column) with a LEXICAL ranking (count of DISTINCT shared tokens
+    * between query and candidate text — the set-overlap core of BM25
+    * with the length terms stripped, integer-exact by construction) via
+    * truncated reciprocal-rank fusion. A candidate strong in either
+    * modality surfaces; one absent from a list contributes 0 from it —
+    * including the zero-overlap candidates the lexical join never even
+    * materializes.
+    *
+    * Scale shape: dense lists score the corpus ONCE against broadcast
+    * queries into the bounded-heap aggregate; lexical lists are an
+    * inverted-index join (corpus tokens × broadcast query tokens —
+    * shuffle rows bounded by shared-token pairs, never all pairs); the
+    * fusion join and final heap run on O(queries × perList) rows. All
+    * ranks tie-break on candidate id, so the oracle replays the whole
+    * hybrid bit-for-bit. */
+  def hybridRetrieval(corpus: DataFrame, idCol: String, textCol: String,
+      vecCol: String, isQuery: Column, perList: Int, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val queries = corpus.filter(isQuery).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
+    val cands = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
+    val dense = cands.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topk_pairs(col("cos"), col("cand_id"), perList)
+        .as("tl"))
+    def toks(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId),
+        explode(array_distinct(TextOps.words(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+    val lex = toks(corpus, "cand_id")
+      .join(broadcast(toks(corpus.filter(isQuery), "query_id")), Seq("w"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topk_pairs(
+        col("n_shared").cast(DoubleType), col("cand_id"), perList).as("tl"))
+    def ranks(lists: DataFrame, rkName: String) = lists
+      .select(col("query_id"), posexplode(col("tl")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("cand_id"),
+        (col("pos") + 1).cast(LongType).as(rkName))
+    val contrib = (rk: Column) =>
+      coalesce(round(lit(1000000.0) / (lit(rrfK) + rk)).cast(LongType), lit(0L))
+    ranks(dense, "rk_dense")
+      .join(ranks(lex, "rk_lex"), Seq("query_id", "cand_id"), "full_outer")
+      .select(col("query_id"), col("cand_id"),
+        (contrib(col("rk_dense")) + contrib(col("rk_lex"))).as("rrf_micro"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topk_pairs(
+        col("rrf_micro").cast(DoubleType), col("cand_id"), k).as("t"))
+      .select(col("query_id"), posexplode(col("t")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rk"),
+        col("p.id").as("cand_id"), col("p.score").cast(LongType).as("rrf_micro"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
     * greedily select k results balancing relevance against redundancy —
     * round 1 takes the most relevant candidate, each later round takes

@@ -1084,6 +1084,72 @@ object PipelineQueries {
       |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
       |ORDER BY id""".stripMargin))
 
+  /** TRUE hybrid retrieval ([[graft.ops.Similarity.hybridRetrieval]]):
+    * dense cosine over the embedding column fused with a LEXICAL
+    * distinct-shared-token ranking between query and candidate text by
+    * truncated RRF — the production RAG hybrid (`sim_rrf_fusion` fuses
+    * two dense rankers; this crosses modalities, so a candidate that is
+    * lexically dead-on but embeds far away still surfaces). Corpus =
+    * documents that carry embeddings (doc_id ≡ vec_id, the testdata
+    * contract); every rank ties on candidate id and the fused score is
+    * an exact integer micro-unit sum, so the oracle replays dense list,
+    * inverted-index lexical list, and fusion bit-for-bit. */
+  val simHybridRetrieval: QueryDef = QueryDef(
+    "sim_hybrid_retrieval",
+    (s, d) => {
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      Similarity.hybridRetrieval(corpus, "doc_id", "text", "embedding",
+          col("doc_id") % 50 === 0, perList = 20, k = 5)
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH corpus AS (
+      |  SELECT d.doc_id AS id, d.text, e.embedding
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |nv AS (
+      |  SELECT id, text, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |         CAST(embedding AS DOUBLE[]))) AS vn
+      |  FROM corpus),
+      |q AS (SELECT id AS query_id, v AS qv, vn AS qn FROM nv
+      |      WHERE id % 50 = 0 AND vn > 0),
+      |c AS (SELECT id AS cand_id, v AS cv, vn AS cn FROM nv WHERE vn > 0),
+      |dense AS (
+      |  SELECT query_id, cand_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      list_dot_product(qv, cv) / (qn * cn) DESC, cand_id ASC) AS rk_dense
+      |  FROM c, q WHERE query_id <> cand_id QUALIFY rk_dense <= 20),
+      |toks AS (
+      |  SELECT id, unnest(list_distinct(string_split($normalizeSql, ' '))) AS w
+      |  FROM corpus),
+      |tw AS (SELECT id, w FROM toks WHERE len(w) > 0),
+      |qt AS (SELECT tw.id AS query_id, w FROM tw JOIN q ON tw.id = q.query_id),
+      |shared AS (
+      |  SELECT qt.query_id, tw.id AS cand_id, count(*) AS n_shared
+      |  FROM tw JOIN qt USING (w) WHERE qt.query_id <> tw.id
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT query_id, cand_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY n_shared DESC, cand_id ASC) AS rk_lex
+      |  FROM shared QUALIFY rk_lex <= 20),
+      |f AS (
+      |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+      |    coalesce(a.cand_id, b.cand_id) AS cand_id,
+      |    coalesce(CAST(round(1000000.0 / (60 + rk_dense)) AS BIGINT), 0)
+      |      + coalesce(CAST(round(1000000.0 / (60 + rk_lex)) AS BIGINT), 0)
+      |      AS rrf_micro
+      |  FROM dense a FULL OUTER JOIN lex b
+      |    ON a.query_id = b.query_id AND a.cand_id = b.cand_id),
+      |r AS (
+      |  SELECT query_id, cand_id, rrf_micro,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_micro DESC, cand_id ASC) AS rk
+      |  FROM f QUALIFY rk <= 5)
+      |SELECT query_id, rk, cand_id, rrf_micro
+      |FROM r ORDER BY query_id, rk""".stripMargin))
+
   /** IVF ANN top-5 — the inverted-file scale path (probe 2 of 16 cells;
     * recall pinned in PipelineSpec). Centroid seeding is an id-stride
     * (deterministic, no trained state), and cell assignment/probing rank
@@ -3166,7 +3232,8 @@ object PipelineQueries {
     dedupIncrementalLsh, dedupIncrementalLshBucketed,
     dedupEmbedding, sampleStratified, sampleWeightedMix,
     textPercentiles, simTopkBrute, simBitextMargin, sampleNegatives,
-    simAnnLsh, simKnnGraph, simKnnClusters, simIvf, simTopkInt8, simPqAdc,
+    simAnnLsh, simKnnGraph, simKnnClusters, simHybridRetrieval,
+    simIvf, simTopkInt8, simPqAdc,
     simIvfPq, simIvfPqRerank, simIvfPqResidual, simIvfPqIndexed, simIvfPqAppended,
     simRrfFusion, simMmr, simRecallAudit, embMatryoshkaOverlap, dedupMinhashAudit,
     textLangid, textLangConfusion, qBenfordDigits,
