@@ -1447,6 +1447,53 @@ object SurveyQueries {
       |  ('o_totalprice', 'retyped')) t(column_name, change)
       |ORDER BY column_name""".stripMargin))
 
+  /** maintenance_snapshot_tag: named refs pinning snapshots from
+    * retention ([[graft.sources.SnapshotTable.tag]] — the Iceberg
+    * tag/retention contract): v1 is tagged `baseline`, v2 and v3 land
+    * on top, and a keepLast=1 vacuum reclaims ONLY the untagged,
+    * non-current v2 — the gate REQUIREs exactly that retention outcome,
+    * then value-gates both surviving states (time travel BY NAME for
+    * the tag, by id for the current) in one labeled rollup. This is
+    * how a release audit or reproducibility pin survives routine
+    * retention; dropTag + reclaim is pinned in SnapshotTableSpec. */
+  val maintenanceSnapshotTag: QueryDef = QueryDef(
+    "maintenance_snapshot_tag",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_tag")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 0), root)
+      graft.sources.SnapshotTable.tag(s, root, "baseline", 1L)
+      graft.sources.SnapshotTable.commit(orders, root)
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 4 === 0), root)
+      val removed = graft.sources.SnapshotTable.vacuum(s, root, keepLast = 1)
+      require(removed == 1 &&
+        graft.sources.SnapshotTable.snapshots(s, root) == Seq(1L, 3L),
+        "vacuum must reclaim exactly the untagged non-current snapshot")
+      graft.sources.SnapshotTable.readTag(s, root, "baseline")
+        .withColumn("version", lit("baseline"))
+        .unionByName(graft.sources.SnapshotTable.read(s, root)
+          .withColumn("version", lit("current")))
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("version")
+    },
+    Some("""WITH u AS (
+      |  SELECT 'baseline' AS version, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 'current', CAST(o_totalprice AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 4 = 0)
+      |SELECT version, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM u GROUP BY version ORDER BY version""".stripMargin))
+
   /** maintenance_data_skipping: manifest-level file pruning — commits
     * carry a per-file min/max sidecar harvested from the parquet
     * FOOTERS of the just-written files (no second data pass), and
@@ -1816,6 +1863,7 @@ object SurveyQueries {
     maintenanceVacuum, maintenanceSnapshot, maintenanceSnapshotAppend,
     maintenanceSnapshotCdc, maintenanceSnapshotEvolution, maintenanceSnapshotIvm,
     maintenanceDataSkipping, maintenanceSchemaDrift, maintenanceZorderSkipping,
+    maintenanceSnapshotTag,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

@@ -460,19 +460,68 @@ object SnapshotTable {
       root, statsCols)
   }
 
+  private val RefPrefix = "_ref-"
+
+  /** Create or move a named TAG pointing at snapshot `id` (must be
+    * committed). A tagged snapshot is pinned: [[vacuum]] retains it
+    * beyond the `keepLast` window until [[dropTag]] releases it — the
+    * Iceberg tag/retention contract (release audits, reproducibility
+    * pins, rollback anchors). Same dot-temp → rename discipline as the
+    * manifests; moving an existing tag deletes the old ref first
+    * (single-committer contract, as for commits). */
+  def tag(spark: SparkSession, root: String, name: String, id: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"tag names are [A-Za-z0-9_]+: '$name'")
+    require(snapshots(spark, root).contains(id),
+      s"cannot tag uncommitted/reclaimed snapshot $id at $root")
+    val (fs, rootPath) = fsFor(spark, root)
+    val tmp = new Path(rootPath, s".ref-$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((fmt(id) + "\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(rootPath, RefPrefix + name), false)
+    require(fs.rename(tmp, new Path(rootPath, RefPrefix + name)),
+      s"tag flip failed for '$name' at $root")
+  }
+
+  /** All tags at `root` as name -> snapshot id. One directory listing. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, rootPath) = fsFor(spark, root)
+    if (!fs.exists(rootPath)) Map.empty
+    else fs.listStatus(rootPath).iterator
+      .filter(st => !st.isDirectory && st.getPath.getName.startsWith(RefPrefix))
+      .map(st => st.getPath.getName.stripPrefix(RefPrefix) ->
+        readFile(fs, st.getPath).trim.toLong)
+      .toMap
+  }
+
+  /** Read the snapshot a tag pins (time travel by name). */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val id = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $root"))
+    readAt(spark, root, id)
+  }
+
+  /** Release a tag; the pinned snapshot becomes reclaimable by the next
+    * [[vacuum]] (unless still inside the keepLast window). */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
+    val (fs, rootPath) = fsFor(spark, root)
+    fs.delete(new Path(rootPath, RefPrefix + name), false)
+  }
+
   /** Retention pass: keep the newest `keepLast` committed snapshots'
-    * manifests, delete the older manifests, then every data dir
-    * referenced by NO surviving manifest (append chains share dirs, so
-    * liveness is reference-counted by name across the kept set), plus
-    * stale dot-temps from crashed commits. Returns the number of
-    * snapshots removed. Never deletes the current snapshot
-    * (`keepLast >= 1` enforced). */
+    * manifests PLUS every [[tag]]-pinned snapshot, delete the older
+    * manifests, then every data dir referenced by NO surviving manifest
+    * (append chains share dirs, so liveness is reference-counted by
+    * name across the kept set), plus stale dot-temps from crashed
+    * commits. Returns the number of snapshots removed. Never deletes
+    * the current snapshot (`keepLast >= 1` enforced). */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Int = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val (fs, rootPath) = fsFor(spark, root)
     val ids = snapshots(spark, root)
     require(ids.nonEmpty, s"no committed snapshot at $root")
-    val keep = ids.takeRight(keepLast).toSet
+    val pinned = tags(spark, root).values.toSet
+    val keep = ids.takeRight(keepLast).toSet ++ ids.filter(pinned.contains)
     val keptDirs: Set[String] =
       keep.flatMap(id => readManifest(fs, rootPath, id))
     var removed = 0
@@ -488,8 +537,8 @@ object SnapshotTable {
       val name = st.getPath.getName
       val deadSnap = st.isDirectory && name.startsWith(SnapPrefix) &&
         !keptDirs.contains(name)
-      val staleTmp = !st.isDirectory && name.startsWith(".manifest-") &&
-        name.endsWith(".tmp")
+      val staleTmp = !st.isDirectory && name.endsWith(".tmp") &&
+        (name.startsWith(".manifest-") || name.startsWith(".ref-"))
       if (deadSnap || staleTmp) fs.delete(st.getPath, true)
     }
     removed

@@ -167,6 +167,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 21 * 100)
   }
 
+  test("tags pin snapshots from vacuum; dropTag releases them for reclaim") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "v1")).toDF("id", "tag"), root)
+    SnapshotTable.tag(spark, root, "baseline", 1L)
+    SnapshotTable.commit((1 to 20).map(i => (i.toLong, "v2")).toDF("id", "tag"), root)
+    SnapshotTable.commit((1 to 30).map(i => (i.toLong, "v3")).toDF("id", "tag"), root)
+    // keepLast=1 would reclaim v1 and v2 — the tag pins v1
+    assert(SnapshotTable.vacuum(spark, root, keepLast = 1) == 1)
+    assert(SnapshotTable.snapshots(spark, root) == Seq(1L, 3L))
+    assert(SnapshotTable.readTag(spark, root, "baseline").count() == 10)
+    assert(SnapshotTable.tags(spark, root) == Map("baseline" -> 1L))
+    // moving the tag re-pins; dropping releases for the next pass
+    SnapshotTable.tag(spark, root, "baseline", 3L)
+    assert(SnapshotTable.vacuum(spark, root, keepLast = 1) == 1)
+    assert(SnapshotTable.snapshots(spark, root) == Seq(3L))
+    assert(SnapshotTable.dropTag(spark, root, "baseline"))
+    assert(SnapshotTable.tags(spark, root).isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readTag(spark, root, "baseline")
+    }
+    // tagging a reclaimed snapshot refuses loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tag(spark, root, "x", 2L)
+    }
+  }
+
   test("append is O(delta): each append adds exactly one data dir, read = union") {
     val s = spark
     import s.implicits._
