@@ -1494,6 +1494,58 @@ object SurveyQueries {
       |SELECT version, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
       |FROM u GROUP BY version ORDER BY version""".stripMargin))
 
+  /** maintenance_snapshot_rollback: O(1) incident recovery
+    * ([[graft.sources.SnapshotTable.rollback]]) — a bad deploy (every
+    * price inflated by 100) is undone by committing a new snapshot
+    * whose manifest simply re-lists the good version's data dirs: no
+    * data read or written at ANY table size, one pointer flip. The gate
+    * REQUIREs the zero-copy property (the rollback snapshot lists
+    * exactly the good version's dirs) and that vacuum's name-based
+    * reference counting keeps those shared dirs alive when the good
+    * version's own manifest ages out; the bad version stays
+    * time-travelable for the incident audit and is value-gated next to
+    * the restored current state. */
+  val maintenanceSnapshotRollback: QueryDef = QueryDef(
+    "maintenance_snapshot_rollback",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_rollback")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(orders, root)
+      graft.sources.SnapshotTable.commit( // the bad deploy
+        orders.withColumn("o_totalprice",
+          (col("o_totalprice") + lit(100)).cast(money)), root)
+      graft.sources.SnapshotTable.rollback(s, root, 1L)
+      require(graft.sources.SnapshotTable.dirsAt(s, root, 3L) ==
+        graft.sources.SnapshotTable.dirsAt(s, root, 1L),
+        "rollback must re-point at the good version's dirs, not rewrite")
+      // v1's manifest ages out; its dirs survive because the rollback
+      // snapshot references them by name
+      val removed = graft.sources.SnapshotTable.vacuum(s, root, keepLast = 2)
+      require(removed == 1 &&
+        graft.sources.SnapshotTable.snapshots(s, root) == Seq(2L, 3L),
+        "retention must reclaim only the aged-out good-version manifest")
+      graft.sources.SnapshotTable.read(s, root)
+        .withColumn("version", lit("restored"))
+        .unionByName(graft.sources.SnapshotTable.readAt(s, root, 2L)
+          .withColumn("version", lit("bad_deploy")))
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("version")
+    },
+    Some("""WITH u AS (
+      |  SELECT 'bad_deploy' AS version,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS p FROM orders
+      |  UNION ALL
+      |  SELECT 'restored', CAST(o_totalprice AS DECIMAL(18,2)) FROM orders)
+      |SELECT version, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM u GROUP BY version ORDER BY version""".stripMargin))
+
   /** maintenance_data_skipping: manifest-level file pruning — commits
     * carry a per-file min/max sidecar harvested from the parquet
     * FOOTERS of the just-written files (no second data pass), and
@@ -1863,7 +1915,7 @@ object SurveyQueries {
     maintenanceVacuum, maintenanceSnapshot, maintenanceSnapshotAppend,
     maintenanceSnapshotCdc, maintenanceSnapshotEvolution, maintenanceSnapshotIvm,
     maintenanceDataSkipping, maintenanceSchemaDrift, maintenanceZorderSkipping,
-    maintenanceSnapshotTag,
+    maintenanceSnapshotTag, maintenanceSnapshotRollback,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

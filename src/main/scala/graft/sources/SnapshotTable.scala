@@ -460,6 +460,20 @@ object SnapshotTable {
       root, statsCols)
   }
 
+  /** O(1) ROLLBACK: commit a NEW snapshot whose manifest is a copy of a
+    * retained older snapshot's dir list — no data read, no data
+    * written, one pointer flip regardless of table size (the file-list
+    * payoff: the bad version is not erased, it stays time-travelable
+    * for the incident audit until vacuum, and the dirs the rollback
+    * re-references survive retention through the same name-based
+    * reference counting appends rely on). Returns the new snapshot id. */
+  def rollback(spark: SparkSession, root: String, toId: Long): Long = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val dirs = readManifest(fs, rootPath, toId) // throws if reclaimed
+    val next = currentSnapshot(spark, root) + 1
+    commitManifest(spark, root, next, dirs)
+  }
+
   private val RefPrefix = "_ref-"
 
   /** Create or move a named TAG pointing at snapshot `id` (must be
