@@ -1904,6 +1904,118 @@ object SurveyQueries {
     },
     Some(warcOracleSql))
 
+  /** maintenance_snapshot_delete_mor: MERGE-ON-READ equality deletes —
+    * the O(keys) row-level delete that never rewrites data
+    * ([[graft.sources.SnapshotTable.deleteWhere]]). The gate drives the
+    * full lifecycle on orders: commit v1, equality-delete every 7th
+    * key (v2 — a `del-` dir of just the keys; the base parquet is
+    * untouched and v1 stays time-travel-complete), re-append the
+    * mod-14 keys with bumped prices (v3 — delete SEQUENCING must keep
+    * these even though their keys are in the delete set), then compact
+    * (v4 — the merge-on-read → copy-on-write transition materializes
+    * the deletes; the gate requires the physical rewrite to agree with
+    * the logical state). The result buckets the final table into
+    * kept / reinserted rows; the oracle reconstructs the same final
+    * state closed-form. At 100 TB this is the difference between a
+    * right-to-be-forgotten pass costing O(matching keys) now +
+    * amortized compaction later, versus a full-table rewrite per
+    * erasure batch. */
+  val maintenanceSnapshotDeleteMor: QueryDef = QueryDef(
+    "maintenance_snapshot_delete_mor",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_mor")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(orders, root)
+      graft.sources.SnapshotTable.deleteWhere(
+        s, root, col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + lit(100)).cast(money).as("o_totalprice")),
+        root)
+      // structural pins: delete wrote a del- dir, not a data rewrite;
+      // the pre-delete snapshot is still complete
+      require(graft.sources.SnapshotTable.dirsAt(s, root, 2L)
+        .exists(_.startsWith("del-")), "delete must commit a del- dir")
+      require(graft.sources.SnapshotTable.readAt(s, root, 1L).count() ==
+        orders.count(), "time travel to the pre-delete snapshot lost rows")
+      val logical = graft.sources.SnapshotTable.read(s, root).count()
+      graft.sources.SnapshotTable.compact(s, root, rowsPerFile = 200000)
+      require(graft.sources.SnapshotTable.read(s, root).count() == logical,
+        "compaction changed the logical row set while materializing deletes")
+      graft.sources.SnapshotTable.read(s, root)
+        .withColumn("bucket",
+          when(col("o_orderkey") % 14 === 0, lit("reinserted"))
+            .otherwise(lit("kept")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("bucket")
+    },
+    Some("""WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |final AS (
+      |  SELECT 'kept' AS bucket, p FROM base WHERE k % 7 <> 0
+      |  UNION ALL
+      |  SELECT 'reinserted', CAST(p + 100 AS DECIMAL(18,2))
+      |  FROM base WHERE k % 14 = 0)
+      |SELECT bucket, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** maintenance_snapshot_concurrent: optimistic multi-writer ingest —
+    * four writers race [[graft.sources.SnapshotTable.appendConcurrent]]
+    * against the same table; each lost CAS costs one manifest re-read +
+    * one dir rename + one retry, and every commit lists the winner's
+    * dirs plus its own, so NO interleaving can lose rows. The gate
+    * requires the chain to be linear (snapshots 1..5, final manifest =
+    * 5 dirs) and value-gates the final content — deterministic however
+    * the race resolves; the oracle is the plain union. This is the
+    * multi-pipeline ingest posture: N independent jobs appending to one
+    * 100 TB table with no coordinator beyond the filesystem's atomic
+    * name-creation primitive. */
+  val maintenanceSnapshotConcurrent: QueryDef = QueryDef(
+    "maintenance_snapshot_concurrent",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_conc")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 5 === 0), root)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val ids = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence((1 to 4).map { m =>
+            scala.concurrent.Future(graft.sources.SnapshotTable.appendConcurrent(
+              orders.filter(col("o_orderkey") % 5 === m), root))
+          }),
+          scala.concurrent.duration.Duration(10, "min"))
+        require(ids.sorted == (2L to 5L),
+          s"racing appends must serialize into a linear chain, got $ids")
+      } finally pool.shutdown()
+      require(graft.sources.SnapshotTable.dirsAt(s, root, 5L).size == 5,
+        "final manifest must reference the base dir + all four deltas")
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy((col("o_orderkey") % 5).as("m"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("m")
+    },
+    Some("""SELECT o_orderkey % 5 AS m, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY m ORDER BY m""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
@@ -1916,6 +2028,7 @@ object SurveyQueries {
     maintenanceSnapshotCdc, maintenanceSnapshotEvolution, maintenanceSnapshotIvm,
     maintenanceDataSkipping, maintenanceSchemaDrift, maintenanceZorderSkipping,
     maintenanceSnapshotTag, maintenanceSnapshotRollback,
+    maintenanceSnapshotDeleteMor, maintenanceSnapshotConcurrent,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

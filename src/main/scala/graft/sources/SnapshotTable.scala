@@ -63,6 +63,20 @@ import scala.jdk.CollectionConverters._
   *    on a range-clustered 100 TB table into a few file reads. Files
   *    without stats are always kept (pruning is only ever a superset of
   *    the matching files; the caller's real filter still applies).
+  *  - ROW-LEVEL DELETE (merge-on-read): [[deleteWhere]]/[[deleteKeys]]
+  *    commit an EQUALITY-DELETE dir (`del-N`, a parquet of key rows)
+  *    instead of rewriting data — O(keys) erasure at any table size.
+  *    Reads anti-join the keys out of strictly OLDER data dirs (a row
+  *    re-inserted after the delete survives — Iceberg's equality-delete
+  *    sequencing); [[compact]] materializes pending deletes back into a
+  *    pure-data snapshot (the merge-on-read → copy-on-write
+  *    transition).
+  *  - MULTI-WRITER APPEND: [[appendConcurrent]] is the optimistic-
+  *    concurrency variant — nonce-named delta dir + a compare-and-swap
+  *    manifest publish ([[casManifest]]: hard-link create-exclusive on
+  *    local filesystems, no-overwrite rename on HDFS); a lost race
+  *    costs one re-read + one dir rename + one retry, never a data
+  *    rewrite.
   *  - VACUUM: drop all but the newest `keepLast` snapshots' manifests,
   *    then every data dir referenced by no surviving manifest (appends
   *    share dirs, so reference-counting is by name across the kept
@@ -86,9 +100,18 @@ object SnapshotTable {
 
   private val ManifestPrefix = "_manifest-"
   private val SnapPrefix = "snap-"
+  private val DelPrefix = "del-"
   private val StatsFile = "_stats.tsv"
 
   private def fmt(id: Long): String = f"$id%020d"
+
+  /** Commit sequence a data/delete dir was born in — the first 20-digit
+    * run after its prefix (dir names are `snap-<seq>` / `del-<seq>`). */
+  private def seqOf(dirName: String): Long =
+    dirName.dropWhile(!_.isDigit).takeWhile(_.isDigit).toLong
+
+  private def isDeleteDir(dirName: String): Boolean =
+    dirName.startsWith(DelPrefix)
 
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -196,6 +219,85 @@ object SnapshotTable {
     commitManifest(spark, root, next, prior :+ snapDir)
   }
 
+  /** Atomic compare-and-swap publish of `_manifest-next`: true iff THIS
+    * writer created the manifest (false = another writer committed
+    * `next` first). The manifest body is fully written to a dot-temp
+    * first, then published by one atomic name-creation op, so readers
+    * never see a partial manifest:
+    *  - `file:` scheme — a hard link ([[java.nio.file.Files.createLink]]),
+    *    which is create-exclusive by POSIX contract (EEXIST if the name
+    *    already exists) — the local-filesystem CAS a plain rename cannot
+    *    provide (rename(2) silently replaces an existing destination);
+    *  - other schemes — `fs.rename`, which HDFS specifies to FAIL when
+    *    the destination exists (the same primitive Iceberg's
+    *    HadoopTableOperations relies on). */
+  private def casManifest(fs: FileSystem, rootPath: Path, next: Long,
+      dirs: Seq[String], nonce: String): Boolean = {
+    val tmp = new Path(rootPath, s".manifest-${fmt(next)}-$nonce.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dirs.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(rootPath, ManifestPrefix + fmt(next))
+    val won =
+      if ("file" == rootPath.toUri.getScheme || fs.getScheme == "file") {
+        val base = fs.makeQualified(rootPath).toUri.getPath
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(base, dst.getName),
+            java.nio.file.Paths.get(base, tmp.getName))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    fs.delete(tmp, false) // hard-linked content survives when we won
+    won
+  }
+
+  /** OPTIMISTIC-CONCURRENCY APPEND: the multi-writer variant of
+    * [[append]]. The delta is written ONCE into a nonce-named immutable
+    * dir; the commit loop then re-reads the current manifest, re-points
+    * the dir name at the next sequence (one directory rename — metadata
+    * only, the parquet is never rewritten), and attempts the
+    * [[casManifest]] CAS. Losing a race costs one re-read + one rename +
+    * one retry; appends by different writers never conflict logically
+    * (each lists `winner's dirs + its own dir`), so every attempt that
+    * finds the CAS free commits a CONSISTENT successor — the classic
+    * Iceberg retry loop. Concurrent appenders are safe among themselves
+    * and with any number of readers; maintenance (compact / vacuum /
+    * rollback) keeps the single-writer contract. Returns the committed
+    * snapshot id. */
+  def appendConcurrent(df: DataFrame, root: String,
+      statsCols: Seq[String] = Nil, maxAttempts: Int = 64): Long = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    fs.mkdirs(rootPath)
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    var id = snapshots(spark, root).lastOption.getOrElse(0L) + 1L
+    var dirName = SnapPrefix + fmt(id) + "-" + nonce
+    val firstPath = new Path(rootPath, dirName)
+    df.write.mode(SaveMode.Overwrite).parquet(firstPath.toString)
+    if (statsCols.nonEmpty) writeStats(spark, fs, firstPath, statsCols)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val last = snapshots(spark, root).lastOption.getOrElse(0L)
+      val prior =
+        if (last == 0L) Nil else readManifest(fs, rootPath, last)
+      val next = last + 1L
+      if (next != id) {
+        val renamed = SnapPrefix + fmt(next) + "-" + nonce
+        require(fs.rename(new Path(rootPath, dirName), new Path(rootPath, renamed)),
+          s"could not re-point append dir $dirName -> $renamed at $root")
+        dirName = renamed
+        id = next
+      }
+      if (casManifest(fs, rootPath, id, prior :+ dirName, nonce)) return id
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"appendConcurrent lost $maxAttempts consecutive commit races at $root")
+  }
+
   /** Read the current snapshot. No retry wrapper needed: the manifest
     * resolves to immutable directories that survive any concurrent
     * commit (until vacuumed past retention). `mergeSchema` unions the
@@ -207,14 +309,97 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String, mergeSchema: Boolean = false): DataFrame =
     readAt(spark, root, currentSnapshot(spark, root), mergeSchema)
 
-  /** Time travel: read snapshot `id` (must still be retained). */
+  /** Time travel: read snapshot `id` (must still be retained). When the
+    * manifest lists delete dirs (see [[deleteKeys]]) the scan is a
+    * MERGE-ON-READ: data dirs are unioned with their commit sequence and
+    * every equality-delete set masks the rows of STRICTLY OLDER data
+    * dirs via one null-safe anti join — a row re-inserted after a
+    * delete survives, exactly Iceberg's equality-delete sequencing. */
   def readAt(spark: SparkSession, root: String, id: Long,
       mergeSchema: Boolean = false): DataFrame = {
     val (fs, rootPath) = fsFor(spark, root)
     val dirs = readManifest(fs, rootPath, id)
+    val (delDirs, dataDirs) = dirs.partition(isDeleteDir)
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    if (delDirs.isEmpty)
+      reader.parquet(dataDirs.map(d => new Path(rootPath, d).toString): _*)
+    else {
+      val data = dataDirs.map { dn =>
+        reader.parquet(new Path(rootPath, dn).toString)
+          .withColumn(SeqCol, lit(seqOf(dn)))
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+      applyDeletes(spark, rootPath, delDirs, data).drop(SeqCol)
+    }
+  }
+
+  /** Internal column carrying a data row's commit sequence during a
+    * merge-on-read scan (dropped before the result surfaces). */
+  private val SeqCol = "__graft_seq"
+  private val DelSeqCol = "__graft_dseq"
+
+  /** Mask `data` (which carries [[SeqCol]]) with every equality-delete
+    * dir in `delDirs`: one left_anti join per distinct delete-key
+    * schema, each null-safe on the keys and restricted to deletes
+    * YOUNGER than the data row's dir (`dseq > seq`). Delete sets are
+    * deltas — tiny next to the table — so AQE plans these as broadcast
+    * anti joins; the data side is never shuffled. */
+  private def applyDeletes(spark: SparkSession, rootPath: Path,
+      delDirs: Seq[String], data: DataFrame): DataFrame = {
+    require(!data.columns.contains(DelSeqCol),
+      s"column name $DelSeqCol is reserved by the snapshot layer")
+    val byKeySchema: Seq[(Seq[String], Seq[String])] = delDirs
+      .groupBy(dn => spark.read
+        .parquet(new Path(rootPath, dn).toString).columns.sorted.toSeq)
+      .toSeq.sortBy(_._1.mkString(","))
+    byKeySchema.foldLeft(data) { case (acc, (keyCols, dns)) =>
+      val dels = dns.map { dn =>
+        spark.read.parquet(new Path(rootPath, dn).toString)
+          .withColumn(DelSeqCol, lit(seqOf(dn)))
+      }.reduce(_ unionByName _)
+      val d = acc.as("d")
+      val x = dels.as("x")
+      val cond = keyCols.map(k => col(s"d.`$k`") <=> col(s"x.`$k`"))
+        .reduce(_ && _) && col(s"x.`$DelSeqCol`") > col(s"d.`$SeqCol`")
+      d.join(x, cond, "left_anti")
+    }
+  }
+
+  /** MERGE-ON-READ equality DELETE: write ONLY the key rows matching
+    * `predicate` (projected to `keyCols`) into a fresh delete dir and
+    * commit `previous dirs + delete dir` — an O(matching keys) commit
+    * that never rewrites data, the operation that makes a
+    * right-to-be-forgotten pass on a 100 TB table affordable. Readers
+    * of every snapshot from this one on anti-join the keys out (see
+    * [[readAt]]); the physical rows linger, time-travel-readable, until
+    * a [[compact]] materializes the deletes and [[vacuum]] reclaims the
+    * old generation. Rows appended AFTER the delete are not masked even
+    * if they reuse a deleted key (delete sequencing). NULL keys in
+    * matching rows delete NULL-keyed rows (null-safe equality) — no
+    * silent null drop. Returns the new snapshot id. */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteWhere needs at least one key column")
+    deleteKeys(
+      read(spark, root).filter(predicate).select(keyCols.map(col): _*).distinct(),
+      root)
+  }
+
+  /** Lower-level equality delete: `keys`' schema IS the delete-key
+    * column set (must be columns of the table); every current-or-older
+    * data row null-safe-matching a key row is masked from subsequent
+    * reads. See [[deleteWhere]]. */
+  def deleteKeys(keys: DataFrame, root: String): Long = {
+    val spark = keys.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    require(!keys.columns.exists(c => c == SeqCol || c == DelSeqCol),
+      s"$SeqCol/$DelSeqCol are reserved by the snapshot layer")
+    val prior = readManifest(fs, rootPath, currentSnapshot(spark, root))
+    val next = currentSnapshot(spark, root) + 1
+    val delDir = DelPrefix + fmt(next)
+    keys.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(rootPath, delDir).toString)
+    commitManifest(spark, root, next, prior :+ delDir)
   }
 
   /** O(delta) CDC over an append-only chain: the rows added between
@@ -232,6 +417,9 @@ object SnapshotTable {
       s"snapshots $fromId..$toId are not an append-only chain at $root " +
         "(a replace/compact rewrote the file list) — use diff() instead")
     val delta = toDirs.filterNot(fromDirs.contains)
+    require(!delta.exists(isDeleteDir),
+      s"snapshots $fromId..$toId include an equality delete at $root — " +
+        "the window is not append-only, use diff() instead")
     if (delta.isEmpty) readAt(spark, root, toId).limit(0)
     else spark.read.parquet(delta.map(d => new Path(rootPath, d).toString): _*)
   }
@@ -350,10 +538,20 @@ object SnapshotTable {
     * scan over a handful of files instead of the whole table. */
   def prunedFiles(spark: SparkSession, root: String, column: String,
       lo: Double, hi: Double): (Seq[String], Int) = {
+    val byDir = prunedFilesByDir(spark, root, column, lo, hi)
+    (byDir._1.flatMap(_._2), byDir._2)
+  }
+
+  /** [[prunedFiles]] keyed by data dir (for the merge-on-read pruned
+    * scan, which needs each file's commit sequence): (Seq of
+    * (dirName, selected file paths), total data file count). */
+  private def prunedFilesByDir(spark: SparkSession, root: String,
+      column: String, lo: Double, hi: Double): (Seq[(String, Seq[String])], Int) = {
     val (fs, rootPath) = fsFor(spark, root)
     val dirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
+      .filterNot(isDeleteDir)
     var total = 0
-    val selected = dirs.flatMap { d =>
+    val selected = dirs.map { d =>
       val dirPath = new Path(rootPath, d)
       val statsPath = new Path(dirPath, StatsFile)
       val ranges: Map[String, (Double, Double)] =
@@ -364,7 +562,7 @@ object SnapshotTable {
           .filter(p => p.length == 4 && p(1) == column)
           .map(p => p(0) -> (p(2).toDouble, p(3).toDouble))
           .toMap
-      fs.listStatus(dirPath)
+      d -> fs.listStatus(dirPath)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .flatMap { st =>
           total += 1
@@ -372,7 +570,7 @@ object SnapshotTable {
             case Some((mn, mx)) if mx < lo || mn > hi => None // provably disjoint
             case _ => Some(st.getPath.toString)
           }
-        }
+        }.toSeq
     }
     (selected, total)
   }
@@ -384,10 +582,26 @@ object SnapshotTable {
     * files. */
   def readPruned(spark: SparkSession, root: String, column: String,
       lo: Double, hi: Double): DataFrame = {
-    val (selected, _) = prunedFiles(spark, root, column, lo, hi)
+    val (byDir, _) = prunedFilesByDir(spark, root, column, lo, hi)
+    val selected = byDir.filter(_._2.nonEmpty)
     val pred: Column = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (selected.isEmpty) read(spark, root).filter(pred).limit(0)
-    else spark.read.parquet(selected: _*).filter(pred)
+    else {
+      val (fs, rootPath) = fsFor(spark, root)
+      val delDirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
+        .filter(isDeleteDir)
+      if (delDirs.isEmpty)
+        spark.read.parquet(selected.flatMap(_._2): _*).filter(pred)
+      else {
+        // merge-on-read pruned scan: the per-dir grouping keeps each
+        // file's commit sequence so pending deletes mask exactly the
+        // rows they would on the full scan
+        val data = selected.map { case (dn, files) =>
+          spark.read.parquet(files: _*).withColumn(SeqCol, lit(seqOf(dn)))
+        }.reduce(_ unionByName _)
+        applyDeletes(spark, rootPath, delDirs, data).drop(SeqCol).filter(pred)
+      }
+    }
   }
 
   /** Maintenance rewrite as a snapshot commit: read the CURRENT
@@ -401,25 +615,29 @@ object SnapshotTable {
       statsCols: Seq[String] = Nil): Long = {
     require(rowsPerFile >= 1, "rowsPerFile must be positive")
     val (fs, rootPath) = fsFor(spark, root)
-    val dirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
+    val cur = currentSnapshot(spark, root)
+    val dirs = readManifest(fs, rootPath, cur)
+    val (delDirs, dataDirs) = dirs.partition(isDeleteDir)
     // row count from parquet footers (same discipline as
     // [[TableIO.compact]]): the data itself is read exactly once, by
     // the rewrite — O(files) tiny footer range-reads are the cheap side
-    // of the trade for a many-small-files input at any scale
+    // of the trade for a many-small-files input at any scale. With
+    // equality deletes pending, footers overcount the masked rows —
+    // compaction MATERIALIZES the deletes (the merge-on-read →
+    // copy-on-write transition), so the live count needs the MOR scan.
     val hconf = spark.sparkContext.hadoopConfiguration
-    val n = dirs.iterator.flatMap { d =>
-      fs.listStatus(new Path(rootPath, d)).iterator
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    }.map { st =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+    val n =
+      if (delDirs.nonEmpty) readAt(spark, root, cur).count()
+      else dataDirs.iterator.flatMap { d =>
+        fs.listStatus(new Path(rootPath, d)).iterator
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    commit(
-      spark.read.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
-        .repartition(files),
-      root, statsCols)
+    commit(readAt(spark, root, cur).repartition(files), root, statsCols)
   }
 
   /** Z-order maintenance rewrite as a snapshot commit (the
@@ -549,7 +767,8 @@ object SnapshotTable {
     }
     fs.listStatus(rootPath).foreach { st =>
       val name = st.getPath.getName
-      val deadSnap = st.isDirectory && name.startsWith(SnapPrefix) &&
+      val deadSnap = st.isDirectory &&
+        (name.startsWith(SnapPrefix) || name.startsWith(DelPrefix)) &&
         !keptDirs.contains(name)
       val staleTmp = !st.isDirectory && name.endsWith(".tmp") &&
         (name.startsWith(".manifest-") || name.startsWith(".ref-"))

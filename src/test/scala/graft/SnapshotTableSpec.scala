@@ -306,4 +306,157 @@ class SnapshotTableSpec extends SparkSpec {
     assert(dirs.length == 1, s"chain dirs survived: ${dirs.map(_.getName).toSeq}")
     assert(SnapshotTable.read(spark, root).count() == 5)
   }
+
+  test("merge-on-read delete masks keys without rewriting; time travel unaffected") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
+    val delId = SnapshotTable.deleteWhere(spark, root, col("id") % 10 === 0, Seq("id"))
+    assert(delId == 2L)
+    // no data rewrite: the base dir's parquet is untouched, the delete
+    // dir holds only the 10 key rows
+    val delDir = new java.io.File(root, f"del-${2L}%020d")
+    assert(delDir.isDirectory, "equality delete must be its own del- dir")
+    assert(SnapshotTable.read(spark, root).count() == 90)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("id") % 10 === 0).count() == 0)
+    // pre-delete snapshot still shows all rows
+    assert(SnapshotTable.readAt(spark, root, 1L).count() == 100)
+  }
+
+  test("delete sequencing: a key re-inserted AFTER the delete survives reads") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 20).map(i => (i.toLong, "old")).toDF("id", "tag"), root)
+    SnapshotTable.deleteKeys(Seq(5L, 7L).toDF("id"), root)
+    SnapshotTable.append(Seq((5L, "new")).toDF("id", "tag"), root)
+    val rows = SnapshotTable.read(spark, root)
+      .filter(col("id").isin(5L, 7L)).collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "new",
+      s"expected only the re-inserted (5,new), got ${rows.toSeq}")
+    assert(SnapshotTable.read(spark, root).count() == 19) // 20 - 2 + 1
+    // a LATER delete of the same key masks the re-insert too
+    SnapshotTable.deleteKeys(Seq(5L).toDF("id"), root)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("id") === 5L).count() == 0)
+  }
+
+  test("null-safe delete keys: a NULL key masks NULL-keyed rows, not nothing") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+        .toDF("id", "v"), root)
+    SnapshotTable.deleteKeys(Seq(Option.empty[Long]).toDF("id"), root)
+    val left = SnapshotTable.read(spark, root).select("v")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(left == Seq("a", "c"))
+  }
+
+  test("compact materializes pending deletes; vacuum reclaims the delete dir") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
+    SnapshotTable.deleteWhere(spark, root, col("id") <= 40, Seq("id"))
+    val compactId = SnapshotTable.compact(spark, root, rowsPerFile = 30)
+    assert(compactId == 3L)
+    assert(SnapshotTable.read(spark, root).count() == 60)
+    // ceil(60/30) = 2 files: the row count fed the layout, so the MOR
+    // count (not the raw footer count of 100) was used
+    val snapDir = new java.io.File(root, f"snap-${3L}%020d")
+    assert(snapDir.listFiles().count(_.getName.endsWith(".parquet")) == 2)
+    assert(SnapshotTable.vacuum(spark, root, keepLast = 1) == 2)
+    assert(!new java.io.File(root, f"del-${2L}%020d").exists(),
+      "vacuum must reclaim unreferenced delete dirs")
+    assert(SnapshotTable.read(spark, root).count() == 60)
+  }
+
+  test("pruned read applies pending deletes (MOR scan == full-scan filter)") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4),
+      root, statsCols = Seq("id"))
+    SnapshotTable.deleteKeys((10 to 30).map(_.toLong).toDF("id"), root)
+    val pruned = SnapshotTable.readPruned(spark, root, "id", 1.0, 50.0)
+    assert(pruned.count() == 29, "50 in range minus 21 deleted")
+    assert(pruned.filter(col("id") === 15L).count() == 0)
+  }
+
+  test("diff sees merge-on-read deletes as row-level deletes") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 30).map(i => (i.toLong, "x")).toDF("id", "v"), root)
+    SnapshotTable.deleteKeys(Seq(3L, 9L).toDF("id"), root)
+    val d = SnapshotTable.diff(spark, root, 1L, 2L, Seq("id")).collect()
+    assert(d.length == 2 && d.forall(_.getString(1) == "delete"))
+  }
+
+  test("appendedBetween refuses a window containing an equality delete") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), root)
+    SnapshotTable.deleteKeys(Seq(1L).toDF("id"), root)
+    SnapshotTable.append(Seq((11L, "b")).toDF("id", "v"), root)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.appendedBetween(spark, root, 1L, 3L)
+    }
+    assert(e.getMessage.contains("delete"))
+  }
+
+  test("appendConcurrent: 8 racing writers all commit; no rows lost, chain linear") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq((0L, "base")).toDF("id", "v"), root)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val ids = Await.result(
+        Future.sequence((1 to 8).map { w =>
+          Future(SnapshotTable.appendConcurrent(
+            Seq((w.toLong, s"writer$w")).toDF("id", "v"), root))
+        }),
+        5.minutes)
+      // every writer got a DISTINCT snapshot id; the chain is linear 2..9
+      assert(ids.sorted == (2L to 9L), s"ids: ${ids.sorted}")
+      assert(SnapshotTable.currentSnapshot(spark, root) == 9L)
+      // nothing lost: the final manifest references all 9 dirs
+      assert(SnapshotTable.dirsAt(spark, root, 9L).size == 9)
+      assert(SnapshotTable.read(spark, root).count() == 9)
+      assert(SnapshotTable.read(spark, root)
+        .agg(sum(col("id"))).head().getLong(0) == (0 to 8).sum)
+      // every intermediate snapshot is a committed consistent prefix
+      (2L to 9L).foreach { id =>
+        assert(SnapshotTable.readAt(spark, root, id).count() == id)
+      }
+    } finally pool.shutdown()
+  }
+
+  test("appendConcurrent composes with deletes and vacuum") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), root)
+    SnapshotTable.appendConcurrent((11 to 20).map(i => (i.toLong, "b")).toDF("id", "v"), root)
+    SnapshotTable.deleteKeys(Seq(1L, 11L).toDF("id"), root)
+    assert(SnapshotTable.read(spark, root).count() == 18)
+    SnapshotTable.compact(spark, root, rowsPerFile = 1000)
+    SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(SnapshotTable.read(spark, root).count() == 18)
+    val stray = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName != f"snap-${4L}%020d")
+    assert(stray.isEmpty, s"unreclaimed dirs: ${stray.map(_.getName).toSeq}")
+  }
 }
