@@ -346,6 +346,111 @@ object Bpe {
       .toDF(idCol, "n_words", "n_tokens_bpe")
   }
 
+  // ---- WordPiece-style greedy longest-match application ----
+
+  /** The WordPiece piece inventory induced by a trained BPE merge list:
+    * every single character of the normalized alphabet plus the
+    * character expansion of every merged symbol (de-duplicated — two
+    * merge paths can expand to the same string). This is the standard
+    * BPE-vocab → WordPiece-matcher bridge: the LEARNER is BPE, the
+    * APPLIER is greedy longest-match-first (BERT's tokenizer shape),
+    * which segments in one left-to-right pass instead of replaying
+    * merge ranks. Returns (piece set, max piece length). */
+  def wordpieceVocab(merges: Seq[Merge]): (java.util.HashSet[String], Int) = {
+    val v = new java.util.HashSet[String](merges.size * 2 + 64)
+    (('a' to 'z') ++ ('0' to '9')).foreach(c => v.add(c.toString))
+    expansions(merges).foreach { case (_, e) => v.add(e) }
+    var maxLen = 1
+    v.forEach(p => maxLen = math.max(maxLen, p.length))
+    (v, maxLen)
+  }
+
+  /** Greedy longest-match-first segmentation of one normalized word:
+    * at each position take the LONGEST vocab piece that prefixes the
+    * remainder. Returns the matched pieces, or null when stuck (no
+    * piece matches — the [UNK] word case; cannot happen when the vocab
+    * covers every single character of the alphabet). O(len × maxLen)
+    * with O(1) hash probes — independent of vocabulary size, the
+    * property that lets a 100k-piece vocabulary ride the task closure
+    * with no per-token cost growth. */
+  def wordpieceSegment(word: String, vocab: java.util.HashSet[String],
+      maxPieceLen: Int): List[String] = {
+    var out = List.empty[String]
+    var i = 0
+    while (i < word.length) {
+      var j = math.min(word.length, i + maxPieceLen)
+      var hit: String = null
+      while (j > i && hit == null) {
+        val cand = word.substring(i, j)
+        if (vocab.contains(cand)) hit = cand
+        j -= 1
+      }
+      if (hit == null) return null
+      out = hit :: out
+      i += hit.length
+    }
+    out.reverse
+  }
+
+  /** Per-document WordPiece token accounting under a trained merge
+    * list: (id, n_words, n_tokens_wp). Same row-local shape and memo
+    * discipline as [[tokenCounts]] — the vocab rides the closure,
+    * nothing shuffles before the per-doc rows. Stuck words (impossible
+    * with full character coverage) count 1, the [UNK] convention. */
+  def wordpieceCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.toIndexedSeq
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (vocab, maxLen) = wordpieceVocab(ms)
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
+        it.map { case (id, text) =>
+          val ws = normalizeString(text).split(" ", -1).filter(_.nonEmpty)
+          var toks = 0L
+          ws.foreach { w =>
+            val cached = memo.get(w)
+            if (cached != null) toks += cached.longValue()
+            else {
+              val ps = wordpieceSegment(w, vocab, maxLen)
+              val t = if (ps == null) 1L else ps.length.toLong
+              if (memo.size < (1 << 16)) memo.put(w, t)
+              toks += t
+            }
+          }
+          (id, ws.length.toLong, toks)
+        }
+      }
+      .toDF(idCol, "n_words", "n_tokens_wp")
+  }
+
+  /** Corpus-wide piece usage under greedy longest-match: one row per
+    * (piece, occurrence count). flatMap → map-side-combined count —
+    * the standard distributed shape; the result is vocabulary-sized. */
+  def wordpiecePieceCounts(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.toIndexedSeq
+    docs.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        val (vocab, maxLen) = wordpieceVocab(ms)
+        it.flatMap { text =>
+          normalizeString(text).split(" ", -1).iterator.filter(_.nonEmpty)
+            .flatMap { w =>
+              val ps = wordpieceSegment(w, vocab, maxLen)
+              if (ps == null) Iterator.empty else ps.iterator
+            }
+        }
+      }
+      .toDF("piece")
+      .groupBy(col("piece"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+  }
+
   // ---- oracle SQL generation (unrolled training replay) ----
 
   /** The unrolled training CTE chain `w0, s0, cnt1, best1, s1, ...,

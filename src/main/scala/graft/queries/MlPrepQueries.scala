@@ -705,6 +705,94 @@ object MlPrepQueries {
       s"WITH $bpeTrainWith,\n${Bpe.expansionCtesSql(bpeMerges)}$rows ORDER BY rk"
     })
 
+  /** WordPiece APPLICATION: greedy longest-match-first segmentation
+    * (BERT's tokenizer shape) under the BPE-induced piece inventory —
+    * the learner is BPE, the applier matches the longest vocab piece at
+    * each position in ONE left-to-right pass, O(len × maxPiece)
+    * independent of vocabulary size ([[graft.ops.Bpe.wordpieceCounts]]).
+    * Note greedy matching is NOT the merge-order replay: it can
+    * segment differently than BPE apply, which is exactly why it needs
+    * its own gate. The oracle retrains (unrolled CTEs), expands the
+    * symbol inventory to the piece set, and replays greedy matching as
+    * a recursive CTE whose position strictly advances by the longest
+    * matching piece — every matching decision cross-engine gated. */
+  val textWordpieceApply: QueryDef = QueryDef(
+    "text_wordpiece_apply",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", bpeMerges, bpeCap)
+      Bpe.wordpieceCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
+    },
+    Some {
+      s"""WITH RECURSIVE $bpeTrainWith,
+         |${Bpe.expansionCtesSql(bpeMerges)},
+         |vocab AS MATERIALIZED (
+         |  SELECT DISTINCT ex AS piece FROM exp$bpeMerges),
+         |wx AS (
+         |  SELECT row_number() OVER () AS uid, doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
+         |    FROM documents) WHERE len(w) >= 1),
+         |-- greedy step as JOIN + GROUP BY (not a correlated max-subquery,
+         |-- which DuckDB 1.0 mis-decorrelates inside a recursive term);
+         |-- uid keeps repeated words distinct under the aggregation
+         |wp(uid, doc_id, w, i, n) AS (
+         |  SELECT uid, doc_id, w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wx
+         |  UNION ALL
+         |  SELECT uid, doc_id, w, i + max(len(v.piece)), n + 1
+         |  FROM wp JOIN vocab v
+         |    ON v.piece = substr(w, CAST(i AS INTEGER), len(v.piece))
+         |  WHERE i <= len(w)
+         |  GROUP BY uid, doc_id, w, i, n),
+         |fin AS (SELECT doc_id, n FROM wp WHERE i > len(w)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS nw, sum(n) AS nt FROM fin GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens_wp
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
+
+  /** WordPiece piece-usage profile: the top pieces by corpus occurrence
+    * under greedy longest-match — the artifact a tokenizer audit reads
+    * (which learned units actually carry the corpus). Spark side is a
+    * flatMap → map-side-combined count → top-k
+    * ([[graft.ops.Bpe.wordpiecePieceCounts]]); the oracle's recursive
+    * matcher carries the matched piece per step and aggregates the
+    * emitted rows. */
+  val textWordpiecePieces: QueryDef = QueryDef(
+    "text_wordpiece_pieces",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", bpeMerges, bpeCap)
+      Bpe.wordpiecePieceCounts(docs, "text", merges)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(15)
+    },
+    Some {
+      s"""WITH RECURSIVE $bpeTrainWith,
+         |${Bpe.expansionCtesSql(bpeMerges)},
+         |vocab AS MATERIALIZED (
+         |  SELECT DISTINCT ex AS piece FROM exp$bpeMerges),
+         |wx AS (
+         |  SELECT row_number() OVER () AS uid, w FROM (
+         |    SELECT unnest(string_split($normalizeSql, ' ')) AS w
+         |    FROM documents) WHERE len(w) >= 1),
+         |-- greedy step as JOIN + GROUP BY (see text_wordpiece_apply);
+         |-- the emitted p is the longest matching piece at position i
+         |wp(uid, w, i, p) AS (
+         |  SELECT uid, w, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR) FROM wx
+         |  UNION ALL
+         |  SELECT uid, w, i + max(len(v.piece)),
+         |    substr(w, CAST(i AS INTEGER), CAST(max(len(v.piece)) AS INTEGER))
+         |  FROM wp JOIN vocab v
+         |    ON v.piece = substr(w, CAST(i AS INTEGER), len(v.piece))
+         |  WHERE i <= len(w)
+         |  GROUP BY uid, w, i)
+         |SELECT p AS piece, count(*) AS cnt FROM wp WHERE p IS NOT NULL
+         |GROUP BY p ORDER BY cnt DESC, piece LIMIT 15""".stripMargin
+    })
+
   /** BPE APPLICATION: per-document token accounting under the trained
     * merges ([[graft.ops.Bpe.tokenCounts]] — row-local replace chain,
     * merge list in the task closure, nothing shuffles). The oracle
@@ -2042,6 +2130,7 @@ object MlPrepQueries {
     mixTokenBudget, mixTokenBudgetTemperature, mlTargetEncodeLoo, mlChi2Tokens,
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
+    textWordpieceApply, textWordpiecePieces,
     textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
     packChunksBpeLarge, textBpeFertilityLarge, mlSpanCorruption, pipelineLlmData,
     textHashEmbed, textBigramLm, curatePerplexityFilter, curateDsir, mixCurriculum,

@@ -185,4 +185,47 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     t8.foreach { case (id, t) => assert(t16(id) <= t) }
   }
+
+  test("wordpieceSegment is greedy longest-match-first; UNK when stuck") {
+    val v = new java.util.HashSet[String]()
+    Seq("a", "b", "ab", "abc", "bc").foreach(v.add)
+    // longest-first: 'abc' wins over 'ab'+'c' (and 'c' isn't in vocab)
+    assert(Bpe.wordpieceSegment("abcbc", v, 3) == List("abc", "bc"))
+    // greedy is NOT globally optimal: 'abab' -> ab|ab (2), but 'abb'
+    // takes 'ab' then lone 'b' (2) rather than a|bb
+    assert(Bpe.wordpieceSegment("abab", v, 3) == List("ab", "ab"))
+    assert(Bpe.wordpieceSegment("abb", v, 3) == List("ab", "b"))
+    // stuck: 'z' has no piece at position 0 -> null (the UNK word)
+    assert(Bpe.wordpieceSegment("zab", v, 3) == null)
+    assert(Bpe.wordpieceSegment("abz", v, 3) == null)
+  }
+
+  test("wordpiece greedy apply can differ from BPE merge-order apply") {
+    // merges learned: (a,b) then (b,c). BPE-apply on 'abc' merges the
+    // rank-1 pair first: ab|c. Greedy longest-match under the induced
+    // piece set {a..z, ab, bc} also yields ab|c — but on 'xbc' BPE
+    // leaves x|bc via merge 2 while greedy ALSO finds x|bc; the real
+    // divergence needs a piece that overlaps a better later match:
+    // vocab {a, b, c, ab, bca}: greedy 'abca' -> ab|?? (stuck at 'ca')
+    // while an optimal segmentation a|bca exists. Pin the stuck case.
+    val v = new java.util.HashSet[String]()
+    Seq("a", "b", "ab", "bca").foreach(v.add)
+    assert(Bpe.wordpieceSegment("abca", v, 3) == null,
+      "greedy must commit to 'ab' and get stuck — longest-match, no backtrack")
+    // wordpieceVocab induces full char coverage, so corpus words never
+    // go UNK under a trained merge list
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 30)
+    val merges = Bpe.train(docs, "text", numMerges = 8, maxTrainWords = 2000)
+    val (vocab, maxLen) = Bpe.wordpieceVocab(merges)
+    assert(maxLen >= 2)
+    docs.select(col("text")).collect()
+      .flatMap(r => Bpe.normalizeString(r.getString(0)).split(" "))
+      .filter(_.nonEmpty)
+      .foreach { w =>
+        val ps = Bpe.wordpieceSegment(w, vocab, maxLen)
+        assert(ps != null && ps.mkString("") == w,
+          s"pieces must concatenate back to the word: $w -> $ps")
+      }
+  }
 }
