@@ -111,6 +111,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables here are DESIGNED indexes (inverted index, IVF
+      // cells, merge keys): keep bucketed scans so bucket PRUNING
+      // survives even when no downstream op needs the partitioning
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // the survey workload is 600-1300 STRING columns wide; the default
       // codegen.maxFields=100 drops every wide Project/HashAggregate out
       // of whole-stage codegen into the interpreted row path (measured

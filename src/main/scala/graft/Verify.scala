@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables here are DESIGNED indexes (inverted index, IVF
+      // cells, merge keys): keep bucketed scans so bucket PRUNING
+      // survives even when no downstream op needs the partitioning —
+      // the auto-disable rule only weighs partitioning, not pruning
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // wide survey schemas stay inside whole-stage codegen (see Bench)
       .config("spark.sql.codegen.maxFields", "1500")
       // GC'd loop checkpoints are deleted, not accumulated (see Bench)

@@ -3224,7 +3224,77 @@ object PipelineQueries {
       |  count(*) AS n_docs
       |FROM documents""".stripMargin))
 
+  /** text_inverted_search: persisted inverted index + conjunctive
+    * retrieval ([[graft.ops.InvertedIndex]]). Build writes posting
+    * rows (term, doc_id, tf) as a TERM-BUCKETED sorted table; the
+    * 3-term AND query then reads ONLY those terms' posting lists — the
+    * scan is bucket-pruned (SelectedBucketsCount pinned in
+    * InvertedIndexSpec), so query cost is posting-list-sized, never
+    * corpus-sized: the property that makes interactive term lookup on
+    * a 100 TB corpus possible. Ranked by summed term frequency. The
+    * oracle rebuilds the postings and intersection from the raw text. */
+  val textInvertedSearch: QueryDef = QueryDef(
+    "text_inverted_search",
+    (s, d) => {
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val table = s"graft_invidx_$tok"
+      graft.ops.InvertedIndex.buildIndex(
+        Tables.documents(s, d), "doc_id", "text", table,
+        graft.sources.TableIO.scratchDir(s, "invidx"), buckets = 16)
+      graft.ops.InvertedIndex.searchAll(
+        s, table, Seq("spark", "join", "data"), k = 20)
+    },
+    Some(s"""WITH words AS (
+      |  SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS term
+      |  FROM documents),
+      |p AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM words
+      |  WHERE len(term) >= 1 GROUP BY term, doc_id),
+      |m AS (
+      |  SELECT doc_id, count(*) AS n_terms, sum(tf) AS score FROM p
+      |  WHERE term IN ('spark', 'join', 'data') GROUP BY doc_id)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score FROM m WHERE n_terms = 3
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
+  /** text_inverted_phrase: PHRASE search over a POSITIONAL inverted
+    * index — each posting carries the term's sorted word offsets, and
+    * the phrase "table hash" resolves as an adjacency intersect
+    * (`positions(first)+1 ∩ positions(second)`) between two
+    * bucket-pruned posting lists joined on doc_id: no text re-scan, no
+    * regex fallback, and the join is exchange-light because both sides
+    * come pre-hashed from the same bucketed table. The oracle rebuilds
+    * positional postings with unnest-with-ordinality and replays the
+    * same adjacency intersection. */
+  val textInvertedPhrase: QueryDef = QueryDef(
+    "text_inverted_phrase",
+    (s, d) => {
+      val tok = graft.sources.TableIO.sessionToken(s)
+      val table = s"graft_invidx_pos_$tok"
+      graft.ops.InvertedIndex.buildIndex(
+        Tables.documents(s, d), "doc_id", "text", table,
+        graft.sources.TableIO.scratchDir(s, "invidx_pos"), buckets = 16,
+        positional = true)
+      graft.ops.InvertedIndex.searchPhrase(s, table, "table", "hash")
+    },
+    Some(s"""WITH words AS (
+      |  SELECT doc_id, string_split($normalizeSql, ' ') AS l FROM documents),
+      |px AS (
+      |  SELECT doc_id, l[i] AS term, i - 1 AS pos
+      |  FROM words, unnest(range(1, len(l) + 1)) t(i)
+      |  WHERE len(l[i]) >= 1),
+      |a AS (SELECT doc_id, list(pos ORDER BY pos) AS p1 FROM px
+      |      WHERE term = 'table' GROUP BY doc_id),
+      |b AS (SELECT doc_id, list(pos ORDER BY pos) AS p2 FROM px
+      |      WHERE term = 'hash' GROUP BY doc_id)
+      |SELECT a.doc_id,
+      |  CAST(len(list_intersect(list_transform(p1, x -> x + 1), p2)) AS INTEGER)
+      |    AS n_phrase
+      |FROM a JOIN b ON a.doc_id = b.doc_id
+      |WHERE len(list_intersect(list_transform(p1, x -> x + 1), p2)) > 0
+      |ORDER BY a.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
+    textInvertedSearch, textInvertedPhrase,
     asofJoin, asofJoinNative, asofTolerance, rangeJoin, dedupExact, dedupKeepLatest,
     dedupMinhashLsh, dedupCluster, dedupClusterStar,
     dedupNgramJaccard, dedupContainment, dedupSimhash, dedupFuzzyBlock, dedupSortedNeighborhood,

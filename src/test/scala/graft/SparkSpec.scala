@@ -16,6 +16,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Verify/Bench: designed bucketed indexes keep bucket pruning
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
