@@ -274,4 +274,62 @@ object Sampling {
       .select(groupCols.map(col) :+ (col("__pos") + 1).cast("long").as("rk") :+
         col("__p.id").as(idCol): _*)
   }
+
+  /** Deterministic weighted sampling WITH REPLACEMENT by integer-exact
+    * inverse-transform: each row owns the half-open interval
+    * `[cumBefore, cumBefore + weight)` of the global integer weight
+    * line (total W), and draw j selects the owner of
+    * `u_j = md5(seed:j) mod W`. Everything is 64-bit integer
+    * arithmetic — no transcendental keys (the A-ExpJ trick needs
+    * `ln(u)/w`, whose last-ulp differences across engines would break a
+    * hash-equality oracle) — so a SQL engine replays every draw
+    * byte-identically.
+    *
+    * Scale shape: the global prefix sum is SHARDED (id mod `nShards`
+    * windows in parallel + one nShards-row offset table collected to
+    * the driver and broadcast back — bounded by design, the
+    * mix_token_budget discipline); the draw table is nDraws rows,
+    * broadcast into a range-containment join against the weighted rows
+    * (one streaming pass over the corpus, no shuffle of the data side).
+    * Weights must be positive integers after the cast; rows with
+    * weight <= 0 or NULL never win a draw.
+    *
+    * Returns (draw_id 0..nDraws-1, id) — nDraws rows, duplicates
+    * expected by construction (that is the "with replacement"). */
+  def weightedWithReplacement(df: DataFrame, idCol: String,
+      weightCol: String, nDraws: Int, seed: String,
+      nShards: Int = 256): DataFrame = {
+    require(nDraws > 0, "need at least one draw")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__shard", pmod(col("__id"), lit(nShards.toLong)))
+    // per-shard totals: at most nShards rows to the driver — bounded by
+    // design regardless of corpus size
+    val shardTotals = base.groupBy(col("__shard"))
+      .agg(sum(col("__w")).as("__t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val totalW = shardTotals.map(_._2).sum
+    require(totalW > 0, "total weight must be positive")
+    val offsets = shardTotals.scanLeft((-1L, 0L)) {
+      case ((_, acc), (sh, t)) => (sh, acc + t)
+    }.tail.zip(shardTotals).map { case ((sh, cumIncl), (_, t)) =>
+      (sh, cumIncl - t)
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("__shard", "__off"))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__id"))
+    val intervals = base.join(offDf, Seq("__shard"))
+      .withColumn("__lo",
+        coalesce(sum(col("__w")).over(w) - col("__w"), lit(0L)) + col("__off"))
+    val draws = spark.range(nDraws).select(col("id").as("draw_id"))
+      .withColumn("__u", pmod(
+        conv(substring(md5(concat(lit(seed), lit(":"),
+          col("draw_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(totalW)))
+    intervals.join(broadcast(draws),
+        col("__u") >= col("__lo") && col("__u") < col("__lo") + col("__w"))
+      .select(col("draw_id"), col("__id").as(idCol))
+  }
 }

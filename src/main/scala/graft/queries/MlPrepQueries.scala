@@ -456,6 +456,42 @@ object MlPrepQueries {
       |  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 150)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Weighted sampling WITH REPLACEMENT
+    * ([[graft.ops.Sampling.weightedWithReplacement]]): 200 draws over
+    * the documents, each weighted by its word count — the epoch-
+    * construction primitive for "sample documents ∝ length" (or ∝
+    * quality score) mixtures. Integer-exact inverse transform on the
+    * cumulative weight line with md5-seeded draws, so the oracle
+    * replays every draw byte-identically: no float sampling keys, no
+    * cross-engine ln() drift. The corpus-side prefix sum is sharded
+    * (no single-partition window); the draw table broadcasts. */
+  val sampleWeightedReplacement: QueryDef = QueryDef(
+    "sample_weighted_replacement",
+    (s, d) => graft.ops.Sampling.weightedWithReplacement(
+        Tables.documents(s, d).select(col("doc_id"),
+          size(graft.ops.TextOps.words(col("text"))).as("w")),
+        "doc_id", "w", nDraws = 200, seed = "g13")
+      .orderBy("draw_id"),
+    Some(s"""WITH base AS (
+      |  SELECT doc_id AS id,
+      |    CAST(len(string_split($normalizeSql, ' ')) AS BIGINT) AS w,
+      |    doc_id % 256 AS shard
+      |  FROM documents),
+      |pos AS (
+      |  SELECT id, w,
+      |    COALESCE(sum(w) OVER (ORDER BY shard, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+      |  FROM base WHERE w > 0),
+      |tot AS (SELECT sum(w) AS tw FROM base WHERE w > 0),
+      |draws AS (
+      |  SELECT j AS draw_id,
+      |    CAST(concat('0x', substr(md5('g13:' || CAST(j AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % (SELECT tw FROM tot) AS u
+      |  FROM generate_series(0, 199) t(j))
+      |SELECT d.draw_id, p.id AS doc_id
+      |FROM draws d JOIN pos p ON d.u >= p.lo AND d.u < p.lo + p.w
+      |ORDER BY d.draw_id""".stripMargin))
+
   val sampleHashSplit: QueryDef = QueryDef(
     "sample_hash_split",
     (s, d) => graft.ops.Sampling.deterministicSplit(
@@ -2136,6 +2172,7 @@ object MlPrepQueries {
     textHashEmbed, textBigramLm, curatePerplexityFilter, curateDsir, mixCurriculum,
     mixUpsample,
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
-    sampleUniformK, sampleHashSplit, sampleEpochShuffle, packLengthBuckets, embCovariance,
+    sampleUniformK, sampleHashSplit, sampleEpochShuffle, sampleWeightedReplacement,
+    packLengthBuckets, embCovariance,
     embProject, embPcaPower, mlAuc, mlCalibrationBins, mlKsDrift)
 }

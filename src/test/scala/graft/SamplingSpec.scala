@@ -120,4 +120,27 @@ class SamplingSpec extends SparkSpec {
     val ok = Sampling.epochShuffle(df, "id", 1, 2, shardCol = "eshard", posCol = "epos")
     assert(ok.columns.count(_ == "shard") == 1 && ok.columns.contains("eshard"))
   }
+
+  test("weightedWithReplacement: exact draw count, weight-proportional, deterministic") {
+    val s = spark
+    import s.implicits._
+    // id 1 owns 990 of 1000 weight units; ids 2..11 own 1 each
+    val df = ((1L, 990L) +: (2L to 11L).map(_ -> 1L)).toDF("id", "w")
+    val got = Sampling.weightedWithReplacement(df, "id", "w", nDraws = 100,
+      seed = "t", nShards = 4).collect()
+    assert(got.length == 100, "with replacement: every draw lands exactly once")
+    assert(got.map(_.getLong(0)).toSet.size == 100, "draw ids are distinct")
+    val heavy = got.count(_.getLong(1) == 1L)
+    assert(heavy > 90, s"99% of the weight should win ~99 draws, got $heavy")
+    // deterministic across invocations and shard counts
+    val again = Sampling.weightedWithReplacement(df, "id", "w", 100, "t", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val gotSorted = got.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(again == gotSorted)
+    // zero/negative/null weights never win
+    val df2 = Seq((1L, 5L), (2L, 0L), (3L, -7L)).toDF("id", "w")
+    val winners = Sampling.weightedWithReplacement(df2, "id", "w", 50, "t")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(winners == Set(1L))
+  }
 }
