@@ -840,8 +840,56 @@ object StreamingQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** stream_snapshot_exactly_once: idempotent streaming ingest —
+    * `foreachBatch` is AT-LEAST-ONCE (a crash between the batch write
+    * and the checkpoint commit replays the batch), so the sink must
+    * dedup replays or the table double-counts. Each micro-batch commits
+    * via [[graft.sources.SnapshotTable.appendIdempotent]], which
+    * records `#batch:<id>` INSIDE the manifest (marker and data are one
+    * atomic file). The gate then REPLAYS two batch keys with live data
+    * and requires zero new snapshots — the exactly-once effect —
+    * before value-gating the final table. Oracle: the plain batch
+    * aggregate (a correct sink converges to the batch answer no matter
+    * how many replays). */
+  val streamSnapshotExactlyOnce: QueryDef = QueryDef(
+    "stream_snapshot_exactly_once",
+    (s, d) => {
+      val run = s"${graft.sources.TableIO.sessionToken(s)}_${snapRunCounter.incrementAndGet()}"
+      val root = graft.sources.TableIO.scratchDir(s, s"stream_snap_eo/table_$run")
+      val stream = EventStreams.eventsMultiBatchStream(s, d, nFiles = 4)
+      val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            graft.sources.SnapshotTable.appendIdempotent(batch, root, s"b$id")
+            ()
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.sources.TableIO.scratchDir(s, s"stream_snap_eo/ckpt_$run"))
+        .start()
+      try { q.processAllAvailable(); EventStreams.recordDrain(q) } finally q.stop()
+      val snaps = graft.sources.SnapshotTable.snapshots(s, root)
+      require(snaps.size == 4, s"expected 4 idempotent commits, got ${snaps.size}")
+      // simulate the at-least-once failure mode: re-deliver two batches
+      val replay = Tables.events(s, d).limit(100)
+      Seq("b0", "b3").foreach { k =>
+        graft.sources.SnapshotTable.appendIdempotent(replay, root, k)
+      }
+      require(graft.sources.SnapshotTable.snapshots(s, root).size == 4,
+        "a replayed batch key must not commit a new snapshot")
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     streamPackChunks, streamAttribution, streamSnapshotAppend,
+    streamSnapshotExactlyOnce,
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
     streamSessions, streamSessionWindow, streamHitters, streamOuterJoin,

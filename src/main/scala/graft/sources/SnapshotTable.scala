@@ -148,9 +148,17 @@ object SnapshotTable {
     } finally in.close()
   }
 
+  /** Dir lines of a manifest. Lines starting with `#` are METADATA
+    * (e.g. `#batch:<key>` from [[appendIdempotent]]) — carried inside
+    * the same atomic commit file, invisible to the dir list. */
   private def readManifest(fs: FileSystem, root: Path, id: Long): Seq[String] =
     readFile(fs, new Path(root, ManifestPrefix + fmt(id)))
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      .split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  private def readManifestMeta(fs: FileSystem, root: Path, id: Long): Seq[String] =
+    readFile(fs, new Path(root, ManifestPrefix + fmt(id)))
+      .split("\n").iterator.map(_.trim).filter(_.startsWith("#")).toSeq
 
   /** Data-dir names (relative to root) that snapshot `id` is made of —
     * one for a replace commit, several for an append chain. */
@@ -179,11 +187,12 @@ object SnapshotTable {
     * from parquet listings), rename to `_manifest-N` — one metadata op
     * creating a NEW name, never touching the live pointer set. */
   private def commitManifest(spark: SparkSession, root: String, next: Long,
-      dirs: Seq[String]): Long = {
+      dirs: Seq[String], meta: Seq[String] = Nil): Long = {
+    require(meta.forall(_.startsWith("#")), "manifest metadata lines start with #")
     val (fs, rootPath) = fsFor(spark, root)
     val tmp = new Path(rootPath, s".manifest-${fmt(next)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(dirs.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write((dirs ++ meta).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val manifest = new Path(rootPath, ManifestPrefix + fmt(next))
     require(fs.rename(tmp, manifest), s"snapshot commit failed: $tmp -> $manifest")
@@ -217,6 +226,36 @@ object SnapshotTable {
         .map(id => readManifest(fs, rootPath, id)).getOrElse(Nil)
     val (next, snapDir) = writeDataDir(df, root, statsCols)
     commitManifest(spark, root, next, prior :+ snapDir)
+  }
+
+  /** EXACTLY-ONCE APPEND for at-least-once writers (Structured
+    * Streaming's `foreachBatch` re-runs a batch after a failure): the
+    * batch key is recorded as a `#batch:<key>` metadata line INSIDE the
+    * committed manifest, so the dedup marker and the data commit are
+    * one atomic file — there is no window where the data landed but the
+    * marker did not (the flaw of a separate marker file). A replay of
+    * an already-committed key returns its original snapshot id without
+    * writing anything; a replay of a crashed attempt (data dir written,
+    * no manifest) re-appends and the orphan dir is vacuum fodder.
+    * Lookup scans manifests NEWEST-FIRST (replays in practice hit the
+    * most recent batches) and is bounded by retention. Single-committer
+    * contract, like [[append]]. */
+  def appendIdempotent(df: DataFrame, root: String, batchKey: String,
+      statsCols: Seq[String] = Nil): Long = {
+    require(batchKey.nonEmpty && !batchKey.contains("\n"),
+      s"bad batch key: '$batchKey'")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    val marker = s"#batch:$batchKey"
+    val prior = snapshots(spark, root).reverse
+    prior.find(id => readManifestMeta(fs, rootPath, id).contains(marker)) match {
+      case Some(id) => id // replayed batch: already committed, no-op
+      case None =>
+        val priorDirs = prior.headOption
+          .map(id => readManifest(fs, rootPath, id)).getOrElse(Nil)
+        val (next, snapDir) = writeDataDir(df, root, statsCols)
+        commitManifest(spark, root, next, priorDirs :+ snapDir, Seq(marker))
+    }
   }
 
   /** Atomic compare-and-swap publish of `_manifest-next`: true iff THIS

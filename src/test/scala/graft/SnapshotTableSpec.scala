@@ -444,6 +444,39 @@ class SnapshotTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("appendIdempotent: replayed keys are no-ops; marker is atomic with the commit") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq((0L, "base")).toDF("id", "v"), root)
+    val id1 = SnapshotTable.appendIdempotent(
+      Seq((1L, "batch1")).toDF("id", "v"), root, "b1")
+    assert(id1 == 2L)
+    // replay with DIFFERENT data: key decides, nothing is written
+    val id1b = SnapshotTable.appendIdempotent(
+      Seq((99L, "evil-dup")).toDF("id", "v"), root, "b1")
+    assert(id1b == 2L)
+    assert(SnapshotTable.snapshots(spark, root) == Seq(1L, 2L))
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("id") === 99L).count() == 0)
+    // a fresh key appends normally; metadata lines are invisible to readers
+    val id2 = SnapshotTable.appendIdempotent(
+      Seq((2L, "batch2")).toDF("id", "v"), root, "b2")
+    assert(id2 == 3L && SnapshotTable.dirsAt(spark, root, 3L).size == 3)
+    // crashed-attempt shape: orphan data dir, no manifest -> same key
+    // re-appends (the orphan is vacuum fodder, never read)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((3L, "batch3")).toDF("id", "v").write
+      .parquet(root + f"/snap-${4L}%020d-orphan")
+    val id3 = SnapshotTable.appendIdempotent(
+      Seq((3L, "batch3")).toDF("id", "v"), root, "b3")
+    assert(id3 == 4L)
+    assert(SnapshotTable.read(spark, root).count() == 4)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, f"snap-${4L}%020d-orphan")))
+  }
+
   test("appendConcurrent composes with deletes and vacuum") {
     val s = spark
     import s.implicits._
