@@ -1968,6 +1968,53 @@ object SurveyQueries {
       |SELECT bucket, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
       |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** maintenance_snapshot_partition_evolution: change the table's
+    * partition spec WITHOUT rewriting history
+    * ([[graft.sources.SnapshotTable.appendPartitioned]]). v1 commits
+    * events FLAT; v2 appends the rest hive-partitioned by event_type —
+    * one O(delta) commit, the "we should have partitioned by X"
+    * migration that would otherwise rewrite the whole table. Reads
+    * reconcile the two specs by name; a filter on event_type
+    * directory-prunes the new dir (PartitionFilters, pinned in
+    * SnapshotTableSpec) and row-group-prunes the old. The gate
+    * structurally requires the evolved dir to be hive-laid-out and the
+    * flat dir untouched, then value-gates a filtered rollup across
+    * both generations. */
+  val maintenanceSnapshotPartitionEvolution: QueryDef = QueryDef(
+    "maintenance_snapshot_partition_evolution",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 4)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/events_pevo")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("value").cast(money).as("value"))
+      graft.sources.SnapshotTable.commit(
+        ev.filter(col("event_id") % 2 === 0), root)
+      graft.sources.SnapshotTable.appendPartitioned(
+        ev.filter(col("event_id") % 2 === 1), root, Seq("event_type"))
+      // structural: generation 2 is hive-laid-out, generation 1 stayed flat
+      val dirs = graft.sources.SnapshotTable.dirsAt(s, root, 2L)
+      require(dirs.size == 2, s"expected flat + evolved dirs, got $dirs")
+      val hasHive = fs.listStatus(new org.apache.hadoop.fs.Path(root, dirs(1)))
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
+      val flatStillFlat = fs.listStatus(new org.apache.hadoop.fs.Path(root, dirs.head))
+        .forall(st => !st.isDirectory)
+      require(hasHive && flatStillFlat,
+        "partition evolution must change ONLY the new dir's layout")
+      graft.sources.SnapshotTable.read(s, root)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** maintenance_snapshot_concurrent: optimistic multi-writer ingest —
     * four writers race [[graft.sources.SnapshotTable.appendConcurrent]]
     * against the same table; each lost CAS costs one manifest re-read +
@@ -2029,6 +2076,7 @@ object SurveyQueries {
     maintenanceDataSkipping, maintenanceSchemaDrift, maintenanceZorderSkipping,
     maintenanceSnapshotTag, maintenanceSnapshotRollback,
     maintenanceSnapshotDeleteMor, maintenanceSnapshotConcurrent,
+    maintenanceSnapshotPartitionEvolution,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

@@ -169,18 +169,64 @@ object SnapshotTable {
 
   /** Write `df` into a fresh immutable data dir; returns (next id, dir
     * name). Shared by commit/append — the dir is invisible until a
-    * manifest referencing it is committed. */
+    * manifest referencing it is committed. `partitionCols` writes the
+    * dir hive-partitioned (see [[appendPartitioned]]). */
   private def writeDataDir(df: DataFrame, root: String,
-      statsCols: Seq[String]): (Long, String) = {
+      statsCols: Seq[String], partitionCols: Seq[String] = Nil): (Long, String) = {
     val spark = df.sparkSession
     val (fs, rootPath) = fsFor(spark, root)
     fs.mkdirs(rootPath)
     val next = snapshots(spark, root).lastOption.getOrElse(0L) + 1L
     val snapDir = SnapPrefix + fmt(next)
     val snapPath = new Path(rootPath, snapDir)
-    df.write.mode(SaveMode.Overwrite).parquet(snapPath.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(snapPath.toString)
     if (statsCols.nonEmpty) writeStats(spark, fs, snapPath, statsCols)
     (next, snapDir)
+  }
+
+  /** All parquet files under `dir`, RECURSIVELY — hive-partitioned data
+    * dirs nest their files one level per partition column. */
+  private def listParquetFiles(fs: FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) out += st
+    }
+    walk(dir)
+    out.toSeq
+  }
+
+  /** A data dir written with a partition spec has `col=value` subdirs. */
+  private def isHivePartitioned(fs: FileSystem, dir: Path): Boolean =
+    fs.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+
+  /** Read a set of data dirs as one DataFrame, honoring PARTITION
+    * EVOLUTION: dirs written under different partition specs (flat,
+    * partitioned-by-X, partitioned-by-Y) cannot share one multi-path
+    * scan (partition discovery needs a common layout), so any mixed set
+    * reads per-dir and unions BY NAME — a hive dir surfaces its
+    * partition values as columns, a flat dir has them as data columns,
+    * and the union reconciles order. Homogeneous flat sets keep the
+    * single multi-path scan. Filters on a partition column prune
+    * directories inside each hive dir (PartitionFilters — pinned in
+    * SnapshotTableSpec) and push down as row-group filters in flat
+    * dirs: each dir is pruned as well as ITS spec allows, the Iceberg
+    * per-spec contract. */
+  private def readDirs(spark: SparkSession, rootPath: Path, dirs: Seq[String],
+      mergeSchema: Boolean): DataFrame = {
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val anyHive = dirs.exists(d => isHivePartitioned(fs, new Path(rootPath, d)))
+    if (!anyHive)
+      reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    else dirs.map(d => reader.parquet(new Path(rootPath, d).toString))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
   }
 
   /** The commit point: write the manifest body to a dot-temp (hidden
@@ -226,6 +272,37 @@ object SnapshotTable {
         .map(id => readManifest(fs, rootPath, id)).getOrElse(Nil)
     val (next, snapDir) = writeDataDir(df, root, statsCols)
     commitManifest(spark, root, next, prior :+ snapDir)
+  }
+
+  /** PARTITION EVOLUTION append: write the delta hive-partitioned by
+    * `partitionCols` while earlier dirs keep whatever spec they were
+    * written under (flat, or partitioned by different columns) — the
+    * table's partition spec evolves WITHOUT rewriting history, exactly
+    * Iceberg's contract. Reads reconcile the specs by name (see
+    * [[readDirs]]); a filter on the partition column directory-prunes
+    * the new dirs and row-group-prunes the old — each generation is
+    * pruned as well as its own layout allows. At 100 TB this is the
+    * "we should have partitioned by day" migration executed as one
+    * O(delta) commit instead of a table rewrite. */
+  def appendPartitioned(df: DataFrame, root: String,
+      partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    require(partitionCols.nonEmpty, "appendPartitioned needs partition columns")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    val prior =
+      snapshots(spark, root).lastOption
+        .map(id => readManifest(fs, rootPath, id)).getOrElse(Nil)
+    val (next, snapDir) = writeDataDir(df, root, statsCols, partitionCols)
+    commitManifest(spark, root, next, prior :+ snapDir)
+  }
+
+  /** Full-replace commit under a partition spec (see
+    * [[appendPartitioned]] for the evolution story). */
+  def commitPartitioned(df: DataFrame, root: String,
+      partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    require(partitionCols.nonEmpty, "commitPartitioned needs partition columns")
+    val (next, snapDir) = writeDataDir(df, root, statsCols, partitionCols)
+    commitManifest(df.sparkSession, root, next, Seq(snapDir))
   }
 
   /** EXACTLY-ONCE APPEND for at-least-once writers (Structured
@@ -362,7 +439,7 @@ object SnapshotTable {
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
     if (delDirs.isEmpty)
-      reader.parquet(dataDirs.map(d => new Path(rootPath, d).toString): _*)
+      readDirs(spark, rootPath, dataDirs, mergeSchema)
     else {
       val data = dataDirs.map { dn =>
         reader.parquet(new Path(rootPath, dn).toString)
@@ -460,7 +537,7 @@ object SnapshotTable {
       s"snapshots $fromId..$toId include an equality delete at $root — " +
         "the window is not append-only, use diff() instead")
     if (delta.isEmpty) readAt(spark, root, toId).limit(0)
-    else spark.read.parquet(delta.map(d => new Path(rootPath, d).toString): _*)
+    else readDirs(spark, rootPath, delta, mergeSchema = false)
   }
 
   /** General row-level CDC between two retained snapshots: one
@@ -529,8 +606,7 @@ object SnapshotTable {
     val hconf = spark.sparkContext.hadoopConfiguration
     val wanted = statsCols.toSet
     val lines = new scala.collection.mutable.ArrayBuffer[String]
-    fs.listStatus(snapPath)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    listParquetFiles(fs, snapPath)
       .foreach { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -589,6 +665,9 @@ object SnapshotTable {
     val (fs, rootPath) = fsFor(spark, root)
     val dirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
       .filterNot(isDeleteDir)
+    dirs.foreach(d => require(!isHivePartitioned(fs, new Path(rootPath, d)),
+      s"stats pruning reads raw file paths, which would drop $d's hive " +
+        "partition columns — compact() the table to a flat layout first"))
     var total = 0
     val selected = dirs.map { d =>
       val dirPath = new Path(rootPath, d)
@@ -601,15 +680,14 @@ object SnapshotTable {
           .filter(p => p.length == 4 && p(1) == column)
           .map(p => p(0) -> (p(2).toDouble, p(3).toDouble))
           .toMap
-      d -> fs.listStatus(dirPath)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      d -> listParquetFiles(fs, dirPath)
         .flatMap { st =>
           total += 1
           ranges.get(st.getPath.getName) match {
             case Some((mn, mx)) if mx < lo || mn > hi => None // provably disjoint
             case _ => Some(st.getPath.toString)
           }
-        }.toSeq
+        }
     }
     (selected, total)
   }
@@ -668,8 +746,7 @@ object SnapshotTable {
     val n =
       if (delDirs.nonEmpty) readAt(spark, root, cur).count()
       else dataDirs.iterator.flatMap { d =>
-        fs.listStatus(new Path(rootPath, d)).iterator
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        listParquetFiles(fs, new Path(rootPath, d)).iterator
       }.map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

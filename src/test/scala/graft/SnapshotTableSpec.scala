@@ -444,6 +444,40 @@ class SnapshotTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("partition evolution: mixed specs read as one table; hive dirs directory-prune") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    val flat = (1 to 60).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", i * 10L))
+      .toDF("id", "cat", "v")
+    SnapshotTable.commit(flat, root)
+    val evolved = (61 to 120).map(i => (i.toLong, if (i % 2 == 0) "a" else "c", i * 10L))
+      .toDF("id", "cat", "v")
+    SnapshotTable.appendPartitioned(evolved, root, Seq("cat"))
+    val all = SnapshotTable.read(spark, root)
+    assert(all.count() == 120)
+    // same logical schema across specs; values reconcile by name
+    val aSum = all.filter(col("cat") === "a")
+      .agg(org.apache.spark.sql.functions.sum(col("v"))).head().getLong(0)
+    val want = (1 to 60).filter(_ % 3 == 0).map(_ * 10L).sum +
+      (61 to 120).filter(_ % 2 == 0).map(_ * 10L).sum
+    assert(aSum == want)
+    // the filter directory-prunes the evolved dir: its scan lists a
+    // PartitionFilters entry on cat
+    val plan = all.filter(col("cat") === "a").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cat"),
+      s"expected partition pruning on the evolved dir, plan:\n$plan")
+    // deletes compose with partition evolution (MOR read is per-dir)
+    SnapshotTable.deleteKeys(Seq(3L, 62L).toDF("id"), root)
+    assert(SnapshotTable.read(spark, root).count() == 118)
+    // compact materializes back to ONE flat dir
+    SnapshotTable.compact(spark, root, rowsPerFile = 1000)
+    val cur = SnapshotTable.dirsAt(spark, root,
+      SnapshotTable.currentSnapshot(spark, root))
+    assert(cur.size == 1)
+    assert(SnapshotTable.read(spark, root).count() == 118)
+  }
+
   test("appendIdempotent: replayed keys are no-ops; marker is atomic with the commit") {
     val s = spark
     import s.implicits._
