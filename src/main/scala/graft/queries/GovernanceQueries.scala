@@ -581,7 +581,58 @@ object GovernanceQueries {
       |  CAST(0 AS BIGINT) AS n_residual
       |FROM a ORDER BY event_type""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(privacyErasureAudit,
+  /** privacy_erasure_mor: the right-to-be-forgotten pass as a
+    * MERGE-ON-READ delete, end to end. Phase 1 — LOGICAL erasure:
+    * [[graft.sources.SnapshotTable.deleteWhere]] commits only the key
+    * rows (O(matching keys), no data rewrite; readers stop seeing the
+    * subjects instantly). Phase 2 — PHYSICAL erasure on the maintenance
+    * schedule: compact materializes the deletes, vacuum reclaims every
+    * pre-erasure generation, and the gate then scans the RAW parquet
+    * files left on disk (bypassing the snapshot layer entirely) and
+    * requires zero surviving subject rows — the artifact a GDPR audit
+    * actually asks for, pinned as a hard require, not a doc claim. The
+    * result value-gates the surviving table; the oracle recomputes it
+    * closed-form. This two-phase shape is exactly why MOR deletes
+    * matter at 100 TB: instant legal effect, amortized physical cost. */
+  val privacyErasureMor: QueryDef = QueryDef(
+    "privacy_erasure_mor",
+    (s, d) => {
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/cust_erasure_mor")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.SnapshotTable.commit(base.repartition(8), root)
+      // logical erasure: one O(keys) commit, no rewrite
+      graft.sources.SnapshotTable.deleteWhere(
+        s, root, col("c_custkey") % 97 === 0, Seq("c_custkey"))
+      require(graft.sources.SnapshotTable.read(s, root)
+        .filter(col("c_custkey") % 97 === 0).count() == 0,
+        "logical erasure must hide the subjects immediately")
+      // physical erasure: materialize + reclaim
+      graft.sources.SnapshotTable.compact(s, root, rowsPerFile = 500000)
+      graft.sources.SnapshotTable.vacuum(s, root, keepLast = 1)
+      val rawDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
+        .map(_.getPath.toString)
+      val rawSurvivors = s.read.parquet(rawDirs.toIndexedSeq: _*)
+        .filter(col("c_custkey") % 97 === 0).count()
+      require(rawSurvivors == 0,
+        s"physical erasure audit found $rawSurvivors subject rows in raw parquet")
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey % 97 <> 0
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(privacyErasureAudit, privacyErasureMor,
     privacyKAnon, privacyLDiversity, privacyTCloseness, privacySnapshotErasure,
     auditConstraints, privacyDpQuantile,
     sampleGroupK,
