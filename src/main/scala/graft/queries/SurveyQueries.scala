@@ -1968,6 +1968,48 @@ object SurveyQueries {
       |SELECT bucket, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
       |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** maintenance_bloom_metadata: parquet-native bloom filters + the
+    * metadata-only count ([[graft.sources.SnapshotTable.commitWithBlooms]],
+    * [[graft.sources.SnapshotTable.metadataCount]]). Min/max skipping is
+    * useless for point lookups on a high-cardinality UNSORTED key —
+    * every file's range spans the domain — so the commit writes
+    * split-block blooms into the parquet footers and the point-lookup
+    * read skips row groups inside the reader. The gate structurally
+    * requires the blooms to exist in the footers (skipping is silent;
+    * presence is the observable) and the footer-summed row count to
+    * equal the scanned count, then value-gates point lookups for five
+    * keys. DuckDB reads the same files honoring the same bloom spec. */
+  val maintenanceBloomMetadata: QueryDef = QueryDef(
+    "maintenance_bloom_metadata",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_bloom")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      // unsorted by key: repartition scrambles, making min/max useless
+      // and the bloom the only skipping lever
+      graft.sources.SnapshotTable.commitWithBlooms(
+        orders.repartition(8), root, Seq("o_orderkey"))
+      require(graft.sources.SnapshotTable.bloomColumns(s, root, 1L)
+        .contains("o_orderkey"),
+        "commitWithBlooms must write a footer bloom for the key column")
+      val meta = graft.sources.SnapshotTable.metadataCount(s, root)
+      val scanned = graft.sources.SnapshotTable.read(s, root).count()
+      require(meta == scanned,
+        s"metadata count $meta != scanned count $scanned")
+      graft.sources.SnapshotTable.read(s, root)
+        .filter(col("o_orderkey").isin(7L, 7777L, 15000L, 31113L, 999999999L))
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM orders WHERE o_orderkey IN (7, 7777, 15000, 31113, 999999999)
+      |ORDER BY o_orderkey""".stripMargin))
+
   /** maintenance_snapshot_partition_evolution: change the table's
     * partition spec WITHOUT rewriting history
     * ([[graft.sources.SnapshotTable.appendPartitioned]]). v1 commits
@@ -2076,7 +2118,7 @@ object SurveyQueries {
     maintenanceDataSkipping, maintenanceSchemaDrift, maintenanceZorderSkipping,
     maintenanceSnapshotTag, maintenanceSnapshotRollback,
     maintenanceSnapshotDeleteMor, maintenanceSnapshotConcurrent,
-    maintenanceSnapshotPartitionEvolution,
+    maintenanceSnapshotPartitionEvolution, maintenanceBloomMetadata,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

@@ -274,6 +274,74 @@ object SnapshotTable {
     commitManifest(spark, root, next, prior :+ snapDir)
   }
 
+  /** Commit with PARQUET-NATIVE BLOOM FILTERS on `bloomCols` (split-
+    * block blooms in the file footers, `parquet.bloom.filter.enabled#
+    * <col>`): point-predicate reads then skip row groups whose bloom
+    * excludes the value — the data-skipping complement to the min/max
+    * sidecar, which is useless for point lookups on HIGH-CARDINALITY
+    * UNSORTED keys (every file's [min,max] spans the whole domain, so
+    * range pruning keeps everything; a bloom rejects per row group with
+    * ~1% false positives). The skipping happens inside the parquet
+    * reader on any engine that honors the spec — including DuckDB
+    * reading the same files. `ndv` sizes the blooms (bits ∝ distinct
+    * values per row group). */
+  def commitWithBlooms(df: DataFrame, root: String, bloomCols: Seq[String],
+      ndv: Long = 100000L): Long = {
+    require(bloomCols.nonEmpty, "commitWithBlooms needs bloom columns")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    fs.mkdirs(rootPath)
+    val next = snapshots(spark, root).lastOption.getOrElse(0L) + 1L
+    val snapDir = SnapPrefix + fmt(next)
+    val w = bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(new Path(rootPath, snapDir).toString)
+    commitManifest(spark, root, next, Seq(snapDir))
+  }
+
+  /** The columns with a parquet bloom filter in the FIRST row group of
+    * the first data file of snapshot `id` — the structural audit that
+    * [[commitWithBlooms]] actually wrote blooms (readers skip silently,
+    * so presence is the observable). Metadata-only. */
+  def bloomColumns(spark: SparkSession, root: String, id: Long): Seq[String] = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val dir = readManifest(fs, rootPath, id).filterNot(isDeleteDir).head
+    val file = listParquetFiles(fs, new Path(rootPath, dir)).head
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(file, hconf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val block = r.getFooter.getBlocks.get(0)
+      val br = r.getBloomFilterDataReader(block)
+      block.getColumns.asScala
+        .filter(cc => br.readBloomFilter(cc) != null)
+        .map(_.getPath.toDotString).toSeq
+    } finally r.close()
+  }
+
+  /** METADATA-ONLY row count of the current snapshot: summed from the
+    * parquet footers of the manifest's files — O(files) tiny range
+    * reads, zero data scanned, the `SELECT count(*)` a lakehouse
+    * answers from statistics. Refuses tables with pending equality
+    * deletes (footers overcount the masked rows — compact first, or
+    * pay the merge-on-read scan). */
+  def metadataCount(spark: SparkSession, root: String): Long = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val dirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
+    require(!dirs.exists(isDeleteDir),
+      s"metadataCount is undefined under pending equality deletes at $root " +
+        "— compact() to materialize them first")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    dirs.iterator.flatMap(d =>
+      listParquetFiles(fs, new Path(rootPath, d)).iterator).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** PARTITION EVOLUTION append: write the delta hive-partitioned by
     * `partitionCols` while earlier dirs keep whatever spec they were
     * written under (flat, or partitioned by different columns) — the
