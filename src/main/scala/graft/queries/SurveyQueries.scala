@@ -2057,6 +2057,105 @@ object SurveyQueries {
       |FROM events WHERE event_type IN ('click', 'purchase')
       |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** maintenance_snapshot_upsert: atomic MERGE-ON-READ upsert — one
+    * commit carries BOTH the batch's equality-delete keys and its data
+    * dir ([[graft.sources.SnapshotTable.upsert]]), so matched keys are
+    * updated, unmatched keys inserted, and readers see the whole batch
+    * or none of it. O(batch) cost: the table-sized anti-join a
+    * copy-on-write MERGE pays is deferred to compaction. The gate
+    * upserts price bumps for the mod-10 keys plus brand-new mod-13 keys
+    * in ONE commit (structurally required: exactly one new snapshot
+    * listing delete + data dirs), then value-gates the three-way
+    * classification of the final table. */
+  val maintenanceSnapshotUpsert: QueryDef = QueryDef(
+    "maintenance_snapshot_upsert",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_upsert")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(orders, root)
+      val batch = orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + lit(1000)).cast(money).as("o_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      graft.sources.SnapshotTable.upsert(batch, root, Seq("o_orderkey"))
+      val dirs = graft.sources.SnapshotTable.dirsAt(s, root, 2L)
+      require(graft.sources.SnapshotTable.snapshots(s, root) == Seq(1L, 2L) &&
+        dirs.count(_.startsWith("del-")) == 1 &&
+        dirs.count(_.startsWith("snap-")) == 2,
+        s"upsert must be ONE commit of delete keys + batch data, got $dirs")
+      graft.sources.SnapshotTable.read(s, root)
+        .withColumn("bucket",
+          when(col("o_orderkey") >= 30000000L, lit("inserted"))
+            .when(col("o_orderkey") % 10 === 0, lit("updated"))
+            .otherwise(lit("kept")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("bucket")
+    },
+    Some("""WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |final AS (
+      |  SELECT 'kept' AS bucket, p FROM base WHERE k % 10 <> 0
+      |  UNION ALL
+      |  SELECT 'updated', CAST(p + 1000 AS DECIMAL(18,2)) FROM base
+      |  WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT 'inserted', p FROM base WHERE k % 13 = 0)
+      |SELECT bucket, count(*) AS n, CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** maintenance_compact_incremental: O(small-files) compaction —
+    * [[graft.sources.SnapshotTable.compactSmall]] merges only the data
+    * dirs under the row threshold, leaving big dirs byte-untouched
+    * (structurally required: the base dir keeps its name in the new
+    * manifest, and the new manifest is exactly `big + one merged dir`).
+    * This is the maintenance pass a continuously-ingested 100 TB table
+    * actually runs: thousands of O(delta) append dirs fold into one,
+    * without ever rewriting the petabyte-scale base the way full
+    * compact would. Content is value-gated unchanged. */
+  val maintenanceCompactIncremental: QueryDef = QueryDef(
+    "maintenance_compact_incremental",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_csmall")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 0), root)
+      Seq(1, 3, 5, 7, 9).foreach { m =>
+        graft.sources.SnapshotTable.append(
+          orders.filter(col("o_orderkey") % 10 === m), root)
+      }
+      val bigDir = graft.sources.SnapshotTable.dirsAt(s, root, 1L).head
+      val total = orders.count()
+      val newId = graft.sources.SnapshotTable.compactSmall(
+        s, root, smallMaxRows = total / 5, rowsPerFile = 500000)
+      require(newId == 7L, s"five smalls must fold in one new commit, got $newId")
+      val dirs = graft.sources.SnapshotTable.dirsAt(s, root, newId)
+      require(dirs.size == 2 && dirs.head == bigDir,
+        s"incremental compact must keep the big dir untouched, got $dirs")
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy((col("o_orderkey") % 2).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("m")
+    },
+    Some("""SELECT o_orderkey % 2 AS m, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY m ORDER BY m""".stripMargin))
+
   /** maintenance_snapshot_concurrent: optimistic multi-writer ingest —
     * four writers race [[graft.sources.SnapshotTable.appendConcurrent]]
     * against the same table; each lost CAS costs one manifest re-read +
@@ -2119,6 +2218,7 @@ object SurveyQueries {
     maintenanceSnapshotTag, maintenanceSnapshotRollback,
     maintenanceSnapshotDeleteMor, maintenanceSnapshotConcurrent,
     maintenanceSnapshotPartitionEvolution, maintenanceBloomMetadata,
+    maintenanceSnapshotUpsert, maintenanceCompactIncremental,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

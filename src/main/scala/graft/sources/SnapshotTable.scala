@@ -373,6 +373,76 @@ object SnapshotTable {
     commitManifest(df.sparkSession, root, next, Seq(snapDir))
   }
 
+  /** Atomic MERGE-ON-READ UPSERT (the MERGE INTO ... WHEN MATCHED
+    * UPDATE / WHEN NOT MATCHED INSERT shape): ONE commit lists both an
+    * equality-delete dir holding the batch's keys and a data dir
+    * holding the batch's rows. Both carry the same sequence, so the
+    * delete masks matching rows in every OLDER dir but never the batch
+    * itself ([[applyDeletes]] requires `dseq > seq` strictly) — updated
+    * keys are replaced, new keys are inserted, and readers see either
+    * the whole batch or none of it (the manifest flip is the only
+    * publish point). Cost is O(batch): nothing existing is rewritten,
+    * the table-sized anti-join of a copy-on-write MERGE is deferred to
+    * the next [[compact]]. Single-committer contract. */
+  def upsert(df: DataFrame, root: String, keyCols: Seq[String],
+      statsCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    require(!df.columns.exists(c => c == SeqCol || c == DelSeqCol),
+      s"$SeqCol/$DelSeqCol are reserved by the snapshot layer")
+    val cur = currentSnapshot(spark, root)
+    val prior = readManifest(fs, rootPath, cur)
+    val next = cur + 1
+    val delDir = DelPrefix + fmt(next)
+    val snapDir = SnapPrefix + fmt(next)
+    df.select(keyCols.map(col): _*).distinct()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(rootPath, delDir).toString)
+    val snapPath = new Path(rootPath, snapDir)
+    df.write.mode(SaveMode.Overwrite).parquet(snapPath.toString)
+    if (statsCols.nonEmpty) writeStats(spark, fs, snapPath, statsCols)
+    commitManifest(spark, root, next, prior :+ delDir :+ snapDir)
+  }
+
+  /** INCREMENTAL compaction: merge ONLY the data dirs at or below
+    * `smallMaxRows` into one fresh dir, leaving larger dirs untouched —
+    * the continuous-ingest maintenance pass whose cost is O(small
+    * files), not O(table). A 100 TB table fed by thousands of O(delta)
+    * appends needs exactly this: full [[compact]] rewrites everything
+    * to fix a long tail of small dirs; this rewrites the tail alone.
+    * Refuses tables with pending equality deletes (a delete's sequence
+    * relationship to merged dirs would be ambiguous — [[compact]]
+    * materializes them first). No-op (returns the current id) when
+    * fewer than two dirs qualify. Row counts come from parquet footers;
+    * the small rows are read once, by the rewrite. */
+  def compactSmall(spark: SparkSession, root: String, smallMaxRows: Long,
+      rowsPerFile: Long, statsCols: Seq[String] = Nil): Long = {
+    require(smallMaxRows >= 1 && rowsPerFile >= 1, "thresholds must be positive")
+    val (fs, rootPath) = fsFor(spark, root)
+    val cur = currentSnapshot(spark, root)
+    val dirs = readManifest(fs, rootPath, cur)
+    require(!dirs.exists(isDeleteDir),
+      s"compactSmall is undefined under pending equality deletes at $root " +
+        "— run compact() to materialize them first")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def rowsOf(d: String): Long =
+      listParquetFiles(fs, new Path(rootPath, d)).iterator.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    val counted = dirs.map(d => d -> rowsOf(d))
+    val (small, big) = counted.partition(_._2 <= smallMaxRows)
+    if (small.size < 2) return cur
+    val n = small.map(_._2).sum
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val merged = readDirs(spark, rootPath, small.map(_._1), mergeSchema = false)
+      .repartition(files)
+    val (next, snapDir) = writeDataDir(merged, root, statsCols)
+    commitManifest(spark, root, next, big.map(_._1) :+ snapDir)
+  }
+
   /** EXACTLY-ONCE APPEND for at-least-once writers (Structured
     * Streaming's `foreachBatch` re-runs a batch after a failure): the
     * batch key is recorded as a `#batch:<key>` metadata line INSIDE the

@@ -478,6 +478,55 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 118)
   }
 
+  test("upsert: one atomic commit updates matched keys, inserts the rest") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
+    SnapshotTable.upsert(
+      Seq((3L, "V3"), (7L, "V7"), (11L, "V11")).toDF("id", "v"), root, Seq("id"))
+    assert(SnapshotTable.snapshots(spark, root) == Seq(1L, 2L))
+    val got = SnapshotTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 11)
+    assert(got(3L) == "V3" && got(7L) == "V7" && got(11L) == "V11")
+    assert(got(1L) == "v1" && got(10L) == "v10")
+    // upserting again over the upsert composes (delete sequencing)
+    SnapshotTable.upsert(Seq((3L, "Z3")).toDF("id", "v"), root, Seq("id"))
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("id") === 3L).head().getString(1) == "Z3")
+    assert(SnapshotTable.read(spark, root).count() == 11)
+  }
+
+  test("compactSmall folds only sub-threshold dirs; big dirs stay listed untouched") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 1000).map(i => (i.toLong, "big")).toDF("id", "t"), root)
+    (1 to 3).foreach(b => SnapshotTable.append(
+      (1 to 20).map(i => (b * 10000L + i, "small")).toDF("id", "t"), root))
+    val bigDir = SnapshotTable.dirsAt(spark, root, 1L).head
+    val bigFiles = new java.io.File(root, bigDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val id = SnapshotTable.compactSmall(spark, root, smallMaxRows = 100, rowsPerFile = 1000)
+    assert(id == 5L)
+    val dirs = SnapshotTable.dirsAt(spark, root, 5L)
+    assert(dirs.size == 2 && dirs.head == bigDir)
+    val after = new java.io.File(root, bigDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    assert(after == bigFiles, "big dir files must be byte-untouched")
+    assert(SnapshotTable.read(spark, root).count() == 1060)
+    // no-op when fewer than two dirs qualify
+    assert(SnapshotTable.compactSmall(spark, root, 100, 1000) == 5L)
+    // refuses pending deletes
+    SnapshotTable.deleteKeys(Seq(1L).toDF("id"), root)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.compactSmall(spark, root, 100, 1000)
+    }
+    assert(e.getMessage.contains("delete"))
+  }
+
   test("appendIdempotent: replayed keys are no-ops; marker is atomic with the commit") {
     val s = spark
     import s.implicits._
