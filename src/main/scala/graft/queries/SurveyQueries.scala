@@ -2057,6 +2057,58 @@ object SurveyQueries {
       |FROM events WHERE event_type IN ('click', 'purchase')
       |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** maintenance_snapshot_wap: WRITE-AUDIT-PUBLISH
+    * ([[graft.sources.SnapshotTable.commitAudited]]) — constraint
+    * enforcement at the commit boundary. A clean batch (NOT NULL key,
+    * UNIQUE key) publishes; a poisoned batch (every 50th key nulled)
+    * stages, FAILS the audit, and publishes nothing: the gate requires
+    * the exception, the unchanged snapshot chain, the unchanged
+    * content, and that vacuum reclaims the quarantined orphan dir.
+    * This is how a lake keeps a bad upstream batch from ever becoming
+    * readable — the audit runs over the STAGED parquet, so the
+    * producer's lineage is never recomputed and the reject costs only
+    * the staged write. */
+  val maintenanceSnapshotWap: QueryDef = QueryDef(
+    "maintenance_snapshot_wap",
+    (s, d) => {
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/cust_wap")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true) // idempotent re-run
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.SnapshotTable.commitAudited(cust, root,
+        notNull = Seq("c_custkey"), uniqueKey = Seq("c_custkey"))
+      val poisoned = cust.withColumn("c_custkey",
+        when(col("c_custkey") % 50 === 0, lit(null)).otherwise(col("c_custkey")))
+      val failed =
+        try { graft.sources.SnapshotTable.commitAudited(poisoned, root,
+          notNull = Seq("c_custkey"), uniqueKey = Seq("c_custkey")); false }
+        catch { case e: IllegalStateException => e.getMessage.contains("NULLs") }
+      require(failed, "the poisoned batch must fail the audit")
+      require(graft.sources.SnapshotTable.snapshots(s, root) == Seq(1L),
+        "a failed audit must publish nothing")
+      require(graft.sources.SnapshotTable.read(s, root).count() == cust.count(),
+        "reader content must be untouched by the rejected batch")
+      // the quarantined orphan dir exists until vacuum reclaims it
+      val orphanBefore = fs.listStatus(fsp)
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
+      require(orphanBefore == 2, s"expected staged orphan + live dir, got $orphanBefore")
+      graft.sources.SnapshotTable.vacuum(s, root, keepLast = 1)
+      val orphanAfter = fs.listStatus(fsp)
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
+      require(orphanAfter == 1, "vacuum must reclaim the quarantined orphan")
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** maintenance_snapshot_upsert: atomic MERGE-ON-READ upsert — one
     * commit carries BOTH the batch's equality-delete keys and its data
     * dir ([[graft.sources.SnapshotTable.upsert]]), so matched keys are
@@ -2219,6 +2271,7 @@ object SurveyQueries {
     maintenanceSnapshotDeleteMor, maintenanceSnapshotConcurrent,
     maintenanceSnapshotPartitionEvolution, maintenanceBloomMetadata,
     maintenanceSnapshotUpsert, maintenanceCompactIncremental,
+    maintenanceSnapshotWap,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import scala.jdk.CollectionConverters._
@@ -373,6 +373,49 @@ object SnapshotTable {
     commitManifest(df.sparkSession, root, next, Seq(snapDir))
   }
 
+  /** WRITE-AUDIT-PUBLISH commit: stage the data dir, AUDIT the staged
+    * parquet (NOT-NULL columns and UNIQUE keys, each one aggregate over
+    * the staged files — the rows are already on disk, so the audit
+    * never recomputes `df`'s lineage), and only then flip the manifest.
+    * A failed audit throws and publishes NOTHING: readers keep the
+    * previous snapshot, the staged dir is an orphan no manifest
+    * references (vacuum fodder) — the quarantine-by-default posture a
+    * production lake wants for constraint enforcement, and the WAP
+    * pattern Iceberg documents with branch gymnastics, here native to
+    * the manifest flip. Returns the new snapshot id. */
+  def commitAudited(df: DataFrame, root: String, notNull: Seq[String],
+      uniqueKey: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long = {
+    require(notNull.nonEmpty || uniqueKey.nonEmpty,
+      "commitAudited without constraints is just commit()")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    val (next, snapDir) = writeDataDir(df, root, statsCols)
+    val staged = spark.read.parquet(new Path(rootPath, snapDir).toString)
+    val nullViolations: Seq[(String, Long)] =
+      if (notNull.isEmpty) Nil
+      else {
+        val aggs = notNull.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+        val row = staged.agg(aggs.head, aggs.tail: _*).head()
+        notNull.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
+          .filter(_._2 > 0)
+      }
+    val dupKeys: Long =
+      if (uniqueKey.isEmpty) 0L
+      else staged.groupBy(uniqueKey.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).count() // existence probe, not a full dup count
+    if (nullViolations.nonEmpty || dupKeys > 0) {
+      val why = (nullViolations.map { case (c, n) => s"$c has $n NULLs" } ++
+        (if (dupKeys > 0) Seq(s"duplicate ${uniqueKey.mkString("(", ",", ")")} keys")
+         else Nil)).mkString("; ")
+      throw new IllegalStateException(
+        s"audit failed, snapshot NOT published at $root: $why " +
+          "(staged dir left as an orphan for vacuum)")
+    }
+    commitManifest(spark, root, next, Seq(snapDir))
+  }
+
   /** Atomic MERGE-ON-READ UPSERT (the MERGE INTO ... WHEN MATCHED
     * UPDATE / WHEN NOT MATCHED INSERT shape): ONE commit lists both an
     * equality-delete dir holding the batch's keys and a data dir
@@ -654,6 +697,30 @@ object SnapshotTable {
     keys.write.mode(SaveMode.Overwrite)
       .parquet(new Path(rootPath, delDir).toString)
     commitManifest(spark, root, next, prior :+ delDir)
+  }
+
+  /** Commit wall-clock timestamps: (snapshot id, manifest modification
+    * time millis), ascending by id. The mtime is stamped by the
+    * filesystem at the atomic publish — no clock data inside the
+    * manifest, so determinism of content-addressed tests is untouched. */
+  def commitTimes(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val (fs, rootPath) = fsFor(spark, root)
+    snapshots(spark, root).map(id =>
+      id -> fs.getFileStatus(new Path(rootPath, ManifestPrefix + fmt(id)))
+        .getModificationTime)
+  }
+
+  /** Time travel BY TIMESTAMP: read the newest snapshot published at or
+    * before `tsMillis` (the "what did the table say when the report
+    * ran" read). Throws if the table has no snapshot that old —
+    * distinguishable from an empty table. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long,
+      mergeSchema: Boolean = false): DataFrame = {
+    val at = commitTimes(spark, root).filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no snapshot at or before $tsMillis at $root (retention may have " +
+        "reclaimed it)")
+    readAt(spark, root, at.maxBy(t => (t._2, t._1))._1, mergeSchema)
   }
 
   /** O(delta) CDC over an append-only chain: the rows added between

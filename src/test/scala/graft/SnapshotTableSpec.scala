@@ -478,6 +478,52 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 118)
   }
 
+  test("readAsOf: timestamp time travel picks the newest snapshot at-or-before") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "v1")).toDF("id", "t"), root)
+    SnapshotTable.commit((1 to 20).map(i => (i.toLong, "v2")).toDF("id", "t"), root)
+    SnapshotTable.commit((1 to 30).map(i => (i.toLong, "v3")).toDF("id", "t"), root)
+    // pin distinct publish times via the filesystem (mtime is the clock)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L, 2L, 3L).zip(Seq(1000L, 2000L, 3000L)).foreach { case (id, ts) =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(root, f"_manifest-$id%020d"), ts, -1)
+    }
+    assert(SnapshotTable.readAsOf(spark, root, 1000L).count() == 10)
+    assert(SnapshotTable.readAsOf(spark, root, 2500L).count() == 20)
+    assert(SnapshotTable.readAsOf(spark, root, 99999L).count() == 30)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, root, 500L)
+    }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
+  test("commitAudited: a failing audit publishes nothing and quarantines the dir") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commitAudited(
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root,
+      notNull = Seq("id"), uniqueKey = Seq("id"))
+    assert(SnapshotTable.read(spark, root).count() == 50)
+    // duplicate keys fail
+    val dup = ((1 to 50).map(i => (i.toLong, "x")) :+ (7L, "dup")).toDF("id", "v")
+    val e1 = intercept[IllegalStateException] {
+      SnapshotTable.commitAudited(dup, root, Seq("id"), Seq("id"))
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    // null keys fail
+    val withNull = Seq((Some(1L), "a"), (None, "b")).toDF("id", "v")
+    val e2 = intercept[IllegalStateException] {
+      SnapshotTable.commitAudited(withNull, root, Seq("id"), Nil)
+    }
+    assert(e2.getMessage.contains("NULLs"))
+    assert(SnapshotTable.snapshots(spark, root) == Seq(1L))
+    assert(SnapshotTable.read(spark, root).count() == 50)
+  }
+
   test("upsert: one atomic commit updates matched keys, inserts the rest") {
     val s = spark
     import s.implicits._
