@@ -451,6 +451,109 @@ object Bpe {
         org.apache.spark.sql.functions.lit(1)).as("cnt"))
   }
 
+  // ---- Unigram-style Viterbi (min-cost) segmentation ----
+
+  /** Integer piece cost for [[viterbiCosts]]: strongly favors longer
+    * pieces (1000003 / len², integer division), all arithmetic exact so
+    * a SQL engine replays the DP byte-identically. A real unigram LM
+    * uses -log p(piece); the integer surrogate keeps the SAME DP shape
+    * (min-sum over segmentations) without putting floats in the
+    * cross-engine compare path — the text_bm25 discipline. */
+  def pieceCost(len: Int): Long = 1000003L / (len.toLong * len)
+
+  /** Minimum total segmentation cost of one word under the piece
+    * inventory: full Viterbi DP (dp[i] = min over vocab pieces ending
+    * at i of dp[i-len]+cost), which BACKTRACKS where greedy
+    * longest-match commits — 'abca' with pieces {a,b,ab,bca} greedy
+    * dies after 'ab', Viterbi finds a|bca. O(len × maxPieceLen) per
+    * word. Returns -1 when no segmentation exists. */
+  def viterbiCost(word: String, vocab: java.util.HashSet[String],
+      maxPieceLen: Int): Long = {
+    val n = word.length
+    val dp = new Array[Long](n + 1)
+    java.util.Arrays.fill(dp, Long.MaxValue)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var k = math.min(i, maxPieceLen)
+      while (k >= 1) {
+        if (dp(i - k) != Long.MaxValue &&
+            vocab.contains(word.substring(i - k, i))) {
+          val c = dp(i - k) + pieceCost(k)
+          if (c < dp(i)) dp(i) = c
+        }
+        k -= 1
+      }
+      i += 1
+    }
+    if (dp(n) == Long.MaxValue) -1L else dp(n)
+  }
+
+  /** Per-document Viterbi segmentation accounting under the trained
+    * merge list's piece inventory: (id, n_words, sum_min_cost) where
+    * sum_min_cost totals each word's minimum segmentation cost. Words
+    * longer than `maxWordLen` are skipped (identically in the oracle —
+    * the DP unrolls one SQL level per position, so the bound is the
+    * oracle's, not the engine's). Same row-local memoized shape as
+    * [[tokenCounts]]. */
+  def viterbiCosts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], maxWordLen: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.toIndexedSeq
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (vocab, maxLen) = wordpieceVocab(ms)
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
+        it.map { case (id, text) =>
+          val ws = normalizeString(text).split(" ", -1)
+            .filter(w => w.nonEmpty && w.length <= maxWordLen)
+          var cost = 0L
+          ws.foreach { w =>
+            val cached = memo.get(w)
+            if (cached != null) cost += cached.longValue()
+            else {
+              val c = math.max(viterbiCost(w, vocab, maxLen), 0L)
+              if (memo.size < (1 << 16)) memo.put(w, c)
+              cost += c
+            }
+          }
+          (id, ws.length.toLong, cost)
+        }
+      }
+      .toDF(idCol, "n_words", "sum_min_cost")
+  }
+
+  /** Unrolled Viterbi DP oracle: CTE chain `vit_dp0..vit_dp$maxWordLen`
+    * over `vit_words(w)` and `vit_vocab(piece)`; level i accumulates
+    * the min cost of every prefix of length i reachable from levels
+    * i-maxPieceLen..i-1. Paste after vit_words/vit_vocab CTEs; the
+    * final min cost per word is `SELECT w, c FROM vit_dp$n WHERE i =
+    * len(w)`. Piece costs inline [[pieceCost]]'s formula. */
+  def viterbiDpCtesSql(maxWordLen: Int, maxPieceLen: Int): String = {
+    val sb = new StringBuilder
+    // every level MUST be MATERIALIZED: dp(i) references dp(i-1) twice
+    // (carry + compute), so inlining would expand the chain 2^maxWordLen-fold
+    sb.append(
+      "vit_dp0 AS MATERIALIZED (SELECT w, 0 AS i, CAST(0 AS BIGINT) AS c FROM vit_words)")
+    for (i <- 1 to maxWordLen) {
+      val lo = math.max(0, i - maxPieceLen)
+      sb.append(
+        s""",
+           |vit_dp$i AS MATERIALIZED (
+           |  SELECT w, i, c FROM vit_dp${i - 1}
+           |  UNION ALL
+           |  SELECT p.w, $i AS i,
+           |    min(p.c + 1000003 // (($i - p.i) * ($i - p.i))) AS c
+           |  FROM vit_dp${i - 1} p JOIN vit_vocab v
+           |    ON v.piece = substr(p.w, p.i + 1, $i - p.i)
+           |  WHERE p.i BETWEEN $lo AND ${i - 1} AND len(p.w) >= $i
+           |  GROUP BY p.w)""".stripMargin)
+    }
+    sb.toString()
+  }
+
   // ---- oracle SQL generation (unrolled training replay) ----
 
   /** The unrolled training CTE chain `w0, s0, cnt1, best1, s1, ...,

@@ -829,6 +829,47 @@ object MlPrepQueries {
          |GROUP BY p ORDER BY cnt DESC, piece LIMIT 15""".stripMargin
     })
 
+  /** Unigram-style VITERBI segmentation (the SentencePiece applier
+    * shape, [[graft.ops.Bpe.viterbiCosts]]): per word, the MINIMUM
+    * total piece cost over all segmentations — full DP, which
+    * backtracks where WordPiece's greedy longest-match commits, so the
+    * tokenizer triad (BPE merge-order / greedy longest-match / min-cost
+    * DP) is complete and each applier is separately gated. Costs are
+    * exact integers (1000003 // len² per piece), so the oracle replays
+    * the DP as an unrolled per-position CTE chain over the same
+    * BPE-induced piece inventory, byte-identically. Words over 24 chars
+    * are skipped identically in both engines (the DP unrolls one SQL
+    * level per position — the bound is the oracle's). */
+  val textUnigramViterbi: QueryDef = QueryDef(
+    "text_unigram_viterbi",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", bpeMerges, bpeCap)
+      Bpe.viterbiCosts(docs, "doc_id", "text", merges).orderBy("doc_id")
+    },
+    Some {
+      s"""WITH $bpeTrainWith,
+         |${Bpe.expansionCtesSql(bpeMerges)},
+         |vit_vocab AS MATERIALIZED (
+         |  SELECT DISTINCT ex AS piece FROM exp$bpeMerges),
+         |wx AS MATERIALIZED (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
+         |    FROM documents) WHERE len(w) BETWEEN 1 AND 24),
+         |vit_words AS MATERIALIZED (SELECT DISTINCT w FROM wx),
+         |${Bpe.viterbiDpCtesSql(24, 17)},
+         |fin AS (
+         |  SELECT w, min(c) AS c FROM vit_dp24 WHERE i = len(w) GROUP BY w),
+         |agg AS (
+         |  SELECT wx.doc_id, count(*) AS nw, sum(f.c) AS sc
+         |  FROM wx JOIN fin f ON wx.w = f.w GROUP BY wx.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(a.sc, 0) AS BIGINT) AS sum_min_cost
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
+
   /** BPE APPLICATION: per-document token accounting under the trained
     * merges ([[graft.ops.Bpe.tokenCounts]] — row-local replace chain,
     * merge list in the task closure, nothing shuffles). The oracle
@@ -2166,7 +2207,7 @@ object MlPrepQueries {
     mixTokenBudget, mixTokenBudgetTemperature, mlTargetEncodeLoo, mlChi2Tokens,
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
     textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
-    textWordpieceApply, textWordpiecePieces,
+    textWordpieceApply, textWordpiecePieces, textUnigramViterbi,
     textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
     packChunksBpeLarge, textBpeFertilityLarge, mlSpanCorruption, pipelineLlmData,
     textHashEmbed, textBigramLm, curatePerplexityFilter, curateDsir, mixCurriculum,

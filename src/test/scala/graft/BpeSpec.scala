@@ -200,6 +200,35 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.wordpieceSegment("abz", v, 3) == null)
   }
 
+  test("viterbiCost backtracks where greedy commits; unreachable is -1") {
+    val v = new java.util.HashSet[String]()
+    Seq("a", "b", "ab", "bca").foreach(v.add)
+    // greedy dies on 'abca' (commits to 'ab', stuck at 'ca'); Viterbi
+    // finds a|bca at cost(1) + cost(3)
+    assert(Bpe.wordpieceSegment("abca", v, 3) == null)
+    assert(Bpe.viterbiCost("abca", v, 3) ==
+      Bpe.pieceCost(1) + Bpe.pieceCost(3))
+    // prefers one long piece over three short ones
+    assert(Bpe.viterbiCost("bca", v, 3) == Bpe.pieceCost(3))
+    // truly unreachable -> -1
+    assert(Bpe.viterbiCost("zz", v, 3) == -1L)
+    // min-cost <= any greedy segmentation's cost, corpus-wide
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 30)
+    val merges = Bpe.train(docs, "text", numMerges = 8, maxTrainWords = 2000)
+    val (vocab, maxLen) = Bpe.wordpieceVocab(merges)
+    docs.select(col("text")).collect()
+      .flatMap(r => Bpe.normalizeString(r.getString(0)).split(" "))
+      .filter(w => w.nonEmpty && w.length <= 24)
+      .foreach { w =>
+        val greedy = Bpe.wordpieceSegment(w, vocab, maxLen)
+        val greedyCost = greedy.map(p => Bpe.pieceCost(p.length)).sum
+        val vit = Bpe.viterbiCost(w, vocab, maxLen)
+        assert(vit >= 0 && vit <= greedyCost,
+          s"viterbi must not exceed greedy: $w vit=$vit greedy=$greedyCost")
+      }
+  }
+
   test("wordpiece greedy apply can differ from BPE merge-order apply") {
     // merges learned: (a,b) then (b,c). BPE-apply on 'abc' merges the
     // rank-1 pair first: ab|c. Greedy longest-match under the induced
