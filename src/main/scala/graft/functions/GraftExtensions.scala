@@ -23,6 +23,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectTableFunction(GraftExtensions.snapshotTableTvf)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -103,6 +104,42 @@ object GraftExtensions {
     descriptor("long_gram_matrix", classOf[LongGramMatrix], buildGram),
     descriptor("hashed_bag_score", classOf[HashedBagScore], buildBagScore))
 
+  /** `snapshot_table('<root>' [, <snapshot id>])` — the SQL front door
+    * to the snapshot layer: a TABLE-VALUED FUNCTION resolving to the
+    * manifest-pointer read ([[graft.sources.SnapshotTable.readAt]]),
+    * merge-on-read deletes and partition evolution included, so plain
+    * `spark.sql` users get transactional reads and time travel without
+    * touching the Scala API:
+    * {{{ SELECT * FROM snapshot_table('/lake/orders', 3) }}}
+    * Registered via [[SparkSessionExtensions.injectTableFunction]] (or
+    * [[register]] on a live session). Arguments must be literals — the
+    * table a query reads cannot be row-dependent. */
+  val snapshotTableTvf: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    val builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+      val root = args.headOption match {
+        case Some(Literal(s, org.apache.spark.sql.types.StringType)) if s != null =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"snapshot_table's first argument is the table root as a string " +
+            s"literal, got $other")
+      }
+      val spark = SparkSession.active
+      val df = args.length match {
+        case 1 => graft.sources.SnapshotTable.read(spark, root)
+        case 2 => graft.sources.SnapshotTable.readAt(spark, root,
+          longLit(args(1), "snapshot_table snapshot id"))
+        case n => throw new IllegalArgumentException(
+          s"snapshot_table takes (root [, snapshot_id]), got $n arguments")
+      }
+      df.queryExecution.analyzed
+    }
+    (FunctionIdentifier("snapshot_table"),
+      new ExpressionInfo("graft.sources.SnapshotTable", "snapshot_table"),
+      builder)
+  }
+
   /** Register on an already-built session (functions via the registry,
     * the optimizer rule via `experimental.extraOptimizations` — the
     * live-session hook for rules). Idempotent. */
@@ -111,6 +148,8 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      snapshotTableTvf._1.funcName, snapshotTableTvf._3, "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThreshold

@@ -2109,6 +2109,48 @@ object SurveyQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** maintenance_snapshot_sql: the SQL front door — `snapshot_table()`
+    * as a TABLE-VALUED FUNCTION
+    * ([[graft.functions.GraftExtensions.snapshotTableTvf]], wired via
+    * `SparkSessionExtensions.injectTableFunction`), so a plain
+    * `spark.sql` user gets transactional snapshot reads, time travel
+    * AND merge-on-read delete semantics with no Scala API: the gate
+    * commits v1, equality-deletes the mod-7 keys (v2), and runs ONE
+    * SQL statement unioning `snapshot_table(root, 1)` (pre-delete time
+    * travel) with `snapshot_table(root)` (current, delete-masked) —
+    * value-gating that the TVF resolves manifests, sequences deletes,
+    * and splices into a larger query plan correctly. */
+  val maintenanceSnapshotSql: QueryDef = QueryDef(
+    "maintenance_snapshot_sql",
+    (s, d) => {
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_sql")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.SnapshotTable.commit(orders, root)
+      graft.sources.SnapshotTable.deleteWhere(
+        s, root, col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+      graft.functions.GraftExtensions.register(s)
+      s.sql(
+        s"""SELECT snap, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM (
+           |  SELECT 1 AS snap, o_orderkey, o_totalprice
+           |  FROM snapshot_table('$root', 1)
+           |  UNION ALL
+           |  SELECT 2 AS snap, o_orderkey, o_totalprice
+           |  FROM snapshot_table('$root'))
+           |GROUP BY snap ORDER BY snap""".stripMargin)
+    },
+    Some("""SELECT snap, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT 1 AS snap, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT 2 AS snap, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0)
+      |GROUP BY snap ORDER BY snap""".stripMargin))
+
   /** maintenance_snapshot_upsert: atomic MERGE-ON-READ upsert — one
     * commit carries BOTH the batch's equality-delete keys and its data
     * dir ([[graft.sources.SnapshotTable.upsert]]), so matched keys are
@@ -2271,7 +2313,7 @@ object SurveyQueries {
     maintenanceSnapshotDeleteMor, maintenanceSnapshotConcurrent,
     maintenanceSnapshotPartitionEvolution, maintenanceBloomMetadata,
     maintenanceSnapshotUpsert, maintenanceCompactIncremental,
-    maintenanceSnapshotWap,
+    maintenanceSnapshotWap, maintenanceSnapshotSql,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

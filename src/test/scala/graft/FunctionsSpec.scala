@@ -182,4 +182,27 @@ class FunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("snapshot_table TVF: current read, time travel, and literal-arg validation") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tvf").toString + "/t"
+    graft.sources.SnapshotTable.commit(
+      (1 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
+    graft.sources.SnapshotTable.deleteKeys(Seq(5L, 6L).toDF("id"), root)
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_table('$root')")
+      .head().getLong(0) == 28)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_table('$root', 1)")
+      .head().getLong(0) == 30)
+    // splices into larger plans: join the TVF against itself
+    val joined = spark.sql(
+      s"""SELECT count(*) FROM snapshot_table('$root', 1) a
+         |JOIN snapshot_table('$root') b ON a.id = b.id""".stripMargin)
+    assert(joined.head().getLong(0) == 28)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_table('$root', 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.contains("FAILED"))
+  }
 }
