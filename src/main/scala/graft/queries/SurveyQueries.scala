@@ -2109,6 +2109,59 @@ object SurveyQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** maintenance_snapshot_ndv: INCREMENTAL distinct-count statistics —
+    * each commit/append harvests a KMV sketch (64 smallest md5 hashes
+    * of the column's distinct values) for ITS dir only (O(delta)), and
+    * table-wide NDV is answered from sidecars alone by set-union + trim
+    * ([[graft.sources.SnapshotTable.approxDistinct]]): the ANALYZE
+    * statistic a 100 TB table keeps current without ever re-scanning.
+    * md5 makes every hash engine-replayable, so the DuckDB oracle
+    * recomputes the k-th minimum and the (k−1)·2^60/kth estimate
+    * byte-identically — an APPROXIMATE statistic under an EXACT gate.
+    * Covers both estimator paths: o_custkey (> k distinct → estimate)
+    * and o_orderpriority (5 distinct → exact). */
+  val maintenanceSnapshotNdv: QueryDef = QueryDef(
+    "maintenance_snapshot_ndv",
+    (s, d) => {
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_ndv")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val cols = Seq("o_custkey", "o_orderpriority")
+      graft.sources.SnapshotTable.commitWithNdv(
+        orders.filter(col("o_orderkey") % 2 === 0), root, cols)
+      graft.sources.SnapshotTable.appendWithNdv(
+        orders.filter(col("o_orderkey") % 2 === 1), root, cols)
+      import s.implicits._
+      cols.map { c =>
+        val (kth, est, _) = graft.sources.SnapshotTable.approxDistinct(s, root, c)
+        (c, kth, est)
+      }.toDF("column_name", "kth_min", "est_ndv").orderBy("column_name")
+    },
+    Some("""WITH h AS (
+      |  SELECT 'o_custkey' AS column_name,
+      |    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'o_orderpriority',
+      |    CAST(concat('0x', substr(md5(o_orderpriority), 1, 15)) AS BIGINT)
+      |  FROM orders WHERE o_orderpriority IS NOT NULL),
+      |d AS (SELECT DISTINCT column_name, h FROM h),
+      |r AS (SELECT column_name, h,
+      |    row_number() OVER (PARTITION BY column_name ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY column_name) AS n
+      |  FROM d)
+      |SELECT column_name,
+      |  CAST(CASE WHEN max(n) < 64 THEN -1
+      |    ELSE max(CASE WHEN rn = 64 THEN h END) END AS BIGINT) AS kth_min,
+      |  CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+      |    ELSE 63.0 * pow(2.0, 60) /
+      |      CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS est_ndv
+      |FROM r GROUP BY column_name ORDER BY column_name""".stripMargin))
+
   /** maintenance_snapshot_sql: the SQL front door — `snapshot_table()`
     * as a TABLE-VALUED FUNCTION
     * ([[graft.functions.GraftExtensions.snapshotTableTvf]], wired via
@@ -2313,7 +2366,7 @@ object SurveyQueries {
     maintenanceSnapshotDeleteMor, maintenanceSnapshotConcurrent,
     maintenanceSnapshotPartitionEvolution, maintenanceBloomMetadata,
     maintenanceSnapshotUpsert, maintenanceCompactIncremental,
-    maintenanceSnapshotWap, maintenanceSnapshotSql,
+    maintenanceSnapshotWap, maintenanceSnapshotSql, maintenanceSnapshotNdv,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

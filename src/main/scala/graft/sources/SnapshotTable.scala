@@ -274,6 +274,96 @@ object SnapshotTable {
     commitManifest(spark, root, next, prior :+ snapDir)
   }
 
+  private val KmvFile = "_kmv.tsv"
+  private val KmvK = 64
+
+  /** Harvest a per-dir KMV (k-minimum-values) DISTINCT-VALUE sketch for
+    * `cols` into `<dir>/_kmv.tsv`: the [[KmvK]] smallest 60-bit
+    * md5 hashes of each column's distinct values, one line per column.
+    * Costs one narrow pass over the JUST-WRITTEN dir — O(delta) on an
+    * append, never O(table). KMV sketches merge by set-union-then-trim,
+    * so table-wide NDV is later answered from sidecars alone
+    * ([[approxDistinct]]); md5 makes every hash (and so the estimate)
+    * engine-replayable — no RNG, no implementation-defined hash. */
+  private def writeKmvSidecar(spark: SparkSession, fs: FileSystem,
+      snapPath: Path, cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(snapPath.toString)
+    val lines = cols.map { c =>
+      val hs = df.filter(col(c).isNotNull)
+        .select(org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(col(c).cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+        .distinct().orderBy(col("h")).limit(KmvK)
+        .collect().map(_.getLong(0))
+      s"$c\t${hs.mkString(",")}"
+    }
+    val out = fs.create(new Path(snapPath, KmvFile), true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Commit/append variants carrying NDV sketches: same write paths as
+    * [[commit]]/[[append]] plus the KMV sidecar harvest on the new dir. */
+  def commitWithNdv(df: DataFrame, root: String, kmvCols: Seq[String],
+      statsCols: Seq[String] = Nil): Long = {
+    require(kmvCols.nonEmpty, "commitWithNdv needs sketch columns")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    val (next, snapDir) = writeDataDir(df, root, statsCols)
+    writeKmvSidecar(spark, fs, new Path(rootPath, snapDir), kmvCols)
+    commitManifest(spark, root, next, Seq(snapDir))
+  }
+
+  def appendWithNdv(df: DataFrame, root: String, kmvCols: Seq[String],
+      statsCols: Seq[String] = Nil): Long = {
+    require(kmvCols.nonEmpty, "appendWithNdv needs sketch columns")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    val prior = snapshots(spark, root).lastOption
+      .map(id => readManifest(fs, rootPath, id)).getOrElse(Nil)
+    val (next, snapDir) = writeDataDir(df, root, statsCols)
+    writeKmvSidecar(spark, fs, new Path(rootPath, snapDir), kmvCols)
+    commitManifest(spark, root, next, prior :+ snapDir)
+  }
+
+  /** METADATA-ONLY approximate distinct count of `column` over the
+    * current snapshot: union the per-dir KMV sidecars, trim to the k
+    * smallest, estimate NDV as `(k-1)·2^60 / kth_min` (the standard KMV
+    * estimator; exact when fewer than k distinct hashes exist). Zero
+    * data scanned at query time — the ANALYZE statistic a 100 TB table
+    * keeps current incrementally, each append contributing one O(delta)
+    * harvest. Returns (kth_min, estimate, n_merged): `kth_min` is -1 on
+    * the exact path. Refuses pending equality deletes (NDV would count
+    * masked rows). Every dir must carry a sidecar line for `column` —
+    * sketched columns are a table-level contract, enforced loudly. */
+  def approxDistinct(spark: SparkSession, root: String,
+      column: String): (Long, Double, Int) = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val dirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
+    require(!dirs.exists(isDeleteDir),
+      s"approxDistinct is undefined under pending equality deletes at $root")
+    val merged = scala.collection.mutable.SortedSet.empty[Long]
+    dirs.foreach { d =>
+      val p = new Path(rootPath, new Path(d, KmvFile).toString)
+      require(fs.exists(p),
+        s"dir $d has no NDV sidecar at $root — commitWithNdv/appendWithNdv " +
+          "must be used consistently for sketched tables")
+      val line = readFile(fs, p).split("\n").iterator.map(_.trim)
+        .find(_.startsWith(column + "\t"))
+      require(line.isDefined, s"dir $d's NDV sidecar has no line for $column")
+      val payload = line.get.substring(column.length + 1).trim
+      if (payload.nonEmpty)
+        payload.split(",").foreach(h => merged += h.toLong)
+    }
+    val ks = merged.take(KmvK).toSeq
+    if (merged.size < KmvK) (-1L, merged.size.toDouble, merged.size)
+    else {
+      val kth = ks.last
+      (kth, (KmvK - 1).toDouble * math.pow(2.0, 60) / kth.toDouble, KmvK)
+    }
+  }
+
   /** Commit with PARQUET-NATIVE BLOOM FILTERS on `bloomCols` (split-
     * block blooms in the file footers, `parquet.bloom.filter.enabled#
     * <col>`): point-predicate reads then skip row groups whose bloom
