@@ -2109,6 +2109,70 @@ object SurveyQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** maintenance_catalog_txn: MULTI-TABLE transactions
+    * ([[graft.sources.SnapshotCatalog]]) — one catalog pointer pins a
+    * consistent (orders, customer) version PAIR, so a reader never
+    * joins new orders against old customers. The gate makes the hazard
+    * observable: v2 of BOTH tables shifts the custkey space by 10^6,
+    * so a mixed-version join matches ZERO rows — it requires the
+    * catalog-resolved join to match fully at BOTH catalog versions,
+    * requires a commit pinning a nonexistent snapshot to be refused,
+    * then value-gates the v2 join rollup. Catalog time travel composes
+    * with table time travel: version 1 resolves both tables at their
+    * old snapshots. */
+  val maintenanceCatalogTxn: QueryDef = QueryDef(
+    "maintenance_catalog_txn",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val base = graft.sources.TableIO.scratchDir(s, "snapshot/cat_txn")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // idempotent re-run
+      val (ordRoot, custRoot, catRoot) =
+        (s"$base/orders", s"$base/customer", s"$base/_catalog")
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      graft.sources.SnapshotTable.commit(ord, ordRoot)
+      graft.sources.SnapshotTable.commit(cust, custRoot)
+      graft.sources.SnapshotCatalog.commit(s, catRoot,
+        Map("orders" -> (ordRoot, 1L), "customer" -> (custRoot, 1L)))
+      // coordinated key-space migration: EITHER version pair joins
+      // fully; a mixed pair joins nowhere
+      graft.sources.SnapshotTable.commit(
+        ord.withColumn("o_custkey", col("o_custkey") + lit(1000000L)), ordRoot)
+      graft.sources.SnapshotTable.commit(
+        cust.withColumn("c_custkey", col("c_custkey") + lit(1000000L)), custRoot)
+      graft.sources.SnapshotCatalog.commit(s, catRoot,
+        Map("orders" -> (ordRoot, 2L), "customer" -> (custRoot, 2L)))
+      def joined(v: Long) = graft.sources.SnapshotCatalog
+        .readTable(s, catRoot, "orders", v)
+        .join(graft.sources.SnapshotCatalog.readTable(s, catRoot, "customer", v),
+          col("o_custkey") === col("c_custkey"))
+      val nOrders = ord.count()
+      require(joined(1L).count() == nOrders && joined(2L).count() == nOrders,
+        "catalog-resolved joins must match fully at both versions")
+      val mixed = graft.sources.SnapshotTable.readAt(s, ordRoot, 2L)
+        .join(graft.sources.SnapshotTable.readAt(s, custRoot, 1L),
+          col("o_custkey") === col("c_custkey")).count()
+      require(mixed == 0L,
+        s"the hazard the catalog removes must be real: mixed join matched $mixed")
+      val rejected =
+        try { graft.sources.SnapshotCatalog.commit(s, catRoot,
+          Map("orders" -> (ordRoot, 99L))); false }
+        catch { case e: IllegalArgumentException => e.getMessage.contains("missing") }
+      require(rejected, "pinning a nonexistent snapshot must be refused")
+      joined(2L)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** maintenance_snapshot_ndv: INCREMENTAL distinct-count statistics —
     * each commit/append harvests a KMV sketch (64 smallest md5 hashes
     * of the column's distinct values) for ITS dir only (O(delta)), and
@@ -2367,6 +2431,7 @@ object SurveyQueries {
     maintenanceSnapshotPartitionEvolution, maintenanceBloomMetadata,
     maintenanceSnapshotUpsert, maintenanceCompactIncremental,
     maintenanceSnapshotWap, maintenanceSnapshotSql, maintenanceSnapshotNdv,
+    maintenanceCatalogTxn,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

@@ -478,6 +478,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 118)
   }
 
+  test("catalog: versions pin consistent table sets; unknown names and ids refused") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val (aRoot, bRoot, cat) = (s"$base/a", s"$base/b", s"$base/_catalog")
+    SnapshotTable.commit(Seq((1L, "a1")).toDF("id", "v"), aRoot)
+    SnapshotTable.commit(Seq((1L, "b1")).toDF("id", "v"), bRoot)
+    graft.sources.SnapshotCatalog.commit(spark, cat,
+      Map("a" -> (aRoot, 1L), "b" -> (bRoot, 1L)))
+    SnapshotTable.commit(Seq((2L, "a2")).toDF("id", "v"), aRoot)
+    graft.sources.SnapshotCatalog.commit(spark, cat,
+      Map("a" -> (aRoot, 2L), "b" -> (bRoot, 1L)))
+    assert(graft.sources.SnapshotCatalog.versions(spark, cat) == Seq(1L, 2L))
+    // current resolves a@2; catalog time travel resolves a@1
+    assert(graft.sources.SnapshotCatalog.readTable(spark, cat, "a")
+      .head().getString(1) == "a2")
+    assert(graft.sources.SnapshotCatalog.readTable(spark, cat, "a", 1L)
+      .head().getString(1) == "a1")
+    assert(graft.sources.SnapshotCatalog.readTable(spark, cat, "b")
+      .head().getString(1) == "b1")
+    intercept[IllegalArgumentException] {
+      graft.sources.SnapshotCatalog.readTable(spark, cat, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.SnapshotCatalog.commit(spark, cat, Map("a" -> (aRoot, 42L)))
+    }
+  }
+
   test("readAsOf: timestamp time travel picks the newest snapshot at-or-before") {
     val s = spark
     import s.implicits._
