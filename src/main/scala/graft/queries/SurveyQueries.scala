@@ -2109,6 +2109,81 @@ object SurveyQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** pipeline_lakehouse: the session's snapshot surface COMPOSED into
+    * one ingest-to-serve story, every stage the real operator: (1)
+    * WRITE-AUDIT-PUBLISH the base corpus (NOT-NULL + UNIQUE audited
+    * over the staged parquet); (2) five O(delta) APPENDS (the
+    * continuous-ingest tail); (3) an atomic MOR UPSERT correcting the
+    * mod-9 keys' prices; (4) an equality-DELETE takedown of the mod-31
+    * keys (no rewrite); (5) full COMPACT materializing deletes back to
+    * copy-on-write; (6) INCREMENTAL compactSmall proving a no-op on
+    * the now-single-dir table; (7) a CATALOG commit pinning the final
+    * version; (8) the serve-side read through the `snapshot_table` SQL
+    * TVF — one SELECT a downstream analyst would actually run. The
+    * oracle recomputes the final state closed-form; every intermediate
+    * contract is REQUIREd structurally. One gate, eight operators, the
+    * lifecycle a production table actually lives. */
+  val pipelineLakehouse: QueryDef = QueryDef(
+    "pipeline_lakehouse",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val base = graft.sources.TableIO.scratchDir(s, "snapshot/lakehouse_e2e")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // idempotent re-run
+      val (root, catRoot) = (s"$base/orders", s"$base/_catalog")
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      // 1. audited base: the mod-6 slice
+      graft.sources.SnapshotTable.commitAudited(
+        orders.filter(col("o_orderkey") % 6 === 0), root,
+        notNull = Seq("o_orderkey"), uniqueKey = Seq("o_orderkey"))
+      // 2. continuous ingest: five O(delta) appends cover the rest
+      (1 to 5).foreach { m =>
+        graft.sources.SnapshotTable.append(
+          orders.filter(col("o_orderkey") % 6 === m), root)
+      }
+      // 3. correction batch: mod-9 keys get +500, atomically
+      graft.sources.SnapshotTable.upsert(
+        orders.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + lit(500)).cast(money).as("o_totalprice")),
+        root, Seq("o_orderkey"))
+      // 4. takedown: mod-31 keys, O(keys), no rewrite
+      graft.sources.SnapshotTable.deleteWhere(
+        s, root, col("o_orderkey") % 31 === 0, Seq("o_orderkey"))
+      // 5. maintenance: materialize to copy-on-write
+      graft.sources.SnapshotTable.compact(s, root, rowsPerFile = 500000)
+      // 6. incremental pass finds nothing left to fold
+      val cur = graft.sources.SnapshotTable.currentSnapshot(s, root)
+      require(graft.sources.SnapshotTable.compactSmall(
+        s, root, smallMaxRows = 1000, rowsPerFile = 500000) == cur,
+        "post-compact incremental pass must be a no-op")
+      // 7. pin the served version
+      graft.sources.SnapshotCatalog.commit(s, catRoot,
+        Map("orders" -> (root, cur)))
+      val served = graft.sources.SnapshotCatalog
+        .tablesAt(s, catRoot,
+          graft.sources.SnapshotCatalog.currentVersion(s, catRoot))("orders")
+      // 8. serve through SQL
+      graft.functions.GraftExtensions.register(s)
+      s.sql(
+        s"""SELECT o_orderkey % 9 = 0 AS corrected, count(*) AS n,
+           |  CAST(sum(o_totalprice) AS DOUBLE) AS sum_price
+           |FROM snapshot_table('${served._1}', ${served._2})
+           |GROUP BY corrected ORDER BY corrected""".stripMargin)
+    },
+    Some("""WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |corrected AS (
+      |  SELECT k, CASE WHEN k % 9 = 0
+      |    THEN CAST(p + 500 AS DECIMAL(18,2)) ELSE p END AS p
+      |  FROM base WHERE k % 31 <> 0)
+      |SELECT k % 9 = 0 AS corrected, count(*) AS n,
+      |  CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM corrected GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** maintenance_catalog_txn: MULTI-TABLE transactions
     * ([[graft.sources.SnapshotCatalog]]) — one catalog pointer pins a
     * consistent (orders, customer) version PAIR, so a reader never
@@ -2431,7 +2506,7 @@ object SurveyQueries {
     maintenanceSnapshotPartitionEvolution, maintenanceBloomMetadata,
     maintenanceSnapshotUpsert, maintenanceCompactIncremental,
     maintenanceSnapshotWap, maintenanceSnapshotSql, maintenanceSnapshotNdv,
-    maintenanceCatalogTxn,
+    maintenanceCatalogTxn, pipelineLakehouse,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)
