@@ -94,6 +94,48 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank in exact integer micro-units: the teleport
+    * mass lands only on `sources` (uniformly over |S|) instead of on
+    * every node — rank becomes "importance AS SEEN FROM S", the
+    * recommendation / local-relevance variant (seed users, seed
+    * domains, a query's click set). Same integer recipe as
+    * [[pagerankMicro]] (floor-div micro-units, drop-dangling-mass
+    * mode), so the unrolled-round SQL oracle replays every division.
+    * Non-source nodes start at 0 and receive only propagated mass;
+    * source membership rides a broadcast-joined flag, never a
+    * corpus-sized collect. */
+  def pagerankPersonalizedMicro(edges: DataFrame, sources: DataFrame,
+      iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val s = broadcast(sources.select(col(sources.columns.head)
+      .cast("long").as("node")).distinct())
+    val flagged = nodes.join(s.withColumn("__in_s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__in_s"), lit(0L)).as("in_s"))
+    val sn = s.agg(count(lit(1)).as("sn"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val baseMass = scale * 15 / 100
+    var ranks = flagged.crossJoin(broadcast(sn))
+      .select(col("node"), expr(s"case when in_s = 1 then $scale div sn else 0L end").as("r"),
+        col("in_s"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = flagged.crossJoin(broadcast(sn))
+        .join(contribs, flagged("node") === contribs("dst"), "left")
+        .select(flagged("node"),
+          expr(s"(case when in_s = 1 then $baseMass div sn else 0L end) + " +
+            "(85 * coalesce(s, 0L)) div 100").as("r"),
+          col("in_s"))
+    }
+    ranks.select(col("node"), col("r"))
+  }
+
   /** [[pagerankMicro]] with an early CONVERGENCE stop: runs at most
     * `maxIters` rounds but stops once Σ|r_t − r_{t−1}| ≤ `tolScaled`
     * — the deep-iteration mode, where a fixed count either wastes rounds

@@ -509,6 +509,62 @@ object AnalyticsQueries {
       Some(pagerankDropOracleSql(iters, scale, base)))
   }
 
+  /** PERSONALIZED PageRank
+    * ([[graft.ops.Graph.pagerankPersonalizedMicro]]): teleport mass
+    * lands only on the seed customers (custkey % 100 == 0), so rank is
+    * relevance AS SEEN FROM the seeds — the recommendation variant.
+    * Non-seed nodes start at zero and accrue only propagated mass; the
+    * oracle replays the seeded initialization and every floor-divided
+    * round unrolled. */
+  val qPagerankPersonalized: QueryDef = {
+    val iters = 3
+    val scale = 1000000000000L
+    val base = scale * 15 / 100
+    QueryDef(
+      "q_pagerank_personalized",
+      (s, d) => {
+        import s.implicits._
+        val seeds = Tables.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0).select(col("c_custkey"))
+        graft.ops.Graph.pagerankPersonalizedMicro(
+            pagerankEdges(s, d), seeds, iters, scale)
+          .orderBy(col("r").desc, col("node").asc).limit(20)
+          .select(col("node"), col("r").as("rank_micro"))
+      },
+      Some {
+        val rounds = (1 to iters).map { t =>
+          s"""r$t AS (
+             |  SELECT nodes.node,
+             |    CAST((CASE WHEN nodes.in_s = 1 THEN $base // sn ELSE 0 END) +
+             |      (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+             |  FROM nodes CROSS JOIN snn
+             |  LEFT JOIN (
+             |    SELECT dst, CAST(sum(CAST(r // d AS BIGINT)) AS BIGINT) AS s
+             |    FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+             |           JOIN deg ON e.src = deg.src
+             |    GROUP BY dst) c ON nodes.node = c.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |seeds AS (SELECT DISTINCT c_custkey AS node FROM customer
+           |          WHERE c_custkey % 100 = 0),
+           |nodes AS (
+           |  SELECT n.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS in_s
+           |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+           |  LEFT JOIN seeds sd ON n.node = sd.node),
+           |snn AS (SELECT count(*) AS sn FROM seeds),
+           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+           |r0 AS (
+           |  SELECT node, CAST(CASE WHEN in_s = 1 THEN $scale // sn ELSE 0 END
+           |    AS BIGINT) AS r
+           |  FROM nodes CROSS JOIN snn),
+           |$rounds
+           |SELECT node, r AS rank_micro FROM r$iters
+           |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+      })
+  }
+
   /** PageRank with the danglers' mass redistributed uniformly each round
     * (textbook formulation — rank MAGNITUDES comparable across graphs,
     * total mass conserved up to floor division). In this graph every
@@ -1428,7 +1484,8 @@ object AnalyticsQueries {
     qTrimmedMean, qGiniSegment, qPareto,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
     qFillGaps, qWindowSliding, qRegressionByGroup,
-    qPagerank, qLabelProp, qPagerankConverged, qPagerankDangling, qSourceDrift, qTriangles,
+    qPagerank, qLabelProp, qPagerankConverged, qPagerankDangling,
+    qPagerankPersonalized, qSourceDrift, qTriangles,
     qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap,
     qMergeIntervals, qUserGrowth, qRfmSegments, qKCore, qChangepointCusum,
     qSkyline)
