@@ -124,4 +124,26 @@ object Privacy {
     } :+ col(levelCol)
     released.select(outCols.toIndexedSeq: _*)
   }
+
+  /** Column-masking / row-filtering POLICY VIEW (the Unity-Catalog /
+    * Ranger shape): apply per-column masking expressions and a row
+    * predicate in ONE projection over `df`, so the governed surface is
+    * a plain DataFrame every downstream operator (and `spark.sql`, via
+    * createOrReplaceTempView) composes with — policies live in the
+    * PLAN, not in copied data, and Catalyst pushes the row filter down
+    * to the scan like any other predicate. `masks` maps column name →
+    * masked expression (redaction literal, md5 pseudonym, bucketing —
+    * caller's choice; unmapped columns pass through); `rowFilter`
+    * drops rows the reader may not see at all. Fails loudly on a mask
+    * for a nonexistent column — a silently-ignored policy is a leak. */
+  def maskedView(df: DataFrame, masks: Map[String, Column],
+      rowFilter: Column): DataFrame = {
+    val missing = masks.keySet -- df.columns.toSet
+    require(missing.isEmpty,
+      s"masking policy names nonexistent columns: ${missing.toSeq.sorted.mkString(", ")}")
+    df.filter(rowFilter)
+      .select(df.columns.toIndexedSeq.map { c =>
+        masks.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+  }
 }

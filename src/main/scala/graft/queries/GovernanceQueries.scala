@@ -632,7 +632,39 @@ object GovernanceQueries {
       |FROM customer WHERE c_custkey % 97 <> 0
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** privacy_masked_view: column-masking + row-filter POLICY VIEW
+    * ([[graft.ops.Privacy.maskedView]]) — the Ranger/Unity-Catalog
+    * governance shape as one projection: c_name pseudonymized (md5),
+    * c_acctbal coarsened to 100-unit buckets, and MACHINERY-segment
+    * rows dropped entirely, all in the PLAN (the row filter pushes to
+    * the scan; no copied data). The gate aggregates THROUGH the view —
+    * distinct pseudonyms, bucket sums — and the oracle applies the
+    * same policy in SQL, so the masked surface itself is value-gated. */
+  val privacyMaskedView: QueryDef = QueryDef(
+    "privacy_masked_view",
+    (s, d) => {
+      val masked = graft.ops.Privacy.maskedView(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("c_acctbal")),
+        masks = Map(
+          "c_name" -> md5(col("c_name")),
+          "c_acctbal" -> (floor(col("c_acctbal") / 100) * 100).cast("long")),
+        rowFilter = col("c_mktsegment") =!= "MACHINERY")
+      masked.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_name")).as("n_pseudonyms"),
+          sum(col("c_acctbal")).as("sum_bucketed"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      |  count(DISTINCT md5(c_name)) AS n_pseudonyms,
+      |  CAST(sum(CAST(floor(c_acctbal / 100) * 100 AS BIGINT)) AS BIGINT)
+      |    AS sum_bucketed
+      |FROM customer WHERE c_mktsegment <> 'MACHINERY'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(privacyErasureAudit, privacyErasureMor,
+    privacyMaskedView,
     privacyKAnon, privacyLDiversity, privacyTCloseness, privacySnapshotErasure,
     auditConstraints, privacyDpQuantile,
     sampleGroupK,

@@ -2109,6 +2109,46 @@ object SurveyQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** maintenance_metadata_minmax: metadata-only MIN/MAX — the extremes
+    * of a numeric column answered from the per-file footer-stats
+    * sidecars alone ([[graft.sources.SnapshotTable.metadataMinMax]]),
+    * zero data scanned, coverage REQUIREd total (partial stats would
+    * silently lie) and the metadata answer REQUIREd equal to the
+    * scanned answer before the gate emits it. Composes with append:
+    * each delta dir contributes its own sidecar. */
+  val maintenanceMetadataMinmax: QueryDef = QueryDef(
+    "maintenance_metadata_minmax",
+    (s, d) => {
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_minmax")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val stats = Seq("o_orderkey", "o_totalprice")
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 0), root, statsCols = stats)
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 2 === 1), root, statsCols = stats)
+      import s.implicits._
+      val rows = stats.map { c =>
+        val (mn, mx) = graft.sources.SnapshotTable.metadataMinMax(s, root, c)
+        val scanned = graft.sources.SnapshotTable.read(s, root)
+          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+        require(mn == scanned.getDouble(0) && mx == scanned.getDouble(1),
+          s"metadata min/max for $c (${mn}..$mx) != scanned " +
+            s"(${scanned.getDouble(0)}..${scanned.getDouble(1)})")
+        (c, mn, mx)
+      }
+      rows.toDF("column_name", "mn", "mx").orderBy("column_name")
+    },
+    Some("""SELECT 'o_orderkey' AS column_name,
+      |  CAST(min(o_orderkey) AS DOUBLE) AS mn, CAST(max(o_orderkey) AS DOUBLE) AS mx
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', min(o_totalprice), max(o_totalprice) FROM orders
+      |ORDER BY column_name""".stripMargin))
+
   /** pipeline_lakehouse: the session's snapshot surface COMPOSED into
     * one ingest-to-serve story, every stage the real operator: (1)
     * WRITE-AUDIT-PUBLISH the base corpus (NOT-NULL + UNIQUE audited
@@ -2506,7 +2546,7 @@ object SurveyQueries {
     maintenanceSnapshotPartitionEvolution, maintenanceBloomMetadata,
     maintenanceSnapshotUpsert, maintenanceCompactIncremental,
     maintenanceSnapshotWap, maintenanceSnapshotSql, maintenanceSnapshotNdv,
-    maintenanceCatalogTxn, pipelineLakehouse,
+    maintenanceCatalogTxn, pipelineLakehouse, maintenanceMetadataMinmax,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

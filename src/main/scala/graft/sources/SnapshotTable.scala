@@ -411,6 +411,43 @@ object SnapshotTable {
     } finally r.close()
   }
 
+  /** METADATA-ONLY min/max of a numeric column over the current
+    * snapshot, merged from the per-file `_stats.tsv` sidecars — the
+    * `SELECT min(x), max(x)` a lakehouse answers without scanning.
+    * Requires every data file to carry a stats line for `column`
+    * (a partial answer would silently be wrong); refuses pending
+    * equality deletes (masked rows could hold the extremes). */
+  def metadataMinMax(spark: SparkSession, root: String,
+      column: String): (Double, Double) = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val dirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
+    require(!dirs.exists(isDeleteDir),
+      s"metadataMinMax is undefined under pending equality deletes at $root")
+    var lo = Double.PositiveInfinity
+    var hi = Double.NegativeInfinity
+    dirs.foreach { d =>
+      val dirPath = new Path(rootPath, d)
+      val statsPath = new Path(dirPath, StatsFile)
+      require(fs.exists(statsPath),
+        s"dir $d has no stats sidecar at $root — commit with statsCols to " +
+          "answer min/max from metadata")
+      val ranges = readFile(fs, statsPath).split("\n").iterator
+        .map(_.trim).filter(_.nonEmpty).map(_.split("\t"))
+        .filter(p => p.length == 4 && p(1) == column)
+        .map(p => p(0) -> (p(2).toDouble, p(3).toDouble)).toMap
+      val files = listParquetFiles(fs, dirPath).map(_.getPath.getName)
+      val uncovered = files.filterNot(ranges.contains)
+      require(uncovered.isEmpty,
+        s"dir $d has files without $column stats (${uncovered.take(3)}) — " +
+          "a metadata min/max over partial stats would be wrong")
+      ranges.values.foreach { case (mn, mx) =>
+        lo = math.min(lo, mn); hi = math.max(hi, mx)
+      }
+    }
+    require(lo <= hi, s"no $column stats found at $root")
+    (lo, hi)
+  }
+
   /** METADATA-ONLY row count of the current snapshot: summed from the
     * parquet footers of the manifest's files — O(files) tiny range
     * reads, zero data scanned, the `SELECT count(*)` a lakehouse

@@ -134,4 +134,24 @@ class PrivacySpec extends SparkSpec {
     val r12 = freq(1L) / freq(2L)
     assert(r12 > 1.5 && r12 < 2.7, s"P(1)/P(2) = $r12, expected ~2")
   }
+
+  test("maskedView: masks apply, filtered rows gone, bad policy fails loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alice", "A", 123.0), (2L, "bob", "B", 456.0))
+      .toDF("id", "name", "seg", "bal")
+    val v = graft.ops.Privacy.maskedView(df,
+      masks = Map("name" -> org.apache.spark.sql.functions.lit("***")),
+      rowFilter = org.apache.spark.sql.functions.col("seg") =!= "B")
+    val rows = v.collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "***" &&
+      rows.head.getLong(0) == 1L && rows.head.getDouble(3) == 123.0)
+    assert(v.columns.toSeq == df.columns.toSeq, "schema shape is preserved")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Privacy.maskedView(df,
+        Map("nope" -> org.apache.spark.sql.functions.lit(0)),
+        org.apache.spark.sql.functions.lit(true))
+    }
+    assert(e.getMessage.contains("nonexistent"))
+  }
 }
