@@ -2109,6 +2109,61 @@ object SurveyQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** maintenance_snapshot_scd2: SCD TYPE-2 history DERIVED from the
+    * snapshot chain ([[graft.sources.SnapshotTable.scd2FromSnapshots]]) —
+    * time travel materialized as (key, value, valid_from, valid_to,
+    * is_current) intervals, one union + one key-windowed islands pass,
+    * no cross-snapshot joins. The chain exercises every interval
+    * shape: unchanged keys (one current interval), price changes (two
+    * intervals), deletions (a closed interval and NO current row), and
+    * the subtle one — a key deleted in v2 and RE-INSERTED in v3 with
+    * its ORIGINAL value, which must yield TWO intervals (absence ends
+    * validity; the islands id must break across the gap, not merge
+    * identical values). The oracle enumerates the interval algebra
+    * closed-form. */
+  val maintenanceSnapshotScd2: QueryDef = QueryDef(
+    "maintenance_snapshot_scd2",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_scd2")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val v1 = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      val v2 = v1.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0,
+            (col("o_totalprice") + lit(1)).cast(money))
+            .otherwise(col("o_totalprice")))
+      val v3 = v2.unionByName(v1.filter(col("o_orderkey") % 14 === 0))
+      Seq(v1, v2, v3).foreach(graft.sources.SnapshotTable.commit(_, root))
+      graft.sources.SnapshotTable
+        .scd2FromSnapshots(s, root, Seq("o_orderkey"), Seq(1L, 2L, 3L))
+        .select(col("o_orderkey"),
+          col("__v.o_totalprice").cast("double").as("price"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    },
+    Some("""WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |iv AS (
+      |  SELECT k, p, 1 AS vf, 1 AS vt, false AS cur FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, p, 3, 3, true FROM base WHERE k % 14 = 0
+      |  UNION ALL
+      |  SELECT k, CAST(p + 1 AS DECIMAL(18,2)), 2, 3, true FROM base
+      |  WHERE k % 5 = 0 AND k % 7 <> 0
+      |  UNION ALL
+      |  SELECT k, p, 1, 1, false FROM base WHERE k % 5 = 0 AND k % 7 <> 0
+      |  UNION ALL
+      |  SELECT k, p, 1, 3, true FROM base WHERE k % 5 <> 0 AND k % 7 <> 0)
+      |SELECT k AS o_orderkey, CAST(p AS DOUBLE) AS price,
+      |  CAST(vf AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to,
+      |  cur AS is_current
+      |FROM iv ORDER BY o_orderkey, valid_from""".stripMargin))
+
   /** maintenance_metadata_minmax: metadata-only MIN/MAX — the extremes
     * of a numeric column answered from the per-file footer-stats
     * sidecars alone ([[graft.sources.SnapshotTable.metadataMinMax]]),
@@ -2547,6 +2602,7 @@ object SurveyQueries {
     maintenanceSnapshotUpsert, maintenanceCompactIncremental,
     maintenanceSnapshotWap, maintenanceSnapshotSql, maintenanceSnapshotNdv,
     maintenanceCatalogTxn, pipelineLakehouse, maintenanceMetadataMinmax,
+    maintenanceSnapshotScd2,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

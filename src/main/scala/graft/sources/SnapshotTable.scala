@@ -826,6 +826,55 @@ object SnapshotTable {
     commitManifest(spark, root, next, prior :+ delDir)
   }
 
+  /** SCD TYPE-2 HISTORY derived from the snapshot chain: for a keyed
+    * table, the validity interval of every (key, value) version across
+    * the given snapshot ids — `valid_from`/`valid_to` as snapshot ids,
+    * gaps (key absent from intermediate snapshots) split intervals, and
+    * re-appearing identical values start a NEW interval (absence is a
+    * real end, not a pause). One union of the requested snapshot reads
+    * + one key-partitioned window pass (the islands technique: island
+    * id = snap position − row_number within (key, value)); no
+    * cross-snapshot join. This is the "turn time travel into a history
+    * table" derivation a warehouse migration wants — the snapshot layer
+    * already stores the versions, this materializes them as SCD2. */
+  def scd2FromSnapshots(spark: SparkSession, root: String,
+      keyCols: Seq[String], ids: Seq[Long]): DataFrame = {
+    require(keyCols.nonEmpty && ids.nonEmpty, "need key columns + snapshot ids")
+    require(ids == ids.sorted && ids.distinct == ids, "ids must be ascending")
+    import org.apache.spark.sql.expressions.Window
+    val posOf = ids.zipWithIndex.toMap
+    val states = ids.map { id =>
+      val df = readAt(spark, root, id)
+      val valueCols = df.columns.filterNot(keyCols.contains).toSeq
+      df.select(keyCols.map(col) :+
+        org.apache.spark.sql.functions.struct(valueCols.map(col): _*).as("__v") :+
+        lit(id).as("snap_id") :+ lit(posOf(id).toLong).as("__pos"): _*)
+    }.reduce(_ unionByName _)
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__pos"))
+    // islands: within a key, consecutive positions with the SAME value
+    // share (pos - rank-within-(key,value-run)). Using a value-change
+    // flag + running sum keeps it one window pass and handles gaps:
+    // a gap breaks position-consecutiveness, so the island id (pos -
+    // row_number within the same key AND same change-group) changes.
+    val flagged = states
+      .withColumn("__chg",
+        when(org.apache.spark.sql.functions.lag(col("__v"), 1).over(byKey).isNull ||
+          !(org.apache.spark.sql.functions.lag(col("__v"), 1).over(byKey) <=> col("__v")) ||
+          org.apache.spark.sql.functions.lag(col("__pos"), 1).over(byKey) =!=
+            col("__pos") - 1, 1L).otherwise(0L))
+      .withColumn("__grp",
+        org.apache.spark.sql.functions.sum(col("__chg")).over(
+          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(keyCols.map(col) :+ col("__grp"): _*)
+      .agg(org.apache.spark.sql.functions.first(col("__v")).as("__v"),
+        org.apache.spark.sql.functions.min(col("snap_id")).as("valid_from"),
+        org.apache.spark.sql.functions.max(col("snap_id")).as("valid_to"))
+      .withColumn("is_current", col("valid_to") === lit(ids.last))
+      .select(keyCols.map(col) :+ col("__v") :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current"): _*)
+  }
+
   /** Commit wall-clock timestamps: (snapshot id, manifest modification
     * time millis), ascending by id. The mtime is stamped by the
     * filesystem at the atomic publish — no clock data inside the
