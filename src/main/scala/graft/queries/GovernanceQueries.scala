@@ -663,8 +663,65 @@ object GovernanceQueries {
       |FROM customer WHERE c_mktsegment <> 'MACHINERY'
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** privacy_synthetic_resample: marginal-preserving SYNTHETIC DATA —
+    * draw 2000 synthetic rows from the (mktsegment × nationkey) joint
+    * distribution by integer-exact inverse transform
+    * ([[graft.ops.Sampling.weightedWithReplacement]] over the
+    * joint-count table): the release carries the population's joint
+    * marginal but NO real row, the resampling baseline a DP synthetic
+    * generator starts from (swap the exact counts for noisy ones —
+    * `privacy_dp_release`'s seeded geometric noise — and the pipeline
+    * is DP end to end; composition documented, exact counts gated
+    * here). md5-seeded draws make the synthetic sample itself
+    * byte-replayable by the oracle — a generative artifact under an
+    * exact gate. */
+  val privacySyntheticResample: QueryDef = QueryDef(
+    "privacy_synthetic_resample",
+    (s, d) => {
+      val segIdx = expr("""CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0
+        WHEN 'BUILDING' THEN 1 WHEN 'FURNITURE' THEN 2
+        WHEN 'HOUSEHOLD' THEN 3 WHEN 'MACHINERY' THEN 4 END""")
+      val cells = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("w"))
+        .withColumn("cell_id",
+          col("c_nationkey").cast("long") * 8 + segIdx.cast("long"))
+      val draws = graft.ops.Sampling.weightedWithReplacement(
+        cells.select(col("cell_id"), col("w")), "cell_id", "w",
+        nDraws = 2000, seed = "syn13")
+      draws.groupBy(col("cell_id")).agg(count(lit(1)).as("n_synth"))
+        .join(cells.select(col("cell_id"), col("c_mktsegment"),
+          col("c_nationkey")), Seq("cell_id"))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n_synth"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+    Some("""WITH joint AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey AS nat, count(*) AS w
+      |  FROM customer GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT seg, nat, w,
+      |    CAST(nat AS BIGINT) * 8 + CASE seg WHEN 'AUTOMOBILE' THEN 0
+      |      WHEN 'BUILDING' THEN 1 WHEN 'FURNITURE' THEN 2
+      |      WHEN 'HOUSEHOLD' THEN 3 WHEN 'MACHINERY' THEN 4 END AS id
+      |  FROM joint),
+      |pos AS (
+      |  SELECT id, seg, nat, w,
+      |    COALESCE(sum(w) OVER (ORDER BY id % 256, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+      |  FROM cells WHERE w > 0),
+      |tot AS (SELECT sum(w) AS tw FROM cells WHERE w > 0),
+      |draws AS (
+      |  SELECT CAST(concat('0x', substr(md5('syn13:' || CAST(j AS VARCHAR)),
+      |    1, 15)) AS BIGINT) % (SELECT tw FROM tot) AS u
+      |  FROM generate_series(0, 1999) t(j)),
+      |hit AS (
+      |  SELECT p.seg, p.nat FROM draws d
+      |  JOIN pos p ON d.u >= p.lo AND d.u < p.lo + p.w)
+      |SELECT seg AS c_mktsegment, nat AS c_nationkey, count(*) AS n_synth
+      |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(privacyErasureAudit, privacyErasureMor,
-    privacyMaskedView,
+    privacyMaskedView, privacySyntheticResample,
     privacyKAnon, privacyLDiversity, privacyTCloseness, privacySnapshotErasure,
     auditConstraints, privacyDpQuantile,
     sampleGroupK,
