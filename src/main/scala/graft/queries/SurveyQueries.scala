@@ -2109,6 +2109,60 @@ object SurveyQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** pipeline_incremental_sync: the O(delta) DOWNSTREAM PIPELINE —
+    * [[graft.sources.SnapshotTable.syncAppend]] keeps a transformed
+    * destination current with an appending source, transforming ONLY
+    * the new rows each run. The sync cursor is the destination's own
+    * in-manifest batch marker, so cursor and data commit atomically
+    * (no drift, crash-safe replay). The gate: initial full load at
+    * source snap 1, two more source appends, a delta sync (REQUIREd to
+    * add exactly one destination commit), a no-op re-run (REQUIREd
+    * None), then value-gates destination == transform(full source).
+    * This is the Delta-Live-Tables shape on the snapshot layer: at
+    * 100 TB the downstream pays per-delta, never per-table. */
+  val pipelineIncrementalSync: QueryDef = QueryDef(
+    "pipeline_incremental_sync",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val base = graft.sources.TableIO.scratchDir(s, "snapshot/inc_sync")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // idempotent re-run
+      val (src, dst) = (s"$base/src", s"$base/dst")
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      val xf: DataFrame => DataFrame = df =>
+        df.filter(col("o_totalprice") > 50000)
+          .withColumn("price_band",
+            floor(col("o_totalprice") / 50000).cast("long"))
+      graft.sources.SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 3 === 0), src)
+      require(graft.sources.SnapshotTable.syncAppend(s, src, dst, xf).contains(1L),
+        "initial sync must full-load into destination snapshot 1")
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 3 === 1), src)
+      graft.sources.SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 3 === 2), src)
+      require(graft.sources.SnapshotTable.syncAppend(s, src, dst, xf).contains(2L),
+        "delta sync must add exactly one destination commit")
+      require(graft.sources.SnapshotTable.syncAppend(s, src, dst, xf).isEmpty,
+        "an up-to-date sync must be a no-op")
+      graft.sources.SnapshotTable.read(s, dst)
+        .groupBy(col("o_orderpriority"), col("price_band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority", "price_band")
+    },
+    Some("""WITH t AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 50000) AS BIGINT)
+      |      AS price_band
+      |  FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 50000)
+      |SELECT o_orderpriority, price_band, count(*) AS n,
+      |  CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** maintenance_snapshot_scd2: SCD TYPE-2 history DERIVED from the
     * snapshot chain ([[graft.sources.SnapshotTable.scd2FromSnapshots]]) —
     * time travel materialized as (key, value, valid_from, valid_to,
@@ -2602,7 +2656,7 @@ object SurveyQueries {
     maintenanceSnapshotUpsert, maintenanceCompactIncremental,
     maintenanceSnapshotWap, maintenanceSnapshotSql, maintenanceSnapshotNdv,
     maintenanceCatalogTxn, pipelineLakehouse, maintenanceMetadataMinmax,
-    maintenanceSnapshotScd2,
+    maintenanceSnapshotScd2, pipelineIncrementalSync,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

@@ -643,6 +643,47 @@ object SnapshotTable {
     }
   }
 
+  /** INCREMENTAL SNAPSHOT-TO-SNAPSHOT SYNC (the declarative-pipeline
+    * primitive): bring `dstRoot` up to date with `srcRoot` by
+    * transforming ONLY the source rows appended since the last sync —
+    * O(delta) end to end. The sync CURSOR is not a separate state file:
+    * it is the `sync:<src snapshot id>` batch marker the destination's
+    * own [[appendIdempotent]] commit carries, so cursor and data are
+    * one atomic manifest — a crash between "transform" and "commit"
+    * replays the SAME delta under the SAME key and dedups; there is no
+    * state to drift. First sync full-loads the current source snapshot;
+    * later syncs pull [[appendedBetween]] deltas (refusing rewritten
+    * windows, as that method does). Returns the destination snapshot id,
+    * or None when already current (the no-op re-run). Destination
+    * retention must cover the sync cadence — vacuuming every marked
+    * manifest would forget the cursor (the standard cross-layer
+    * retention contract). `transform` must be row-wise/append-monotone
+    * (filter/project/enrich) for per-delta application to equal the
+    * full recompute. */
+  def syncAppend(spark: SparkSession, srcRoot: String, dstRoot: String,
+      transform: DataFrame => DataFrame): Option[Long] = {
+    val srcCur = currentSnapshot(spark, srcRoot)
+    val (dfs, dstPath) = fsFor(spark, dstRoot)
+    val synced: Seq[Long] = snapshots(spark, dstRoot).flatMap { id =>
+      readManifestMeta(dfs, dstPath, id).collect {
+        case m if m.startsWith("#batch:sync:") =>
+          m.stripPrefix("#batch:sync:").toLong
+      }
+    }
+    val last = synced.sorted.lastOption
+    if (last.contains(srcCur)) None
+    else {
+      require(last.forall(_ < srcCur),
+        s"sync cursor ${last.get} is AHEAD of source snapshot $srcCur at " +
+          s"$srcRoot — the source was rolled back; reconcile manually")
+      val delta = last match {
+        case None => readAt(spark, srcRoot, srcCur) // initial full load
+        case Some(f) => appendedBetween(spark, srcRoot, f, srcCur)
+      }
+      Some(appendIdempotent(transform(delta), dstRoot, s"sync:$srcCur"))
+    }
+  }
+
   /** Atomic compare-and-swap publish of `_manifest-next`: true iff THIS
     * writer created the manifest (false = another writer committed
     * `next` first). The manifest body is fully written to a dot-temp
