@@ -1480,6 +1480,71 @@ object AnalyticsQueries {
       |FROM r JOIN tiers ON rk <= (n * top_pct) // 100
       |GROUP BY top_pct ORDER BY top_pct""".stripMargin))
 
+  /** BOM ROLLUP — the recursive-CTE workload (WITH RECURSIVE in the SQL
+    * engines; reference analog: hierarchy explosion over part/assembly
+    * tables): a bill-of-materials tree is derived from `part`
+    * (parent(c) = c div 10, so key ranges make it a forest rooted at
+    * keys 1..9; per-edge quantity (c % 7) + 1), and the query computes,
+    * for every ancestor below key 100, how many descendant parts it
+    * transitively contains and the TOTAL UNIT COUNT — the sum over
+    * descendants of the product of edge quantities along the path (a
+    * tree, so the path is unique and the product well-defined).
+    *
+    * Spark has no recursive CTE; the scalable re-expression is an
+    * ITERATIVE FRONTIER JOIN: level k+1 extends each closure row by one
+    * parent hop. The hierarchy depth is log10(maxkey) — 5 levels at
+    * sf0.1, ~7 at 100 TB — so the loop is O(depth) joins, each a small
+    * equi-join on the child key, and the frontier SHRINKS by 10x per
+    * hop (keys integer-divide). Early exit on an empty frontier keeps
+    * the plan finite without trusting the depth estimate. Quantities
+    * are exact longs (q <= 7, depth <= 7 → path product <= 7^7, far
+    * inside long). */
+  val qBomRollup: QueryDef = QueryDef(
+    "q_bom_rollup",
+    (s, d) => {
+      val edges = Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("child"))
+        .filter(col("child") >= 10)
+        .select(col("child"), expr("child div 10").as("parent"),
+          ((col("child") % 7) + 1).cast("long").as("q"))
+      var acc = edges.select(col("child").as("descendant"),
+        col("parent").as("anc"), col("q").as("units"), lit(1L).as("depth"))
+      var frontier = acc
+      var level = 1
+      // depth is bounded by log10(max partkey); cap guards the loop
+      while (level < 12 && !frontier.isEmpty) {
+        val ext = frontier.alias("f")
+          .join(edges.alias("e"), col("f.anc") === col("e.child"))
+          .select(col("f.descendant"), col("e.parent").as("anc"),
+            (col("f.units") * col("e.q")).as("units"),
+            (col("f.depth") + 1).as("depth"))
+        frontier = ext.localCheckpoint(true)
+        acc = acc.unionByName(frontier)
+        level += 1
+      }
+      acc.filter(col("anc") < 100)
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"), sum(col("units")).as("total_units"),
+          max(col("depth")).as("max_depth"))
+        .orderBy("anc")
+    },
+    Some("""WITH RECURSIVE e AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS child,
+      |    CAST(p_partkey // 10 AS BIGINT) AS parent,
+      |    CAST((p_partkey % 7) + 1 AS BIGINT) AS q
+      |  FROM part WHERE p_partkey >= 10),
+      |cl AS (
+      |  SELECT child AS descendant, parent AS anc, q AS units,
+      |    CAST(1 AS BIGINT) AS depth
+      |  FROM e
+      |  UNION ALL
+      |  SELECT cl.descendant, e.parent, cl.units * e.q, cl.depth + 1
+      |  FROM cl JOIN e ON cl.anc = e.child)
+      |SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
+      |  CAST(sum(units) AS BIGINT) AS total_units,
+      |  CAST(max(depth) AS BIGINT) AS max_depth
+      |FROM cl WHERE anc < 100 GROUP BY anc ORDER BY anc""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qStatsMoments, qHistogram, qRetentionCohorts, qHits,
     qTrimmedMean, qGiniSegment, qPareto,
     qGroupPercentiles, qPercentileApprox, textOutliersMad, qFunnelConversion,
@@ -1488,5 +1553,5 @@ object AnalyticsQueries {
     qPagerankPersonalized, qSourceDrift, qTriangles,
     qShortestPaths, qAssocRules, qAnomalyHourly, qUserPaths, qAudienceOverlap,
     qMergeIntervals, qUserGrowth, qRfmSegments, qKCore, qChangepointCusum,
-    qSkyline)
+    qSkyline, qBomRollup)
 }
