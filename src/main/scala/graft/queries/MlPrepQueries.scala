@@ -2203,6 +2203,81 @@ object MlPrepQueries {
       |        CAST(nullif(count(*), 0) AS DOUBLE), 4) AS keep_rate
       |FROM j GROUP BY source ORDER BY source""".stripMargin))
 
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators) via the minimax
+    * identity: the monotone fit of positive-rate on score bin is
+    * fit(i) = max_{j<=i} min_{k>=i} rate(j..k) — an identity for the
+    * PAV solution that turns the inherently-sequential pool-merging
+    * algorithm into three relational passes, which is exactly what a
+    * distributed engine wants. The corpus collapses to B score bins in
+    * one map-combinable aggregation (B is bounded by construction, so
+    * the O(B^3) triple enumeration is constant work no matter the
+    * corpus size); segment rates come from exact integer prefix sums
+    * (one long->double correctly-rounded division per segment — the
+    * same IEEE bits on both engines); the nested min-then-max runs over
+    * doubles, so the fit is order-independent and engine-identical.
+    * The two theta-joins (j<=k, j<=i<=k) are BroadcastNestedLoopJoins
+    * over the TINY bin relation — designed, same rationale as
+    * sample_weighted_replacement's draw-table BNLJ.
+    *
+    * Output is the reliability table with its monotone repair: raw
+    * rate in exact basis points, isotonic rate rounded at 6dp. */
+  val mlIsotonicPav: QueryDef = QueryDef(
+    "ml_isotonic_pav",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val c = Tables.documents(s, d)
+        .select(expr("n_chars div 25").as("bin"),
+          (col("lang") === "en").cast("long").as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+        .select(col("bin"), col("n"), col("p"),
+          sum(col("n")).over(w).as("cn"), sum(col("p")).over(w).as("cp"))
+      val jSide = c.select(col("bin").as("jb"), col("n").as("jn"),
+        col("p").as("jp"), col("cn").as("jcn"), col("cp").as("jcp"))
+      val kSide = c.select(col("bin").as("kb"), col("cn").as("kcn"),
+        col("cp").as("kcp"))
+      val seg = jSide.join(kSide, col("jb") <= col("kb"))
+        .select(col("jb"), col("kb"),
+          ((col("kcp") - col("jcp") + col("jp")).cast("double") /
+           (col("kcn") - col("jcn") + col("jn")).cast("double")).as("rate"))
+      c.select(col("bin").as("ib"), col("n"), col("p"))
+        .join(seg, col("jb") <= col("ib") && col("kb") >= col("ib"))
+        .groupBy(col("ib"), col("n"), col("p"), col("jb"))
+        .agg(min(col("rate")).as("mrate"))
+        .groupBy(col("ib"), col("n"), col("p"))
+        .agg(max(col("mrate")).as("iso"))
+        .select(col("ib").as("bin"), col("n"), col("p").as("n_pos"),
+          expr("(10000 * p) div n").as("raw_bp"),
+          round(col("iso"), 6).as("iso_rate"))
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (
+      |  SELECT n_chars // 25 AS bin, count(*) AS n,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+      |  FROM documents GROUP BY 1),
+      |c AS (
+      |  SELECT bin, n, p,
+      |    sum(n) OVER cw AS cn, sum(p) OVER cw AS cp
+      |  FROM b
+      |  WINDOW cw AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |seg AS (
+      |  SELECT j.bin AS jb, k.bin AS kb,
+      |    CAST(k.cp - j.cp + j.p AS DOUBLE) /
+      |    CAST(k.cn - j.cn + j.n AS DOUBLE) AS rate
+      |  FROM c j JOIN c k ON j.bin <= k.bin),
+      |mn AS (
+      |  SELECT i.bin AS ib, i.n, i.p, seg.jb, min(seg.rate) AS mrate
+      |  FROM c i JOIN seg ON seg.jb <= i.bin AND seg.kb >= i.bin
+      |  GROUP BY 1, 2, 3, 4),
+      |f AS (SELECT ib, n, p, max(mrate) AS iso FROM mn GROUP BY 1, 2, 3)
+      |SELECT ib AS bin, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+      |  CAST((10000 * p) // n AS BIGINT) AS raw_bp,
+      |  round(iso, 6) AS iso_rate
+      |FROM f ORDER BY bin""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     mixTokenBudget, mixTokenBudgetTemperature, mlTargetEncodeLoo, mlChi2Tokens,
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
@@ -2215,5 +2290,6 @@ object MlPrepQueries {
     mixTemperature, embZscore, textBm25, clusterKmeans, dedupSemantic,
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, sampleWeightedReplacement,
     packLengthBuckets, embCovariance,
-    embProject, embPcaPower, mlAuc, mlCalibrationBins, mlKsDrift)
+    embProject, embPcaPower, mlAuc, mlCalibrationBins, mlKsDrift,
+    mlIsotonicPav)
 }

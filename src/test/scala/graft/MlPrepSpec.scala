@@ -205,4 +205,48 @@ class MlPrepSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(1))
     assert(sc(1) == 3 * sc(0), s"expected 3x single-token score, got ${sc.toSeq}")
   }
+
+  test("isotonic PAV via minimax identity equals sequential pool merging and is monotone") {
+    // direct PAV: merge adjacent pools while a violation exists
+    def pav(bins: Seq[(Long, Long)]): Seq[Double] = {
+      case class Pool(n: Long, p: Long, w: Int)
+      var pools = bins.map { case (n, p) => Pool(n, p, 1) }.toList
+      var changed = true
+      while (changed) {
+        changed = false
+        pools = pools.foldLeft(List.empty[Pool]) { (acc, cur) =>
+          acc match {
+            case h :: t
+                if h.p.toDouble * cur.n > cur.p.toDouble * h.n => // h rate > cur rate
+              changed = true
+              Pool(h.n + cur.n, h.p + cur.p, h.w + cur.w) :: t
+            case _ => cur :: acc
+          }
+        }.reverse
+      }
+      pools.flatMap(pl => Seq.fill(pl.w)(pl.p.toDouble / pl.n))
+    }
+    // minimax identity computed directly
+    def minimax(bins: Seq[(Long, Long)]): Seq[Double] =
+      bins.indices.map { i =>
+        (0 to i).map { j =>
+          (i until bins.length).map { k =>
+            val seg = bins.slice(j, k + 1)
+            seg.map(_._2).sum.toDouble / seg.map(_._1).sum
+          }.min
+        }.max
+      }
+    val cases = Seq(
+      Seq((10L, 1L), (10L, 5L), (10L, 3L), (10L, 9L)), // one violation
+      Seq((5L, 5L), (5L, 0L), (5L, 5L), (5L, 0L)),     // saw-tooth
+      Seq((7L, 1L), (9L, 3L), (4L, 2L), (6L, 5L)),     // already monotone
+      Seq((3L, 3L), (3L, 2L), (3L, 1L)))               // fully reversed
+    for (bs <- cases) {
+      val a = pav(bs); val b = minimax(bs)
+      assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 },
+        s"pav $a != minimax $b for $bs")
+      assert(b.sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-12),
+        s"fit not monotone: $b")
+    }
+  }
 }
