@@ -2639,6 +2639,141 @@ object SurveyQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY m ORDER BY m""".stripMargin))
 
+  /** maintenance_snapshot_branch: git-like BRANCHES over the snapshot
+    * layer ([[graft.sources.SnapshotTable.branchCreate]] family — the
+    * Iceberg/Nessie branch workflow): an experiment forks `dev` at v1,
+    * appends on the branch while MAIN independently appends, and the
+    * two lines stay isolated (each sees its own appends only — REQUIREd
+    * by id, value-gated below). A keepLast=1 vacuum runs while the
+    * branch is live: the branch's data dir sits in the root pool
+    * referenced by NO main manifest, so this gates vacuum's
+    * branch-aware reference counting (without it the branch would be
+    * silently destroyed by routine retention). The fast-forward merge
+    * then re-points the branch dirs at the merge commit's sequence and
+    * consumes the ref; all three states (main pre-merge via time
+    * travel, branch via its pre-merge read, merged current) are
+    * value-gated in one labeled rollup. */
+  val maintenanceSnapshotBranch: QueryDef = QueryDef(
+    "maintenance_snapshot_branch",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/orders_branch")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      val slice = (m: Int) => orders.filter(col("o_orderkey") % 3 === m)
+      graft.sources.SnapshotTable.commit(slice(0), root) // v1
+      graft.sources.SnapshotTable.branchCreate(s, root, "dev")
+      graft.sources.SnapshotTable.branchAppend(slice(1), root, "dev")
+      graft.sources.SnapshotTable.append(slice(2), root) // main v2
+      require(graft.sources.SnapshotTable.currentSnapshot(s, root) == 2L &&
+        graft.sources.SnapshotTable.branchCurrent(s, root, "dev") == 2L,
+        "main and branch must advance independently")
+      // retention while the branch is live: main keeps only v2, and the
+      // branch's data dir must survive the sweep (branch-aware refcount)
+      val removed = graft.sources.SnapshotTable.vacuum(s, root, keepLast = 1)
+      require(removed == 1, s"vacuum must drop exactly main v1, dropped $removed")
+      val branchState =
+        graft.sources.SnapshotTable.branchRead(s, root, "dev").localCheckpoint(true)
+      val merged = graft.sources.SnapshotTable.mergeBranch(s, root, "dev")
+      require(merged == 3L &&
+        graft.sources.SnapshotTable.branches(s, root).isEmpty,
+        "merge must commit main v3 and consume the branch ref")
+      graft.sources.SnapshotTable.readAt(s, root, 2L)
+        .withColumn("stage", lit("main_pre_merge"))
+        .unionByName(branchState.withColumn("stage", lit("branch")))
+        .unionByName(graft.sources.SnapshotTable.read(s, root)
+          .withColumn("stage", lit("main_merged")))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("stage")
+    },
+    Some("""WITH o AS (
+      |  SELECT o_orderkey % 3 AS m,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |u AS (
+      |  SELECT 'branch' AS stage, p FROM o WHERE m IN (0, 1)
+      |  UNION ALL
+      |  SELECT 'main_merged', p FROM o WHERE m IN (0, 1, 2)
+      |  UNION ALL
+      |  SELECT 'main_pre_merge', p FROM o WHERE m IN (0, 2))
+      |SELECT stage, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM u GROUP BY stage ORDER BY stage""".stripMargin))
+
+  /** maintenance_snapshot_clone: SHALLOW CLONE
+    * ([[graft.sources.SnapshotTable.cloneTo]] — Delta's shallow clone):
+    * the clone's first manifest lists the source's data dirs by
+    * absolute path, so cloning a table of ANY size moves zero data
+    * bytes — REQUIREd physically (no snap-/del- dir exists under the
+    * clone root right after cloning). The clone then diverges by a
+    * merge-on-read DELETE (quantity >= 40) followed by an APPEND whose
+    * rows include quantity >= 40 — those survive because the clone's
+    * manifest id equals the source's snapshot id, keeping inherited dir
+    * sequences strictly below clone-local commits (equality-delete
+    * sequencing across the clone boundary, visible in the oracle as
+    * "old slices filtered, new slice intact"). Equality deletes are
+    * KEY-granular (the Iceberg contract): the driver's lineitem has
+    * duplicate (orderkey, linenumber) keys, so a low-quantity twin of
+    * a deleted key is masked too — the oracle models the key set, not
+    * the predicate rows. The source is value-gated unchanged. */
+  val maintenanceSnapshotClone: QueryDef = QueryDef(
+    "maintenance_snapshot_clone",
+    (s, d) => {
+      val src = graft.sources.TableIO.scratchDir(s, "snapshot/li_clone_src")
+      val dst = graft.sources.TableIO.scratchDir(s, "snapshot/li_clone_dst")
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true) // idempotent re-run
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val slice = (m: Int) => li.filter(col("l_orderkey") % 4 === m)
+      graft.sources.SnapshotTable.commit(slice(0), src)  // v1
+      graft.sources.SnapshotTable.append(slice(1), src)  // v2
+      val cloned = graft.sources.SnapshotTable.cloneTo(s, src, dst)
+      val localDirs = () => fs.listStatus(new org.apache.hadoop.fs.Path(dst))
+        .map(_.getPath.getName)
+        .count(n => n.startsWith("snap-") || n.startsWith("del-"))
+      require(cloned == 2L && localDirs() == 0,
+        "shallow clone must re-point manifests only — zero local data dirs")
+      graft.sources.SnapshotTable.deleteWhere(s, dst,
+        col("l_quantity") >= 40, Seq("l_orderkey", "l_linenumber")) // v3
+      graft.sources.SnapshotTable.append(slice(2), dst)             // v4
+      require(localDirs() == 2,
+        "clone-local writes must land under the clone root (1 del + 1 data)")
+      val q = expr("cast(round(l_quantity * 100) as bigint)")
+      graft.sources.SnapshotTable.read(s, src)
+        .withColumn("stage", lit("src"))
+        .unionByName(graft.sources.SnapshotTable.read(s, dst)
+          .withColumn("stage", lit("clone_modified")))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_rows"), sum(q).as("sum_qty_x100"))
+        .orderBy("stage")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 4 AS m, l_orderkey AS ok, l_linenumber AS ln,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q,
+      |    l_quantity
+      |  FROM lineitem),
+      |base AS (SELECT * FROM li WHERE m IN (0, 1)),
+      |delkeys AS (
+      |  SELECT DISTINCT ok, ln FROM base WHERE l_quantity >= 40),
+      |kept AS (
+      |  SELECT q FROM base b WHERE NOT EXISTS (
+      |    SELECT 1 FROM delkeys k WHERE k.ok = b.ok AND k.ln = b.ln)),
+      |u AS (
+      |  SELECT 'clone_modified' AS stage, q FROM kept
+      |  UNION ALL
+      |  SELECT 'clone_modified', q FROM li WHERE m = 2
+      |  UNION ALL
+      |  SELECT 'src', q FROM li WHERE m IN (0, 1))
+      |SELECT stage, count(*) AS n_rows, CAST(sum(q) AS BIGINT) AS sum_qty_x100
+      |FROM u GROUP BY stage ORDER BY stage""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
@@ -2657,6 +2792,7 @@ object SurveyQueries {
     maintenanceSnapshotWap, maintenanceSnapshotSql, maintenanceSnapshotNdv,
     maintenanceCatalogTxn, pipelineLakehouse, maintenanceMetadataMinmax,
     maintenanceSnapshotScd2, pipelineIncrementalSync,
+    maintenanceSnapshotBranch, maintenanceSnapshotClone,
     ingestCsvDirty,
     ingestSchemaEvolution, ingestJsonl, ingestOrc, ingestXml,
     ingestFixedWidth, ingestPartitioned)

@@ -105,13 +105,20 @@ object SnapshotTable {
 
   private def fmt(id: Long): String = f"$id%020d"
 
+  /** Manifest lines are usually bare dir names, but a [[cloneTo]]
+    * manifest lists ABSOLUTE source paths — all name-shape decisions
+    * therefore read the LAST path component, never the raw line (an
+    * absolute path can contain digits or prefixes of its own). */
+  private def baseName(dirName: String): String =
+    dirName.substring(dirName.lastIndexOf('/') + 1)
+
   /** Commit sequence a data/delete dir was born in — the first 20-digit
     * run after its prefix (dir names are `snap-<seq>` / `del-<seq>`). */
   private def seqOf(dirName: String): Long =
-    dirName.dropWhile(!_.isDigit).takeWhile(_.isDigit).toLong
+    baseName(dirName).dropWhile(!_.isDigit).takeWhile(_.isDigit).toLong
 
   private def isDeleteDir(dirName: String): Boolean =
-    dirName.startsWith(DelPrefix)
+    baseName(dirName).startsWith(DelPrefix)
 
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -783,7 +790,13 @@ object SnapshotTable {
   def readAt(spark: SparkSession, root: String, id: Long,
       mergeSchema: Boolean = false): DataFrame = {
     val (fs, rootPath) = fsFor(spark, root)
-    val dirs = readManifest(fs, rootPath, id)
+    readSnapshotDirs(spark, rootPath, readManifest(fs, rootPath, id), mergeSchema)
+  }
+
+  /** Deletes-aware scan of one manifest's dir list, names resolved
+    * against `rootPath` (shared by [[readAt]] and [[branchRead]]). */
+  private def readSnapshotDirs(spark: SparkSession, rootPath: Path,
+      dirs: Seq[String], mergeSchema: Boolean): DataFrame = {
     val (delDirs, dataDirs) = dirs.partition(isDeleteDir)
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
@@ -1285,6 +1298,142 @@ object SnapshotTable {
     * name across the kept set), plus stale dot-temps from crashed
     * commits. Returns the number of snapshots removed. Never deletes
     * the current snapshot (`keepLast >= 1` enforced). */
+  // ----- branches (git-like mutable refs over the shared data-dir pool) -----
+
+  private val BranchPrefix = "_branch-"
+  private val BranchDirRe = ("^" + SnapPrefix + "\\d{20}-br[0-9a-f]{8}$").r
+
+  private def branchRoot(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"invalid branch name: $name")
+    s"$root/$BranchPrefix$name"
+  }
+
+  /** CREATE a branch at snapshot `fromId` (default: current). A branch
+    * is its own manifest chain under `<root>/_branch-<name>/`, seeded
+    * with the fork snapshot's dir list and NUMBERED FROM the fork id —
+    * zero data copied, and the branch's commit ids stay comparable to
+    * the dir sequences it inherits. Root-level reads never see branch
+    * manifests (they live one level down), so main and branch are
+    * isolated by construction. Returns the branch's initial id. */
+  def branchCreate(spark: SparkSession, root: String, name: String,
+      fromId: Option[Long] = None): Long = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val id = fromId.getOrElse(currentSnapshot(spark, root))
+    val dirs = readManifest(fs, rootPath, id)
+    val bRoot = branchRoot(root, name)
+    require(snapshots(spark, bRoot).isEmpty,
+      s"branch $name already exists at $root")
+    fs.mkdirs(new Path(bRoot))
+    commitManifest(spark, bRoot, id, dirs, Seq(s"#fork:$id"))
+  }
+
+  /** Names of live branches at `root`. */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, rootPath) = fsFor(spark, root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BranchPrefix))
+      .map(_.getPath.getName.stripPrefix(BranchPrefix)).toSeq.sorted
+  }
+
+  /** Current snapshot id of a branch. */
+  def branchCurrent(spark: SparkSession, root: String, name: String): Long =
+    currentSnapshot(spark, branchRoot(root, name))
+
+  /** APPEND on a branch: the delta dir is written into the MAIN root's
+    * shared dir pool under a branch-marked nonce name (`snap-<id>-br…`,
+    * never colliding with a main `snap-<id>` commit), and only the
+    * branch manifest advances — main's current snapshot is untouched.
+    * O(delta) like [[append]]. */
+  def branchAppend(df: DataFrame, root: String, name: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    val bRoot = branchRoot(root, name)
+    val bPath = new Path(bRoot)
+    val cur = currentSnapshot(spark, bRoot)
+    val prior = readManifest(fs, bPath, cur)
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val next = cur + 1
+    val dirName = SnapPrefix + fmt(next) + "-br" + nonce
+    val dirPath = new Path(rootPath, dirName)
+    df.write.mode(SaveMode.Overwrite).parquet(dirPath.toString)
+    if (statsCols.nonEmpty) writeStats(spark, fs, dirPath, statsCols)
+    commitManifest(spark, bRoot, next, prior :+ dirName)
+  }
+
+  /** Read a branch's current state (deletes-aware, data resolved
+    * against the main root's dir pool). */
+  def branchRead(spark: SparkSession, root: String, name: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val (_, rootPath) = fsFor(spark, root)
+    val bRoot = branchRoot(root, name)
+    val bPath = new Path(bRoot)
+    val (bfs, _) = fsFor(spark, bRoot)
+    val dirs = readManifest(bfs, bPath, currentSnapshot(spark, bRoot))
+    readSnapshotDirs(spark, rootPath, dirs, mergeSchema)
+  }
+
+  /** MERGE a branch's appends back into main — the fast-forward case:
+    * every dir the branch INHERITED must still be listed by main's
+    * current manifest (main may have appended meanwhile; a rewrite —
+    * compact/replace — diverges the lineage and needs a keyed
+    * [[upsert]] instead, so it REQUIREs out). Branch-only dirs are
+    * re-pointed to the merge commit's sequence (one directory rename
+    * each — metadata only; they are branch-exclusive until now, so the
+    * rename races nothing), giving them the Iceberg commit-time
+    * sequencing a later equality delete on main compares against. The
+    * merge CONSUMES the branch (ref dir dropped). Returns the new main
+    * snapshot id. */
+  def mergeBranch(spark: SparkSession, root: String, name: String): Long = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val bRoot = branchRoot(root, name)
+    val bPath = new Path(bRoot)
+    val bDirs = readManifest(fs, bPath, currentSnapshot(spark, bRoot))
+    val mainCur = currentSnapshot(spark, root)
+    val mainDirs = readManifest(fs, rootPath, mainCur)
+    val (branchOnly, inherited) =
+      bDirs.partition(d => BranchDirRe.matches(baseName(d)))
+    require(inherited.toSet.subsetOf(mainDirs.toSet),
+      s"branch $name has diverged from a rewritten main at $root: " +
+        "fast-forward merge needs every inherited dir still live; use a " +
+        "keyed upsert for diverged lineages")
+    val next = mainCur + 1
+    val renamed = branchOnly.zipWithIndex.map { case (dn, i) =>
+      val nn = SnapPrefix + fmt(next) + f"-m$i%03d"
+      require(fs.rename(new Path(rootPath, dn), new Path(rootPath, nn)),
+        s"could not re-point branch dir $dn -> $nn at $root")
+      nn
+    }
+    val id = commitManifest(spark, root, next, mainDirs ++ renamed)
+    fs.delete(bPath, true)
+    id
+  }
+
+  /** SHALLOW CLONE: create a new table at `dstRoot` whose first
+    * manifest lists the SOURCE's current data dirs by absolute path —
+    * zero bytes of data copied at any table size (Delta's shallow
+    * clone). The clone's manifest id EQUALS the source's current id, so
+    * every inherited dir's commit sequence stays strictly below any
+    * future clone-local commit — equality deletes on the clone sequence
+    * correctly against inherited data. Writes to the clone (append /
+    * deleteWhere / compact) land under `dstRoot` and never touch the
+    * source; the source must not be vacuumed below the cloned snapshot
+    * while the clone lives (the standard shallow-clone retention
+    * caveat, same as Delta's). Returns the clone's snapshot id. */
+  def cloneTo(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+    val (sfs, sPath) = fsFor(spark, srcRoot)
+    val cur = currentSnapshot(spark, srcRoot)
+    val abs = readManifest(sfs, sPath, cur)
+      .map(d => sfs.makeQualified(new Path(sPath, d)).toUri.getPath)
+    require(snapshots(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has commits")
+    val (dfs, dPath) = fsFor(spark, dstRoot)
+    dfs.mkdirs(dPath)
+    commitManifest(spark, dstRoot, cur, abs)
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Int = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val (fs, rootPath) = fsFor(spark, root)
@@ -1292,8 +1441,16 @@ object SnapshotTable {
     require(ids.nonEmpty, s"no committed snapshot at $root")
     val pinned = tags(spark, root).values.toSet
     val keep = ids.takeRight(keepLast).toSet ++ ids.filter(pinned.contains)
+    // live branches pin every dir any of their manifests reference —
+    // branch data dirs live in the root pool and must survive a main
+    // retention pass (a merged/dropped branch releases them)
+    val branchKept: Set[String] = branches(spark, root).iterator.flatMap { b =>
+      val bRoot = branchRoot(root, b)
+      val bPath = new Path(bRoot)
+      snapshots(spark, bRoot).flatMap(id => readManifest(fs, bPath, id))
+    }.toSet
     val keptDirs: Set[String] =
-      keep.flatMap(id => readManifest(fs, rootPath, id))
+      keep.flatMap(id => readManifest(fs, rootPath, id)) ++ branchKept
     var removed = 0
     // manifests first: once the old manifests are gone, "referenced by a
     // surviving manifest" is exactly `keptDirs`, and the dir sweep below

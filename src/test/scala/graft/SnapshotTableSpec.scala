@@ -675,4 +675,73 @@ class SnapshotTableSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName != f"snap-${4L}%020d")
     assert(stray.isEmpty, s"unreclaimed dirs: ${stray.map(_.getName).toSeq}")
   }
+
+  test("branch: isolation, vacuum protection, merge consumes the ref") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq((1L, "a"), (2L, "a")).toDF("id", "v"), root)
+    SnapshotTable.branchCreate(spark, root, "dev")
+    // duplicate create refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.branchCreate(spark, root, "dev")
+    }
+    SnapshotTable.branchAppend(Seq((3L, "b")).toDF("id", "v"), root, "dev")
+    SnapshotTable.append(Seq((4L, "m")).toDF("id", "v"), root)
+    // isolation both ways
+    assert(SnapshotTable.read(spark, root).count() == 3)
+    assert(SnapshotTable.branchRead(spark, root, "dev").count() == 3)
+    assert(SnapshotTable.branchRead(spark, root, "dev")
+      .filter($"id" === 4L).count() == 0)
+    // retention while the branch lives: its data dir survives the sweep
+    SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(SnapshotTable.branchRead(spark, root, "dev").count() == 3)
+    val merged = SnapshotTable.mergeBranch(spark, root, "dev")
+    assert(SnapshotTable.readAt(spark, root, merged).count() == 4)
+    assert(SnapshotTable.branches(spark, root).isEmpty)
+    // post-merge vacuum reclaims everything unreferenced
+    SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(SnapshotTable.read(spark, root).count() == 4)
+  }
+
+  test("mergeBranch refuses a fast-forward across a main rewrite") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    SnapshotTable.branchCreate(spark, root, "dev")
+    SnapshotTable.branchAppend(Seq((2L, "b")).toDF("id", "v"), root, "dev")
+    // main REWRITES (replace commit): the fork dir is no longer listed
+    SnapshotTable.commit(Seq((9L, "z")).toDF("id", "v"), root)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeBranch(spark, root, "dev")
+    }
+    // the branch itself stays readable after the refused merge
+    assert(SnapshotTable.branchRead(spark, root, "dev").count() == 2)
+  }
+
+  test("shallow clone: zero-copy, diverges locally, source untouched") {
+    val s = spark
+    import s.implicits._
+    val src = tmpRoot()
+    val dst = tmpRoot()
+    SnapshotTable.commit((1 to 6).map(i => (i.toLong, "a")).toDF("id", "v"), src)
+    SnapshotTable.append((7 to 9).map(i => (i.toLong, "b")).toDF("id", "v"), src)
+    val id = SnapshotTable.cloneTo(spark, src, dst)
+    assert(id == 2L)
+    // zero data dirs under the clone root
+    assert(!new java.io.File(dst).listFiles()
+      .exists(f => f.isDirectory &&
+        (f.getName.startsWith("snap-") || f.getName.startsWith("del-"))))
+    intercept[IllegalArgumentException] { SnapshotTable.cloneTo(spark, src, dst) }
+    // diverge: delete an INHERITED row, then re-append the same key —
+    // the re-appended row must survive (delete sequencing across the
+    // clone boundary: inherited dirs keep their source-born sequences)
+    SnapshotTable.deleteKeys(Seq(3L).toDF("id"), dst)
+    SnapshotTable.append(Seq((3L, "new")).toDF("id", "v"), dst)
+    val got = SnapshotTable.read(spark, dst).as[(Long, String)].collect().toMap
+    assert(got.size == 9 && got(3L) == "new")
+    assert(SnapshotTable.read(spark, src).count() == 9)
+    assert(SnapshotTable.read(spark, src).filter($"v" === "new").count() == 0)
+  }
 }
