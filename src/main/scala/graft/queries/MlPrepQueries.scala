@@ -2278,6 +2278,91 @@ object MlPrepQueries {
       |  round(iso, 6) AS iso_rate
       |FROM f ORDER BY bin""".stripMargin))
 
+  /** BOOTSTRAP CONFIDENCE INTERVAL for the corpus mean, exactly
+    * reproducible: B=200 resample replicates with per-(row, replicate)
+    * TRUNCATED-POISSON(1) weights drawn from shared md5 arithmetic —
+    * w in {0..4} by fixed integer thresholds over the 60-bit hash
+    * space (the Poisson bootstrap, the form that streams: no replicate
+    * ever materializes a resampled corpus, each row just carries 200
+    * small weights). The thresholds are hardcoded integer literals
+    * (floor(cdf * 2^60)), so BOTH engines draw bit-identical weights —
+    * no float RNG in the gate; truncation at 4 moves 1.9% of mass to
+    * w=4, a fixed documented bias of the scheme, not noise. Replicate
+    * means are exact integer rationals; the 5th/95th percentile picks
+    * are rank 10 / rank 190 of 200 (ties broken by replicate id). At
+    * 100 TB the explode is map-side (rows x B never shuffles wide:
+    * the aggregation is 200 groups with map-side partials). */
+  val mlBootstrapCi: QueryDef = QueryDef(
+    "ml_bootstrap_ci",
+    (s, d) => {
+      val B = 200
+      // floor(cdf(Poisson(1)) * 2^60) for w <= 0,1,2,3
+      val t = Seq(424136118829305344L, 848272237658610688L,
+        1060340297073263360L, 1131029650211480960L)
+      val d0 = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val u = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 15), 16, 10).cast("long")
+      val w = when(u < t(0), 0L).when(u < t(1), 1L).when(u < t(2), 2L)
+        .when(u < t(3), 3L).otherwise(4L)
+      val means = d0
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr(s"sequence(1, $B)")).as("b"))
+        .withColumn("w", w)
+        .groupBy(col("b"))
+        .agg(sum(col("w") * col("n_chars")).as("num"), sum(col("w")).as("den"))
+      val ranked = means
+        .withColumn("m", col("num").cast("double") / col("den").cast("double"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("m").asc, col("b").asc)))
+      val lo = ranked.filter(col("rn") === B / 20)
+        .select(expr("(100 * num) div den").as("ci_lo_x100"))
+      val hi = ranked.filter(col("rn") === B - B / 20)
+        .select(expr("(100 * num) div den").as("ci_hi_x100"))
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_docs"),
+          expr("(100 * sum_chars) div n_docs").as("mean_x100"),
+          col("ci_lo_x100"), col("ci_hi_x100"))
+    },
+    Some("""WITH reps AS (
+      |  SELECT d.doc_id, d.n_chars, b.b
+      |  FROM documents d, (SELECT unnest(range(1, 201)) AS b) b),
+      |h AS (
+      |  SELECT b, n_chars,
+      |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+      |      CAST(b AS VARCHAR))), 1, 15)) AS BIGINT) AS u
+      |  FROM reps),
+      |wts AS (
+      |  SELECT b, n_chars,
+      |    CASE WHEN u < 424136118829305344 THEN 0
+      |         WHEN u < 848272237658610688 THEN 1
+      |         WHEN u < 1060340297073263360 THEN 2
+      |         WHEN u < 1131029650211480960 THEN 3
+      |         ELSE 4 END AS w
+      |  FROM h),
+      |means AS (
+      |  SELECT b, CAST(sum(w * n_chars) AS BIGINT) AS num,
+      |    CAST(sum(w) AS BIGINT) AS den
+      |  FROM wts GROUP BY b),
+      |ranked AS (
+      |  SELECT num, den,
+      |    row_number() OVER (ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+      |      ASC, b ASC) AS rn
+      |  FROM means),
+      |base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents)
+      |SELECT n_docs, CAST((100 * sum_chars) // n_docs AS BIGINT) AS mean_x100,
+      |  (SELECT CAST((100 * num) // den AS BIGINT) FROM ranked WHERE rn = 10)
+      |    AS ci_lo_x100,
+      |  (SELECT CAST((100 * num) // den AS BIGINT) FROM ranked WHERE rn = 190)
+      |    AS ci_hi_x100
+      |FROM base""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     mixTokenBudget, mixTokenBudgetTemperature, mlTargetEncodeLoo, mlChi2Tokens,
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
@@ -2291,5 +2376,5 @@ object MlPrepQueries {
     sampleUniformK, sampleHashSplit, sampleEpochShuffle, sampleWeightedReplacement,
     packLengthBuckets, embCovariance,
     embProject, embPcaPower, mlAuc, mlCalibrationBins, mlKsDrift,
-    mlIsotonicPav)
+    mlIsotonicPav, mlBootstrapCi)
 }
