@@ -887,11 +887,32 @@ object StreamingQueries {
     Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Streaming EWMA ([[EventStreams.ewmaPerUser]]) drained to its final
+    * per-user update — gated on the SAME oracle as the batch `q_ewma`
+    * (the oracle string is shared by reference, so the two can never
+    * drift): the keyed top-16-by-event-time state is a set summary,
+    * making the final update arrival-order-independent and therefore
+    * exactly the batch answer. Final-update pick: n_events is strictly
+    * monotone across a user's updates. */
+  val streamEwma: QueryDef = QueryDef(
+    "stream_ewma",
+    (s, d) => EventStreams.drainToMemory(
+        EventStreams.ewmaPerUser(EventStreams.readEvents(s, d)).toDF(),
+        OutputMode.Update, "stream_ewma", statePartitions = Some(8))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("last_cents"), col("ewma_num"),
+        col("ewma_den"), col("ewma_x100")), col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        col("f.last_cents").as("last_cents"), col("f.ewma_num").as("ewma_num"),
+        col("f.ewma_den").as("ewma_den"), col("f.ewma_x100").as("ewma_x100"))
+      .orderBy("user_id"),
+    TemporalQueries.qEwma.oracle)
+
   val all: Seq[QueryDef] = Seq(
     streamPackChunks, streamAttribution, streamSnapshotAppend,
     streamSnapshotExactlyOnce,
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,
     streamIntervalJoin, streamIntervalJoinBounded, streamLshDedup, streamLateData,
     streamSessions, streamSessionWindow, streamHitters, streamOuterJoin,
-    streamEnrich, streamMergeUpsert, streamErasure)
+    streamEnrich, streamMergeUpsert, streamErasure, streamEwma)
 }

@@ -423,6 +423,48 @@ object EventStreams {
       }
   }
 
+  final case class EwmaUpdate(user_id: Long, n_events: Long, last_cents: Long,
+      ewma_num: Long, ewma_den: Long, ewma_x100: Long)
+
+  /** Streaming EWMA in keyed state — the streaming twin of the batch
+    * `q_ewma` (16-term alpha=1/2 with dyadic integer weights, see
+    * [[graft.queries.TemporalQueries.qEwma]]): per user, state is the
+    * 16 LARGEST (ts, event_id, v_cents) triples by event-time key — a
+    * SET summary, so the drained result is arrival-order-INDEPENDENT
+    * (the property every oracle-gated stream op here keeps; which
+    * micro-batch delivered an event cannot change the final top-16) —
+    * plus a running event counter. O(16) state per user forever; the
+    * per-update EWMA is the exact same dyadic arithmetic as batch, so
+    * the final update equals the batch query row for row. */
+  def ewmaPerUser(events: DataFrame, depth: Int = 16): Dataset[EwmaUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(depth >= 1 && depth <= 16, "dyadic weights are sized for depth <= 16")
+    val typed = events.select(col("user_id"),
+        expr("unix_micros(ts)").as("tsu"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("v"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[(Long, Long, Long)]), EwmaUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (n, top) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long, Long)]))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          buf ++= top
+          rows.foreach { case (_, tsu, eid, v) =>
+            n += 1
+            buf += ((tsu, eid, v))
+          }
+          val kept = buf.sortBy(t => (-t._1, -t._2)).take(depth).toSeq
+          state.update((n, kept))
+          val num = kept.iterator.zipWithIndex
+            .map { case ((_, _, v), i) => v * (1L << (15 - i)) }.sum
+          val den = kept.iterator.zipWithIndex
+            .map { case (_, i) => 1L << (15 - i) }.sum
+          EwmaUpdate(uid, n, kept.head._3, num, den, num * 100 / den)
+      }
+  }
+
   final case class HitterEntry(user_id: String, cnt: Long, err: Long)
   final case class HitterUpdate(event_type: String, n_tracked: Int,
       n_seen: Long, top: Seq[HitterEntry])
