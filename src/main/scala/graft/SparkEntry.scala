@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, CurationQueries, ExtendedQueries, GovernanceQueries, MlPrepQueries, PipelineQueries, QueryDef, RelationalQueries, StreamingQueries, SurveyQueries, Tables, TemporalQueries, UnicodeQueries}
+import graft.queries.{AnalyticsQueries, CurationQueries, ExtendedQueries, GovernanceQueries, MlPrepQueries, PipelineQueries, QueryDef, RelationalQueries, SpatialQueries, StreamingQueries, SurveyQueries, Tables, TemporalQueries, UnicodeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     SurveyQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++
       ExtendedQueries.all ++ CurationQueries.all ++ AnalyticsQueries.all ++
       MlPrepQueries.all ++ StreamingQueries.all ++ GovernanceQueries.all ++
-      UnicodeQueries.all ++ TemporalQueries.all
+      UnicodeQueries.all ++ TemporalQueries.all ++ SpatialQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the full clean_columns pipeline on a survey-shaped projection. */
