@@ -479,9 +479,86 @@ object RelationalQueries {
       |  CAST(least(c_custkey % 7, c_custkey % 11) AS BIGINT) AS lt
       |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin))
 
+  /** Per-group exact MODE with a deterministic tie-break (smallest
+    * value wins) — the missing order-statistics aggregate next to
+    * median/percentiles. Shape: the corpus collapses to (group, value)
+    * counts in one map-combinable aggregation; the arg-max-by-count is
+    * then a packed-long min over that bounded relation — value domains
+    * are cents < 10^7, so key = -cnt * 10^7 + value_cents orders by
+    * (count DESC, value ASC) exactly, the same encoding both engines
+    * minimize. */
+  val qMode: QueryDef = QueryDef(
+    "q_mode",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cnt") * lit(-10000000L) + col("v")).as("packed"),
+        max(col("cnt")).as("mode_n"))
+      .select(col("l_returnflag"),
+        (col("packed") + col("mode_n") * lit(10000000L)).as("mode_cents"),
+        col("mode_n"))
+      .orderBy("l_returnflag"),
+    Some("""WITH c AS (
+      |  SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS v,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag,
+      |    min(cnt * (-10000000) + v) AS packed, max(cnt) AS mode_n
+      |  FROM c GROUP BY 1)
+      |SELECT l_returnflag,
+      |  CAST(packed + mode_n * 10000000 AS BIGINT) AS mode_cents,
+      |  CAST(mode_n AS BIGINT) AS mode_n
+      |FROM m ORDER BY l_returnflag""".stripMargin))
+
+  /** Per-group exact WEIGHTED MEDIAN (weight = extendedprice cents):
+    * the robust-statistics aggregate a plain median can't replace when
+    * rows carry mass. Scale shape: the corpus first collapses to
+    * (group, value) weight sums — map-side combinable, the full data
+    * never sorts — then a cumulative window over the BOUNDED distinct-
+    * value relation picks the lower weighted median (first value where
+    * 2*cumweight >= total), all exact integer comparisons. */
+  val qWeightedMedian: QueryDef = QueryDef(
+    "q_weighted_median",
+    (s, d) => {
+      val perValue = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          expr("cast(round(l_quantity * 100) as bigint)").as("v"))
+        .agg(expr("sum(cast(round(l_extendedprice * 100) as bigint))").as("w"))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("v").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      perValue
+        .withColumn("cum", sum(col("w")).over(cw))
+        .withColumn("total", sum(col("w")).over(tot))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("v")).as("wmedian_cents"), max(col("total")).as("total_w"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH pv AS (
+      |  SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS v,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT l_returnflag, v,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM pv)
+      |SELECT l_returnflag, min(v) AS wmedian_cents,
+      |  CAST(max(total) AS BIGINT) AS total_w
+      |FROM cw WHERE cum * 2 >= total GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
     qSetOps, qTopkOrders, qEventsHourly, qRollup, qCube, qEventsSessions,
     qSessionWindowNative, qCopurchasePairs,
-    qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs)
+    qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs,
+    qMode, qWeightedMedian)
 }
