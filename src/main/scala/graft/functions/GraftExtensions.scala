@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectTableFunction(GraftExtensions.snapshotTableTvf)
+    ext.injectTableFunction(GraftExtensions.snapshotBranchTvf)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -140,6 +141,32 @@ object GraftExtensions {
       builder)
   }
 
+  /** `snapshot_branch('<root>', '<branch>')` — SQL front door to branch
+    * reads ([[graft.sources.SnapshotTable.branchRead]]): the branch's
+    * current state, deletes-aware, data resolved against the main
+    * root's dir pool:
+    * {{{ SELECT * FROM snapshot_branch('/lake/orders', 'dev') }}} */
+  val snapshotBranchTvf: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    def strLit(e: Expression, what: String): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    val builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+      require(args.length == 2, "snapshot_branch takes (root, branch_name)")
+      val df = graft.sources.SnapshotTable.branchRead(SparkSession.active,
+        strLit(args.head, "snapshot_branch root"),
+        strLit(args(1), "snapshot_branch name"))
+      df.queryExecution.analyzed
+    }
+    (FunctionIdentifier("snapshot_branch"),
+      new ExpressionInfo("graft.sources.SnapshotTable", "snapshot_branch"),
+      builder)
+  }
+
   /** Register on an already-built session (functions via the registry,
     * the optimizer rule via `experimental.extraOptimizations` — the
     * live-session hook for rules). Idempotent. */
@@ -150,6 +177,8 @@ object GraftExtensions {
     }
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       snapshotTableTvf._1.funcName, snapshotTableTvf._3, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      snapshotBranchTvf._1.funcName, snapshotBranchTvf._3, "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThreshold

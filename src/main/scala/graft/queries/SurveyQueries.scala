@@ -2675,8 +2675,11 @@ object SurveyQueries {
       // branch's data dir must survive the sweep (branch-aware refcount)
       val removed = graft.sources.SnapshotTable.vacuum(s, root, keepLast = 1)
       require(removed == 1, s"vacuum must drop exactly main v1, dropped $removed")
+      // read the branch through its SQL front door (snapshot_branch TVF)
+      // so the gate drives the plain-SQL surface too
+      graft.functions.GraftExtensions.register(s)
       val branchState =
-        graft.sources.SnapshotTable.branchRead(s, root, "dev").localCheckpoint(true)
+        s.sql(s"SELECT * FROM snapshot_branch('$root', 'dev')").localCheckpoint(true)
       val merged = graft.sources.SnapshotTable.mergeBranch(s, root, "dev")
       require(merged == 3L &&
         graft.sources.SnapshotTable.branches(s, root).isEmpty,

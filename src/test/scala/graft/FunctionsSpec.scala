@@ -205,4 +205,25 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal") || e.getMessage.contains("FAILED"))
   }
+
+  test("snapshot_branch TVF reads the branch state from plain SQL") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tvfb").toString + "/t"
+    graft.sources.SnapshotTable.commit(
+      (1 to 10).map(i => (i.toLong, "main")).toDF("id", "v"), root)
+    graft.sources.SnapshotTable.branchCreate(spark, root, "dev")
+    graft.sources.SnapshotTable.branchAppend(
+      Seq((11L, "dev")).toDF("id", "v"), root, "dev")
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_branch('$root', 'dev')")
+      .head().getLong(0) == 11)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_table('$root')")
+      .head().getLong(0) == 10)
+    // branch-only rows visible through the branch TVF, not main's
+    assert(spark.sql(
+      s"""SELECT count(*) FROM snapshot_branch('$root', 'dev') b
+         |LEFT ANTI JOIN snapshot_table('$root') m ON b.id = m.id""".stripMargin)
+      .head().getLong(0) == 1)
+  }
 }
