@@ -94,4 +94,76 @@ class SnapshotPropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == model.last._2)
     }
   }
+
+  // 0 = commit (replace), 1 = append, 2 = branchCreate, 3 = branchAppend,
+  // 4 = mergeBranch, 5 = vacuum
+  private val branchSeqGen: Gen[List[Int]] =
+    Gen.listOfN(10, Gen.chooseNum(0, 5))
+
+  test("random op sequences with a branch: isolation, merge/refusal, retention") {
+    val s = spark
+    import s.implicits._
+    forAll(branchSeqGen, samples = 5) { ops =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snapbr").toString + "/t"
+      var main = Set.empty[(Long, Long)]
+      var nSnaps = 0
+      // branch model: (rows, branch-only rows, main rewritten since fork)
+      var branch: Option[(Set[(Long, Long)], Set[(Long, Long)], Boolean)] = None
+      var ctr = 0
+      def mkRows(): Set[(Long, Long)] =
+        ((ctr * 1000 + 1) to (ctr * 1000 + 4 + ctr % 5))
+          .map(i => (i.toLong, ctr.toLong)).toSet
+      def df(rows: Set[(Long, Long)]) =
+        rows.toSeq.sorted.toDF("id", "gen").repartition(3)
+      (0 :: ops).foreach { op =>
+        op match {
+          case 0 =>
+            main = mkRows()
+            SnapshotTable.commit(df(main), root); nSnaps += 1
+            branch = branch.map { case (r, bo, _) => (r, bo, true) } // rewrite
+          case 1 =>
+            val rows = mkRows()
+            SnapshotTable.append(df(rows), root); nSnaps += 1
+            main ++= rows
+          case 2 if branch.isEmpty && nSnaps > 0 =>
+            SnapshotTable.branchCreate(spark, root, "dev")
+            branch = Some((main, Set.empty, false))
+          case 3 if branch.nonEmpty =>
+            val rows = mkRows()
+            SnapshotTable.branchAppend(df(rows), root, "dev")
+            branch = branch.map { case (r, bo, rw) => (r ++ rows, bo ++ rows, rw) }
+          case 4 if branch.nonEmpty =>
+            val (bRows, bOnly, rewritten) = branch.get
+            if (rewritten) {
+              intercept[IllegalArgumentException] {
+                SnapshotTable.mergeBranch(spark, root, "dev")
+              }
+              // refused merge leaves the branch intact and readable
+              val got = SnapshotTable.branchRead(spark, root, "dev")
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+              assert(got == bRows, s"branch damaged by refused merge (ops=$ops)")
+            } else {
+              SnapshotTable.mergeBranch(spark, root, "dev"); nSnaps += 1
+              main ++= bOnly
+              branch = None
+            }
+          case 5 if nSnaps > 0 =>
+            SnapshotTable.vacuum(spark, root, keepLast = 1)
+          case _ => ()
+        }
+        ctr += 1
+        if (nSnaps > 0) {
+          val gotMain = SnapshotTable.read(spark, root)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(gotMain == main, s"main diverged after op $op (ops=$ops)")
+          branch.foreach { case (bRows, _, _) =>
+            val gotBr = SnapshotTable.branchRead(spark, root, "dev")
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            assert(gotBr == bRows, s"branch diverged after op $op (ops=$ops)")
+          }
+        }
+      }
+    }
+  }
 }
