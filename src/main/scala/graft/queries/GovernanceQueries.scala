@@ -720,7 +720,51 @@ object GovernanceQueries {
       |SELECT seg AS c_mktsegment, nat AS c_nationkey, count(*) AS n_synth
       |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(privacyErasureAudit, privacyErasureMor,
+  /** audit_lineage: COLUMN-LEVEL LINEAGE extracted from the analyzed
+    * Catalyst plan ([[graft.audit.Lineage.columnLineage]]) — a traced
+    * pipeline (rename, cast, two-column arithmetic, coalesce, CASE,
+    * literal, and a rank window over an aliased partition key) is
+    * walked, never run, and every output column maps to the sorted set
+    * of LEAF source columns that can influence its value. The oracle is
+    * the HAND-DERIVED truth table (a VALUES literal), so the plan walk
+    * is pinned against human reading of the expressions, not against
+    * itself; the window row proves TRANSITIVE tracing (rank depends on
+    * its partition key and sort key, both aliases over leaf columns).
+    * Control-flow influence (filters, join keys) is deliberately not
+    * lineage — the OpenLineage direct-dependency contract. */
+  val auditLineage: QueryDef = QueryDef(
+    "audit_lineage",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("note")).orderBy(col("net_price").asc)
+      val traced = Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey").as("order_id"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("net_price"),
+          coalesce(col("l_returnflag"), col("l_linestatus")).as("note"),
+          when(col("l_tax") > 0.05, col("l_tax"))
+            .otherwise(col("l_discount")).as("eff_rate"),
+          lit("v1").as("version"))
+        .withColumn("price_rank", rank().over(w))
+      val rows = graft.audit.Lineage.columnLineage(traced)
+        .map { case (c, srcs) => (c, srcs.mkString(",")) }
+      val spark = s
+      import spark.implicits._
+      rows.toDF("output_column", "source_columns").orderBy("output_column")
+    },
+    Some("""SELECT * FROM (VALUES
+      |  ('eff_rate', 'l_discount,l_tax'),
+      |  ('net_price', 'l_discount,l_extendedprice'),
+      |  ('note', 'l_linestatus,l_returnflag'),
+      |  ('order_id', 'l_orderkey'),
+      |  ('price_rank', 'l_discount,l_extendedprice,l_linestatus,l_returnflag'),
+      |  ('qty', 'l_quantity'),
+      |  ('version', '')) t(output_column, source_columns)
+      |ORDER BY output_column""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(privacyErasureAudit, privacyErasureMor, auditLineage,
     privacyMaskedView, privacySyntheticResample,
     privacyKAnon, privacyLDiversity, privacyTCloseness, privacySnapshotErasure,
     auditConstraints, privacyDpQuantile,
