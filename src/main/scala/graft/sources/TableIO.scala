@@ -327,7 +327,14 @@ object TableIO {
     case e2 if e2.getMessage != null &&
       (e2.getMessage.contains("PATH_NOT_FOUND") ||
         e2.getMessage.contains("Path does not exist") ||
+        // Spark 4 stage-failure shape when tasks exhaust their own
+        // retries against a renamed-away file list (surfaces under
+        // load; the cause chain is not always preserved across the
+        // task->driver boundary, so match the error-class text too)
+        e2.getMessage.contains("FILE_NOT_EXIST") ||
+        e2.getMessage.contains("File does not exist") ||
         e2.getMessage.contains("FileNotFoundException") ||
+        e2.getMessage.contains("NoSuchFileException") ||
         e2.getMessage.contains("AccessDeniedException") ||
         e2.getMessage.contains("Permission denied")) => true
     case e2 => isPathMissing(e2.getCause)
