@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.snapshotTableTvf)
     ext.injectTableFunction(GraftExtensions.snapshotBranchTvf)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -182,6 +183,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThreshold
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SummaryRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SummaryRewrite
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -2777,7 +2777,64 @@ object SurveyQueries {
       |SELECT stage, count(*) AS n_rows, CAST(sum(q) AS BIGINT) AS sum_qty_x100
       |FROM u GROUP BY stage ORDER BY stage""".stripMargin))
 
+  /** maintenance_summary_rewrite: the MATERIALIZED-SUMMARY REWRITE rule
+    * ([[graft.plans.SummaryRewrite]] — Calcite's MV rewrite reduced to
+    * the aggregate-rollup lattice) driven end to end: a per-(flag,
+    * status) summary of a lineitem projection is materialized and
+    * registered, and the gate's aggregate — grouped on a SUBSET of the
+    * summary keys — is rewritten BY THE OPTIMIZER to scan the summary
+    * (REQUIREd from the optimized plan's scan path: summary in, base
+    * out). The oracle computes from the BASE data in DuckDB, so the
+    * gate proves the rollup algebra is an identity, not just that the
+    * redirect happened. All integers (quantity cents), so re-summing
+    * partial sums is exactly the direct sum. */
+  val maintenanceSummaryRewrite: QueryDef = QueryDef(
+    "maintenance_summary_rewrite",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "mv_rewrite")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val base = s"$dir/base"
+      val summary = s"$dir/summary"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"))
+        .write.mode("overwrite").parquet(base)
+      graft.functions.GraftExtensions.register(s)
+      graft.plans.SummaryRewrite.summarize(s, base, summary,
+        groupCols = Seq("l_returnflag", "l_linestatus"),
+        sumCols = Seq("qty_cents"), minCols = Seq("qty_cents"),
+        maxCols = Seq("qty_cents"))
+      val q = s.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(sum(col("qty_cents")).as("sum_qty"), count(lit(1)).as("n"),
+          min(col("qty_cents")).as("min_qty"),
+          max(col("qty_cents")).as("max_qty"))
+        .orderBy("l_returnflag")
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+      }.flatten
+      require(scanned.exists(_.endsWith("/summary")) &&
+        !scanned.exists(_.endsWith("/base")),
+        s"optimizer must reroute the aggregate to the summary, scanned $scanned")
+      graft.plans.SummaryRewrite.deregister(base) // no cross-gate leakage
+      q
+    },
+    Some("""WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT l_returnflag, sum(q) AS sum_qty, count(*) AS n,
+      |  min(q) AS min_qty, max(q) AS max_qty
+      |FROM b GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
+    maintenanceSummaryRewrite,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,

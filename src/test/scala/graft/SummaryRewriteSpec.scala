@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.SummaryRewrite
+
+/** Behavioral pins for the materialized-summary rewrite rule: matching
+  * aggregates are redirected to the summary (proven from the optimized
+  * plan's scan path), non-matching shapes are left on the base, and
+  * the rewritten results equal the direct computation exactly. */
+class SummaryRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten
+
+  test("matching aggregates reroute to the summary; results exact; non-matching stay on base") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    val base = s"$dir/base"
+    val summary = s"$dir/summary"
+    val src = (1 to 400).map(i =>
+      (i.toLong, s"g${i % 5}", s"h${i % 3}", (i % 97).toLong))
+      .toDF("id", "g1", "g2", "v")
+    src.write.parquet(base)
+    graft.functions.GraftExtensions.register(spark)
+    SummaryRewrite.summarize(spark, base, summary,
+      groupCols = Seq("g1", "g2"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"))
+    try {
+      val q = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      assert(scanPaths(q).exists(_.endsWith("/summary")) &&
+        !scanPaths(q).exists(_.endsWith("/base")),
+        s"matching aggregate must scan the summary, scanned ${scanPaths(q)}")
+      // exactness vs the in-memory source (never touched the registry)
+      val expected = src.groupBy(col("g1"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val got = q.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == expected, "rewritten results diverged from direct computation")
+      // ExprId preservation: downstream operators keep resolving
+      assert(q.filter(col("n") > 0).orderBy(col("sv").desc).count() == 5)
+      // full-lattice grouping (G == G') also matches
+      val q2 = spark.read.parquet(base).groupBy(col("g1"), col("g2"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(q2).exists(_.endsWith("/summary")))
+      assert(q2.agg(sum(col("n"))).head().getLong(0) == 400)
+      // non-matching shapes stay on base: filter on a non-group column
+      val f = spark.read.parquet(base).filter(col("v") > 50)
+        .groupBy(col("g1")).agg(sum(col("v")).as("sv"))
+      assert(scanPaths(f).exists(_.endsWith("/base")),
+        "filtered aggregate must NOT use the summary")
+      // distinct aggregate stays on base
+      val dq = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(countDistinct(col("v")).as("nd"))
+      assert(scanPaths(dq).exists(_.endsWith("/base")))
+      // unregistered aggregate column stays on base
+      val uq = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum(col("id")).as("si"))
+      assert(scanPaths(uq).exists(_.endsWith("/base")))
+    } finally SummaryRewrite.deregister(base)
+  }
+}
