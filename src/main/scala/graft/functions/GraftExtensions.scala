@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.snapshotBranchTvf)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RowPolicy)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -186,6 +187,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.SummaryRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SummaryRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RowPolicy))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RowPolicy
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

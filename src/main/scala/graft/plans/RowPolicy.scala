@@ -1,0 +1,79 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** ROW-LEVEL SECURITY as an optimizer rule: a registered policy
+  * predicate is attached to EVERY read of its table — `spark.read
+  * .parquet(path)` by any code path, SQL or DataFrame, comes back
+  * pre-filtered, the lake-side equivalent of a database's row policy
+  * (reference analog: the sensitive-tier projection gates COLUMNS at
+  * view-definition time, `core/transformations.py:727`; this gates
+  * ROWS at plan time). Because the predicate lands directly above the
+  * scan, Catalyst's normal pushdown carries it into the parquet reader
+  * (PushedFilters — row-group pruning), so enforcement is not a
+  * post-hoc filter over a 100 TB scan but part of the scan itself.
+  *
+  * The rewrite is convergent by construction: a relation already
+  * guarded by a semantically-equal Filter is left alone, so the
+  * optimizer's fixpoint batches terminate. Policies compose with any
+  * user filter (both conjuncts push down independently). */
+object RowPolicy extends Rule[LogicalPlan] {
+
+  private val registry = TrieMap.empty[String, String] // path -> predicate SQL
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Register `predicateSql` (a boolean SQL expression over the table's
+    * columns) as the row policy for the table at `path`. */
+  def register(path: String, predicateSql: String): Unit = {
+    CatalystSqlParser.parseExpression(predicateSql) // fail fast on syntax
+    registry.put(normalize(path), predicateSql)
+  }
+
+  def deregister(path: String): Unit = registry.remove(normalize(path))
+  def clear(): Unit = registry.clear()
+
+  private def policySqlFor(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.iterator
+        .map(p => registry.get(normalize(p.toString)))
+        .collectFirst { case Some(s) => s }
+      case _ => None
+    }
+
+  /** The policy predicate resolved against the relation's own output
+    * attributes (case-insensitive name match, Spark's default). */
+  private def resolved(sql: String, lr: LogicalRelation): Expression =
+    CatalystSqlParser.parseExpression(sql).transformUp {
+      case u: UnresolvedAttribute =>
+        lr.output.find(_.name.equalsIgnoreCase(u.name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"row policy references unknown column ${u.name}; table has " +
+              lr.output.map(_.name).mkString(", ")))
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    def rec(p: LogicalPlan): LogicalPlan = p match {
+      // already enforced: leave it, so the fixpoint converges
+      case f @ Filter(cond, lr: LogicalRelation)
+          if policySqlFor(lr).exists(s => cond.semanticEquals(resolved(s, lr))) =>
+        f
+      case lr: LogicalRelation =>
+        policySqlFor(lr) match {
+          case Some(sql) => Filter(resolved(sql, lr), lr)
+          case None => lr
+        }
+      case other => other.mapChildren(rec)
+    }
+    rec(plan)
+  }
+}

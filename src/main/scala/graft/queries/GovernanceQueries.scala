@@ -764,7 +764,53 @@ object GovernanceQueries {
       |  ('version', '')) t(output_column, source_columns)
       |ORDER BY output_column""".stripMargin))
 
+  /** privacy_row_policy: ROW-LEVEL SECURITY enforced by the optimizer
+    * ([[graft.plans.RowPolicy]]): a policy predicate registered for a
+    * table path is attached to EVERY read of that path — the gate reads
+    * the governed table with a completely plain `spark.read.parquet`
+    * and still only sees the allowed rows. The REQUIREs pin the
+    * mechanism, not just the outcome: the injected filter reaches the
+    * parquet scan as a pushed filter (row-group pruning — enforcement
+    * is part of the scan, not a post-scan pass over 100 TB), and it
+    * composes with a user filter (both conjuncts pushed). Oracle:
+    * DuckDB computes from the same data WITH the policy's WHERE. */
+  val privacyRowPolicy: QueryDef = QueryDef(
+    "privacy_row_policy",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "row_policy")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val base = s"$dir/customer"
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+        .write.mode("overwrite").parquet(base)
+      graft.functions.GraftExtensions.register(s)
+      graft.plans.RowPolicy.register(base, "c_mktsegment <> 'BUILDING'")
+      // a completely ordinary read + user filter over the governed table
+      val q = s.read.parquet(base)
+        .filter(col("c_custkey") % 2 === 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))
+        .orderBy("c_mktsegment")
+      val physical = q.queryExecution.executedPlan.toString
+      require(physical.contains("PushedFilters") &&
+        physical.contains("EqualTo(c_mktsegment,BUILDING)"),
+        "the policy predicate must reach the parquet scan as a pushed filter")
+      // the policy stays registered: any later re-plan of this frame
+      // (e.g. the verify sink's coalesce) must stay governed too — the
+      // registry key is this gate's own scratch path, nothing else
+      // reads it
+      q
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+      |FROM customer
+      |WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 2 = 0
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(privacyErasureAudit, privacyErasureMor, auditLineage,
+    privacyRowPolicy,
     privacyMaskedView, privacySyntheticResample,
     privacyKAnon, privacyLDiversity, privacyTCloseness, privacySnapshotErasure,
     auditConstraints, privacyDpQuantile,

@@ -2822,7 +2822,9 @@ object SurveyQueries {
       require(scanned.exists(_.endsWith("/summary")) &&
         !scanned.exists(_.endsWith("/base")),
         s"optimizer must reroute the aggregate to the summary, scanned $scanned")
-      graft.plans.SummaryRewrite.deregister(base) // no cross-gate leakage
+      // the summary stays registered: a later re-plan of this frame
+      // (e.g. the verify sink's coalesce) must keep rewriting — the
+      // registry key is this gate's own scratch path
       q
     },
     Some("""WITH b AS (

@@ -71,4 +71,32 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(scanPaths(uq).exists(_.endsWith("/base")))
     } finally SummaryRewrite.deregister(base)
   }
+
+  test("row policy: plain reads come back filtered, compose with user filters, converge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rls").toString
+    val base = s"$dir/t"
+    val src = (1 to 100).map(i => (i.toLong, if (i % 4 == 0) "secret" else "ok"))
+      .toDF("id", "tier")
+    src.write.parquet(base)
+    graft.functions.GraftExtensions.register(spark)
+    graft.plans.RowPolicy.register(base, "tier <> 'secret'")
+    try {
+      // plain read: policy rows gone
+      assert(spark.read.parquet(base).count() == 75)
+      assert(spark.read.parquet(base).filter($"tier" === "secret").count() == 0)
+      // composes with a user filter; both reach the scan
+      val q = spark.read.parquet(base).filter($"id" <= 10)
+      assert(q.count() == 8) // ids 1..10 minus 4, 8
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("EqualTo(tier,secret)") && phys.contains("LessThanOrEqual(id,10)"),
+        s"both conjuncts must push to the scan:\n$phys")
+      // convergence: re-optimizing an already-guarded plan adds nothing
+      val once = q.queryExecution.optimizedPlan
+      assert(graft.plans.RowPolicy(once).sameResult(once),
+        "rule must be a no-op on an already-guarded plan")
+      // unknown policy column fails loud at read time
+      graft.plans.RowPolicy.register(base, "no_such_col = 1")
+      intercept[Exception] { spark.read.parquet(base).count() }
+    } finally graft.plans.RowPolicy.deregister(base)
+  }
 }
