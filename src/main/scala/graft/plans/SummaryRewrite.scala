@@ -56,6 +56,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       groupCols: Seq[String], sumCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): SummarySpec = {
     require(groupCols.nonEmpty, "summary needs at least one group column")
+    // a REFRESH must re-read the base: drop any live registration so
+    // the build aggregate below cannot be rewritten to the stale (or
+    // already-deleted) summary it is about to replace
+    registry.remove(normalize(basePath))
     val base = spark.read.parquet(basePath)
     val aggs = sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
       Seq(count(lit(1)).as("cnt")) ++
@@ -132,7 +136,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case ne => derive(spec, ne).getOrElse(return None)
     }
     val spark = SparkSession.active
-    val replacement: DataFrame = spark.read.parquet(spec.summaryPath)
+    // fail OPEN: a rewrite is an optimization, so a vacuumed/moved
+    // summary must fall back to the base scan, never kill the query
+    // (contrast RowPolicy, which fails CLOSED — security vs speed)
+    val summaryDf = try spark.read.parquet(spec.summaryPath)
+    catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    val replacement: DataFrame = summaryDf
       .groupBy(groupNames.map(col): _*)
       .agg(derived.head, derived.tail: _*)
       .select(aggExprs.map(ne => col(ne.name)): _*)

@@ -69,6 +69,25 @@ class SummaryRewriteSpec extends SparkSpec {
       val uq = spark.read.parquet(base).groupBy(col("g1"))
         .agg(sum(col("id")).as("si"))
       assert(scanPaths(uq).exists(_.endsWith("/base")))
+      // REFRESH while registered: the rebuild must re-read the BASE,
+      // not consume its own (deleted) summary — the repeated-run path
+      val fs = new org.apache.hadoop.fs.Path(summary)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(summary), true)
+      SummaryRewrite.summarize(spark, base, summary,
+        groupCols = Seq("g1", "g2"), sumCols = Seq("v"),
+        minCols = Seq("v"), maxCols = Seq("v"))
+      val qr = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum(col("v")).as("sv"))
+      assert(scanPaths(qr).exists(_.endsWith("/summary")))
+      assert(qr.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == expected.map { case (k, v) => k -> v._1 })
+      // a vacuumed summary fails OPEN back to the base scan
+      fs.delete(new org.apache.hadoop.fs.Path(summary), true)
+      val qo = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum(col("v")).as("sv"))
+      assert(scanPaths(qo).exists(_.endsWith("/base")))
+      assert(qo.count() == 5)
     } finally SummaryRewrite.deregister(base)
   }
 
