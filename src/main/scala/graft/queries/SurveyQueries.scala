@@ -2835,8 +2835,67 @@ object SurveyQueries {
       |  min(q) AS min_qty, max(q) AS max_qty
       |FROM b GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
+  /** ingest_delta_log: interop with the PUBLIC Delta Lake `_delta_log`
+    * commit protocol ([[graft.sources.DeltaCompat]]) — a two-commit
+    * synthetic table (commit 0 adds two part files; commit 1 removes
+    * one and adds a third) is resolved WITHOUT any Delta library: the
+    * JSON commits are read as an ordinary Spark job and last-action-
+    * wins reconciliation per path yields the live file set, which must
+    * be exactly {part1, part2} — the removed slice's rows absent, the
+    * replacement present, value-gated against DuckDB computing the
+    * surviving slices from lineitem. The migration story for a lake
+    * that already holds Delta tables. */
+  val ingestDeltaLog: QueryDef = QueryDef(
+    "ingest_delta_log",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_compat")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
+        (col("l_orderkey") % 3).as("m"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      val (p0, p1, p2) = (writePart(0), writePart(1), writePart(2))
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$dir/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      writeCommit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t1","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p1","dataChange":true}}"""))
+      writeCommit(1, Seq(
+        s"""{"remove":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p2","dataChange":true}}"""))
+      graft.sources.DeltaCompat.readDeltaTable(s, dir)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 3 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li WHERE m IN (1, 2) GROUP BY m ORDER BY m""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    maintenanceSummaryRewrite,
+    maintenanceSummaryRewrite, ingestDeltaLog,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,
