@@ -2894,8 +2894,55 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li WHERE m IN (1, 2) GROUP BY m ORDER BY m""".stripMargin))
 
+  /** maintenance_snapshot_uniform: DUAL-FORMAT export
+    * ([[graft.sources.DeltaCompat.exportDeltaLog]] — the UniForm idea):
+    * a snapshot table's manifest chain (commit, O(delta) append, a
+    * COMPACT that rewrites the layout, another append) is translated
+    * into a `_delta_log` living in the same root — zero data copied,
+    * one JSON commit per snapshot, the compact surfacing exactly as
+    * Delta expects (old files removed + compacted file added in one
+    * commit). The gate REQUIREs one Delta commit per snapshot and that
+    * the resolved live set equals the current manifest's files, then
+    * value-gates the DELTA-protocol read of the table against DuckDB
+    * computing from the base slices — the same bytes serve both
+    * formats. */
+  val maintenanceSnapshotUniform: QueryDef = QueryDef(
+    "maintenance_snapshot_uniform",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/uniform")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderkey") % 4).as("m"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      val slice = (m: Int) => orders.filter(col("m") === m)
+      graft.sources.SnapshotTable.commit(slice(0), root)              // v1
+      graft.sources.SnapshotTable.append(slice(1), root)              // v2
+      graft.sources.SnapshotTable.compact(s, root, rowsPerFile = 100000) // v3
+      graft.sources.SnapshotTable.append(slice(2), root)              // v4
+      val n = graft.sources.DeltaCompat.exportDeltaLog(s, root)
+      require(n == 4, s"one Delta commit per snapshot expected, wrote $n")
+      val live = graft.sources.DeltaCompat.liveFiles(s, root)
+        .map(_.split('/').takeRight(2).mkString("/")).toSet
+      val manifest = graft.sources.SnapshotTable
+        .dirsAt(s, root, 4L).toSet
+      require(live.forall(f => manifest.contains(f.split('/').head)),
+        s"Delta live set must resolve to the current manifest's dirs: $live vs $manifest")
+      graft.sources.DeltaCompat.readDeltaTable(s, root)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("m")
+    },
+    Some("""SELECT o_orderkey % 4 AS m, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+      |GROUP BY 1 ORDER BY m""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    maintenanceSummaryRewrite, ingestDeltaLog,
+    maintenanceSummaryRewrite, ingestDeltaLog, maintenanceSnapshotUniform,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,

@@ -59,4 +59,61 @@ object DeltaCompat {
     require(files.nonEmpty, s"Delta table at $dir has no live files")
     spark.read.parquet(files: _*)
   }
+
+  /** DUAL-FORMAT EXPORT (the UniForm idea): write a `_delta_log` INTO a
+    * [[SnapshotTable]] root so the SAME files read as a Delta table —
+    * zero data copied, one small JSON commit per snapshot. Each
+    * snapshot's manifest diff becomes a Delta commit: dirs entering the
+    * manifest contribute `add` actions for their parquet files, dirs
+    * leaving contribute `remove`s (a replace/compact shows up exactly
+    * as Delta expects: old files removed, new files added, same
+    * commit). Merge-on-read delete dirs refuse loudly — Delta expresses
+    * row-level deletes as deletion vectors, not equality-delete files,
+    * so a faithful export of a MOR chain needs a compact first.
+    * Returns the number of Delta commits written. */
+  def exportDeltaLog(spark: SparkSession, snapshotRoot: String): Int = {
+    val fs = new Path(snapshotRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = SnapshotTable.snapshots(spark, snapshotRoot)
+    require(ids.nonEmpty, s"no committed snapshot at $snapshotRoot")
+    def filesOf(dir: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) {
+          val full = st.getPath.toUri.getPath
+          val root = fs.makeQualified(new Path(snapshotRoot)).toUri.getPath
+          out += full.stripPrefix(root + "/")
+        }
+      }
+      walk(new Path(snapshotRoot, dir))
+      out.toSeq.sorted
+    }
+    val logDir = new Path(s"$snapshotRoot/_delta_log")
+    fs.delete(logDir, true) // re-export replaces the previous translation
+    fs.mkdirs(logDir)
+    var prevDirs = Seq.empty[String]
+    ids.zipWithIndex.foreach { case (id, idx) =>
+      val dirs = SnapshotTable.dirsAt(spark, snapshotRoot, id)
+      require(dirs.forall(d => !d.substring(d.lastIndexOf('/') + 1)
+          .startsWith("del-")),
+        s"snapshot $id carries merge-on-read deletes — compact before " +
+          "exporting a Delta log (Delta models row deletes as deletion " +
+          "vectors, not equality-delete files)")
+      val added = dirs.filterNot(prevDirs.contains).flatMap(filesOf)
+      val removed = prevDirs.filterNot(dirs.contains).flatMap(filesOf)
+      val header = if (idx == 0) Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"graft-${new Path(snapshotRoot).getName}","format":{"provider":"parquet"}}}""")
+      else Nil
+      val lines = header ++
+        removed.map(p => s"""{"remove":{"path":"$p","dataChange":true}}""") ++
+        added.map(p => s"""{"add":{"path":"$p","dataChange":true}}""")
+      val out = fs.create(new Path(logDir, f"$idx%020d.json"), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      prevDirs = dirs
+    }
+    ids.size
+  }
 }
