@@ -132,4 +132,26 @@ object Skew {
       partial = Seq(countDistinct(valueCol).as("__d")),
       finalAgg = Seq(sum(col("__d")).as("n_distinct")),
       keyName = keyName)
+
+  /** SALTED equi-join for a skewed LEFT side: the left row's shuffle
+    * key becomes (key, hash % salts) — a hot key spreads over `salts`
+    * reducers — and the right side is replicated into every salt bucket
+    * (the classic replicate-the-small-side trade: right pays x`salts`
+    * shuffle volume, the hot reducer shrinks by the same factor). The
+    * result set EQUALS the plain inner join for any salt assignment —
+    * salts only re-route rows — which is what makes the technique
+    * oracle-gateable. AQE's skew-join splitting covers sort-merge
+    * joins it can observe; explicit salting is the form that also
+    * covers deliberately-planned shuffle-hash joins and pre-shuffle
+    * bucketing decisions. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int, saltSource: Column): DataFrame = {
+    require(salts >= 2, "salting needs at least 2 buckets")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin")
+    val l = left.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -555,10 +555,111 @@ object RelationalQueries {
       |  CAST(max(total) AS BIGINT) AS total_w
       |FROM cw WHERE cum * 2 >= total GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
+  /** SALTED equi-join under engineered skew
+    * ([[graft.ops.Skew.saltedJoin]]): 60% of events collapse onto one
+    * hot key, and the join against a per-key dimension is salted 8 ways
+    * — the hot key's probe spreads over 8 reducers while the dimension
+    * pays 8x replication (the classic trade AQE's skew splitting makes
+    * for SMJs, here explicit so it also covers planned shuffle-hash
+    * joins). The result set equals the plain join for ANY salt
+    * assignment — salts only re-route rows — which is exactly why a
+    * cross-engine oracle can gate the technique. Checksum = Σ v·k_n in
+    * exact longs. */
+  val qSaltedJoin: QueryDef = QueryDef(
+    "q_salted_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("user_id") % 5 < 3, 0L).otherwise(col("user_id")).as("k"),
+        expr("cast(round(value * 100) as bigint)").as("v"))
+      val dim = ev.groupBy(col("k")).agg(count(lit(1)).as("k_n"))
+      graft.ops.Skew.saltedJoin(ev, dim, "k", salts = 8,
+          saltSource = col("v"))
+        .groupBy((col("k") % 7).as("kg"))
+        .agg(count(lit(1)).as("n"), sum(col("v") * col("k_n")).as("checksum"))
+        .orderBy("kg")
+    },
+    Some("""WITH ev AS (
+      |  SELECT CASE WHEN user_id % 5 < 3 THEN 0 ELSE user_id END AS k,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |dim AS (SELECT k, count(*) AS k_n FROM ev GROUP BY k)
+      |SELECT k % 7 AS kg, count(*) AS n,
+      |  CAST(sum(v * k_n) AS BIGINT) AS checksum
+      |FROM ev JOIN dim USING (k) GROUP BY 1 ORDER BY kg""".stripMargin))
+
+  /** EXACT interpolated percentiles (ANSI PERCENTILE_CONT for p = 1/4,
+    * 2/4, 3/4) in quarter-units: position (n−1)·k lands between sorted
+    * ranks lo = pos div 4 and lo+1 with fraction pos % 4 quarters, so
+    * pcont·4 = v_lo·(4−frac) + v_hi·frac is an exact integer — no
+    * float interpolation in the gate (both engines replay the same
+    * rank arithmetic rather than trusting their own percentile_cont
+    * implementations to round identically). Shape: one group sort
+    * (row_number) + a 6-rows-per-group rank lookup as an equi-join —
+    * the corpus is never re-sorted per percentile. */
+  val qPercentileCont: QueryDef = QueryDef(
+    "q_percentile_cont",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").asc)
+      val sorted = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          expr("cast(round(l_quantity * 100) as bigint)").as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      val spark = s
+      import spark.implicits._
+      val pos = sorted.select(col("g"), col("n")).distinct()
+        .crossJoin(broadcast(Seq(1, 2, 3).toDF("k")))
+        .withColumn("lo", expr("((n - 1) * k) div 4 + 1"))
+        .withColumn("frac4", expr("((n - 1) * k) % 4"))
+      val need = pos.select(col("g"), col("k"), col("frac4"), explode(array(
+          struct(col("lo").as("need"), lit(0).as("role")),
+          struct((col("lo") + 1).as("need"), lit(1).as("role")))).as("x"))
+        .select(col("g"), col("k"), col("frac4"), col("x.need"), col("x.role"))
+      need.join(sorted.select(col("g"), col("rn").as("need"), col("v")),
+          Seq("g", "need"), "left")
+        .groupBy(col("g"), col("k"), col("frac4"))
+        .agg(max(when(col("role") === 0, col("v"))).as("v_lo"),
+          max(when(col("role") === 1, col("v"))).as("v_hi"))
+        .select(col("g"), col("k"),
+          (col("v_lo") * (lit(4) - col("frac4")) +
+            coalesce(col("v_hi"), col("v_lo")) * col("frac4")).as("pcont_x4"))
+        .orderBy("g", "k")
+    },
+    Some("""WITH sorted AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(round(l_quantity * 100) AS BIGINT) ASC) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |pos AS (
+      |  SELECT DISTINCT g, n, k.k,
+      |    ((n - 1) * k.k) // 4 + 1 AS lo, ((n - 1) * k.k) % 4 AS frac4
+      |  FROM sorted, (SELECT unnest([1, 2, 3]) AS k) k),
+      |need AS (
+      |  SELECT g, k, frac4, lo AS need, 0 AS role FROM pos
+      |  UNION ALL
+      |  SELECT g, k, frac4, lo + 1, 1 FROM pos),
+      |vals AS (
+      |  SELECT need.g, need.k, need.frac4, need.role, sorted.v
+      |  FROM need LEFT JOIN sorted
+      |    ON need.g = sorted.g AND need.need = sorted.rn),
+      |agg AS (
+      |  SELECT g, k, frac4,
+      |    max(CASE WHEN role = 0 THEN v END) AS v_lo,
+      |    max(CASE WHEN role = 1 THEN v END) AS v_hi
+      |  FROM vals GROUP BY 1, 2, 3)
+      |SELECT g, CAST(k AS INT) AS k,
+      |  CAST(v_lo * (4 - frac4) + coalesce(v_hi, v_lo) * frac4 AS BIGINT)
+      |    AS pcont_x4
+      |FROM agg ORDER BY g, k""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
     qSetOps, qTopkOrders, qEventsHourly, qRollup, qCube, qEventsSessions,
     qSessionWindowNative, qCopurchasePairs,
     qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs,
-    qMode, qWeightedMedian)
+    qMode, qWeightedMedian, qSaltedJoin, qPercentileCont)
 }

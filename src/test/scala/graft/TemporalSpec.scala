@@ -66,6 +66,28 @@ class TemporalSpec extends SparkSpec {
     assert(gotStream == expected, "streaming EWMA != sequential recompute")
   }
 
+  test("q_percentile_cont matches Spark's own percentile_cont built-in") {
+    val got = graft.queries.RelationalQueries.qPercentileCont
+      .build(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2).toDouble / 400.0))
+      .toMap
+    val builtin = graft.queries.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("g"),
+        expr("cast(round(l_quantity * 100) as bigint) / 100.0").as("v"))
+      .groupBy(col("g"))
+      .agg(expr("percentile_cont(0.25) within group (order by v)").as("p1"),
+        expr("percentile_cont(0.5) within group (order by v)").as("p2"),
+        expr("percentile_cont(0.75) within group (order by v)").as("p3"))
+      .collect()
+      .flatMap(r => Seq(((r.getString(0), 1), r.getDouble(1)),
+        ((r.getString(0), 2), r.getDouble(2)),
+        ((r.getString(0), 3), r.getDouble(3)))).toMap
+    assert(got.keySet == builtin.keySet)
+    for ((k, v) <- got)
+      assert(math.abs(v - builtin(k)) < 1e-9,
+        s"$k: exact $v vs builtin ${builtin(k)}")
+  }
+
   test("q_seasonal_decompose equals a sequential centered-MA decomposition") {
     val dayUs = 86400000000L
     val byTypeDay = graft.queries.Tables.events(spark, sfDir)
