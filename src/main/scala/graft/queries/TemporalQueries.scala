@@ -211,5 +211,75 @@ object TemporalQueries {
       |  CAST(sum(detr7) AS BIGINT) AS sum_detr7
       |FROM dt GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qMaxConcurrency, qEwma, qSeasonalDecompose)
+  /** AUTOCORRELATION of the daily event-count series at lags 1..3 per
+    * event type — the seasonality detector that decides whether
+    * [[qSeasonalDecompose]]'s weekly model applies. Exact interior: with
+    * S = Σx and n days, the centered term n·x_t − S is an integer, so
+    * numerator Σ(n·x_t − S)(n·x_{t+k} − S) over calendar-matched pairs
+    * (eday self-join on eday + k — gaps never silently shift the lag)
+    * and denominator Σ(n·x_t − S)² are exact longs with the n² scale
+    * cancelling in the ratio; ONE correctly-rounded double division at
+    * the boundary (negative numerators never meet integer division —
+    * engine div conventions differ on negatives). Shape: the corpus
+    * collapses to types × days once; lags explode on that tiny series;
+    * stats broadcast. */
+  val qAutocorrelation: QueryDef = QueryDef(
+    "q_autocorrelation",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("datediff(cast(ts as date), date'1970-01-01')").as("eday"))
+        .agg(count(lit(1)).as("x"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      val centered = daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("eday"),
+          (col("n") * col("x") - col("sx")).as("c"), col("n"))
+      val den = centered.groupBy(col("event_type"))
+        .agg(sum(col("c") * col("c")).as("den"), max(col("n")).as("n"))
+      val spark = s
+      import spark.implicits._
+      val lagged = centered.select(col("event_type"), col("eday"), col("c"))
+        .crossJoin(broadcast(Seq(1, 2, 3).toDF("k")))
+        .alias("a")
+        .join(centered.select(col("event_type"), col("eday").as("eday2"),
+          col("c").as("c2")).alias("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("eday2") === col("eday") + col("k"))
+        .groupBy(col("a.event_type").as("event_type"), col("k"))
+        .agg(sum(col("c") * col("c2")).as("num"),
+          count(lit(1)).as("n_pairs"))
+      lagged.join(den, "event_type")
+        .select(col("event_type"), col("k"), col("n_pairs"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"))
+        .orderBy("event_type", "k")
+    },
+    Some("""WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, sum(x) AS sx, count(*) AS n
+      |  FROM daily GROUP BY 1),
+      |c AS (
+      |  SELECT daily.event_type, eday, n * x - sx AS c
+      |  FROM daily JOIN stats USING (event_type)),
+      |den AS (SELECT event_type, sum(c * c) AS den FROM c GROUP BY 1),
+      |num AS (
+      |  SELECT a.event_type, k.k, sum(a.c * b.c) AS num,
+      |    count(*) AS n_pairs
+      |  FROM c a
+      |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+      |  JOIN c b ON a.event_type = b.event_type AND b.eday = a.eday + k.k
+      |  GROUP BY 1, 2)
+      |SELECT event_type, CAST(k AS INT) AS k,
+      |  CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+      |FROM num JOIN den USING (event_type)
+      |ORDER BY event_type, k""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qMaxConcurrency, qEwma, qSeasonalDecompose,
+    qAutocorrelation)
 }
