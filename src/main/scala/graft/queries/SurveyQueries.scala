@@ -2941,8 +2941,69 @@ object SurveyQueries {
       |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
       |GROUP BY 1 ORDER BY m""".stripMargin))
 
+  /** pipeline_branch_experiment: the FORK → VALIDATE → MERGE-OR-DROP
+    * experimentation workflow the branch layer exists for (Nessie/LakeFS
+    * promotion flow): two candidate data drops are staged on branches,
+    * each validated IN ISOLATION (mean document length of the branch's
+    * NEW rows against a fixed bar — main never sees unvalidated data),
+    * and only the passing branch merges; the failing one is dropped and
+    * a keepLast=1 vacuum REQUIREs its data dirs are physically
+    * reclaimed (the reject path must not leak storage). The final main
+    * state — original corpus plus exactly the validated drop — is
+    * value-gated against DuckDB replaying the acceptance predicate. */
+  val pipelineBranchExperiment: QueryDef = QueryDef(
+    "pipeline_branch_experiment",
+    (s, d) => {
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/docs_exp")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.SnapshotTable.commit(
+        docs.filter(col("source") =!= "src0"), root) // v1: curated corpus
+      val bar = 100L
+      def stage(name: String, candidate: org.apache.spark.sql.DataFrame): Boolean = {
+        graft.sources.SnapshotTable.branchCreate(s, root, name)
+        graft.sources.SnapshotTable.branchAppend(candidate, root, name)
+        // validate the branch's new rows in isolation: left-anti vs main
+        val newRows = graft.sources.SnapshotTable.branchRead(s, root, name)
+          .join(graft.sources.SnapshotTable.read(s, root),
+            Seq("doc_id"), "left_anti")
+        val Array(n, sum) = newRows
+          .agg(count(lit(1)),
+            coalesce(org.apache.spark.sql.functions.sum(col("n_chars")), lit(0L)))
+          .head().toSeq.map(_.toString.toLong).toArray
+        val pass = n > 0 && sum >= bar * n // mean >= bar, in exact integers
+        if (pass) graft.sources.SnapshotTable.mergeBranch(s, root, name)
+        else graft.sources.SnapshotTable.branchDrop(s, root, name)
+        pass
+      }
+      val badPassed = stage("exp-short",
+        docs.filter(col("source") === "src0" && col("n_chars") < bar))
+      val goodPassed = stage("exp-long",
+        docs.filter(col("source") === "src0" && col("n_chars") >= bar))
+      require(!badPassed && goodPassed,
+        "the short-doc drop must fail validation; the long-doc drop must pass")
+      // the reject path must not leak storage
+      graft.sources.SnapshotTable.vacuum(s, root, keepLast = 1)
+      val leaked = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.contains("-br")).toSeq
+      require(leaked.isEmpty, s"dropped branch dirs must be reclaimed: $leaked")
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE source <> 'src0' OR n_chars >= 100
+      |GROUP BY 1 ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, maintenanceSnapshotUniform,
+    pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
     profileBinary, profileBinaryWide, profileFalseArray, profileFalseArrayWide,

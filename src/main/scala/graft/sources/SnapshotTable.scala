@@ -1411,6 +1411,17 @@ object SnapshotTable {
     id
   }
 
+  /** DROP a branch without merging: the ref dir disappears, the
+    * branch's data dirs become unreferenced, and the next [[vacuum]]
+    * reclaims them — the reject path of a fork/validate/merge
+    * experiment workflow. */
+  def branchDrop(spark: SparkSession, root: String, name: String): Unit = {
+    val (fs, _) = fsFor(spark, root)
+    val bPath = new Path(branchRoot(root, name))
+    require(fs.exists(bPath), s"no branch $name at $root")
+    fs.delete(bPath, true)
+  }
+
   /** SHALLOW CLONE: create a new table at `dstRoot` whose first
     * manifest lists the SOURCE's current data dirs by absolute path —
     * zero bytes of data copied at any table size (Delta's shallow
