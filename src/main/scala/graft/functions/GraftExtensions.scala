@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RowPolicy)
+    ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -190,6 +191,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RowPolicy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RowPolicy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.JoinElimination))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JoinElimination
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -656,10 +656,66 @@ object RelationalQueries {
       |    AS pcont_x4
       |FROM agg ORDER BY g, k""".stripMargin))
 
+  /** PK-FK JOIN ELIMINATION under a RELY constraint
+    * ([[graft.plans.JoinElimination]]): the BI-generated shape — fact
+    * joined to a dimension on a declared foreign key with NO dimension
+    * column used — is rewritten by the optimizer to `fk IS NOT NULL`
+    * over the fact alone (REQUIREd: no Join in the optimized plan; the
+    * same query asking for a dimension column KEEPS its join). The
+    * oracle runs the REAL join in DuckDB, so the gate also audits the
+    * declaration itself: were the constraint false (orphaned or
+    * duplicated keys), the joinless plan's values would diverge. */
+  val qJoinElimination: QueryDef = QueryDef(
+    "q_join_elimination",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "join_elim")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val factP = s"$dir/fact"
+      val dimP = s"$dir/dim"
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"))
+        .write.mode("overwrite").parquet(factP)
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(dimP)
+      graft.functions.GraftExtensions.register(s)
+      graft.plans.JoinElimination.registerFk(factP, "o_custkey",
+        dimP, "c_custkey")
+      val fact = s.read.parquet(factP)
+      val dim = s.read.parquet(dimP)
+      val q = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .select(fact("o_custkey"), fact("price_cents"))
+        .groupBy((col("o_custkey") % 10).as("kg"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("kg")
+      val hasJoin = (df: org.apache.spark.sql.DataFrame) =>
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.nonEmpty
+      require(!hasJoin(q),
+        "the declared-FK join with no dimension column used must be eliminated")
+      val q2 = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .select(fact("o_custkey"), dim("c_mktsegment"))
+      require(hasJoin(q2),
+        "a query USING a dimension column must keep its join")
+      q
+    },
+    Some("""WITH f AS (
+      |  SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |j AS (
+      |  SELECT f.o_custkey, f.price_cents
+      |  FROM f JOIN customer ON f.o_custkey = c_custkey)
+      |SELECT o_custkey % 10 AS kg, count(*) AS n,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+      |FROM j GROUP BY 1 ORDER BY kg""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
     qSetOps, qTopkOrders, qEventsHourly, qRollup, qCube, qEventsSessions,
     qSessionWindowNative, qCopurchasePairs,
     qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs,
-    qMode, qWeightedMedian, qSaltedJoin, qPercentileCont)
+    qMode, qWeightedMedian, qSaltedJoin, qPercentileCont, qJoinElimination)
 }

