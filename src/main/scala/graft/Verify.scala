@@ -31,15 +31,51 @@ object Verify {
     // name any testdata drift in this run's own stderr (round-7 lesson)
     graft.sources.TestdataContract.warn(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // Per-query dump timing → verify_meta.json: the gate's self-
+    // diagnostic. Round 13's official correctness artifact came back
+    // empty because the gate ran past the driver's budget and nothing
+    // recorded where the time went; this meta file (written
+    // INCREMENTALLY, after every query) makes a truncated run
+    // diagnosable from the artifact alone.
+    val t0 = System.nanoTime()
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var nFailed = 0
+    def qj(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def writeMeta(done: Boolean): Unit = {
+      val wall = (System.nanoTime() - t0) / 1e9
+      val per = timings.map { case (k, v) => s"${qj(k)}: ${f"$v%.2f"}" }
+        .mkString("{", ",", "}")
+      val sha = try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .directory(new java.io.File(".")).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        p.waitFor(); out
+      } catch { case _: Throwable => "unknown" }
+      Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+        s"""{"n_queries": ${timings.size}, "n_failed": $nFailed, """ +
+          s""""dump_wall_sec": ${f"$wall%.2f"}, "complete": $done, """ +
+          s""""git_sha": ${qj(sha)}, "sf_dir": ${qj(sfDir)}, """ +
+          s""""per_query_sec": $per}""")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val tq = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      timings(name) = (System.nanoTime() - tq) / 1e9
+      writeMeta(done = false)
     }
+    writeMeta(done = true)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

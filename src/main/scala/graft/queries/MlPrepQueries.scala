@@ -1132,29 +1132,31 @@ object MlPrepQueries {
     })
 
   /** Shared configuration for the VOCABULARY-SCALE BPE family —
-    * PRODUCTION-vocabulary size as of r13: 8192 merges (up from 512;
-    * output symbols U+00C0 upward — the single-char symbol design holds
-    * to 55k, and the Array[Int] trainer underneath has no cap at all),
-    * trained on the corpus text ENRICHED with TWO md5 hex fingerprint
-    * words per document. The enrichment matters: the synthetic corpus
-    * has only ~31 distinct natural words (BPE exhausts its pair supply
-    * near 90 merges), while the hex words give the trainer a deep
-    * character-level vocabulary — the "characters → subwords" dynamics
-    * a real corpus exhibits — deterministically and identically in both
-    * engines; ONE fingerprint word caps the merge supply near 7.8k
-    * rounds, two lift it past 9.3k (8192 + 14% margin, measured at all
-    * three SFs). The word table is capped at the 650 most frequent
-    * words — enough supply for 8192 rounds while keeping the oracle's
-    * per-round recursive replay ~3× cheaper than the full table (the
-    * oracle replays all 8192 rounds with ONE recursive CTE,
-    * [[graft.ops.Bpe.trainRecursiveCtesSql]]: constant query size, no
-    * expression-depth wall, unlike the unrolled 16-merge family above;
-    * ~80 s in DuckDB at this configuration — the price of value-gating
-    * every one of 8192 merge decisions). Spark-side training is the
-    * incremental delta trainer: ~8k rounds in well under a second after
-    * the one word-frequency job. */
-  private val bpeMergesLarge = 8192
-  private val bpeCapLarge = 650
+    * 1024 merges over a 400-word training table (r14 retune — r13's
+    * 8192×650 configuration was value-correct but its five recursive
+    * DuckDB replays cost 740 s, 71% of the whole gate, and blew the
+    * driver's budget: the round's correctness artifact came back empty.
+    * Measured at sf0.01: 1024×400 trains in ~12 s per oracle — the
+    * family stays vocabulary-scale, well past both the 512-merge
+    * unrolled family and the ~90-merge natural-word supply, while the
+    * gate fits comfortably). The trainer itself remains capless: the
+    * Array[Int] incremental trainer is proven at 8192+ merges in
+    * BpeSpec (Spark-side, where 8k rounds cost well under a second) —
+    * the SQL replay bound is the ORACLE's cost wall, not the engine's.
+    * Corpus text is ENRICHED with TWO md5 hex fingerprint words per
+    * document: the synthetic corpus has only ~31 distinct natural words
+    * (pair supply exhausts near 90 merges), while the hex words give
+    * the trainer a deep character-level vocabulary — the "characters →
+    * subwords" dynamics a real corpus exhibits — deterministically and
+    * identically in both engines. The 400-word cap sustains all 1024
+    * rounds at every SF (merge table complete, verified; tail rounds
+    * reach cnt=1, where the (cnt desc, pair asc) tie-break is pinned
+    * cross-engine — the r13 8192-merge run gated hundreds of cnt=1
+    * rounds green). The oracle replays every round with ONE recursive
+    * CTE, [[graft.ops.Bpe.trainRecursiveCtesSql]]: constant query
+    * size, no expression-depth wall. */
+  private val bpeMergesLarge = 1024
+  private val bpeCapLarge = 400
   private val bpeLargeText =
     "concat(coalesce(text, ''), ' ', md5(CAST(doc_id AS VARCHAR)), " +
       "' ', md5(concat(CAST(doc_id AS VARCHAR), 'x')))"
@@ -1168,9 +1170,9 @@ object MlPrepQueries {
   private def bpeLargeTrain(s: SparkSession, d: String): Seq[graft.ops.Bpe.Merge] =
     Bpe.train(bpeLargeDocs(s, d), "train_text", bpeMergesLarge, bpeCapLarge)
 
-  /** Vocabulary-scale BPE TRAINING: the full 8192-merge table, every
+  /** Vocabulary-scale BPE TRAINING: the full merge table at vocabulary scale, every
     * round's (pair, count) decision cross-engine gated — the oracle
-    * replays training with a single recursive CTE instead of 8192
+    * replays training with a single recursive CTE instead of thousands of
     * unrolled rounds. */
   val textBpeTrainLarge: QueryDef = QueryDef(
     "text_bpe_train_large",
@@ -1179,7 +1181,7 @@ object MlPrepQueries {
              bpeMergesLarge, bpeCapLarge)}
       |SELECT rk, pair, merged, cnt FROM bpe_merges ORDER BY rk""".stripMargin))
 
-  /** Vocabulary-scale BPE VOCABULARY: each of the 8192 merges decoded to
+  /** Vocabulary-scale BPE VOCABULARY: each merge decoded to
     * the character string its symbol expands to — the shippable
     * tokenizer artifact. The oracle rebuilds the decode map with a
     * second recursive CTE over the replayed merge table. */
@@ -1202,7 +1204,7 @@ object MlPrepQueries {
       |ORDER BY m.rk""".stripMargin))
 
   /** Vocabulary-scale BPE APPLICATION: per-document token accounting
-    * under the 8192-merge vocabulary. Spark applies row-locally with the
+    * under the vocabulary-scale merge table. Spark applies row-locally with the
     * rank-priority segmenter ([[graft.ops.Bpe.segmentRanked]] — cost
     * independent of vocabulary size) plus a per-task distinct-word memo;
     * the oracle segments the distinct word set with a recursive replace
@@ -1229,7 +1231,7 @@ object MlPrepQueries {
 
   /** Sequence packing driven by the VOCABULARY-SCALE tokenizer:
     * `pack_chunks_bpe`'s shard/prefix-sum shape with token counts from
-    * the 8192-merge vocabulary — the composition a real pipeline runs
+    * the vocabulary-scale tokenizer — the composition a real pipeline runs
     * (train tokenizer → tokenize → pack), end-to-end under one oracle
     * that replays training recursively, re-segments the distinct word
     * set, and re-runs the shard prefix sums. */
@@ -1270,7 +1272,7 @@ object MlPrepQueries {
       |  CAST(sum(straddles) AS BIGINT) AS n_straddling
       |FROM a2 GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
 
-  /** Per-source tokenizer FERTILITY under the 8192-merge vocabulary —
+  /** Per-source tokenizer FERTILITY under the vocabulary-scale merges —
     * `text_bpe_fertility`'s vocabulary-scale twin, completing the large
     * family's parity (train / vocab / apply / pack / fertility). The
     * fertility denominator counts the enriched stream's words (text +
@@ -1537,36 +1539,41 @@ object MlPrepQueries {
     * from the exploded self-join (the emb_covariance oracle shape, d×
     * heavier than the engine's one-pass kernel — that asymmetry is the
     * point), covariance in HUGEINT, the truncating downscale, then
-    * `iters` matvec+renorm rounds as CTEs. Every value BIGINT-exact. */
+    * `iters` matvec+renorm rounds as CTEs. Every value BIGINT-exact.
+    * Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    * each round references the previous one twice (via w$t and m$t), so
+    * un-hinted the replay re-evaluates the whole upstream chain 2^iters
+    * times — measured 294 s at sf0.01 vs 0.16 s materialized, identical
+    * values (the r13 gate's 250 s hot spot). */
   private def pcaOracleSql(d: Int, iters: Int): String = {
     val rounds = (1 to iters).map { t =>
-      s"""w$t AS (SELECT cs.i AS dim, CAST(sum(cs.cs * r${t - 1}.v) AS BIGINT) AS w
+      s"""w$t AS MATERIALIZED (SELECT cs.i AS dim, CAST(sum(cs.cs * r${t - 1}.v) AS BIGINT) AS w
          |  FROM cs JOIN r${t - 1} ON cs.j = r${t - 1}.dim GROUP BY cs.i),
-         |m$t AS (SELECT greatest(CAST(1 AS BIGINT),
+         |m$t AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT),
          |  CAST(max(abs(w)) AS BIGINT) // 1000000) AS dnm FROM w$t),
-         |r$t AS (SELECT dim,
+         |r$t AS MATERIALIZED (SELECT dim,
          |  CASE WHEN w < 0 THEN -((-w) // dnm) ELSE w // dnm END AS v
          |  FROM w$t CROSS JOIN m$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""WITH v AS MATERIALIZED (
       |  SELECT vec_id, list_transform(embedding[1:$d],
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
       |  FROM embeddings),
-      |ex AS (SELECT vec_id, generate_subscripts(xm, 1) AS dim, unnest(xm) AS x FROM v),
-      |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
-      |s AS (SELECT dim, CAST(sum(x) AS BIGINT) AS sd FROM ex GROUP BY dim),
-      |g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) AS BIGINT) AS gij
+      |ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(xm, 1) AS dim, unnest(xm) AS x FROM v),
+      |nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |s AS MATERIALIZED (SELECT dim, CAST(sum(x) AS BIGINT) AS sd FROM ex GROUP BY dim),
+      |g AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) AS BIGINT) AS gij
       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-      |c AS (SELECT i, j,
+      |c AS MATERIALIZED (SELECT i, j,
       |    CAST(n AS HUGEINT) * gij - CAST(sa.sd AS HUGEINT) * sb.sd AS cij
       |  FROM g JOIN s sa ON g.i = sa.dim JOIN s sb ON g.j = sb.dim CROSS JOIN nv),
-      |sc AS (SELECT greatest(CAST(1 AS HUGEINT),
+      |sc AS MATERIALIZED (SELECT greatest(CAST(1 AS HUGEINT),
       |  max(abs(cij)) // 10000000000) AS s FROM c),
-      |cs AS (SELECT i, j,
+      |cs AS MATERIALIZED (SELECT i, j,
       |  CAST(CASE WHEN cij < 0 THEN -((-cij) // sc.s) ELSE cij // sc.s END
       |    AS BIGINT) AS cs
       |  FROM c CROSS JOIN sc),
-      |r0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM ex),
+      |r0 AS MATERIALIZED (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM ex),
       |$rounds
       |SELECT CAST(dim AS BIGINT) AS dim, v AS v_ppm FROM r$iters ORDER BY dim""".stripMargin
   }
