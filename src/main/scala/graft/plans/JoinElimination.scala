@@ -77,13 +77,27 @@ object JoinElimination extends Rule[LogicalPlan] {
       case _ => Nil
     }
 
+  /** The declaration must cover the WHOLE fact relation and the dim
+    * relation must be EXACTLY the declared dim — `exists`/`contains`
+    * here was a silent-wrong-results bug: a multi-path fact scan
+    * (`spark.read.parquet(declared, undeclared)`) with only one root
+    * declared would eliminate the join and keep undeclared-path rows
+    * whose FKs are orphans. Every fact root path must carry the SAME
+    * (dimPath, pkCol) declaration, and the dim subtree must read that
+    * declared path and nothing else. */
   private def declared(factSide: LogicalPlan, fk: AttributeReference,
-      dimSide: LogicalPlan, pk: AttributeReference): Boolean =
-    factPaths(factSide).exists { fp =>
-      registry.get((fp, fk.name)).exists { case (dp, pkName) =>
-        pkName == pk.name && dimPaths(dimSide, pk).contains(dp)
-      }
-    }
+      dimSide: LogicalPlan, pk: AttributeReference): Boolean = {
+    val fps = factPaths(factSide)
+    if (fps.isEmpty) return false
+    val decls = fps.map(fp => registry.get((fp, fk.name)))
+    if (decls.exists(_.isEmpty)) return false
+    val targets = decls.flatten.toSet
+    if (targets.size != 1) return false
+    val (dp, pkName) = targets.head
+    if (pkName != pk.name) return false
+    val dimPs = dimPaths(dimSide, pk)
+    dimPs.nonEmpty && dimPs.toSet == Set(dp)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan

@@ -41,10 +41,31 @@ object RowPolicy extends Rule[LogicalPlan] {
   def deregister(path: String): Unit = registry.remove(normalize(path))
   def clear(): Unit = registry.clear()
 
+  /** Policy for one scan root: exact match OR any registered root the
+    * path is a DESCENDANT of (longest registered prefix wins). Matching
+    * only the exact root was a bypass: `spark.read.parquet(s"$base/
+    * part-*.parquet")` (glob) or direct part-file paths resolve to
+    * children of the registered root and came back unfiltered. Globs
+    * are expanded to concrete paths before the relation is built, so
+    * prefix matching covers them. Scope note: only V1 file scans
+    * (LogicalRelation over HadoopFsRelation — everything this engine
+    * produces) are governed; a scan that never surfaces rootPaths is
+    * outside this rule's reach. */
+  private def policyForPath(path: String): Option[String] = {
+    var best: Option[(String, String)] = None
+    registry.foreach { case (root, sql) =>
+      if ((path == root || path.startsWith(root + "/")) &&
+          best.forall(_._1.length < root.length)) best = Some((root, sql))
+    }
+    best.map(_._2)
+  }
+
   private def policySqlFor(lr: LogicalRelation): Option[String] =
     lr.relation match {
+      // a relation spanning governed and ungoverned roots gets the
+      // governed policy applied to ALL its rows — fail-closed
       case fs: HadoopFsRelation => fs.location.rootPaths.iterator
-        .map(p => registry.get(normalize(p.toString)))
+        .map(p => policyForPath(normalize(p.toString)))
         .collectFirst { case Some(s) => s }
       case _ => None
     }

@@ -103,7 +103,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case Sum(ar: AttributeReference, _) if spec.sumCols.contains(ar.name) =>
           Some(sum(col(s"sum_${ar.name}")).as(a.name))
         case Count(Seq(Literal(1, _))) =>
-          Some(sum(col("cnt")).as(a.name))
+          // COUNT is non-null (0 on empty input) but SUM is NULL on
+          // empty input — bare sum(cnt) would surface NULL to SQL-level
+          // consumers for a grouping-less aggregate over an empty base.
+          // coalesce restores count's algebra AND its non-nullable type.
+          Some(org.apache.spark.sql.functions
+            .coalesce(sum(col("cnt")), lit(0L)).as(a.name))
         case Min(ar: AttributeReference) if spec.minCols.contains(ar.name) =>
           Some(min(col(s"min_${ar.name}")).as(a.name))
         case Max(ar: AttributeReference) if spec.maxCols.contains(ar.name) =>
@@ -146,10 +151,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       .agg(derived.head, derived.tail: _*)
       .select(aggExprs.map(ne => col(ne.name)): _*)
     val newPlan = replacement.queryExecution.optimizedPlan
-    // types must be identical, else the algebra was not an identity
+    // types AND nullability must be identical, else the algebra was not
+    // an identity (a nullable column where the original was non-null
+    // changes isNull predicates / sink schemas downstream)
     val oldOut = agg.output
     val newOut = newPlan.output
-    if (oldOut.map(_.dataType) != newOut.map(_.dataType)) return None
+    if (oldOut.map(a => (a.dataType, a.nullable)) !=
+        newOut.map(a => (a.dataType, a.nullable))) return None
     // restore the ORIGINAL ExprIds so parents keep resolving
     val restored = oldOut.zip(newOut).map { case (o: Attribute, n: Attribute) =>
       Alias(n, o.name)(exprId = o.exprId)

@@ -150,6 +150,75 @@ class SummaryRewriteSpec extends SparkSpec {
       // using a dim column keeps the join
       val qd = f.join(d, f("ck") === d("c_ck")).select(f("ok"), d("seg"))
       assert(joins(qd) == 1)
+
+      // REGRESSION (r13 advice, high): a multi-path fact scan where only
+      // ONE root carries the declaration must NOT eliminate — the
+      // undeclared path can hold orphan FKs the real join drops
+      val fact2 = s"$dir/fact2"
+      Seq((4L, Option(99L), 1L)).toDF("ok", "ck", "v").write.parquet(fact2)
+      val fm = spark.read.parquet(fact, fact2)
+      val qmp = fm.join(d, fm("ck") === d("c_ck")).select(fm("ok"), fm("v"))
+      assert(joins(qmp) == 1,
+        "partially-declared multi-path fact must keep the join")
+      assert(qmp.count() == 2, "orphan ck=99 must not survive")
+      // declaring BOTH roots (same dim) re-enables elimination
+      graft.plans.JoinElimination.registerFk(fact2, "ck", dim, "c_ck")
+      try {
+        val fm2 = spark.read.parquet(fact, fact2)
+        val q2 = fm2.join(d, fm2("ck") === d("c_ck")).select(fm2("ok"))
+        assert(joins(q2) == 0,
+          "fully-declared multi-path fact should eliminate")
+      } finally graft.plans.JoinElimination.deregister(fact2, "ck")
+      // a dim scan that reads MORE than the declared dim path must block
+      // (PK uniqueness across the union was never declared)
+      val dim2 = s"$dir/dim2"
+      Seq((10L, "dup")).toDF("c_ck", "seg").write.parquet(dim2)
+      val du = spark.read.parquet(dim, dim2)
+      val qdu = f.join(du, f("ck") === du("c_ck")).select(f("ok"))
+      assert(joins(qdu) == 1, "multi-path dim must keep the join")
+      assert(qdu.count() == 3) // ck=10 matches twice in the union
     } finally graft.plans.JoinElimination.deregister(fact, "ck")
+  }
+
+  test("row policy governs descendant-path reads (glob / direct part files)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rls2").toString
+    val base = s"$dir/t"
+    (1 to 100).map(i => (i.toLong, if (i % 4 == 0) "secret" else "ok"))
+      .toDF("id", "tier").coalesce(2).write.parquet(base)
+    graft.functions.GraftExtensions.register(spark)
+    graft.plans.RowPolicy.register(base, "tier <> 'secret'")
+    try {
+      // REGRESSION (r13 advice, medium): reading via a glob or direct
+      // part-file paths resolves to DESCENDANTS of the registered root
+      // and previously bypassed the policy entirely
+      assert(spark.read.parquet(s"$base/part-*.parquet").count() == 75,
+        "glob read must come back policy-filtered")
+      val parts = new java.io.File(base).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(parts.length >= 2)
+      assert(spark.read.parquet(parts.head).filter($"tier" === "secret").count() == 0,
+        "direct part-file read must come back policy-filtered")
+      assert(spark.read.parquet(parts: _*).count() == 75)
+    } finally graft.plans.RowPolicy.deregister(base)
+  }
+
+  test("summary rewrite: grouping-less COUNT over an empty base is 0, not NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv0").toString
+    val base = s"$dir/base"; val summary = s"$dir/summary"
+    Seq.empty[(Long, String, Long)].toDF("id", "g1", "v").write.parquet(base)
+    graft.functions.GraftExtensions.register(spark)
+    SummaryRewrite.summarize(spark, base, summary,
+      groupCols = Seq("g1"), sumCols = Seq("v"))
+    try {
+      // REGRESSION (r13 advice, medium): COUNT → bare sum(cnt) decoded
+      // NULL at the SQL level for the grouping-less shape on empty input
+      val q = spark.read.parquet(base).agg(count(lit(1)).as("n"))
+      val row = q.head()
+      assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+        s"grouping-less count over empty base must be 0, got $row")
+      assert(!q.schema("n").nullable, "count output must stay non-nullable")
+      // SQL-level isNull must agree (the consumer the bug hit)
+      assert(q.select(col("n").isNull.as("b")).head().getBoolean(0) == false)
+    } finally SummaryRewrite.deregister(base)
   }
 }
