@@ -2894,6 +2894,85 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li WHERE m IN (1, 2) GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_delta_log_checkpointed: the COMMON Delta migration case —
+    * a table past the default checkpoint interval (12 commits here,
+    * Delta checkpoints every 10), where `_last_checkpoint` routes the
+    * read to a checkpoint parquet and the pre-checkpoint JSON is
+    * already vacuumed ([[graft.sources.DeltaCompat.checkpoint]] writes
+    * it; `liveFiles` replays only LATER commits on top). The chain
+    * exercises every reconciliation edge across the checkpoint
+    * boundary: a remove checkpointed as a tombstone, a post-checkpoint
+    * re-add resurrecting that tombstone, and a post-checkpoint remove
+    * of a checkpointed add. Value-gated against DuckDB computing the
+    * surviving slices from lineitem. */
+  val ingestDeltaLogCheckpointed: QueryDef = QueryDef(
+    "ingest_delta_log_checkpointed",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_compat_cp")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
+        (col("l_orderkey") % 12).as("m"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      val parts = (0 to 11).map(writePart)
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$dir/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      (0 to 6).foreach { i =>
+        val header = if (i == 0) Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          """{"metaData":{"id":"cp-table","format":{"provider":"parquet"}}}""")
+        else Nil
+        val rm = if (i == 6)
+          Seq(s"""{"remove":{"path":"${parts(2)}","dataChange":true}}""")
+        else Nil
+        writeCommit(i.toLong, header ++ rm :+
+          s"""{"add":{"path":"${parts(i)}","dataChange":true}}""")
+      }
+      val v = graft.sources.DeltaCompat.checkpoint(s, dir)
+      require(v == 6L, s"checkpoint expected at version 6, got $v")
+      // vacuum the subsumed JSON — the read must survive on the
+      // checkpoint alone plus the later commits
+      (0L to 6L).foreach(i => fs.delete(new org.apache.hadoop.fs.Path(
+        f"$dir/_delta_log/$i%020d.json"), false))
+      (7 to 11).foreach { i =>
+        val extra = if (i == 9) Seq(
+          s"""{"remove":{"path":"${parts(0)}","dataChange":true}}""",
+          s"""{"add":{"path":"${parts(2)}","dataChange":true}}""")
+        else Nil
+        writeCommit(i.toLong, extra :+
+          s"""{"add":{"path":"${parts(i)}","dataChange":true}}""")
+      }
+      // live: 1..11 (part 0 removed post-checkpoint; part 2 tombstoned
+      // in the checkpoint, resurrected by commit 9)
+      graft.sources.DeltaCompat.readDeltaTable(s, dir)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 12 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li WHERE m <> 0 GROUP BY m ORDER BY m""".stripMargin))
+
   /** maintenance_snapshot_uniform: DUAL-FORMAT export
     * ([[graft.sources.DeltaCompat.exportDeltaLog]] — the UniForm idea):
     * a snapshot table's manifest chain (commit, O(delta) append, a
@@ -3002,7 +3081,8 @@ object SurveyQueries {
       |GROUP BY 1 ORDER BY source""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    maintenanceSummaryRewrite, ingestDeltaLog, maintenanceSnapshotUniform,
+    maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
+    maintenanceSnapshotUniform,
     pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,

@@ -15,42 +15,139 @@ import org.apache.spark.sql.functions._
   * a long-lived table's log is thousands of commits, and resolving it
   * driver-side line by line would serialize the metadata plane.
   *
-  * Scope (checked loudly): JSON commits only. A `_last_checkpoint`
-  * indirection (parquet checkpoints replace old JSON) refuses rather
-  * than silently reading a stale prefix; deletion vectors and column
-  * mapping are newer protocol features a `protocol` line would gate in
-  * a full implementation.
+  * Checkpoints are supported: a `_last_checkpoint` pointer routes the
+  * read to the checkpoint parquet (single or multi-part) plus the JSON
+  * commits AFTER the checkpoint version — the common shape of any Delta
+  * table past ~10 commits, where older JSON may already be vacuumed.
+  * Deletion vectors and column mapping are newer protocol features a
+  * `protocol` line would gate in a full implementation.
+  *
+  * Paths in the log are RELATIVE PERCENT-ENCODED URIs per the public
+  * protocol: the reader URL-decodes them (a file named `a b=c.parquet`
+  * appears as `a%20b%3Dc.parquet`) and refuses absolute-URI adds
+  * (external files) loudly; the exporter percent-encodes on the way
+  * out, so round-trips preserve exotic file names.
   */
 object DeltaCompat {
 
-  /** The live data-file paths of the Delta table at `dir`, resolved
-    * from its commit log: per path, the LATEST add/remove action wins
-    * (the Delta reconciliation rule). */
-  def liveFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(s"$dir/_delta_log")),
-      s"$dir has no _delta_log — not a Delta table")
-    require(!fs.exists(new Path(s"$dir/_delta_log/_last_checkpoint")),
-      "checkpointed Delta logs are out of scope for this compat reader " +
-        "(it would silently miss pre-checkpoint actions); read the " +
-        "checkpoint parquet + later JSON in a full implementation")
-    val log = spark.read.json(s"$dir/_delta_log/*.json")
-      .withColumn("commit",
-        regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
-    val cols = log.columns.toSet
+  /** One line of actions with its commit version attached: `add.path` /
+    * `remove.path` extracted (absent action kinds tolerated), rows
+    * without either dropped. */
+  private def actionsOf(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
     def pathOf(action: String): org.apache.spark.sql.Column =
       if (cols.contains(action)) col(s"$action.path") else lit(null).cast("string")
-    log.select(col("commit"), pathOf("add").as("add_path"),
+    df.select(col("commit"), pathOf("add").as("add_path"),
         pathOf("remove").as("rm_path"))
       .select(col("commit"),
         coalesce(col("add_path"), col("rm_path")).as("path"),
         col("add_path").isNotNull.as("is_add"))
       .filter(col("path").isNotNull)
+  }
+
+  /** The reconciled per-path state of the log — one row per path with
+    * its LATEST action (the Delta reconciliation rule) — plus the
+    * latest commit version present. With a `_last_checkpoint`, the
+    * checkpoint parquet carries the state at its version and only
+    * LATER JSON commits replay on top. */
+  private def resolvedState(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(s"$dir/_delta_log")
+    require(fs.exists(logDir), s"$dir has no _delta_log — not a Delta table")
+    val lastCp = new Path(logDir, "_last_checkpoint")
+    val (cpActions, cpVersion): (Option[DataFrame], Long) =
+      if (!fs.exists(lastCp)) (None, -1L)
+      else {
+        // one small JSON object: {"version":N,"size":M[,"parts":P]}
+        val in = fs.open(lastCp)
+        val meta = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        def longField(k: String): Option[Long] =
+          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong)
+        val v = longField("version").getOrElse(
+          throw new IllegalArgumentException(
+            s"_last_checkpoint at $dir has no version field: $meta"))
+        val files = longField("parts") match {
+          case Some(p) => (1L to p).map(i =>
+            f"$dir/_delta_log/$v%020d.checkpoint.$i%010d.$p%010d.parquet")
+          case None => Seq(f"$dir/_delta_log/$v%020d.checkpoint.parquet")
+        }
+        files.foreach(f => require(fs.exists(new Path(f)),
+          s"_last_checkpoint points at version $v but $f is missing"))
+        (Some(spark.read.parquet(files: _*).withColumn("commit", lit(v))), v)
+      }
+    // JSON commits AFTER the checkpoint (older ones may be vacuumed —
+    // and must not be replayed anyway: the checkpoint subsumes them)
+    val jsonFiles = fs.listStatus(logDir).map(_.getPath).filter { p =>
+      p.getName.matches("\\d{20}\\.json") &&
+        p.getName.stripSuffix(".json").toLong > cpVersion
+    }.map(_.toString).sorted
+    require(cpActions.nonEmpty || jsonFiles.nonEmpty,
+      s"$dir/_delta_log has neither a checkpoint nor JSON commits")
+    val jsonActions =
+      if (jsonFiles.isEmpty) None
+      else Some(actionsOf(spark.read.json(jsonFiles: _*)
+        .withColumn("commit",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))))
+    val actions = (cpActions.map(actionsOf) ++ jsonActions).reduce(_ unionByName _)
+    val latest = (cpVersion +: jsonFiles.map(f =>
+      new Path(f).getName.stripSuffix(".json").toLong)).max
+    (actions
       .groupBy(col("path"))
-      .agg(max_by(col("is_add"), col("commit")).as("live"))
-      .filter(col("live"))
+      .agg(max_by(col("is_add"), col("commit")).as("is_add")), latest)
+  }
+
+  /** The live data-file paths of the Delta table at `dir`: reconciled
+    * state filtered to adds, paths URL-decoded (the protocol stores
+    * them percent-encoded), absolute-URI adds refused. */
+  def liveFiles(spark: SparkSession, dir: String): Seq[String] =
+    resolvedState(spark, dir)._1
+      .filter(col("is_add"))
       .select(col("path"))
-      .collect().map(r => s"$dir/${r.getString(0)}").toSeq.sorted
+      .collect().map { r =>
+        val raw = r.getString(0)
+        // protocol: relative percent-encoded URI; absolute = external file
+        val uri = try new java.net.URI(raw) catch {
+          case e: java.net.URISyntaxException => throw new IllegalArgumentException(
+            s"Delta log at $dir holds a malformed path URI '$raw'", e)
+        }
+        require(!uri.isAbsolute && !raw.startsWith("/"),
+          s"absolute add path '$raw' (external file) is out of scope for " +
+            "this compat reader")
+        s"$dir/${uri.getPath}"
+      }.toSeq.sorted
+
+  /** CHECKPOINT the log at its latest version — the writer-side
+    * maintenance op that makes long logs cheap to open: one parquet
+    * holding the reconciled state (live `add`s plus `remove` tombstone
+    * paths) and the `_last_checkpoint` pointer. JSON commits at or
+    * before the checkpointed version become vacuum-able; this reader
+    * ignores them afterwards. Scope: data actions only (protocol /
+    * metaData rows a full Delta writer also snapshots are carried by
+    * the JSON header commit, which [[exportDeltaLog]] always writes
+    * first and never vacuums here). Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (state, v) = resolvedState(spark, dir)
+    require(v >= 0L, s"no commits to checkpoint at $dir")
+    val cpFile = new Path(f"$dir/_delta_log/$v%020d.checkpoint.parquet")
+    val tmp = new Path(s"$dir/_delta_log/.cp-tmp")
+    val rows = state.select(
+      when(col("is_add"),
+        struct(col("path"), lit(true).as("dataChange"))).as("add"),
+      when(not(col("is_add")),
+        struct(col("path"), lit(true).as("dataChange"))).as("remove"))
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"checkpoint write at $tmp produced no parquet"))
+    fs.delete(cpFile, false)
+    require(fs.rename(part, cpFile), s"rename $part -> $cpFile failed")
+    fs.delete(tmp, true)
+    val n = spark.read.parquet(cpFile.toString).count()
+    val out = fs.create(new Path(s"$dir/_delta_log/_last_checkpoint"), true)
+    try out.write(s"""{"version":$v,"size":$n}""".getBytes("UTF-8"))
+    finally out.close()
+    v
   }
 
   /** Read the table's current state. */
@@ -106,9 +203,16 @@ object DeltaCompat {
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         s"""{"metaData":{"id":"graft-${new Path(snapshotRoot).getName}","format":{"provider":"parquet"}}}""")
       else Nil
+      // protocol: paths are relative percent-encoded URIs (spaces, '=',
+      // '%' in file names must round-trip); encoding leaves no JSON
+      // metacharacters behind, but escape defensively anyway
+      def enc(p: String): String = {
+        val encoded = new java.net.URI(null, null, p, null).getRawPath
+        encoded.replace("\\", "\\\\").replace("\"", "\\\"")
+      }
       val lines = header ++
-        removed.map(p => s"""{"remove":{"path":"$p","dataChange":true}}""") ++
-        added.map(p => s"""{"add":{"path":"$p","dataChange":true}}""")
+        removed.map(p => s"""{"remove":{"path":"${enc(p)}","dataChange":true}}""") ++
+        added.map(p => s"""{"add":{"path":"${enc(p)}","dataChange":true}}""")
       val out = fs.create(new Path(logDir, f"$idx%020d.json"), true)
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()

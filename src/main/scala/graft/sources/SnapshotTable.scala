@@ -1400,13 +1400,32 @@ object SnapshotTable {
         "fast-forward merge needs every inherited dir still live; use a " +
         "keyed upsert for diverged lineages")
     val next = mainCur + 1
-    val renamed = branchOnly.zipWithIndex.map { case (dn, i) =>
-      val nn = SnapPrefix + fmt(next) + f"-m$i%03d"
-      require(fs.rename(new Path(rootPath, dn), new Path(rootPath, nn)),
-        s"could not re-point branch dir $dn -> $nn at $root")
-      nn
+    // The renames happen BEFORE the (non-CAS) manifest commit, so a
+    // failure anywhere in this window would leave the branch manifest
+    // pointing at renamed-away dirs — unreadable, with the dirs orphaned
+    // until vacuum. Track completed renames and ROLL THEM BACK on any
+    // failure (a later rename error, or commitManifest's concurrent-
+    // commit require): the branch stays readable and retryable.
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val id = try {
+      val renamed = branchOnly.zipWithIndex.map { case (dn, i) =>
+        val nn = SnapPrefix + fmt(next) + f"-m$i%03d"
+        require(fs.rename(new Path(rootPath, dn), new Path(rootPath, nn)),
+          s"could not re-point branch dir $dn -> $nn at $root")
+        done += ((dn, nn))
+        nn
+      }
+      commitManifest(spark, root, next, mainDirs ++ renamed)
+    } catch {
+      case e: Throwable =>
+        done.reverseIterator.foreach { case (dn, nn) =>
+          if (!fs.rename(new Path(rootPath, nn), new Path(rootPath, dn)))
+            System.err.println(s"[snapshot] mergeBranch rollback failed: " +
+              s"$nn -> $dn at $root; branch $name references $dn until " +
+              "restored manually")
+        }
+        throw e
     }
-    val id = commitManifest(spark, root, next, mainDirs ++ renamed)
     fs.delete(bPath, true)
     id
   }

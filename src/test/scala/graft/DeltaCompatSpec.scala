@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.DeltaCompat
 
 /** Edge pins for the Delta-log compat reader: last-action-wins
-  * reconciliation (re-add after remove resurrects the file) and the
-  * loud checkpoint refusal. */
+  * reconciliation (re-add after remove resurrects the file),
+  * checkpoint read/write (including vacuumed pre-checkpoint JSON),
+  * percent-encoded path round-trips, and loud refusals for absolute
+  * paths / dangling checkpoints / non-Delta dirs. */
 class DeltaCompatSpec extends SparkSpec {
   import spark.implicits._
 
@@ -55,7 +57,71 @@ class DeltaCompatSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b")))
   }
 
-  test("checkpointed logs refuse loudly; non-Delta dirs refuse loudly") {
+  test("checkpoint write + read: pre-checkpoint JSON vacuumed, later commits replay") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "a")))
+    writePart(dir, fs, "b.parquet", Seq((2L, "b")))
+    writePart(dir, fs, "c.parquet", Seq((3L, "c")))
+    writeCommit(dir, fs, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}""",
+      """{"add":{"path":"b.parquet","dataChange":true}}"""))
+    writeCommit(dir, fs, 1, Seq(
+      """{"remove":{"path":"a.parquet","dataChange":true}}"""))
+    val v = DeltaCompat.checkpoint(spark, dir)
+    assert(v == 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_delta_log/00000000000000000001.checkpoint.parquet")))
+    // the checkpoint subsumes the old JSON: vacuum it, reads still work
+    (0L to 1L).foreach(i => fs.delete(new org.apache.hadoop.fs.Path(
+      f"$dir/_delta_log/$i%020d.json"), false))
+    assert(DeltaCompat.liveFiles(spark, dir).map(_.split('/').last) == Seq("b.parquet"))
+    // later commits replay ON TOP of the checkpoint — including a
+    // tombstone resurrection (add of a checkpoint-removed path)
+    writeCommit(dir, fs, 2, Seq(
+      """{"add":{"path":"c.parquet","dataChange":true}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    assert(DeltaCompat.liveFiles(spark, dir).map(_.split('/').last)
+      == Seq("a.parquet", "b.parquet", "c.parquet"))
+    // a remove after the checkpoint wins over the checkpoint's add
+    writeCommit(dir, fs, 3, Seq(
+      """{"remove":{"path":"b.parquet","dataChange":true}}"""))
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (3L, "c")))
+    // re-checkpoint at the new head; everything still resolves
+    assert(DeltaCompat.checkpoint(spark, dir) == 3L)
+    (2L to 3L).foreach(i => fs.delete(new org.apache.hadoop.fs.Path(
+      f"$dir/_delta_log/$i%020d.json"), false))
+    assert(DeltaCompat.liveFiles(spark, dir).map(_.split('/').last)
+      == Seq("a.parquet", "c.parquet"))
+  }
+
+  test("percent-encoded paths decode on read and encode on export; absolute paths refuse") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a b=c%.parquet", Seq((1L, "x")))
+    writeCommit(dir, fs, 0, Seq(
+      """{"add":{"path":"a%20b=c%25.parquet","dataChange":true}}"""))
+    assert(DeltaCompat.liveFiles(spark, dir).map(_.split('/').last)
+      == Seq("a b=c%.parquet"))
+    assert(DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((1L, "x")))
+    // absolute path (external file) refuses loudly
+    writeCommit(dir, fs, 1, Seq(
+      """{"add":{"path":"file:///elsewhere/z.parquet","dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] { DeltaCompat.liveFiles(spark, dir) }
+    assert(e.getMessage.contains("absolute"))
+    // exporter round-trip: a snapshot table whose part lives under an
+    // exotic dir name reads back identically through the Delta log
+    val root = java.nio.file.Files.createTempDirectory("graft-uniform-enc").toString
+    graft.sources.SnapshotTable.commit(
+      Seq((7L, "q")).toDF("id", "v"), root)
+    assert(DeltaCompat.exportDeltaLog(spark, root) == 1)
+    assert(DeltaCompat.readDeltaTable(spark, root)
+      .as[(Long, String)].collect().toSet == Set((7L, "q")))
+  }
+
+  test("dangling checkpoint pointer and non-Delta dirs refuse loudly") {
     val (dir, fs) = mkTable()
     writePart(dir, fs, "a.parquet", Seq((1L, "a")))
     writeCommit(dir, fs, 0, Seq(
@@ -67,7 +133,7 @@ class DeltaCompatSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       DeltaCompat.liveFiles(spark, dir)
     }
-    assert(e.getMessage.contains("checkpoint"))
+    assert(e.getMessage.contains("missing"))
     val e2 = intercept[IllegalArgumentException] {
       DeltaCompat.liveFiles(spark,
         java.nio.file.Files.createTempDirectory("graft-notdelta").toString)

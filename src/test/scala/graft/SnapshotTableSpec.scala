@@ -720,6 +720,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.branchRead(spark, root, "dev").count() == 2)
   }
 
+  test("mergeBranch rolls renames back on a mid-merge failure; branch stays readable") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    SnapshotTable.branchCreate(spark, root, "dev")
+    SnapshotTable.branchAppend(Seq((2L, "b")).toDF("id", "v"), root, "dev")
+    SnapshotTable.branchAppend(Seq((3L, "c")).toDF("id", "v"), root, "dev")
+    val before = SnapshotTable.branchRead(spark, root, "dev")
+      .as[(Long, String)].collect().toSet
+    assert(before == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // REGRESSION (r13 advice): inject a failure between the two dir
+    // renames — a plain FILE squatting on the second rename's target
+    // (next main id is 2; branch-only dirs re-point to snap-…2-mNNN).
+    // Pre-fix, the first rename stuck and the branch manifest pointed
+    // at a renamed-away dir: unreadable, orphaned until vacuum.
+    val squat = new java.io.File(root, f"snap-${2L}%020d-m001")
+    assert(squat.createNewFile())
+    intercept[Exception] { SnapshotTable.mergeBranch(spark, root, "dev") }
+    assert(SnapshotTable.branchRead(spark, root, "dev")
+      .as[(Long, String)].collect().toSet == before,
+      "failed merge must leave the branch fully readable")
+    assert(SnapshotTable.read(spark, root).count() == 1, "main untouched")
+    // clear the obstruction: the merge retries cleanly
+    assert(squat.delete())
+    val id = SnapshotTable.mergeBranch(spark, root, "dev")
+    assert(SnapshotTable.readAt(spark, root, id)
+      .as[(Long, String)].collect().toSet == before)
+  }
+
   test("shallow clone: zero-copy, diverges locally, source untouched") {
     val s = spark
     import s.implicits._
