@@ -302,6 +302,39 @@ object Bpe {
     m
   }
 
+  /** [[segmentRanked]] over INT symbol ids — the REPRESENTATION-CAPLESS
+    * apply path: symbols are unbounded ints, so a 32k+ -merge vocabulary
+    * (past the 55104 single-char BMP ceiling the string encoding hits)
+    * applies with the same O(len²)-per-word, vocabulary-size-independent
+    * cost. Same fresh-symbol argument as [[segmentRanked]] makes
+    * lowest-rank-first equal to the sequential exhaustive chain.
+    * `ranks` maps the packed pair key (a<<32|b) → merge. */
+  def segmentRankedIds(word: Array[Int],
+      ranks: scala.collection.mutable.LongMap[MergeI]): Array[Int] = {
+    @inline def pk(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    var w = word
+    var done = false
+    while (!done) {
+      var best: MergeI = null
+      var j = 0
+      while (j < w.length - 1) {
+        val m = ranks.getOrNull(pk(w(j), w(j + 1)))
+        if (m != null && (best == null || m.rk < best.rk)) best = m
+        j += 1
+      }
+      if (best == null) done = true
+      else w = applyMergeIds(w, best.a, best.b, 191 + best.rk)
+    }
+    w
+  }
+
+  /** Packed-pair-key → merge lookup for [[segmentRankedIds]]. */
+  def rankMapIds(merges: Seq[MergeI]): scala.collection.mutable.LongMap[MergeI] = {
+    val m = scala.collection.mutable.LongMap.empty[MergeI]
+    merges.foreach(x => m.put((x.a.toLong << 32) | (x.b.toLong & 0xffffffffL), x))
+    m
+  }
+
   /** The trained merge table as a DataFrame (rk, pair, merged, cnt). */
   def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
@@ -310,11 +343,21 @@ object Bpe {
 
   /** Per-document BPE token accounting under a trained merge list:
     * (id, n_words, n_tokens_bpe) where n_tokens_bpe sums the segmented
-    * length of every word. Row-local typed map — the merge list rides
-    * the task closure; nothing shuffles before the per-doc aggregate
-    * (which is row-per-doc already, so this is a narrow pass). */
+    * length of every word. Char-encoded merges delegate to the
+    * representation-capless int-id path ([[tokenCountsIds]]) — the char
+    * form survives only as the SQL-oracle/vocab-output encoding, never
+    * the apply hot path. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge]): DataFrame =
+    tokenCountsIds(docs, idCol, textCol, merges.map(m =>
+      MergeI(m.rk.toInt, m.pair.charAt(0).toInt, m.pair.charAt(1).toInt, m.cnt)))
+
+  /** [[tokenCounts]] over INT-id merges — no vocabulary ceiling.
+    * Row-local typed map — the merge list rides the task closure;
+    * nothing shuffles before the per-doc aggregate (which is
+    * row-per-doc already, so this is a narrow pass). */
+  def tokenCountsIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[MergeI]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = merges.toIndexedSeq
@@ -326,7 +369,7 @@ object Bpe {
         // count) turns the per-occurrence cost into a hash probe. The
         // cap keeps task memory bounded on adversarial corpora (every
         // word distinct); beyond it words are segmented unmemoized.
-        val ranks = rankMap(ms)
+        val ranks = rankMapIds(ms)
         val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
         it.map { case (id, text) =>
           val ws = normalizeString(text).split(" ", -1).filter(_.nonEmpty)
@@ -335,7 +378,8 @@ object Bpe {
             val cached = memo.get(w)
             if (cached != null) toks += cached.longValue()
             else {
-              val t = segmentRanked(w, ranks).length.toLong
+              val t = segmentRankedIds(
+                w.toCharArray.map(_.toInt), ranks).length.toLong
               if (memo.size < (1 << 16)) memo.put(w, t)
               toks += t
             }

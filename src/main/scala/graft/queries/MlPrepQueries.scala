@@ -1169,6 +1169,14 @@ object MlPrepQueries {
         md5(concat(col("doc_id").cast("string"), lit("x")))))
   private def bpeLargeTrain(s: SparkSession, d: String): Seq[graft.ops.Bpe.Merge] =
     Bpe.train(bpeLargeDocs(s, d), "train_text", bpeMergesLarge, bpeCapLarge)
+  /** The APPLY-side large family runs the Array[Int] id path end-to-end
+    * (train ids → [[graft.ops.Bpe.tokenCountsIds]]) — no char-symbol
+    * encoding anywhere between training and token counts, so the same
+    * code applies a 32k+ vocabulary past the BMP ceiling; the char form
+    * survives only where the OUTPUT is the symbol table itself
+    * (train/vocab gates) and in the SQL oracle replay. */
+  private def bpeLargeTrainIds(s: SparkSession, d: String): Seq[graft.ops.Bpe.MergeI] =
+    Bpe.trainIds(bpeLargeDocs(s, d), "train_text", bpeMergesLarge, bpeCapLarge)
 
   /** Vocabulary-scale BPE TRAINING: the full merge table at vocabulary scale, every
     * round's (pair, count) decision cross-engine gated — the oracle
@@ -1212,8 +1220,8 @@ object MlPrepQueries {
     * vocabulary scale in one gate. */
   val textBpeApplyLarge: QueryDef = QueryDef(
     "text_bpe_apply_large",
-    (s, d) => Bpe.tokenCounts(bpeLargeDocs(s, d), "doc_id", "train_text",
-        bpeLargeTrain(s, d))
+    (s, d) => Bpe.tokenCountsIds(bpeLargeDocs(s, d), "doc_id", "train_text",
+        bpeLargeTrainIds(s, d))
       .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE ${Bpe.trainRecursiveCtesSql(normalizeLargeSql,
              bpeMergesLarge, bpeCapLarge)},
@@ -1240,7 +1248,7 @@ object MlPrepQueries {
     (s, d) => {
       val docs = bpeLargeDocs(s, d)
       Packing.chunkSummaryCounts(
-          Bpe.tokenCounts(docs, "doc_id", "train_text", bpeLargeTrain(s, d)),
+          Bpe.tokenCountsIds(docs, "doc_id", "train_text", bpeLargeTrainIds(s, d)),
           "doc_id", "n_tokens_bpe", nShards = 8, budgetTokens = 512)
         .orderBy("shard", "chunk_id")
     },
@@ -1281,7 +1289,7 @@ object MlPrepQueries {
     "text_bpe_fertility_large",
     (s, d) => {
       val docs = bpeLargeDocs(s, d)
-      Bpe.tokenCounts(docs, "doc_id", "train_text", bpeLargeTrain(s, d))
+      Bpe.tokenCountsIds(docs, "doc_id", "train_text", bpeLargeTrainIds(s, d))
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(sum(col("n_words")).as("n_words"),

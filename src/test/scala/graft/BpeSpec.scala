@@ -76,6 +76,44 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("id-based apply equals the char path at vocabulary scale; works past the BMP ceiling") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("train_text", concat_ws(" ", col("text"),
+        md5(col("doc_id").cast("string"))))
+    val mergesI = Bpe.trainIds(docs, "train_text", numMerges = 1024,
+      maxTrainWords = 400)
+    val merges = Bpe.toCharMerges(mergesI)
+    val ranksC = Bpe.rankMap(merges)
+    val ranksI = Bpe.rankMapIds(mergesI)
+    val words = docs.select(col("train_text")).collect()
+      .flatMap(r => Bpe.normalizeString(r.getString(0)).split(" "))
+      .filter(_.nonEmpty).distinct
+    assert(words.length > 400)
+    words.foreach { w =>
+      val viaIds = Bpe.segmentRankedIds(w.toCharArray.map(_.toInt), ranksI)
+      val viaChars = Bpe.segmentRanked(w, ranksC)
+      assert(viaIds.toSeq === viaChars.toCharArray.map(_.toInt).toSeq,
+        s"id/char segmentation divergence on word '$w'")
+    }
+    // frame-level: tokenCountsIds == tokenCounts (which now delegates)
+    val a = Bpe.tokenCounts(docs, "doc_id", "train_text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = Bpe.tokenCountsIds(docs, "doc_id", "train_text", mergesI)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a === b)
+    // PAST THE CEILING: merge ranks whose output ids exceed the BMP —
+    // unrepresentable as single chars (toCharMerges refuses), applied
+    // fine by the id path. rk=60000 -> z=60191 > 0xD7FF.
+    val r1 = 60000
+    val z1 = 191 + r1
+    val ms = Seq(Bpe.MergeI(r1, 'a'.toInt, 'b'.toInt, 9L),
+      Bpe.MergeI(r1 + 1, z1, z1, 3L))
+    val seg = Bpe.segmentRankedIds("ababab".toCharArray.map(_.toInt),
+      Bpe.rankMapIds(ms))
+    assert(seg.toSeq === Seq(191 + r1 + 1, z1))
+    intercept[IllegalArgumentException] { Bpe.toCharMerges(ms) }
+  }
+
   test("vocabulary-scale training: counts non-increasing, symbols fresh, prefix-stable") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("train_text", concat_ws(" ", col("text"),
