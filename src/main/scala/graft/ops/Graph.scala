@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deterministic PageRank over an edge table — the link-centrality score
   * web-scale curation pipelines use as a document/domain quality prior
@@ -429,12 +430,23 @@ object Graph {
     var round = 0
     while (round < maxHops && frontier.count() > 0) {
       round += 1
-      val next = Materialize.carried(
-        frontier.join(e, frontier("node") === e("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(settled, Seq("node"), "left_anti")
-          .withColumn("hops", lit(round)))
-      settled = Materialize.carried(settled.unionByName(next))
+      val nextPlan = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("hops", lit(round))
+      // Lineage policy (r14 re-profile — the r13 shape reliably
+      // checkpointed BOTH next and the settled union every hop, 5 jobs/
+      // hop, 2x the query's floor at 3 hops): a hop's frontier persists
+      // cheaply (the loop-top count materializes it; recompute-on-loss
+      // walks back through persisted hops only), with a RELIABLE
+      // checkpoint every 8th hop to bound the recompute chain an
+      // executor loss can trigger on deep traversals. settled itself is
+      // a UNION of those persisted/checkpointed legs — one scan per
+      // hop, never a recomputation chain — so it needs no truncation.
+      val next =
+        if (round % 8 == 0) Materialize.carried(nextPlan)
+        else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
+      settled = settled.unionByName(next)
       frontier = next.select(col("node"))
     }
     e.unpersist(false)

@@ -714,10 +714,14 @@ object AnalyticsQueries {
   val qShortestPaths: QueryDef = QueryDef(
     "q_shortest_paths",
     (s, d) => {
-      val e0 = Tables.orders(s, d)
+      // e0 is consumed THREE times (both union legs + the seed filter):
+      // materialize the fact-sized join+distinct once, or the plan pays
+      // the orders⋈lineitem shuffle per consumer — the difference
+      // between one fact pass and three at 100 TB
+      val e0 = graft.ops.Materialize.invariant(Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
-        .distinct()
+        .distinct())
       val e = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
       val seeds = e0.filter(col("a") % 100 === 0)
