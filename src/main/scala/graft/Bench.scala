@@ -153,6 +153,11 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // stream-query steady-state accounting: (name, wall, batches/rep,
+    // trigger sec/rep) — summarized after the run so the artifact
+    // separates per-micro-batch OPERATOR cost from harness scaffolding
+    val streamAgg =
+      scala.collection.mutable.ListBuffer.empty[(String, Double, Long, Double)]
     val results = selected.map { q =>
       def run(): Unit =
         q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -187,15 +192,18 @@ object Bench {
         if (ds.batches > 0 && ok)
           f""","stream_batches":${ds.batches / qReps},"stream_trigger_sec":${ds.triggerMs / 1000.0 / qReps}%.2f"""
         else ""
+      if (ds.batches > 0 && ok)
+        streamAgg += ((q.name, best, ds.batches / qReps,
+          ds.triggerMs / 1000.0 / qReps))
       // per-query progress line: short, self-contained JSON — the
       // redundant recovery path if the tail capture clips the summary
       println(f"""{"query":"${q.name}","sec":${if (ok) f"$best%.2f" else "-1"}$streamJson}""")
-      (q.name, best, ok)
+      (q.name, best, ok, streamJson)
     }
     // A failed query reports -1 and is excluded from "value": the
     // headline number only reflects completed work.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     spark.stop()
     val loadEnd = loadavg()
     val probeEnd = (cpuProbeSec(), diskProbeSec())
@@ -213,20 +221,41 @@ object Bench {
     //  2. BENCH_LINES.jsonl in the working directory — a committed
     //     artifact with one line per query, readable without any capture.
     val timingLines = results.grouped(40).map { chunk =>
-      val entries = chunk.map { case (n, v, ok) =>
+      val entries = chunk.map { case (n, v, ok, _) =>
         s""""$n":${if (ok) f"$v%.2f" else "-1"}"""
       }.mkString(",")
       s"""{"timings":{$entries}}"""
     }.toSeq
     timingLines.foreach(println)
+    // STREAM STEADY-STATE summary: what a long-lived stream pays per
+    // micro-batch (triggerExecution, the operator cost that recurs in
+    // production) vs the gate's wall (which also buys query start/stop
+    // and a fresh checkpoint per drain — fixed harness scaffolding a
+    // production stream never re-pays). One line, bounded size.
+    if (streamAgg.nonEmpty) {
+      val wall = streamAgg.map(_._2).sum
+      val trig = streamAgg.map(_._4).sum
+      val batches = streamAgg.map(_._3).sum
+      println(f"""{"stream_meta":{"n_stream_queries":${streamAgg.size},"wall_sec":$wall%.2f,"trigger_sec":$trig%.2f,"scaffold_sec":${wall - trig}%.2f,"batches":$batches,"trigger_sec_per_batch":${if (batches > 0) trig / batches else 0.0}%.3f}}""")
+    }
     try {
-      val jsonl = results.map { case (n, v, ok) =>
-        f"""{"query":"$n","sec":${if (ok) f"$v%.2f" else "-1"}}"""
+      val jsonl = results.map { case (n, v, ok, sj) =>
+        f"""{"query":"$n","sec":${if (ok) f"$v%.2f" else "-1"}$sj}"""
       }.mkString("", "\n", "\n") +
         f"""{"bench_meta":{"git_sha":"$sha","sf":"$sfDir","loadavg":{"start":"$loadStart","end":"$loadEnd"},"probes":$probesJson}}\n"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINES.jsonl"),
+      // Every run lands in BENCH_LINES_LAST.jsonl (gitignored scratch —
+      // the capture-independent recovery path). The COMMITTED canonical
+      // record, BENCH_LINES.jsonl, is written only when the caller opts
+      // in with SPARK_GRAFT_RECORD=1: two rounds running, the driver's
+      // loaded re-run clobbered the builder's clean closing record
+      // because every invocation wrote the canonical file.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LINES_LAST.jsonl"),
         jsonl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LINES.jsonl write skipped: ${e.getMessage}") }
+      if (sys.env.get("SPARK_GRAFT_RECORD").contains("1"))
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINES.jsonl"),
+          jsonl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LINES write skipped: ${e.getMessage}") }
     // Loud validity flags (round-7/8 artifacts were only adjudicable
     // out-of-band): dirty = uncommitted edits in the measured tree;
     // load_high = the 5-MIN run-queue above 2 at start — the 1-min field
@@ -257,7 +286,7 @@ object Bench {
         val floors = """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         results.collect {
-          case (n, v, true) if floors.get(n).exists(f => v > f * 2.0 + 0.5) =>
+          case (n, v, true, _) if floors.get(n).exists(f => v > f * 2.0 + 0.5) =>
             f"""{"query":"$n","sec":$v%.2f,"floor":${floors(n)}%.2f}"""
         }
       } catch { case _: Throwable => Seq.empty }
