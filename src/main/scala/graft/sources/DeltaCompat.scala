@@ -125,27 +125,39 @@ object DeltaCompat {
     * metaData rows a full Delta writer also snapshots are carried by
     * the JSON header commit, which [[exportDeltaLog]] always writes
     * first and never vacuums here). Returns the checkpointed version. */
-  def checkpoint(spark: SparkSession, dir: String): Long = {
+  def checkpoint(spark: SparkSession, dir: String, parts: Int = 1): Long = {
+    require(parts >= 1, "need parts >= 1")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (state, v) = resolvedState(spark, dir)
     require(v >= 0L, s"no commits to checkpoint at $dir")
-    val cpFile = new Path(f"$dir/_delta_log/$v%020d.checkpoint.parquet")
     val tmp = new Path(s"$dir/_delta_log/.cp-tmp")
     val rows = state.select(
       when(col("is_add"),
         struct(col("path"), lit(true).as("dataChange"))).as("add"),
       when(not(col("is_add")),
         struct(col("path"), lit(true).as("dataChange"))).as("remove"))
-    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"checkpoint write at $tmp produced no parquet"))
-    fs.delete(cpFile, false)
-    require(fs.rename(part, cpFile), s"rename $part -> $cpFile failed")
+    // multi-part checkpoints (the protocol's shape for state too large
+    // for one file — each part is written by one task, so a 100 TB
+    // table's multi-million-file state never funnels through one
+    // writer): repartition to `parts` and name each part per the spec,
+    // <v>.checkpoint.<i-of-n>.parquet
+    rows.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+    val written = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(written.nonEmpty, s"checkpoint write at $tmp produced no parquet")
+    val targets =
+      if (parts == 1) Seq(new Path(f"$dir/_delta_log/$v%020d.checkpoint.parquet"))
+      else (1 to written.length).map(i => new Path(
+        f"$dir/_delta_log/$v%020d.checkpoint.$i%010d.${written.length}%010d.parquet"))
+    written.zip(targets).foreach { case (src, dst) =>
+      fs.delete(dst, false)
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
+    }
     fs.delete(tmp, true)
-    val n = spark.read.parquet(cpFile.toString).count()
+    val n = spark.read.parquet(targets.map(_.toString): _*).count()
+    val partsField = if (parts == 1) "" else s""","parts":${written.length}"""
     val out = fs.create(new Path(s"$dir/_delta_log/_last_checkpoint"), true)
-    try out.write(s"""{"version":$v,"size":$n}""".getBytes("UTF-8"))
+    try out.write(s"""{"version":$v,"size":$n$partsField}""".getBytes("UTF-8"))
     finally out.close()
     v
   }

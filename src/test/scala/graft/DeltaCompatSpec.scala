@@ -89,8 +89,12 @@ class DeltaCompatSpec extends SparkSpec {
     val got = DeltaCompat.readDeltaTable(spark, dir)
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (3L, "c")))
-    // re-checkpoint at the new head; everything still resolves
-    assert(DeltaCompat.checkpoint(spark, dir) == 3L)
+    // re-checkpoint at the new head — MULTI-PART this time (the
+    // protocol's shape for large state); everything still resolves
+    assert(DeltaCompat.checkpoint(spark, dir, parts = 3) == 3L)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/_delta_log/*.checkpoint.*.*.parquet")).nonEmpty,
+      "multi-part checkpoint files expected")
     (2L to 3L).foreach(i => fs.delete(new org.apache.hadoop.fs.Path(
       f"$dir/_delta_log/$i%020d.json"), false))
     assert(DeltaCompat.liveFiles(spark, dir).map(_.split('/').last)
