@@ -30,6 +30,51 @@ import org.apache.spark.sql.functions._
   */
 object DeltaCompat {
 
+  /** Refuse protocol features this reader cannot honor — SILENTLY
+    * ignoring them reads wrong data (a deletion-vector'd file would
+    * surface its deleted rows; column mapping renames every column):
+    * `protocol.minReaderVersion > 1`, any live `add.deletionVector`,
+    * and `metaData.configuration."delta.columnMapping.mode"` other than
+    * none. Checks are schema-driven (absent fields = feature never
+    * used = fine) and cost one short job over log metadata. */
+  private def guardUnsupported(df: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    def subField(struct: String, name: String): Boolean =
+      df.schema.find(_.name == struct).exists(_.dataType match {
+        case st: StructType => st.fieldNames.contains(name)
+        case _ => false
+      })
+    if (subField("protocol", "minReaderVersion")) {
+      require(df.filter(col("protocol.minReaderVersion") > 1).isEmpty,
+        s"Delta table at $dir declares protocol.minReaderVersion > 1 " +
+          "(v2+ reader features: deletion vectors / column mapping / v2 " +
+          "checkpoints) — out of scope for this compat reader")
+    }
+    if (subField("add", "deletionVector")) {
+      require(df.filter(col("add").isNotNull &&
+          col("add.deletionVector").isNotNull).isEmpty,
+        s"Delta table at $dir carries deletion vectors — row-level " +
+          "deletes this reader would silently resurrect; compact the " +
+          "table (purge DVs) before reading through this compat path")
+    }
+    val cmField = df.schema.find(_.name == "metaData").map(_.dataType).exists {
+      case st: StructType => st.find(_.name == "configuration").exists(_.dataType match {
+        case cs: StructType => cs.fieldNames.contains("delta.columnMapping.mode")
+        case _ => false
+      })
+      case _ => false
+    }
+    if (cmField) {
+      require(df.filter(col("metaData").isNotNull &&
+          col("metaData.configuration.`delta.columnMapping.mode`").isNotNull &&
+          col("metaData.configuration.`delta.columnMapping.mode`") =!= "none")
+          .isEmpty,
+        s"Delta table at $dir uses column mapping — physical parquet " +
+          "column names differ from the logical schema; out of scope " +
+          "for this compat reader")
+    }
+  }
+
   /** One line of actions with its commit version attached: `add.path` /
     * `remove.path` extracted (absent action kinds tolerated), rows
     * without either dropped. */
@@ -83,11 +128,16 @@ object DeltaCompat {
     }.map(_.toString).sorted
     require(cpActions.nonEmpty || jsonFiles.nonEmpty,
       s"$dir/_delta_log has neither a checkpoint nor JSON commits")
+    cpActions.foreach(guardUnsupported(_, dir))
     val jsonActions =
       if (jsonFiles.isEmpty) None
-      else Some(actionsOf(spark.read.json(jsonFiles: _*)
-        .withColumn("commit",
-          regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))))
+      else {
+        val raw = spark.read.json(jsonFiles: _*)
+          .withColumn("commit",
+            regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
+        guardUnsupported(raw, dir)
+        Some(actionsOf(raw))
+      }
     val actions = (cpActions.map(actionsOf) ++ jsonActions).reduce(_ unionByName _)
     val latest = (cpVersion +: jsonFiles.map(f =>
       new Path(f).getName.stripSuffix(".json").toLong)).max

@@ -125,6 +125,40 @@ class DeltaCompatSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((7L, "q")))
   }
 
+  test("unsupported protocol features refuse loudly instead of reading wrong data") {
+    // deletion vectors: silently ignoring them would resurrect deleted rows
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "a")))
+    writeCommit(dir, fs, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"add":{"path":"a.parquet","dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":2}}}"""))
+    val e = intercept[IllegalArgumentException] { DeltaCompat.liveFiles(spark, dir) }
+    assert(e.getMessage.contains("deletion vectors"))
+    // reader version beyond this reader's contract
+    val (dir2, fs2) = mkTable()
+    writePart(dir2, fs2, "a.parquet", Seq((1L, "a")))
+    writeCommit(dir2, fs2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    val e2 = intercept[IllegalArgumentException] { DeltaCompat.liveFiles(spark, dir2) }
+    assert(e2.getMessage.contains("minReaderVersion"))
+    // column mapping renames every physical column
+    val (dir3, fs3) = mkTable()
+    writePart(dir3, fs3, "a.parquet", Seq((1L, "a")))
+    writeCommit(dir3, fs3, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    val e3 = intercept[IllegalArgumentException] { DeltaCompat.liveFiles(spark, dir3) }
+    assert(e3.getMessage.contains("column mapping"))
+    // an EXPLICIT mode=none is fine
+    val (dir4, fs4) = mkTable()
+    writePart(dir4, fs4, "a.parquet", Seq((1L, "a")))
+    writeCommit(dir4, fs4, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"none"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    assert(DeltaCompat.liveFiles(spark, dir4).map(_.split('/').last) == Seq("a.parquet"))
+  }
+
   test("dangling checkpoint pointer and non-Delta dirs refuse loudly") {
     val (dir, fs) = mkTable()
     writePart(dir, fs, "a.parquet", Seq((1L, "a")))
