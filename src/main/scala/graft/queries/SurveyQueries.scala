@@ -2973,6 +2973,52 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li WHERE m <> 0 GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_hudi_cow: interop with the PUBLIC Apache Hudi COPY-ON-WRITE
+    * layout ([[graft.sources.HudiCompat]]) — the second lake-migration
+    * leg next to the Delta reader. The chain exercises the CoW
+    * visibility rules end-to-end: commit 001 writes two file groups,
+    * commit 002 REWRITES one of them (same fileId, new instant — the
+    * update path; the old slice must be fully shadowed), and commit 003
+    * writes a data file but never completes (a crashed/racing writer —
+    * its rows must stay invisible). Value-gated against DuckDB
+    * computing both slices from lineitem with the update applied. */
+  val ingestHudiCow: QueryDef = QueryDef(
+    "ingest_hudi_cow",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "hudi_cow")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"))
+      val h = graft.sources.HudiCompat
+      h.beginCommit(s, dir, "001")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 0), dir, "m=0", "fgA", "001")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 1), dir, "m=1", "fgB", "001")
+      h.completeCommit(s, dir, "001")
+      // CoW update: rewrite fgA with qty bumped by 1 — the new slice
+      // must shadow instant 001's base file entirely
+      h.beginCommit(s, dir, "002")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 0)
+        .withColumn("qty_cents", col("qty_cents") + 1), dir, "m=0", "fgA", "002")
+      h.completeCommit(s, dir, "002")
+      // in-flight writer: data lands, commit never completes
+      h.beginCommit(s, dir, "003")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 1000 === 0)
+        .withColumn("qty_cents", lit(-1L)), dir, "m=1", "fgC", "003")
+      h.readHoodieTable(s, dir)
+        .groupBy((col("l_orderkey") % 2).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 2 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT)
+      |      + CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li GROUP BY m ORDER BY m""".stripMargin))
+
   /** maintenance_snapshot_uniform: DUAL-FORMAT export
     * ([[graft.sources.DeltaCompat.exportDeltaLog]] — the UniForm idea):
     * a snapshot table's manifest chain (commit, O(delta) append, a
@@ -3082,7 +3128,7 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
-    maintenanceSnapshotUniform,
+    ingestHudiCow, maintenanceSnapshotUniform,
     pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,

@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.HudiCompat
+
+/** Edge pins for the Hudi CoW compat reader: latest-file-slice
+  * resolution, inflight invisibility, and loud MOR/replacecommit
+  * refusals. */
+class HudiCompatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-hudi").toString
+
+  test("latest completed file slice wins; inflight instants stay invisible") {
+    val dir = mkTable()
+    // commit 001: file group A (p=a) v1, file group B (p=b)
+    HudiCompat.beginCommit(spark, dir, "001")
+    HudiCompat.writeBaseFile(Seq((1L, "old"), (2L, "old")).toDF("id", "v"),
+      dir, "p=a", "fgA", "001")
+    HudiCompat.writeBaseFile(Seq((10L, "b")).toDF("id", "v"),
+      dir, "p=b", "fgB", "001")
+    HudiCompat.completeCommit(spark, dir, "001")
+    assert(HudiCompat.readHoodieTable(spark, dir).count() == 3)
+    // commit 002 REWRITES file group A (the CoW update): same fileId,
+    // new base file at the new instant
+    HudiCompat.beginCommit(spark, dir, "002")
+    HudiCompat.writeBaseFile(Seq((1L, "new"), (2L, "new"), (3L, "new"))
+      .toDF("id", "v"), dir, "p=a", "fgA", "002")
+    HudiCompat.completeCommit(spark, dir, "002")
+    val got = HudiCompat.readHoodieTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "new"), (2L, "new"), (3L, "new"), (10L, "b")),
+      s"latest slice of fgA must shadow v1 entirely, got $got")
+    // commit 003 writes data but NEVER completes: invisible
+    HudiCompat.beginCommit(spark, dir, "003")
+    HudiCompat.writeBaseFile(Seq((99L, "ghost")).toDF("id", "v"),
+      dir, "p=a", "fgC", "003")
+    assert(HudiCompat.readHoodieTable(spark, dir)
+      .filter($"id" === 99L).count() == 0,
+      "data of an in-flight commit must stay invisible")
+    // completing it flips visibility atomically
+    HudiCompat.completeCommit(spark, dir, "003")
+    assert(HudiCompat.readHoodieTable(spark, dir).count() == 5)
+  }
+
+  test("MOR tables and replacecommits refuse loudly; non-Hudi dirs refuse") {
+    val dir = mkTable()
+    HudiCompat.beginCommit(spark, dir, "001")
+    HudiCompat.writeBaseFile(Seq((1L, "a")).toDF("id", "v"), dir, "p=a", "fgA", "001")
+    HudiCompat.completeCommit(spark, dir, "001")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def touch(p: String): Unit = {
+      val o = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      try o.write(Array.emptyByteArray) finally o.close()
+    }
+    touch(s"$dir/.hoodie/002.deltacommit")
+    val e = intercept[IllegalArgumentException] { HudiCompat.liveFiles(spark, dir) }
+    assert(e.getMessage.contains("MERGE_ON_READ"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.hoodie/002.deltacommit"), false)
+    touch(s"$dir/.hoodie/003.replacecommit")
+    val e2 = intercept[IllegalArgumentException] { HudiCompat.liveFiles(spark, dir) }
+    assert(e2.getMessage.contains("replacecommit"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.hoodie/003.replacecommit"), false)
+    // a stray log file refuses even without a deltacommit marker
+    touch(s"$dir/p=a/fgA_0-0-0.log.1")
+    val e3 = intercept[IllegalArgumentException] { HudiCompat.liveFiles(spark, dir) }
+    assert(e3.getMessage.contains("log"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/p=a/fgA_0-0-0.log.1"), false)
+    val e4 = intercept[IllegalArgumentException] {
+      HudiCompat.liveFiles(spark, mkTable())
+    }
+    assert(e4.getMessage.contains(".hoodie"))
+  }
+}
