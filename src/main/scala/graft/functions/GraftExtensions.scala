@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RowPolicy)
     ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
+    ext.injectOptimizerRule(_ => graft.plans.DistinctElimination)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -194,6 +195,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.JoinElimination))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.JoinElimination
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DistinctElimination))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DistinctElimination
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -712,10 +712,59 @@ object RelationalQueries {
       |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
       |FROM j GROUP BY 1 ORDER BY kg""".stripMargin))
 
+  /** DISTINCT ELIMINATION under a RELY unique-key declaration
+    * ([[graft.plans.DistinctElimination]]): the defensive-dedup shape —
+    * `SELECT DISTINCT` whose key set contains a declared unique key —
+    * is rewritten to drop the dedup entirely (REQUIREd: no Aggregate/
+    * Deduplicate below the final rollup; the same distinct WITHOUT the
+    * key column keeps its dedup). At 100 TB each eliminated DISTINCT is
+    * a full-corpus hash shuffle. The oracle runs the REAL DISTINCT in
+    * DuckDB, so the gate also audits the declaration: were the key not
+    * unique, the dedup-free plan's counts would diverge. */
+  val qDistinctElimination: QueryDef = QueryDef(
+    "q_distinct_elimination",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "distinct_elim")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val t = s"$dir/orders_u"
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"))
+        .write.mode("overwrite").parquet(t)
+      graft.functions.GraftExtensions.register(s)
+      graft.plans.DistinctElimination.registerUnique(t, Seq("o_orderkey"))
+      val u = s.read.parquet(t)
+      def dedups(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case dd: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => dd
+        }.size
+      val base = u.select(col("o_orderkey"), col("o_custkey")).distinct()
+      require(dedups(base) == 0 && base.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty,
+        "key-covering DISTINCT must be eliminated from the plan")
+      val kept = u.select(col("o_custkey")).distinct()
+      require(dedups(kept) + kept.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.size >= 1,
+        "a DISTINCT that projects away the key must keep its dedup")
+      base
+        .groupBy((col("o_custkey") % 10).as("kg"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy("kg")
+    },
+    Some("""WITH u AS (SELECT DISTINCT o_orderkey, o_custkey FROM orders)
+      |SELECT o_custkey % 10 AS kg, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_custs
+      |FROM u GROUP BY 1 ORDER BY kg""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qMultiJoin, qWindowTopk, qWindowRunning, qSemiJoin, qAntiJoin,
     qSetOps, qTopkOrders, qEventsHourly, qRollup, qCube, qEventsSessions,
     qSessionWindowNative, qCopurchasePairs,
     qCorrelatedAvg, qPivot, qStringFuncs, qDateFuncs, qNullFuncs,
-    qMode, qWeightedMedian, qSaltedJoin, qPercentileCont, qJoinElimination)
+    qMode, qWeightedMedian, qSaltedJoin, qPercentileCont, qJoinElimination,
+    qDistinctElimination)
 }

@@ -202,6 +202,54 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally graft.plans.RowPolicy.deregister(base)
   }
 
+  test("distinct elimination: declared unique key drops the dedup; unsafe shapes keep it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-de").toString
+    val t = s"$dir/t"
+    (1 to 100).map(i => (i.toLong, s"g${i % 5}", (i % 7).toLong))
+      .toDF("id", "g", "v").write.parquet(t)
+    graft.functions.GraftExtensions.register(spark)
+    graft.plans.DistinctElimination.registerUnique(t, Seq("id"))
+    try {
+      def dedups(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+        }.size
+      // distinct over a superset of the key: dropped, values identical
+      val q = spark.read.parquet(t).select($"id", $"g").distinct()
+      assert(dedups(q) == 0, "key-covering distinct must be eliminated")
+      assert(q.count() == 100)
+      // SQL DISTINCT, with a filter in between (uniqueness-preserving)
+      spark.read.parquet(t).createOrReplaceTempView("de_t")
+      val sq = spark.sql("SELECT DISTINCT id, v FROM de_t WHERE v > 2")
+      assert(dedups(sq) == 0)
+      assert(sq.count() ==
+        spark.read.parquet(t).filter($"v" > 2).count())
+      // dropDuplicates on a SUBSET not covering the key: kept
+      val nk = spark.read.parquet(t).dropDuplicates("g")
+      assert(dedups(nk) == 1 && nk.count() == 5)
+      // distinct that PROJECTS AWAY the key: kept (g,v are not unique)
+      val pa = spark.read.parquet(t).select($"g", $"v").distinct()
+      assert(dedups(pa) == 1 && pa.count() ==
+        (1 to 100).map(i => (i % 5, i % 7)).distinct.size)
+      // grouping-only aggregate (DISTINCT in disguise): dropped; a real
+      // aggregate function keeps the Aggregate
+      val ga = spark.read.parquet(t).groupBy($"id", $"g").agg(Map.empty[String, String])
+      assert(dedups(ga) == 0 && ga.count() == 100)
+      val ra = spark.read.parquet(t).groupBy($"id").agg(sum($"v").as("sv"))
+      assert(dedups(ra) == 1 && ra.count() == 100)
+      // multi-path scan: never eliminable (rows can repeat across roots)
+      val t2 = s"$dir/t2"
+      spark.read.parquet(t).write.parquet(t2)
+      graft.plans.DistinctElimination.registerUnique(t2, Seq("id"))
+      try {
+        val mp = spark.read.parquet(t, t2).select($"id").distinct()
+        assert(dedups(mp) == 1 && mp.count() == 100,
+          "multi-path distinct must survive: each root is unique, the union is not")
+      } finally graft.plans.DistinctElimination.deregister(t2)
+    } finally graft.plans.DistinctElimination.deregister(t)
+  }
+
   test("summary rewrite: grouping-less COUNT over an empty base is 0, not NULL") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv0").toString
     val base = s"$dir/base"; val summary = s"$dir/summary"
