@@ -3019,6 +3019,63 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_iceberg: interop with the PUBLIC Apache Iceberg format
+    * ([[graft.sources.IcebergCompat]]) — metadata JSON → manifest-list
+    * Avro → manifest Avro → parquet, resolved with nothing but the Avro
+    * core + Jackson already on Spark's classpath. The chain exercises
+    * the spec's entry-status algebra across two snapshots: snapshot 1
+    * ADDs two slices; snapshot 2 (an overwrite) marks one DELETED,
+    * carries the other EXISTING, and ADDs a replacement with bumped
+    * values. Value-gated against DuckDB computing the surviving slices
+    * from lineitem. */
+  val ingestIceberg: QueryDef = QueryDef(
+    "ingest_iceberg",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "iceberg_compat")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"))
+      def writeSlice(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+        val tmp = s"$dir/.tmp-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        df.count()
+      }
+      val ic = graft.sources.IcebergCompat
+      val na = writeSlice("even_v1.parquet", li.filter(col("l_orderkey") % 2 === 0))
+      val nb = writeSlice("odd.parquet", li.filter(col("l_orderkey") % 2 === 1))
+      val m1 = ic.writeManifest(s, dir, "m1.avro",
+        Seq((1, "data/even_v1.parquet", na), (1, "data/odd.parquet", nb)))
+      val ml1 = ic.writeManifestList(s, dir, "ml1.avro", Seq(m1))
+      ic.writeMetadata(s, dir, 1, Seq((101L, ml1)))
+      // snapshot 2: OVERWRITE the even slice with qty bumped by 1
+      val nc = writeSlice("even_v2.parquet",
+        li.filter(col("l_orderkey") % 2 === 0)
+          .withColumn("qty_cents", col("qty_cents") + 1))
+      val m2 = ic.writeManifest(s, dir, "m2.avro",
+        Seq((2, "data/even_v1.parquet", na), (0, "data/odd.parquet", nb),
+          (1, "data/even_v2.parquet", nc)))
+      val ml2 = ic.writeManifestList(s, dir, "ml2.avro", Seq(m2))
+      ic.writeMetadata(s, dir, 2, Seq((101L, ml1), (102L, ml2)))
+      ic.readIcebergTable(s, dir)
+        .groupBy((col("l_orderkey") % 2).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 2 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT)
+      |      + CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li GROUP BY m ORDER BY m""".stripMargin))
+
   /** maintenance_snapshot_uniform: DUAL-FORMAT export
     * ([[graft.sources.DeltaCompat.exportDeltaLog]] — the UniForm idea):
     * a snapshot table's manifest chain (commit, O(delta) append, a
@@ -3128,7 +3185,7 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
-    ingestHudiCow, maintenanceSnapshotUniform,
+    ingestHudiCow, ingestIceberg, maintenanceSnapshotUniform,
     pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,
