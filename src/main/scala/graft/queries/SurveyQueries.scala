@@ -3076,6 +3076,89 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_iceberg_v2_deletes: the format-v2 ROW-LEVEL DELETE semantics
+    * applied, not refused — position deletes (file-addressed `(path,
+    * pos)` rows anti-joined against the data scan's own
+    * `_metadata.file_path`/`row_index` provenance, `deleteSeq >=
+    * dataSeq`) and equality deletes (schema-id-resolved columns,
+    * STRICT `deleteSeq > dataSeq` so a row re-inserted after the
+    * delete survives). The fixture writes the base slice in a pinned
+    * physical row order (sort-within-partition by the unique key), so
+    * DuckDB replays positions with `row_number() OVER (ORDER BY key)`.
+    * One data file at seq 1, position deletes of every 7th row at seq
+    * 2, an equality delete of a customer slice at seq 2, and a seq-3
+    * re-insert of part of that slice with bumped prices — every delete
+    * rule observable in the values. */
+  val ingestIcebergV2Deletes: QueryDef = QueryDef(
+    "ingest_iceberg_v2_deletes",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "iceberg_v2del")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"))
+      def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+        val tmp = s"$dir/.tmp-$name"
+        df.write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        df.count()
+      }
+      // pinned physical row order: position p holds the (p+1)-smallest okey
+      val na = writeFile("base.parquet",
+        orders.coalesce(1).sortWithinPartitions("o_orderkey"))
+      // position deletes: every 7th physical row of base.parquet
+      val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+      val target = s"$dir/data/base.parquet"
+      val npd = writeFile("pd.parquet",
+        orders.coalesce(1)
+          .withColumn("pos", row_number().over(w).cast("long") - 1L)
+          .filter(col("pos") % 7 === 0)
+          .select(lit(target).as("file_path"), col("pos")))
+      // equality delete: the o_custkey % 97 == 0 slice, by customer
+      val ned = writeFile("ed.parquet",
+        orders.filter(col("o_custkey") % 97 === 0)
+          .select(col("o_custkey")).distinct())
+      // seq-3 re-insert: the even-okey half of that slice, price bumped
+      val nb = writeFile("reinsert.parquet",
+        orders.filter(col("o_custkey") % 97 === 0 && col("o_orderkey") % 2 === 0)
+          .withColumn("price_cents", col("price_cents") + 1))
+      val ic = graft.sources.IcebergCompat
+      val m = ic.writeManifestEntries(s, dir, "m1.avro", Seq(
+        ic.Entry(1, "data/base.parquet", na, content = 0, seq = 1L),
+        ic.Entry(1, "data/pd.parquet", npd, content = 1, seq = 2L),
+        ic.Entry(1, "data/ed.parquet", ned, content = 2, seq = 2L,
+          equalityIds = Seq(2)),
+        ic.Entry(1, "data/reinsert.parquet", nb, content = 0, seq = 3L)))
+      val ml = ic.writeManifestList(s, dir, "ml1.avro", Seq(m))
+      ic.writeMetadata(s, dir, 1, Seq((101L, ml)),
+        schemaFields = Seq((1, "o_orderkey"), (2, "o_custkey"), (3, "price_cents")))
+      ic.readIcebergTable(s, dir)
+        .groupBy((col("o_custkey") % 10).as("kg"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("kg")
+    },
+    Some("""WITH a AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders),
+      |surv AS (
+      |  SELECT o_custkey, price_cents FROM a
+      |  WHERE pos % 7 <> 0 AND o_custkey % 97 <> 0),
+      |reins AS (
+      |  SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS price_cents
+      |  FROM orders WHERE o_custkey % 97 = 0 AND o_orderkey % 2 = 0),
+      |u AS (SELECT * FROM surv UNION ALL SELECT * FROM reins)
+      |SELECT o_custkey % 10 AS kg, count(*) AS n,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+      |FROM u GROUP BY 1 ORDER BY kg""".stripMargin))
+
   /** maintenance_snapshot_uniform: DUAL-FORMAT export
     * ([[graft.sources.DeltaCompat.exportDeltaLog]] — the UniForm idea):
     * a snapshot table's manifest chain (commit, O(delta) append, a
@@ -3185,7 +3268,8 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
-    ingestHudiCow, ingestIceberg, maintenanceSnapshotUniform,
+    ingestHudiCow, ingestIceberg, ingestIcebergV2Deletes,
+    maintenanceSnapshotUniform,
     pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,

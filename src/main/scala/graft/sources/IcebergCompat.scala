@@ -7,7 +7,8 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Interop front door for the PUBLIC Apache Iceberg table format (the
   * open spec's `metadata/vN.metadata.json` → manifest list → manifest
@@ -18,23 +19,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Resolution follows the spec: `version-hint.text` (or the highest
   * `vN.metadata.json`) names the current metadata file; its
   * `current-snapshot-id` picks the snapshot; the snapshot's
-  * `manifest-list` Avro file lists manifests; each DATA manifest's
-  * entries carry a `status` (1 ADDED / 0 EXISTING / 2 DELETED) and a
-  * `data_file` record whose `file_path` points at the parquet. Live
-  * files = non-DELETED entries across the current snapshot's
-  * manifests. Reads are GENERIC (field-by-NAME over whatever writer
-  * schema the file embeds), so files written by real Iceberg libraries
-  * resolve the same as this module's own fixture writers.
+  * `manifest-list` Avro file lists manifests (content 0 = data, 1 =
+  * deletes); each manifest's entries carry a `status` (1 ADDED /
+  * 0 EXISTING / 2 DELETED), an optional `sequence_number`, and a
+  * `data_file` record (`content` 0 = data, 1 = position deletes,
+  * 2 = equality deletes). Reads are GENERIC (field-by-NAME over
+  * whatever writer schema the file embeds), so files written by real
+  * Iceberg libraries resolve the same as this module's own fixture
+  * writers.
   *
-  * Scope (checked loudly): snapshots WITHOUT row-level deletes —
-  * a manifest-list entry with `content = 1` (a DELETE manifest) or a
-  * data-file record with `content != 0` (position/equality delete
-  * files) refuses rather than silently resurrecting deleted rows;
-  * format-version 3 refuses outright (deletion vectors / row lineage).
-  * Data files must be parquet. Manifest metadata is read driver-side —
-  * the metadata plane is MBs where the data plane is TBs; a table
-  * whose manifests themselves are huge wants the real library's
-  * distributed planning. */
+  * FORMAT-V2 ROW-LEVEL DELETES ARE APPLIED, not refused:
+  *  - POSITION deletes (`content = 1` files holding `(file_path, pos)`
+  *    rows) anti-join against the data rows' own parquet provenance
+  *    (`_metadata.file_path` / `_metadata.row_index` — exactly the
+  *    coordinates the spec's positions refer to), scoped by the spec's
+  *    sequence rule `deleteSeq >= dataSeq`;
+  *  - EQUALITY deletes (`content = 2` files whose `equality_ids` name
+  *    schema field ids) anti-join on the named columns with the strict
+  *    rule `deleteSeq > dataSeq`, so a row re-inserted AFTER the
+  *    delete survives — the re-insert case that makes sequence-blind
+  *    equality deletion silently wrong.
+  * Both anti-joins broadcast the DELETE side: delete files are
+  * corrections, orders of magnitude smaller than the corpus, and the
+  * data side never reshuffles.
+  *
+  * Scope (checked loudly): format-version 3 refuses (deletion vectors /
+  * row lineage); data files must be parquet. Manifest METADATA is read
+  * driver-side — the metadata plane is MBs where the data plane is
+  * TBs; a table whose manifests themselves are huge wants the real
+  * library's distributed planning. */
 object IcebergCompat {
 
   private val mapper = new ObjectMapper()
@@ -49,6 +62,12 @@ object IcebergCompat {
     if (uri.isAbsolute || p.startsWith("/")) new Path(uri.getPath)
     else new Path(s"$dir/$p")
   }
+
+  /** Scheme-stripped comparable form of a file URI/path — both
+    * `_metadata.file_path` (`file:/…`) and delete-row `file_path`
+    * values normalize to the plain filesystem path. */
+  private def normPath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
 
   /** The current metadata JSON file: `version-hint.text` when present,
     * else the highest `vN.metadata.json`. */
@@ -92,8 +111,18 @@ object IcebergCompat {
         s"field $name is not numeric: $other")
     }
 
-  /** Live data-file paths of the table's CURRENT snapshot. */
-  def liveFiles(spark: SparkSession, dir: String): Seq[String] = {
+  /** One resolved content file of the current snapshot. `content`:
+    * 0 data, 1 position deletes, 2 equality deletes. `seq` is the
+    * entry's data sequence number (entry field, else the manifest-list
+    * entry's, else 0 — the v1 default). `equalityNames` are the
+    * schema-resolved column names for content = 2. */
+  final case class ContentFile(path: String, content: Int, seq: Long,
+      equalityNames: Seq[String])
+
+  /** All live content files of the current snapshot (status != DELETED
+    * across its manifests), with sequence numbers and resolved
+    * equality columns. */
+  def resolveSnapshot(spark: SparkSession, dir: String): Seq[ContentFile] = {
     val fs = fsFor(spark, dir)
     val mf = currentMetadataFile(spark, dir)
     require(fs.exists(mf), s"metadata file missing: $mf")
@@ -102,6 +131,22 @@ object IcebergCompat {
     val fv = root.path("format-version").asInt(1)
     require(fv <= 2, s"Iceberg format-version $fv (deletion vectors / row " +
       "lineage) is out of scope for this compat reader")
+    // field-id -> name map from the current schema (for equality_ids)
+    val idToName: Map[Long, String] = {
+      val schemaNode =
+        if (root.has("schemas")) {
+          val cur = root.path("current-schema-id").asLong(0L)
+          root.path("schemas").elements().asScala
+            .find(_.path("schema-id").asLong(-1L) == cur)
+            .getOrElse(root.path("schemas").elements().asScala.toSeq.headOption
+              .getOrElse(root.path("schema")))
+        } else root.path("schema")
+      if (schemaNode.has("fields"))
+        schemaNode.path("fields").elements().asScala
+          .map(f => f.path("id").asLong(-1L) -> f.path("name").asText(""))
+          .filter(t => t._1 >= 0 && t._2.nonEmpty).toMap
+      else Map.empty
+    }
     val snapId = root.path("current-snapshot-id").asLong(-1L)
     require(snapId > 0, s"no current-snapshot-id in $mf (empty table?)")
     val snaps = root.path("snapshots")
@@ -114,52 +159,127 @@ object IcebergCompat {
     require(mlPath.nonEmpty,
       s"snapshot $snapId has no manifest-list (v1 inline manifests are " +
         "out of scope — rewrite the table with a manifest list)")
-    val manifestEntries = readAvro(spark, resolve(dir, mlPath))
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    manifestEntries.foreach { me =>
-      val content = longField(me, "content").getOrElse(0L)
-      require(content == 0L,
-        s"table at $dir carries a DELETE manifest — row-level deletes " +
-          "this reader would silently resurrect; compact/rewrite first")
+    val out = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
+    readAvro(spark, resolve(dir, mlPath)).foreach { me =>
       val mPath = field(me, "manifest_path").map(_.toString).getOrElse(
         throw new IllegalArgumentException("manifest-list entry has no manifest_path"))
+      val mlSeq = longField(me, "sequence_number").getOrElse(0L)
       readAvro(spark, resolve(dir, mPath)).foreach { e =>
         val status = longField(e, "status").getOrElse(0L)
-        if (status != 2L) { // 2 = DELETED
+        if (status != 2L) { // 2 = DELETED entry
           val df = field(e, "data_file").collect { case r: GenericRecord => r }
             .getOrElse(throw new IllegalArgumentException(
               s"manifest entry without data_file in $mPath"))
-          require(longField(df, "content").getOrElse(0L) == 0L,
-            s"table at $dir carries delete files (position/equality) — " +
-              "out of scope for this compat reader")
           val fmt = field(df, "file_format").map(_.toString.toUpperCase)
             .getOrElse("PARQUET")
           require(fmt == "PARQUET",
             s"data file format $fmt unsupported (parquet only)")
-          out += resolve(dir, field(df, "file_path").map(_.toString).getOrElse(
-            throw new IllegalArgumentException("data_file without file_path")))
-            .toUri.getPath
+          val content = longField(df, "content").getOrElse(0L).toInt
+          require(content >= 0 && content <= 2,
+            s"unknown content id $content in $mPath")
+          val seq = longField(e, "sequence_number").getOrElse(mlSeq)
+          val eqNames =
+            if (content != 2) Nil
+            else field(df, "equality_ids") match {
+              case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
+                case n: java.lang.Number =>
+                  idToName.getOrElse(n.longValue(),
+                    throw new IllegalArgumentException(
+                      s"equality field id $n not found in the table schema"))
+                case other => throw new IllegalArgumentException(
+                  s"non-numeric equality id $other")
+              }
+              case _ => throw new IllegalArgumentException(
+                s"equality-delete file without equality_ids in $mPath")
+            }
+          out += ContentFile(
+            resolve(dir, field(df, "file_path").map(_.toString).getOrElse(
+              throw new IllegalArgumentException("data_file without file_path")))
+              .toUri.getPath,
+            content, seq, eqNames)
         }
       }
     }
-    require(out.nonEmpty, s"Iceberg snapshot $snapId at $dir has no live files")
-    out.toSeq.sorted
+    out.toSeq
   }
 
-  /** Read the table's current snapshot. */
-  def readIcebergTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(liveFiles(spark, dir): _*)
+  /** Live DATA-file paths of the current snapshot (delete files are
+    * resolved by [[readIcebergTable]], not listed here). */
+  def liveFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val files = resolveSnapshot(spark, dir).filter(_.content == 0).map(_.path)
+    require(files.nonEmpty, s"Iceberg table at $dir has no live data files")
+    files.sorted
+  }
+
+  /** Read the table's current snapshot with v2 row-level deletes
+    * APPLIED. Delete sides broadcast (they are corrections, not
+    * corpora); the data side keeps its scan partitioning. */
+  def readIcebergTable(spark: SparkSession, dir: String): DataFrame = {
+    val files = resolveSnapshot(spark, dir)
+    val data = files.filter(_.content == 0)
+    require(data.nonEmpty, s"Iceberg table at $dir has no live data files")
+    val posDel = files.filter(_.content == 1)
+    val eqDel = files.filter(_.content == 2)
+    val plain = spark.read.parquet(data.map(_.path): _*)
+    if (posDel.isEmpty && eqDel.isEmpty) return plain
+    import spark.implicits._
+    // per-data-file sequence numbers ride a broadcast map keyed by the
+    // normalized path — metadata-sized, like the delete sides
+    val seqDf = broadcast(data.map(f => (f.path, f.seq)).toDF("_gf_p", "_gf_seq")
+      .withColumn("_gf_p", normPath(col("_gf_p"))))
+    var df = plain
+      .withColumn("_gf_p", normPath(col("_metadata.file_path")))
+      .withColumn("_gf_pos", col("_metadata.row_index"))
+      .join(seqDf, Seq("_gf_p"), "left")
+    if (posDel.nonEmpty) {
+      // delete-file seq also rides _metadata provenance of the delete scan
+      val pdSeq = broadcast(posDel.map(f => (f.path, f.seq))
+        .toDF("_gd_p", "_gd_seq").withColumn("_gd_p", normPath(col("_gd_p"))))
+      val pd = broadcast(spark.read.parquet(posDel.map(_.path): _*)
+        .select(normPath(col("file_path")).as("_gd_target"),
+          col("pos").cast("long").as("_gd_pos"),
+          normPath(col("_metadata.file_path")).as("_gd_p"))
+        .join(pdSeq, Seq("_gd_p")))
+      df = df.join(pd,
+        df("_gf_p") === pd("_gd_target") && df("_gf_pos") === pd("_gd_pos") &&
+          pd("_gd_seq") >= df("_gf_seq"),
+        "left_anti")
+    }
+    eqDel.groupBy(_.equalityNames).foreach { case (names, group) =>
+      require(names.nonEmpty, "equality delete with empty column list")
+      val edSeq = broadcast(group.map(f => (f.path, f.seq))
+        .toDF("_ge_p", "_ge_seq").withColumn("_ge_p", normPath(col("_ge_p"))))
+      val ed = broadcast(spark.read.parquet(group.map(_.path): _*)
+        .withColumn("_ge_p", normPath(col("_metadata.file_path")))
+        .join(edSeq, Seq("_ge_p"))
+        .select(col("_ge_seq") +: names.map(n => col(n).as(s"_ge_$n")): _*))
+      // STRICT seq rule: a row re-inserted after the delete survives
+      val cond = names.map(n => df(n) <=> ed(s"_ge_$n"))
+        .reduce(_ && _) && ed("_ge_seq") > df("_gf_seq")
+      df = df.join(ed, cond, "left_anti")
+    }
+    df.drop("_gf_p", "_gf_pos", "_gf_seq")
+  }
 
   // ---- fixture/export writers (minimal spec-shaped Avro + JSON) ----
+
+  /** One fixture manifest row: `status` 1 ADDED / 0 EXISTING /
+    * 2 DELETED; `content` 0 data / 1 position deletes / 2 equality
+    * deletes; `seq` the entry's data sequence number; `equalityIds`
+    * schema field ids for content = 2. */
+  final case class Entry(status: Int, path: String, records: Long,
+      content: Int = 0, seq: Long = 0L, equalityIds: Seq[Int] = Nil)
 
   private val manifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
       |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |    {"name":"content","type":"int"},
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
-      |    {"name":"record_count","type":"long"}
+      |    {"name":"record_count","type":"long"},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
       |  ]}}
       |]}""".stripMargin.replace("\n", ""))
 
@@ -167,7 +287,8 @@ object IcebergCompat {
     """{"type":"record","name":"manifest_file","fields":[
       |  {"name":"manifest_path","type":"string"},
       |  {"name":"manifest_length","type":"long"},
-      |  {"name":"content","type":"int"}
+      |  {"name":"content","type":"int"},
+      |  {"name":"sequence_number","type":["null","long"],"default":null}
       |]}""".stripMargin.replace("\n", ""))
 
   private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
@@ -181,19 +302,23 @@ object IcebergCompat {
     finally w.close() // closes the stream
   }
 
-  /** Fixture: write a DATA manifest for `files` with per-file status
-    * (1 ADDED / 0 EXISTING / 2 DELETED). Paths relative to the root. */
-  def writeManifest(spark: SparkSession, dir: String, name: String,
-      files: Seq[(Int, String, Long)]): String = {
-    val rows = files.map { case (status, relPath, n) =>
+  /** Fixture: write a manifest for `entries`. Paths relative to the
+    * table root (or absolute). */
+  def writeManifestEntries(spark: SparkSession, dir: String, name: String,
+      entries: Seq[Entry]): String = {
+    val rows = entries.map { en =>
       val df = new GenericData.Record(
         manifestEntrySchema.getField("data_file").schema())
-      df.put("content", 0)
-      df.put("file_path", relPath)
+      df.put("content", en.content)
+      df.put("file_path", en.path)
       df.put("file_format", "PARQUET")
-      df.put("record_count", n)
+      df.put("record_count", en.records)
+      df.put("equality_ids",
+        if (en.equalityIds.isEmpty) null
+        else en.equalityIds.map(Integer.valueOf).asJava)
       val e = new GenericData.Record(manifestEntrySchema)
-      e.put("status", status)
+      e.put("status", en.status)
+      e.put("sequence_number", java.lang.Long.valueOf(en.seq))
       e.put("data_file", df)
       e
     }
@@ -201,15 +326,24 @@ object IcebergCompat {
     s"metadata/$name"
   }
 
-  /** Fixture: write a manifest LIST naming `manifests` (all data
-    * manifests, content = 0). */
+  /** Fixture: write a DATA manifest for `files` (status, relPath, n). */
+  def writeManifest(spark: SparkSession, dir: String, name: String,
+      files: Seq[(Int, String, Long)]): String =
+    writeManifestEntries(spark, dir, name,
+      files.map { case (st, p, n) => Entry(st, p, n) })
+
+  /** Fixture: write a manifest LIST naming `manifests` — (path,
+    * content 0 data / 1 deletes). */
   def writeManifestList(spark: SparkSession, dir: String, name: String,
-      manifests: Seq[String]): String = {
-    val rows = manifests.map { m =>
+      manifests: Seq[String], contents: Seq[Int] = Nil): String = {
+    val cs = if (contents.isEmpty) manifests.map(_ => 0) else contents
+    require(cs.length == manifests.length, "contents must match manifests")
+    val rows = manifests.zip(cs).map { case (m, c) =>
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", m)
       r.put("manifest_length", 0L)
-      r.put("content", 0)
+      r.put("content", c)
+      r.put("sequence_number", null)
       r
     }
     writeAvro(spark, new Path(s"$dir/metadata/$name"), manifestFileSchema, rows)
@@ -217,17 +351,24 @@ object IcebergCompat {
   }
 
   /** Fixture: write `vN.metadata.json` + `version-hint.text` with a
-    * snapshot per (id, manifestList), current = the last. */
+    * snapshot per (id, manifestList), current = the last; `schemaFields`
+    * (id, name) feed equality_ids resolution. */
   def writeMetadata(spark: SparkSession, dir: String, version: Int,
-      snapshots: Seq[(Long, String)]): Unit = {
+      snapshots: Seq[(Long, String)],
+      schemaFields: Seq[(Int, String)] = Nil): Unit = {
     val fs = fsFor(spark, dir)
     fs.mkdirs(new Path(s"$dir/metadata"))
     val snapsJson = snapshots.map { case (id, ml) =>
       s"""{"snapshot-id":$id,"manifest-list":"$ml"}"""
     }.mkString("[", ",", "]")
+    val fieldsJson = schemaFields.map { case (id, n) =>
+      s"""{"id":$id,"name":"$n","required":false,"type":"long"}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"format-version":2,"table-uuid":"graft-fixture",
          |"current-snapshot-id":${snapshots.last._1},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":$fieldsJson}],
          |"snapshots":$snapsJson}""".stripMargin.replace("\n", "")
     val out = fs.create(new Path(s"$dir/metadata/v$version.metadata.json"), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()

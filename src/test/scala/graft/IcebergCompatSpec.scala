@@ -1,29 +1,35 @@
 package graft
 
 import graft.sources.IcebergCompat
+import graft.sources.IcebergCompat.Entry
 
 /** Edge pins for the Iceberg compat reader: snapshot resolution through
   * version-hint → metadata JSON → manifest list → manifests, DELETED
-  * entry handling, EXISTING carry-over, and loud refusals for delete
-  * manifests / delete files / v3. */
+  * entry handling, EXISTING carry-over, v2 position/equality delete
+  * application with the spec's sequence rules, and loud refusals for
+  * v3 / non-parquet / non-Iceberg dirs. */
 class IcebergCompatSpec extends SparkSpec {
   import spark.implicits._
 
   private def mkTable(): String =
     java.nio.file.Files.createTempDirectory("graft-iceberg").toString
 
-  private def writeData(dir: String, name: String, rows: Seq[(Long, String)]): Long = {
+  private def writeFile(dir: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$dir/.tmp-$name"
-    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
     assert(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    rows.size.toLong
+    df.count()
   }
+
+  private def writeData(dir: String, name: String, rows: Seq[(Long, String)]): Long =
+    writeFile(dir, name, rows.toDF("id", "v"))
 
   test("snapshot chain: added, existing-carry-over, deleted; hint picks current") {
     val dir = mkTable()
@@ -55,46 +61,82 @@ class IcebergCompatSpec extends SparkSpec {
     assert(IcebergCompat.readIcebergTable(spark, dir).count() == 3)
   }
 
-  test("delete manifests, delete files, v3, and non-Iceberg dirs refuse loudly") {
+  test("position deletes drop exactly the addressed rows, sequence-scoped") {
     val dir = mkTable()
-    val na = writeData(dir, "a.parquet", Seq((1L, "a")))
-    val m1 = IcebergCompat.writeManifest(spark, dir, "m1.avro",
-      Seq((1, "data/a.parquet", na)))
-    // a manifest-list entry with content=1 (DELETE manifest)
+    val na = writeData(dir, "a.parquet",
+      Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")))
+    // position delete: rows 1 and 3 (0-based) of a.parquet
+    val target = s"$dir/data/a.parquet"
+    writeFile(dir, "pd.parquet",
+      Seq((target, 1L), (target, 3L)).toDF("file_path", "pos"))
+    val m = IcebergCompat.writeManifestEntries(spark, dir, "m1.avro", Seq(
+      Entry(1, "data/a.parquet", na, content = 0, seq = 1L),
+      Entry(1, "data/pd.parquet", 2L, content = 1, seq = 2L)))
+    val ml = IcebergCompat.writeManifestList(spark, dir, "ml1.avro", Seq(m))
+    IcebergCompat.writeMetadata(spark, dir, 1, Seq((101L, ml)))
+    val got = IcebergCompat.readIcebergTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x"), (3L, "z")),
+      s"positions 1 and 3 must drop, got $got")
+    // a position delete with seq BELOW the data file's does not apply
+    val m2 = IcebergCompat.writeManifestEntries(spark, dir, "m2.avro", Seq(
+      Entry(1, "data/a.parquet", na, content = 0, seq = 5L),
+      Entry(1, "data/pd.parquet", 2L, content = 1, seq = 2L)))
+    val ml2 = IcebergCompat.writeManifestList(spark, dir, "ml2.avro", Seq(m2))
+    IcebergCompat.writeMetadata(spark, dir, 2, Seq((102L, ml2)))
+    assert(IcebergCompat.readIcebergTable(spark, dir).count() == 4,
+      "an older position delete must not touch a newer data file")
+  }
+
+  test("equality deletes honor the strict sequence rule: re-inserts survive") {
+    val dir = mkTable()
+    val na = writeData(dir, "a.parquet", Seq((1L, "old"), (2L, "old")))
+    val nr = writeData(dir, "b.parquet", Seq((1L, "reinserted")))
+    // equality delete on id=1 at seq 2: kills the seq-1 row, NOT the
+    // seq-3 re-insert
+    writeFile(dir, "ed.parquet", Seq(Tuple1(1L)).toDF("id"))
+    val m = IcebergCompat.writeManifestEntries(spark, dir, "m1.avro", Seq(
+      Entry(1, "data/a.parquet", na, content = 0, seq = 1L),
+      Entry(1, "data/ed.parquet", 1L, content = 2, seq = 2L, equalityIds = Seq(1)),
+      Entry(1, "data/b.parquet", nr, content = 0, seq = 3L)))
+    val ml = IcebergCompat.writeManifestList(spark, dir, "ml1.avro", Seq(m))
+    IcebergCompat.writeMetadata(spark, dir, 1, Seq((101L, ml)),
+      schemaFields = Seq((1, "id"), (2, "v")))
+    val got = IcebergCompat.readIcebergTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "reinserted"), (2L, "old")),
+      s"seq-1 id=1 dies, seq-3 re-insert survives, got $got")
+  }
+
+  test("v3 and non-Iceberg dirs refuse loudly; unknown equality ids refuse") {
+    val dir = mkTable()
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    run {
-      val schema = new org.apache.avro.Schema.Parser().parse(
-        """{"type":"record","name":"manifest_file","fields":[
-          |{"name":"manifest_path","type":"string"},
-          |{"name":"manifest_length","type":"long"},
-          |{"name":"content","type":"int"}]}""".stripMargin.replace("\n", ""))
-      val r = new org.apache.avro.generic.GenericData.Record(schema)
-      r.put("manifest_path", m1); r.put("manifest_length", 0L); r.put("content", 1)
-      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/metadata/mldel.avro"), true)
-      val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
-        new org.apache.avro.generic.GenericDatumWriter(schema))
-      try { w.create(schema, out); w.append(r) } finally w.close()
-    }
-    IcebergCompat.writeMetadata(spark, dir, 1, Seq((101L, "metadata/mldel.avro")))
-    val e = intercept[IllegalArgumentException] { IcebergCompat.liveFiles(spark, dir) }
-    assert(e.getMessage.contains("DELETE manifest"))
-    // v3 refuses outright
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/metadata"))
     val out = fs.create(new org.apache.hadoop.fs.Path(
-      s"$dir/metadata/v2.metadata.json"), true)
+      s"$dir/metadata/v1.metadata.json"), true)
     try out.write(
       """{"format-version":3,"current-snapshot-id":101,"snapshots":[]}"""
         .getBytes("UTF-8")) finally out.close()
-    val hint = fs.create(new org.apache.hadoop.fs.Path(
-      s"$dir/metadata/version-hint.text"), true)
-    try hint.write("2".getBytes("UTF-8")) finally hint.close()
-    val e2 = intercept[IllegalArgumentException] { IcebergCompat.liveFiles(spark, dir) }
-    assert(e2.getMessage.contains("format-version"))
-    val e3 = intercept[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] { IcebergCompat.liveFiles(spark, dir) }
+    assert(e.getMessage.contains("format-version"))
+    val e2 = intercept[IllegalArgumentException] {
       IcebergCompat.liveFiles(spark, mkTable())
     }
-    assert(e3.getMessage.contains("metadata"))
+    assert(e2.getMessage.contains("metadata"))
+    // equality ids that resolve to no schema field refuse
+    val dir3 = mkTable()
+    val na = writeData(dir3, "a.parquet", Seq((1L, "a")))
+    writeFile(dir3, "ed.parquet", Seq(Tuple1(1L)).toDF("id"))
+    val m = IcebergCompat.writeManifestEntries(spark, dir3, "m1.avro", Seq(
+      Entry(1, "data/a.parquet", na, content = 0, seq = 1L),
+      Entry(1, "data/ed.parquet", 1L, content = 2, seq = 2L, equalityIds = Seq(9))))
+    val ml = IcebergCompat.writeManifestList(spark, dir3, "ml1.avro", Seq(m))
+    IcebergCompat.writeMetadata(spark, dir3, 1, Seq((101L, ml)),
+      schemaFields = Seq((1, "id")))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergCompat.readIcebergTable(spark, dir3)
+    }
+    assert(e3.getMessage.contains("equality field id"))
   }
-
-  private def run(f: => Unit): Unit = f
 }
