@@ -3206,6 +3206,51 @@ object SurveyQueries {
       |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
       |GROUP BY 1 ORDER BY m""".stripMargin))
 
+  /** maintenance_snapshot_uniform_iceberg: the Iceberg leg of the
+    * dual-format export ([[graft.sources.IcebergCompat
+    * .exportIcebergMetadata]], sibling of the Delta-log export): the
+    * same snapshot chain (commit, append, COMPACT, append) translated
+    * into Iceberg `metadata/` over the same files — zero data copied,
+    * one manifest per snapshot. The gate REQUIREs one exported snapshot
+    * per table snapshot and that the Iceberg-resolved live set equals
+    * the current manifest's dirs, then value-gates the ICEBERG-protocol
+    * read against DuckDB computing from the base slices — one set of
+    * parquet bytes now serves THREE formats (snapshot table, Delta,
+    * Iceberg). */
+  val maintenanceSnapshotUniformIceberg: QueryDef = QueryDef(
+    "maintenance_snapshot_uniform_iceberg",
+    (s, d) => {
+      val money = org.apache.spark.sql.types.DecimalType(18, 2)
+      val root = graft.sources.TableIO.scratchDir(s, "snapshot/uniform_ice")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderkey") % 4).as("m"),
+        col("o_totalprice").cast(money).as("o_totalprice"))
+      val slice = (m: Int) => orders.filter(col("m") === m)
+      graft.sources.SnapshotTable.commit(slice(0), root)              // v1
+      graft.sources.SnapshotTable.append(slice(1), root)              // v2
+      graft.sources.SnapshotTable.compact(s, root, rowsPerFile = 100000) // v3
+      graft.sources.SnapshotTable.append(slice(2), root)              // v4
+      val n = graft.sources.IcebergCompat.exportIcebergMetadata(s, root)
+      require(n == 4, s"one Iceberg snapshot per table snapshot expected, wrote $n")
+      val live = graft.sources.IcebergCompat.liveFiles(s, root)
+        .map(_.split('/').takeRight(2).mkString("/")).toSet
+      val manifest = graft.sources.SnapshotTable.dirsAt(s, root, 4L).toSet
+      require(live.forall(f => manifest.contains(f.split('/').head)),
+        s"Iceberg live set must resolve to the current manifest's dirs: $live vs $manifest")
+      graft.sources.IcebergCompat.readIcebergTable(s, root)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("m")
+    },
+    Some("""SELECT o_orderkey % 4 AS m, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+      |GROUP BY 1 ORDER BY m""".stripMargin))
+
   /** pipeline_branch_experiment: the FORK → VALIDATE → MERGE-OR-DROP
     * experimentation workflow the branch layer exists for (Nessie/LakeFS
     * promotion flow): two candidate data drops are staged on branches,
@@ -3269,7 +3314,7 @@ object SurveyQueries {
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
     ingestHudiCow, ingestIceberg, ingestIcebergV2Deletes,
-    maintenanceSnapshotUniform,
+    maintenanceSnapshotUniform, maintenanceSnapshotUniformIceberg,
     pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,
     cleanColumns, cleanColumnsOneOff, cleanColumnsWide, cleanRows, cleanRowsWide,

@@ -350,6 +350,51 @@ object IcebergCompat {
     s"metadata/$name"
   }
 
+  /** DUAL-FORMAT EXPORT (the UniForm idea, Iceberg leg — sibling of
+    * [[DeltaCompat.exportDeltaLog]]): write Iceberg `metadata/` INTO a
+    * [[SnapshotTable]] root so the SAME parquet files read as an
+    * Iceberg table — zero data copied, one manifest + manifest-list
+    * per snapshot, all snapshots listed in the metadata file with
+    * current = the latest.
+    * Merge-on-read delete dirs refuse loudly (Iceberg expresses
+    * row-level deletes as delete FILES with sequence numbers, not
+    * equality-delete dirs — compact first). Returns the number of
+    * snapshots exported. */
+  def exportIcebergMetadata(spark: SparkSession, snapshotRoot: String): Int = {
+    val fs = fsFor(spark, snapshotRoot)
+    val ids = SnapshotTable.snapshots(spark, snapshotRoot)
+    require(ids.nonEmpty, s"no committed snapshot at $snapshotRoot")
+    def filesOf(dir: String): Seq[(String, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) {
+          val full = st.getPath.toUri.getPath
+          val root = fs.makeQualified(new Path(snapshotRoot)).toUri.getPath
+          out += ((full.stripPrefix(root + "/"), 0L))
+        }
+      }
+      walk(new Path(snapshotRoot, dir))
+      out.toSeq.sortBy(_._1)
+    }
+    fs.delete(new Path(s"$snapshotRoot/metadata"), true) // re-export replaces
+    val snapshots = ids.zipWithIndex.map { case (id, idx) =>
+      val dirs = SnapshotTable.dirsAt(spark, snapshotRoot, id)
+      require(dirs.forall(d => !d.substring(d.lastIndexOf('/') + 1)
+          .startsWith("del-")),
+        s"snapshot $id carries merge-on-read deletes — compact before " +
+          "exporting Iceberg metadata")
+      val entries = dirs.flatMap(filesOf).map { case (p, n) =>
+        Entry(1, p, n, content = 0, seq = idx + 1L)
+      }
+      val m = writeManifestEntries(spark, snapshotRoot, f"m-$idx%05d.avro", entries)
+      val ml = writeManifestList(spark, snapshotRoot, f"ml-$idx%05d.avro", Seq(m))
+      (100L + idx, ml)
+    }
+    writeMetadata(spark, snapshotRoot, ids.size, snapshots)
+    ids.size
+  }
+
   /** Fixture: write `vN.metadata.json` + `version-hint.text` with a
     * snapshot per (id, manifestList), current = the last; `schemaFields`
     * (id, name) feed equality_ids resolution. */
