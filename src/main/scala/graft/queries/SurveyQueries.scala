@@ -3019,6 +3019,92 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_delta_incremental: INCREMENTAL PULL from a foreign Delta
+    * table ([[graft.sources.DeltaCompat.addedBetween]]) — the
+    * continuous-sync consumption mode: replay only the files ADDED in
+    * a commit window instead of re-reading the table. The fixture lays
+    * four append commits; the gate reads window (1, 3] and value-gates
+    * exactly the two appended slices (the later commit's slice
+    * excluded, the earlier ones excluded). */
+  val ingestDeltaIncremental: QueryDef = QueryDef(
+    "ingest_delta_incremental",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_incr")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
+        (col("l_orderkey") % 5).as("m"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$dir/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      (0 to 3).foreach { i =>
+        val header = if (i == 0) Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          """{"metaData":{"id":"incr","format":{"provider":"parquet"}}}""")
+        else Nil
+        writeCommit(i.toLong, header :+
+          s"""{"add":{"path":"${writePart(i)}","dataChange":true}}""")
+      }
+      graft.sources.DeltaCompat.readAddedBetween(s, dir, 1L, 3L)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 5 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li WHERE m IN (2, 3) GROUP BY m ORDER BY m""".stripMargin))
+
+  /** ingest_hudi_incremental: Hudi's flagship INCREMENTAL consumption
+    * mode at file-slice granularity ([[graft.sources.HudiCompat
+    * .readIncremental]]): only the file groups created or rewritten
+    * after the consumer's checkpoint instant come back — here the CoW
+    * rewrite of one group (values bumped) lands after instant 001
+    * while the untouched group does not. */
+  val ingestHudiIncremental: QueryDef = QueryDef(
+    "ingest_hudi_incremental",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "hudi_incr")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"))
+      val h = graft.sources.HudiCompat
+      h.beginCommit(s, dir, "001")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 0), dir, "m=0", "fgA", "001")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 1), dir, "m=1", "fgB", "001")
+      h.completeCommit(s, dir, "001")
+      h.beginCommit(s, dir, "002")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 0)
+        .withColumn("qty_cents", col("qty_cents") + 1), dir, "m=0", "fgA", "002")
+      h.completeCommit(s, dir, "002")
+      h.readIncremental(s, dir, "001")
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+    },
+    Some("""SELECT count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) + 1) AS BIGINT) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin))
+
   /** ingest_iceberg: interop with the PUBLIC Apache Iceberg format
     * ([[graft.sources.IcebergCompat]]) — metadata JSON → manifest-list
     * Avro → manifest Avro → parquet, resolved with nothing but the Avro
@@ -3313,7 +3399,8 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
-    ingestHudiCow, ingestIceberg, ingestIcebergV2Deletes,
+    ingestHudiCow, ingestDeltaIncremental, ingestHudiIncremental,
+    ingestIceberg, ingestIcebergV2Deletes,
     maintenanceSnapshotUniform, maintenanceSnapshotUniformIceberg,
     pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,

@@ -212,6 +212,60 @@ object DeltaCompat {
     v
   }
 
+  /** INCREMENTAL PULL: the file paths ADDED by commits in `(fromV,
+    * toV]` — the Delta-side half of a continuous foreign-lake sync
+    * (pair with [[SnapshotTable.syncAppend]] on the destination).
+    * Append-only windows only, checked loudly: a remove inside the
+    * window of a file added BEFORE the window means the window carries
+    * a rewrite/delete, and replaying just its adds would double rows —
+    * callers must fall back to a full re-read (or a keyed upsert).
+    * An add-then-remove WITHIN the window (transient compaction state)
+    * cancels out and is fine. All JSON commits in the window must
+    * still exist (not vacuumed past a checkpoint). */
+  def addedBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): Seq[String] = {
+    require(fromV < toV, s"empty commit window ($fromV, $toV]")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(s"$dir/_delta_log")
+    require(fs.exists(logDir), s"$dir has no _delta_log — not a Delta table")
+    val want = ((fromV + 1) to toV).map(v => f"$v%020d.json")
+    val missing = want.filterNot(n => fs.exists(new Path(logDir, n)))
+    require(missing.isEmpty,
+      s"commits ${missing.mkString(", ")} are missing at $dir (vacuumed " +
+        "past a checkpoint?) — the incremental window cannot be replayed")
+    val raw = spark.read.json(want.map(n => s"$dir/_delta_log/$n"): _*)
+      .withColumn("commit",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
+    guardUnsupported(raw, dir)
+    val acts = actionsOf(raw)
+    val perPath = acts.groupBy(col("path"))
+      .agg(max_by(col("is_add"), col("commit")).as("live"),
+        min_by(col("is_add"), col("commit")).as("first_is_add"))
+      .collect()
+    perPath.foreach { r =>
+      // a path whose FIRST in-window action is a remove targets
+      // pre-window data (plain delete, or remove-then-re-add rewrite)
+      require(r.getBoolean(2),
+        s"window ($fromV, $toV] at $dir removes pre-window file " +
+          s"'${r.getString(0)}' — not an append-only window; re-read or upsert")
+    }
+    perPath.filter(_.getBoolean(1)).map { r =>
+      val raw = r.getString(0)
+      val uri = new java.net.URI(raw)
+      require(!uri.isAbsolute && !raw.startsWith("/"),
+        s"absolute add path '$raw' is out of scope")
+      s"$dir/${uri.getPath}"
+    }.toSeq.sorted
+  }
+
+  /** Read the rows appended in `(fromV, toV]` (append-only windows). */
+  def readAddedBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val files = addedBetween(spark, dir, fromV, toV)
+    require(files.nonEmpty, s"no files added in ($fromV, $toV] at $dir")
+    spark.read.parquet(files: _*)
+  }
+
   /** Read the table's current state. */
   def readDeltaTable(spark: SparkSession, dir: String): DataFrame = {
     val files = liveFiles(spark, dir)

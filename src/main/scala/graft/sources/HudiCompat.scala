@@ -92,6 +92,34 @@ object HudiCompat {
   def readHoodieTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(liveFiles(spark, dir): _*)
 
+  /** INCREMENTAL QUERY (Hudi's flagship consumption mode, file-slice
+    * granularity): the LIVE base files whose instant is AFTER
+    * `sinceInstant` — i.e. the file groups created or rewritten since
+    * the consumer's last checkpoint. CoW rewrites carry the whole file
+    * group, so a consumer re-processes the touched groups (upserting
+    * by key downstream), never the untouched ones; row-level change
+    * extraction inside a group needs the `_hoodie_commit_time` meta
+    * column real Hudi writers embed — out of scope for foreign files
+    * that lack it. */
+  def incrementalFiles(spark: SparkSession, dir: String,
+      sinceInstant: String): Seq[String] = {
+    val all = liveFiles(spark, dir)
+    all.filter { p =>
+      new Path(p).getName match {
+        case BaseFile(_, _, instant) => instant > sinceInstant
+        case _ => false
+      }
+    }
+  }
+
+  /** Read the file groups created/rewritten after `sinceInstant`. */
+  def readIncremental(spark: SparkSession, dir: String,
+      sinceInstant: String): DataFrame = {
+    val files = incrementalFiles(spark, dir, sinceInstant)
+    require(files.nonEmpty, s"no file slices after $sinceInstant at $dir")
+    spark.read.parquet(files: _*)
+  }
+
   /** Test/export fixture support: write one base file for `fileId` at
     * `instant` under `partition`, plus (optionally) the completed
     * commit marker. Writers in-flight simply skip [[completeCommit]] —

@@ -159,6 +159,37 @@ class DeltaCompatSpec extends SparkSpec {
     assert(DeltaCompat.liveFiles(spark, dir4).map(_.split('/').last) == Seq("a.parquet"))
   }
 
+  test("addedBetween: append-only windows replay; rewrites and vacuumed commits refuse") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "a")))
+    writePart(dir, fs, "b.parquet", Seq((2L, "b")))
+    writePart(dir, fs, "c.parquet", Seq((3L, "c")))
+    writeCommit(dir, fs, 0, Seq("""{"add":{"path":"a.parquet","dataChange":true}}"""))
+    writeCommit(dir, fs, 1, Seq("""{"add":{"path":"b.parquet","dataChange":true}}"""))
+    writeCommit(dir, fs, 2, Seq("""{"add":{"path":"c.parquet","dataChange":true}}"""))
+    assert(DeltaCompat.addedBetween(spark, dir, 0, 2)
+      .map(_.split('/').last) == Seq("b.parquet", "c.parquet"))
+    assert(DeltaCompat.readAddedBetween(spark, dir, 1, 2)
+      .as[(Long, String)].collect().toSet == Set((3L, "c")))
+    // add-then-remove WITHIN the window cancels out
+    writeCommit(dir, fs, 3, Seq("""{"add":{"path":"d.parquet","dataChange":true}}"""))
+    writeCommit(dir, fs, 4, Seq("""{"remove":{"path":"d.parquet","dataChange":true}}"""))
+    assert(DeltaCompat.addedBetween(spark, dir, 2, 4).isEmpty)
+    // a remove of a PRE-window file refuses (rewrite/delete window)
+    writeCommit(dir, fs, 5, Seq("""{"remove":{"path":"a.parquet","dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.addedBetween(spark, dir, 4, 5)
+    }
+    assert(e.getMessage.contains("append-only"))
+    // a vacuumed commit inside the window refuses
+    fs.delete(new org.apache.hadoop.fs.Path(
+      f"$dir/_delta_log/${1L}%020d.json"), false)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaCompat.addedBetween(spark, dir, 0, 2)
+    }
+    assert(e2.getMessage.contains("missing"))
+  }
+
   test("dangling checkpoint pointer and non-Delta dirs refuse loudly") {
     val (dir, fs) = mkTable()
     writePart(dir, fs, "a.parquet", Seq((1L, "a")))

@@ -43,6 +43,28 @@ class HudiCompatSpec extends SparkSpec {
     assert(HudiCompat.readHoodieTable(spark, dir).count() == 5)
   }
 
+  test("incremental query: only file groups created/rewritten after the checkpoint") {
+    val dir = mkTable()
+    HudiCompat.beginCommit(spark, dir, "001")
+    HudiCompat.writeBaseFile(Seq((1L, "a1")).toDF("id", "v"), dir, "p=a", "fgA", "001")
+    HudiCompat.writeBaseFile(Seq((2L, "b1")).toDF("id", "v"), dir, "p=b", "fgB", "001")
+    HudiCompat.completeCommit(spark, dir, "001")
+    HudiCompat.beginCommit(spark, dir, "002")
+    HudiCompat.writeBaseFile(Seq((1L, "a2")).toDF("id", "v"), dir, "p=a", "fgA", "002")
+    HudiCompat.completeCommit(spark, dir, "002")
+    // since 001: only the rewritten fgA slice comes back
+    assert(HudiCompat.readIncremental(spark, dir, "001")
+      .as[(Long, String)].collect().toSet == Set((1L, "a2")))
+    // since 000: everything (both groups' LATEST slices, not v1 of fgA)
+    assert(HudiCompat.readIncremental(spark, dir, "000")
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (2L, "b1")))
+    // since the head: empty window refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      HudiCompat.readIncremental(spark, dir, "002")
+    }
+    assert(e.getMessage.contains("no file slices"))
+  }
+
   test("MOR tables and replacecommits refuse loudly; non-Hudi dirs refuse") {
     val dir = mkTable()
     HudiCompat.beginCommit(spark, dir, "001")
