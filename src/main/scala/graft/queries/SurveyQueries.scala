@@ -3105,6 +3105,72 @@ object SurveyQueries {
       |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) + 1) AS BIGINT) AS sum_qty
       |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin))
 
+  /** pipeline_foreign_sync: the MIGRATION-BRIDGE composition the
+    * interop readers exist for — keep a native [[graft.sources
+    * .SnapshotTable]] continuously in sync with a foreign Delta table
+    * WITHOUT re-reading it: initial load at the foreign head, foreign
+    * table advances two commits, one incremental pull
+    * ([[graft.sources.DeltaCompat.addedBetween]]) appends exactly the
+    * delta. REQUIREs the sync touched only the window's files (the
+    * destination chain stays O(delta): exactly one appended snapshot),
+    * then value-gates the DESTINATION's content against DuckDB
+    * computing the full foreign table from lineitem. */
+  val pipelineForeignSync: QueryDef = QueryDef(
+    "pipeline_foreign_sync",
+    (s, d) => {
+      val base = graft.sources.TableIO.scratchDir(s, "foreign_sync")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // idempotent re-run
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
+        (col("l_orderkey") % 4).as("m"))
+      def writePart(m: Int): String = {
+        val tmp = s"$src/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$src/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$src/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      writeCommit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"src","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"${writePart(0)}","dataChange":true}}""",
+        s"""{"add":{"path":"${writePart(1)}","dataChange":true}}"""))
+      // initial load at the foreign head
+      val v0 = graft.sources.DeltaCompat.latestVersion(s, src)
+      graft.sources.SnapshotTable.commit(
+        graft.sources.DeltaCompat.readDeltaTable(s, src), dst)
+      // the foreign table advances two commits
+      writeCommit(1, Seq(s"""{"add":{"path":"${writePart(2)}","dataChange":true}}"""))
+      writeCommit(2, Seq(s"""{"add":{"path":"${writePart(3)}","dataChange":true}}"""))
+      // ONE incremental pull appends exactly the delta
+      val v1 = graft.sources.DeltaCompat.latestVersion(s, src)
+      require(v1 > v0, "foreign table must have advanced")
+      val id = graft.sources.SnapshotTable.append(
+        graft.sources.DeltaCompat.readAddedBetween(s, src, v0, v1), dst)
+      require(id == 2L, s"one appended snapshot expected at the destination, got $id")
+      graft.sources.SnapshotTable.read(s, dst)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""SELECT l_orderkey % 4 AS m, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin))
+
   /** ingest_iceberg: interop with the PUBLIC Apache Iceberg format
     * ([[graft.sources.IcebergCompat]]) — metadata JSON → manifest-list
     * Avro → manifest Avro → parquet, resolved with nothing but the Avro
@@ -3400,6 +3466,7 @@ object SurveyQueries {
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
     ingestHudiCow, ingestDeltaIncremental, ingestHudiIncremental,
+    pipelineForeignSync,
     ingestIceberg, ingestIcebergV2Deletes,
     maintenanceSnapshotUniform, maintenanceSnapshotUniformIceberg,
     pipelineBranchExperiment,

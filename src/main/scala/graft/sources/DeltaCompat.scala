@@ -212,6 +212,10 @@ object DeltaCompat {
     v
   }
 
+  /** Latest commit version present in the log (checkpoint-aware). */
+  def latestVersion(spark: SparkSession, dir: String): Long =
+    resolvedState(spark, dir)._2
+
   /** INCREMENTAL PULL: the file paths ADDED by commits in `(fromV,
     * toV]` — the Delta-side half of a continuous foreign-lake sync
     * (pair with [[SnapshotTable.syncAppend]] on the destination).
