@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectTableFunction(GraftExtensions.snapshotTableTvf)
     ext.injectTableFunction(GraftExtensions.snapshotBranchTvf)
+    ext.injectTableFunction(GraftExtensions.deltaTableTvf)
+    ext.injectTableFunction(GraftExtensions.hudiTableTvf)
+    ext.injectTableFunction(GraftExtensions.icebergTableTvf)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RowPolicy)
@@ -171,6 +174,39 @@ object GraftExtensions {
       builder)
   }
 
+  /** `delta_table('<dir>')` / `hudi_table('<dir>')` /
+    * `iceberg_table('<dir>')` — SQL front doors to the foreign-lake
+    * compat readers ([[graft.sources.DeltaCompat]],
+    * [[graft.sources.HudiCompat]], [[graft.sources.IcebergCompat]]):
+    * {{{ SELECT * FROM delta_table('/lake/events') }}}
+    * so a migrating SQL user queries a foreign table with zero Scala. */
+  private def foreignTvf(name: String, clazz: String,
+      read: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    val builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+      val dir = args match {
+        case Seq(Literal(s, org.apache.spark.sql.types.StringType)) if s != null =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"$name takes exactly one string literal (the table dir), got $other")
+      }
+      read(SparkSession.active, dir).queryExecution.analyzed
+    }
+    (FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder)
+  }
+
+  val deltaTableTvf = foreignTvf("delta_table",
+    "graft.sources.DeltaCompat", graft.sources.DeltaCompat.readDeltaTable)
+  val hudiTableTvf = foreignTvf("hudi_table",
+    "graft.sources.HudiCompat", graft.sources.HudiCompat.readHoodieTable)
+  val icebergTableTvf = foreignTvf("iceberg_table",
+    "graft.sources.IcebergCompat", graft.sources.IcebergCompat.readIcebergTable)
+
+  private def allTvfs = Seq(snapshotTableTvf, snapshotBranchTvf,
+    deltaTableTvf, hudiTableTvf, icebergTableTvf)
+
   /** Register on an already-built session (functions via the registry,
     * the optimizer rule via `experimental.extraOptimizations` — the
     * live-session hook for rules). Idempotent. */
@@ -179,10 +215,10 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
-    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-      snapshotTableTvf._1.funcName, snapshotTableTvf._3, "built-in")
-    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-      snapshotBranchTvf._1.funcName, snapshotBranchTvf._3, "built-in")
+    allTvfs.foreach { tvf =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        tvf._1.funcName, tvf._3, "built-in")
+    }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThreshold

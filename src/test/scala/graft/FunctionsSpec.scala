@@ -206,6 +206,48 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal") || e.getMessage.contains("FAILED"))
   }
 
+  test("foreign-lake TVFs: delta_table / hudi_table / iceberg_table from plain SQL") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-tvff").toString
+    // delta: via the snapshot-table UniForm export (one commit)
+    val droot = s"$base/d"
+    graft.sources.SnapshotTable.commit(
+      (1 to 7).map(i => (i.toLong, "d")).toDF("id", "v"), droot)
+    graft.sources.DeltaCompat.exportDeltaLog(spark, droot)
+    assert(spark.sql(s"SELECT count(*) FROM delta_table('$droot')")
+      .head().getLong(0) == 7)
+    // hudi: two slices, one rewritten
+    val hroot = s"$base/h"
+    graft.sources.HudiCompat.beginCommit(spark, hroot, "001")
+    graft.sources.HudiCompat.writeBaseFile(
+      Seq((1L, "old")).toDF("id", "v"), hroot, "p=a", "fgA", "001")
+    graft.sources.HudiCompat.completeCommit(spark, hroot, "001")
+    graft.sources.HudiCompat.beginCommit(spark, hroot, "002")
+    graft.sources.HudiCompat.writeBaseFile(
+      Seq((1L, "new"), (2L, "new")).toDF("id", "v"), hroot, "p=a", "fgA", "002")
+    graft.sources.HudiCompat.completeCommit(spark, hroot, "002")
+    assert(spark.sql(s"SELECT count(*) FROM hudi_table('$hroot')")
+      .head().getLong(0) == 2)
+    // iceberg: via the UniForm export over a snapshot table
+    val iroot = s"$base/i"
+    graft.sources.SnapshotTable.commit(
+      (1 to 5).map(i => (i.toLong, "i")).toDF("id", "v"), iroot)
+    graft.sources.IcebergCompat.exportIcebergMetadata(spark, iroot)
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_table('$iroot')")
+      .head().getLong(0) == 5)
+    // TVFs splice into larger plans across FORMATS
+    assert(spark.sql(
+      s"""SELECT count(*) FROM delta_table('$droot') d
+         |JOIN iceberg_table('$iroot') i ON d.id = i.id""".stripMargin)
+      .head().getLong(0) == 5)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM delta_table(1)").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.contains("string"))
+  }
+
   test("snapshot_branch TVF reads the branch state from plain SQL") {
     val s = spark
     import s.implicits._
