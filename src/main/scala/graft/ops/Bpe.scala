@@ -341,6 +341,49 @@ object Bpe {
     merges.toDF()
   }
 
+  // ---- tokenizer ARTIFACT export/import (the shippable vocabulary) ----
+
+  /** Serialize a trained merge list to the tiktoken-style text artifact
+    * a tokenizer ships: one `a<TAB>b<TAB>rank<TAB>count` line per merge
+    * over INT SYMBOL IDS (base symbols = codepoints, merged symbol for
+    * rank r = 191 + r) — id-encoded so the artifact has no BMP ceiling
+    * and survives any text encoding. Deterministic bytes for a given
+    * merge list: artifact equality IS model equality. */
+  def exportMerges(spark: SparkSession, merges: Seq[MergeI],
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    val sb = new StringBuilder
+    sb.append("#graft-bpe-v1\n")
+    merges.foreach(m => sb.append(s"${m.a}\t${m.b}\t${m.rk}\t${m.cnt}\n"))
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a merge artifact written by [[exportMerges]]. Ranks must be
+    * 1..n contiguous in file order — a truncated/reordered artifact is
+    * a different model and refuses loudly. */
+  def importMerges(spark: SparkSession, path: String): Seq[MergeI] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lines = text.linesIterator.toSeq
+    require(lines.headOption.contains("#graft-bpe-v1"),
+      s"$path is not a graft BPE artifact (missing #graft-bpe-v1 header)")
+    val ms = lines.drop(1).filter(_.nonEmpty).map { l =>
+      val p = l.split('\t')
+      require(p.length == 4, s"malformed merge line '$l' in $path")
+      MergeI(p(2).toInt, p(0).toInt, p(1).toInt, p(3).toLong)
+    }
+    ms.zipWithIndex.foreach { case (m, i) =>
+      require(m.rk == i + 1,
+        s"merge ranks must be 1..n contiguous in file order; " +
+          s"line ${i + 2} of $path carries rank ${m.rk} (expected ${i + 1})")
+    }
+    ms
+  }
+
   /** Per-document BPE token accounting under a trained merge list:
     * (id, n_words, n_tokens_bpe) where n_tokens_bpe sums the segmented
     * length of every word. Char-encoded merges delegate to the

@@ -900,6 +900,41 @@ object MlPrepQueries {
          |ORDER BY d.doc_id""".stripMargin
     })
 
+  /** Tokenizer ARTIFACT round trip ([[graft.ops.Bpe.exportMerges]] /
+    * `importMerges`): train → serialize the id-encoded tiktoken-style
+    * merge file → reload → apply with the IMPORTED model. The oracle is
+    * `text_bpe_apply`'s replay of direct train→apply, so the gate
+    * proves the artifact carries the model EXACTLY — the ship-the-
+    * tokenizer step between training the vocabulary and running it in
+    * a separate inference/curation job. */
+  val textBpeRoundtrip: QueryDef = QueryDef(
+    "text_bpe_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val trained = Bpe.trainIds(docs, "text", bpeMerges, bpeCap)
+      val art = graft.sources.TableIO.scratchDir(s, "bpe_artifact") + "/merges.tsv"
+      Bpe.exportMerges(s, trained, art)
+      val loaded = Bpe.importMerges(s, art)
+      require(loaded == trained, "artifact round trip must be exact")
+      Bpe.tokenCountsIds(docs, "doc_id", "text", loaded).orderBy("doc_id")
+    },
+    Some {
+      val chain = Bpe.segmentExprSql("w", bpeMerges)
+      s"""WITH $bpeTrainWith,
+         |wx AS (
+         |  SELECT doc_id, unnest(string_split($normalizeSql, ' ')) AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, len($chain) AS t FROM wx WHERE len(w) >= 1),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS nw, sum(t) AS nt FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens_bpe
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
+
   /** Sequence packing over REAL tokenizer counts: `pack_chunks`' shard/
     * prefix-sum shape ([[graft.ops.Packing.chunkSummaryCounts]]) driven
     * by the trained BPE token counts instead of the regex word proxy —
@@ -2381,7 +2416,8 @@ object MlPrepQueries {
   val all: Seq[QueryDef] = Seq(dedupSegments, textUnigramLm, mixDomainCap,
     mixTokenBudget, mixTokenBudgetTemperature, mlTargetEncodeLoo, mlChi2Tokens,
     mlConfusionThreshold, mlLiftCurve, embSq8Error, pipelineDatasheet,
-    textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, packChunksBpe, textBpeFertility,
+    textBpePairs, textBpeTrain, textBpeVocab, textBpeApply, textBpeRoundtrip,
+    packChunksBpe, textBpeFertility,
     textWordpieceApply, textWordpiecePieces, textUnigramViterbi,
     textBpeTrainLarge, textBpeVocabLarge, textBpeApplyLarge,
     packChunksBpeLarge, textBpeFertilityLarge, mlSpanCorruption, pipelineLlmData,

@@ -114,6 +114,36 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bpe.toCharMerges(ms) }
   }
 
+  test("merge artifact round trip is exact; truncated/reordered artifacts refuse") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val trained = Bpe.trainIds(docs, "text", numMerges = 64, maxTrainWords = 500)
+    val path = java.nio.file.Files.createTempDirectory("bpe-art").toString + "/m.tsv"
+    Bpe.exportMerges(spark, trained, path)
+    assert(Bpe.importMerges(spark, path) == trained)
+    // deterministic bytes: re-export writes the identical artifact
+    val path2 = path + ".2"
+    Bpe.exportMerges(spark, trained, path2)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path2))))
+    // a dropped line breaks rank contiguity and refuses
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8").linesIterator.toVector
+    java.nio.file.Files.write(java.nio.file.Paths.get(path + ".bad"),
+      (lines.take(10) ++ lines.drop(11)).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.importMerges(spark, path + ".bad")
+    }
+    assert(e.getMessage.contains("contiguous"))
+    // a foreign file refuses on the header
+    java.nio.file.Files.write(java.nio.file.Paths.get(path + ".hdr"),
+      "1\t2\t1\t5\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.importMerges(spark, path + ".hdr")
+    }
+    assert(e2.getMessage.contains("header"))
+  }
+
   test("vocabulary-scale training: counts non-increasing, symbols fresh, prefix-stable") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("train_text", concat_ws(" ", col("text"),
