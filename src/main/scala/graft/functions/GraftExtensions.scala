@@ -198,7 +198,7 @@ object GraftExtensions {
   }
 
   val deltaTableTvf = foreignTvf("delta_table",
-    "graft.sources.DeltaCompat", graft.sources.DeltaCompat.readDeltaTable)
+    "graft.sources.DeltaCompat", (s, d) => graft.sources.DeltaCompat.readDeltaTable(s, d))
   val hudiTableTvf = foreignTvf("hudi_table",
     "graft.sources.HudiCompat", graft.sources.HudiCompat.readHoodieTable)
   val icebergTableTvf = foreignTvf("iceberg_table",

@@ -3074,6 +3074,62 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li WHERE m IN (2, 3) GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_delta_time_travel: version-addressed TIME TRAVEL through
+    * the Delta log ([[graft.sources.DeltaCompat.readDeltaTable]] with
+    * `asOf`) — the audit/debug consumption mode: read the table as it
+    * stood at commit v, here BEFORE a later commit removed a slice.
+    * REQUIREs the current read reflects the removal while the asOf
+    * read is value-gated with the removed slice still present. */
+  val ingestDeltaTimeTravel: QueryDef = QueryDef(
+    "ingest_delta_time_travel",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_tt")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
+        (col("l_orderkey") % 3).as("m"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$dir/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      val (p0, p1, p2) = (writePart(0), writePart(1), writePart(2))
+      writeCommit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"add":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p1","dataChange":true}}"""))
+      writeCommit(1, Seq(s"""{"add":{"path":"$p2","dataChange":true}}"""))
+      writeCommit(2, Seq(s"""{"remove":{"path":"$p0","dataChange":true}}"""))
+      // current state reflects the removal
+      require(graft.sources.DeltaCompat.liveFiles(s, dir)
+        .forall(!_.endsWith(p0)), "current read must exclude the removed slice")
+      graft.sources.DeltaCompat.readDeltaTable(s, dir, asOf = Some(1L))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 3 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li GROUP BY m ORDER BY m""".stripMargin))
+
   /** ingest_hudi_incremental: Hudi's flagship INCREMENTAL consumption
     * mode at file-slice granularity ([[graft.sources.HudiCompat
     * .readIncremental]]): only the file groups created or rewritten
@@ -3465,7 +3521,8 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
-    ingestHudiCow, ingestDeltaIncremental, ingestHudiIncremental,
+    ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
+    ingestHudiIncremental,
     pipelineForeignSync,
     ingestIceberg, ingestIcebergV2Deletes,
     maintenanceSnapshotUniform, maintenanceSnapshotUniformIceberg,

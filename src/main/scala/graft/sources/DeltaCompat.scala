@@ -95,12 +95,15 @@ object DeltaCompat {
     * latest commit version present. With a `_last_checkpoint`, the
     * checkpoint parquet carries the state at its version and only
     * LATER JSON commits replay on top. */
-  private def resolvedState(spark: SparkSession, dir: String): (DataFrame, Long) = {
+  private def resolvedState(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): (DataFrame, Long) = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(s"$dir/_delta_log")
     require(fs.exists(logDir), s"$dir has no _delta_log — not a Delta table")
     val lastCp = new Path(logDir, "_last_checkpoint")
     val (cpActions, cpVersion): (Option[DataFrame], Long) =
+      // TIME TRAVEL: a checkpoint NEWER than the asked version already
+      // folded later commits in — ignore it and replay JSON from 0
       if (!fs.exists(lastCp)) (None, -1L)
       else {
         // one small JSON object: {"version":N,"size":M[,"parts":P]}
@@ -118,16 +121,30 @@ object DeltaCompat {
         }
         files.foreach(f => require(fs.exists(new Path(f)),
           s"_last_checkpoint points at version $v but $f is missing"))
-        (Some(spark.read.parquet(files: _*).withColumn("commit", lit(v))), v)
+        if (asOf.exists(_ < v)) (None, -1L)
+        else (Some(spark.read.parquet(files: _*).withColumn("commit", lit(v))), v)
       }
     // JSON commits AFTER the checkpoint (older ones may be vacuumed —
-    // and must not be replayed anyway: the checkpoint subsumes them)
+    // and must not be replayed anyway: the checkpoint subsumes them),
+    // capped at the asked version when time-traveling
     val jsonFiles = fs.listStatus(logDir).map(_.getPath).filter { p =>
-      p.getName.matches("\\d{20}\\.json") &&
-        p.getName.stripSuffix(".json").toLong > cpVersion
+      p.getName.matches("\\d{20}\\.json") && {
+        val v = p.getName.stripSuffix(".json").toLong
+        v > cpVersion && asOf.forall(v <= _)
+      }
     }.map(_.toString).sorted
+    asOf.foreach { v =>
+      // the window (cpVersion, v] must be fully present — a vacuumed
+      // commit means the asked version is no longer reconstructible
+      val have = jsonFiles.map(f => new Path(f).getName.stripSuffix(".json").toLong).toSet
+      val missing = ((cpVersion + 1) to v).filterNot(have.contains)
+      require(missing.isEmpty,
+        s"version $v of $dir is not reconstructible: commits " +
+          s"${missing.mkString(", ")} are vacuumed and no usable checkpoint covers them")
+    }
     require(cpActions.nonEmpty || jsonFiles.nonEmpty,
-      s"$dir/_delta_log has neither a checkpoint nor JSON commits")
+      s"$dir/_delta_log has neither a checkpoint nor JSON commits" +
+        asOf.map(v => s" at or before version $v").getOrElse(""))
     cpActions.foreach(guardUnsupported(_, dir))
     val jsonActions =
       if (jsonFiles.isEmpty) None
@@ -148,9 +165,13 @@ object DeltaCompat {
 
   /** The live data-file paths of the Delta table at `dir`: reconciled
     * state filtered to adds, paths URL-decoded (the protocol stores
-    * them percent-encoded), absolute-URI adds refused. */
-  def liveFiles(spark: SparkSession, dir: String): Seq[String] =
-    resolvedState(spark, dir)._1
+    * them percent-encoded), absolute-URI adds refused. `asOf` = TIME
+    * TRAVEL to that commit version (replays only commits <= asOf; a
+    * newer checkpoint is bypassed, so the needed JSON must still
+    * exist — vacuumed history refuses by name). */
+  def liveFiles(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): Seq[String] =
+    resolvedState(spark, dir, asOf)._1
       .filter(col("is_add"))
       .select(col("path"))
       .collect().map { r =>
@@ -270,10 +291,12 @@ object DeltaCompat {
     spark.read.parquet(files: _*)
   }
 
-  /** Read the table's current state. */
-  def readDeltaTable(spark: SparkSession, dir: String): DataFrame = {
-    val files = liveFiles(spark, dir)
-    require(files.nonEmpty, s"Delta table at $dir has no live files")
+  /** Read the table's current state, or (`asOf`) a past version. */
+  def readDeltaTable(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val files = liveFiles(spark, dir, asOf)
+    require(files.nonEmpty, s"Delta table at $dir has no live files" +
+      asOf.map(v => s" at version $v").getOrElse(""))
     spark.read.parquet(files: _*)
   }
 

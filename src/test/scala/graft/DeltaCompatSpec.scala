@@ -159,6 +159,34 @@ class DeltaCompatSpec extends SparkSpec {
     assert(DeltaCompat.liveFiles(spark, dir4).map(_.split('/').last) == Seq("a.parquet"))
   }
 
+  test("time travel: asOf replays commits <= v; newer checkpoints bypassed; vacuumed history refuses") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "a")))
+    writePart(dir, fs, "b.parquet", Seq((2L, "b")))
+    writeCommit(dir, fs, 0, Seq("""{"add":{"path":"a.parquet","dataChange":true}}"""))
+    writeCommit(dir, fs, 1, Seq(
+      """{"remove":{"path":"a.parquet","dataChange":true}}""",
+      """{"add":{"path":"b.parquet","dataChange":true}}"""))
+    // v0: a alive; v1 (current): only b
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(0L))
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    assert(DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // a checkpoint at v1 must not poison v0 reads (bypassed), and after
+    // vacuuming commit 0 the v0 read refuses BY NAME
+    DeltaCompat.checkpoint(spark, dir)
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(0L))
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    fs.delete(new org.apache.hadoop.fs.Path(
+      f"$dir/_delta_log/${0L}%020d.json"), false)
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.liveFiles(spark, dir, asOf = Some(0L))
+    }
+    assert(e.getMessage.contains("not reconstructible"))
+    // the current read still works off the checkpoint
+    assert(DeltaCompat.readDeltaTable(spark, dir).count() == 1)
+  }
+
   test("addedBetween: append-only windows replay; rewrites and vacuumed commits refuse") {
     val (dir, fs) = mkTable()
     writePart(dir, fs, "a.parquet", Seq((1L, "a")))
