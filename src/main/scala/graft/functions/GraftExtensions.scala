@@ -200,9 +200,9 @@ object GraftExtensions {
   val deltaTableTvf = foreignTvf("delta_table",
     "graft.sources.DeltaCompat", (s, d) => graft.sources.DeltaCompat.readDeltaTable(s, d))
   val hudiTableTvf = foreignTvf("hudi_table",
-    "graft.sources.HudiCompat", graft.sources.HudiCompat.readHoodieTable)
+    "graft.sources.HudiCompat", (s, d) => graft.sources.HudiCompat.readHoodieTable(s, d))
   val icebergTableTvf = foreignTvf("iceberg_table",
-    "graft.sources.IcebergCompat", graft.sources.IcebergCompat.readIcebergTable)
+    "graft.sources.IcebergCompat", (s, d) => graft.sources.IcebergCompat.readIcebergTable(s, d))
 
   private def allTvfs = Seq(snapshotTableTvf, snapshotBranchTvf,
     deltaTableTvf, hudiTableTvf, icebergTableTvf)

@@ -60,10 +60,17 @@ object HudiCompat {
   }
 
   /** The live base-file paths: per (partition, fileId) the latest
-    * COMPLETED instant's base file. */
-  def liveFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val completed = completedInstants(spark, dir).toSet
-    require(completed.nonEmpty, s"no completed commits at $dir")
+    * COMPLETED instant's base file. `asOf` = TIME TRAVEL: only instants
+    * at or before it participate, so the table reads as it stood at
+    * that commit (slices rewritten later resolve to their older base
+    * file while it still exists — i.e. until cleaning reclaims it, the
+    * standard Hudi retention caveat). */
+  def liveFiles(spark: SparkSession, dir: String,
+      asOf: Option[String] = None): Seq[String] = {
+    val completed = completedInstants(spark, dir)
+      .filter(ts => asOf.forall(ts <= _)).toSet
+    require(completed.nonEmpty, s"no completed commits at $dir" +
+      asOf.map(v => s" at or before instant $v").getOrElse(""))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(dir)).toUri.getPath
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
@@ -88,9 +95,10 @@ object HudiCompat {
       .map(_.maxBy(_._3)._4).toSeq.sorted
   }
 
-  /** Read the table's current snapshot (CoW). */
-  def readHoodieTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(liveFiles(spark, dir): _*)
+  /** Read the table's current snapshot (CoW), or (`asOf`) a past one. */
+  def readHoodieTable(spark: SparkSession, dir: String,
+      asOf: Option[String] = None): DataFrame =
+    spark.read.parquet(liveFiles(spark, dir, asOf): _*)
 
   /** INCREMENTAL QUERY (Hudi's flagship consumption mode, file-slice
     * granularity): the LIVE base files whose instant is AFTER

@@ -122,7 +122,8 @@ object IcebergCompat {
   /** All live content files of the current snapshot (status != DELETED
     * across its manifests), with sequence numbers and resolved
     * equality columns. */
-  def resolveSnapshot(spark: SparkSession, dir: String): Seq[ContentFile] = {
+  def resolveSnapshot(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None): Seq[ContentFile] = {
     val fs = fsFor(spark, dir)
     val mf = currentMetadataFile(spark, dir)
     require(fs.exists(mf), s"metadata file missing: $mf")
@@ -147,7 +148,9 @@ object IcebergCompat {
           .filter(t => t._1 >= 0 && t._2.nonEmpty).toMap
       else Map.empty
     }
-    val snapId = root.path("current-snapshot-id").asLong(-1L)
+    // TIME TRAVEL: any snapshot listed in the metadata file is
+    // addressable by id; default = the current one
+    val snapId = snapshotId.getOrElse(root.path("current-snapshot-id").asLong(-1L))
     require(snapId > 0, s"no current-snapshot-id in $mf (empty table?)")
     val snaps = root.path("snapshots")
     require(snaps.isArray, s"no snapshots array in $mf")
@@ -211,11 +214,14 @@ object IcebergCompat {
     files.sorted
   }
 
-  /** Read the table's current snapshot with v2 row-level deletes
-    * APPLIED. Delete sides broadcast (they are corrections, not
-    * corpora); the data side keeps its scan partitioning. */
-  def readIcebergTable(spark: SparkSession, dir: String): DataFrame = {
-    val files = resolveSnapshot(spark, dir)
+  /** Read the table's current snapshot — or (`snapshotId`) any
+    * snapshot still listed in the metadata file: TIME TRAVEL — with v2
+    * row-level deletes APPLIED. Delete sides broadcast (they are
+    * corrections, not corpora); the data side keeps its scan
+    * partitioning. */
+  def readIcebergTable(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val files = resolveSnapshot(spark, dir, snapshotId)
     val data = files.filter(_.content == 0)
     require(data.nonEmpty, s"Iceberg table at $dir has no live data files")
     val posDel = files.filter(_.content == 1)

@@ -41,6 +41,12 @@ class HudiCompatSpec extends SparkSpec {
     // completing it flips visibility atomically
     HudiCompat.completeCommit(spark, dir, "003")
     assert(HudiCompat.readHoodieTable(spark, dir).count() == 5)
+    // TIME TRAVEL: asOf 001 resolves fgA's ORIGINAL slice, no fgC
+    assert(HudiCompat.readHoodieTable(spark, dir, asOf = Some("001"))
+      .as[(Long, String)].collect().toSet ==
+        Set((1L, "old"), (2L, "old"), (10L, "b")))
+    assert(HudiCompat.readHoodieTable(spark, dir, asOf = Some("002"))
+      .filter($"id" === 99L).count() == 0)
   }
 
   test("incremental query: only file groups created/rewritten after the checkpoint") {

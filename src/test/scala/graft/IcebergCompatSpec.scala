@@ -52,6 +52,10 @@ class IcebergCompatSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got == Set((2L, "b"), (3L, "b"), (4L, "c")),
       s"deleted entry must drop, existing must carry, got $got")
+    // TIME TRAVEL: snapshot 101 is addressable by id from the current
+    // metadata file — no hint rewrite needed
+    assert(IcebergCompat.readIcebergTable(spark, dir, snapshotId = Some(101L))
+      .count() == 3)
     // the v1 metadata file still resolves snapshot 101 if hinted back
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
