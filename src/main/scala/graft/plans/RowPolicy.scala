@@ -71,15 +71,25 @@ object RowPolicy extends Rule[LogicalPlan] {
     }
 
   /** The policy predicate resolved against the relation's own output
-    * attributes (case-insensitive name match, Spark's default). */
-  private def resolved(sql: String, lr: LogicalRelation): Expression =
-    CatalystSqlParser.parseExpression(sql).transformUp {
+    * attributes (case-insensitive name match, Spark's default). The
+    * rule runs AFTER analysis, so no implicit type coercion happens:
+    * a predicate whose literals don't match the column types (e.g.
+    * `bigint_col % 10` — an int literal) stays unresolved and would
+    * invalidate the plan; fail loud with the fix named instead. */
+  private def resolved(sql: String, lr: LogicalRelation): Expression = {
+    val e = CatalystSqlParser.parseExpression(sql).transformUp {
       case u: UnresolvedAttribute =>
         lr.output.find(_.name.equalsIgnoreCase(u.name)).getOrElse(
           throw new IllegalArgumentException(
             s"row policy references unknown column ${u.name}; table has " +
               lr.output.map(_.name).mkString(", ")))
     }
+    require(e.resolved,
+      s"row policy '$sql' does not type-check against the table without " +
+        "implicit coercion (the policy injects post-analysis) — write " +
+        "type-exact literals, e.g. 10L against a BIGINT column")
+    e
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan

@@ -3227,6 +3227,56 @@ object SurveyQueries {
       |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin))
 
+  /** privacy_row_policy_foreign: ROW-LEVEL SECURITY carried INTO a
+    * foreign-format read — the composition the r14 RowPolicy
+    * descendant-path fix makes sound: a policy registered on the
+    * table's ROOT governs the Hudi compat reader automatically, because
+    * the resolved base files are descendants of the governed root (the
+    * reader never bypasses the plan-time rule the way a direct
+    * part-file read once did; Hudi/Iceberg resolve their metadata
+    * driver-side, so only DATA rows ever hit the governed scan — a
+    * Delta-root policy instead fails CLOSED on the log's own Spark
+    * read, the right posture for a predicate its columns can't
+    * satisfy). REQUIREs the policy predicate reached the physical
+    * plan; value-gated against DuckDB applying the same predicate. */
+  val privacyRowPolicyForeign: QueryDef = QueryDef(
+    "privacy_row_policy_foreign",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "hudi_rls")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"))
+      val h = graft.sources.HudiCompat
+      h.beginCommit(s, dir, "001")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 0), dir, "m=0", "fgA", "001")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 1), dir, "m=1", "fgB", "001")
+      h.completeCommit(s, dir, "001")
+      graft.functions.GraftExtensions.register(s)
+      graft.plans.RowPolicy.register(dir, "qty_cents % 10L <> 3L")
+      try {
+        val q = h.readHoodieTable(s, dir)
+          .groupBy((col("l_orderkey") % 2).as("m"))
+          .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+          .orderBy("m")
+        val phys = q.queryExecution.executedPlan.toString
+        require(phys.contains("qty_cents"),
+          "policy predicate must reach the physical plan")
+        // force materialization INSIDE the registration window
+        val rows = q.collect().toSeq
+        import s.implicits._
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("m", "n", "sum_qty")
+      } finally graft.plans.RowPolicy.deregister(dir)
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 2 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li WHERE q % 10 <> 3 GROUP BY m ORDER BY m""".stripMargin))
+
   /** ingest_iceberg: interop with the PUBLIC Apache Iceberg format
     * ([[graft.sources.IcebergCompat]]) — metadata JSON → manifest-list
     * Avro → manifest Avro → parquet, resolved with nothing but the Avro
@@ -3522,6 +3572,7 @@ object SurveyQueries {
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
+    privacyRowPolicyForeign,
     ingestHudiIncremental,
     pipelineForeignSync,
     ingestIceberg, ingestIcebergV2Deletes,
