@@ -3334,6 +3334,56 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_iceberg_incremental: INCREMENTAL PULL between Iceberg
+    * snapshots ([[graft.sources.IcebergCompat.addedBetween]]) —
+    * completes incremental-consumption parity across all three foreign
+    * formats: snapshot 1 adds one slice, snapshot 2 carries it EXISTING
+    * and adds two more; the (101 → 102] window value-gates exactly the
+    * two appended slices. */
+  val ingestIcebergIncremental: QueryDef = QueryDef(
+    "ingest_iceberg_incremental",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "iceberg_incr")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
+        (col("l_orderkey") % 3).as("m"))
+      def writeSlice(name: String, m: Int): Long = {
+        val tmp = s"$dir/.tmp-$name"
+        val df = li.filter(col("m") === m)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        df.count()
+      }
+      val ic = graft.sources.IcebergCompat
+      val n0 = writeSlice("s0.parquet", 0)
+      val m1 = ic.writeManifest(s, dir, "m1.avro", Seq((1, "data/s0.parquet", n0)))
+      val ml1 = ic.writeManifestList(s, dir, "ml1.avro", Seq(m1))
+      val n1 = writeSlice("s1.parquet", 1)
+      val n2 = writeSlice("s2.parquet", 2)
+      val m2 = ic.writeManifest(s, dir, "m2.avro",
+        Seq((0, "data/s0.parquet", n0), (1, "data/s1.parquet", n1),
+          (1, "data/s2.parquet", n2)))
+      val ml2 = ic.writeManifestList(s, dir, "ml2.avro", Seq(m2))
+      ic.writeMetadata(s, dir, 1, Seq((101L, ml1), (102L, ml2)))
+      ic.readAddedBetween(s, dir, 101L, 102L)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 3 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li WHERE m IN (1, 2) GROUP BY m ORDER BY m""".stripMargin))
+
   /** ingest_iceberg_v2_deletes: the format-v2 ROW-LEVEL DELETE semantics
     * applied, not refused — position deletes (file-addressed `(path,
     * pos)` rows anti-joined against the data scan's own
@@ -3575,7 +3625,7 @@ object SurveyQueries {
     privacyRowPolicyForeign,
     ingestHudiIncremental,
     pipelineForeignSync,
-    ingestIceberg, ingestIcebergV2Deletes,
+    ingestIceberg, ingestIcebergIncremental, ingestIcebergV2Deletes,
     maintenanceSnapshotUniform, maintenanceSnapshotUniformIceberg,
     pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,

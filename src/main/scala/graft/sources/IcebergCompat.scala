@@ -267,6 +267,43 @@ object IcebergCompat {
     df.drop("_gf_p", "_gf_pos", "_gf_seq")
   }
 
+  /** INCREMENTAL PULL between two snapshots: the data files present in
+    * `toSnapshotId`'s state but not in `fromSnapshotId`'s — the
+    * Iceberg leg of a continuous foreign-lake sync, completing parity
+    * with [[DeltaCompat.addedBetween]] / [[HudiCompat
+    * .incrementalFiles]]. Append-only windows only, checked loudly:
+    * a data file LEAVING the state (overwrite/delete) or any change to
+    * the delete-file set means replaying just the added files would
+    * diverge from the table — callers fall back to a full re-read or a
+    * keyed upsert. */
+  def addedBetween(spark: SparkSession, dir: String,
+      fromSnapshotId: Long, toSnapshotId: Long): Seq[String] = {
+    val from = resolveSnapshot(spark, dir, Some(fromSnapshotId))
+    val to = resolveSnapshot(spark, dir, Some(toSnapshotId))
+    val fromData = from.filter(_.content == 0).map(_.path).toSet
+    val toData = to.filter(_.content == 0).map(_.path).toSet
+    require(fromData.subsetOf(toData),
+      s"window ($fromSnapshotId -> $toSnapshotId] at $dir removes data " +
+        s"files ${(fromData -- toData).mkString(", ")} — not an " +
+        "append-only window; re-read or upsert")
+    val fromDel = from.filter(_.content != 0).map(f => (f.path, f.seq)).toSet
+    val toDel = to.filter(_.content != 0).map(f => (f.path, f.seq)).toSet
+    require(fromDel == toDel,
+      s"window ($fromSnapshotId -> $toSnapshotId] at $dir changes the " +
+        "delete-file set — row-level deletes touch pre-window rows; " +
+        "re-read or upsert")
+    (toData -- fromData).toSeq.sorted
+  }
+
+  /** Read the rows appended between two snapshots (append-only). */
+  def readAddedBetween(spark: SparkSession, dir: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val files = addedBetween(spark, dir, fromSnapshotId, toSnapshotId)
+    require(files.nonEmpty,
+      s"no files added in ($fromSnapshotId -> $toSnapshotId] at $dir")
+    spark.read.parquet(files: _*)
+  }
+
   // ---- fixture/export writers (minimal spec-shaped Avro + JSON) ----
 
   /** One fixture manifest row: `status` 1 ADDED / 0 EXISTING /

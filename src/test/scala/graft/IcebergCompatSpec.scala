@@ -65,6 +65,46 @@ class IcebergCompatSpec extends SparkSpec {
     assert(IcebergCompat.readIcebergTable(spark, dir).count() == 3)
   }
 
+  test("addedBetween: append-only windows replay; overwrites and new deletes refuse") {
+    val dir = mkTable()
+    val na = writeData(dir, "a.parquet", Seq((1L, "a")))
+    val nb = writeData(dir, "b.parquet", Seq((2L, "b")))
+    val nc = writeData(dir, "c.parquet", Seq((3L, "c")))
+    val m1 = IcebergCompat.writeManifest(spark, dir, "m1.avro",
+      Seq((1, "data/a.parquet", na)))
+    val ml1 = IcebergCompat.writeManifestList(spark, dir, "ml1.avro", Seq(m1))
+    val m2 = IcebergCompat.writeManifest(spark, dir, "m2.avro",
+      Seq((0, "data/a.parquet", na), (1, "data/b.parquet", nb),
+        (1, "data/c.parquet", nc)))
+    val ml2 = IcebergCompat.writeManifestList(spark, dir, "ml2.avro", Seq(m2))
+    IcebergCompat.writeMetadata(spark, dir, 1, Seq((101L, ml1), (102L, ml2)))
+    assert(IcebergCompat.readAddedBetween(spark, dir, 101L, 102L)
+      .as[(Long, String)].collect().toSet == Set((2L, "b"), (3L, "c")))
+    // snapshot 3 drops a.parquet: the (101 -> 103] window refuses
+    val m3 = IcebergCompat.writeManifest(spark, dir, "m3.avro",
+      Seq((2, "data/a.parquet", na), (0, "data/b.parquet", nb),
+        (0, "data/c.parquet", nc)))
+    val ml3 = IcebergCompat.writeManifestList(spark, dir, "ml3.avro", Seq(m3))
+    IcebergCompat.writeMetadata(spark, dir, 2,
+      Seq((101L, ml1), (102L, ml2), (103L, ml3)))
+    val e = intercept[IllegalArgumentException] {
+      IcebergCompat.addedBetween(spark, dir, 101L, 103L)
+    }
+    assert(e.getMessage.contains("append-only"))
+    // a window that introduces an equality-delete file refuses too
+    writeFile(dir, "ed.parquet", Seq(Tuple1(1L)).toDF("id"))
+    val m4 = IcebergCompat.writeManifestEntries(spark, dir, "m4.avro", Seq(
+      Entry(0, "data/a.parquet", na, content = 0, seq = 1L),
+      Entry(1, "data/ed.parquet", 1L, content = 2, seq = 2L, equalityIds = Seq(1))))
+    val ml4 = IcebergCompat.writeManifestList(spark, dir, "ml4.avro", Seq(m4))
+    IcebergCompat.writeMetadata(spark, dir, 3,
+      Seq((101L, ml1), (104L, ml4)), schemaFields = Seq((1, "id")))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergCompat.addedBetween(spark, dir, 101L, 104L)
+    }
+    assert(e2.getMessage.contains("delete-file set"))
+  }
+
   test("position deletes drop exactly the addressed rows, sequence-scoped") {
     val dir = mkTable()
     val na = writeData(dir, "a.parquet",
