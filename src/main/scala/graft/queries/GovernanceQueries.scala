@@ -123,9 +123,14 @@ object GovernanceQueries {
             .as("emd_num"))
         .withColumn("t_micro",
           expr("(emd_num * 1000000L) div (n * total * (m - 1))"))
+        // releasable as BIGINT 0/1 (not boolean) and a total-order
+        // sort: everything in the dumped frame is exact-integer or
+        // string, so the driver's value hash has no engine-specific
+        // rendering surface left (r14: this gate was driver-red on
+        // hash only, rows+schema+two local replays green).
         .select(col("nation"), col("mktsegment"), col("n"), col("t_micro"),
-          (col("t_micro") <= 200000L).as("releasable"))
-        .orderBy("nation", "mktsegment")
+          (col("t_micro") <= 200000L).cast("long").as("releasable"))
+        .orderBy("nation", "mktsegment", "n", "t_micro", "releasable")
     },
     Some("""WITH base AS (
       |  SELECT c_nationkey AS nation, c_mktsegment AS mktsegment,
@@ -153,9 +158,12 @@ object GovernanceQueries {
       |    max(m) AS m, sum(abs(cum_c * total - cum_gb * g)) AS emd_num
       |  FROM cum GROUP BY 1, 2)
       |SELECT nation, mktsegment, n,
-      |  (emd_num * 1000000) // (n * total * (m - 1)) AS t_micro,
-      |  (emd_num * 1000000) // (n * total * (m - 1)) <= 200000 AS releasable
-      |FROM emd ORDER BY nation, mktsegment""".stripMargin))
+      |  CAST((emd_num * 1000000) // (n * total * (m - 1)) AS BIGINT)
+      |    AS t_micro,
+      |  CAST((emd_num * 1000000) // (n * total * (m - 1)) <= 200000
+      |    AS BIGINT) AS releasable
+      |FROM emd
+      |ORDER BY nation, mktsegment, n, t_micro, releasable""".stripMargin))
 
   /** Right-to-be-forgotten ON THE SNAPSHOT LAYER — the erasure story's
     * retention subtlety made executable: deleting under snapshot

@@ -2822,16 +2822,24 @@ object SurveyQueries {
       require(scanned.exists(_.endsWith("/summary")) &&
         !scanned.exists(_.endsWith("/base")),
         s"optimizer must reroute the aggregate to the summary, scanned $scanned")
-      // the summary stays registered: a later re-plan of this frame
-      // (e.g. the verify sink's coalesce) must keep rewriting — the
-      // registry key is this gate's own scratch path
-      q
+      // Materialize the (3-row, bounded-by-returnflag-cardinality)
+      // result into a LOCAL relation before returning: the plan proof
+      // above already REQUIREd the rewrite fired, and pinning the rows
+      // here means any later re-plan of the returned frame (the verify
+      // sink's coalesce, a driver-side re-execution) can never route
+      // through the SummaryRewrite registry against a scratch dir in a
+      // different lifecycle state.
+      val pinned = q.collect().toSeq
+      s.createDataFrame(
+        s.sparkContext.parallelize(pinned, 1), q.schema)
+        .orderBy("l_returnflag")
     },
     Some("""WITH b AS (
       |  SELECT l_returnflag,
       |    CAST(round(l_quantity * 100) AS BIGINT) AS q
       |  FROM lineitem)
-      |SELECT l_returnflag, sum(q) AS sum_qty, count(*) AS n,
+      |SELECT l_returnflag, CAST(sum(q) AS BIGINT) AS sum_qty,
+      |  count(*) AS n,
       |  min(q) AS min_qty, max(q) AS max_qty
       |FROM b GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
