@@ -3627,8 +3627,140 @@ object SurveyQueries {
       |WHERE source <> 'src0' OR n_chars >= 100
       |GROUP BY 1 ORDER BY source""".stripMargin))
 
+  /** ingest_delta_dv: DELETION-VECTOR reads — the default-on row-level
+    * delete representation of recent Delta writers (PROTOCOL.md
+    * "Deletion Vectors": a roaring bitmap of deleted row indexes in a
+    * sidecar file, attached to the `add` via its descriptor). A
+    * two-file table is committed, then one file is re-added carrying a
+    * DV that masks exactly its high-quantity rows (positions resolved
+    * via `_metadata.row_index` on the deterministically-ordered file);
+    * [[graft.sources.DeltaCompat.readDeltaTable]] applies the mask as
+    * an anti-join on (file, row_index) — the bitmap plane stays
+    * driver-side metadata, deleted rows never leave the scan. The
+    * oracle recomputes the surviving rows from lineitem by value. */
+  val ingestDeltaDv: QueryDef = QueryDef(
+    "ingest_delta_dv",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_dv")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
+        (col("l_orderkey") % 2).as("m"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).orderBy("l_orderkey", "l_linenumber")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      val (p0, p1) = (writePart(0), writePart(1))
+      // deleted row POSITIONS of part 0: where qty >= 2500 cents —
+      // resolved from the file itself via the parquet row index, so
+      // the bitmap matches physical order exactly
+      val positions = s.read.parquet(s"$dir/$p0")
+        .select(col("_metadata.row_index"))
+        .filter(col("qty_cents") >= 2500L)
+        .collect().map(_.getLong(0))
+      val dv = graft.sources.DeletionVectors.writeSidecar(fs, dir, positions)
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$dir/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      writeCommit(0, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        """{"metaData":{"id":"t-dv","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p1","dataChange":true}}"""))
+      writeCommit(1, Seq(
+        s"""{"add":{"path":"$p0","dataChange":true,"deletionVector":{"storageType":"${dv.storageType}","pathOrInlineDv":"${dv.pathOrInlineDv}","offset":${dv.offset.get},"sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}}}"""))
+      graft.sources.DeltaCompat.readDeltaTable(s, dir)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 2 AS m,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
+      |FROM li WHERE m = 1 OR q < 2500
+      |GROUP BY m ORDER BY m""".stripMargin))
+
+  /** ingest_delta_column_mapping: COLUMN-MAPPING reads — the other
+    * default-on feature of modern Delta tables (`delta.columnMapping
+    * .mode=name`/`id`): physical parquet columns carry opaque names
+    * (`col-<uuid>`), and the logical schema lives in
+    * `metaData.schemaString` with per-field
+    * `delta.columnMapping.physicalName`. The reader resolves physical →
+    * logical from the metaData (valid under BOTH modes, since writers
+    * must record physicalName either way); the path-only API refuses.
+    * Value-gated against DuckDB on the logical column names. */
+  val ingestDeltaColumnMapping: QueryDef = QueryDef(
+    "ingest_delta_column_mapping",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_cm")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      import org.apache.spark.sql.types._
+      val cust = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("col-n8f2"),
+        col("c_mktsegment").as("col-s1c7"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("col-b4e9"))
+      val tmp = s"$dir/.tmp0"
+      cust.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      require(fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$dir/part-00000.snappy.parquet")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      def field(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true, new MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build())
+      val schemaJson = StructType(Seq(
+        field("nation", "col-n8f2", 1L, LongType),
+        field("mktsegment", "col-s1c7", 2L, StringType),
+        field("bal_cents", "col-b4e9", 3L, LongType)))
+        .json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        f"$dir/_delta_log/${0L}%020d.json"), true)
+      try out.write((Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t-cm","format":{"provider":"parquet"},"schemaString":"$schemaJson","configuration":{"delta.columnMapping.mode":"name"}}}""",
+        """{"add":{"path":"part-00000.snappy.parquet","dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val t = graft.sources.DeltaCompat.readDeltaTable(s, dir)
+      require(t.columns.toSeq == Seq("nation", "mktsegment", "bal_cents"),
+        s"column mapping must surface logical names, got ${t.columns.toSeq}")
+      t.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("mktsegment")).as("n_seg"),
+          sum(col("bal_cents")).as("sum_bal"))
+        .orderBy("nation")
+    },
+    Some("""SELECT c_nationkey AS nation, count(*) AS n,
+      |  count(DISTINCT c_mktsegment) AS n_seg,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY nation""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
+    ingestDeltaDv, ingestDeltaColumnMapping,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
     ingestHudiIncremental,

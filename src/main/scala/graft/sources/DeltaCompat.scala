@@ -19,8 +19,25 @@ import org.apache.spark.sql.functions._
   * read to the checkpoint parquet (single or multi-part) plus the JSON
   * commits AFTER the checkpoint version — the common shape of any Delta
   * table past ~10 commits, where older JSON may already be vacuumed.
-  * Deletion vectors and column mapping are newer protocol features a
-  * `protocol` line would gate in a full implementation.
+  * Checkpoints written here carry the latest `protocol` and `metaData`
+  * actions alongside the file state, as the protocol requires (the
+  * checkpoint must be a COMPLETE snapshot — pre-checkpoint JSON is
+  * vacuum-eligible, so a checkpoint without them loses the table's
+  * protocol/schema).
+  *
+  * DELETION VECTORS and COLUMN MAPPING — the two default-on features of
+  * tables written by recent Delta writers — are read-supported:
+  *  - an `add.deletionVector` descriptor (inline or sidecar,
+  *    [[DeletionVectors]]) masks that file's deleted row indexes via an
+  *    anti-join on (`_metadata.file_path`, `_metadata.row_index`) — the
+  *    bitmap plane stays driver-side metadata (bounded per file), the
+  *    data plane never materializes deleted rows past the scan;
+  *  - `delta.columnMapping.mode` = `name`/`id` resolves physical
+  *    parquet columns back to the logical schema from
+  *    `metaData.schemaString` (writers under EITHER mode must record
+  *    `delta.columnMapping.physicalName` per field, so physical-name
+  *    resolution is valid for both; nested-struct mapping is refused
+  *    loudly rather than half-applied).
   *
   * Paths in the log are RELATIVE PERCENT-ENCODED URIs per the public
   * protocol: the reader URL-decodes them (a file named `a b=c.parquet`
@@ -30,73 +47,91 @@ import org.apache.spark.sql.functions._
   */
 object DeltaCompat {
 
-  /** Refuse protocol features this reader cannot honor — SILENTLY
-    * ignoring them reads wrong data (a deletion-vector'd file would
-    * surface its deleted rows; column mapping renames every column):
-    * `protocol.minReaderVersion > 1`, any live `add.deletionVector`,
-    * and `metaData.configuration."delta.columnMapping.mode"` other than
-    * none. Checks are schema-driven (absent fields = feature never
-    * used = fine) and cost one short job over log metadata. */
+  /** Reader features this compat path honors end-to-end; anything else
+    * a `protocol` action names refuses loudly — silently ignoring an
+    * unknown reader feature reads wrong data by construction. */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+
+  /** True when `path` (a chain of struct fields) exists in the schema —
+    * absent fields mean the feature never appears in this log slice. */
+  private def hasPath(df: DataFrame, path: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def walk(dt: DataType, rest: Seq[String]): Boolean = rest match {
+      case Seq() => true
+      case head +: tail => dt match {
+        case st: StructType => st.find(_.name == head).exists(f => walk(f.dataType, tail))
+        case _ => false
+      }
+    }
+    walk(org.apache.spark.sql.types.StructType(df.schema), path)
+  }
+
+  /** Refuse protocol versions/features this reader cannot honor.
+    * minReaderVersion 1 (basic) and 2 (column mapping) pass; 3 passes
+    * iff every listed readerFeature is in [[SupportedReaderFeatures]]
+    * (deletion vectors and column mapping are applied at read); higher
+    * versions refuse. Protocol rows are a handful per log — collected
+    * driver-side. */
   private def guardUnsupported(df: DataFrame, dir: String): Unit = {
-    import org.apache.spark.sql.types.StructType
-    def subField(struct: String, name: String): Boolean =
-      df.schema.find(_.name == struct).exists(_.dataType match {
-        case st: StructType => st.fieldNames.contains(name)
-        case _ => false
-      })
-    if (subField("protocol", "minReaderVersion")) {
-      require(df.filter(col("protocol.minReaderVersion") > 1).isEmpty,
-        s"Delta table at $dir declares protocol.minReaderVersion > 1 " +
-          "(v2+ reader features: deletion vectors / column mapping / v2 " +
-          "checkpoints) — out of scope for this compat reader")
-    }
-    if (subField("add", "deletionVector")) {
-      require(df.filter(col("add").isNotNull &&
-          col("add.deletionVector").isNotNull).isEmpty,
-        s"Delta table at $dir carries deletion vectors — row-level " +
-          "deletes this reader would silently resurrect; compact the " +
-          "table (purge DVs) before reading through this compat path")
-    }
-    val cmField = df.schema.find(_.name == "metaData").map(_.dataType).exists {
-      case st: StructType => st.find(_.name == "configuration").exists(_.dataType match {
-        case cs: StructType => cs.fieldNames.contains("delta.columnMapping.mode")
-        case _ => false
-      })
-      case _ => false
-    }
-    if (cmField) {
-      require(df.filter(col("metaData").isNotNull &&
-          col("metaData.configuration.`delta.columnMapping.mode`").isNotNull &&
-          col("metaData.configuration.`delta.columnMapping.mode`") =!= "none")
-          .isEmpty,
-        s"Delta table at $dir uses column mapping — physical parquet " +
-          "column names differ from the logical schema; out of scope " +
-          "for this compat reader")
+    if (hasPath(df, Seq("protocol", "minReaderVersion"))) {
+      val rf =
+        if (hasPath(df, Seq("protocol", "readerFeatures")))
+          col("protocol.readerFeatures")
+        else lit(null).cast("array<string>")
+      df.filter(col("protocol").isNotNull)
+        .select(col("protocol.minReaderVersion").cast("int"), rf)
+        .collect().foreach { r =>
+          val mrv = if (r.isNullAt(0)) 1 else r.getInt(0)
+          // v3 REQUIRES an explicit readerFeatures list; its absence is
+          // a malformed protocol action and must refuse, not default
+          val feats =
+            if (r.isNullAt(1)) None else Some(r.getSeq[String](1))
+          val unsupported = feats.getOrElse(Nil).filterNot(SupportedReaderFeatures)
+          require(mrv <= 2 ||
+            (mrv == 3 && feats.nonEmpty && unsupported.isEmpty),
+            s"Delta table at $dir declares protocol minReaderVersion=$mrv" +
+              (if (unsupported.nonEmpty)
+                s" with reader features ${unsupported.mkString(", ")}"
+              else if (mrv >= 3 && feats.isEmpty) " without readerFeatures"
+              else "") +
+              " — beyond this compat reader's scope (supported: " +
+              s"${SupportedReaderFeatures.mkString(", ")})")
+        }
     }
   }
 
   /** One line of actions with its commit version attached: `add.path` /
     * `remove.path` extracted (absent action kinds tolerated), rows
-    * without either dropped. */
+    * without either dropped. Deletion-vector descriptor fields ride
+    * along flattened (null when the log slice never saw a DV), so the
+    * per-path reconciliation keeps the LATEST add's DV — re-adding a
+    * file with a new DV replaces the old one, per the protocol. */
   private def actionsOf(df: DataFrame): DataFrame = {
     val cols = df.columns.toSet
     def pathOf(action: String): org.apache.spark.sql.Column =
       if (cols.contains(action)) col(s"$action.path") else lit(null).cast("string")
+    def dv(field: String, tpe: String): org.apache.spark.sql.Column =
+      (if (hasPath(df, Seq("add", "deletionVector", field)))
+        col(s"add.deletionVector.$field") else lit(null)).cast(tpe).as(s"dv_$field")
     df.select(col("commit"), pathOf("add").as("add_path"),
-        pathOf("remove").as("rm_path"))
+        pathOf("remove").as("rm_path"),
+        dv("storageType", "string"), dv("pathOrInlineDv", "string"),
+        dv("offset", "int"), dv("sizeInBytes", "int"), dv("cardinality", "long"))
       .select(col("commit"),
         coalesce(col("add_path"), col("rm_path")).as("path"),
-        col("add_path").isNotNull.as("is_add"))
+        col("add_path").isNotNull.as("is_add"),
+        col("dv_storageType"), col("dv_pathOrInlineDv"), col("dv_offset"),
+        col("dv_sizeInBytes"), col("dv_cardinality"))
       .filter(col("path").isNotNull)
   }
 
-  /** The reconciled per-path state of the log — one row per path with
-    * its LATEST action (the Delta reconciliation rule) — plus the
-    * latest commit version present. With a `_last_checkpoint`, the
-    * checkpoint parquet carries the state at its version and only
-    * LATER JSON commits replay on top. */
-  private def resolvedState(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): (DataFrame, Long) = {
+  /** The raw action frames of the log (checkpoint parquet first, then
+    * the JSON commits after it), each with a `commit` column, protocol-
+    * guarded — plus the latest commit version present. With a
+    * `_last_checkpoint`, the checkpoint carries the state at its
+    * version and only LATER JSON commits replay on top. */
+  private def rawLog(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): (Seq[DataFrame], Long) = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(s"$dir/_delta_log")
     require(fs.exists(logDir), s"$dir has no _delta_log — not a Delta table")
@@ -146,67 +181,165 @@ object DeltaCompat {
       s"$dir/_delta_log has neither a checkpoint nor JSON commits" +
         asOf.map(v => s" at or before version $v").getOrElse(""))
     cpActions.foreach(guardUnsupported(_, dir))
-    val jsonActions =
+    val jsonRaw =
       if (jsonFiles.isEmpty) None
       else {
         val raw = spark.read.json(jsonFiles: _*)
           .withColumn("commit",
             regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
         guardUnsupported(raw, dir)
-        Some(actionsOf(raw))
+        Some(raw)
       }
-    val actions = (cpActions.map(actionsOf) ++ jsonActions).reduce(_ unionByName _)
     val latest = (cpVersion +: jsonFiles.map(f =>
       new Path(f).getName.stripSuffix(".json").toLong)).max
-    (actions
-      .groupBy(col("path"))
-      .agg(max_by(col("is_add"), col("commit")).as("is_add")), latest)
+    ((cpActions ++ jsonRaw).toSeq, latest)
   }
 
-  /** The live data-file paths of the Delta table at `dir`: reconciled
-    * state filtered to adds, paths URL-decoded (the protocol stores
-    * them percent-encoded), absolute-URI adds refused. `asOf` = TIME
-    * TRAVEL to that commit version (replays only commits <= asOf; a
-    * newer checkpoint is bypassed, so the needed JSON must still
+  /** The reconciled per-path state of the log — one row per path with
+    * its LATEST action (the Delta reconciliation rule: last add wins,
+    * carrying that add's deletion-vector descriptor) — plus the latest
+    * commit version present. */
+  private def resolvedState(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): (DataFrame, Long) = {
+    val (raws, latest) = rawLog(spark, dir, asOf)
+    val actions = raws.map(actionsOf).reduce(_ unionByName _)
+    val state = actions.groupBy(col("path"))
+      .agg(max_by(struct(col("is_add"), col("dv_storageType"),
+        col("dv_pathOrInlineDv"), col("dv_offset"), col("dv_sizeInBytes"),
+        col("dv_cardinality")), col("commit")).as("a"))
+      .select(col("path"), col("a.*"))
+    (state, latest)
+  }
+
+  /** The latest `metaData` action's (schemaString, columnMapping mode),
+    * when present anywhere in the log slice — the two fields the reader
+    * needs to resolve column mapping. */
+  private def latestTableMeta(raws: Seq[DataFrame]):
+      Option[(Option[String], String)] = {
+    // frames arrive oldest-first (checkpoint, then the JSON tail), and
+    // within the JSON frame the commit column orders actions — the
+    // overall latest metaData is the max-commit row of the LAST frame
+    // that has any
+    raws.reverse.iterator.flatMap { df =>
+      if (!hasPath(df, Seq("metaData"))) Iterator.empty
+      else {
+        val schemaStr =
+          if (hasPath(df, Seq("metaData", "schemaString")))
+            col("metaData.schemaString")
+          else lit(null).cast("string")
+        val mode =
+          if (hasPath(df, Seq("metaData", "configuration", "delta.columnMapping.mode")))
+            col("metaData.configuration.`delta.columnMapping.mode`")
+          else lit(null).cast("string")
+        df.filter(col("metaData").isNotNull)
+          .orderBy(col("commit").desc).limit(1)
+          .select(schemaStr, mode)
+          .collect().iterator
+          .map(r => (Option(r.getString(0)),
+            Option(r.getString(1)).getOrElse("none")))
+      }
+    }.nextOption()
+  }
+
+  private def decodePath(dir: String, raw: String): String = {
+    // protocol: relative percent-encoded URI; absolute = external file
+    val uri = try new java.net.URI(raw) catch {
+      case e: java.net.URISyntaxException => throw new IllegalArgumentException(
+        s"Delta log at $dir holds a malformed path URI '$raw'", e)
+    }
+    require(!uri.isAbsolute && !raw.startsWith("/"),
+      s"absolute add path '$raw' (external file) is out of scope for " +
+        "this compat reader")
+    s"$dir/${uri.getPath}"
+  }
+
+  /** The live data files with their deletion-vector descriptors (None =
+    * every physical row of the file is live): reconciled state filtered
+    * to adds, paths URL-decoded, absolute-URI adds refused. `asOf` =
+    * TIME TRAVEL to that commit version (replays only commits <= asOf;
+    * a newer checkpoint is bypassed, so the needed JSON must still
     * exist — vacuumed history refuses by name). */
-  def liveFiles(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): Seq[String] =
+  def liveFilesWithDv(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None):
+      Seq[(String, Option[DeletionVectors.Descriptor])] =
     resolvedState(spark, dir, asOf)._1
       .filter(col("is_add"))
-      .select(col("path"))
+      .select(col("path"), col("dv_storageType"), col("dv_pathOrInlineDv"),
+        col("dv_offset"), col("dv_sizeInBytes"), col("dv_cardinality"))
       .collect().map { r =>
-        val raw = r.getString(0)
-        // protocol: relative percent-encoded URI; absolute = external file
-        val uri = try new java.net.URI(raw) catch {
-          case e: java.net.URISyntaxException => throw new IllegalArgumentException(
-            s"Delta log at $dir holds a malformed path URI '$raw'", e)
-        }
-        require(!uri.isAbsolute && !raw.startsWith("/"),
-          s"absolute add path '$raw' (external file) is out of scope for " +
-            "this compat reader")
-        s"$dir/${uri.getPath}"
-      }.toSeq.sorted
+        val dv =
+          if (r.isNullAt(1)) None
+          else Some(DeletionVectors.Descriptor(r.getString(1), r.getString(2),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)),
+            r.getInt(4), r.getLong(5)))
+        (decodePath(dir, r.getString(0)), dv)
+      }.toSeq.sortBy(_._1)
+
+  /** The live data-file PATHS — for callers that read files directly
+    * and so can neither mask deleted rows nor resolve physical column
+    * names; a live deletion vector or column-mapping mode refuses
+    * loudly here (read through [[readDeltaTable]] instead, which
+    * applies both). */
+  def liveFiles(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    val withDv = liveFilesWithDv(spark, dir, asOf)
+    val dvd = withDv.collect { case (p, Some(_)) => p }
+    require(dvd.isEmpty,
+      s"Delta table at $dir carries live deletion vectors on " +
+        s"${dvd.size} file(s) — the path-only API would resurrect " +
+        "deleted rows; use readDeltaTable, which applies them")
+    latestTableMeta(rawLog(spark, dir, asOf)._1).foreach { case (_, mode) =>
+      require(mode == "none",
+        s"Delta table at $dir uses column mapping (mode=$mode) — raw " +
+          "file paths carry physical column names; use readDeltaTable, " +
+          "which resolves them")
+    }
+    withDv.map(_._1)
+  }
 
   /** CHECKPOINT the log at its latest version — the writer-side
     * maintenance op that makes long logs cheap to open: one parquet
     * holding the reconciled state (live `add`s plus `remove` tombstone
     * paths) and the `_last_checkpoint` pointer. JSON commits at or
     * before the checkpointed version become vacuum-able; this reader
-    * ignores them afterwards. Scope: data actions only (protocol /
-    * metaData rows a full Delta writer also snapshots are carried by
-    * the JSON header commit, which [[exportDeltaLog]] always writes
-    * first and never vacuums here). Returns the checkpointed version. */
+    * ignores them afterwards. The checkpoint is a COMPLETE snapshot
+    * per the protocol: alongside the reconciled add/remove state it
+    * carries the latest `protocol` and `metaData` actions — without
+    * them a post-vacuum read loses the table's protocol gate and
+    * schema. Returns the checkpointed version. */
   def checkpoint(spark: SparkSession, dir: String, parts: Int = 1): Long = {
     require(parts >= 1, "need parts >= 1")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (state, v) = resolvedState(spark, dir)
+    val (raws, v) = rawLog(spark, dir)
     require(v >= 0L, s"no commits to checkpoint at $dir")
+    val (state, _) = resolvedState(spark, dir)
     val tmp = new Path(s"$dir/_delta_log/.cp-tmp")
-    val rows = state.select(
-      when(col("is_add"),
-        struct(col("path"), lit(true).as("dataChange"))).as("add"),
+    val hasDv = !state.filter(col("dv_storageType").isNotNull).isEmpty
+    val addStruct =
+      if (hasDv) struct(col("path"), lit(true).as("dataChange"),
+        when(col("dv_storageType").isNotNull, struct(
+          col("dv_storageType").as("storageType"),
+          col("dv_pathOrInlineDv").as("pathOrInlineDv"),
+          col("dv_offset").as("offset"),
+          col("dv_sizeInBytes").as("sizeInBytes"),
+          col("dv_cardinality").as("cardinality"))).as("deletionVector"))
+      else struct(col("path"), lit(true).as("dataChange"))
+    var rows = state.select(
+      when(col("is_add"), addStruct).as("add"),
       when(not(col("is_add")),
         struct(col("path"), lit(true).as("dataChange"))).as("remove"))
+    // the latest protocol and metaData actions, from whichever log
+    // slice (previous checkpoint or the JSON tail) carries them last —
+    // one row each, unioned into the state so the checkpoint is
+    // self-contained once pre-checkpoint JSON is vacuumed
+    Seq("protocol", "metaData").foreach { action =>
+      raws.reverse.collectFirst {
+        case raw if raw.columns.contains(action) &&
+            !raw.filter(col(action).isNotNull).isEmpty =>
+          raw.filter(col(action).isNotNull)
+            .orderBy(col("commit").desc).limit(1).select(col(action))
+      }.foreach(h => rows = rows.unionByName(h, allowMissingColumns = true))
+    }
     // multi-part checkpoints (the protocol's shape for state too large
     // for one file — each part is written by one task, so a 100 TB
     // table's multi-million-file state never funnels through one
@@ -263,6 +396,9 @@ object DeltaCompat {
         regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
     guardUnsupported(raw, dir)
     val acts = actionsOf(raw)
+    require(acts.filter(col("dv_storageType").isNotNull).isEmpty,
+      s"window ($fromV, $toV] at $dir attaches deletion vectors — " +
+        "row-level deletes, not an append-only window; re-read or upsert")
     val perPath = acts.groupBy(col("path"))
       .agg(max_by(col("is_add"), col("commit")).as("live"),
         min_by(col("is_add"), col("commit")).as("first_is_add"))
@@ -291,13 +427,65 @@ object DeltaCompat {
     spark.read.parquet(files: _*)
   }
 
-  /** Read the table's current state, or (`asOf`) a past version. */
+  /** Read the table's current state, or (`asOf`) a past version —
+    * deletion vectors applied, column mapping resolved. */
   def readDeltaTable(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
-    val files = liveFiles(spark, dir, asOf)
-    require(files.nonEmpty, s"Delta table at $dir has no live files" +
+    val (raws, _) = rawLog(spark, dir, asOf)
+    val withDv = liveFilesWithDv(spark, dir, asOf)
+    require(withDv.nonEmpty, s"Delta table at $dir has no live files" +
       asOf.map(v => s" at version $v").getOrElse(""))
-    spark.read.parquet(files: _*)
+    var df = spark.read.parquet(withDv.map(_._1): _*)
+    val dvs = withDv.collect { case (p, Some(d)) => (p, d) }
+    if (dvs.nonEmpty) {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the bitmap plane: bounded per file (a DV masks rows of ONE
+      // parquet file), parsed driver-side from KB-scale sidecars/inline
+      // bytes; keyed by the same qualified URI `_metadata.file_path`
+      // renders so the anti-join needs no path normalization tricks
+      val deleted: Seq[(String, Long)] = dvs.flatMap { case (p, d) =>
+        val qualified = fs.makeQualified(new Path(p)).toString
+        val positions = DeletionVectors.readDeleted(fs, dir, d)
+        require(positions.length.toLong == d.cardinality,
+          s"DV for $p declares cardinality ${d.cardinality} but holds " +
+            s"${positions.length} positions")
+        positions.map(pos => (qualified, pos))
+      }
+      val delDf = spark.createDataFrame(deleted).toDF("__dv_file", "__dv_pos")
+      // broadcast the deleted-position side while it is metadata-sized;
+      // a mass-delete table (tens of millions of masked rows) shuffles
+      val side =
+        if (dvs.map(_._2.cardinality).sum <= 4000000L) broadcast(delDf)
+        else delDf
+      val dataCols = df.columns.toSeq
+      df = df
+        .withColumn("__dv_f", col("_metadata.file_path"))
+        .withColumn("__dv_p", col("_metadata.row_index"))
+        .join(side, col("__dv_f") === col("__dv_file") &&
+          col("__dv_p") === col("__dv_pos"), "left_anti")
+        .select(dataCols.map(c => col(s"`$c`")): _*)
+    }
+    latestTableMeta(raws) match {
+      case Some((schemaStrOpt, mode)) if mode == "name" || mode == "id" =>
+        val schemaString = schemaStrOpt.getOrElse(throw
+          new IllegalArgumentException(s"Delta table at $dir sets " +
+            s"delta.columnMapping.mode=$mode but its metaData carries no " +
+            "schemaString — physical columns cannot be resolved"))
+        val logical = org.apache.spark.sql.types.DataType.fromJson(schemaString)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val key = "delta.columnMapping.physicalName"
+        val renames = logical.fields.map { f =>
+          require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+            s"nested column mapping (field '${f.name}') is out of scope " +
+              "for this compat reader")
+          require(f.metadata.contains(key),
+            s"column mapping mode=$mode but field '${f.name}' has no " +
+              "physicalName — malformed metaData")
+          col(s"`${f.metadata.getString(key)}`").as(f.name)
+        }
+        df.select(renames.toSeq: _*)
+      case _ => df
+    }
   }
 
   /** DUAL-FORMAT EXPORT (the UniForm idea): write a `_delta_log` INTO a

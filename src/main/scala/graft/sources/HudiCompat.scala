@@ -80,7 +80,14 @@ object HudiCompat {
       else name match {
         case BaseFile(fileId, _, instant) =>
           val full = st.getPath.toUri.getPath
-          val partition = full.stripPrefix(root + "/").stripSuffix("/" + name)
+          // partition = the file's PARENT dir relative to the table
+          // root ("" for a non-partitioned table, where base files sit
+          // at the root). Derived structurally — string-stripping the
+          // file name off `full` would leave the name itself as the
+          // partition at root, giving every file a unique slice key
+          // and silently disabling latest-file-slice dedup.
+          val partition = st.getPath.getParent.toUri.getPath
+            .stripPrefix(root).stripPrefix("/")
           if (completed.contains(instant)) out += ((partition, fileId, instant, full))
         case _ =>
           require(!name.contains(".log."),

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{DeletionVectors, DeltaCompat}
+
+/** Edge pins for the Delta deletion-vector codec and its application by
+  * the compat reader, plus column-mapping resolution: Z85 and portable
+  * roaring round-trips (array, bitmap, and multi-key shapes), sidecar
+  * CRC verification, masked reads, checkpoint carriage of DVs +
+  * protocol/metaData, and the loud path-only refusals. */
+class DeletionVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(): (String, org.apache.hadoop.fs.FileSystem) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dv").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (dir, fs)
+  }
+
+  private def writePart(dir: String, fs: org.apache.hadoop.fs.FileSystem,
+      name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = s"$dir/.tmp-$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  private def writeCommit(dir: String, fs: org.apache.hadoop.fs.FileSystem,
+      id: Long, lines: Seq[String]): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      f"$dir/_delta_log/$id%020d.json"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def dvJson(d: DeletionVectors.Descriptor): String = {
+    val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+    s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+  }
+
+  test("Z85 and portable roaring round-trip: array, bitmap, and 64-bit keys") {
+    val bytes = Array.tabulate(32)(i => (i * 37 % 251).toByte)
+    assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(bytes))
+      .sameElements(bytes))
+    // small array containers
+    val small = Array(0L, 1L, 5L, 65535L, 65536L, 131071L)
+    assert(DeletionVectors.deserialize(DeletionVectors.serialize(small))
+      .sameElements(small))
+    // > 4096 values in one 16-bit block forces a bitmap container
+    val dense = (0L until 5000L).toArray
+    assert(DeletionVectors.deserialize(DeletionVectors.serialize(dense))
+      .sameElements(dense))
+    // positions above 2^32 exercise multiple RoaringBitmapArray keys
+    val wide = Array(3L, (1L << 32) + 7L, (5L << 32) + 65536L)
+    assert(DeletionVectors.deserialize(DeletionVectors.serialize(wide))
+      .sameElements(wide))
+  }
+
+  test("sidecar write/read verifies CRC; corrupt data refuses") {
+    val (dir, fs) = mkTable()
+    val d = DeletionVectors.writeSidecar(fs, dir, Array(1L, 3L, 9L))
+    assert(DeletionVectors.readDeleted(fs, dir, d).sameElements(Array(1L, 3L, 9L)))
+    // flip a data byte past the header: checksum must catch it
+    val p = DeletionVectors.sidecarPath(dir, d)
+    val in = fs.open(p)
+    val all = try in.readAllBytes() finally in.close()
+    all(8) = (all(8) ^ 0x40).toByte
+    val out = fs.create(p, true)
+    try out.write(all) finally out.close()
+    val e = intercept[Exception] { DeletionVectors.readDeleted(fs, dir, d) }
+    assert(e.getMessage.contains("checksum") || e.getMessage.contains("magic"))
+  }
+
+  test("DV'd reads mask deleted rows; path-only API refuses; checkpoints carry everything") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet",
+      (0L until 20L).map(i => (i, s"a$i")).toDF("id", "v"))
+    writePart(dir, fs, "b.parquet",
+      (100L until 110L).map(i => (i, s"b$i")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"metaData":{"id":"t-dv","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}""",
+      """{"add":{"path":"b.parquet","dataChange":true}}"""))
+    // commit 1: re-add a.parquet with a sidecar DV masking rows 0,2,4
+    val d1 = DeletionVectors.writeSidecar(fs, dir, Array(0L, 2L, 4L))
+    writeCommit(dir, fs, 1, Seq(
+      s"""{"add":{"path":"a.parquet","dataChange":true,"deletionVector":${dvJson(d1)}}}"""))
+    val got1 = DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got1.size == 27 && !got1.contains(0L) && !got1.contains(2L) &&
+      !got1.contains(4L) && got1.contains(1L) && got1.contains(100L),
+      s"sidecar DV must mask exactly rows 0,2,4 of a.parquet, got ${got1.size}")
+    // the path-only API refuses rather than resurrecting deleted rows
+    val e = intercept[IllegalArgumentException] { DeltaCompat.liveFiles(spark, dir) }
+    assert(e.getMessage.contains("deletion vectors"))
+    // commit 2: a LARGER replacement DV (inline) — last add wins
+    val d2 = DeletionVectors.inlineDescriptor((0L until 10L).toArray)
+    writeCommit(dir, fs, 2, Seq(
+      s"""{"add":{"path":"a.parquet","dataChange":true,"deletionVector":${dvJson(d2)}}}"""))
+    assert(DeltaCompat.readDeltaTable(spark, dir).count() == 20,
+      "inline replacement DV (10 masked of 20 + 10 live in b) must win")
+    // time travel re-applies the OLD DV
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(1L)).count() == 27)
+    // checkpoint + vacuum the JSON: protocol, metaData, and DVs survive
+    val v = DeltaCompat.checkpoint(spark, dir)
+    assert(v == 2L)
+    (0L to 2L).foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(f"$dir/_delta_log/$i%020d.json"), false)
+    }
+    assert(DeltaCompat.readDeltaTable(spark, dir).count() == 20,
+      "post-vacuum read must still apply the checkpointed DV")
+    val cp = spark.read.parquet(f"$dir/_delta_log/$v%020d.checkpoint.parquet")
+    assert(cp.filter(col("protocol").isNotNull).count() == 1,
+      "checkpoint must carry the protocol action")
+    assert(cp.filter(col("metaData").isNotNull).count() == 1,
+      "checkpoint must carry the metaData action")
+    assert(cp.filter(col("add.deletionVector").isNotNull).count() == 1,
+      "checkpoint must carry the live DV descriptor")
+    // a protocol feature gate still fires post-vacuum (visibility kept)
+    writeCommit(dir, fs, 3, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""))
+    val e2 = intercept[IllegalArgumentException] { DeltaCompat.readDeltaTable(spark, dir) }
+    assert(e2.getMessage.contains("v2Checkpoint"))
+  }
+
+  test("column mapping (name and id modes) resolves physical columns to the logical schema") {
+    def schemaJson(mode: String): String = {
+      def field(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true, new MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build())
+      val st = StructType(Seq(
+        field("id", "col-aaaa", 1L, LongType),
+        field("v", "col-bbbb", 2L, StringType)))
+      st.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    }
+    Seq("name", "id").foreach { mode =>
+      val (dir, fs) = mkTable()
+      writePart(dir, fs, "a.parquet",
+        Seq((1L, "x"), (2L, "y")).toDF("col-aaaa", "col-bbbb"))
+      writeCommit(dir, fs, 0, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t-cm","format":{"provider":"parquet"},"schemaString":"${schemaJson(mode)}","configuration":{"delta.columnMapping.mode":"$mode"}}}""",
+        """{"add":{"path":"a.parquet","dataChange":true}}"""))
+      val got = DeltaCompat.readDeltaTable(spark, dir)
+      assert(got.columns.toSeq == Seq("id", "v"),
+        s"mode=$mode must surface logical names, got ${got.columns.toSeq}")
+      assert(got.as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "y")))
+      // path-only API refuses: raw files carry physical names
+      val e = intercept[IllegalArgumentException] { DeltaCompat.liveFiles(spark, dir) }
+      assert(e.getMessage.contains("column mapping"))
+    }
+    // mode set but schemaString missing: refuse, never read physical names
+    val (dir2, fs2) = mkTable()
+    writePart(dir2, fs2, "a.parquet", Seq((1L, "x")).toDF("col-aaaa", "col-bbbb"))
+    writeCommit(dir2, fs2, 0, Seq(
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaCompat.readDeltaTable(spark, dir2)
+    }
+    assert(e2.getMessage.contains("schemaString"))
+  }
+
+  test("column mapping composes with deletion vectors") {
+    val (dir, fs) = mkTable()
+    def field(name: String, phys: String, id: Long) =
+      StructField(name, LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val schemaJson = StructType(Seq(field("k", "col-k", 1L)))
+      .json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writePart(dir, fs, "a.parquet", (0L until 10L).toDF("col-k"))
+    val d = DeletionVectors.writeSidecar(fs, dir, Array(7L, 8L, 9L))
+    writeCommit(dir, fs, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"$schemaJson","configuration":{"delta.columnMapping.mode":"name"}}}""",
+      s"""{"add":{"path":"a.parquet","dataChange":true,"deletionVector":${dvJson(d)}}}"""))
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+    assert(got.columns.toSeq == Seq("k"))
+    assert(got.as[Long].collect().sorted.sameElements(0L until 7L),
+      "DV mask must apply before the logical rename")
+  }
+
+  test("addedBetween refuses windows that attach deletion vectors") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "x")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    val d = DeletionVectors.inlineDescriptor(Array(0L))
+    writeCommit(dir, fs, 1, Seq(
+      s"""{"add":{"path":"a.parquet","dataChange":true,"deletionVector":${dvJson(d)}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.addedBetween(spark, dir, 0L, 1L)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+}

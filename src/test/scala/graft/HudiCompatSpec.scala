@@ -49,6 +49,23 @@ class HudiCompatSpec extends SparkSpec {
       .filter($"id" === 99L).count() == 0)
   }
 
+  test("non-partitioned table: a CoW update at the table root shadows the old slice") {
+    val dir = mkTable()
+    // base files sit directly at the table root (partition = "")
+    HudiCompat.beginCommit(spark, dir, "001")
+    HudiCompat.writeBaseFile(Seq((1L, "old"), (2L, "old")).toDF("id", "v"),
+      dir, "", "fgA", "001")
+    HudiCompat.completeCommit(spark, dir, "001")
+    HudiCompat.beginCommit(spark, dir, "002")
+    HudiCompat.writeBaseFile(Seq((1L, "new"), (2L, "new")).toDF("id", "v"),
+      dir, "", "fgA", "002")
+    HudiCompat.completeCommit(spark, dir, "002")
+    val got = HudiCompat.readHoodieTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "new"), (2L, "new")),
+      s"root-level file slices must dedup per (partition='', fileId), got $got")
+  }
+
   test("incremental query: only file groups created/rewritten after the checkpoint") {
     val dir = mkTable()
     HudiCompat.beginCommit(spark, dir, "001")
