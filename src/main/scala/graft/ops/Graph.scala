@@ -428,6 +428,7 @@ object Graph {
         .withColumn("hops", lit(0)))
     var frontier = settled.select(col("node"))
     var round = 0
+    var hopCaches = List.empty[DataFrame]
     while (round < maxHops && frontier.count() > 0) {
       round += 1
       val nextPlan = frontier.join(e, frontier("node") === e("src"))
@@ -445,11 +446,26 @@ object Graph {
       // hop, never a recomputation chain — so it needs no truncation.
       val next =
         if (round % 8 == 0) Materialize.carried(nextPlan)
-        else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
+        else {
+          val p = nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
+          hopCaches ::= p
+          p
+        }
       settled = settled.unionByName(next)
       frontier = next.select(col("node"))
     }
     e.unpersist(false)
-    settled
+    // the per-hop caches must not outlive the traversal (one lingering
+    // block-manager entry per hop across a long session): materialize
+    // the result union ONCE — each hop cache is read back, never
+    // recomputed — then release them, returning the single cached
+    // result in their place
+    if (hopCaches.isEmpty) settled
+    else {
+      val out = settled.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      hopCaches.foreach(_.unpersist(false))
+      out
+    }
   }
 }

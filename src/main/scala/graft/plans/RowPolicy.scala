@@ -63,10 +63,19 @@ object RowPolicy extends Rule[LogicalPlan] {
   private def policySqlFor(lr: LogicalRelation): Option[String] =
     lr.relation match {
       // a relation spanning governed and ungoverned roots gets the
-      // governed policy applied to ALL its rows — fail-closed
-      case fs: HadoopFsRelation => fs.location.rootPaths.iterator
-        .map(p => policyForPath(normalize(p.toString)))
-        .collectFirst { case Some(s) => s }
+      // governed policy applied to ALL its rows — fail-closed. A scan
+      // spanning roots under DIFFERENT policies gets their CONJUNCTION
+      // (every governing policy enforced on every row — also
+      // fail-closed; picking one silently would apply the weaker
+      // policy to the other root's rows). Sorted for a deterministic
+      // conjunct order, so the convergence check above stays stable.
+      case fs: HadoopFsRelation =>
+        val sqls = fs.location.rootPaths
+          .flatMap(p => policyForPath(normalize(p.toString)))
+          .distinct.sorted
+        if (sqls.isEmpty) None
+        else if (sqls.size == 1) Some(sqls.head)
+        else Some(sqls.mkString("(", ") AND (", ")"))
       case _ => None
     }
 

@@ -101,6 +101,16 @@ object IcebergCompat {
     } finally in.close()
   }
 
+  /** Diagnostic/spec hook: each data_file entry's `record_count` in a
+    * manifest — the field foreign engines trust for count(*) and scan
+    * planning, so exports must write it truthfully. */
+  def manifestRecordCounts(spark: SparkSession, manifestPath: String): Seq[Long] =
+    readAvro(spark, new Path(manifestPath)).flatMap { r =>
+      field(r, "data_file").collect { case df: GenericRecord =>
+        longField(df, "record_count").getOrElse(0L)
+      }
+    }
+
   private def field(r: GenericRecord, name: String): Option[AnyRef] =
     if (r.getSchema.getField(name) != null) Option(r.get(name)) else None
 
@@ -409,12 +419,21 @@ object IcebergCompat {
     require(ids.nonEmpty, s"no committed snapshot at $snapshotRoot")
     def filesOf(dir: String): Seq[(String, Long)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val conf = spark.sparkContext.hadoopConfiguration
       def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
         if (st.isDirectory) walk(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) {
           val full = st.getPath.toUri.getPath
           val root = fs.makeQualified(new Path(snapshotRoot)).toUri.getPath
-          out += ((full.stripPrefix(root + "/"), 0L))
+          // record_count is a REQUIRED, trusted manifest field: real
+          // Iceberg engines answer count(*) and plan scans from it
+          // without touching data, so it must be the file's true row
+          // count — the parquet footer has it for the price of a
+          // metadata read, no data pages touched
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          val rows = try reader.getRecordCount finally reader.close()
+          out += ((full.stripPrefix(root + "/"), rows))
         }
       }
       walk(new Path(snapshotRoot, dir))

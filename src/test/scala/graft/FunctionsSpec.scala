@@ -237,6 +237,16 @@ class FunctionsSpec extends SparkSpec {
     graft.sources.IcebergCompat.exportIcebergMetadata(spark, iroot)
     assert(spark.sql(s"SELECT count(*) FROM iceberg_table('$iroot')")
       .head().getLong(0) == 5)
+    // the exported manifests must carry TRUE record counts: real
+    // Iceberg engines answer count(*) from this field without touching
+    // data, so a 0 here would read the table as empty over there
+    val manifests = new java.io.File(s"$iroot/metadata").listFiles()
+      .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+    assert(manifests.nonEmpty)
+    val counted = manifests.flatMap(m =>
+      graft.sources.IcebergCompat.manifestRecordCounts(spark, m.getPath))
+    assert(counted.sum == 5 && counted.forall(_ > 0),
+      s"exported record_count must be the files' true row counts, got ${counted.toSeq}")
     // TVFs splice into larger plans across FORMATS
     assert(spark.sql(
       s"""SELECT count(*) FROM delta_table('$droot') d

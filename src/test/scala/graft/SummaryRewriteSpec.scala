@@ -119,6 +119,30 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally graft.plans.RowPolicy.deregister(base)
   }
 
+  test("row policy: a scan spanning two differently-governed roots ANDs both policies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rls2").toString
+    val (t1, t2) = (s"$dir/t1", s"$dir/t2")
+    val src = (1 to 100).map(i =>
+      (i.toLong, if (i % 4 == 0) "secret" else "ok")).toDF("id", "tier")
+    src.write.parquet(t1)
+    src.write.parquet(t2)
+    graft.functions.GraftExtensions.register(spark)
+    graft.plans.RowPolicy.register(t1, "tier <> 'secret'")
+    graft.plans.RowPolicy.register(t2, "id <= 50L")
+    try {
+      // one multi-root scan: rows must satisfy BOTH policies — applying
+      // whichever iterates first would leak t2's id>50 rows (or t1's
+      // secret rows). 2 roots x (ids 1..50 minus the 12 secret) = 76.
+      assert(spark.read.parquet(t1, t2).count() == 76)
+      // single-root reads keep their own policy only
+      assert(spark.read.parquet(t1).count() == 75)
+      assert(spark.read.parquet(t2).count() == 50)
+    } finally {
+      graft.plans.RowPolicy.deregister(t1)
+      graft.plans.RowPolicy.deregister(t2)
+    }
+  }
+
   test("join elimination: declared FK drops; dim-side filters and mirrored order behave") {
     val dir = java.nio.file.Files.createTempDirectory("graft-je").toString
     val fact = s"$dir/fact"; val dim = s"$dir/dim"
