@@ -3138,6 +3138,67 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_hudi_mor: MERGE-ON-READ — the default Hudi table type for
+    * streaming ingest, where updates append Avro log blocks instead of
+    * rewriting parquet ([[graft.sources.HudiCompat.readMorSnapshot]],
+    * log framing in [[graft.sources.HudiLogFormat]]). The gate builds
+    * one base file group updated through a completed deltacommit, one
+    * LOG-ONLY file group (inserted into logs before any compaction —
+    * no base file at all), and one IN-FLIGHT deltacommit whose ghost
+    * blocks would zero the sums if block-level instant visibility
+    * leaked. Log parsing runs in executors (one task per log file);
+    * the merge is a key-partitioned window over base ∪ log rows. The
+    * oracle recomputes the post-merge values from lineitem. */
+  val ingestHudiMor: QueryDef = QueryDef(
+    "ingest_hudi_mor",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "hudi_mor")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      graft.sources.HudiCompat.writeProperties(s, dir, "MERGE_ON_READ", "k")
+      // one row per order: the synthetic lineitem does NOT have unique
+      // (orderkey, linenumber) pairs, and a Hudi record key must be
+      // unique for upsert merges to be well-defined
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 3).as("grp"), col("q"))
+      // base file group fgA: grp 0 at commit 001
+      graft.sources.HudiCompat.beginCommit(s, dir, "001")
+      graft.sources.HudiCompat.writeBaseFile(
+        li.filter(col("grp") === 0), dir, "p=0", "fgA", "001")
+      graft.sources.HudiCompat.completeCommit(s, dir, "001")
+      // deltacommit 002: UPDATE fgA's high-quantity rows (q -> q+1)
+      // via a log block, and INSERT grp 1 as a log-ONLY file group
+      graft.sources.HudiCompat.beginDeltaCommit(s, dir, "002")
+      graft.sources.HudiCompat.appendLogData(
+        li.filter(col("grp") === 0 && col("q") >= 10000L)
+          .withColumn("q", col("q") + 1L),
+        dir, "p=0", "fgA", "001", 1, "002")
+      graft.sources.HudiCompat.appendLogData(
+        li.filter(col("grp") === 1), dir, "p=1", "fgB", "002", 1, "002")
+      graft.sources.HudiCompat.completeDeltaCommit(s, dir, "002")
+      // deltacommit 003 NEVER completes: its ghost rows (q=0 for every
+      // fgA key) must stay invisible — the value gate fails if not
+      graft.sources.HudiCompat.beginDeltaCommit(s, dir, "003")
+      graft.sources.HudiCompat.appendLogData(
+        li.filter(col("grp") === 0).withColumn("q", lit(0L)),
+        dir, "p=0", "fgA", "001", 2, "003")
+      graft.sources.HudiCompat.readHoodieTable(s, dir)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("grp")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 3 AS grp,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT grp, count(*) AS n,
+      |  CAST(sum(CASE WHEN grp = 0 AND q >= 10000 THEN q + 1 ELSE q END)
+      |    AS BIGINT) AS sum_q
+      |FROM li WHERE grp IN (0, 1) GROUP BY grp ORDER BY grp""".stripMargin))
+
   /** ingest_hudi_incremental: Hudi's flagship INCREMENTAL consumption
     * mode at file-slice granularity ([[graft.sources.HudiCompat
     * .readIncremental]]): only the file groups created or rewritten
@@ -3763,7 +3824,7 @@ object SurveyQueries {
     ingestDeltaDv, ingestDeltaColumnMapping,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
-    ingestHudiIncremental,
+    ingestHudiIncremental, ingestHudiMor,
     pipelineForeignSync,
     ingestIceberg, ingestIcebergIncremental, ingestIcebergV2Deletes,
     maintenanceSnapshotUniform, maintenanceSnapshotUniformIceberg,
