@@ -908,7 +908,89 @@ object StreamingQueries {
       .orderBy("user_id"),
     TemporalQueries.qEwma.oracle)
 
+  /** stream_foreign_sync: the STREAMING twin of `pipeline_foreign_sync`
+    * — a foreign Delta table consumed through the
+    * [[graft.streaming.ForeignLakeStream]] micro-batch source (a real
+    * DSv2 `MicroBatchStream` whose offsets are the foreign table's own
+    * commit versions) into a [[graft.sources.SnapshotTable]] sink. The
+    * gate proves offset-checkpoint RESUME: run 1 drains the initial
+    * table; the foreign table advances two commits; run 2 restarts from
+    * the checkpoint and must append EXACTLY one micro-batch holding
+    * only the new files (REQUIREd via the destination's snapshot
+    * count); run 3 with nothing new appends nothing. Oracle: identical
+    * to the batch twin — a correct sync converges to the full-table
+    * aggregate no matter how it was windowed. */
+  val streamForeignSync: QueryDef = QueryDef(
+    "stream_foreign_sync",
+    (s, d) => {
+      val run = s"${graft.sources.TableIO.sessionToken(s)}_${snapRunCounter.incrementAndGet()}"
+      val base = graft.sources.TableIO.scratchDir(s, s"stream_fsync/$run")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // idempotent re-run
+      val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
+        (col("l_orderkey") % 4).as("m"))
+      def writePart(m: Int): String = {
+        val tmp = s"$src/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$src/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$src/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("foreign-lake")
+          .option("format", "delta").option("path", src)
+          .load()
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              graft.sources.SnapshotTable.append(batch, dst)
+              ()
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        try { q.processAllAvailable(); EventStreams.recordDrain(q) }
+        finally q.stop()
+      }
+      writeCommit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"src","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"${writePart(0)}","dataChange":true}}""",
+        s"""{"add":{"path":"${writePart(1)}","dataChange":true}}"""))
+      drainOnce()
+      writeCommit(1, Seq(s"""{"add":{"path":"${writePart(2)}","dataChange":true}}"""))
+      writeCommit(2, Seq(s"""{"add":{"path":"${writePart(3)}","dataChange":true}}"""))
+      drainOnce() // resumes from the checkpointed foreign version
+      drainOnce() // nothing new: must append nothing
+      val snaps = graft.sources.SnapshotTable.snapshots(s, dst)
+      require(snaps.size == 2,
+        s"resume must pull exactly the new commits as one batch, got ${snaps.size}")
+      graft.sources.SnapshotTable.read(s, dst)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""SELECT l_orderkey % 4 AS m, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
+    streamForeignSync,
     streamPackChunks, streamAttribution, streamSnapshotAppend,
     streamSnapshotExactlyOnce,
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,

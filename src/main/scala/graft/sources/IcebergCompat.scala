@@ -129,6 +129,19 @@ object IcebergCompat {
   final case class ContentFile(path: String, content: Int, seq: Long,
       equalityNames: Seq[String])
 
+  /** The table's snapshot ids in metadata order (oldest first) — the
+    * offset ladder for incremental/streaming consumption. */
+  def snapshotIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsFor(spark, dir)
+    val mf = currentMetadataFile(spark, dir)
+    require(fs.exists(mf), s"metadata file missing: $mf")
+    val in = fs.open(mf)
+    val root = try mapper.readTree(in.readAllBytes()) finally in.close()
+    val snaps = root.path("snapshots")
+    require(snaps.isArray, s"no snapshots array in $mf")
+    (0 until snaps.size).map(i => snaps.get(i).path("snapshot-id").asLong(-1L))
+  }
+
   /** All live content files of the current snapshot (status != DELETED
     * across its manifests), with sequence numbers and resolved
     * equality columns. */
