@@ -204,6 +204,61 @@ object Bench {
     // headline number only reflects completed work.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
+    // PER-QUERY REGRESSION GUARD: compare each timing against the
+    // committed clean floor (BENCH_FLOORS.json — the min across recorded
+    // clean full-registry benches) at a 2x + 0.5 s tolerance, so a silent
+    // plan regression surfaces IN the bench artifact instead of waiting
+    // for a cross-round diff. Floors are sf0.1 numbers measured on this
+    // box class: the check only arms on sf0.1 runs, skips queries without
+    // a recorded floor (new gates), and is advisory under load_high (the
+    // flags travel with the load evidence).
+    val floors: Map[String, Double] =
+      if (!sfDir.contains("sf0.1")) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FLOORS.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val flagged = results.collect {
+      case (n, v, true, _) if floors.get(n).exists(f => v > f * 2.0 + 0.5) =>
+        (n, v, floors(n))
+    }
+    // SELF-EXONERATING RE-TIME (rounds 11-14 lesson: four consecutive
+    // driver artifacts were load-contaminated and had to be exonerated
+    // by out-of-band reruns): each flagged query re-times min-of-2 at
+    // the END of the run, after a bounded wait for the box to settle
+    // (the bench itself is done competing by then). The re-time carries
+    // its own load/probe evidence, so the artifact distinguishes "box
+    // was busy" from "plan regressed" without any manual follow-up.
+    val retimes: Seq[String] =
+      if (flagged.isEmpty) Seq.empty
+      else {
+        def load1m(): Double =
+          try loadavg().split("\\s+")(0).toDouble catch { case _: Throwable => -1.0 }
+        val settleDeadline = System.nanoTime() + 180L * 1000000000L
+        while (load1m() > 2.0 && System.nanoTime() < settleDeadline)
+          Thread.sleep(10000)
+        val retimeLoad = loadavg()
+        val retimeProbe = cpuProbeSec()
+        val byName = selected.map(q => q.name -> q).toMap
+        flagged.take(40).map { case (n, firstSec, floor) =>
+          val best =
+            try (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              byName(n).build(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            catch { case _: Throwable => -1.0 }
+          val verdict =
+            if (best < 0) "error"
+            else if (best <= floor * 2.0 + 0.5) "load"
+            else "regression"
+          f"""{"query":"$n","sec":$firstSec%.2f,"floor":$floor%.2f,"retime_sec":$best%.2f,"verdict":"$verdict","retime_loadavg":"$retimeLoad","retime_cpu_probe_sec":$retimeProbe%.3f}"""
+        }
+      }
     spark.stop()
     val loadEnd = loadavg()
     val probeEnd = (cpuProbeSec(), diskProbeSec())
@@ -269,29 +324,15 @@ object Bench {
       try loadStart.split("\\s+")(1).toDouble > 2.0
       catch { case _: Throwable => false }
     println(f"""{"bench_meta":{"git_sha":"$sha","n_queries":${results.size},"loadavg":{"start":"$loadStart","end":"$loadEnd"},"probes":$probesJson,"procs":$procs,"dirty":$dirty,"load_high":$loadHigh}}""")
-    // PER-QUERY REGRESSION GUARD: compare each timing against the
-    // committed clean floor (BENCH_FLOORS.json — the min across recorded
-    // clean full-registry benches) at a 2x + 0.5 s tolerance, so a silent
-    // plan regression surfaces IN the bench artifact instead of waiting
-    // for a cross-round diff. Floors are sf0.1 numbers measured on this
-    // box class: the check only arms on sf0.1 runs, skips queries without
-    // a recorded floor (new gates), and is advisory under load_high (the
-    // flags travel with the load evidence above).
-    val regressions: Seq[String] =
-      if (!sfDir.contains("sf0.1")) Seq.empty
-      else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_FLOORS.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val floors = """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        results.collect {
-          case (n, v, true, _) if floors.get(n).exists(f => v > f * 2.0 + 0.5) =>
-            f"""{"query":"$n","sec":$v%.2f,"floor":${floors(n)}%.2f}"""
-        }
-      } catch { case _: Throwable => Seq.empty }
+    // regression flags (computed pre-stop, above) plus their re-times:
+    // a flag whose retime verdict is "load" is exonerated IN-ARTIFACT
+    val regressions: Seq[String] = flagged.map { case (n, v, f) =>
+      f"""{"query":"$n","sec":$v%.2f,"floor":$f%.2f}"""
+    }
     if (regressions.nonEmpty)
       println(s"""{"bench_regressions":[${regressions.mkString(",")}]}""")
+    if (retimes.nonEmpty)
+      println(s"""{"bench_retimes":[${retimes.mkString(",")}]}""")
     // wide_reps only when a *_wide query actually ran — reporting a rep
     // policy that was never exercised misstates the run's protocol.
     val wideReps =
