@@ -56,7 +56,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     // maxIter = 12 full rounds: far below the chain's diameter — only the
     // O(log^2) contraction can converge within it
-    val got = Dedup.connectedComponentsStar(edges, "id_a", "id_b", maxIter = 12)
+    val got = Dedup.connectedComponentsStar(edges, "id_a", "id_b",
+      maxIter = 12, smallGraphCap = 0L) // force the distributed path
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n && got.values.forall(_ == 1L),
       s"bad labels: ${got.filter(_._2 != 1L).take(5)}")
@@ -70,7 +71,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     // maxIter=2 cannot converge a diameter-200 chain: the mid-contraction
     // edge list has multi-parent vertices — the one-label contract must
     // hold anyway (min-normalized), even if components remain split
-    val got = Dedup.connectedComponentsStar(edges, "id_a", "id_b", maxIter = 2)
+    val got = Dedup.connectedComponentsStar(edges, "id_a", "id_b",
+      maxIter = 2, smallGraphCap = 0L) // force the distributed path
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.map(_._1).distinct.length == got.length,
       "a vertex emitted more than one cluster_id")
@@ -92,5 +94,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     val star = Dedup.connectedComponentsStar(edges, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star == minLabel)
+    // the fast-path (driver union-find) and forced-distributed answers
+    // agree with each other and with min-label
+    val starDist = Dedup.connectedComponentsStar(edges, "id_a", "id_b",
+        smallGraphCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starDist == minLabel)
   }
 }
