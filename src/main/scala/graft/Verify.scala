@@ -62,19 +62,53 @@ object Verify {
           s""""git_sha": ${qj(sha)}, "sf_dir": ${qj(sfDir)}, """ +
           s""""per_query_sec": $per}""")
     }
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      val tq = System.nanoTime()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        nFailed += 1
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      timings(name) = (System.nanoTime() - tq) / 1e9
-      writeMeta(done = false)
+    // PARALLEL DUMP: the 361-query wall is dominated by a long tail of
+    // ~1 s fixtures whose cost is per-query fixed overhead (plan, tiny
+    // jobs, scratch-dir writes), not cluster work — running several
+    // concurrently overlaps that overhead on the same executors
+    // (r14: 415 s serial at sf0.01, the gate's dominant cost and the
+    // r13 budget-timeout failure mode). Each query gets its OWN child
+    // session (spark.newSession(): private SQLConf / temp views /
+    // registries over the shared context), so per-gate session-conf
+    // tweaks (e.g. a drain's state-partition override) can never leak
+    // into a concurrently-planning gate. Scratch dirs are per-gate
+    // named and applicationId-scoped, so concurrent gates never share
+    // paths. SPARK_GRAFT_VERIFY_PAR=1 restores the serial order for
+    // debugging.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt.max(1)
+    val lock = new Object
+    val work = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    work.foreach(queue.add)
+    val threads = (1 to math.min(par, work.size.max(1))).map { _ =>
+      val t = new Thread(() => {
+        var item = queue.poll()
+        while (item != null) {
+          val (name, fn) = item
+          val tq = System.nanoTime()
+          try {
+            val s = spark.newSession()
+            fn(s, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } catch { case e: Throwable =>
+            lock.synchronized { nFailed += 1 }
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          val sec = (System.nanoTime() - tq) / 1e9
+          lock.synchronized {
+            timings(name) = sec
+            writeMeta(done = false)
+          }
+          item = queue.poll()
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
     }
+    threads.foreach(_.join())
     writeMeta(done = true)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
