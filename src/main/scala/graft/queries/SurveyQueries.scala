@@ -3138,6 +3138,156 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_qty
       |FROM li GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_delta_cdf: CHANGE DATA FEED — the Delta consumption mode
+    * that survives rewrites, where the append-only incremental pull
+    * must refuse ([[graft.sources.DeltaCompat.readChangeFeed]]): a
+    * commit's row-level changes come from explicit `cdc` actions
+    * (`_change_data/` parquet carrying `_change_type`) when present,
+    * and are derived from whole-file adds/removes when not. The gate
+    * walks all four change types across four commits — derived inserts
+    * (commit 0), an explicit-cdc UPDATE rewrite (commit 1:
+    * update_preimage/postimage for exactly the changed rows), a derived
+    * append (commit 2), and a derived whole-file DELETE (commit 3) —
+    * and value-gates the per-type counts and sums against DuckDB
+    * recomputing each class from lineitem. */
+  val ingestDeltaCdf: QueryDef = QueryDef(
+    "ingest_delta_cdf",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_cdf")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 3).as("m"), col("q"))
+      def writeFile(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$dir/.tmp-${rel.replace('/', '_')}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(part, dst))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$dir/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      writeFile("p0.parquet", li.filter(col("m") === 0))
+      writeFile("p1.parquet", li.filter(col("m") === 1))
+      writeCommit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t-cdf","format":{"provider":"parquet"},"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+        """{"add":{"path":"p0.parquet","dataChange":true}}""",
+        """{"add":{"path":"p1.parquet","dataChange":true}}"""))
+      // commit 1: UPDATE rewrite of p0 (q -> q+1 where q >= 10000),
+      // with the row-level delta recorded as explicit cdc
+      val changed = li.filter(col("m") === 0 && col("q") >= 10000L)
+      writeFile("p0b.parquet", li.filter(col("m") === 0)
+        .withColumn("q", when(col("q") >= 10000L, col("q") + 1L).otherwise(col("q"))))
+      writeFile("_change_data/cdc-1.parquet",
+        changed.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(changed.withColumn("q", col("q") + 1L)
+            .withColumn("_change_type", lit("update_postimage"))))
+      writeCommit(1, Seq(
+        """{"remove":{"path":"p0.parquet","dataChange":true}}""",
+        """{"add":{"path":"p0b.parquet","dataChange":true}}""",
+        """{"cdc":{"path":"_change_data/cdc-1.parquet","dataChange":false}}"""))
+      // commit 2: plain append (derived inserts)
+      writeFile("p2.parquet", li.filter(col("m") === 2))
+      writeCommit(2, Seq("""{"add":{"path":"p2.parquet","dataChange":true}}"""))
+      // commit 3: whole-file delete (derived deletes; p1 not vacuumed)
+      writeCommit(3, Seq("""{"remove":{"path":"p1.parquet","dataChange":true}}"""))
+      graft.sources.DeltaCompat.readChangeFeed(s, dir, -1L, 3L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("_change_type")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 3 AS m,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey),
+      |ch AS (
+      |  SELECT 'insert' AS _change_type, q FROM li
+      |  UNION ALL
+      |  SELECT 'update_preimage', q FROM li WHERE m = 0 AND q >= 10000
+      |  UNION ALL
+      |  SELECT 'update_postimage', q + 1 FROM li WHERE m = 0 AND q >= 10000
+      |  UNION ALL
+      |  SELECT 'delete', q FROM li WHERE m = 1)
+      |SELECT _change_type, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+      |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin))
+
+  /** maintenance_delta_dv_delete: the DV WRITE path
+    * ([[graft.sources.DeltaCompat.deleteWhere]]) — row-level deletes
+    * without rewriting a single data file, the protocol's cheap-delete
+    * story: matching row positions are discovered distributed
+    * (`_metadata.row_index`), serialized as roaring sidecars, and the
+    * files re-added carrying the new descriptors (existing masks
+    * unioned in — DVs are absolute per file, last add wins) as ONE
+    * commit with the protocol bumped to deletionVectors. Two layered
+    * deletes prove mask union; time travel to v0 REQUIREs the full
+    * pre-delete table still reads. Oracle: the surviving rows by
+    * value. */
+  val maintenanceDeltaDvDelete: QueryDef = QueryDef(
+    "maintenance_delta_dv_delete",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_dv_del")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 2).as("m"), col("q"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      val (p0, p1) = (writePart(0), writePart(1))
+      val out0 = fs.create(new org.apache.hadoop.fs.Path(
+        f"$dir/_delta_log/${0L}%020d.json"), true)
+      try out0.write((Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t-dvd","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p1","dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out0.close()
+      val total = li.count()
+      val v1 = graft.sources.DeltaCompat.deleteWhere(s, dir, col("k") % 10L === 3L)
+      require(v1 == 1L, s"first delete must commit version 1, got $v1")
+      val v2 = graft.sources.DeltaCompat.deleteWhere(s, dir, col("k") % 10L === 7L)
+      require(v2 == 2L, s"second delete must commit version 2, got $v2")
+      require(graft.sources.DeltaCompat
+        .readDeltaTable(s, dir, asOf = Some(0L)).count() == total,
+        "time travel to v0 must still read the full pre-delete table")
+      graft.sources.DeltaCompat.readDeltaTable(s, dir)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey AS k, l_orderkey % 2 AS m,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+      |FROM li WHERE k % 10 NOT IN (3, 7) GROUP BY m ORDER BY m""".stripMargin))
+
   /** ingest_hudi_mor: MERGE-ON-READ — the default Hudi table type for
     * streaming ingest, where updates append Avro log blocks instead of
     * rewriting parquet ([[graft.sources.HudiCompat.readMorSnapshot]],
@@ -3821,7 +3971,8 @@ object SurveyQueries {
 
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
-    ingestDeltaDv, ingestDeltaColumnMapping,
+    ingestDeltaDv, ingestDeltaColumnMapping, ingestDeltaCdf,
+    maintenanceDeltaDvDelete,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
     ingestHudiIncremental, ingestHudiMor,

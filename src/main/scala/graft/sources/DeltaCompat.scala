@@ -427,15 +427,181 @@ object DeltaCompat {
     spark.read.parquet(files: _*)
   }
 
+  /** CHANGE DATA FEED over `(fromV, toV]` — the consumption mode that
+    * survives REWRITES, where [[addedBetween]] must refuse: per the
+    * public protocol, a commit's row-level changes are either recorded
+    * explicitly (`cdc` actions naming `_change_data/` parquet that
+    * carries `_change_type` — update_preimage / update_postimage /
+    * insert / delete), or derivable when absent (every `add
+    * dataChange=true` file's rows are inserts, every such `remove`'s
+    * rows are deletes — exact because a dataChange commit without cdc
+    * actions only ever adds or drops whole files). Emits the data
+    * columns + `_change_type` + `_commit_version`. Removed files must
+    * still exist (not vacuumed) to derive their deletes — refused by
+    * name otherwise. Deletion-vector commits require explicit cdc
+    * actions (the DV delta is not whole-file). */
+  def readChangeFeed(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"empty commit window ($fromV, $toV]")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(s"$dir/_delta_log")
+    require(fs.exists(logDir), s"$dir has no _delta_log — not a Delta table")
+    val want = ((fromV + 1) to toV).map(v => f"$v%020d.json")
+    val missing = want.filterNot(n => fs.exists(new Path(logDir, n)))
+    require(missing.isEmpty,
+      s"commits ${missing.mkString(", ")} are missing at $dir (vacuumed " +
+        "past a checkpoint?) — the change window cannot be replayed")
+    val raw = spark.read.json(want.map(n => s"$dir/_delta_log/$n"): _*)
+      .withColumn("commit",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
+    guardUnsupported(raw, dir)
+    val cols = raw.columns.toSet
+    def actionPath(action: String, field: String = "path"): org.apache.spark.sql.Column =
+      if (cols.contains(action) && hasPath(raw, Seq(action, field)))
+        col(s"$action.$field")
+      else lit(null).cast("string")
+    val perCommit = raw.select(col("commit"),
+        actionPath("cdc").as("cdc_path"),
+        actionPath("add").as("add_path"),
+        (if (hasPath(raw, Seq("add", "dataChange"))) col("add.dataChange")
+         else lit(null).cast("boolean")).as("add_dc"),
+        actionPath("remove").as("rm_path"),
+        (if (hasPath(raw, Seq("remove", "dataChange"))) col("remove.dataChange")
+         else lit(null).cast("boolean")).as("rm_dc"),
+        (if (hasPath(raw, Seq("add", "deletionVector", "storageType")))
+          col("add.deletionVector.storageType")
+         else lit(null).cast("string")).as("dv"))
+      .collect()
+    val commits = perCommit.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val parts = commits.flatMap { case (v, rows) =>
+      val cdc = rows.flatMap(r => Option(r.getString(1)))
+      if (cdc.nonEmpty)
+        // explicit cdc actions: the files already carry _change_type
+        Seq(spark.read
+          .parquet(cdc.map(p => decodePath(dir, p)).toIndexedSeq: _*)
+          .withColumn("_commit_version", lit(v)))
+      else {
+        require(!rows.exists(r => !r.isNullAt(6)),
+          s"commit $v at $dir attaches deletion vectors without cdc " +
+            "actions — a DV's row-level delta is not derivable from " +
+            "whole files; the writer must record _change_data")
+        val adds = rows.filter(r => !r.isNullAt(2) &&
+          (r.isNullAt(3) || r.getBoolean(3))).flatMap(r => Option(r.getString(2)))
+        val removes = rows.filter(r => !r.isNullAt(4) &&
+          (r.isNullAt(5) || r.getBoolean(5))).flatMap(r => Option(r.getString(4)))
+        val addDf =
+          if (adds.isEmpty) Nil
+          else Seq(spark.read
+            .parquet(adds.map(p => decodePath(dir, p)).toIndexedSeq: _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        val rmDf =
+          if (removes.isEmpty) Nil
+          else {
+            val paths = removes.map(p => decodePath(dir, p))
+            paths.foreach(p => require(fs.exists(new Path(p)),
+              s"removed file $p is vacuumed — commit $v's deletes cannot " +
+                "be derived; re-read the table instead"))
+            Seq(spark.read.parquet(paths.toIndexedSeq: _*)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        addDf ++ rmDf
+      }
+    }
+    require(parts.nonEmpty, s"no data-changing commits in ($fromV, $toV] at $dir")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** ROW-LEVEL DELETE via deletion vectors — the writer-side twin of
+    * the DV read path: for each live file with rows matching
+    * `predicate`, serialize the matching row POSITIONS (unioned with
+    * the file's existing mask: DVs are absolute per file, last add
+    * wins) into a sidecar and re-add the file carrying the new
+    * descriptor, as one commit. No data file is rewritten — the
+    * protocol's cheap-delete story. Bumps the protocol to
+    * readerVersion 3 / deletionVectors on first use. Returns the
+    * committed version. Position discovery is distributed
+    * (`_metadata.row_index` filter); only the matched positions are
+    * collected, bounded per file by its row count. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (raws, v) = rawLog(spark, dir)
+    require(v >= 0L, s"no commits at $dir")
+    require(latestTableMeta(raws).forall(_._2 == "none"),
+      "deleteWhere on a column-mapped table is out of scope (the " +
+        "predicate would need physical-name resolution)")
+    val withDv = liveFilesWithDv(spark, dir)
+    val matched = spark.read.parquet(withDv.map(_._1): _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("p"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    if (matched.isEmpty) return v
+    val qualifiedOf = withDv.map { case (p, d) =>
+      fs.makeQualified(new Path(p)).toString -> (p, d)
+    }.toMap
+    val relRoot = fs.makeQualified(new Path(dir)).toUri.getPath
+    val lines = matched.toSeq.sortBy(_._1).map { case (qf, positions) =>
+      val (full, oldDv) = qualifiedOf.getOrElse(qf,
+        throw new IllegalStateException(s"matched unknown file $qf"))
+      val existing = oldDv.map(d => DeletionVectors.readDeleted(fs, dir, d))
+        .getOrElse(Array.emptyLongArray)
+      val d = DeletionVectors.writeSidecar(fs, dir, existing ++ positions)
+      val rel = new Path(full).toUri.getPath.stripPrefix(relRoot).stripPrefix("/")
+      val enc = new java.net.URI(null, null, rel, null).getRawPath
+      s"""{"add":{"path":"$enc","dataChange":true,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}"""
+    }
+    val hadDv = raws.exists(df => hasPath(df, Seq("protocol", "readerFeatures")))
+    val header =
+      if (hadDv) Nil
+      else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    val next = v + 1
+    val out = fs.create(new Path(f"$dir/_delta_log/$next%020d.json"), false)
+    try out.write(((header ++ lines).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
   /** Read the table's current state, or (`asOf`) a past version —
-    * deletion vectors applied, column mapping resolved. */
+    * deletion vectors applied, column mapping resolved, and the read
+    * schema taken from `metaData.schemaString` when the log carries one
+    * (SCHEMA EVOLUTION: a column added at version N is absent from
+    * pre-N parquet footers, so first-footer inference would drop it —
+    * reading against the declared schema surfaces it as null in old
+    * files, the Delta contract). */
   def readDeltaTable(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
     val (raws, _) = rawLog(spark, dir, asOf)
     val withDv = liveFilesWithDv(spark, dir, asOf)
     require(withDv.nonEmpty, s"Delta table at $dir has no live files" +
       asOf.map(v => s" at version $v").getOrElse(""))
-    var df = spark.read.parquet(withDv.map(_._1): _*)
+    val meta = latestTableMeta(raws)
+    val declared: Option[org.apache.spark.sql.types.StructType] =
+      meta.flatMap(_._1).map(ss =>
+        org.apache.spark.sql.types.DataType.fromJson(ss)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val cmMode = meta.map(_._2).getOrElse("none")
+    // under column mapping the files carry PHYSICAL names: read against
+    // the physical twin of the declared schema (same types/nullability,
+    // physicalName per field), then rename after the DV mask below
+    val readSchema: Option[org.apache.spark.sql.types.StructType] =
+      declared.map { st =>
+        if (cmMode == "none") st
+        else org.apache.spark.sql.types.StructType(st.fields.map { f =>
+          val key = "delta.columnMapping.physicalName"
+          require(f.metadata.contains(key),
+            s"column mapping mode=$cmMode but field '${f.name}' has no " +
+              "physicalName — malformed metaData")
+          f.copy(name = f.metadata.getString(key))
+        })
+      }
+    var df = readSchema match {
+      case Some(st) => spark.read.schema(st).parquet(withDv.map(_._1): _*)
+      case None => spark.read.parquet(withDv.map(_._1): _*)
+    }
     val dvs = withDv.collect { case (p, Some(d)) => (p, d) }
     if (dvs.nonEmpty) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -465,27 +631,20 @@ object DeltaCompat {
           col("__dv_p") === col("__dv_pos"), "left_anti")
         .select(dataCols.map(c => col(s"`$c`")): _*)
     }
-    latestTableMeta(raws) match {
-      case Some((schemaStrOpt, mode)) if mode == "name" || mode == "id" =>
-        val schemaString = schemaStrOpt.getOrElse(throw
-          new IllegalArgumentException(s"Delta table at $dir sets " +
-            s"delta.columnMapping.mode=$mode but its metaData carries no " +
-            "schemaString — physical columns cannot be resolved"))
-        val logical = org.apache.spark.sql.types.DataType.fromJson(schemaString)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val key = "delta.columnMapping.physicalName"
-        val renames = logical.fields.map { f =>
-          require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
-            s"nested column mapping (field '${f.name}') is out of scope " +
-              "for this compat reader")
-          require(f.metadata.contains(key),
-            s"column mapping mode=$mode but field '${f.name}' has no " +
-              "physicalName — malformed metaData")
-          col(s"`${f.metadata.getString(key)}`").as(f.name)
-        }
-        df.select(renames.toSeq: _*)
-      case _ => df
-    }
+    if (cmMode == "name" || cmMode == "id") {
+      val logical = declared.getOrElse(throw
+        new IllegalArgumentException(s"Delta table at $dir sets " +
+          s"delta.columnMapping.mode=$cmMode but its metaData carries no " +
+          "schemaString — physical columns cannot be resolved"))
+      val key = "delta.columnMapping.physicalName"
+      val renames = logical.fields.map { f =>
+        require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+          s"nested column mapping (field '${f.name}') is out of scope " +
+            "for this compat reader")
+        col(s"`${f.metadata.getString(key)}`").as(f.name)
+      }
+      df.select(renames.toSeq: _*)
+    } else df
   }
 
   /** DUAL-FORMAT EXPORT (the UniForm idea): write a `_delta_log` INTO a

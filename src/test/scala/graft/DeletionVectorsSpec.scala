@@ -189,6 +189,115 @@ class DeletionVectorsSpec extends SparkSpec {
       "DV mask must apply before the logical rename")
   }
 
+  test("deleteWhere layers masks without rewriting data; time travel sees through") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    val dataFilesBefore = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    assert(DeltaCompat.deleteWhere(spark, dir, col("id") < 3L) == 1L)
+    assert(DeltaCompat.readDeltaTable(spark, dir).count() == 7)
+    // layered second delete: old mask unioned in
+    assert(DeltaCompat.deleteWhere(spark, dir, col("id") === 5L) == 2L)
+    assert(DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      Seq(3L, 4L, 6L, 7L, 8L, 9L))
+    // no data file was rewritten
+    val dataFilesAfter = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    assert(dataFilesAfter == dataFilesBefore, "deleteWhere must not rewrite data")
+    // time travel reads through every layer
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(0L)).count() == 10)
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(1L)).count() == 7)
+    // a no-match predicate commits nothing
+    assert(DeltaCompat.deleteWhere(spark, dir, col("id") === 999L) == 2L)
+  }
+
+  test("schema evolution: columns added in metaData read as null from old files") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "x")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    // v1 evolves the schema (adds `extra`) and appends a file carrying it
+    val tmp = s"$dir/.tmp-b"
+    Seq((2L, "y", 7L)).toDF("id", "v", "extra").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/b.parquet")))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+      .json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeCommit(dir, fs, 1, Seq(
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"$schemaJson"}}""",
+      """{"add":{"path":"b.parquet","dataChange":true}}"""))
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "v", "extra"),
+      s"declared schema must win over footer inference, got ${got.columns.toSeq}")
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    assert(rows == Set((1L, "x", None), (2L, "y", Some(7L))),
+      s"pre-evolution rows must read the new column as null, got $rows")
+  }
+
+  test("change feed: explicit cdc wins, whole-file adds/removes derive, refusals fire") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    // commit 1: rewrite with explicit cdc (update of id=2)
+    writePart(dir, fs, "a2.parquet", Seq((1L, "a"), (2L, "B")).toDF("id", "v"))
+    val tmp = s"$dir/.tmp-cdc"
+    Seq((2L, "b", "update_preimage"), (2L, "B", "update_postimage"))
+      .toDF("id", "v", "_change_type").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_change_data"))
+    assert(fs.rename(part,
+      new org.apache.hadoop.fs.Path(s"$dir/_change_data/cdc-1.parquet")))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    writeCommit(dir, fs, 1, Seq(
+      """{"remove":{"path":"a.parquet","dataChange":true}}""",
+      """{"add":{"path":"a2.parquet","dataChange":true}}""",
+      """{"cdc":{"path":"_change_data/cdc-1.parquet","dataChange":false}}"""))
+    // commit 2: plain delete of a2 (derived)
+    writeCommit(dir, fs, 2, Seq(
+      """{"remove":{"path":"a2.parquet","dataChange":true}}"""))
+    val feed = DeltaCompat.readChangeFeed(spark, dir, -1L, 2L)
+      .select(col("_commit_version"), col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(feed == Set(
+      (0L, "insert", 1L, "a"), (0L, "insert", 2L, "b"),
+      (1L, "update_preimage", 2L, "b"), (1L, "update_postimage", 2L, "B"),
+      (2L, "delete", 1L, "a"), (2L, "delete", 2L, "B")), s"got $feed")
+    // a DV commit without cdc refuses (its delta is not whole-file)
+    val d = DeletionVectors.inlineDescriptor(Array(0L))
+    writeCommit(dir, fs, 3, Seq(
+      s"""{"add":{"path":"a2.parquet","dataChange":true,"deletionVector":${dvJson(d)}}}"""))
+    val e = intercept[Exception] { DeltaCompat.readChangeFeed(spark, dir, 2L, 3L) }
+    assert(e.getMessage.contains("cdc"))
+    // a vacuumed removed file refuses delete derivation by name
+    // (a2's remove in commit 2 is the DERIVED one — commit 1's remove
+    // is superseded by its explicit cdc actions)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/a2.parquet"), false)
+    val e2 = intercept[Exception] { DeltaCompat.readChangeFeed(spark, dir, 1L, 2L) }
+    assert(e2.getMessage.contains("vacuumed"))
+  }
+
   test("addedBetween refuses windows that attach deletion vectors") {
     val (dir, fs) = mkTable()
     writePart(dir, fs, "a.parquet", Seq((1L, "x")).toDF("id", "v"))
