@@ -3288,6 +3288,151 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
       |FROM li WHERE k % 10 NOT IN (3, 7) GROUP BY m ORDER BY m""".stripMargin))
 
+  /** maintenance_delta_merge: MERGE (upsert) INTO, copy-on-write
+    * ([[graft.sources.DeltaCompat.mergeInto]]) — the lakehouse write
+    * primitive: source rows replace same-key rows or insert, only
+    * files holding a matched key are rewritten, and the commit carries
+    * explicit cdc so the row-level delta is consumable. The gate
+    * merges an update slice (every 7th order, amount bumped) plus an
+    * insert slice (fresh keys above the table's range), REQUIREs the
+    * change feed reports exactly the update/insert split, and
+    * value-gates the post-merge table against DuckDB recomputing the
+    * upsert. */
+  val maintenanceDeltaMerge: QueryDef = QueryDef(
+    "maintenance_delta_merge",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_merge")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 2).as("m"), col("q"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      val (p0, p1) = (writePart(0), writePart(1))
+      val out0 = fs.create(new org.apache.hadoop.fs.Path(
+        f"$dir/_delta_log/${0L}%020d.json"), true)
+      try out0.write((Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t-merge","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p1","dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out0.close()
+      // updates: every 7th order, amount bumped; inserts: fresh keys
+      // far above the table's range, amount = synthetic
+      val updates = li.filter(col("k") % 7 === 0)
+        .withColumn("q", col("q") + 5L)
+      val inserts = li.filter(col("k") % 11 === 0)
+        .select((col("k") + 100000000L).as("k"),
+          ((col("k") + 100000000L) % 2).as("m"),
+          (col("q") * 2L).as("q"))
+      val nUpd = updates.count()
+      val nIns = inserts.count()
+      val v1 = graft.sources.DeltaCompat.mergeInto(s, dir,
+        updates.unionByName(inserts), Seq("k"))
+      require(v1 == 1L, s"merge must commit version 1, got $v1")
+      // the merge's row-level delta is consumable, with the right split
+      val byType = graft.sources.DeltaCompat.readChangeFeed(s, dir, 0L, 1L)
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(byType == Map("update_preimage" -> nUpd,
+        "update_postimage" -> nUpd, "insert" -> nIns),
+        s"change feed must report $nUpd updates + $nIns inserts, got $byType")
+      graft.sources.DeltaCompat.readDeltaTable(s, dir)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey AS k, l_orderkey % 2 AS m,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey),
+      |merged AS (
+      |  SELECT k, m, CASE WHEN k % 7 = 0 THEN q + 5 ELSE q END AS q FROM li
+      |  UNION ALL
+      |  SELECT k + 100000000, (k + 100000000) % 2, q * 2 FROM li
+      |  WHERE k % 11 = 0)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+      |FROM merged GROUP BY m ORDER BY m""".stripMargin))
+
+  /** maintenance_delta_dv_compact: OPTIMIZE's deletion-materialization
+    * leg ([[graft.sources.DeltaCompat.materializeDeletes]]) — after
+    * cheap DV deletes, the files are rewritten clean in ONE
+    * `dataChange=false` commit: readers stop paying the mask anti-join,
+    * change-feed consumers see nothing, and time travel still reads
+    * every earlier state. The gate layers two deleteWhere passes,
+    * materializes, REQUIREs zero live DVs + all three time-travel
+    * states, and value-gates the surviving rows. */
+  val maintenanceDeltaDvCompact: QueryDef = QueryDef(
+    "maintenance_delta_dv_compact",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_dv_compact")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 2).as("m"), col("q"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      val (p0, p1) = (writePart(0), writePart(1))
+      val out0 = fs.create(new org.apache.hadoop.fs.Path(
+        f"$dir/_delta_log/${0L}%020d.json"), true)
+      try out0.write((Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t-dvc","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p1","dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out0.close()
+      val total = li.count()
+      require(graft.sources.DeltaCompat
+        .deleteWhere(s, dir, col("k") % 10L === 3L) == 1L)
+      require(graft.sources.DeltaCompat
+        .deleteWhere(s, dir, col("k") % 10L === 7L) == 2L)
+      val v3 = graft.sources.DeltaCompat.materializeDeletes(s, dir)
+      require(v3 == 3L, s"materialization must commit version 3, got $v3")
+      require(graft.sources.DeltaCompat.liveFilesWithDv(s, dir)
+        .forall(_._2.isEmpty), "no live DV may remain after materialization")
+      require(graft.sources.DeltaCompat
+        .readDeltaTable(s, dir, asOf = Some(0L)).count() == total,
+        "time travel to v0 must still read the full pre-delete table")
+      graft.sources.DeltaCompat.readDeltaTable(s, dir)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey AS k, l_orderkey % 2 AS m,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+      |FROM li WHERE k % 10 NOT IN (3, 7) GROUP BY m ORDER BY m""".stripMargin))
+
   /** ingest_hudi_mor: MERGE-ON-READ — the default Hudi table type for
     * streaming ingest, where updates append Avro log blocks instead of
     * rewriting parquet ([[graft.sources.HudiCompat.readMorSnapshot]],
@@ -3686,6 +3831,84 @@ object SurveyQueries {
       |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
       |FROM u GROUP BY 1 ORDER BY kg""".stripMargin))
 
+  /** ingest_iceberg_v3_dv: FORMAT-V3 DELETION VECTORS applied — the
+    * deleted row positions live as `deletion-vector-v1` blobs inside a
+    * [[graft.sources.Puffin]] file (v3 adopted Delta's 64-bit roaring
+    * portable serialization verbatim), framed by the manifest's
+    * `referenced_data_file` / `content_offset` /
+    * `content_size_in_bytes` fields and applied with the position-
+    * delete sequence rule (`dvSeq >= dataSeq`). Two base files in
+    * pinned physical order share ONE puffin file (one blob each —
+    * every 5th physical row of the even-key slice deleted, every 3rd
+    * of the odd); DuckDB replays the positions with `row_number()`
+    * per slice. */
+  val ingestIcebergV3Dv: QueryDef = QueryDef(
+    "ingest_iceberg_v3_dv",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "iceberg_v3dv")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"))
+      def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+        val tmp = s"$dir/.tmp-$name"
+        df.write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        df.count()
+      }
+      // pinned physical order per slice: position p holds the
+      // (p+1)-smallest o_orderkey of that slice
+      val na = writeFile("a.parquet", orders.filter(col("o_orderkey") % 2 === 0)
+        .coalesce(1).sortWithinPartitions("o_orderkey"))
+      val nb = writeFile("b.parquet", orders.filter(col("o_orderkey") % 2 === 1)
+        .coalesce(1).sortWithinPartitions("o_orderkey"))
+      // one puffin file, one DV blob per data file: positions are pure
+      // arithmetic over the slice row counts
+      val dvs = graft.sources.Puffin.writeDvFile(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/data/dv.puffin"), Seq(
+          "data/a.parquet" -> (0L until na by 5L).toArray,
+          "data/b.parquet" -> (0L until nb by 3L).toArray))
+      val ic = graft.sources.IcebergCompat
+      val m = ic.writeManifestEntries(s, dir, "m1.avro", Seq(
+        ic.Entry(1, "data/a.parquet", na, content = 0, seq = 1L),
+        ic.Entry(1, "data/b.parquet", nb, content = 0, seq = 1L),
+        ic.Entry(1, "data/dv.puffin", dvs(0).cardinality, content = 1,
+          seq = 2L, format = "PUFFIN",
+          referencedDataFile = Some("data/a.parquet"),
+          contentOffset = Some(dvs(0).offset), contentSize = Some(dvs(0).length)),
+        ic.Entry(1, "data/dv.puffin", dvs(1).cardinality, content = 1,
+          seq = 2L, format = "PUFFIN",
+          referencedDataFile = Some("data/b.parquet"),
+          contentOffset = Some(dvs(1).offset), contentSize = Some(dvs(1).length))))
+      val ml = ic.writeManifestList(s, dir, "ml1.avro", Seq(m))
+      ic.writeMetadata(s, dir, 1, Seq((101L, ml)),
+        schemaFields = Seq((1, "o_orderkey"), (2, "o_custkey"),
+          (3, "price_cents")),
+        formatVersion = 3)
+      ic.readIcebergTable(s, dir)
+        .groupBy((col("o_custkey") % 10).as("kg"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("kg")
+    },
+    Some("""WITH a AS (
+      |  SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    o_orderkey % 2 AS m,
+      |    row_number() OVER (PARTITION BY o_orderkey % 2
+      |      ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders),
+      |surv AS (
+      |  SELECT o_custkey, price_cents FROM a
+      |  WHERE (m = 0 AND pos % 5 <> 0) OR (m = 1 AND pos % 3 <> 0))
+      |SELECT o_custkey % 10 AS kg, count(*) AS n,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+      |FROM surv GROUP BY 1 ORDER BY kg""".stripMargin))
+
   /** maintenance_snapshot_uniform: DUAL-FORMAT export
     * ([[graft.sources.DeltaCompat.exportDeltaLog]] — the UniForm idea):
     * a snapshot table's manifest chain (commit, O(delta) append, a
@@ -3972,12 +4195,13 @@ object SurveyQueries {
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
     ingestDeltaDv, ingestDeltaColumnMapping, ingestDeltaCdf,
-    maintenanceDeltaDvDelete,
+    maintenanceDeltaDvDelete, maintenanceDeltaMerge, maintenanceDeltaDvCompact,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
     ingestHudiIncremental, ingestHudiMor,
     pipelineForeignSync,
     ingestIceberg, ingestIcebergIncremental, ingestIcebergV2Deletes,
+    ingestIcebergV3Dv,
     maintenanceSnapshotUniform, maintenanceSnapshotUniformIceberg,
     pipelineBranchExperiment,
     ingestLogParse, ingestWarc, ingestWarcGz,

@@ -533,34 +533,241 @@ object DeltaCompat {
       "deleteWhere on a column-mapped table is out of scope (the " +
         "predicate would need physical-name resolution)")
     val withDv = liveFilesWithDv(spark, dir)
-    val matched = spark.read.parquet(withDv.map(_._1): _*)
-      .filter(predicate)
-      .select(col("_metadata.file_path").as("f"),
-        col("_metadata.row_index").as("p"))
-      .collect().groupBy(_.getString(0))
-      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
-    if (matched.isEmpty) return v
-    val qualifiedOf = withDv.map { case (p, d) =>
-      fs.makeQualified(new Path(p)).toString -> (p, d)
-    }.toMap
-    val relRoot = fs.makeQualified(new Path(dir)).toUri.getPath
-    val lines = matched.toSeq.sortBy(_._1).map { case (qf, positions) =>
-      val (full, oldDv) = qualifiedOf.getOrElse(qf,
-        throw new IllegalStateException(s"matched unknown file $qf"))
-      val existing = oldDv.map(d => DeletionVectors.readDeleted(fs, dir, d))
-        .getOrElse(Array.emptyLongArray)
-      val d = DeletionVectors.writeSidecar(fs, dir, existing ++ positions)
-      val rel = new Path(full).toUri.getPath.stripPrefix(relRoot).stripPrefix("/")
-      val enc = new java.net.URI(null, null, rel, null).getRawPath
-      s"""{"add":{"path":"$enc","dataChange":true,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}"""
+    // discovery runs over LIVE rows only — existing masks applied, so
+    // an already-deleted row can neither re-match nor re-enter the
+    // change feed
+    val live = maskedWithProvenance(spark, fs, dir, withDv)
+    val hits = live.filter(predicate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = hits.select(col("__gm_file"), col("__gm_pos"))
+        .collect().groupBy(_.getString(0))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+      if (matched.isEmpty) return v
+      val qualifiedOf = withDv.map { case (p, d) =>
+        fs.makeQualified(new Path(p)).toString -> (p, d)
+      }.toMap
+      val lines = matched.toSeq.sortBy(_._1).map { case (qf, positions) =>
+        val (full, oldDv) = qualifiedOf.getOrElse(qf,
+          throw new IllegalStateException(s"matched unknown file $qf"))
+        val existing = oldDv.map(d => DeletionVectors.readDeleted(fs, dir, d))
+          .getOrElse(Array.emptyLongArray)
+        val d = DeletionVectors.writeSidecar(fs, dir, existing ++ positions)
+        val enc = relativeEnc(fs, dir, full)
+        s"""{"add":{"path":"$enc","dataChange":true,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}"""
+      }
+      val next = v + 1
+      // CHANGE DATA FEED: the deleted rows' values are in hand — record
+      // them as explicit cdc, the only way a DV commit's row-level delta
+      // is consumable (readChangeFeed refuses DV commits without cdc)
+      val dataCols = live.columns.filterNot(_.startsWith("__gm")).toSeq
+      val cdcLines = writeCdc(spark, fs, dir, next,
+        hits.select(dataCols.map(c => col(s"`$c`")): _*)
+          .withColumn("_change_type", lit("delete")))
+        .map(p => s"""{"cdc":{"path":"$p","dataChange":false}}""")
+      val hadDv = raws.exists(df => hasPath(df, Seq("protocol", "readerFeatures")))
+      val header =
+        if (hadDv) Nil
+        else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+      val out = fs.create(new Path(f"$dir/_delta_log/$next%020d.json"), false)
+      try out.write(((header ++ lines ++ cdcLines).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      next
+    } finally hits.unpersist()
+  }
+
+  /** The live rows of the table with rewrite provenance — every data
+    * column plus `__gm_file` (the qualified source-file URI) and
+    * `__gm_pos` (row index), deletion-vector masks APPLIED. The shared
+    * substrate of the copy-on-write writers: a rewrite needs to know
+    * which file each surviving row came from. */
+  private def maskedWithProvenance(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      withDv: Seq[(String, Option[DeletionVectors.Descriptor])]): DataFrame = {
+    require(withDv.nonEmpty, s"Delta table at $dir has no live files")
+    var df = spark.read.parquet(withDv.map(_._1): _*)
+      .withColumn("__gm_file", col("_metadata.file_path"))
+      .withColumn("__gm_pos", col("_metadata.row_index"))
+    val dvs = withDv.collect { case (p, Some(d)) => (p, d) }
+    if (dvs.nonEmpty) {
+      val deleted: Seq[(String, Long)] = dvs.flatMap { case (p, d) =>
+        val qualified = fs.makeQualified(new Path(p)).toString
+        DeletionVectors.readDeleted(fs, dir, d).map(pos => (qualified, pos))
+      }
+      df = df.join(broadcast(spark.createDataFrame(deleted)
+          .toDF("__dv_file", "__dv_pos")),
+        col("__gm_file") === col("__dv_file") &&
+          col("__gm_pos") === col("__dv_pos"), "left_anti")
     }
-    val hadDv = raws.exists(df => hasPath(df, Seq("protocol", "readerFeatures")))
-    val header =
-      if (hadDv) Nil
-      else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    df
+  }
+
+  /** Percent-encoded table-relative form of an absolute file path, as
+    * the protocol wants `add`/`remove` paths. */
+  private def relativeEnc(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      full: String): String = {
+    val relRoot = fs.makeQualified(new Path(dir)).toUri.getPath
+    val rel = new Path(full).toUri.getPath.stripPrefix(relRoot).stripPrefix("/")
+    new java.net.URI(null, null, rel, null).getRawPath
+  }
+
+  /** Write `changes` (data columns + `_change_type`) as this commit's
+    * `_change_data/` parquet; returns the log-relative path of every
+    * part written — the caller records one `cdc` action per part
+    * (readChangeFeed unions all of a commit's cdc actions). */
+  private def writeCdc(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, version: Long,
+      changes: DataFrame): Seq[String] = {
+    val tmp = s"$dir/.tmp-cdc-$version"
+    changes.write.mode("overwrite").parquet(tmp)
+    fs.mkdirs(new Path(s"$dir/_change_data"))
+    val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.nonEmpty, "cdc write produced no parquet part")
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"_change_data/cdc-$version-$i%05d.parquet"
+      require(fs.rename(p, new Path(s"$dir/$name")), s"rename failed: $p")
+      name
+    }
+    fs.delete(new Path(tmp), true)
+    names.toSeq
+  }
+
+  /** MERGE (upsert) INTO the table, copy-on-write: each `source` row
+    * REPLACES the current row sharing its key, or INSERTS when none
+    * does. Only files actually holding a matched key are rewritten —
+    * their surviving rows carry over (any deletion-vector mask is
+    * materialized in the rewrite); untouched files stay untouched. The
+    * commit records the row-level delta as explicit `cdc` actions
+    * (update_preimage / update_postimage / insert), so
+    * [[readChangeFeed]] consumes a merge like any CDC-enabled writer's.
+    * Ambiguous merges (duplicate source keys) and column-mapped tables
+    * refuse loudly. Returns the committed version.
+    *
+    * Scale posture: the source side of every join is the upsert BATCH
+    * (small against the corpus — Catalyst broadcasts it under the
+    * threshold); the table side is scanned once per pass and never
+    * reshuffled; rewrite I/O is proportional to the MATCHED files, not
+    * the table. */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (raws, v) = rawLog(spark, dir)
+    require(v >= 0L, s"no commits at $dir")
+    require(latestTableMeta(raws).forall(_._2 == "none"),
+      "mergeInto on a column-mapped table is out of scope (source " +
+        "columns would need physical-name resolution)")
+    val withDv = liveFilesWithDv(spark, dir)
+    require(!source.isEmpty, "empty merge source — nothing to do")
+    require(source.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+      s"source carries duplicate keys on (${keyCols.mkString(", ")}) — " +
+        "a multi-match merge is ambiguous")
+    val base = maskedWithProvenance(spark, fs, dir, withDv)
+    val dataCols = base.columns.filterNot(_.startsWith("__gm")).toSeq
+    require(source.columns.sorted.toSeq == dataCols.sorted,
+      s"source schema (${source.columns.sorted.mkString(", ")}) != table " +
+        s"schema (${dataCols.sorted.mkString(", ")})")
+    val keyExprs = keyCols.map(c => col(s"`$c`"))
+    val srcKeys = source.select(keyExprs: _*).distinct()
+    // metadata-sized: one row per file that holds a matched key
+    val matchedFiles = base.join(srcKeys, keyCols, "left_semi")
+      .select(col("__gm_file")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val rewritten =
+      if (matchedFiles.isEmpty) base.filter(lit(false))
+      else base.filter(col("__gm_file").isin(matchedFiles: _*))
+    // preimages: the current values of replaced rows (cdc + survivors)
+    val pre = rewritten.join(source, keyCols, "left_semi")
+      .select(dataCols.map(c => col(s"`$c`")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val preKeys = pre.select(keyExprs: _*).distinct()
+      val updates = source.join(preKeys, keyCols, "left_semi")
+      val inserts = source.join(preKeys, keyCols, "left_anti")
+      val survivors = rewritten.join(source, keyCols, "left_anti")
+        .select(dataCols.map(c => col(s"`$c`")): _*)
+      // the rewritten files' survivors plus the whole source land as
+      // fresh data files
+      val tmp = s"$dir/.tmp-merge-${v + 1}"
+      survivors.unionByName(source.select(dataCols.map(c => col(s"`$c`")): _*))
+        .write.mode("overwrite").parquet(tmp)
+      val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(parts.nonEmpty, "merge rewrite produced no parquet part")
+      val next = v + 1
+      val addNames = parts.zipWithIndex.map { case (p, i) =>
+        val name = f"part-merge-$next-$i%05d.parquet"
+        require(fs.rename(p, new Path(s"$dir/$name")), s"rename failed: $p")
+        name
+      }
+      fs.delete(new Path(tmp), true)
+      val cdcLines = writeCdc(spark, fs, dir, next,
+        pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updates.select(dataCols.map(c => col(s"`$c`")): _*)
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(inserts.select(dataCols.map(c => col(s"`$c`")): _*)
+            .withColumn("_change_type", lit("insert"))))
+        .map(p => s"""{"cdc":{"path":"$p","dataChange":false}}""")
+      val removes = matchedFiles.map { qf =>
+        s"""{"remove":{"path":"${relativeEnc(fs, dir, qf)}","dataChange":true}}"""
+      }
+      val adds = addNames.map { n =>
+        s"""{"add":{"path":"$n","dataChange":true}}"""
+      }
+      val out = fs.create(new Path(f"$dir/_delta_log/$next%020d.json"), false)
+      try out.write(((removes ++ adds ++ cdcLines).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      next
+    } finally pre.unpersist()
+  }
+
+  /** MATERIALIZE DELETION VECTORS — the OPTIMIZE leg that makes
+    * cheap-deletes cheap to READ again: every live file carrying a DV
+    * is rewritten without its masked rows, and the batch lands as ONE
+    * commit whose `remove`/`add` actions say `dataChange=false` — the
+    * table's logical rows are unchanged, so change-feed consumers see
+    * nothing. Old files stay on disk for time travel until vacuumed.
+    * Returns the committed version (unchanged when no live file
+    * carries a DV). */
+  def materializeDeletes(spark: SparkSession, dir: String): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (raws, v) = rawLog(spark, dir)
+    require(v >= 0L, s"no commits at $dir")
+    require(latestTableMeta(raws).forall(_._2 == "none"),
+      "materializeDeletes on a column-mapped table is out of scope")
+    val withDv = liveFilesWithDv(spark, dir)
+    val dvd = withDv.collect { case (p, Some(d)) => (p, d) }
+    if (dvd.isEmpty) return v
+    // mask + rewrite ONLY the DV'd files, as one job; clean files are
+    // not touched (this is deletion materialization, not compaction)
+    val masked = maskedWithProvenance(spark, fs, dir,
+      dvd.map { case (p, d) => (p, Some(d)) })
+    val dataCols = masked.columns.filterNot(_.startsWith("__gm")).toSeq
     val next = v + 1
+    val tmp = s"$dir/.tmp-optimize-$next"
+    masked.select(dataCols.map(c => col(s"`$c`")): _*)
+      .write.mode("overwrite").parquet(tmp)
+    val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.nonEmpty, "materialize rewrite produced no parquet part")
+    val addNames = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"part-optimize-$next-$i%05d.parquet"
+      require(fs.rename(p, new Path(s"$dir/$name")), s"rename failed: $p")
+      name
+    }
+    fs.delete(new Path(tmp), true)
+    val removes = dvd.map { case (p, _) =>
+      s"""{"remove":{"path":"${relativeEnc(fs, dir, p)}","dataChange":false}}"""
+    }
+    val adds = addNames.map { n =>
+      s"""{"add":{"path":"$n","dataChange":false}}"""
+    }
     val out = fs.create(new Path(f"$dir/_delta_log/$next%020d.json"), false)
-    try out.write(((header ++ lines).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((removes ++ adds).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     next
   }

@@ -43,8 +43,15 @@ import org.apache.spark.sql.functions._
   * corrections, orders of magnitude smaller than the corpus, and the
   * data side never reshuffles.
   *
-  * Scope (checked loudly): format-version 3 refuses (deletion vectors /
-  * row lineage); data files must be parquet. Manifest METADATA is read
+  * FORMAT-V3 DELETION VECTORS are applied too: a content-1 entry with
+  * `referenced_data_file` frames a `deletion-vector-v1` blob inside a
+  * [[Puffin]] file; its positions anti-join like position deletes
+  * (`deleteSeq >= dataSeq`) and SUPERSEDE any position-delete files
+  * for the same data file, per the v3 rule. Row-lineage columns are
+  * metadata-assigned and not materialized.
+  *
+  * Scope (checked loudly): format-version > 3 refuses; data files must
+  * be parquet (delete vectors puffin). Manifest METADATA is read
   * driver-side — the metadata plane is MBs where the data plane is
   * TBs; a table whose manifests themselves are huge wants the real
   * library's distributed planning. */
@@ -125,9 +132,15 @@ object IcebergCompat {
     * 0 data, 1 position deletes, 2 equality deletes. `seq` is the
     * entry's data sequence number (entry field, else the manifest-list
     * entry's, else 0 — the v1 default). `equalityNames` are the
-    * schema-resolved column names for content = 2. */
+    * schema-resolved column names for content = 2. A format-v3
+    * DELETION VECTOR is a content-1 entry whose `referencedDataFile`
+    * names its one data file and whose `contentOffset`/`contentSize`
+    * frame the `deletion-vector-v1` blob inside the puffin `path`. */
   final case class ContentFile(path: String, content: Int, seq: Long,
-      equalityNames: Seq[String])
+      equalityNames: Seq[String],
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None)
 
   /** The table's snapshot ids in metadata order (oldest first) — the
     * offset ladder for incremental/streaming consumption. */
@@ -153,8 +166,11 @@ object IcebergCompat {
     val in = fs.open(mf)
     val root = try mapper.readTree(in.readAllBytes()) finally in.close()
     val fv = root.path("format-version").asInt(1)
-    require(fv <= 2, s"Iceberg format-version $fv (deletion vectors / row " +
-      "lineage) is out of scope for this compat reader")
+    require(fv <= 3, s"Iceberg format-version $fv is newer than this " +
+      "compat reader's spec knowledge (v3) — refuse rather than mis-read")
+    // v3's row-lineage columns (_row_id, _last_updated_sequence_number)
+    // are metadata-assigned and not required for correct data reads;
+    // its deletion vectors ARE applied (puffin blobs, below)
     // field-id -> name map from the current schema (for equality_ids)
     val idToName: Map[Long, String] = {
       val schemaNode =
@@ -198,11 +214,14 @@ object IcebergCompat {
               s"manifest entry without data_file in $mPath"))
           val fmt = field(df, "file_format").map(_.toString.toUpperCase)
             .getOrElse("PARQUET")
-          require(fmt == "PARQUET",
-            s"data file format $fmt unsupported (parquet only)")
           val content = longField(df, "content").getOrElse(0L).toInt
           require(content >= 0 && content <= 2,
             s"unknown content id $content in $mPath")
+          val refFile = field(df, "referenced_data_file").map(_.toString)
+          require(fmt == "PARQUET" ||
+              (fmt == "PUFFIN" && content == 1 && refFile.nonEmpty),
+            s"file format $fmt unsupported (parquet data/deletes, or a " +
+              "puffin deletion vector referencing its data file)")
           val seq = longField(e, "sequence_number").getOrElse(mlSeq)
           val eqNames =
             if (content != 2) Nil
@@ -222,7 +241,10 @@ object IcebergCompat {
             resolve(dir, field(df, "file_path").map(_.toString).getOrElse(
               throw new IllegalArgumentException("data_file without file_path")))
               .toUri.getPath,
-            content, seq, eqNames)
+            content, seq, eqNames,
+            referencedDataFile = refFile,
+            contentOffset = longField(df, "content_offset"),
+            contentSize = longField(df, "content_size_in_bytes"))
         }
       }
     }
@@ -247,10 +269,13 @@ object IcebergCompat {
     val files = resolveSnapshot(spark, dir, snapshotId)
     val data = files.filter(_.content == 0)
     require(data.nonEmpty, s"Iceberg table at $dir has no live data files")
-    val posDel = files.filter(_.content == 1)
+    // v3 deletion vectors are content-1 entries with a referenced data
+    // file; plain parquet position-delete files have none
+    val dvDel = files.filter(f => f.content == 1 && f.referencedDataFile.nonEmpty)
+    val posDel = files.filter(f => f.content == 1 && f.referencedDataFile.isEmpty)
     val eqDel = files.filter(_.content == 2)
     val plain = spark.read.parquet(data.map(_.path): _*)
-    if (posDel.isEmpty && eqDel.isEmpty) return plain
+    if (dvDel.isEmpty && posDel.isEmpty && eqDel.isEmpty) return plain
     import spark.implicits._
     // per-data-file sequence numbers ride a broadcast map keyed by the
     // normalized path — metadata-sized, like the delete sides
@@ -260,6 +285,36 @@ object IcebergCompat {
       .withColumn("_gf_p", normPath(col("_metadata.file_path")))
       .withColumn("_gf_pos", col("_metadata.row_index"))
       .join(seqDf, Seq("_gf_p"), "left")
+    // DV target paths, normalized — a DV supersedes any position-delete
+    // FILES for its data file (the v3 rule: the vector must already
+    // contain all of their positions, so applying both would be
+    // redundant at best and the spec says ignore them)
+    val dvTargets: Seq[String] = dvDel.map(f =>
+      "/" + resolve(dir, f.referencedDataFile.get).toUri.getPath
+        .dropWhile(_ == '/'))
+    if (dvDel.nonEmpty) {
+      val fs = fsFor(spark, dir)
+      require(dvTargets.distinct.size == dvTargets.size,
+        s"multiple deletion vectors reference one data file at $dir — " +
+          "at most one DV per file (v3 rule)")
+      // blob parse is driver-side metadata (one DV is bounded by the
+      // rows of ONE file); the data plane sees only the anti-join
+      val rows: Seq[(String, Long, Long)] = dvDel.flatMap { f =>
+        val off = f.contentOffset.getOrElse(throw new IllegalArgumentException(
+          s"deletion vector ${f.path} has no content_offset"))
+        val len = f.contentSize.getOrElse(throw new IllegalArgumentException(
+          s"deletion vector ${f.path} has no content_size_in_bytes"))
+        val target = resolve(dir, f.referencedDataFile.get).toUri.getPath
+        Puffin.readDvBlob(fs, new Path(f.path), off, len)
+          .map(p => (target, p, f.seq))
+      }
+      val dv = broadcast(rows.toDF("_gv_target", "_gv_pos", "_gv_seq")
+        .withColumn("_gv_target", normPath(col("_gv_target"))))
+      df = df.join(dv,
+        df("_gf_p") === dv("_gv_target") && df("_gf_pos") === dv("_gv_pos") &&
+          dv("_gv_seq") >= df("_gf_seq"),
+        "left_anti")
+    }
     if (posDel.nonEmpty) {
       // delete-file seq also rides _metadata provenance of the delete scan
       val pdSeq = broadcast(posDel.map(f => (f.path, f.seq))
@@ -268,7 +323,9 @@ object IcebergCompat {
         .select(normPath(col("file_path")).as("_gd_target"),
           col("pos").cast("long").as("_gd_pos"),
           normPath(col("_metadata.file_path")).as("_gd_p"))
-        .join(pdSeq, Seq("_gd_p")))
+        .join(pdSeq, Seq("_gd_p"))
+        .filter(if (dvTargets.isEmpty) lit(true)
+          else !col("_gd_target").isin(dvTargets: _*)))
       df = df.join(pd,
         df("_gf_p") === pd("_gd_target") && df("_gf_pos") === pd("_gd_pos") &&
           pd("_gd_seq") >= df("_gf_seq"),
@@ -332,9 +389,15 @@ object IcebergCompat {
   /** One fixture manifest row: `status` 1 ADDED / 0 EXISTING /
     * 2 DELETED; `content` 0 data / 1 position deletes / 2 equality
     * deletes; `seq` the entry's data sequence number; `equalityIds`
-    * schema field ids for content = 2. */
+    * schema field ids for content = 2. A v3 DELETION VECTOR entry sets
+    * `format = "PUFFIN"`, `content = 1`, and the three referenced-blob
+    * fields. */
   final case class Entry(status: Int, path: String, records: Long,
-      content: Int = 0, seq: Long = 0L, equalityIds: Seq[Int] = Nil)
+      content: Int = 0, seq: Long = 0L, equalityIds: Seq[Int] = Nil,
+      format: String = "PARQUET",
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None)
 
   private val manifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
@@ -345,7 +408,10 @@ object IcebergCompat {
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+      |    {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |    {"name":"content_offset","type":["null","long"],"default":null},
+      |    {"name":"content_size_in_bytes","type":["null","long"],"default":null}
       |  ]}}
       |]}""".stripMargin.replace("\n", ""))
 
@@ -377,11 +443,16 @@ object IcebergCompat {
         manifestEntrySchema.getField("data_file").schema())
       df.put("content", en.content)
       df.put("file_path", en.path)
-      df.put("file_format", "PARQUET")
+      df.put("file_format", en.format)
       df.put("record_count", en.records)
       df.put("equality_ids",
         if (en.equalityIds.isEmpty) null
         else en.equalityIds.map(Integer.valueOf).asJava)
+      df.put("referenced_data_file", en.referencedDataFile.orNull)
+      df.put("content_offset",
+        en.contentOffset.map(java.lang.Long.valueOf).orNull)
+      df.put("content_size_in_bytes",
+        en.contentSize.map(java.lang.Long.valueOf).orNull)
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("status", en.status)
       e.put("sequence_number", java.lang.Long.valueOf(en.seq))
@@ -475,7 +546,8 @@ object IcebergCompat {
     * (id, name) feed equality_ids resolution. */
   def writeMetadata(spark: SparkSession, dir: String, version: Int,
       snapshots: Seq[(Long, String)],
-      schemaFields: Seq[(Int, String)] = Nil): Unit = {
+      schemaFields: Seq[(Int, String)] = Nil,
+      formatVersion: Int = 2): Unit = {
     val fs = fsFor(spark, dir)
     fs.mkdirs(new Path(s"$dir/metadata"))
     val snapsJson = snapshots.map { case (id, ml) =>
@@ -485,7 +557,7 @@ object IcebergCompat {
       s"""{"id":$id,"name":"$n","required":false,"type":"long"}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"format-version":2,"table-uuid":"graft-fixture",
+      s"""{"format-version":$formatVersion,"table-uuid":"graft-fixture",
          |"current-snapshot-id":${snapshots.last._1},
          |"current-schema-id":0,
          |"schemas":[{"schema-id":0,"type":"struct","fields":$fieldsJson}],

@@ -298,6 +298,90 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(e2.getMessage.contains("vacuumed"))
   }
 
+  test("mergeInto rewrites only matched files, emits cdc, refuses ambiguity") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    writePart(dir, fs, "b.parquet", Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}""",
+      """{"add":{"path":"b.parquet","dataChange":true}}"""))
+    // update id=2 (lives in a.parquet), insert id=9 — b.parquet untouched
+    val v1 = DeltaCompat.mergeInto(spark, dir,
+      Seq((2L, "B!"), (9L, "new")).toDF("id", "v"), Seq("id"))
+    assert(v1 == 1L)
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d"), (9L, "new")),
+      s"merge must replace matched keys and insert the rest, got $got")
+    // b.parquet was not rewritten
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/b.parquet")))
+    val live = DeltaCompat.liveFiles(spark, dir).map(
+      p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(live.contains("b.parquet") && !live.contains("a.parquet"),
+      s"only the matched file may rotate out of the live set, got $live")
+    // the merge's row-level delta flows through the change feed
+    val feed = DeltaCompat.readChangeFeed(spark, dir, 0L, 1L)
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set(
+      ("update_preimage", 2L, "b"), ("update_postimage", 2L, "B!"),
+      ("insert", 9L, "new")), s"got $feed")
+    // duplicate source keys refuse
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.mergeInto(spark, dir,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // a merge into a DV'd file materializes the mask in the rewrite
+    assert(DeltaCompat.deleteWhere(spark, dir, col("id") === 3L) == 2L)
+    val v3 = DeltaCompat.mergeInto(spark, dir,
+      Seq((4L, "D!")).toDF("id", "v"), Seq("id"))
+    assert(v3 == 3L)
+    val after = DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "a"), (2L, "B!"), (4L, "D!"), (9L, "new")),
+      s"deleted id=3 must stay deleted through the rewrite, got $after")
+    // the rewritten file carries no DV descriptor anymore
+    assert(DeltaCompat.liveFilesWithDv(spark, dir).forall(_._2.isEmpty),
+      "merge must materialize the mask of files it rewrites")
+  }
+
+  test("materializeDeletes rewrites DV'd files clean, invisible to the change feed") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", (0L until 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    writePart(dir, fs, "b.parquet", (8L until 12L).map(i => (i, s"v$i")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}""",
+      """{"add":{"path":"b.parquet","dataChange":true}}"""))
+    assert(DeltaCompat.deleteWhere(spark, dir, col("id") % 3L === 0L) == 1L)
+    val v2 = DeltaCompat.materializeDeletes(spark, dir)
+    assert(v2 == 2L)
+    // both files carried masks (0,3,6 and 9) — both rewritten clean
+    assert(DeltaCompat.liveFilesWithDv(spark, dir).forall(_._2.isEmpty),
+      "no live DV may remain after materialization")
+    assert(DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L))
+    // time travel still sees the DV'd state and the original
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(1L)).count() == 8)
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(0L)).count() == 12)
+    // dataChange=false: the feed over the materialize window is empty
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.readChangeFeed(spark, dir, 1L, 2L)
+    }
+    assert(e.getMessage.contains("no data-changing commits"))
+    // …while the delete window still reports its cdc rows
+    val feed = DeltaCompat.readChangeFeed(spark, dir, 0L, 1L)
+      .select(col("_change_type"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("delete", 0L), ("delete", 3L), ("delete", 6L),
+      ("delete", 9L)), s"got $feed")
+    // idempotent: nothing left to materialize
+    assert(DeltaCompat.materializeDeletes(spark, dir) == 2L)
+  }
+
   test("addedBetween refuses windows that attach deletion vectors") {
     val (dir, fs) = mkTable()
     writePart(dir, fs, "a.parquet", Seq((1L, "x")).toDF("id", "v"))

@@ -152,7 +152,7 @@ class IcebergCompatSpec extends SparkSpec {
       s"seq-1 id=1 dies, seq-3 re-insert survives, got $got")
   }
 
-  test("v3 and non-Iceberg dirs refuse loudly; unknown equality ids refuse") {
+  test("v4 and non-Iceberg dirs refuse loudly; unknown equality ids refuse") {
     val dir = mkTable()
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -160,7 +160,7 @@ class IcebergCompatSpec extends SparkSpec {
     val out = fs.create(new org.apache.hadoop.fs.Path(
       s"$dir/metadata/v1.metadata.json"), true)
     try out.write(
-      """{"format-version":3,"current-snapshot-id":101,"snapshots":[]}"""
+      """{"format-version":4,"current-snapshot-id":101,"snapshots":[]}"""
         .getBytes("UTF-8")) finally out.close()
     val e = intercept[IllegalArgumentException] { IcebergCompat.liveFiles(spark, dir) }
     assert(e.getMessage.contains("format-version"))
@@ -182,5 +182,106 @@ class IcebergCompatSpec extends SparkSpec {
       IcebergCompat.readIcebergTable(spark, dir3)
     }
     assert(e3.getMessage.contains("equality field id"))
+  }
+
+  test("puffin DV blobs round-trip: footer listing, CRC, corrupt refusal") {
+    val dir = mkTable()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/dv.puffin")
+    val blobs = graft.sources.Puffin.writeDvFile(fs, p, Seq(
+      "data/a.parquet" -> Array(0L, 5L, 7L, 100000L),
+      "data/b.parquet" -> (0L until 5000L).toArray)) // bitmap container
+    assert(blobs.map(_.referencedDataFile) ==
+      Seq("data/a.parquet", "data/b.parquet"))
+    assert(blobs.map(_.cardinality) == Seq(4L, 5000L))
+    // the footer lists the same coordinates the writer returned
+    assert(graft.sources.Puffin.listDvBlobs(fs, p) == blobs)
+    // each blob reads back its exact positions
+    assert(graft.sources.Puffin
+      .readDvBlob(fs, p, blobs(0).offset, blobs(0).length).toSeq ==
+      Seq(0L, 5L, 7L, 100000L))
+    assert(graft.sources.Puffin
+      .readDvBlob(fs, p, blobs(1).offset, blobs(1).length).length == 5000)
+    // a flipped byte inside a blob fails its CRC
+    val bytes = {
+      val in = fs.open(p)
+      try in.readAllBytes() finally in.close()
+    }
+    bytes(blobs(0).offset.toInt + 6) = (bytes(blobs(0).offset.toInt + 6) ^ 1).toByte
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+    val e = intercept[Exception] {
+      graft.sources.Puffin.readDvBlob(fs, p, blobs(0).offset, blobs(0).length)
+    }
+    assert(e.getMessage.contains("checksum") || e.getMessage.contains("magic"))
+    // one DV per data file, enforced at write time
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Puffin.writeDvFile(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/dv2.puffin"),
+        Seq("x" -> Array(1L), "x" -> Array(2L)))
+    }
+    assert(e2.getMessage.contains("one deletion vector"))
+  }
+
+  test("v3 deletion vectors apply, supersede position-delete files, time-scope by seq") {
+    val dir = mkTable()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one data file, physical order pinned by the write
+    val na = writeData(dir, "a.parquet",
+      (0L until 10L).map(i => (i, s"v$i")))
+    // a position-delete FILE targets rows 0 and 2 — row 2 deliberately
+    // NOT in the DV, so supersession is observable in the values
+    writeFile(dir, "pd.parquet",
+      Seq((s"$dir/data/a.parquet", 0L), (s"$dir/data/a.parquet", 2L))
+        .toDF("file_path", "pos"))
+    // … and the DV deletes 0,1,4
+    val dv = graft.sources.Puffin.writeDvFile(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/data/dv.puffin"),
+      Seq(s"$dir/data/a.parquet" -> Array(0L, 1L, 4L))).head
+    val m = IcebergCompat.writeManifestEntries(spark, dir, "m1.avro", Seq(
+      Entry(1, "data/a.parquet", na, content = 0, seq = 1L),
+      Entry(1, "data/pd.parquet", 2L, content = 1, seq = 2L),
+      Entry(1, "data/dv.puffin", 3L, content = 1, seq = 2L,
+        format = "PUFFIN", referencedDataFile = Some(s"$dir/data/a.parquet"),
+        contentOffset = Some(dv.offset), contentSize = Some(dv.length))))
+    val ml = IcebergCompat.writeManifestList(spark, dir, "ml1.avro", Seq(m))
+    IcebergCompat.writeMetadata(spark, dir, 1, Seq((101L, ml)),
+      schemaFields = Seq((1, "id"), (2, "v")), formatVersion = 3)
+    val got = IcebergCompat.readIcebergTable(spark, dir)
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq
+    assert(got == Seq(2L, 3L, 5L, 6L, 7L, 8L, 9L),
+      s"only the DV's 0,1,4 may drop — the position-delete file for a " +
+        s"DV'd data file is superseded (row 2 must survive), got $got")
+    // a DV with seq < dataSeq does not mask the (newer) data file
+    val m2 = IcebergCompat.writeManifestEntries(spark, dir, "m2.avro", Seq(
+      Entry(1, "data/a.parquet", na, content = 0, seq = 5L),
+      Entry(1, "data/dv.puffin", 3L, content = 1, seq = 2L,
+        format = "PUFFIN", referencedDataFile = Some(s"$dir/data/a.parquet"),
+        contentOffset = Some(dv.offset), contentSize = Some(dv.length))))
+    val ml2 = IcebergCompat.writeManifestList(spark, dir, "ml2.avro", Seq(m2))
+    IcebergCompat.writeMetadata(spark, dir, 2,
+      Seq((101L, ml), (102L, ml2)),
+      schemaFields = Seq((1, "id"), (2, "v")), formatVersion = 3)
+    assert(IcebergCompat.readIcebergTable(spark, dir).count() == 10,
+      "an older-sequence DV must not mask a newer data file")
+    // two DVs for one data file refuse at read
+    val m3 = IcebergCompat.writeManifestEntries(spark, dir, "m3.avro", Seq(
+      Entry(1, "data/a.parquet", na, content = 0, seq = 1L),
+      Entry(1, "data/dv.puffin", 3L, content = 1, seq = 2L,
+        format = "PUFFIN", referencedDataFile = Some(s"$dir/data/a.parquet"),
+        contentOffset = Some(dv.offset), contentSize = Some(dv.length)),
+      Entry(1, "data/dv.puffin", 3L, content = 1, seq = 3L,
+        format = "PUFFIN", referencedDataFile = Some(s"$dir/data/a.parquet"),
+        contentOffset = Some(dv.offset), contentSize = Some(dv.length))))
+    val ml3 = IcebergCompat.writeManifestList(spark, dir, "ml3.avro", Seq(m3))
+    IcebergCompat.writeMetadata(spark, dir, 3,
+      Seq((101L, ml), (103L, ml3)),
+      schemaFields = Seq((1, "id"), (2, "v")), formatVersion = 3)
+    val e = intercept[IllegalArgumentException] {
+      IcebergCompat.readIcebergTable(spark, dir)
+    }
+    assert(e.getMessage.contains("at most one DV"))
   }
 }
