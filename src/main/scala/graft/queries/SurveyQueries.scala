@@ -3433,6 +3433,82 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
       |FROM li WHERE k % 10 NOT IN (3, 7) GROUP BY m ORDER BY m""".stripMargin))
 
+  /** maintenance_delta_vacuum: disk reclaim after the cheap-delete /
+    * OPTIMIZE pair ([[graft.sources.DeltaCompat.vacuum]]) — files no
+    * kept version references (replaced originals, materialized DV
+    * sidecars, superseded cdc) are physically deleted while every kept
+    * version keeps reading. The gate layers delete → materialize →
+    * vacuum(keepFrom = latest), REQUIREs the original part files and
+    * sidecars are gone from disk, current + kept time travel still
+    * read, and pre-vacuum history refuses; the surviving rows
+    * value-gate against DuckDB. */
+  val maintenanceDeltaVacuum: QueryDef = QueryDef(
+    "maintenance_delta_vacuum",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_vacuum")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 2).as("m"), col("q"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      val (p0, p1) = (writePart(0), writePart(1))
+      val out0 = fs.create(new org.apache.hadoop.fs.Path(
+        f"$dir/_delta_log/${0L}%020d.json"), true)
+      try out0.write((Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t-vac","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p1","dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out0.close()
+      // k % 5 == 3 hits both parities (k ≡ 3 and 8 mod 10), so BOTH
+      // part files carry a DV and both get rewritten + reclaimed
+      require(graft.sources.DeltaCompat
+        .deleteWhere(s, dir, col("k") % 5L === 3L) == 1L)
+      require(graft.sources.DeltaCompat.materializeDeletes(s, dir) == 2L)
+      val gone = graft.sources.DeltaCompat.vacuum(s, dir, 2L)
+      require(gone.exists(_.endsWith(p0)) && gone.exists(_.endsWith(p1)),
+        s"vacuum must reclaim both replaced originals, got $gone")
+      require(gone.exists(_.contains("deletion_vector_")),
+        s"vacuum must reclaim the materialized DV sidecar, got $gone")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p0")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p1")),
+        "replaced originals must be gone from disk")
+      require(graft.sources.DeltaCompat
+        .readDeltaTable(s, dir, asOf = Some(2L)).count() ==
+        graft.sources.DeltaCompat.readDeltaTable(s, dir).count(),
+        "the kept version must still time-travel")
+      val preVacuumRefuses =
+        try { graft.sources.DeltaCompat.readDeltaTable(s, dir,
+          asOf = Some(0L)).count(); false }
+        catch { case _: Exception => true }
+      require(preVacuumRefuses, "pre-vacuum history must refuse, not mis-read")
+      graft.sources.DeltaCompat.readDeltaTable(s, dir)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey AS k, l_orderkey % 2 AS m,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+      |FROM li WHERE k % 5 <> 3 GROUP BY m ORDER BY m""".stripMargin))
+
   /** ingest_hudi_mor: MERGE-ON-READ — the default Hudi table type for
     * streaming ingest, where updates append Avro log blocks instead of
     * rewriting parquet ([[graft.sources.HudiCompat.readMorSnapshot]],
@@ -4196,6 +4272,7 @@ object SurveyQueries {
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
     ingestDeltaDv, ingestDeltaColumnMapping, ingestDeltaCdf,
     maintenanceDeltaDvDelete, maintenanceDeltaMerge, maintenanceDeltaDvCompact,
+    maintenanceDeltaVacuum,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
     ingestHudiIncremental, ingestHudiMor,

@@ -772,6 +772,62 @@ object DeltaCompat {
     next
   }
 
+  /** VACUUM: physically delete every data file, deletion-vector
+    * sidecar, and `_change_data/` file that no version in
+    * `[keepFrom, latest]` references — the disk-reclaim twin of the
+    * cheap-delete/OPTIMIZE pair. Retention POLICY (how far back
+    * `keepFrom` may reach while concurrent readers replay history) is
+    * the caller's contract, exactly as the protocol leaves it; this
+    * routine only guarantees it never deletes a file any kept version
+    * needs. Time travel and change-feed windows before `keepFrom`
+    * refuse afterwards (by the readers' existing missing-file checks).
+    * The log JSON itself is kept — log cleanup is a separate concern
+    * ([[checkpoint]] makes pre-checkpoint JSON droppable). Returns the
+    * table-relative paths deleted, sorted. */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, latest) = rawLog(spark, dir)
+    require(keepFrom >= 0L && keepFrom <= latest,
+      s"keepFrom=$keepFrom outside the table's version range [0, $latest]")
+    // the referenced set, metadata-plane: every kept version's live
+    // files, their DV sidecars, and every kept commit's cdc files
+    val referenced = scala.collection.mutable.Set.empty[String]
+    def relOf(full: String): String = {
+      val relRoot = fs.makeQualified(new Path(dir)).toUri.getPath
+      new Path(full).toUri.getPath.stripPrefix(relRoot).stripPrefix("/")
+    }
+    (keepFrom to latest).foreach { v =>
+      liveFilesWithDv(spark, dir, Some(v)).foreach { case (p, dv) =>
+        referenced += relOf(p)
+        dv.filter(_.storageType == "u").foreach { d =>
+          referenced += relOf(DeletionVectors.sidecarPath(dir, d).toString)
+        }
+      }
+      if (v > 0) { // commit v's cdc actions (commit 0 has none by shape)
+        val cf = new Path(f"$dir/_delta_log/$v%020d.json")
+        if (fs.exists(cf)) {
+          val in = fs.open(cf)
+          val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          """"cdc"\s*:\s*\{[^}]*"path"\s*:\s*"([^"]+)"""".r
+            .findAllMatchIn(text).foreach(m => referenced += m.group(1))
+        }
+      }
+    }
+    // candidates: every payload file under the root except the log
+    val victims = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) { if (name != "_delta_log") walk(st.getPath) }
+      else if (name.endsWith(".parquet") || name.endsWith(".bin")) {
+        val rel = relOf(st.getPath.toUri.getPath)
+        if (!referenced.contains(rel)) victims += rel
+      }
+    }
+    walk(new Path(dir))
+    victims.foreach(rel => fs.delete(new Path(s"$dir/$rel"), false))
+    victims.toSeq.sorted
+  }
+
   /** Read the table's current state, or (`asOf`) a past version —
     * deletion vectors applied, column mapping resolved, and the read
     * schema taken from `metaData.schemaString` when the log carries one

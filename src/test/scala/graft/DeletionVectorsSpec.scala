@@ -382,6 +382,44 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DeltaCompat.materializeDeletes(spark, dir) == 2L)
   }
 
+  test("vacuum deletes only files no kept version references") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    assert(DeltaCompat.deleteWhere(spark, dir, col("id") < 2L) == 1L)
+    assert(DeltaCompat.materializeDeletes(spark, dir) == 2L)
+    def names(sub: String = ""): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir + sub)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filterNot(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    assert(names().exists(_.startsWith("deletion_vector_")), "sidecar present")
+    // keepFrom=0 keeps everything
+    assert(DeltaCompat.vacuum(spark, dir, 0L).isEmpty)
+    // keepFrom=2: a.parquet (replaced) + its sidecar + commit 1's cdc go
+    val gone = DeltaCompat.vacuum(spark, dir, 2L)
+    assert(gone.exists(_.endsWith("a.parquet")), s"got $gone")
+    assert(gone.exists(_.contains("deletion_vector_")), s"got $gone")
+    assert(gone.exists(_.startsWith("_change_data/")), s"got $gone")
+    assert(!names().contains("a.parquet") &&
+      !names().exists(_.startsWith("deletion_vector_")))
+    // the kept state still reads fine; pre-keepFrom history refuses
+    assert(DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      Seq(2L, 3L, 4L, 5L))
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(2L)).count() == 4)
+    intercept[Exception] {
+      DeltaCompat.readDeltaTable(spark, dir, asOf = Some(0L)).count()
+    }
+    // out-of-range keepFrom refuses
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.vacuum(spark, dir, 99L)
+    }
+    assert(e.getMessage.contains("version range"))
+  }
+
   test("addedBetween refuses windows that attach deletion vectors") {
     val (dir, fs) = mkTable()
     writePart(dir, fs, "a.parquet", Seq((1L, "x")).toDF("id", "v"))
