@@ -989,8 +989,119 @@ object StreamingQueries {
       |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin))
 
+  /** stream_delta_cdf: the STREAMING twin of `ingest_delta_cdf` — the
+    * foreign-lake source in `mode=cdf`, whose micro-batches are CHANGE
+    * ROWS resolved by the exact batch file-plan
+    * ([[graft.sources.DeltaCompat.changeFilesBetween]]): explicit cdc
+    * files stream their own `_change_type`, whole-file adds/removes
+    * derive inserts/deletes, `_commit_version` rides every row. The
+    * gate drains the initial inserts, advances the table through an
+    * explicit-cdc UPDATE rewrite + an append + a whole-file delete,
+    * resumes from the checkpoint (REQUIREd: exactly one more
+    * snapshot), and value-gates the accumulated change log per type
+    * against DuckDB — identical oracle to the batch twin. */
+  val streamDeltaCdf: QueryDef = QueryDef(
+    "stream_delta_cdf",
+    (s, d) => {
+      val run = s"${graft.sources.TableIO.sessionToken(s)}_${snapRunCounter.incrementAndGet()}"
+      val base = graft.sources.TableIO.scratchDir(s, s"stream_cdf/$run")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // idempotent re-run
+      val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 3).as("m"), col("q"))
+      def writeFile(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$src/.tmp-${rel.replace('/', '_')}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val dstP = new org.apache.hadoop.fs.Path(s"$src/$rel")
+        fs.mkdirs(dstP.getParent)
+        require(fs.rename(part, dstP))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      def writeCommit(id: Long, lines: Seq[String]): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$src/_delta_log"))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$src/_delta_log/$id%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("foreign-lake")
+          .option("format", "delta").option("path", src)
+          .option("mode", "cdf")
+          .load()
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              graft.sources.SnapshotTable.append(batch, dst)
+              ()
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        try { q.processAllAvailable(); EventStreams.recordDrain(q) }
+        finally q.stop()
+      }
+      writeFile("p0.parquet", li.filter(col("m") === 0))
+      writeFile("p1.parquet", li.filter(col("m") === 1))
+      writeCommit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t-scdf","format":{"provider":"parquet"},"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+        """{"add":{"path":"p0.parquet","dataChange":true}}""",
+        """{"add":{"path":"p1.parquet","dataChange":true}}"""))
+      drainOnce() // derived inserts of commit 0
+      // commit 1: UPDATE rewrite with explicit cdc (q+1 where q>=10000)
+      val changed = li.filter(col("m") === 0 && col("q") >= 10000L)
+      writeFile("p0b.parquet", li.filter(col("m") === 0)
+        .withColumn("q", when(col("q") >= 10000L, col("q") + 1L).otherwise(col("q"))))
+      writeFile("_change_data/cdc-1.parquet",
+        changed.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(changed.withColumn("q", col("q") + 1L)
+            .withColumn("_change_type", lit("update_postimage"))))
+      writeCommit(1, Seq(
+        """{"remove":{"path":"p0.parquet","dataChange":true}}""",
+        """{"add":{"path":"p0b.parquet","dataChange":true}}""",
+        """{"cdc":{"path":"_change_data/cdc-1.parquet","dataChange":false}}"""))
+      // commit 2: append; commit 3: whole-file delete (p1 not vacuumed)
+      writeFile("p2.parquet", li.filter(col("m") === 2))
+      writeCommit(2, Seq("""{"add":{"path":"p2.parquet","dataChange":true}}"""))
+      writeCommit(3, Seq("""{"remove":{"path":"p1.parquet","dataChange":true}}"""))
+      val before = graft.sources.SnapshotTable.snapshots(s, dst).size
+      drainOnce() // resumes from the checkpointed version, pulls (0,3]
+      drainOnce() // nothing new: must append nothing
+      val snaps = graft.sources.SnapshotTable.snapshots(s, dst)
+      require(before == 1 && snaps.size == 2,
+        s"resume must pull the three commits as one batch, got $before -> ${snaps.size}")
+      graft.sources.SnapshotTable.read(s, dst)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("_change_type")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 3 AS m,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey),
+      |ch AS (
+      |  SELECT 'insert' AS _change_type, q FROM li WHERE m IN (0, 1)
+      |  UNION ALL
+      |  SELECT 'insert', q FROM li WHERE m = 2
+      |  UNION ALL
+      |  SELECT 'update_preimage', q FROM li WHERE m = 0 AND q >= 10000
+      |  UNION ALL
+      |  SELECT 'update_postimage', q + 1 FROM li WHERE m = 0 AND q >= 10000
+      |  UNION ALL
+      |  SELECT 'delete', q FROM li WHERE m = 1)
+      |SELECT _change_type, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+      |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    streamForeignSync,
+    streamForeignSync, streamDeltaCdf,
     streamPackChunks, streamAttribution, streamSnapshotAppend,
     streamSnapshotExactlyOnce,
     streamEventsHourly, streamDedupKeys, streamCuratedDocs, streamKmvUsers,

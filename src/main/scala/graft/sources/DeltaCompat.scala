@@ -442,6 +442,36 @@ object DeltaCompat {
     * actions (the DV delta is not whole-file). */
   def readChangeFeed(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): DataFrame = {
+    val files = changeFilesBetween(spark, dir, fromV, toV)
+    require(files.nonEmpty, s"no data-changing commits in ($fromV, $toV] at $dir")
+    // one read per (change kind, commit) group — cdc files carry their
+    // own _change_type column; derived groups get it as a literal
+    val parts = files.groupBy(f => (f.changeType, f.version)).toSeq
+      .sortBy { case ((ct, v), _) => (v, ct.getOrElse("")) }
+      .map { case ((ct, v), group) =>
+        val df = spark.read.parquet(group.map(_.path): _*)
+        ct.map(c => df.withColumn("_change_type", lit(c))).getOrElse(df)
+          .withColumn("_commit_version", lit(v))
+      }
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One parquet file of a change-feed window: `changeType` is
+    * Some(insert|delete) for files whose rows' change kind is DERIVED
+    * from whole-file adds/removes, None for explicit `_change_data/`
+    * files that carry their own `_change_type` column. */
+  final case class ChangeFile(path: String, changeType: Option[String],
+      version: Long)
+
+  /** The FILE-PLAN of the change feed over `(fromV, toV]` — the shared
+    * metadata resolution behind [[readChangeFeed]] and the streaming
+    * CDF source, so both consume identical semantics: per commit,
+    * explicit `cdc` actions win; otherwise `dataChange=true` adds
+    * derive inserts and removes derive deletes (removed files must
+    * still exist — refused by name when vacuumed); DV commits without
+    * cdc refuse (their row-level delta is not whole-file). */
+  def changeFilesBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): Seq[ChangeFile] = {
     require(fromV < toV, s"empty commit window ($fromV, $toV]")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(s"$dir/_delta_log")
@@ -473,13 +503,11 @@ object DeltaCompat {
          else lit(null).cast("string")).as("dv"))
       .collect()
     val commits = perCommit.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-    val parts = commits.flatMap { case (v, rows) =>
+    commits.flatMap { case (v, rows) =>
       val cdc = rows.flatMap(r => Option(r.getString(1)))
       if (cdc.nonEmpty)
         // explicit cdc actions: the files already carry _change_type
-        Seq(spark.read
-          .parquet(cdc.map(p => decodePath(dir, p)).toIndexedSeq: _*)
-          .withColumn("_commit_version", lit(v)))
+        cdc.map(p => ChangeFile(decodePath(dir, p), None, v)).toSeq
       else {
         require(!rows.exists(r => !r.isNullAt(6)),
           s"commit $v at $dir attaches deletion vectors without cdc " +
@@ -489,28 +517,17 @@ object DeltaCompat {
           (r.isNullAt(3) || r.getBoolean(3))).flatMap(r => Option(r.getString(2)))
         val removes = rows.filter(r => !r.isNullAt(4) &&
           (r.isNullAt(5) || r.getBoolean(5))).flatMap(r => Option(r.getString(4)))
-        val addDf =
-          if (adds.isEmpty) Nil
-          else Seq(spark.read
-            .parquet(adds.map(p => decodePath(dir, p)).toIndexedSeq: _*)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v)))
-        val rmDf =
-          if (removes.isEmpty) Nil
-          else {
-            val paths = removes.map(p => decodePath(dir, p))
-            paths.foreach(p => require(fs.exists(new Path(p)),
-              s"removed file $p is vacuumed — commit $v's deletes cannot " +
-                "be derived; re-read the table instead"))
-            Seq(spark.read.parquet(paths.toIndexedSeq: _*)
-              .withColumn("_change_type", lit("delete"))
-              .withColumn("_commit_version", lit(v)))
-          }
-        addDf ++ rmDf
+        val rmFiles = removes.map { p =>
+          val full = decodePath(dir, p)
+          require(fs.exists(new Path(full)),
+            s"removed file $full is vacuumed — commit $v's deletes cannot " +
+              "be derived; re-read the table instead")
+          ChangeFile(full, Some("delete"), v)
+        }
+        adds.map(p => ChangeFile(decodePath(dir, p), Some("insert"), v)).toSeq ++
+          rmFiles
       }
     }
-    require(parts.nonEmpty, s"no data-changing commits in ($fromV, $toV] at $dir")
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** ROW-LEVEL DELETE via deletion vectors — the writer-side twin of

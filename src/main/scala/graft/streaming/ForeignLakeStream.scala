@@ -145,15 +145,26 @@ class ForeignLakeStreamProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val lake = ForeignLakeStream.lakeOf(opt(options, "format"))
+    val format = opt(options, "format")
+    val lake = ForeignLakeStream.lakeOf(format)
     val path = opt(options, "path")
+    val mode = Option(options.get("mode")).getOrElse("append")
+    require(mode == "append" || mode == "cdf",
+      s"unknown foreign-lake mode '$mode' (append | cdf)")
+    require(mode == "append" || format.equalsIgnoreCase("delta"),
+      "mode=cdf is a Delta change-data-feed surface — hudi/iceberg " +
+        "windows stream in append mode")
     val head = lake.latest(spark, path)
     require(head >= 0, s"foreign table at $path has no commits to infer a schema from")
     val files = lake.filesAt(spark, path, head)
     require(files.nonEmpty, s"foreign table at $path has no live files")
     val schema = spark.read.parquet(files.head).schema
     ForeignLakeStream.requireFlat(schema)
-    schema
+    if (mode == "cdf")
+      StructType(schema.fields.toSeq :+
+        StructField("_change_type", StringType) :+
+        StructField("_commit_version", LongType))
+    else schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -177,7 +188,9 @@ class ForeignLakeTable(schema: StructType, props: Map[String, String])
             props.getOrElse("format", options.get("format")),
             props.getOrElse("path", options.get("path")),
             props.get("startingOffset").orElse(Option(options.get("startingOffset")))
-              .map(_.toLong).getOrElse(-1L))
+              .map(_.toLong).getOrElse(-1L),
+            props.get("mode").orElse(Option(options.get("mode")))
+              .getOrElse("append") == "cdf")
       }
     }
 }
@@ -189,7 +202,7 @@ case class ForeignLakeOffset(position: Long) extends Offset {
 }
 
 class ForeignLakeMicroBatchStream(schema: StructType, format: String,
-    path: String, startingOffset: Long)
+    path: String, startingOffset: Long, cdf: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val lake = ForeignLakeStream.lakeOf(format)
   private def spark = SparkSession.active
@@ -218,6 +231,13 @@ class ForeignLakeMicroBatchStream(schema: StructType, format: String,
     val (s0, s1) = (start.asInstanceOf[ForeignLakeOffset].position,
       end.asInstanceOf[ForeignLakeOffset].position)
     if (s1 <= s0) Array.empty
+    else if (cdf)
+      // CDF mode shares the batch reader's exact file-plan semantics:
+      // explicit cdc files carry their own _change_type (null constant
+      // → read from the file); derived files get it as a constant
+      DeltaCompat.changeFilesBetween(spark, path, s0, s1)
+        .map(cf => ForeignLakeInputPartition(cf.path,
+          cf.changeType.orNull, cf.version): InputPartition).toArray
     else lake.added(spark, path, s0, s1)
       .map(f => ForeignLakeInputPartition(f): InputPartition).toArray
   }
@@ -227,19 +247,31 @@ class ForeignLakeMicroBatchStream(schema: StructType, format: String,
   override def stop(): Unit = ()
 }
 
-case class ForeignLakeInputPartition(file: String) extends InputPartition
+/** `changeType` null = append mode, or an explicit-cdc file carrying
+  * its own `_change_type` column; `version` < 0 = append mode (no
+  * `_commit_version` output column). */
+case class ForeignLakeInputPartition(file: String,
+    changeType: String = null, version: Long = -1L) extends InputPartition
 
 class ForeignLakeReaderFactory(schemaJson: String)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GroupParquetPartitionReader(
-      partition.asInstanceOf[ForeignLakeInputPartition].file, schemaJson)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ForeignLakeInputPartition]
+    val constants: Map[String, Any] =
+      (if (p.version >= 0L) Map[String, Any]("_commit_version" -> p.version)
+       else Map.empty[String, Any]) ++
+        (if (p.changeType != null)
+          Map[String, Any]("_change_type" -> UTF8String.fromString(p.changeType))
+        else Map.empty[String, Any])
+    new GroupParquetPartitionReader(p.file, schemaJson, constants)
+  }
 }
 
 /** Executor-side reader: one added parquet file through the
   * parquet-hadoop Group API into InternalRows (flat primitives — the
   * provider refused anything else at stream start). */
-class GroupParquetPartitionReader(file: String, schemaJson: String)
+class GroupParquetPartitionReader(file: String, schemaJson: String,
+    constants: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val schema =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -255,6 +287,8 @@ class GroupParquetPartitionReader(file: String, schemaJson: String)
     var i = 0
     while (i < schema.fields.length) {
       val f = schema.fields(i)
+      if (constants.contains(f.name)) { vals(i) = constants(f.name); i += 1 }
+      else {
       val idx = current.getType.getFieldIndex(f.name)
       vals(i) =
         if (current.getFieldRepetitionCount(idx) == 0) null
@@ -270,6 +304,7 @@ class GroupParquetPartitionReader(file: String, schemaJson: String)
             s"unreachable: non-flat type $other passed the provider gate")
         }
       i += 1
+      }
     }
     new GenericInternalRow(vals)
   }
