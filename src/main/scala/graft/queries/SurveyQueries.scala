@@ -3570,6 +3570,55 @@ object SurveyQueries {
       |    AS BIGINT) AS sum_q
       |FROM li WHERE grp IN (0, 1) GROUP BY grp ORDER BY grp""".stripMargin))
 
+  /** ingest_hudi_mor_incremental: record-level INCREMENTAL pull over a
+    * MERGE-ON-READ table ([[graft.sources.HudiCompat
+    * .readMorIncremental]]) — only the keys whose winning row was
+    * written by an instant after the consumer's checkpoint: an update
+    * arriving through a later log block surfaces with its merged
+    * value; rows updated AT the checkpoint instant and log-only
+    * inserts from it do not redeliver. Fixture: base at 001, a
+    * deltacommit 002 (update + log-only insert), a deltacommit 003
+    * updating a disjoint slice — the pull since 002 must return
+    * exactly 003's slice, post-merge. */
+  val ingestHudiMorIncremental: QueryDef = QueryDef(
+    "ingest_hudi_mor_incremental",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "hudi_mor_incr")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      graft.sources.HudiCompat.writeProperties(s, dir, "MERGE_ON_READ", "k")
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 3).as("grp"), col("q"))
+      val h = graft.sources.HudiCompat
+      h.beginCommit(s, dir, "001")
+      h.writeBaseFile(li.filter(col("grp") === 0), dir, "p=0", "fgA", "001")
+      h.completeCommit(s, dir, "001")
+      // 002: update the high-q slice, insert grp 1 as a log-only group
+      h.beginDeltaCommit(s, dir, "002")
+      h.appendLogData(li.filter(col("grp") === 0 && col("q") >= 10000L)
+        .withColumn("q", col("q") + 1L), dir, "p=0", "fgA", "001", 1, "002")
+      h.appendLogData(li.filter(col("grp") === 1), dir, "p=1", "fgB", "002", 1, "002")
+      h.completeDeltaCommit(s, dir, "002")
+      // 003: update a DISJOINT low-q slice — the only delta after 002
+      h.beginDeltaCommit(s, dir, "003")
+      h.appendLogData(li.filter(col("grp") === 0 && col("q") < 3000L)
+        .withColumn("q", col("q") + 7L), dir, "p=0", "fgA", "001", 2, "003")
+      h.completeDeltaCommit(s, dir, "003")
+      graft.sources.HudiCompat.readMorIncremental(s, dir, "002")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+          min(col("q")).as("min_q"))
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey % 3 AS grp,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT count(*) AS n, CAST(sum(q + 7) AS BIGINT) AS sum_q,
+      |  CAST(min(q + 7) AS BIGINT) AS min_q
+      |FROM li WHERE grp = 0 AND q < 3000""".stripMargin))
+
   /** ingest_hudi_incremental: Hudi's flagship INCREMENTAL consumption
     * mode at file-slice granularity ([[graft.sources.HudiCompat
     * .readIncremental]]): only the file groups created or rewritten
@@ -4275,7 +4324,7 @@ object SurveyQueries {
     maintenanceDeltaVacuum,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
-    ingestHudiIncremental, ingestHudiMor,
+    ingestHudiIncremental, ingestHudiMor, ingestHudiMorIncremental,
     pipelineForeignSync,
     ingestIceberg, ingestIcebergIncremental, ingestIcebergV2Deletes,
     ingestIcebergV3Dv,

@@ -141,7 +141,8 @@ object HudiCompat {
     * override; composite keys refuse loudly. */
   def readMorSnapshot(spark: SparkSession, dir: String,
       asOf: Option[String] = None,
-      recordKeyField: Option[String] = None): DataFrame = {
+      recordKeyField: Option[String] = None,
+      keepInstant: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -195,7 +196,10 @@ object HudiCompat {
     }
     if (logFiles.isEmpty) {
       require(baseFiles.nonEmpty, s"Hudi table at $dir has no visible files")
-      return spark.read.parquet(baseFiles.toSeq.sorted: _*)
+      val plain = spark.read.parquet(baseFiles.toSeq.sorted: _*)
+      return if (!keepInstant) plain
+        else plain.withColumn("_hoodie_instant",
+          regexp_extract(col("_metadata.file_path"), "_(\\d+)\\.parquet$", 1))
     }
     // table schema: the base files' parquet schema when any exist,
     // else the first log block's SCHEMA header
@@ -240,9 +244,32 @@ object HudiCompat {
         .unionByName(logDf)
     val w = Window.partitionBy(col(keyField))
       .orderBy(col("_hoodie_instant").desc, col("_block").desc, col("_rec").desc)
+    val outCols = tableStruct.fieldNames.toSeq ++
+      (if (keepInstant) Seq("_hoodie_instant") else Nil)
     merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(tableStruct.fieldNames.toSeq.map(c => col(s"`$c`")): _*)
+      .select(outCols.map(c => col(s"`$c`")): _*)
+  }
+
+  /** MERGE-ON-READ record-level INCREMENTAL pull — the newest version
+    * of every record key whose WINNING row was written by an instant
+    * strictly after `sinceInstant` (the `_hoodie_commit_time` contract
+    * real Hudi writers embed as a meta column, derived here from
+    * file-name / log-block provenance instead): updates arriving
+    * through log blocks and log-only inserts both surface; untouched
+    * keys do not. The checkpoint ladder is [[completedInstants]].
+    * Caveat (same trade as the CoW file-slice pull): a COMPACTION
+    * stamps its group's rows with its own instant, so rows folded from
+    * pre-checkpoint logs redeliver once after it — foreign files lack
+    * the embedded `_hoodie_commit_time` that lets real Hudi see
+    * through compactions; consumers upsert by key downstream. */
+  def readMorIncremental(spark: SparkSession, dir: String,
+      sinceInstant: String,
+      recordKeyField: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    readMorSnapshot(spark, dir, None, recordKeyField, keepInstant = true)
+      .filter(col("_hoodie_instant") > lit(sinceInstant))
+      .drop("_hoodie_instant")
   }
 
   /** `hoodie.table.recordkey.fields` from `.hoodie/hoodie.properties`

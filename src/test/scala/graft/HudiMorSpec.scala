@@ -61,6 +61,37 @@ class HudiMorSpec extends SparkSpec {
     assert(e.getMessage.contains("MERGE_ON_READ"))
   }
 
+  test("MOR incremental: only keys whose winning row postdates the checkpoint") {
+    val dir = mkTable()
+    HudiCompat.beginCommit(spark, dir, "001")
+    HudiCompat.writeBaseFile(
+      (1L to 4L).map(i => (i, s"base$i")).toDF("id", "v"), dir, "p=a", "fgA", "001")
+    HudiCompat.completeCommit(spark, dir, "001")
+    // 002: update id=2, log-only insert id=9 in a second group
+    HudiCompat.beginDeltaCommit(spark, dir, "002")
+    HudiCompat.appendLogData(Seq((2L, "upd2")).toDF("id", "v"),
+      dir, "p=a", "fgA", "001", 1, "002")
+    HudiCompat.appendLogData(Seq((9L, "ins9")).toDF("id", "v"),
+      dir, "p=b", "fgB", "002", 1, "002")
+    HudiCompat.completeDeltaCommit(spark, dir, "002")
+    // 003: update id=3 and id=2 (2's winning row is now 003's)
+    HudiCompat.beginDeltaCommit(spark, dir, "003")
+    HudiCompat.appendLogData(Seq((3L, "upd3"), (2L, "upd2b")).toDF("id", "v"),
+      dir, "p=a", "fgA", "001", 2, "003")
+    HudiCompat.completeDeltaCommit(spark, dir, "003")
+    // since 002: exactly 003's touched keys, post-merge values
+    val got = HudiCompat.readMorIncremental(spark, dir, "002")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "upd2b", 3L -> "upd3"), s"got $got")
+    // since 001: 002's insert + updates too, each key once at its
+    // newest value
+    val got1 = HudiCompat.readMorIncremental(spark, dir, "001")
+      .as[(Long, String)].collect().toMap
+    assert(got1 == Map(2L -> "upd2b", 3L -> "upd3", 9L -> "ins9"), s"got $got1")
+    // since the head: nothing
+    assert(HudiCompat.readMorIncremental(spark, dir, "003").isEmpty)
+  }
+
   test("in-flight deltacommits stay invisible at block level; rollback voids its target") {
     val dir = mkTable()
     HudiCompat.beginCommit(spark, dir, "001")
