@@ -3509,6 +3509,139 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
       |FROM li WHERE k % 5 <> 3 GROUP BY m ORDER BY m""".stripMargin))
 
+  /** maintenance_delta_restore: ROLLBACK as a commit
+    * ([[graft.sources.DeltaCompat.restore]]) — the standard recovery
+    * op: restoring to an earlier version re-adds its files (deletion-
+    * vector descriptors included) and removes the newer ones, history
+    * intact, so the bad write stays inspectable while the table serves
+    * the good state. The gate deletes (DV), merges (rewrite), restores
+    * to the post-delete version, REQUIREs the rewritten state still
+    * time-travels, and value-gates the restored table — which must
+    * equal the post-delete state exactly. */
+  val maintenanceDeltaRestore: QueryDef = QueryDef(
+    "maintenance_delta_restore",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_restore")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 2).as("m"), col("q"))
+      def writePart(m: Int): String = {
+        val tmp = s"$dir/.tmp$m"
+        li.filter(col("m") === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = f"part-$m%05d.snappy.parquet"
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        name
+      }
+      val (p0, p1) = (writePart(0), writePart(1))
+      val out0 = fs.create(new org.apache.hadoop.fs.Path(
+        f"$dir/_delta_log/${0L}%020d.json"), true)
+      try out0.write((Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t-res","format":{"provider":"parquet"}}}""",
+        s"""{"add":{"path":"$p0","dataChange":true}}""",
+        s"""{"add":{"path":"$p1","dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out0.close()
+      // v1: DV delete; v2: a bad merge that zeroes a slice
+      require(graft.sources.DeltaCompat
+        .deleteWhere(s, dir, col("k") % 5L === 3L) == 1L)
+      val bad = li.filter(col("k") % 4 === 1).withColumn("q", lit(0L))
+      require(graft.sources.DeltaCompat.mergeInto(s, dir, bad, Seq("k")) == 2L)
+      // restore to v1: the zeroed slice recovers, the delete stays
+      require(graft.sources.DeltaCompat.restore(s, dir, 1L) == 3L)
+      // the bad state remains inspectable
+      require(graft.sources.DeltaCompat.readDeltaTable(s, dir, asOf = Some(2L))
+        .filter(col("q") === 0L).count() > 0,
+        "the bad merge's state must still time-travel")
+      graft.sources.DeltaCompat.readDeltaTable(s, dir)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("m")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey AS k, l_orderkey % 2 AS m,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+      |FROM li WHERE k % 5 <> 3 GROUP BY m ORDER BY m""".stripMargin))
+
+  /** maintenance_iceberg_expire: SNAPSHOT EXPIRY
+    * ([[graft.sources.IcebergCompat.expireSnapshots]]) — the Iceberg
+    * maintenance op bounding history: the metadata file is rewritten
+    * without the expired snapshots and every manifest list, manifest,
+    * and data file referenced ONLY by them is reclaimed, positive-list
+    * so co-resident files outside Iceberg's knowledge survive. The
+    * gate overwrites one file group across two snapshots, expires the
+    * first, REQUIREs the replaced file + its metadata chain are gone
+    * while the shared file stays, and value-gates the current
+    * snapshot. */
+  val maintenanceIcebergExpire: QueryDef = QueryDef(
+    "maintenance_iceberg_expire",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "iceberg_expire")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"))
+      def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+        val tmp = s"$dir/.tmp-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        df.count()
+      }
+      val ic = graft.sources.IcebergCompat
+      val na = writeFile("a.parquet", orders.filter(col("o_orderkey") % 2 === 0))
+      val nb = writeFile("b.parquet", orders.filter(col("o_orderkey") % 2 === 1))
+      // a2 rewrites a with bumped prices (snapshot 102 overwrites)
+      val na2 = writeFile("a2.parquet", orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("price_cents", col("price_cents") + 1L))
+      val m1 = ic.writeManifest(s, dir, "m1.avro",
+        Seq((1, "data/a.parquet", na), (1, "data/b.parquet", nb)))
+      val ml1 = ic.writeManifestList(s, dir, "ml1.avro", Seq(m1))
+      val m2 = ic.writeManifest(s, dir, "m2.avro",
+        Seq((2, "data/a.parquet", na), (0, "data/b.parquet", nb),
+          (1, "data/a2.parquet", na2)))
+      val ml2 = ic.writeManifestList(s, dir, "ml2.avro", Seq(m2))
+      ic.writeMetadata(s, dir, 2, Seq((101L, ml1), (102L, ml2)))
+      val gone = ic.expireSnapshots(s, dir, Seq(102L))
+      require(gone.exists(_.endsWith("data/a.parquet")) &&
+        gone.exists(_.endsWith("m1.avro")) && gone.exists(_.endsWith("ml1.avro")),
+        s"the replaced file and its metadata chain must be reclaimed, got $gone")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/a.parquet")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/b.parquet")),
+        "only the expired-only file may vanish")
+      val expiredRefuses =
+        try { ic.readIcebergTable(s, dir, snapshotId = Some(101L)).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      require(expiredRefuses, "the expired snapshot id must refuse, not mis-read")
+      ic.readIcebergTable(s, dir)
+        .groupBy((col("o_custkey") % 10).as("kg"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("kg")
+    },
+    Some("""WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS price_cents
+      |  FROM orders)
+      |SELECT o_custkey % 10 AS kg, count(*) AS n,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+      |FROM o GROUP BY 1 ORDER BY kg""".stripMargin))
+
   /** ingest_hudi_mor: MERGE-ON-READ — the default Hudi table type for
     * streaming ingest, where updates append Avro log blocks instead of
     * rewriting parquet ([[graft.sources.HudiCompat.readMorSnapshot]],
@@ -4321,7 +4454,7 @@ object SurveyQueries {
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
     ingestDeltaDv, ingestDeltaColumnMapping, ingestDeltaCdf,
     maintenanceDeltaDvDelete, maintenanceDeltaMerge, maintenanceDeltaDvCompact,
-    maintenanceDeltaVacuum,
+    maintenanceDeltaVacuum, maintenanceDeltaRestore, maintenanceIcebergExpire,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
     ingestHudiIncremental, ingestHudiMor, ingestHudiMorIncremental,

@@ -789,6 +789,50 @@ object DeltaCompat {
     next
   }
 
+  /** RESTORE the table to `toVersion`, as a NEW commit — the standard
+    * rollback op: files live at the target version but not now are
+    * re-added (carrying the target's deletion-vector descriptors),
+    * files live now but not then are removed, and a file whose DV
+    * changed is re-added with the target's mask (last add wins).
+    * History stays intact — restore IS a commit, so time travel across
+    * it keeps working and a second restore can undo the first. Target
+    * files must still exist (a vacuumed target refuses by name).
+    * Returns the committed version. The commit carries no cdc: a
+    * restore's row-level delta is derivable only by diffing states —
+    * change-feed windows spanning it refuse when DVs are involved,
+    * exactly like any other DV commit without cdc. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, latest) = rawLog(spark, dir)
+    require(toVersion >= 0L && toVersion < latest,
+      s"restore target $toVersion must be an earlier version than the " +
+        s"head $latest")
+    val target = liveFilesWithDv(spark, dir, Some(toVersion))
+    val current = liveFilesWithDv(spark, dir).toMap
+    target.foreach { case (p, _) =>
+      require(fs.exists(new Path(p)),
+        s"target file $p is vacuumed — version $toVersion cannot be restored")
+    }
+    val targetPaths = target.map(_._1).toSet
+    val removes = current.keys.filterNot(targetPaths.contains).toSeq.sorted
+      .map(p => s"""{"remove":{"path":"${relativeEnc(fs, dir, p)}","dataChange":true}}""")
+    val adds = target.filter { case (p, dv) =>
+      !current.contains(p) || current(p) != dv
+    }.map { case (p, dv) =>
+      val dvJson = dv.map(d =>
+        s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"${d.offset.map(o => s""","offset":$o""").getOrElse("")},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+        .getOrElse("")
+      s"""{"add":{"path":"${relativeEnc(fs, dir, p)}","dataChange":true$dvJson}}"""
+    }
+    require(removes.nonEmpty || adds.nonEmpty,
+      s"table is already at version $toVersion's state — nothing to restore")
+    val next = latest + 1
+    val out = fs.create(new Path(f"$dir/_delta_log/$next%020d.json"), false)
+    try out.write(((removes ++ adds).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
   /** VACUUM: physically delete every data file, deletion-vector
     * sidecar, and `_change_data/` file that no version in
     * `[keepFrom, latest]` references — the disk-reclaim twin of the

@@ -384,6 +384,75 @@ object IcebergCompat {
     spark.read.parquet(files: _*)
   }
 
+  /** EXPIRE SNAPSHOTS — the Iceberg maintenance op that bounds
+    * time-travel history and reclaims disk: the metadata file is
+    * rewritten keeping only `keep` snapshot ids (the CURRENT snapshot
+    * must be kept), and every manifest list, manifest, and content
+    * file referenced ONLY by expired snapshots is physically deleted.
+    * Deletion is positive-list — the union of expired footprints minus
+    * the union of kept footprints — so files outside the Iceberg
+    * metadata's knowledge (e.g. a co-resident native snapshot chain in
+    * a dual-format export root) are never touched. Expired ids stop
+    * resolving (time travel to them refuses by id). Returns the
+    * deleted absolute paths, sorted. */
+  def expireSnapshots(spark: SparkSession, dir: String,
+      keep: Seq[Long]): Seq[String] = {
+    val fs = fsFor(spark, dir)
+    val mf = currentMetadataFile(spark, dir)
+    require(fs.exists(mf), s"metadata file missing: $mf")
+    val in = fs.open(mf)
+    val root = try mapper.readTree(in.readAllBytes()) finally in.close()
+    val current = root.path("current-snapshot-id").asLong(-1L)
+    require(keep.contains(current),
+      s"the current snapshot $current must be kept")
+    val snaps = root.path("snapshots")
+    require(snaps.isArray, s"no snapshots array in $mf")
+    val all = (0 until snaps.size).map(i =>
+      snaps.get(i).path("snapshot-id").asLong(-1L))
+    val unknown = keep.filterNot(all.contains)
+    require(unknown.isEmpty,
+      s"kept snapshot ids ${unknown.mkString(", ")} do not exist at $dir")
+    val expired = all.filterNot(keep.contains)
+    if (expired.isEmpty) return Nil
+    // a snapshot's footprint: its manifest list, manifests, and every
+    // content file (data, delete, puffin) — all absolute paths
+    def footprint(id: Long): Set[String] = {
+      val snap = snaps.elements().asScala
+        .find(_.path("snapshot-id").asLong(-2L) == id).get
+      val ml = snap.path("manifest-list").asText("")
+      require(ml.nonEmpty, s"snapshot $id has no manifest-list")
+      val mlPath = resolve(dir, ml).toUri.getPath
+      val manifests = readAvro(spark, new Path(mlPath)).map { me =>
+        resolve(dir, field(me, "manifest_path").map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            "manifest-list entry has no manifest_path"))).toUri.getPath
+      }
+      // content files including ones their manifests mark DELETED —
+      // the footprint is what the snapshot's metadata POINTS AT; an
+      // earlier-kept snapshot protecting a file keeps it via its own
+      // footprint
+      val contents = resolveSnapshot(spark, dir, Some(id)).map(_.path)
+      Set(mlPath) ++ manifests ++ contents
+    }
+    val keptFp = keep.map(footprint).foldLeft(Set.empty[String])(_ ++ _)
+    val victims = expired.map(footprint).foldLeft(Set.empty[String])(_ ++ _)
+      .diff(keptFp).toSeq.sorted
+    // rewrite the metadata FIRST (readers stop resolving expired ids
+    // before their files vanish), then reclaim
+    val keptJson = snaps.elements().asScala
+      .filter(s => keep.contains(s.path("snapshot-id").asLong(-2L)))
+      .map(_.toString).mkString("[", ",", "]")
+    val obj = root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    obj.set("snapshots", mapper.readTree(keptJson))
+    val version = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt + 1
+    val out = fs.create(new Path(s"$dir/metadata/v$version.metadata.json"), false)
+    try out.write(mapper.writeValueAsBytes(obj)) finally out.close()
+    val hint = fs.create(new Path(s"$dir/metadata/version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    victims.foreach(p => fs.delete(new Path(p), false))
+    victims
+  }
+
   // ---- fixture/export writers (minimal spec-shaped Avro + JSON) ----
 
   /** One fixture manifest row: `status` 1 ADDED / 0 EXISTING /

@@ -420,6 +420,41 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(e.getMessage.contains("version range"))
   }
 
+  test("restore rolls back as a new commit; history stays; vacuumed target refuses") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    writeCommit(dir, fs, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    assert(DeltaCompat.deleteWhere(spark, dir, col("id") < 2L) == 1L) // v1: DV
+    assert(DeltaCompat.mergeInto(spark, dir,
+      Seq((5L, "V5")).toDF("id", "v"), Seq("id")) == 2L) // v2: rewrite
+    // restore to v1: the DV'd original comes back, the rewrite drops
+    assert(DeltaCompat.restore(spark, dir, 1L) == 3L)
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == (2L until 6L).map(i => (i, s"v$i")).toSet,
+      s"restored state must equal v1 (DV mask included), got $got")
+    // history intact: the rewritten v2 state still time-travels
+    assert(DeltaCompat.readDeltaTable(spark, dir, asOf = Some(2L))
+      .as[(Long, String)].collect().toMap.apply(5L) == "V5")
+    // restore to v0 undoes the delete too
+    assert(DeltaCompat.restore(spark, dir, 0L) == 4L)
+    assert(DeltaCompat.readDeltaTable(spark, dir).count() == 6)
+    // an already-current target refuses
+    val e0 = intercept[IllegalArgumentException] {
+      DeltaCompat.restore(spark, dir, 0L)
+    }
+    assert(e0.getMessage.contains("nothing to restore"))
+    // a vacuumed target refuses by name
+    assert(DeltaCompat.restore(spark, dir, 2L) == 5L)
+    DeltaCompat.vacuum(spark, dir, 5L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.restore(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("addedBetween refuses windows that attach deletion vectors") {
     val (dir, fs) = mkTable()
     writePart(dir, fs, "a.parquet", Seq((1L, "x")).toDF("id", "v"))

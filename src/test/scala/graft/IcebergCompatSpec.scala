@@ -184,6 +184,50 @@ class IcebergCompatSpec extends SparkSpec {
     assert(e3.getMessage.contains("equality field id"))
   }
 
+  test("expireSnapshots deletes only expired-only footprint; current must be kept") {
+    val dir = mkTable()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val na = writeData(dir, "a.parquet", Seq((1L, "a")))
+    val nb = writeData(dir, "b.parquet", Seq((2L, "b")))
+    val nc = writeData(dir, "c.parquet", Seq((3L, "c")))
+    // snap 101: a+b; snap 102 (overwrite): a DELETED, b EXISTING, c ADDED
+    val m1 = IcebergCompat.writeManifest(spark, dir, "m1.avro",
+      Seq((1, "data/a.parquet", na), (1, "data/b.parquet", nb)))
+    val ml1 = IcebergCompat.writeManifestList(spark, dir, "ml1.avro", Seq(m1))
+    val m2 = IcebergCompat.writeManifest(spark, dir, "m2.avro",
+      Seq((2, "data/a.parquet", na), (0, "data/b.parquet", nb),
+        (1, "data/c.parquet", nc)))
+    val ml2 = IcebergCompat.writeManifestList(spark, dir, "ml2.avro", Seq(m2))
+    IcebergCompat.writeMetadata(spark, dir, 2, Seq((101L, ml1), (102L, ml2)))
+    // expiring the current snapshot refuses
+    val e = intercept[IllegalArgumentException] {
+      IcebergCompat.expireSnapshots(spark, dir, Seq(101L))
+    }
+    assert(e.getMessage.contains("current"))
+    // unknown kept ids refuse
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergCompat.expireSnapshots(spark, dir, Seq(102L, 999L))
+    }
+    assert(e2.getMessage.contains("do not exist"))
+    val gone = IcebergCompat.expireSnapshots(spark, dir, Seq(102L))
+    // a.parquet is referenced ONLY by 101 (102 lists it DELETED, which
+    // is not a reference); b/c stay — shared or current-only
+    assert(gone.exists(_.endsWith("data/a.parquet")), s"got $gone")
+    assert(gone.exists(_.endsWith("ml1.avro")) && gone.exists(_.endsWith("m1.avro")),
+      s"expired metadata chain must go, got $gone")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/a.parquet")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/b.parquet")))
+    // the current snapshot still reads; the expired id refuses
+    assert(IcebergCompat.readIcebergTable(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      IcebergCompat.readIcebergTable(spark, dir, snapshotId = Some(101L)).count()
+    }
+    // idempotent: nothing left to expire
+    assert(IcebergCompat.expireSnapshots(spark, dir, Seq(102L)).isEmpty)
+  }
+
   test("puffin DV blobs round-trip: footer listing, CRC, corrupt refusal") {
     val dir = mkTable()
     val fs = new org.apache.hadoop.fs.Path(dir)
