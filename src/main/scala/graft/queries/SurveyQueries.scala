@@ -3783,6 +3783,51 @@ object SurveyQueries {
       |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) + 1) AS BIGINT) AS sum_qty
       |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin))
 
+  /** maintenance_hudi_clean: the Hudi CLEANER
+    * ([[graft.sources.HudiCompat.clean]]) — completes the disk-reclaim
+    * triad (Delta vacuum / Iceberg expire / Hudi clean): per file
+    * group, slices older than the one serving the retention instant
+    * are reclaimed, base files and attached logs together, while every
+    * query at or after the retention keeps its answer. The gate
+    * rewrites one group, cleans at the rewrite instant, REQUIREs the
+    * superseded slice is gone and the untouched group intact, and
+    * value-gates the post-clean table. */
+  val maintenanceHudiClean: QueryDef = QueryDef(
+    "maintenance_hudi_clean",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "hudi_clean")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"))
+      val h = graft.sources.HudiCompat
+      h.beginCommit(s, dir, "001")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 0), dir, "m=0", "fgA", "001")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 1), dir, "m=1", "fgB", "001")
+      h.completeCommit(s, dir, "001")
+      h.beginCommit(s, dir, "002")
+      h.writeBaseFile(li.filter(col("l_orderkey") % 2 === 0)
+        .withColumn("qty_cents", col("qty_cents") + 1), dir, "m=0", "fgA", "002")
+      h.completeCommit(s, dir, "002")
+      val before = h.readHoodieTable(s, dir).count()
+      val gone = graft.sources.HudiCompat.clean(s, dir, "002")
+      require(gone.size == 1 && gone.head.endsWith("fgA_0-0-0_001.parquet"),
+        s"exactly the superseded fgA slice must be reclaimed, got $gone")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/m=0/fgA_0-0-0_001.parquet")), "reclaimed slice must be gone")
+      require(h.readHoodieTable(s, dir).count() == before,
+        "the current snapshot must read identically after cleaning")
+      h.readHoodieTable(s, dir)
+        .groupBy((col("l_orderkey") % 2).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty"))
+        .orderBy("m")
+    },
+    Some("""SELECT l_orderkey % 2 AS m, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+      |    + CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin))
+
   /** pipeline_foreign_sync: the MIGRATION-BRIDGE composition the
     * interop readers exist for — keep a native [[graft.sources
     * .SnapshotTable]] continuously in sync with a foreign Delta table
@@ -4458,6 +4503,7 @@ object SurveyQueries {
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
     ingestHudiIncremental, ingestHudiMor, ingestHudiMorIncremental,
+    maintenanceHudiClean,
     pipelineForeignSync,
     ingestIceberg, ingestIcebergIncremental, ingestIcebergV2Deletes,
     ingestIcebergV3Dv,

@@ -373,6 +373,60 @@ object HudiCompat {
     spark.read.parquet(files: _*)
   }
 
+  /** CLEAN (the Hudi cleaner, keep-slices-serving-`keepInstant`
+    * policy) — the disk-reclaim leg completing the maintenance triad
+    * with [[graft.sources.DeltaCompat.vacuum]] and
+    * [[graft.sources.IcebergCompat.expireSnapshots]]: per file group,
+    * every slice OLDER than the one serving `keepInstant` is reclaimed
+    * — its base file plus, for merge-on-read, the log files attached
+    * to its base instant. Slices newer than `keepInstant` and the one
+    * serving it stay, so every query as-of `keepInstant` or later
+    * keeps working; older time travel hits the standard Hudi retention
+    * caveat (the slice is gone). In-flight writers' files are not
+    * touched (only completed instants participate). Returns the
+    * deleted absolute paths, sorted. */
+  def clean(spark: SparkSession, dir: String,
+      keepInstant: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val completed = completedInstants(spark, dir).toSet
+    require(completed.nonEmpty, s"no completed instants at $dir")
+    val root = fs.makeQualified(new Path(dir)).toUri.getPath
+    val bases = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+    val logs = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) { if (name != ".hoodie") walk(st.getPath) }
+      else {
+        val partition = st.getPath.getParent.toUri.getPath
+          .stripPrefix(root).stripPrefix("/")
+        name match {
+          case BaseFile(fileId, _, instant) =>
+            if (completed.contains(instant))
+              bases += ((partition, fileId, instant, st.getPath.toUri.getPath))
+          case LogFile(fileId, baseInstant, _, _) =>
+            logs += ((partition, fileId, baseInstant, st.getPath.toUri.getPath))
+          case _ => // metadata sidecars / foreign files
+        }
+      }
+    }
+    walk(new Path(dir))
+    val victims = scala.collection.mutable.ArrayBuffer.empty[String]
+    bases.groupBy(b => (b._1, b._2)).foreach { case ((part, fid), gBases) =>
+      val serving = gBases.filter(_._3 <= keepInstant)
+        .sortBy(_._3).lastOption.map(_._3)
+      val keep = gBases.map(_._3).filter(_ > keepInstant).toSet ++ serving
+      gBases.filterNot(b => keep.contains(b._3)).foreach { b =>
+        victims += b._4
+        // MOR: log files attached to the reclaimed slice's base instant
+        logs.filter(l => l._1 == part && l._2 == fid && l._3 == b._3)
+          .foreach(victims += _._4)
+      }
+    }
+    val out = victims.toSeq.sorted
+    out.foreach(p => fs.delete(new Path(p), false))
+    out
+  }
+
   /** Test/export fixture support: write one base file for `fileId` at
     * `instant` under `partition`, plus (optionally) the completed
     * commit marker. Writers in-flight simply skip [[completeCommit]] —

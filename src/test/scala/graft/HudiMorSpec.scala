@@ -162,6 +162,41 @@ class HudiMorSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap.apply(1L) == "v3")
   }
 
+  test("clean reclaims pre-retention slices with their logs; serving slices stay") {
+    val dir = mkTable()
+    // fgA: base 001 (+log at 002), rewritten by compaction-style base 003
+    HudiCompat.beginCommit(spark, dir, "001")
+    HudiCompat.writeBaseFile(
+      (1L to 3L).map(i => (i, s"b$i")).toDF("id", "v"), dir, "p=a", "fgA", "001")
+    HudiCompat.completeCommit(spark, dir, "001")
+    HudiCompat.beginDeltaCommit(spark, dir, "002")
+    HudiCompat.appendLogData(Seq((2L, "upd2")).toDF("id", "v"),
+      dir, "p=a", "fgA", "001", 1, "002")
+    HudiCompat.completeDeltaCommit(spark, dir, "002")
+    HudiCompat.beginCommit(spark, dir, "003")
+    HudiCompat.writeBaseFile(
+      Seq((1L, "b1"), (2L, "upd2"), (3L, "b3")).toDF("id", "v"),
+      dir, "p=a", "fgA", "003")
+    HudiCompat.completeCommit(spark, dir, "003")
+    // fgB: single slice at 001 — serving, must survive any keepInstant
+    HudiCompat.beginCommit(spark, dir, "004")
+    HudiCompat.writeBaseFile(Seq((9L, "b9")).toDF("id", "v"),
+      dir, "p=b", "fgB", "004")
+    HudiCompat.completeCommit(spark, dir, "004")
+    val before = HudiCompat.readHoodieTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    val gone = HudiCompat.clean(spark, dir, "003")
+    assert(gone.exists(_.endsWith("fgA_0-0-0_001.parquet")), s"got $gone")
+    assert(gone.exists(_.contains(".fgA_001.log")),
+      s"the reclaimed slice's logs must go with it, got $gone")
+    assert(gone.size == 2, s"only the superseded slice may go, got $gone")
+    // the table reads identically after cleaning
+    assert(HudiCompat.readHoodieTable(spark, dir)
+      .as[(Long, String)].collect().toSet == before)
+    // nothing further to clean
+    assert(HudiCompat.clean(spark, dir, "004").isEmpty)
+  }
+
   test("delete blocks and composite record keys refuse loudly") {
     val dir = mkTable()
     HudiCompat.beginDeltaCommit(spark, dir, "001")
