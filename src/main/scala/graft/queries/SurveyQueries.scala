@@ -3288,6 +3288,50 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
       |FROM li WHERE k % 10 NOT IN (3, 7) GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_delta_partitioned: PARTITIONED Delta tables — the common
+    * real-table shape, whose data files do NOT carry the partition
+    * columns ([[graft.sources.DeltaCompat.createDeltaTable]] writes the
+    * hive layout + `partitionValues`; `readDeltaTable` restores the
+    * columns with declared types and, at bounded partition counts,
+    * reads one LITERAL-bearing branch per partition so Catalyst
+    * constant-folds partition filters into real pruning — REQUIREd:
+    * the filtered plan holds exactly one live scan). Oracle: DuckDB
+    * recomputes the filtered aggregate from lineitem. */
+  val ingestDeltaPartitioned: QueryDef = QueryDef(
+    "ingest_delta_partitioned",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "delta_part")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+        .select(col("k"), (col("k") % 4).cast("int").as("m"), col("q"))
+      require(graft.sources.DeltaCompat
+        .createDeltaTable(li.repartition(2), dir, Seq("m")) == 0L)
+      val table = graft.sources.DeltaCompat.readDeltaTable(s, dir)
+      require(table.schema("m").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "the partition column must come back with its declared type")
+      val filtered = table.filter(col("m") === 2)
+      val scans = filtered.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      require(scans.size == 1,
+        s"a partition filter must prune to ONE scan branch, got ${scans.size}")
+      filtered
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+          min(col("k")).as("min_k"))
+    },
+    Some("""WITH li AS (
+      |  SELECT l_orderkey AS k, l_orderkey % 4 AS m,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+      |  min(k) AS min_k
+      |FROM li WHERE m = 2""".stripMargin))
+
   /** maintenance_delta_merge: MERGE (upsert) INTO, copy-on-write
     * ([[graft.sources.DeltaCompat.mergeInto]]) — the lakehouse write
     * primitive: source rows replace same-key rows or insert, only
@@ -4498,6 +4542,7 @@ object SurveyQueries {
   val all: Seq[QueryDef] = Seq(
     maintenanceSummaryRewrite, ingestDeltaLog, ingestDeltaLogCheckpointed,
     ingestDeltaDv, ingestDeltaColumnMapping, ingestDeltaCdf,
+    ingestDeltaPartitioned,
     maintenanceDeltaDvDelete, maintenanceDeltaMerge, maintenanceDeltaDvCompact,
     maintenanceDeltaVacuum, maintenanceDeltaRestore, maintenanceIcebergExpire,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -113,15 +115,27 @@ object DeltaCompat {
     def dv(field: String, tpe: String): org.apache.spark.sql.Column =
       (if (hasPath(df, Seq("add", "deletionVector", field)))
         col(s"add.deletionVector.$field") else lit(null)).cast(tpe).as(s"dv_$field")
+    // partitionValues rides as canonical JSON: the log slice parses it
+    // as a struct (JSON commits) or a map (checkpoint parquet) — both
+    // normalize through to_json, so reconciliation is shape-agnostic
+    val pv =
+      (if (hasPath(df, Seq("add", "partitionValues")))
+        // ignoreNullFields=false: a NULL partition value is a real
+        // value (the protocol's null partition) and must survive the
+        // JSON normalization, not be dropped from the object
+        to_json(col("add.partitionValues"),
+          Map("ignoreNullFields" -> "false").asJava)
+      else lit(null).cast("string")).as("pv_json")
     df.select(col("commit"), pathOf("add").as("add_path"),
         pathOf("remove").as("rm_path"),
         dv("storageType", "string"), dv("pathOrInlineDv", "string"),
-        dv("offset", "int"), dv("sizeInBytes", "int"), dv("cardinality", "long"))
+        dv("offset", "int"), dv("sizeInBytes", "int"), dv("cardinality", "long"),
+        pv)
       .select(col("commit"),
         coalesce(col("add_path"), col("rm_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
         col("dv_storageType"), col("dv_pathOrInlineDv"), col("dv_offset"),
-        col("dv_sizeInBytes"), col("dv_cardinality"))
+        col("dv_sizeInBytes"), col("dv_cardinality"), col("pv_json"))
       .filter(col("path").isNotNull)
   }
 
@@ -206,16 +220,19 @@ object DeltaCompat {
     val state = actions.groupBy(col("path"))
       .agg(max_by(struct(col("is_add"), col("dv_storageType"),
         col("dv_pathOrInlineDv"), col("dv_offset"), col("dv_sizeInBytes"),
-        col("dv_cardinality")), col("commit")).as("a"))
+        col("dv_cardinality"), col("pv_json")), col("commit")).as("a"))
       .select(col("path"), col("a.*"))
     (state, latest)
   }
 
-  /** The latest `metaData` action's (schemaString, columnMapping mode),
-    * when present anywhere in the log slice — the two fields the reader
-    * needs to resolve column mapping. */
-  private def latestTableMeta(raws: Seq[DataFrame]):
-      Option[(Option[String], String)] = {
+  /** The fields of the latest `metaData` action a reader needs:
+    * declared schema, column-mapping mode, partition columns. */
+  private final case class TableMeta(schemaString: Option[String],
+      cmMode: String, partitionCols: Seq[String])
+
+  /** The latest `metaData` action's reader-relevant fields, when
+    * present anywhere in the log slice. */
+  private def latestTableMeta(raws: Seq[DataFrame]): Option[TableMeta] = {
     // frames arrive oldest-first (checkpoint, then the JSON tail), and
     // within the JSON frame the commit column orders actions — the
     // overall latest metaData is the max-commit row of the LAST frame
@@ -231,12 +248,17 @@ object DeltaCompat {
           if (hasPath(df, Seq("metaData", "configuration", "delta.columnMapping.mode")))
             col("metaData.configuration.`delta.columnMapping.mode`")
           else lit(null).cast("string")
+        val partCols =
+          if (hasPath(df, Seq("metaData", "partitionColumns")))
+            col("metaData.partitionColumns")
+          else lit(null).cast("array<string>")
         df.filter(col("metaData").isNotNull)
           .orderBy(col("commit").desc).limit(1)
-          .select(schemaStr, mode)
+          .select(schemaStr, mode, partCols)
           .collect().iterator
-          .map(r => (Option(r.getString(0)),
-            Option(r.getString(1)).getOrElse("none")))
+          .map(r => TableMeta(Option(r.getString(0)),
+            Option(r.getString(1)).getOrElse("none"),
+            if (r.isNullAt(2)) Nil else r.getSeq[String](2).toSeq))
       }
     }.nextOption()
   }
@@ -262,18 +284,47 @@ object DeltaCompat {
   def liveFilesWithDv(spark: SparkSession, dir: String,
       asOf: Option[Long] = None):
       Seq[(String, Option[DeletionVectors.Descriptor])] =
+    liveFilesFull(spark, dir, asOf).map(f => (f.path, f.dv))
+
+  /** One live data file of the reconciled state: absolute path, its
+    * deletion-vector descriptor (None = all rows live), and its
+    * partition values (raw strings keyed by partition column; empty on
+    * an unpartitioned table). */
+  final case class LiveFile(path: String,
+      dv: Option[DeletionVectors.Descriptor],
+      partitionValues: Map[String, Option[String]])
+
+  /** The live files with descriptors AND partition values — the full
+    * per-file state [[readDeltaTable]], [[restore]], and the
+    * partition-aware read path consume. */
+  def liveFilesFull(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): Seq[LiveFile] =
     resolvedState(spark, dir, asOf)._1
       .filter(col("is_add"))
       .select(col("path"), col("dv_storageType"), col("dv_pathOrInlineDv"),
-        col("dv_offset"), col("dv_sizeInBytes"), col("dv_cardinality"))
+        col("dv_offset"), col("dv_sizeInBytes"), col("dv_cardinality"),
+        col("pv_json"))
       .collect().map { r =>
         val dv =
           if (r.isNullAt(1)) None
           else Some(DeletionVectors.Descriptor(r.getString(1), r.getString(2),
             if (r.isNullAt(3)) None else Some(r.getInt(3)),
             r.getInt(4), r.getLong(5)))
-        (decodePath(dir, r.getString(0)), dv)
-      }.toSeq.sortBy(_._1)
+        LiveFile(decodePath(dir, r.getString(0)), dv,
+          if (r.isNullAt(6)) Map.empty else parsePv(r.getString(6)))
+      }.toSeq.sortBy(_.path)
+
+  private val pvMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse a partitionValues JSON object into (col -> Option(value));
+    * JSON null = a null partition value, per the protocol. */
+  private def parsePv(json: String): Map[String, Option[String]] = {
+    val node = pvMapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    node.properties().asScala.map { e =>
+      e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+    }.toMap
+  }
 
   /** The live data-file PATHS — for callers that read files directly
     * and so can neither mask deleted rows nor resolve physical column
@@ -288,11 +339,15 @@ object DeltaCompat {
       s"Delta table at $dir carries live deletion vectors on " +
         s"${dvd.size} file(s) — the path-only API would resurrect " +
         "deleted rows; use readDeltaTable, which applies them")
-    latestTableMeta(rawLog(spark, dir, asOf)._1).foreach { case (_, mode) =>
-      require(mode == "none",
-        s"Delta table at $dir uses column mapping (mode=$mode) — raw " +
-          "file paths carry physical column names; use readDeltaTable, " +
-          "which resolves them")
+    latestTableMeta(rawLog(spark, dir, asOf)._1).foreach { m =>
+      require(m.cmMode == "none",
+        s"Delta table at $dir uses column mapping (mode=${m.cmMode}) — " +
+          "raw file paths carry physical column names; use " +
+          "readDeltaTable, which resolves them")
+      require(m.partitionCols.isEmpty,
+        s"Delta table at $dir is partitioned on " +
+          s"(${m.partitionCols.mkString(", ")}) — raw files do not carry " +
+          "the partition columns; use readDeltaTable, which restores them")
     }
     withDv.map(_._1)
   }
@@ -315,15 +370,25 @@ object DeltaCompat {
     val (state, _) = resolvedState(spark, dir)
     val tmp = new Path(s"$dir/_delta_log/.cp-tmp")
     val hasDv = !state.filter(col("dv_storageType").isNotNull).isEmpty
+    val hasPv = !state.filter(col("pv_json").isNotNull).isEmpty
+    // partitionValues re-materialize as a MAP in the checkpoint (the
+    // protocol's checkpoint schema) — actionsOf normalizes both shapes
+    // back through to_json on read
+    val baseFields = Seq(col("path"), lit(true).as("dataChange")) ++
+      (if (hasPv) Seq(from_json(col("pv_json"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("partitionValues"))
+      else Nil)
     val addStruct =
-      if (hasDv) struct(col("path"), lit(true).as("dataChange"),
+      if (hasDv) struct(baseFields :+
         when(col("dv_storageType").isNotNull, struct(
           col("dv_storageType").as("storageType"),
           col("dv_pathOrInlineDv").as("pathOrInlineDv"),
           col("dv_offset").as("offset"),
           col("dv_sizeInBytes").as("sizeInBytes"),
-          col("dv_cardinality").as("cardinality"))).as("deletionVector"))
-      else struct(col("path"), lit(true).as("dataChange"))
+          col("dv_cardinality").as("cardinality"))).as("deletionVector"): _*)
+      else struct(baseFields: _*)
     var rows = state.select(
       when(col("is_add"), addStruct).as("add"),
       when(not(col("is_add")),
@@ -546,9 +611,11 @@ object DeltaCompat {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (raws, v) = rawLog(spark, dir)
     require(v >= 0L, s"no commits at $dir")
-    require(latestTableMeta(raws).forall(_._2 == "none"),
-      "deleteWhere on a column-mapped table is out of scope (the " +
-        "predicate would need physical-name resolution)")
+    require(latestTableMeta(raws).forall(m =>
+        m.cmMode == "none" && m.partitionCols.isEmpty),
+      "deleteWhere on a column-mapped or partitioned table is out of " +
+        "scope (the predicate would need physical-name / partition-" +
+        "column resolution)")
     val withDv = liveFilesWithDv(spark, dir)
     // discovery runs over LIVE rows only — existing masks applied, so
     // an already-deleted row can neither re-match nor re-enter the
@@ -673,9 +740,11 @@ object DeltaCompat {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (raws, v) = rawLog(spark, dir)
     require(v >= 0L, s"no commits at $dir")
-    require(latestTableMeta(raws).forall(_._2 == "none"),
-      "mergeInto on a column-mapped table is out of scope (source " +
-        "columns would need physical-name resolution)")
+    require(latestTableMeta(raws).forall(m =>
+        m.cmMode == "none" && m.partitionCols.isEmpty),
+      "mergeInto on a column-mapped or partitioned table is out of " +
+        "scope (source columns would need physical-name / partition-" +
+        "layout resolution)")
     val withDv = liveFilesWithDv(spark, dir)
     require(!source.isEmpty, "empty merge source — nothing to do")
     require(source.groupBy(keyCols.map(c => col(s"`$c`")): _*)
@@ -754,8 +823,10 @@ object DeltaCompat {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (raws, v) = rawLog(spark, dir)
     require(v >= 0L, s"no commits at $dir")
-    require(latestTableMeta(raws).forall(_._2 == "none"),
-      "materializeDeletes on a column-mapped table is out of scope")
+    require(latestTableMeta(raws).forall(m =>
+        m.cmMode == "none" && m.partitionCols.isEmpty),
+      "materializeDeletes on a column-mapped or partitioned table is " +
+        "out of scope")
     val withDv = liveFilesWithDv(spark, dir)
     val dvd = withDv.collect { case (p, Some(d)) => (p, d) }
     if (dvd.isEmpty) return v
@@ -807,22 +878,34 @@ object DeltaCompat {
     require(toVersion >= 0L && toVersion < latest,
       s"restore target $toVersion must be an earlier version than the " +
         s"head $latest")
-    val target = liveFilesWithDv(spark, dir, Some(toVersion))
-    val current = liveFilesWithDv(spark, dir).toMap
-    target.foreach { case (p, _) =>
-      require(fs.exists(new Path(p)),
-        s"target file $p is vacuumed — version $toVersion cannot be restored")
+    val target = liveFilesFull(spark, dir, Some(toVersion))
+    val current = liveFilesFull(spark, dir).map(f => f.path -> f).toMap
+    target.foreach { f =>
+      require(fs.exists(new Path(f.path)),
+        s"target file ${f.path} is vacuumed — version $toVersion cannot " +
+          "be restored")
     }
-    val targetPaths = target.map(_._1).toSet
+    val targetPaths = target.map(_.path).toSet
     val removes = current.keys.filterNot(targetPaths.contains).toSeq.sorted
       .map(p => s"""{"remove":{"path":"${relativeEnc(fs, dir, p)}","dataChange":true}}""")
-    val adds = target.filter { case (p, dv) =>
-      !current.contains(p) || current(p) != dv
-    }.map { case (p, dv) =>
-      val dvJson = dv.map(d =>
+    val adds = target.filter { f =>
+      !current.contains(f.path) || current(f.path).dv != f.dv
+    }.map { f =>
+      val dvJson = f.dv.map(d =>
         s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"${d.offset.map(o => s""","offset":$o""").getOrElse("")},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
         .getOrElse("")
-      s"""{"add":{"path":"${relativeEnc(fs, dir, p)}","dataChange":true$dvJson}}"""
+      // a partitioned file's values ride the re-add, or the state loses
+      // them (last add wins)
+      val pvJson =
+        if (f.partitionValues.isEmpty) ""
+        else {
+          val entries = f.partitionValues.toSeq.sortBy(_._1).map { case (c, v) =>
+            s"${pvMapper.writeValueAsString(c)}:" +
+              v.map(pvMapper.writeValueAsString).getOrElse("null")
+          }
+          s""","partitionValues":{${entries.mkString(",")}}"""
+        }
+      s"""{"add":{"path":"${relativeEnc(fs, dir, f.path)}"$pvJson,"dataChange":true$dvJson}}"""
     }
     require(removes.nonEmpty || adds.nonEmpty,
       s"table is already at version $toVersion's state — nothing to restore")
@@ -899,15 +982,17 @@ object DeltaCompat {
   def readDeltaTable(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
     val (raws, _) = rawLog(spark, dir, asOf)
+    val meta = latestTableMeta(raws)
+    val partCols = meta.map(_.partitionCols).getOrElse(Nil)
+    if (partCols.nonEmpty) return readPartitioned(spark, dir, asOf, meta.get)
     val withDv = liveFilesWithDv(spark, dir, asOf)
     require(withDv.nonEmpty, s"Delta table at $dir has no live files" +
       asOf.map(v => s" at version $v").getOrElse(""))
-    val meta = latestTableMeta(raws)
     val declared: Option[org.apache.spark.sql.types.StructType] =
-      meta.flatMap(_._1).map(ss =>
+      meta.flatMap(_.schemaString).map(ss =>
         org.apache.spark.sql.types.DataType.fromJson(ss)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val cmMode = meta.map(_._2).getOrElse("none")
+    val cmMode = meta.map(_.cmMode).getOrElse("none")
     // under column mapping the files carry PHYSICAL names: read against
     // the physical twin of the declared schema (same types/nullability,
     // physicalName per field), then rename after the DV mask below
@@ -969,6 +1054,176 @@ object DeltaCompat {
       }
       df.select(renames.toSeq: _*)
     } else df
+  }
+
+  /** PARTITIONED-table read: real Delta tables usually partition, and
+    * their data files do NOT carry the partition columns — the values
+    * live in each add action's `partitionValues`, restored here from
+    * the declared schema's types. Two physical shapes:
+    *  - few distinct partition tuples (≤ 64): one scan branch per
+    *    tuple with the values as LITERAL columns, unioned — Catalyst
+    *    constant-folds filters on partition columns per branch, so a
+    *    pruned branch's scan never runs (real partition pruning);
+    *  - many tuples: ONE scan of all files plus a broadcast join from
+    *    `_metadata.file_path` to the values — no plan blow-up, no
+    *    per-branch pruning (callers wanting pruned scans at huge
+    *    partition counts filter the file list first).
+    * Deletion vectors compose (provenance extracted per branch before
+    * the union); column mapping + partitioning together refuse. */
+  private def readPartitioned(spark: SparkSession, dir: String,
+      asOf: Option[Long], meta: TableMeta): DataFrame = {
+    val partCols = meta.partitionCols
+    require(meta.cmMode == "none",
+      s"Delta table at $dir combines column mapping (mode=${meta.cmMode}) " +
+        "with partitioning — out of scope for this compat reader")
+    val logical = meta.schemaString.map(ss =>
+      org.apache.spark.sql.types.DataType.fromJson(ss)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"Delta table at $dir is partitioned but its metaData carries " +
+          "no schemaString — partition column types cannot be resolved"))
+    val missing = partCols.filterNot(logical.fieldNames.contains)
+    require(missing.isEmpty, s"partition columns ${missing.mkString(", ")} " +
+      s"not in the declared schema of $dir")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      logical.fields.filterNot(f => partCols.contains(f.name)))
+    val files = liveFilesFull(spark, dir, asOf)
+    require(files.nonEmpty, s"Delta table at $dir has no live files" +
+      asOf.map(v => s" at version $v").getOrElse(""))
+    files.foreach { f =>
+      val absent = partCols.filterNot(f.partitionValues.contains)
+      require(absent.isEmpty, s"add action for ${f.path} lacks partition " +
+        s"values for (${absent.mkString(", ")}) — malformed log")
+    }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvs = files.collect { case LiveFile(p, Some(d), _) => (p, d) }
+    def withProv(df: DataFrame): DataFrame =
+      if (dvs.isEmpty) df
+      else df.withColumn("__dv_f", col("_metadata.file_path"))
+        .withColumn("__dv_p", col("_metadata.row_index"))
+    def litFor(c: String, v: Option[String]): org.apache.spark.sql.Column = {
+      val f = logical(logical.fieldIndex(c))
+      v.map(s => lit(s).cast(f.dataType)).getOrElse(lit(null).cast(f.dataType))
+        .as(c)
+    }
+    val groups = files.groupBy(f => partCols.map(c => f.partitionValues(c)))
+    var df =
+      if (groups.size <= 64) {
+        groups.toSeq.sortBy(_._1.map(_.getOrElse("\u0000")).mkString("\u0001"))
+          .map { case (pv, gfs) =>
+            var b = withProv(
+              spark.read.schema(dataSchema).parquet(gfs.map(_.path): _*))
+            partCols.zip(pv).foreach { case (c, v) =>
+              b = b.withColumn(c, litFor(c, v))
+            }
+            b
+          }.reduce(_.unionByName(_))
+      } else {
+        val pvRows = files.map { f =>
+          org.apache.spark.sql.Row.fromSeq(
+            fs.makeQualified(new Path(f.path)).toString +:
+              partCols.map(c => f.partitionValues(c).orNull))
+        }
+        val pvSchema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__pv_f",
+            org.apache.spark.sql.types.StringType) +:
+            partCols.map(c => org.apache.spark.sql.types.StructField(
+              s"__pv_$c", org.apache.spark.sql.types.StringType)))
+        val pvDf = broadcast(spark.createDataFrame(
+          { val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+            pvRows.foreach(l.add); l }, pvSchema))
+        var b = withProv(spark.read.schema(dataSchema)
+          .parquet(files.map(_.path): _*))
+          .withColumn("__pv_f", col("_metadata.file_path"))
+          .join(pvDf, Seq("__pv_f"))
+        partCols.foreach { c =>
+          val f = logical(logical.fieldIndex(c))
+          b = b.withColumn(c, col(s"__pv_$c").cast(f.dataType))
+        }
+        b.drop("__pv_f" +: partCols.map(c => s"__pv_$c"): _*)
+      }
+    if (dvs.nonEmpty) {
+      val deleted: Seq[(String, Long)] = dvs.flatMap { case (p, d) =>
+        val qualified = fs.makeQualified(new Path(p)).toString
+        DeletionVectors.readDeleted(fs, dir, d).map(pos => (qualified, pos))
+      }
+      df = df.join(broadcast(spark.createDataFrame(deleted)
+          .toDF("__dv_file", "__dv_pos")),
+        col("__dv_f") === col("__dv_file") &&
+          col("__dv_p") === col("__dv_pos"), "left_anti")
+        .drop("__dv_f", "__dv_p")
+    }
+    df.select(logical.fieldNames.toSeq.map(c => col(s"`$c`")): _*)
+  }
+
+  /** CREATE a Delta table at `dir` from `df`, as commit 0 — the
+    * writer-side bootstrap: data lands as parquet (hive-layout when
+    * `partitionBy` is set), one `add` action per file carrying its
+    * `partitionValues`, and a metaData action with the FULL
+    * schemaString (partition columns included) and `partitionColumns`,
+    * exactly what [[readPartitioned]] needs to restore the values.
+    * Returns the committed version (0). */
+  def createDeltaTable(df: DataFrame, dir: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(s"$dir/_delta_log")),
+      s"$dir already has a _delta_log — createDeltaTable bootstraps new " +
+        "tables only")
+    val missing = partitionBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition columns ${missing.mkString(", ")} not in the DataFrame")
+    val tmp = s"$dir/.tmp-create"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp)
+    // move data files into the table root, hive dirs preserved
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tmpRoot = fs.makeQualified(new Path(tmp)).toUri.getPath
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(tmpRoot).stripPrefix("/")
+        val dst = new Path(s"$dir/$rel")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(st.getPath, dst), s"rename failed: ${st.getPath}")
+        moved += rel
+      }
+    }
+    walk(new Path(tmp))
+    fs.delete(new Path(tmp), true)
+    require(moved.nonEmpty, "createDeltaTable wrote no parquet files")
+    def pvOf(rel: String): Seq[(String, Option[String])] =
+      rel.split('/').dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"unexpected non-hive path segment '$seg' in $rel")
+        val c = seg.substring(0, i)
+        val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        c -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+      }
+    val adds = moved.sorted.map { rel =>
+      val enc = new java.net.URI(null, null, rel, null).getRawPath
+      val pvJson =
+        if (partitionBy.isEmpty) ""
+        else {
+          val entries = pvOf(rel).map { case (c, v) =>
+            s"${pvMapper.writeValueAsString(c)}:" +
+              v.map(pvMapper.writeValueAsString).getOrElse("null")
+          }
+          s""","partitionValues":{${entries.mkString(",")}}"""
+        }
+      s"""{"add":{"path":"$enc"$pvJson,"dataChange":true}}"""
+    }
+    val schemaJson = pvMapper.writeValueAsString(df.schema.json)
+    val partColsJson = partitionBy.map(pvMapper.writeValueAsString)
+      .mkString("[", ",", "]")
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"graft-${java.util.UUID.randomUUID()}","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":$partColsJson,"configuration":{}}}""") ++ adds
+    val out = fs.create(new Path(f"$dir/_delta_log/${0L}%020d.json"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    0L
   }
 
   /** DUAL-FORMAT EXPORT (the UniForm idea): write a `_delta_log` INTO a

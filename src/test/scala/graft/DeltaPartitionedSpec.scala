@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.DeltaCompat
+
+/** Edge pins for PARTITIONED Delta tables: real tables partition, and
+  * their files do NOT carry the partition columns — the reader must
+  * restore them from each add's `partitionValues` with the declared
+  * types. Covers: createDeltaTable round-trip (hive layout, null
+  * partitions), branch-literal partition pruning (constant folding
+  * kills pruned scans), the many-partition broadcast-join path,
+  * deletion-vector composition, checkpoint + restore value carry, and
+  * the loud writer/path-API refusals. */
+class DeltaPartitionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-delta-part").toString
+
+  test("createDeltaTable + readDeltaTable round-trip partition values and types") {
+    val dir = mkDir()
+    val df = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"),
+      (4L, 20, "d"), (5L, 30, "e")).toDF("id", "bucket", "v")
+    assert(DeltaCompat.createDeltaTable(df, dir, Seq("bucket")) == 0L)
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+    // declared order and TYPES restored (bucket is int, not string)
+    assert(got.columns.toSeq == Seq("id", "bucket", "v"))
+    assert(got.schema("bucket").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"), (4L, 20, "d"),
+        (5L, 30, "e")))
+    // the data files really do NOT carry the partition column
+    val dataFile = new java.io.File(s"$dir/bucket=10").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(!spark.read.parquet(dataFile.toString).columns.contains("bucket"))
+    // partition PRUNING: a filter on the partition column constant-folds
+    // per union branch, leaving exactly one live scan
+    val pruned = got.filter(col("bucket") === 20)
+    val scans = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1,
+      s"filter on the partition column must prune to one scan branch, " +
+        s"got ${scans.size}")
+    assert(pruned.count() == 2)
+  }
+
+  test("null partition values round-trip as null, not as a string") {
+    val dir = mkDir()
+    val df = Seq((1L, Some("x"), "a"), (2L, None, "b"))
+      .toDF("id", "part", "v")
+    DeltaCompat.createDeltaTable(df, dir, Seq("part"))
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(got == Set((1L, Some("x"), "a"), (2L, None, "b")), s"got $got")
+  }
+
+  test("many-partition path (broadcast join) returns identical values") {
+    val dir = mkDir()
+    val df = (1L to 200L).map(i => (i, i % 100, s"v$i")).toDF("id", "p", "v")
+    DeltaCompat.createDeltaTable(df, dir, Seq("p"))
+    // 100 distinct tuples > 64 → the single-scan + broadcast-join path
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "p", "v"))
+    assert(got.as[(Long, Long, String)].collect().toSet ==
+      (1L to 200L).map(i => (i, i % 100, s"v$i")).toSet)
+  }
+
+  test("deletion vectors compose with partitioned reads; checkpoint and restore carry values") {
+    val dir = mkDir()
+    val df = (0L until 10L).map(i => (i, (i % 2).toInt, s"v$i"))
+      .toDF("id", "m", "v")
+    DeltaCompat.createDeltaTable(df, dir, Seq("m"))
+    // hand-write a DV delete of one row of the m=0 file (deleteWhere
+    // itself refuses partitioned tables)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f0 = DeltaCompat.liveFilesFull(spark, dir)
+      .find(_.partitionValues("m").contains("0")).get
+    // position 0 of the m=0 file
+    val d = graft.sources.DeletionVectors.writeSidecar(fs, dir, Array(0L))
+    val rel = f0.path.stripPrefix(dir).stripPrefix("/")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      f"$dir/_delta_log/${1L}%020d.json"), false)
+    try out.write((
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}\n""" +
+      s"""{"add":{"path":"$rel","partitionValues":{"m":"0"},"dataChange":true,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}\n""")
+      .getBytes("UTF-8")) finally out.close()
+    val afterDv = DeltaCompat.readDeltaTable(spark, dir)
+    assert(afterDv.count() == 9, "one masked row must drop")
+    assert(afterDv.filter(col("m") === 0).count() == 4)
+    // checkpoint: partition values survive the parquet round-trip
+    DeltaCompat.checkpoint(spark, dir)
+    assert(DeltaCompat.readDeltaTable(spark, dir).count() == 9)
+    assert(DeltaCompat.readDeltaTable(spark, dir)
+      .filter(col("m") === 1).count() == 5)
+    // restore to v0: the DV drops, partition values still there
+    assert(DeltaCompat.restore(spark, dir, 0L) == 2L)
+    val restored = DeltaCompat.readDeltaTable(spark, dir)
+    assert(restored.count() == 10)
+    assert(restored.filter(col("m") === 0).count() == 5)
+  }
+
+  test("writers and the path-only API refuse partitioned tables loudly") {
+    val dir = mkDir()
+    DeltaCompat.createDeltaTable(
+      Seq((1L, 0, "a")).toDF("id", "m", "v"), dir, Seq("m"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaCompat.liveFiles(spark, dir)
+    }
+    assert(e1.getMessage.contains("partitioned"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaCompat.deleteWhere(spark, dir, col("id") === 1L)
+    }
+    assert(e2.getMessage.contains("partitioned"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaCompat.mergeInto(spark, dir,
+        Seq((1L, 0, "b")).toDF("id", "m", "v"), Seq("id"))
+    }
+    assert(e3.getMessage.contains("partitioned"))
+    // a second create refuses (bootstrap only)
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaCompat.createDeltaTable(Seq((2L, 0, "b")).toDF("id", "m", "v"), dir)
+    }
+    assert(e4.getMessage.contains("_delta_log"))
+  }
+}
