@@ -204,8 +204,37 @@ object GraftExtensions {
   val icebergTableTvf = foreignTvf("iceberg_table",
     "graft.sources.IcebergCompat", (s, d) => graft.sources.IcebergCompat.readIcebergTable(s, d))
 
+  /** `delta_changes('<dir>', fromV, toV)` — the SQL front door to the
+    * Delta CHANGE DATA FEED ([[graft.sources.DeltaCompat
+    * .readChangeFeed]]): every row-level change in the commit window
+    * `(fromV, toV]` with `_change_type` and `_commit_version`, so a
+    * SQL consumer builds incremental pipelines with zero Scala:
+    * {{{ SELECT * FROM delta_changes('/lake/events', 3, 7) }}} */
+  val deltaChangesTvf: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    def longOf(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"delta_changes: $what must be an integer literal, got $other")
+    }
+    val builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      case Seq(Literal(s, org.apache.spark.sql.types.StringType), f, t)
+          if s != null =>
+        graft.sources.DeltaCompat.readChangeFeed(SparkSession.active,
+          s.toString, longOf(f, "fromVersion"), longOf(t, "toVersion"))
+          .queryExecution.analyzed
+      case other => throw new IllegalArgumentException(
+        "delta_changes takes (dir string literal, fromVersion, toVersion), " +
+          s"got $other")
+    }
+    (FunctionIdentifier("delta_changes"),
+      new ExpressionInfo("graft.sources.DeltaCompat", "delta_changes"), builder)
+  }
+
   private def allTvfs = Seq(snapshotTableTvf, snapshotBranchTvf,
-    deltaTableTvf, hudiTableTvf, icebergTableTvf)
+    deltaTableTvf, hudiTableTvf, icebergTableTvf, deltaChangesTvf)
 
   /** Register on an already-built session (functions via the registry,
     * the optimizer rule via `experimental.extraOptimizations` — the

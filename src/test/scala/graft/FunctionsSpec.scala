@@ -256,6 +256,16 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM delta_table(1)").collect()
     }
     assert(e.getMessage.contains("literal") || e.getMessage.contains("string"))
+    // delta_changes: the CDF window from plain SQL — the export's one
+    // commit derives whole-file inserts
+    val feed = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM delta_changes('$droot', -1, 0) GROUP BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(feed == Map("insert" -> 7L), s"got $feed")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM delta_changes('$droot', 'x', 0)").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"))
   }
 
   test("snapshot_branch TVF reads the branch state from plain SQL") {
