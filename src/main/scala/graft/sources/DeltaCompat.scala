@@ -534,7 +534,9 @@ object DeltaCompat {
     * explicit `cdc` actions win; otherwise `dataChange=true` adds
     * derive inserts and removes derive deletes (removed files must
     * still exist — refused by name when vacuumed); DV commits without
-    * cdc refuse (their row-level delta is not whole-file). */
+    * cdc refuse (their row-level delta is not whole-file). Scope: the
+    * emitted rows are the FILES' columns — a partitioned table's
+    * partition columns are not restored on the change surface. */
   def changeFilesBetween(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): Seq[ChangeFile] = {
     require(fromV < toV, s"empty commit window ($fromV, $toV]")
@@ -1224,6 +1226,77 @@ object DeltaCompat {
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     0L
+  }
+
+  /** APPEND `df` to an existing Delta table as one commit — the
+    * incremental-ingest twin of [[createDeltaTable]]: data lands in
+    * the table's layout (hive dirs when the metaData declares
+    * partition columns, each add carrying its `partitionValues`),
+    * schema checked against the declared one, column-mapped tables
+    * refused. Returns the committed version. */
+  def appendToDeltaTable(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (raws, v) = rawLog(spark, dir)
+    require(v >= 0L, s"no commits at $dir — use createDeltaTable first")
+    val meta = latestTableMeta(raws).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no metaData action"))
+    require(meta.cmMode == "none",
+      "appendToDeltaTable on a column-mapped table is out of scope " +
+        "(files would need physical column names)")
+    meta.schemaString.foreach { ss =>
+      val declared = org.apache.spark.sql.types.DataType.fromJson(ss)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(df.columns.sorted.toSeq == declared.fieldNames.sorted.toSeq,
+        s"append schema (${df.columns.sorted.mkString(", ")}) != declared " +
+          s"(${declared.fieldNames.sorted.mkString(", ")})")
+    }
+    val partitionBy = meta.partitionCols
+    val next = v + 1
+    val tmp = s"$dir/.tmp-append-$next"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tmpRoot = fs.makeQualified(new Path(tmp)).toUri.getPath
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(tmpRoot).stripPrefix("/")
+        val dst = new Path(s"$dir/$rel")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(st.getPath, dst), s"rename failed: ${st.getPath}")
+        moved += rel
+      }
+    }
+    walk(new Path(tmp))
+    fs.delete(new Path(tmp), true)
+    require(moved.nonEmpty, "append wrote no parquet files")
+    def pvOf(rel: String): Seq[(String, Option[String])] =
+      rel.split('/').dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"unexpected non-hive path segment '$seg' in $rel")
+        val c = seg.substring(0, i)
+        val value = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        c -> (if (value == "__HIVE_DEFAULT_PARTITION__") None else Some(value))
+      }
+    val adds = moved.sorted.map { rel =>
+      val enc = new java.net.URI(null, null, rel, null).getRawPath
+      val pvJson =
+        if (partitionBy.isEmpty) ""
+        else {
+          val entries = pvOf(rel).map { case (c, value) =>
+            s"${pvMapper.writeValueAsString(c)}:" +
+              value.map(pvMapper.writeValueAsString).getOrElse("null")
+          }
+          s""","partitionValues":{${entries.mkString(",")}}"""
+        }
+      s"""{"add":{"path":"$enc"$pvJson,"dataChange":true}}"""
+    }
+    val out = fs.create(new Path(f"$dir/_delta_log/$next%020d.json"), false)
+    try out.write((adds.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    next
   }
 
   /** DUAL-FORMAT EXPORT (the UniForm idea): write a `_delta_log` INTO a

@@ -103,6 +103,32 @@ class DeltaPartitionedSpec extends SparkSpec {
     assert(restored.filter(col("m") === 0).count() == 5)
   }
 
+  test("appendToDeltaTable lands in the table layout and feeds the change feed") {
+    val dir = mkDir()
+    DeltaCompat.createDeltaTable(
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "m", "v"), dir, Seq("m"))
+    val v1 = DeltaCompat.appendToDeltaTable(
+      Seq((3L, 0, "c"), (4L, 2, "d")).toDF("id", "m", "v"), dir)
+    assert(v1 == 1L)
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == Set((1L, 0, "a"), (2L, 1, "b"), (3L, 0, "c"), (4L, 2, "d")))
+    // the appended files live under hive dirs with partitionValues
+    assert(DeltaCompat.liveFilesFull(spark, dir)
+      .filter(_.path.contains("m=2")).forall(
+        _.partitionValues("m").contains("2")))
+    // the append surfaces as derived inserts in the change feed
+    val feed = DeltaCompat.readChangeFeed(spark, dir, 0L, 1L)
+      .select(col("_change_type"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("insert", 3L), ("insert", 4L)), s"got $feed")
+    // schema drift refuses
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.appendToDeltaTable(Seq((9L, "x")).toDF("id", "v"), dir)
+    }
+    assert(e.getMessage.contains("declared"))
+  }
+
   test("writers and the path-only API refuse partitioned tables loudly") {
     val dir = mkDir()
     DeltaCompat.createDeltaTable(

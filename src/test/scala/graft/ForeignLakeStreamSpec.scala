@@ -138,6 +138,43 @@ class ForeignLakeStreamSpec extends SparkSpec {
     assert(SnapshotTable.snapshots(spark, dst).size == 2)
   }
 
+  test("cdf mode: change rows stream with types and versions; non-delta refuses") {
+    val (src, fs) = mkDir("cdf")
+    writePart(src, fs, "a.parquet", Seq((1L, "a"), (2L, "b")))
+    writePart(src, fs, "b.parquet", Seq((3L, "c")))
+    writeCommit(src, fs, 0, Seq(
+      """{"metaData":{"id":"t","format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"a.parquet","dataChange":true}}"""))
+    // commit 1: delete a, append b — schema inference keeps a live file
+    writeCommit(src, fs, 1, Seq(
+      """{"remove":{"path":"a.parquet","dataChange":true}}""",
+      """{"add":{"path":"b.parquet","dataChange":true}}"""))
+    val dst = s"$src-dst"
+    val q = spark.readStream.format("foreign-lake")
+      .option("format", "delta").option("path", src).option("mode", "cdf")
+      .load()
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { SnapshotTable.append(batch, dst); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$src-ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = SnapshotTable.read(spark, dst)
+      .select(col("_commit_version"), col("_change_type"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "insert", 1L), (0L, "insert", 2L),
+      (1L, "delete", 1L), (1L, "delete", 2L), (1L, "insert", 3L)), s"got $got")
+    // cdf over hudi refuses at definition
+    val e = intercept[Exception] {
+      spark.readStream.format("foreign-lake")
+        .option("format", "hudi").option("path", src).option("mode", "cdf")
+        .load()
+    }
+    assert(e.getMessage.contains("cdf"))
+  }
+
   test("unknown formats and nested schemas refuse at stream definition") {
     val e = intercept[Exception] {
       spark.readStream.format("foreign-lake")
