@@ -3618,6 +3618,50 @@ object SurveyQueries {
       |SELECT m, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
       |FROM li WHERE k % 5 <> 3 GROUP BY m ORDER BY m""".stripMargin))
 
+  /** ingest_iceberg_append: the Iceberg WRITE path
+    * ([[graft.sources.IcebergCompat.createIcebergTable]] /
+    * `appendSnapshot`) — transactional appends completing write parity
+    * with the Delta writers: each append lands data files + a manifest,
+    * a manifest list carrying the previous manifests, and the next
+    * metadata version with `current-snapshot-id` moved, so every prior
+    * snapshot still time-travels and the append-only window pulls
+    * incrementally. REQUIREs the snapshot ladder (time travel counts at
+    * both ids, incremental pull = exactly the appended slice), then
+    * value-gates the current snapshot. */
+  val ingestIcebergAppend: QueryDef = QueryDef(
+    "ingest_iceberg_append",
+    (s, d) => {
+      val dir = graft.sources.TableIO.scratchDir(s, "iceberg_append")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"))
+      val ic = graft.sources.IcebergCompat
+      val s1 = ic.createIcebergTable(
+        orders.filter(col("o_orderkey") % 3 === 0).repartition(2), dir)
+      val n1 = ic.readIcebergTable(s, dir).count()
+      val s2 = ic.appendSnapshot(orders.filter(col("o_orderkey") % 3 === 1), dir)
+      val s3 = ic.appendSnapshot(orders.filter(col("o_orderkey") % 3 === 2), dir)
+      require(s1 == 1L && s2 == 2L && s3 == 3L,
+        s"snapshot ids must ladder 1,2,3, got $s1,$s2,$s3")
+      require(ic.readIcebergTable(s, dir, snapshotId = Some(s1)).count() == n1,
+        "the first snapshot must still time-travel after appends")
+      val pulled = ic.readAddedBetween(s, dir, s2, s3).count()
+      val expect = orders.filter(col("o_orderkey") % 3 === 2).count()
+      require(pulled == expect,
+        s"incremental pull must return exactly the appended slice " +
+          s"($expect), got $pulled")
+      ic.readIcebergTable(s, dir)
+        .groupBy((col("o_custkey") % 10).as("kg"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("kg")
+    },
+    Some("""SELECT o_custkey % 10 AS kg, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM orders GROUP BY 1 ORDER BY kg""".stripMargin))
+
   /** maintenance_iceberg_expire: SNAPSHOT EXPIRY
     * ([[graft.sources.IcebergCompat.expireSnapshots]]) — the Iceberg
     * maintenance op bounding history: the metadata file is rewritten
@@ -4545,6 +4589,7 @@ object SurveyQueries {
     ingestDeltaPartitioned,
     maintenanceDeltaDvDelete, maintenanceDeltaMerge, maintenanceDeltaDvCompact,
     maintenanceDeltaVacuum, maintenanceDeltaRestore, maintenanceIcebergExpire,
+    ingestIcebergAppend,
     ingestHudiCow, ingestDeltaIncremental, ingestDeltaTimeTravel,
     privacyRowPolicyForeign,
     ingestHudiIncremental, ingestHudiMor, ingestHudiMorIncremental,

@@ -384,6 +384,148 @@ object IcebergCompat {
     spark.read.parquet(files: _*)
   }
 
+  /** Spark type → Iceberg primitive type name (the open spec's
+    * vocabulary); out-of-vocabulary types refuse loudly. */
+  private def icebergTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case StringType => "string"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case BinaryType => "binary"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"no Iceberg mapping for Spark type ${other.simpleString}")
+    }
+  }
+
+  /** Write `df` as parquet data files under `dir`/data, returning each
+    * file's (table-relative path, true row count from its footer) —
+    * record_count is a REQUIRED trusted manifest field. */
+  private def writeDataFiles(df: DataFrame, dir: String,
+      tag: String): Seq[(String, Long)] = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = s"$dir/.tmp-$tag"
+    df.write.mode("overwrite").parquet(tmp)
+    val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.nonEmpty, "write produced no parquet files")
+    val out = parts.zipWithIndex.map { case (p, i) =>
+      val rel = f"data/$tag-$i%05d.parquet"
+      fs.mkdirs(new Path(s"$dir/data"))
+      require(fs.rename(p, new Path(s"$dir/$rel")), s"rename failed: $p")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(s"$dir/$rel"), conf))
+      val rows = try reader.getRecordCount finally reader.close()
+      (rel, rows)
+    }
+    fs.delete(new Path(tmp), true)
+    out.toSeq
+  }
+
+  /** CREATE an Iceberg table at `dir` from `df` — the writer-side
+    * bootstrap completing write parity with
+    * [[DeltaCompat.createDeltaTable]]: data files, one manifest + one
+    * manifest list, and a v1 metadata file whose schema carries the
+    * REAL field types (so equality deletes and foreign engines resolve
+    * them). Returns the first snapshot id. */
+  def createIcebergTable(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    require(!fs.exists(new Path(s"$dir/metadata")),
+      s"$dir already has metadata/ — createIcebergTable bootstraps new " +
+        "tables only")
+    val files = writeDataFiles(df, dir, "create-1")
+    val m = writeManifestEntries(spark, dir, "m-app-1.avro",
+      files.map { case (p, n) => Entry(1, p, n, content = 0, seq = 1L) })
+    val ml = writeManifestList(spark, dir, "ml-app-1.avro", Seq(m))
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":${mapper.writeValueAsString(f.name)},""" +
+        s""""required":false,"type":"${icebergTypeOf(f.dataType)}"}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"format-version":2,"table-uuid":"graft-${java.util.UUID.randomUUID()}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"manifest-list":"$ml"}]}"""
+        .stripMargin.replace("\n", "")
+    val out = fs.create(new Path(s"$dir/metadata/v1.metadata.json"), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val hint = fs.create(new Path(s"$dir/metadata/version-hint.text"), true)
+    try hint.write("1".getBytes("UTF-8")) finally hint.close()
+    1L
+  }
+
+  /** APPEND `df` as a NEW SNAPSHOT — the transactional Iceberg write:
+    * new data files + a manifest for them, a new manifest LIST
+    * carrying the previous snapshot's manifests (their entries keep
+    * their own sequence numbers) plus the new one, and the metadata
+    * file rewritten at the next version with the snapshot appended and
+    * `current-snapshot-id` moved. Schema checked by NAME against the
+    * current schema. Returns the new snapshot id. */
+  def appendSnapshot(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    val mf = currentMetadataFile(spark, dir)
+    val in = fs.open(mf)
+    val root = try mapper.readTree(in.readAllBytes()) finally in.close()
+    val snaps = root.path("snapshots")
+    require(snaps.isArray && snaps.size > 0, s"no snapshots at $dir")
+    val schemaNames = {
+      val cur = root.path("current-schema-id").asLong(0L)
+      val schemaNode = root.path("schemas").elements().asScala
+        .find(_.path("schema-id").asLong(-1L) == cur)
+        .getOrElse(root.path("schema"))
+      schemaNode.path("fields").elements().asScala
+        .map(_.path("name").asText("")).toSeq
+    }
+    if (schemaNames.nonEmpty)
+      require(df.columns.sorted.toSeq == schemaNames.sorted,
+        s"append schema (${df.columns.sorted.mkString(", ")}) != table " +
+          s"schema (${schemaNames.sorted.mkString(", ")})")
+    val currentId = root.path("current-snapshot-id").asLong(-1L)
+    val cur = snaps.elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == currentId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current-snapshot-id $currentId not among snapshots at $dir"))
+    val newId = snaps.elements().asScala
+      .map(_.path("snapshot-id").asLong(0L)).max + 1
+    val seq = snaps.size + 1L
+    val files = writeDataFiles(df, dir, s"append-$newId")
+    val m = writeManifestEntries(spark, dir, s"m-app-$newId.avro",
+      files.map { case (p, n) => Entry(1, p, n, content = 0, seq = seq) })
+    // previous manifests carry over with their content codes
+    val prevMl = cur.path("manifest-list").asText("")
+    val prev = readAvro(spark, resolve(dir, prevMl)).map { me =>
+      (field(me, "manifest_path").map(_.toString).getOrElse(
+        throw new IllegalArgumentException("manifest-list entry has no path")),
+        longField(me, "content").getOrElse(0L).toInt)
+    }
+    val ml = writeManifestList(spark, dir, s"ml-app-$newId.avro",
+      prev.map(_._1) :+ m, prev.map(_._2) :+ 0)
+    val obj = root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapNode = mapper.readTree(
+      s"""{"snapshot-id":$newId,"sequence-number":$seq,"manifest-list":"$ml"}""")
+    snaps.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      .add(snapNode)
+    obj.put("current-snapshot-id", newId)
+    val version = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt + 1
+    val out = fs.create(new Path(s"$dir/metadata/v$version.metadata.json"), false)
+    try out.write(mapper.writeValueAsBytes(obj)) finally out.close()
+    val hint = fs.create(new Path(s"$dir/metadata/version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    newId
+  }
+
   /** EXPIRE SNAPSHOTS — the Iceberg maintenance op that bounds
     * time-travel history and reclaims disk: the metadata file is
     * rewritten keeping only `keep` snapshot ids (the CURRENT snapshot

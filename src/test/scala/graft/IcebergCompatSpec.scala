@@ -184,6 +184,42 @@ class IcebergCompatSpec extends SparkSpec {
     assert(e3.getMessage.contains("equality field id"))
   }
 
+  test("createIcebergTable + appendSnapshot: snapshots chain, types declared, old ids time-travel") {
+    val dir = mkTable()
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(IcebergCompat.createIcebergTable(df1, dir) == 1L)
+    assert(IcebergCompat.readIcebergTable(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the declared schema carries REAL types, not a long-only stub
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$dir/metadata/v1.metadata.json"))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(meta.contains(""""name":"v","required":false,"type":"string""""),
+      s"schema must declare v as string, got $meta")
+    val id2 = IcebergCompat.appendSnapshot(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(id2 == 2L)
+    assert(IcebergCompat.readIcebergTable(spark, dir).count() == 3)
+    // the first snapshot still time-travels
+    assert(IcebergCompat.readIcebergTable(spark, dir, snapshotId = Some(1L))
+      .count() == 2)
+    // incremental pull between the two snapshots sees only the append
+    assert(IcebergCompat.readAddedBetween(spark, dir, 1L, 2L)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    // schema drift refuses
+    val e = intercept[IllegalArgumentException] {
+      IcebergCompat.appendSnapshot(Seq((9L, 1.5)).toDF("id", "other"), dir)
+    }
+    assert(e.getMessage.contains("schema"))
+    // manifests carry true record counts
+    val counts = IcebergCompat.manifestRecordCounts(spark,
+      s"$dir/metadata/m-app-2.avro")
+    assert(counts == Seq(1L), s"got $counts")
+  }
+
   test("expireSnapshots deletes only expired-only footprint; current must be kept") {
     val dir = mkTable()
     val fs = new org.apache.hadoop.fs.Path(dir)
