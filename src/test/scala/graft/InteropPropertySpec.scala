@@ -69,6 +69,78 @@ class InteropPropertySpec extends SparkSpec {
     }
   }
 
+  test("delta writers: random create/append/delete/merge/optimize/restore chains match the row model") {
+    val rnd = new Random(1215)
+    (1 to 2).foreach { trial =>
+      val dir = mk(s"prop-dwrite-$trial")
+      // model: id -> value, plus every committed version's full state
+      var rows = Map.empty[Long, Long]
+      var nextId = 0L
+      def freshBatch(n: Int): Map[Long, Long] = {
+        val b = (nextId until nextId + n).map(i => i -> (i * 10 + trial)).toMap
+        nextId += n
+        b
+      }
+      rows = freshBatch(5)
+      var curV = DeltaCompat.createDeltaTable(
+        rows.toSeq.toDF("id", "v"), dir)
+      var histories = Map(curV -> rows)
+      def check(tag: String): Unit = {
+        val got = DeltaCompat.readDeltaTable(spark, dir)
+          .as[(Long, Long)].collect().toMap
+        assert(got == rows, s"trial $trial $tag: table diverged from model")
+      }
+      check("create")
+      (1 to 12).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 => // append a fresh batch
+            val b = freshBatch(1 + rnd.nextInt(4))
+            curV = DeltaCompat.appendToDeltaTable(b.toSeq.toDF("id", "v"), dir)
+            rows ++= b
+          case 1 => // DV cheap-delete by predicate
+            val m = 2 + rnd.nextInt(4)
+            val r = rnd.nextInt(m)
+            val v2 = DeltaCompat.deleteWhere(spark, dir,
+              org.apache.spark.sql.functions.col("id") % m === r)
+            rows = rows.filterNot { case (id, _) => id % m == r }
+            curV = v2 // unchanged when nothing matched
+          case 2 if rows.nonEmpty => // merge: update half the keys + insert
+            val upd = rows.keys.toSeq.sorted.take(1 + rows.size / 2)
+              .map(id => id -> (rows(id) + 1000)).toMap
+            val ins = freshBatch(1 + rnd.nextInt(2))
+            curV = DeltaCompat.mergeInto(spark, dir,
+              (upd ++ ins).toSeq.toDF("id", "v"), Seq("id"))
+            rows = rows ++ upd ++ ins
+          case 3 => // materialize DV masks (no logical change)
+            curV = DeltaCompat.materializeDeletes(spark, dir)
+          case 4 if histories.size > 1 => // restore to a random past state
+            val candidates = histories.filter { case (v, st) =>
+              v < curV && st != rows
+            }
+            if (candidates.nonEmpty) {
+              val (tv, st) = candidates.toSeq(rnd.nextInt(candidates.size))
+              curV = DeltaCompat.restore(spark, dir, tv)
+              rows = st
+            }
+          case 5 => // checkpoint: pure log maintenance
+            DeltaCompat.checkpoint(spark, dir)
+          case _ => ()
+        }
+        if (rows.nonEmpty) check(s"step $step")
+        histories += curV -> rows
+        // time travel to a random recorded version must replay exactly
+        // (nothing is vacuumed in this chain)
+        val (tv, st) = histories.toSeq(rnd.nextInt(histories.size))
+        if (st.nonEmpty) {
+          val got = DeltaCompat.readDeltaTable(spark, dir, asOf = Some(tv))
+            .as[(Long, Long)].collect().toMap
+          assert(got == st,
+            s"trial $trial step $step: time travel to v$tv diverged")
+        }
+      }
+    }
+  }
+
   test("hudi: random rewrite/new-group/inflight chains match the slice model") {
     val rnd = new Random(7)
     (1 to 3).foreach { trial =>
