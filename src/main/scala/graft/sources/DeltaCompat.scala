@@ -431,6 +431,11 @@ object DeltaCompat {
     v
   }
 
+  /** The table's declared partition columns (empty when unpartitioned)
+    * — the scope probe for surfaces that cannot restore them. */
+  def partitionColumns(spark: SparkSession, dir: String): Seq[String] =
+    latestTableMeta(rawLog(spark, dir)._1).map(_.partitionCols).getOrElse(Nil)
+
   /** Latest commit version present in the log (checkpoint-aware). */
   def latestVersion(spark: SparkSession, dir: String): Long =
     resolvedState(spark, dir)._2
@@ -509,12 +514,35 @@ object DeltaCompat {
       fromV: Long, toV: Long): DataFrame = {
     val files = changeFilesBetween(spark, dir, fromV, toV)
     require(files.nonEmpty, s"no data-changing commits in ($fromV, $toV] at $dir")
-    // one read per (change kind, commit) group — cdc files carry their
-    // own _change_type column; derived groups get it as a literal
-    val parts = files.groupBy(f => (f.changeType, f.version)).toSeq
-      .sortBy { case ((ct, v), _) => (v, ct.getOrElse("")) }
-      .map { case ((ct, v), group) =>
-        val df = spark.read.parquet(group.map(_.path): _*)
+    // a PARTITIONED table's files lack the partition columns — restore
+    // them on the change surface from each file's partitionValues, with
+    // the declared types (like the snapshot read path)
+    val meta = latestTableMeta(rawLog(spark, dir)._1)
+    val partCols = meta.map(_.partitionCols).getOrElse(Nil)
+    val logical = meta.flatMap(_.schemaString).map(ss =>
+      org.apache.spark.sql.types.DataType.fromJson(ss)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    require(partCols.isEmpty || logical.nonEmpty,
+      s"Delta table at $dir is partitioned but declares no schemaString — " +
+        "partition column types cannot be restored on the change feed")
+    // one read per (change kind, commit, partition tuple) group — cdc
+    // files carry their own _change_type column; derived groups get it
+    // as a literal
+    val parts = files
+      .groupBy(f => (f.changeType, f.version,
+        partCols.map(c => f.partitionValues.get(c).flatten)))
+      .toSeq
+      .sortBy { case ((ct, v, pv), _) =>
+        (v, ct.getOrElse(""), pv.map(_.getOrElse(" ")).mkString(""))
+      }
+      .map { case ((ct, v, pv), group) =>
+        var df = spark.read.parquet(group.map(_.path): _*)
+        partCols.zip(pv).foreach { case (c, value) =>
+          val f = logical.get(logical.get.fieldIndex(c))
+          df = df.withColumn(c,
+            value.map(s => lit(s).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)))
+        }
         ct.map(c => df.withColumn("_change_type", lit(c))).getOrElse(df)
           .withColumn("_commit_version", lit(v))
       }
@@ -524,9 +552,13 @@ object DeltaCompat {
   /** One parquet file of a change-feed window: `changeType` is
     * Some(insert|delete) for files whose rows' change kind is DERIVED
     * from whole-file adds/removes, None for explicit `_change_data/`
-    * files that carry their own `_change_type` column. */
+    * files that carry their own `_change_type` column.
+    * `partitionValues` (partitioned tables only) are the file's raw
+    * partition values — added files carry their add action's, removed
+    * files resolve theirs from the pre-commit state. */
   final case class ChangeFile(path: String, changeType: Option[String],
-      version: Long)
+      version: Long,
+      partitionValues: Map[String, Option[String]] = Map.empty)
 
   /** The FILE-PLAN of the change feed over `(fromV, toV]` — the shared
     * metadata resolution behind [[readChangeFeed]] and the streaming
@@ -534,9 +566,10 @@ object DeltaCompat {
     * explicit `cdc` actions win; otherwise `dataChange=true` adds
     * derive inserts and removes derive deletes (removed files must
     * still exist — refused by name when vacuumed); DV commits without
-    * cdc refuse (their row-level delta is not whole-file). Scope: the
-    * emitted rows are the FILES' columns — a partitioned table's
-    * partition columns are not restored on the change surface. */
+    * cdc refuse (their row-level delta is not whole-file). Partitioned
+    * tables: each derived file carries its partition values (adds from
+    * their action, removes from the pre-commit state), which
+    * [[readChangeFeed]] restores as typed columns. */
   def changeFilesBetween(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): Seq[ChangeFile] = {
     require(fromV < toV, s"empty commit window ($fromV, $toV]")
@@ -567,8 +600,18 @@ object DeltaCompat {
          else lit(null).cast("boolean")).as("rm_dc"),
         (if (hasPath(raw, Seq("add", "deletionVector", "storageType")))
           col("add.deletionVector.storageType")
-         else lit(null).cast("string")).as("dv"))
+         else lit(null).cast("string")).as("dv"),
+        (if (hasPath(raw, Seq("add", "partitionValues")))
+          to_json(col("add.partitionValues"),
+            Map("ignoreNullFields" -> "false").asJava)
+         else lit(null).cast("string")).as("add_pv"))
       .collect()
+    // partitioned tables: removed files resolve their partition values
+    // from the state BEFORE their commit (their add is outside the
+    // per-commit row) — one metadata-plane replay per remove commit,
+    // only when the table is actually partitioned
+    lazy val partitioned =
+      latestTableMeta(rawLog(spark, dir)._1).exists(_.partitionCols.nonEmpty)
     val commits = perCommit.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
     commits.flatMap { case (v, rows) =>
       val cdc = rows.flatMap(r => Option(r.getString(1)))
@@ -581,18 +624,27 @@ object DeltaCompat {
             "actions — a DV's row-level delta is not derivable from " +
             "whole files; the writer must record _change_data")
         val adds = rows.filter(r => !r.isNullAt(2) &&
-          (r.isNullAt(3) || r.getBoolean(3))).flatMap(r => Option(r.getString(2)))
+          (r.isNullAt(3) || r.getBoolean(3)))
+          .flatMap(r => Option(r.getString(2)).map(p =>
+            (p, if (r.isNullAt(7)) Map.empty[String, Option[String]]
+                else parsePv(r.getString(7)))))
         val removes = rows.filter(r => !r.isNullAt(4) &&
           (r.isNullAt(5) || r.getBoolean(5))).flatMap(r => Option(r.getString(4)))
+        lazy val pvBefore: Map[String, Map[String, Option[String]]] =
+          if (!partitioned) Map.empty
+          else liveFilesFull(spark, dir, Some(v - 1))
+            .map(f => f.path -> f.partitionValues).toMap
         val rmFiles = removes.map { p =>
           val full = decodePath(dir, p)
           require(fs.exists(new Path(full)),
             s"removed file $full is vacuumed — commit $v's deletes cannot " +
               "be derived; re-read the table instead")
-          ChangeFile(full, Some("delete"), v)
+          ChangeFile(full, Some("delete"), v,
+            if (partitioned) pvBefore.getOrElse(full, Map.empty) else Map.empty)
         }
-        adds.map(p => ChangeFile(decodePath(dir, p), Some("insert"), v)).toSeq ++
-          rmFiles
+        adds.map { case (p, pv) =>
+          ChangeFile(decodePath(dir, p), Some("insert"), v, pv)
+        }.toSeq ++ rmFiles
       }
     }
   }

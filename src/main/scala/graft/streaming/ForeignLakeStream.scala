@@ -154,6 +154,12 @@ class ForeignLakeStreamProvider extends TableProvider with DataSourceRegister {
     require(mode == "append" || format.equalsIgnoreCase("delta"),
       "mode=cdf is a Delta change-data-feed surface — hudi/iceberg " +
         "windows stream in append mode")
+    if (mode == "cdf")
+      require(DeltaCompat.partitionColumns(spark, path).isEmpty,
+        s"cdf streaming of the PARTITIONED Delta table at $path is out " +
+          "of scope (partition columns cannot be restored on the stream " +
+          "surface) — consume batch windows via readChangeFeed, which " +
+          "restores them")
     val head = lake.latest(spark, path)
     require(head >= 0, s"foreign table at $path has no commits to infer a schema from")
     val files = lake.filesAt(spark, path, head)

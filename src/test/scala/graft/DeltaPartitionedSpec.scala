@@ -117,11 +117,37 @@ class DeltaPartitionedSpec extends SparkSpec {
     assert(DeltaCompat.liveFilesFull(spark, dir)
       .filter(_.path.contains("m=2")).forall(
         _.partitionValues("m").contains("2")))
-    // the append surfaces as derived inserts in the change feed
-    val feed = DeltaCompat.readChangeFeed(spark, dir, 0L, 1L)
-      .select(col("_change_type"), col("id"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(feed == Set(("insert", 3L), ("insert", 4L)), s"got $feed")
+    // the append surfaces as derived inserts in the change feed, WITH
+    // the partition column restored at its declared type
+    val feedDf = DeltaCompat.readChangeFeed(spark, dir, 0L, 1L)
+    assert(feedDf.schema("m").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val feed = feedDf.select(col("_change_type"), col("id"), col("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(feed == Set(("insert", 3L, 0), ("insert", 4L, 2)), s"got $feed")
+    // a partition-pruned rewrite's deletes also carry their values:
+    // hand-write a remove of the m=2 file
+    val f2 = DeltaCompat.liveFilesFull(spark, dir)
+      .find(_.partitionValues("m").contains("2")).get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rel = f2.path.stripPrefix(dir).stripPrefix("/")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      f"$dir/_delta_log/${2L}%020d.json"), false)
+    try out.write(s"""{"remove":{"path":"$rel","dataChange":true}}\n"""
+      .getBytes("UTF-8")) finally out.close()
+    val del = DeltaCompat.readChangeFeed(spark, dir, 1L, 2L)
+      .select(col("_change_type"), col("id"), col("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(del == Set(("delete", 4L, 2)),
+      s"removed rows must carry their pre-commit partition values, got $del")
+    // cdf STREAMING of a partitioned table refuses loudly
+    val e0 = intercept[Exception] {
+      spark.readStream.format("foreign-lake")
+        .option("format", "delta").option("path", dir).option("mode", "cdf")
+        .load()
+    }
+    assert(e0.getMessage.contains("PARTITIONED"))
     // schema drift refuses
     val e = intercept[IllegalArgumentException] {
       DeltaCompat.appendToDeltaTable(Seq((9L, "x")).toDF("id", "v"), dir)
