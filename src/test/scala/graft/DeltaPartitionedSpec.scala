@@ -155,6 +155,32 @@ class DeltaPartitionedSpec extends SparkSpec {
     assert(e.getMessage.contains("declared"))
   }
 
+  test("a row policy on the table root governs every partition branch") {
+    val dir = mkDir()
+    val df = (1L to 100L).map(i =>
+      (i, (i % 4).toInt, if (i % 5 == 0) "secret" else "ok"))
+      .toDF("id", "m", "tier")
+    DeltaCompat.createDeltaTable(df, dir, Seq("m"))
+    graft.functions.GraftExtensions.register(spark)
+    // the plan is BUILT first (the log's own metadata reads run now),
+    // then the root is governed — the documented pattern for Delta
+    // roots, whose raw log reads otherwise fail closed under a policy
+    val got = DeltaCompat.readDeltaTable(spark, dir)
+    graft.plans.RowPolicy.register(dir, "tier <> 'secret'")
+    try {
+      // the partitioned read is a UNION of per-partition scans — the
+      // policy must reach every branch, not just the first
+      assert(got.count() == 80, "policy rows must drop from every branch")
+      assert(got.filter(col("tier") === "secret").count() == 0)
+      // per-partition slice check: each m loses exactly its multiples-of-5
+      (0 to 3).foreach { m =>
+        val n = (1L to 100L).count(i => i % 4 == m && i % 5 != 0)
+        assert(got.filter(col("m") === m).count() == n,
+          s"partition m=$m must be policy-filtered independently")
+      }
+    } finally graft.plans.RowPolicy.deregister(dir)
+  }
+
   test("writers and the path-only API refuse partitioned tables loudly") {
     val dir = mkDir()
     DeltaCompat.createDeltaTable(
