@@ -2863,18 +2863,9 @@ object SurveyQueries {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
         (col("l_orderkey") % 3).as("m"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
-      val (p0, p1, p2) = (writePart(0), writePart(1), writePart(2))
+      // one pass over li (TableIO.writePartFiles), not a scan per part
+      val pf = graft.sources.TableIO.writePartFiles(li, dir, "m", 3)
+      val (p0, p1, p2) = (pf(0)._1, pf(1)._1, pf(2)._1)
       def writeCommit(id: Long, lines: Seq[String]): Unit = {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
         val out = fs.create(new org.apache.hadoop.fs.Path(
@@ -2923,18 +2914,9 @@ object SurveyQueries {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
         (col("l_orderkey") % 12).as("m"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
-      val parts = (0 to 11).map(writePart)
+      // one pass over li (TableIO.writePartFiles), not 12 scans
+      val parts = graft.sources.TableIO.writePartFiles(li, dir, "m", 12)
+        .map(_._1)
       def writeCommit(id: Long, lines: Seq[String]): Unit = {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
         val out = fs.create(new org.apache.hadoop.fs.Path(
@@ -3044,17 +3026,10 @@ object SurveyQueries {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
         (col("l_orderkey") % 5).as("m"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
+      // only residues 0..3 become commits — one pass over that slice
+      val pf = graft.sources.TableIO
+        .writePartFiles(li.filter(col("m") <= 3), dir, "m", 4)
+      def writePart(m: Int): String = pf(m)._1
       def writeCommit(id: Long, lines: Seq[String]): Unit = {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
         val out = fs.create(new org.apache.hadoop.fs.Path(
@@ -3098,17 +3073,8 @@ object SurveyQueries {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
         (col("l_orderkey") % 3).as("m"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
+      // one pass over li (TableIO.writePartFiles), not a scan per part
+      val pf = graft.sources.TableIO.writePartFiles(li, dir, "m", 3)
       def writeCommit(id: Long, lines: Seq[String]): Unit = {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
         val out = fs.create(new org.apache.hadoop.fs.Path(
@@ -3116,7 +3082,7 @@ object SurveyQueries {
         try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
         finally out.close()
       }
-      val (p0, p1, p2) = (writePart(0), writePart(1), writePart(2))
+      val (p0, p1, p2) = (pf(0)._1, pf(1)._1, pf(2)._1)
       writeCommit(0, Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         s"""{"add":{"path":"$p0","dataChange":true}}""",
@@ -3162,6 +3128,8 @@ object SurveyQueries {
         .groupBy(col("l_orderkey").as("k"))
         .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
         .select(col("k"), (col("k") % 3).as("m"), col("q"))
+        // reused by five file derivations below — compute once (guide §5)
+        .localCheckpoint()
       def writeFile(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
         val tmp = s"$dir/.tmp-${rel.replace('/', '_')}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -3247,18 +3215,9 @@ object SurveyQueries {
         .groupBy(col("l_orderkey").as("k"))
         .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
         .select(col("k"), (col("k") % 2).as("m"), col("q"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
-      val (p0, p1) = (writePart(0), writePart(1))
+      // one pass over li (TableIO.writePartFiles), not a scan per part
+      val pf = graft.sources.TableIO.writePartFiles(li, dir, "m", 2)
+      val (p0, p1) = (pf(0)._1, pf(1)._1)
       val out0 = fs.create(new org.apache.hadoop.fs.Path(
         f"$dir/_delta_log/${0L}%020d.json"), true)
       try out0.write((Seq(
@@ -3268,7 +3227,7 @@ object SurveyQueries {
         s"""{"add":{"path":"$p1","dataChange":true}}""")
         .mkString("\n") + "\n").getBytes("UTF-8"))
       finally out0.close()
-      val total = li.count()
+      val total = pf(0)._2 + pf(1)._2 // footer counts: no count() job
       val v1 = graft.sources.DeltaCompat.deleteWhere(s, dir, col("k") % 10L === 3L)
       require(v1 == 1L, s"first delete must commit version 1, got $v1")
       val v2 = graft.sources.DeltaCompat.deleteWhere(s, dir, col("k") % 10L === 7L)
@@ -3350,22 +3309,16 @@ object SurveyQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+      // localCheckpoint: the aggregate is reused (part files + merge
+      // sources) — compute it once, cut the lineage (guide §5)
       val li = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey").as("k"))
         .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
         .select(col("k"), (col("k") % 2).as("m"), col("q"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
-      val (p0, p1) = (writePart(0), writePart(1))
+        .localCheckpoint()
+      // one pass over li (TableIO.writePartFiles), not a scan per part
+      val pf = graft.sources.TableIO.writePartFiles(li, dir, "m", 2)
+      val (p0, p1) = (pf(0)._1, pf(1)._1)
       val out0 = fs.create(new org.apache.hadoop.fs.Path(
         f"$dir/_delta_log/${0L}%020d.json"), true)
       try out0.write((Seq(
@@ -3432,18 +3385,9 @@ object SurveyQueries {
         .groupBy(col("l_orderkey").as("k"))
         .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
         .select(col("k"), (col("k") % 2).as("m"), col("q"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
-      val (p0, p1) = (writePart(0), writePart(1))
+      // one pass over li (TableIO.writePartFiles), not a scan per part
+      val pf = graft.sources.TableIO.writePartFiles(li, dir, "m", 2)
+      val (p0, p1) = (pf(0)._1, pf(1)._1)
       val out0 = fs.create(new org.apache.hadoop.fs.Path(
         f"$dir/_delta_log/${0L}%020d.json"), true)
       try out0.write((Seq(
@@ -3453,7 +3397,7 @@ object SurveyQueries {
         s"""{"add":{"path":"$p1","dataChange":true}}""")
         .mkString("\n") + "\n").getBytes("UTF-8"))
       finally out0.close()
-      val total = li.count()
+      val total = pf(0)._2 + pf(1)._2 // footer counts: no count() job
       require(graft.sources.DeltaCompat
         .deleteWhere(s, dir, col("k") % 10L === 3L) == 1L)
       require(graft.sources.DeltaCompat
@@ -3498,18 +3442,9 @@ object SurveyQueries {
         .groupBy(col("l_orderkey").as("k"))
         .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
         .select(col("k"), (col("k") % 2).as("m"), col("q"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
-      val (p0, p1) = (writePart(0), writePart(1))
+      // one pass over li (TableIO.writePartFiles), not a scan per part
+      val pf = graft.sources.TableIO.writePartFiles(li, dir, "m", 2)
+      val (p0, p1) = (pf(0)._1, pf(1)._1)
       val out0 = fs.create(new org.apache.hadoop.fs.Path(
         f"$dir/_delta_log/${0L}%020d.json"), true)
       try out0.write((Seq(
@@ -3570,22 +3505,16 @@ object SurveyQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true) // idempotent re-run
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_delta_log"))
+      // localCheckpoint: the aggregate is reused (part files + merge
+      // sources) — compute it once, cut the lineage (guide §5)
       val li = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey").as("k"))
         .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
         .select(col("k"), (col("k") % 2).as("m"), col("q"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
-      val (p0, p1) = (writePart(0), writePart(1))
+        .localCheckpoint()
+      // one pass over li (TableIO.writePartFiles), not a scan per part
+      val pf = graft.sources.TableIO.writePartFiles(li, dir, "m", 2)
+      val (p0, p1) = (pf(0)._1, pf(1)._1)
       val out0 = fs.create(new org.apache.hadoop.fs.Path(
         f"$dir/_delta_log/${0L}%020d.json"), true)
       try out0.write((Seq(
@@ -3689,7 +3618,13 @@ object SurveyQueries {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
         require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        df.count()
+        // row count from the renamed file's parquet footer (driver-side
+        // metadata read) — df.count() re-ran the whole derivation
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/data/$name"),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
       }
       val ic = graft.sources.IcebergCompat
       val na = writeFile("a.parquet", orders.filter(col("o_orderkey") % 2 === 0))
@@ -3937,17 +3872,11 @@ object SurveyQueries {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
         (col("l_orderkey") % 4).as("m"))
-      def writePart(m: Int): String = {
-        val tmp = s"$src/.tmp$m"
-        li.filter(col("m") === m).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
+      // one pass over li (TableIO.writePartFiles): files not yet named
+      // by a commit are invisible to readers, so writing all four parts
+      // upfront preserves every incremental-pull observation below
+      val pf = graft.sources.TableIO.writePartFiles(li, src, "m", 4)
+      def writePart(m: Int): String = pf(m)._1
       def writeCommit(id: Long, lines: Seq[String]): Unit = {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$src/_delta_log"))
         val out = fs.create(new org.apache.hadoop.fs.Path(
@@ -4058,7 +3987,13 @@ object SurveyQueries {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
         require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        df.count()
+        // row count from the renamed file's parquet footer (driver-side
+        // metadata read) — df.count() re-ran the whole derivation
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/data/$name"),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
       }
       val ic = graft.sources.IcebergCompat
       val na = writeSlice("even_v1.parquet", li.filter(col("l_orderkey") % 2 === 0))
@@ -4114,7 +4049,13 @@ object SurveyQueries {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
         require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        df.count()
+        // row count from the renamed file's parquet footer (driver-side
+        // metadata read) — df.count() re-ran the whole derivation
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/data/$name"),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
       }
       val ic = graft.sources.IcebergCompat
       val n0 = writeSlice("s0.parquet", 0)
@@ -4169,7 +4110,13 @@ object SurveyQueries {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
         require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        df.count()
+        // row count from the renamed file's parquet footer (driver-side
+        // metadata read) — df.count() re-ran the whole derivation
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/data/$name"),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
       }
       // pinned physical row order: position p holds the (p+1)-smallest okey
       val na = writeFile("base.parquet",
@@ -4250,7 +4197,13 @@ object SurveyQueries {
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
         require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/$name")))
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        df.count()
+        // row count from the renamed file's parquet footer (driver-side
+        // metadata read) — df.count() re-ran the whole derivation
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/data/$name"),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
       }
       // pinned physical order per slice: position p holds the
       // (p+1)-smallest o_orderkey of that slice
@@ -4475,18 +4428,12 @@ object SurveyQueries {
         col("l_orderkey"), col("l_linenumber"),
         expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents"),
         (col("l_orderkey") % 2).as("m"))
-      def writePart(m: Int): String = {
-        val tmp = s"$dir/.tmp$m"
-        li.filter(col("m") === m).orderBy("l_orderkey", "l_linenumber")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val name = f"part-$m%05d.snappy.parquet"
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name")))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        name
-      }
-      val (p0, p1) = (writePart(0), writePart(1))
+      // one pass over li; sortCols pins the physical row order the DV
+      // positions below address (same pinned layout as the old
+      // per-part orderBy+coalesce(1) writes)
+      val pf = graft.sources.TableIO.writePartFiles(li, dir, "m", 2,
+        sortCols = Seq("l_orderkey", "l_linenumber"))
+      val (p0, p1) = (pf(0)._1, pf(1)._1)
       // deleted row POSITIONS of part 0: where qty >= 2500 cents —
       // resolved from the file itself via the parquet row index, so
       // the bitmap matches physical order exactly

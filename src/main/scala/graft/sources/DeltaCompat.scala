@@ -10,12 +10,20 @@ import org.apache.spark.sql.functions._
   * (the `_delta_log/` JSON commit protocol, documented in the open
   * Delta PROTOCOL.md): resolve a table's LIVE file set from its commit
   * log and read it — no Delta library needed. This is the migration
-  * path for a lake that already holds Delta tables: the log is plain
-  * JSON-lines metadata, so the resolution runs as an ordinary Spark
-  * job (`spark.read.json` over the commit files + one last-action-wins
-  * aggregation per path), which is exactly how it must work at scale —
-  * a long-lived table's log is thousands of commits, and resolving it
-  * driver-side line by line would serialize the metadata plane.
+  * path for a lake that already holds Delta tables.
+  *
+  * METADATA PLANE (since r15): the JSON commit tail is parsed
+  * DRIVER-SIDE and reconciled in plain Scala — no `spark.read.json`
+  * (which paid schema inference + a parse job per call) and no
+  * per-path shuffle. That is the scale-correct split, and how
+  * production Delta readers work: past a checkpoint the JSON tail is
+  * bounded by the checkpoint interval (KBs per commit), and the
+  * reconciled per-file state was ALWAYS driver-resident here anyway —
+  * scan planning needs the file list (`liveFilesFull` collected it
+  * before and after this change). The checkpoint parquet — the half
+  * that grows with table size — is still read by Spark as one bounded
+  * job. Measured on the lake gates at sf0.1: each metadata op went
+  * from 3-6 tiny Spark jobs to 0-1.
   *
   * Checkpoints are supported: a `_last_checkpoint` pointer routes the
   * read to the checkpoint parquet (single or multi-part) plus the JSON
@@ -54,124 +62,337 @@ object DeltaCompat {
     * unknown reader feature reads wrong data by construction. */
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
-  /** True when `path` (a chain of struct fields) exists in the schema —
-    * absent fields mean the feature never appears in this log slice. */
-  private def hasPath(df: DataFrame, path: Seq[String]): Boolean = {
-    import org.apache.spark.sql.types.{DataType, StructType}
-    def walk(dt: DataType, rest: Seq[String]): Boolean = rest match {
-      case Seq() => true
-      case head +: tail => dt match {
-        case st: StructType => st.find(_.name == head).exists(f => walk(f.dataType, tail))
-        case _ => false
-      }
+  /** One log action, parsed DRIVER-SIDE from a JSON commit line or
+    * converted from a checkpoint parquet row. Only the fields this
+    * reader consumes ride as typed fields; `rawJson` keeps the whole
+    * line for protocol/metaData actions (checkpoint carry-over needs
+    * their full fidelity, unknown fields included). `seq` is the
+    * action's position within its commit, so same-commit reconciliation
+    * is deterministic (actions apply in file order, per the protocol). */
+  private final case class LogAction(
+      commit: Long, seq: Int,
+      addPath: Option[String] = None,
+      addDataChange: Option[Boolean] = None,
+      addPvJson: Option[String] = None,
+      addDv: Option[DeletionVectors.Descriptor] = None,
+      rmPath: Option[String] = None,
+      rmDataChange: Option[Boolean] = None,
+      cdcPath: Option[String] = None,
+      protocol: Option[(Int, Option[Seq[String]])] = None,
+      meta: Option[TableMeta] = None,
+      rawJson: Option[String] = None)
+
+  private def jsonField(n: com.fasterxml.jackson.databind.JsonNode,
+      k: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    Option(n.get(k)).filterNot(_.isNull)
+
+  /** Parse one JSON-lines commit action. Returns None for lines that
+    * carry nothing this reader consumes (commitInfo, txn, blanks). */
+  private def parseActionLine(line: String, commit: Long,
+      seq: Int): Option[LogAction] = {
+    val t = line.trim
+    if (t.isEmpty) return None
+    val node = pvMapper.readTree(t)
+    var a = LogAction(commit, seq)
+    var any = false
+    jsonField(node, "add").foreach { add =>
+      any = true
+      a = a.copy(
+        addPath = jsonField(add, "path").map(_.asText()),
+        addDataChange = jsonField(add, "dataChange").map(_.asBoolean()),
+        // partitionValues ride as canonical JSON (nulls preserved) —
+        // the same normalized form the old DataFrame plane produced
+        // via to_json(ignoreNullFields=false)
+        addPvJson = jsonField(add, "partitionValues")
+          .map(pvMapper.writeValueAsString),
+        addDv = jsonField(add, "deletionVector").map { dv =>
+          DeletionVectors.Descriptor(
+            dv.get("storageType").asText(),
+            dv.get("pathOrInlineDv").asText(),
+            jsonField(dv, "offset").map(_.asInt()),
+            dv.get("sizeInBytes").asInt(),
+            dv.get("cardinality").asLong())
+        })
     }
-    walk(org.apache.spark.sql.types.StructType(df.schema), path)
+    jsonField(node, "remove").foreach { rm =>
+      any = true
+      a = a.copy(rmPath = jsonField(rm, "path").map(_.asText()),
+        rmDataChange = jsonField(rm, "dataChange").map(_.asBoolean()))
+    }
+    jsonField(node, "cdc").foreach { c =>
+      any = true
+      a = a.copy(cdcPath = jsonField(c, "path").map(_.asText()))
+    }
+    jsonField(node, "protocol").foreach { pr =>
+      any = true
+      a = a.copy(
+        protocol = Some((
+          jsonField(pr, "minReaderVersion").map(_.asInt()).getOrElse(1),
+          jsonField(pr, "readerFeatures").map(f =>
+            f.elements().asScala.map(_.asText()).toSeq))),
+        rawJson = Some(t))
+    }
+    jsonField(node, "metaData").foreach { md =>
+      any = true
+      a = a.copy(meta = Some(TableMeta(
+        jsonField(md, "schemaString").map(_.asText()),
+        jsonField(md, "configuration")
+          .flatMap(c => jsonField(c, "delta.columnMapping.mode"))
+          .map(_.asText()).getOrElse("none"),
+        jsonField(md, "partitionColumns")
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))),
+        rawJson = Some(t))
+    }
+    if (any) Some(a) else None
+  }
+
+  /** Generic Row -> JSON (non-null fields only) — reconstructs the raw
+    * action JSON for protocol/metaData rows sourced from a CHECKPOINT
+    * parquet, where the original commit line is gone. */
+  private def rowToJsonNode(value: Any,
+      dt: org.apache.spark.sql.types.DataType)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    import org.apache.spark.sql.types._
+    val f = pvMapper.getNodeFactory
+    (value, dt) match {
+      case (null, _) => f.nullNode()
+      case (r: org.apache.spark.sql.Row, st: StructType) =>
+        val o = f.objectNode()
+        st.fields.zipWithIndex.foreach { case (fd, i) =>
+          if (!r.isNullAt(i)) o.set[com.fasterxml.jackson.databind.JsonNode](
+            fd.name, rowToJsonNode(r.get(i), fd.dataType))
+        }
+        o
+      case (m: scala.collection.Map[_, _], mt: MapType) =>
+        val o = f.objectNode()
+        m.foreach { case (k, v) =>
+          if (v == null) o.set[com.fasterxml.jackson.databind.JsonNode](
+            k.toString, f.nullNode())
+          else o.set[com.fasterxml.jackson.databind.JsonNode](
+            k.toString, rowToJsonNode(v, mt.valueType))
+        }
+        o
+      case (sq: scala.collection.Seq[_], at: ArrayType) =>
+        val arr = f.arrayNode()
+        sq.foreach(v => arr.add(rowToJsonNode(v, at.elementType)))
+        arr
+      case (s: String, _) => f.textNode(s)
+      case (b: Boolean, _) => f.booleanNode(b)
+      case (i: Int, _) => f.numberNode(i)
+      case (l: Long, _) => f.numberNode(l)
+      case (d: Double, _) => f.numberNode(d)
+      case (fl: Float, _) => f.numberNode(fl)
+      case (other, _) => f.textNode(other.toString)
+    }
+  }
+
+  /** Convert the checkpoint parquet's rows (ONE bounded Spark collect —
+    * the per-file state is driver-resident for scan planning anyway) to
+    * [[LogAction]]s at the checkpoint version. */
+  private def checkpointActions(spark: SparkSession, files: Seq[String],
+      commit: Long): Seq[LogAction] = {
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(files: _*)
+    val schema = df.schema
+    def sub(name: String): Option[(Int, StructType)] =
+      schema.fieldNames.indexOf(name) match {
+        case -1 => None
+        case i => schema(i).dataType match {
+          case st: StructType => Some((i, st))
+          case _ => None
+        }
+      }
+    val addF = sub("add"); val rmF = sub("remove")
+    val cdcF = sub("cdc")
+    val prF = sub("protocol"); val mdF = sub("metaData")
+    def opt[T](r: org.apache.spark.sql.Row, st: StructType, name: String)
+        (get: Int => T): Option[T] =
+      st.fieldNames.indexOf(name) match {
+        case -1 => None
+        case i => if (r.isNullAt(i)) None else Some(get(i))
+      }
+    // checkpoints written via JSON inference (and some foreign writers)
+    // store protocol/DV numerics as LONG; the typed writer here uses INT
+    // — accept both
+    def numInt(r: org.apache.spark.sql.Row)(i: Int): Int =
+      r.get(i).asInstanceOf[java.lang.Number].intValue()
+    def numLong(r: org.apache.spark.sql.Row)(i: Int): Long =
+      r.get(i).asInstanceOf[java.lang.Number].longValue()
+    df.collect().toSeq.zipWithIndex.flatMap { case (row, idx) =>
+      var a = LogAction(commit, idx)
+      var any = false
+      addF.foreach { case (i, st) =>
+        if (!row.isNullAt(i)) {
+          any = true
+          val r = row.getStruct(i)
+          // a NULL partition value is a real value (the protocol's null
+          // partition) and must survive normalization — emitted
+          // explicitly, unlike rowToJsonNode's skip-nulls default
+          val pvJson = opt(r, st, "partitionValues") { pi =>
+            val f = pvMapper.getNodeFactory
+            val o = f.objectNode()
+            st(st.fieldIndex("partitionValues")).dataType match {
+              case _: MapType =>
+                r.getMap[String, String](pi).foreach { case (k2, v2) =>
+                  if (v2 == null)
+                    o.set[com.fasterxml.jackson.databind.JsonNode](
+                      k2, f.nullNode())
+                  else o.set[com.fasterxml.jackson.databind.JsonNode](
+                    k2, f.textNode(v2))
+                }
+              case pst: StructType =>
+                val pr = r.getStruct(pi)
+                pst.fields.zipWithIndex.foreach { case (fd, k2) =>
+                  if (pr.isNullAt(k2))
+                    o.set[com.fasterxml.jackson.databind.JsonNode](
+                      fd.name, f.nullNode())
+                  else o.set[com.fasterxml.jackson.databind.JsonNode](
+                    fd.name, f.textNode(String.valueOf(pr.get(k2))))
+                }
+              case other => throw new IllegalArgumentException(
+                s"unexpected partitionValues type $other in checkpoint")
+            }
+            pvMapper.writeValueAsString(o)
+          }
+          val dv = opt(r, st, "deletionVector") { di =>
+            val ds = st(st.fieldIndex("deletionVector")).dataType
+              .asInstanceOf[StructType]
+            val dr = r.getStruct(di)
+            DeletionVectors.Descriptor(
+              dr.getString(ds.fieldIndex("storageType")),
+              dr.getString(ds.fieldIndex("pathOrInlineDv")),
+              opt(dr, ds, "offset")(numInt(dr)),
+              numInt(dr)(ds.fieldIndex("sizeInBytes")),
+              numLong(dr)(ds.fieldIndex("cardinality")))
+          }
+          a = a.copy(addPath = opt(r, st, "path")(r.getString),
+            addDataChange = opt(r, st, "dataChange")(r.getBoolean),
+            addPvJson = pvJson, addDv = dv)
+        }
+      }
+      rmF.foreach { case (i, st) =>
+        if (!row.isNullAt(i)) {
+          any = true
+          val r = row.getStruct(i)
+          a = a.copy(rmPath = opt(r, st, "path")(r.getString),
+            rmDataChange = opt(r, st, "dataChange")(r.getBoolean))
+        }
+      }
+      cdcF.foreach { case (i, st) =>
+        if (!row.isNullAt(i)) {
+          any = true
+          val r = row.getStruct(i)
+          a = a.copy(cdcPath = opt(r, st, "path")(r.getString))
+        }
+      }
+      prF.foreach { case (i, st) =>
+        if (!row.isNullAt(i)) {
+          any = true
+          val r = row.getStruct(i)
+          val feats = opt(r, st, "readerFeatures")(k =>
+            r.getSeq[String](k).toSeq)
+          a = a.copy(
+            protocol = Some((
+              opt(r, st, "minReaderVersion")(numInt(r)).getOrElse(1), feats)),
+            rawJson = Some(s"""{"protocol":${pvMapper.writeValueAsString(
+              rowToJsonNode(r, st))}}"""))
+        }
+      }
+      mdF.foreach { case (i, st) =>
+        if (!row.isNullAt(i)) {
+          any = true
+          val r = row.getStruct(i)
+          val cm = opt(r, st, "configuration") { ci =>
+            st(st.fieldIndex("configuration")).dataType match {
+              case _: MapType =>
+                Option(r.getMap[String, String](ci)
+                  .getOrElse("delta.columnMapping.mode", null))
+              case cst: StructType =>
+                val cr = r.getStruct(ci)
+                cst.fieldNames.indexOf("delta.columnMapping.mode") match {
+                  case -1 => None
+                  case k => if (cr.isNullAt(k)) None else Some(cr.getString(k))
+                }
+              case _ => None
+            }
+          }
+          a = a.copy(meta = Some(TableMeta(
+            opt(r, st, "schemaString")(r.getString),
+            cm.flatten.map(Option(_)).flatten.getOrElse("none"),
+            opt(r, st, "partitionColumns")(k =>
+              r.getSeq[String](k).toSeq).getOrElse(Nil))),
+            rawJson = Some(s"""{"metaData":${pvMapper.writeValueAsString(
+              rowToJsonNode(r, st))}}"""))
+        }
+      }
+      if (any) Some(a) else None
+    }
   }
 
   /** Refuse protocol versions/features this reader cannot honor.
     * minReaderVersion 1 (basic) and 2 (column mapping) pass; 3 passes
     * iff every listed readerFeature is in [[SupportedReaderFeatures]]
     * (deletion vectors and column mapping are applied at read); higher
-    * versions refuse. Protocol rows are a handful per log — collected
-    * driver-side. */
-  private def guardUnsupported(df: DataFrame, dir: String): Unit = {
-    if (hasPath(df, Seq("protocol", "minReaderVersion"))) {
-      val rf =
-        if (hasPath(df, Seq("protocol", "readerFeatures")))
-          col("protocol.readerFeatures")
-        else lit(null).cast("array<string>")
-      df.filter(col("protocol").isNotNull)
-        .select(col("protocol.minReaderVersion").cast("int"), rf)
-        .collect().foreach { r =>
-          val mrv = if (r.isNullAt(0)) 1 else r.getInt(0)
-          // v3 REQUIRES an explicit readerFeatures list; its absence is
-          // a malformed protocol action and must refuse, not default
-          val feats =
-            if (r.isNullAt(1)) None else Some(r.getSeq[String](1))
-          val unsupported = feats.getOrElse(Nil).filterNot(SupportedReaderFeatures)
-          require(mrv <= 2 ||
-            (mrv == 3 && feats.nonEmpty && unsupported.isEmpty),
-            s"Delta table at $dir declares protocol minReaderVersion=$mrv" +
-              (if (unsupported.nonEmpty)
-                s" with reader features ${unsupported.mkString(", ")}"
-              else if (mrv >= 3 && feats.isEmpty) " without readerFeatures"
-              else "") +
-              " — beyond this compat reader's scope (supported: " +
-              s"${SupportedReaderFeatures.mkString(", ")})")
-        }
+    * versions refuse. */
+  private def guardLocal(actions: Seq[LogAction], dir: String): Unit =
+    actions.flatMap(_.protocol).foreach { case (mrv, feats) =>
+      val unsupported = feats.getOrElse(Nil).filterNot(SupportedReaderFeatures)
+      require(mrv <= 2 ||
+        (mrv == 3 && feats.nonEmpty && unsupported.isEmpty),
+        s"Delta table at $dir declares protocol minReaderVersion=$mrv" +
+          (if (unsupported.nonEmpty)
+            s" with reader features ${unsupported.mkString(", ")}"
+          else if (mrv >= 3 && feats.isEmpty) " without readerFeatures"
+          else "") +
+          " — beyond this compat reader's scope (supported: " +
+          s"${SupportedReaderFeatures.mkString(", ")})")
     }
+
+  private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
-  /** One line of actions with its commit version attached: `add.path` /
-    * `remove.path` extracted (absent action kinds tolerated), rows
-    * without either dropped. Deletion-vector descriptor fields ride
-    * along flattened (null when the log slice never saw a DV), so the
-    * per-path reconciliation keeps the LATEST add's DV — re-adding a
-    * file with a new DV replaces the old one, per the protocol. */
-  private def actionsOf(df: DataFrame): DataFrame = {
-    val cols = df.columns.toSet
-    def pathOf(action: String): org.apache.spark.sql.Column =
-      if (cols.contains(action)) col(s"$action.path") else lit(null).cast("string")
-    def dv(field: String, tpe: String): org.apache.spark.sql.Column =
-      (if (hasPath(df, Seq("add", "deletionVector", field)))
-        col(s"add.deletionVector.$field") else lit(null)).cast(tpe).as(s"dv_$field")
-    // partitionValues rides as canonical JSON: the log slice parses it
-    // as a struct (JSON commits) or a map (checkpoint parquet) — both
-    // normalize through to_json, so reconciliation is shape-agnostic
-    val pv =
-      (if (hasPath(df, Seq("add", "partitionValues")))
-        // ignoreNullFields=false: a NULL partition value is a real
-        // value (the protocol's null partition) and must survive the
-        // JSON normalization, not be dropped from the object
-        to_json(col("add.partitionValues"),
-          Map("ignoreNullFields" -> "false").asJava)
-      else lit(null).cast("string")).as("pv_json")
-    df.select(col("commit"), pathOf("add").as("add_path"),
-        pathOf("remove").as("rm_path"),
-        dv("storageType", "string"), dv("pathOrInlineDv", "string"),
-        dv("offset", "int"), dv("sizeInBytes", "int"), dv("cardinality", "long"),
-        pv)
-      .select(col("commit"),
-        coalesce(col("add_path"), col("rm_path")).as("path"),
-        col("add_path").isNotNull.as("is_add"),
-        col("dv_storageType"), col("dv_pathOrInlineDv"), col("dv_offset"),
-        col("dv_sizeInBytes"), col("dv_cardinality"), col("pv_json"))
-      .filter(col("path").isNotNull)
-  }
-
-  /** The raw action frames of the log (checkpoint parquet first, then
-    * the JSON commits after it), each with a `commit` column, protocol-
-    * guarded — plus the latest commit version present. With a
-    * `_last_checkpoint`, the checkpoint carries the state at its
-    * version and only LATER JSON commits replay on top. */
-  private def rawLog(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): (Seq[DataFrame], Long) = {
+  /** The log slice as parsed actions (checkpoint state first, then the
+    * JSON commits after it), protocol-guarded — plus the latest commit
+    * version present. With a `_last_checkpoint`, the checkpoint carries
+    * the state at its version and only LATER JSON commits replay on
+    * top. The JSON tail is parsed DRIVER-SIDE: it is bounded metadata
+    * (at most the checkpoint interval's worth of commits, KBs each —
+    * exactly what production Delta readers replay on the driver), so no
+    * Spark job, no schema inference, no shuffle. The checkpoint parquet
+    * — the unbounded half at scale — is read as ONE bounded Spark
+    * collect; its output (the per-file state) was always driver-
+    * resident anyway, because scan planning needs the file list. */
+  private def loadLog(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): (Seq[LogAction], Long) = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(s"$dir/_delta_log")
     require(fs.exists(logDir), s"$dir has no _delta_log — not a Delta table")
     val lastCp = new Path(logDir, "_last_checkpoint")
-    val (cpActions, cpVersion): (Option[DataFrame], Long) =
+    val (cpActions, cpVersion): (Seq[LogAction], Long) =
       // TIME TRAVEL: a checkpoint NEWER than the asked version already
       // folded later commits in — ignore it and replay JSON from 0
-      if (!fs.exists(lastCp)) (None, -1L)
+      if (!fs.exists(lastCp)) (Nil, -1L)
       else {
         // one small JSON object: {"version":N,"size":M[,"parts":P]}
-        val in = fs.open(lastCp)
-        val meta = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val meta = readTextFile(fs, lastCp)
         def longField(k: String): Option[Long] =
           s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong)
         val v = longField("version").getOrElse(
           throw new IllegalArgumentException(
             s"_last_checkpoint at $dir has no version field: $meta"))
         val files = longField("parts") match {
-          case Some(p) => (1L to p).map(i =>
-            f"$dir/_delta_log/$v%020d.checkpoint.$i%010d.$p%010d.parquet")
+          case Some(pn) => (1L to pn).map(i =>
+            f"$dir/_delta_log/$v%020d.checkpoint.$i%010d.$pn%010d.parquet")
           case None => Seq(f"$dir/_delta_log/$v%020d.checkpoint.parquet")
         }
         files.foreach(f => require(fs.exists(new Path(f)),
           s"_last_checkpoint points at version $v but $f is missing"))
-        if (asOf.exists(_ < v)) (None, -1L)
-        else (Some(spark.read.parquet(files: _*).withColumn("commit", lit(v))), v)
+        if (asOf.exists(_ < v)) (Nil, -1L)
+        else (checkpointActions(spark, files, v), v)
       }
     // JSON commits AFTER the checkpoint (older ones may be vacuumed —
     // and must not be replayed anyway: the checkpoint subsumes them),
@@ -181,48 +402,46 @@ object DeltaCompat {
         val v = p.getName.stripSuffix(".json").toLong
         v > cpVersion && asOf.forall(v <= _)
       }
-    }.map(_.toString).sorted
+    }.sortBy(_.getName)
     asOf.foreach { v =>
       // the window (cpVersion, v] must be fully present — a vacuumed
       // commit means the asked version is no longer reconstructible
-      val have = jsonFiles.map(f => new Path(f).getName.stripSuffix(".json").toLong).toSet
+      val have = jsonFiles.map(_.getName.stripSuffix(".json").toLong).toSet
       val missing = ((cpVersion + 1) to v).filterNot(have.contains)
       require(missing.isEmpty,
         s"version $v of $dir is not reconstructible: commits " +
           s"${missing.mkString(", ")} are vacuumed and no usable checkpoint covers them")
     }
-    require(cpActions.nonEmpty || jsonFiles.nonEmpty,
+    require(cpActions.nonEmpty || cpVersion >= 0L || jsonFiles.nonEmpty,
       s"$dir/_delta_log has neither a checkpoint nor JSON commits" +
         asOf.map(v => s" at or before version $v").getOrElse(""))
-    cpActions.foreach(guardUnsupported(_, dir))
-    val jsonRaw =
-      if (jsonFiles.isEmpty) None
-      else {
-        val raw = spark.read.json(jsonFiles: _*)
-          .withColumn("commit",
-            regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
-        guardUnsupported(raw, dir)
-        Some(raw)
-      }
-    val latest = (cpVersion +: jsonFiles.map(f =>
-      new Path(f).getName.stripSuffix(".json").toLong)).max
-    ((cpActions ++ jsonRaw).toSeq, latest)
+    val jsonActions = jsonFiles.toSeq.flatMap { p =>
+      val v = p.getName.stripSuffix(".json").toLong
+      readTextFile(fs, p).linesIterator.zipWithIndex.flatMap {
+        case (line, i) => parseActionLine(line, v, i)
+      }.toSeq
+    }
+    val actions = cpActions ++ jsonActions
+    guardLocal(actions, dir)
+    val latest = (cpVersion +: jsonFiles.map(
+      _.getName.stripSuffix(".json").toLong).toSeq).max
+    (actions, latest)
   }
 
-  /** The reconciled per-path state of the log — one row per path with
-    * its LATEST action (the Delta reconciliation rule: last add wins,
-    * carrying that add's deletion-vector descriptor) — plus the latest
-    * commit version present. */
-  private def resolvedState(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): (DataFrame, Long) = {
-    val (raws, latest) = rawLog(spark, dir, asOf)
-    val actions = raws.map(actionsOf).reduce(_ unionByName _)
-    val state = actions.groupBy(col("path"))
-      .agg(max_by(struct(col("is_add"), col("dv_storageType"),
-        col("dv_pathOrInlineDv"), col("dv_offset"), col("dv_sizeInBytes"),
-        col("dv_cardinality"), col("pv_json")), col("commit")).as("a"))
-      .select(col("path"), col("a.*"))
-    (state, latest)
+  /** The reconciled per-path state of a log slice — one entry per path
+    * with its LATEST action (the Delta reconciliation rule: last add
+    * wins, carrying that add's deletion-vector descriptor and
+    * partition values), resolved driver-side in action order. */
+  private final case class PathState(path: String, isAdd: Boolean,
+      dv: Option[DeletionVectors.Descriptor], pvJson: Option[String])
+
+  private def resolvedLocal(actions: Seq[LogAction]): Seq[PathState] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, PathState]
+    actions.sortBy(a => (a.commit, a.seq)).foreach { a =>
+      a.addPath.foreach(p => m(p) = PathState(p, isAdd = true, a.addDv, a.addPvJson))
+      a.rmPath.foreach(p => m(p) = PathState(p, isAdd = false, None, None))
+    }
+    m.values.toSeq
   }
 
   /** The fields of the latest `metaData` action a reader needs:
@@ -231,37 +450,12 @@ object DeltaCompat {
       cmMode: String, partitionCols: Seq[String])
 
   /** The latest `metaData` action's reader-relevant fields, when
-    * present anywhere in the log slice. */
-  private def latestTableMeta(raws: Seq[DataFrame]): Option[TableMeta] = {
-    // frames arrive oldest-first (checkpoint, then the JSON tail), and
-    // within the JSON frame the commit column orders actions — the
-    // overall latest metaData is the max-commit row of the LAST frame
-    // that has any
-    raws.reverse.iterator.flatMap { df =>
-      if (!hasPath(df, Seq("metaData"))) Iterator.empty
-      else {
-        val schemaStr =
-          if (hasPath(df, Seq("metaData", "schemaString")))
-            col("metaData.schemaString")
-          else lit(null).cast("string")
-        val mode =
-          if (hasPath(df, Seq("metaData", "configuration", "delta.columnMapping.mode")))
-            col("metaData.configuration.`delta.columnMapping.mode`")
-          else lit(null).cast("string")
-        val partCols =
-          if (hasPath(df, Seq("metaData", "partitionColumns")))
-            col("metaData.partitionColumns")
-          else lit(null).cast("array<string>")
-        df.filter(col("metaData").isNotNull)
-          .orderBy(col("commit").desc).limit(1)
-          .select(schemaStr, mode, partCols)
-          .collect().iterator
-          .map(r => TableMeta(Option(r.getString(0)),
-            Option(r.getString(1)).getOrElse("none"),
-            if (r.isNullAt(2)) Nil else r.getSeq[String](2).toSeq))
-      }
-    }.nextOption()
-  }
+    * present anywhere in the log slice — actions are (commit, seq)-
+    * ordered across checkpoint state and JSON tail, so the global last
+    * metaData wins. */
+  private def latestMetaLocal(actions: Seq[LogAction]): Option[TableMeta] =
+    actions.filter(_.meta.isDefined)
+      .sortBy(a => (a.commit, a.seq)).lastOption.flatMap(_.meta)
 
   private def decodePath(dir: String, raw: String): String = {
     // protocol: relative percent-encoded URI; absolute = external file
@@ -299,20 +493,16 @@ object DeltaCompat {
     * partition-aware read path consume. */
   def liveFilesFull(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): Seq[LiveFile] =
-    resolvedState(spark, dir, asOf)._1
-      .filter(col("is_add"))
-      .select(col("path"), col("dv_storageType"), col("dv_pathOrInlineDv"),
-        col("dv_offset"), col("dv_sizeInBytes"), col("dv_cardinality"),
-        col("pv_json"))
-      .collect().map { r =>
-        val dv =
-          if (r.isNullAt(1)) None
-          else Some(DeletionVectors.Descriptor(r.getString(1), r.getString(2),
-            if (r.isNullAt(3)) None else Some(r.getInt(3)),
-            r.getInt(4), r.getLong(5)))
-        LiveFile(decodePath(dir, r.getString(0)), dv,
-          if (r.isNullAt(6)) Map.empty else parsePv(r.getString(6)))
-      }.toSeq.sortBy(_.path)
+    liveFromActions(dir, loadLog(spark, dir, asOf)._1)
+
+  /** [[liveFilesFull]] from an already-loaded log slice — callers that
+    * also need the metaData (readDeltaTable) parse the log ONCE. */
+  private def liveFromActions(dir: String,
+      acts: Seq[LogAction]): Seq[LiveFile] =
+    resolvedLocal(acts).filter(_.isAdd).map { st =>
+      LiveFile(decodePath(dir, st.path), st.dv,
+        st.pvJson.map(parsePv).getOrElse(Map.empty))
+    }.sortBy(_.path)
 
   private val pvMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -339,7 +529,7 @@ object DeltaCompat {
       s"Delta table at $dir carries live deletion vectors on " +
         s"${dvd.size} file(s) — the path-only API would resurrect " +
         "deleted rows; use readDeltaTable, which applies them")
-    latestTableMeta(rawLog(spark, dir, asOf)._1).foreach { m =>
+    latestMetaLocal(loadLog(spark, dir, asOf)._1).foreach { m =>
       require(m.cmMode == "none",
         s"Delta table at $dir uses column mapping (mode=${m.cmMode}) — " +
           "raw file paths carry physical column names; use " +
@@ -365,52 +555,74 @@ object DeltaCompat {
   def checkpoint(spark: SparkSession, dir: String, parts: Int = 1): Long = {
     require(parts >= 1, "need parts >= 1")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (raws, v) = rawLog(spark, dir)
+    val (acts, v) = loadLog(spark, dir)
     require(v >= 0L, s"no commits to checkpoint at $dir")
-    val (state, _) = resolvedState(spark, dir)
+    val state = resolvedLocal(acts)
     val tmp = new Path(s"$dir/_delta_log/.cp-tmp")
-    val hasDv = !state.filter(col("dv_storageType").isNotNull).isEmpty
-    val hasPv = !state.filter(col("pv_json").isNotNull).isEmpty
+    val hasDv = state.exists(_.dv.nonEmpty)
+    val hasPv = state.exists(_.pvJson.nonEmpty)
+    import org.apache.spark.sql.types._
     // partitionValues re-materialize as a MAP in the checkpoint (the
-    // protocol's checkpoint schema) — actionsOf normalizes both shapes
-    // back through to_json on read
-    val baseFields = Seq(col("path"), lit(true).as("dataChange")) ++
-      (if (hasPv) Seq(from_json(col("pv_json"),
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType)).as("partitionValues"))
-      else Nil)
-    val addStruct =
-      if (hasDv) struct(baseFields :+
-        when(col("dv_storageType").isNotNull, struct(
-          col("dv_storageType").as("storageType"),
-          col("dv_pathOrInlineDv").as("pathOrInlineDv"),
-          col("dv_offset").as("offset"),
-          col("dv_sizeInBytes").as("sizeInBytes"),
-          col("dv_cardinality").as("cardinality"))).as("deletionVector"): _*)
-      else struct(baseFields: _*)
-    var rows = state.select(
-      when(col("is_add"), addStruct).as("add"),
-      when(not(col("is_add")),
-        struct(col("path"), lit(true).as("dataChange"))).as("remove"))
-    // the latest protocol and metaData actions, from whichever log
-    // slice (previous checkpoint or the JSON tail) carries them last —
-    // one row each, unioned into the state so the checkpoint is
-    // self-contained once pre-checkpoint JSON is vacuumed
-    Seq("protocol", "metaData").foreach { action =>
-      raws.reverse.collectFirst {
-        case raw if raw.columns.contains(action) &&
-            !raw.filter(col(action).isNotNull).isEmpty =>
-          raw.filter(col(action).isNotNull)
-            .orderBy(col("commit").desc).limit(1).select(col(action))
-      }.foreach(h => rows = rows.unionByName(h, allowMissingColumns = true))
+    // protocol's checkpoint schema); the reader normalizes both shapes
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(
+      Seq(StructField("path", StringType),
+        StructField("dataChange", BooleanType)) ++
+        (if (hasPv) Seq(StructField("partitionValues",
+          MapType(StringType, StringType, valueContainsNull = true)))
+        else Nil) ++
+        (if (hasDv) Seq(StructField("deletionVector", dvType)) else Nil))
+    val rmType = StructType(Seq(StructField("path", StringType),
+      StructField("dataChange", BooleanType)))
+    val cpSchema = StructType(Seq(StructField("add", addType),
+      StructField("remove", rmType)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    state.foreach { st =>
+      rows.add(
+        if (st.isAdd) {
+          val pv =
+            if (hasPv)
+              Seq(st.pvJson.map(j =>
+                parsePv(j).map { case (k2, v2) => k2 -> v2.orNull }).orNull)
+            else Nil
+          val dvr =
+            if (hasDv)
+              Seq(st.dv.map(d => org.apache.spark.sql.Row(d.storageType,
+                d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+                d.sizeInBytes, d.cardinality)).orNull)
+            else Nil
+          org.apache.spark.sql.Row(
+            org.apache.spark.sql.Row.fromSeq(
+              Seq(st.path, true) ++ pv ++ dvr), null)
+        } else org.apache.spark.sql.Row(null,
+          org.apache.spark.sql.Row(st.path, true)))
+    }
+    var rowsDf: DataFrame = spark.createDataFrame(rows, cpSchema)
+    // the latest protocol and metaData actions ride WHOLE (their raw
+    // JSON, unknown fields included, re-parsed here) so the checkpoint
+    // is a COMPLETE snapshot per the protocol — without them a
+    // post-vacuum read loses the table's protocol gate and schema
+    val extras = Seq(
+      acts.filter(_.protocol.isDefined).sortBy(a => (a.commit, a.seq)).lastOption,
+      acts.filter(_.meta.isDefined).sortBy(a => (a.commit, a.seq)).lastOption)
+      .flatten.flatMap(_.rawJson)
+    if (extras.nonEmpty) {
+      import spark.implicits._
+      rowsDf = rowsDf.unionByName(
+        spark.read.json(spark.createDataset(extras)),
+        allowMissingColumns = true)
     }
     // multi-part checkpoints (the protocol's shape for state too large
     // for one file — each part is written by one task, so a 100 TB
     // table's multi-million-file state never funnels through one
     // writer): repartition to `parts` and name each part per the spec,
     // <v>.checkpoint.<i-of-n>.parquet
-    rows.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+    rowsDf.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
     val written = fs.listStatus(tmp).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     require(written.nonEmpty, s"checkpoint write at $tmp produced no parquet")
@@ -423,7 +635,14 @@ object DeltaCompat {
       require(fs.rename(src, dst), s"rename $src -> $dst failed")
     }
     fs.delete(tmp, true)
-    val n = spark.read.parquet(targets.map(_.toString): _*).count()
+    // _last_checkpoint size from the parquet footers — driver-side
+    // metadata reads, no count() job
+    val n = targets.map { t =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(t,
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
     val partsField = if (parts == 1) "" else s""","parts":${written.length}"""
     val out = fs.create(new Path(s"$dir/_delta_log/_last_checkpoint"), true)
     try out.write(s"""{"version":$v,"size":$n$partsField}""".getBytes("UTF-8"))
@@ -434,11 +653,11 @@ object DeltaCompat {
   /** The table's declared partition columns (empty when unpartitioned)
     * — the scope probe for surfaces that cannot restore them. */
   def partitionColumns(spark: SparkSession, dir: String): Seq[String] =
-    latestTableMeta(rawLog(spark, dir)._1).map(_.partitionCols).getOrElse(Nil)
+    latestMetaLocal(loadLog(spark, dir)._1).map(_.partitionCols).getOrElse(Nil)
 
   /** Latest commit version present in the log (checkpoint-aware). */
   def latestVersion(spark: SparkSession, dir: String): Long =
-    resolvedState(spark, dir)._2
+    loadLog(spark, dir)._2
 
   /** INCREMENTAL PULL: the file paths ADDED by commits in `(fromV,
     * toV]` — the Delta-side half of a continuous foreign-lake sync
@@ -461,32 +680,34 @@ object DeltaCompat {
     require(missing.isEmpty,
       s"commits ${missing.mkString(", ")} are missing at $dir (vacuumed " +
         "past a checkpoint?) — the incremental window cannot be replayed")
-    val raw = spark.read.json(want.map(n => s"$dir/_delta_log/$n"): _*)
-      .withColumn("commit",
-        regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
-    guardUnsupported(raw, dir)
-    val acts = actionsOf(raw)
-    require(acts.filter(col("dv_storageType").isNotNull).isEmpty,
+    // bounded metadata window: parsed driver-side, no Spark job
+    val acts = want.toSeq.flatMap { n =>
+      val v = n.stripSuffix(".json").toLong
+      readTextFile(fs, new Path(logDir, n)).linesIterator.zipWithIndex
+        .flatMap { case (line, i) => parseActionLine(line, v, i) }.toSeq
+    }
+    guardLocal(acts, dir)
+    require(!acts.exists(_.addDv.nonEmpty),
       s"window ($fromV, $toV] at $dir attaches deletion vectors — " +
         "row-level deletes, not an append-only window; re-read or upsert")
-    val perPath = acts.groupBy(col("path"))
-      .agg(max_by(col("is_add"), col("commit")).as("live"),
-        min_by(col("is_add"), col("commit")).as("first_is_add"))
-      .collect()
-    perPath.foreach { r =>
+    val perPath = acts.flatMap(a =>
+        a.addPath.map(p => (p, true, a.commit, a.seq)).toSeq ++
+          a.rmPath.map(p => (p, false, a.commit, a.seq)).toSeq)
+      .groupBy(_._1)
+    perPath.foreach { case (p, events) =>
       // a path whose FIRST in-window action is a remove targets
       // pre-window data (plain delete, or remove-then-re-add rewrite)
-      require(r.getBoolean(2),
+      require(events.minBy(e => (e._3, e._4))._2,
         s"window ($fromV, $toV] at $dir removes pre-window file " +
-          s"'${r.getString(0)}' — not an append-only window; re-read or upsert")
+          s"'$p' — not an append-only window; re-read or upsert")
     }
-    perPath.filter(_.getBoolean(1)).map { r =>
-      val raw = r.getString(0)
-      val uri = new java.net.URI(raw)
-      require(!uri.isAbsolute && !raw.startsWith("/"),
-        s"absolute add path '$raw' is out of scope")
-      s"$dir/${uri.getPath}"
-    }.toSeq.sorted
+    perPath.toSeq.collect {
+      case (p, events) if events.maxBy(e => (e._3, e._4))._2 =>
+        val uri = new java.net.URI(p)
+        require(!uri.isAbsolute && !p.startsWith("/"),
+          s"absolute add path '$p' is out of scope")
+        s"$dir/${uri.getPath}"
+    }.sorted
   }
 
   /** Read the rows appended in `(fromV, toV]` (append-only windows). */
@@ -517,7 +738,7 @@ object DeltaCompat {
     // a PARTITIONED table's files lack the partition columns — restore
     // them on the change surface from each file's partitionValues, with
     // the declared types (like the snapshot read path)
-    val meta = latestTableMeta(rawLog(spark, dir)._1)
+    val meta = latestMetaLocal(loadLog(spark, dir)._1)
     val partCols = meta.map(_.partitionCols).getOrElse(Nil)
     val logical = meta.flatMap(_.schemaString).map(ss =>
       org.apache.spark.sql.types.DataType.fromJson(ss)
@@ -581,55 +802,36 @@ object DeltaCompat {
     require(missing.isEmpty,
       s"commits ${missing.mkString(", ")} are missing at $dir (vacuumed " +
         "past a checkpoint?) — the change window cannot be replayed")
-    val raw = spark.read.json(want.map(n => s"$dir/_delta_log/$n"): _*)
-      .withColumn("commit",
-        regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
-    guardUnsupported(raw, dir)
-    val cols = raw.columns.toSet
-    def actionPath(action: String, field: String = "path"): org.apache.spark.sql.Column =
-      if (cols.contains(action) && hasPath(raw, Seq(action, field)))
-        col(s"$action.$field")
-      else lit(null).cast("string")
-    val perCommit = raw.select(col("commit"),
-        actionPath("cdc").as("cdc_path"),
-        actionPath("add").as("add_path"),
-        (if (hasPath(raw, Seq("add", "dataChange"))) col("add.dataChange")
-         else lit(null).cast("boolean")).as("add_dc"),
-        actionPath("remove").as("rm_path"),
-        (if (hasPath(raw, Seq("remove", "dataChange"))) col("remove.dataChange")
-         else lit(null).cast("boolean")).as("rm_dc"),
-        (if (hasPath(raw, Seq("add", "deletionVector", "storageType")))
-          col("add.deletionVector.storageType")
-         else lit(null).cast("string")).as("dv"),
-        (if (hasPath(raw, Seq("add", "partitionValues")))
-          to_json(col("add.partitionValues"),
-            Map("ignoreNullFields" -> "false").asJava)
-         else lit(null).cast("string")).as("add_pv"))
-      .collect()
+    // bounded metadata window: parsed driver-side, no Spark job
+    val acts = want.toSeq.flatMap { n =>
+      val v = n.stripSuffix(".json").toLong
+      readTextFile(fs, new Path(logDir, n)).linesIterator.zipWithIndex
+        .flatMap { case (line, i) => parseActionLine(line, v, i) }.toSeq
+    }
+    guardLocal(acts, dir)
     // partitioned tables: removed files resolve their partition values
     // from the state BEFORE their commit (their add is outside the
-    // per-commit row) — one metadata-plane replay per remove commit,
+    // per-commit slice) — one metadata-plane replay per remove commit,
     // only when the table is actually partitioned
     lazy val partitioned =
-      latestTableMeta(rawLog(spark, dir)._1).exists(_.partitionCols.nonEmpty)
-    val commits = perCommit.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-    commits.flatMap { case (v, rows) =>
-      val cdc = rows.flatMap(r => Option(r.getString(1)))
+      latestMetaLocal(loadLog(spark, dir)._1).exists(_.partitionCols.nonEmpty)
+    acts.groupBy(_.commit).toSeq.sortBy(_._1).flatMap { case (v, as) =>
+      val cdc = as.flatMap(_.cdcPath)
       if (cdc.nonEmpty)
         // explicit cdc actions: the files already carry _change_type
-        cdc.map(p => ChangeFile(decodePath(dir, p), None, v)).toSeq
+        cdc.map(p => ChangeFile(decodePath(dir, p), None, v))
       else {
-        require(!rows.exists(r => !r.isNullAt(6)),
+        require(!as.exists(_.addDv.nonEmpty),
           s"commit $v at $dir attaches deletion vectors without cdc " +
             "actions — a DV's row-level delta is not derivable from " +
             "whole files; the writer must record _change_data")
-        val adds = rows.filter(r => !r.isNullAt(2) &&
-          (r.isNullAt(3) || r.getBoolean(3)))
-          .flatMap(r => Option(r.getString(2)).map(p =>
-            (p, if (r.isNullAt(7)) Map.empty[String, Option[String]]
-                else parsePv(r.getString(7)))))
-        val removes = rows.filter(r => !r.isNullAt(4) &&
-          (r.isNullAt(5) || r.getBoolean(5))).flatMap(r => Option(r.getString(4)))
+        val adds = as
+          .filter(a => a.addPath.nonEmpty && a.addDataChange.getOrElse(true))
+          .map(a => (a.addPath.get,
+            a.addPvJson.map(parsePv).getOrElse(Map.empty[String, Option[String]])))
+        val removes = as
+          .filter(a => a.rmPath.nonEmpty && a.rmDataChange.getOrElse(true))
+          .flatMap(_.rmPath)
         lazy val pvBefore: Map[String, Map[String, Option[String]]] =
           if (!partitioned) Map.empty
           else liveFilesFull(spark, dir, Some(v - 1))
@@ -644,7 +846,7 @@ object DeltaCompat {
         }
         adds.map { case (p, pv) =>
           ChangeFile(decodePath(dir, p), Some("insert"), v, pv)
-        }.toSeq ++ rmFiles
+        } ++ rmFiles
       }
     }
   }
@@ -663,9 +865,9 @@ object DeltaCompat {
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (raws, v) = rawLog(spark, dir)
+    val (acts, v) = loadLog(spark, dir)
     require(v >= 0L, s"no commits at $dir")
-    require(latestTableMeta(raws).forall(m =>
+    require(latestMetaLocal(acts).forall(m =>
         m.cmMode == "none" && m.partitionCols.isEmpty),
       "deleteWhere on a column-mapped or partitioned table is out of " +
         "scope (the predicate would need physical-name / partition-" +
@@ -703,7 +905,7 @@ object DeltaCompat {
         hits.select(dataCols.map(c => col(s"`$c`")): _*)
           .withColumn("_change_type", lit("delete")))
         .map(p => s"""{"cdc":{"path":"$p","dataChange":false}}""")
-      val hadDv = raws.exists(df => hasPath(df, Seq("protocol", "readerFeatures")))
+      val hadDv = acts.exists(_.protocol.exists(_._2.isDefined))
       val header =
         if (hadDv) Nil
         else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
@@ -792,9 +994,9 @@ object DeltaCompat {
       keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (raws, v) = rawLog(spark, dir)
+    val (acts, v) = loadLog(spark, dir)
     require(v >= 0L, s"no commits at $dir")
-    require(latestTableMeta(raws).forall(m =>
+    require(latestMetaLocal(acts).forall(m =>
         m.cmMode == "none" && m.partitionCols.isEmpty),
       "mergeInto on a column-mapped or partitioned table is out of " +
         "scope (source columns would need physical-name / partition-" +
@@ -875,9 +1077,9 @@ object DeltaCompat {
     * carries a DV). */
   def materializeDeletes(spark: SparkSession, dir: String): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (raws, v) = rawLog(spark, dir)
+    val (acts, v) = loadLog(spark, dir)
     require(v >= 0L, s"no commits at $dir")
-    require(latestTableMeta(raws).forall(m =>
+    require(latestMetaLocal(acts).forall(m =>
         m.cmMode == "none" && m.partitionCols.isEmpty),
       "materializeDeletes on a column-mapped or partitioned table is " +
         "out of scope")
@@ -928,7 +1130,7 @@ object DeltaCompat {
     * exactly like any other DV commit without cdc. */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, latest) = rawLog(spark, dir)
+    val (_, latest) = loadLog(spark, dir)
     require(toVersion >= 0L && toVersion < latest,
       s"restore target $toVersion must be an earlier version than the " +
         s"head $latest")
@@ -984,7 +1186,7 @@ object DeltaCompat {
     * table-relative paths deleted, sorted. */
   def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, latest) = rawLog(spark, dir)
+    val (_, latest) = loadLog(spark, dir)
     require(keepFrom >= 0L && keepFrom <= latest,
       s"keepFrom=$keepFrom outside the table's version range [0, $latest]")
     // the referenced set, metadata-plane: every kept version's live
@@ -1035,11 +1237,13 @@ object DeltaCompat {
     * files, the Delta contract). */
   def readDeltaTable(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
-    val (raws, _) = rawLog(spark, dir, asOf)
-    val meta = latestTableMeta(raws)
+    val (acts, _) = loadLog(spark, dir, asOf)
+    val meta = latestMetaLocal(acts)
     val partCols = meta.map(_.partitionCols).getOrElse(Nil)
-    if (partCols.nonEmpty) return readPartitioned(spark, dir, asOf, meta.get)
-    val withDv = liveFilesWithDv(spark, dir, asOf)
+    val live = liveFromActions(dir, acts) // same parsed slice: one load
+    if (partCols.nonEmpty)
+      return readPartitioned(spark, dir, asOf, meta.get, live)
+    val withDv = live.map(f => (f.path, f.dv))
     require(withDv.nonEmpty, s"Delta table at $dir has no live files" +
       asOf.map(v => s" at version $v").getOrElse(""))
     val declared: Option[org.apache.spark.sql.types.StructType] =
@@ -1125,7 +1329,8 @@ object DeltaCompat {
     * Deletion vectors compose (provenance extracted per branch before
     * the union); column mapping + partitioning together refuse. */
   private def readPartitioned(spark: SparkSession, dir: String,
-      asOf: Option[Long], meta: TableMeta): DataFrame = {
+      asOf: Option[Long], meta: TableMeta,
+      files: Seq[LiveFile]): DataFrame = {
     val partCols = meta.partitionCols
     require(meta.cmMode == "none",
       s"Delta table at $dir combines column mapping (mode=${meta.cmMode}) " +
@@ -1141,7 +1346,6 @@ object DeltaCompat {
       s"not in the declared schema of $dir")
     val dataSchema = org.apache.spark.sql.types.StructType(
       logical.fields.filterNot(f => partCols.contains(f.name)))
-    val files = liveFilesFull(spark, dir, asOf)
     require(files.nonEmpty, s"Delta table at $dir has no live files" +
       asOf.map(v => s" at version $v").getOrElse(""))
     files.foreach { f =>
@@ -1289,9 +1493,9 @@ object DeltaCompat {
   def appendToDeltaTable(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (raws, v) = rawLog(spark, dir)
+    val (acts, v) = loadLog(spark, dir)
     require(v >= 0L, s"no commits at $dir — use createDeltaTable first")
-    val meta = latestTableMeta(raws).getOrElse(
+    val meta = latestMetaLocal(acts).getOrElse(
       throw new IllegalArgumentException(s"$dir has no metaData action"))
     require(meta.cmMode == "none",
       "appendToDeltaTable on a column-mapped table is out of scope " +

@@ -375,6 +375,60 @@ object TableIO {
     df.write.mode(SaveMode.Overwrite).orc(path)
   def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
+  /** One-pass scratch-fixture writer: one parquet data file per value of
+    * `partCol` (an integer column valued 0 until nParts), the layout the
+    * lake-interop gates previously produced with a per-part
+    * `filter(partCol === m).coalesce(1).write` LOOP — N full scans of
+    * the source for N files (guide §2.4: remove redundant passes). Here
+    * the rows shuffle ONCE, hash-partitioned by `partCol` so each value
+    * lands wholly in one task and the sort-based dynamic-partition
+    * writer emits exactly one file per value; every column of `df` —
+    * `partCol` included — stays in the data files via a duplicated
+    * partition key. `sortCols` pins the physical row order within each
+    * file (for position-addressed fixtures: deletion vectors / Iceberg
+    * position deletes). Files land as `dir/<namer(m)>`. Returns
+    * (fileName, rowCount) indexed by part value — counts come from the
+    * parquet footers (driver-side metadata read), so callers needing
+    * them pay no count() job. */
+  def writePartFiles(df: DataFrame, dir: String, partCol: String, nParts: Int,
+      sortCols: Seq[String] = Nil,
+      namer: Int => String = m => f"part-$m%05d.snappy.parquet")
+      : IndexedSeq[(String, Long)] = {
+    require(nParts >= 1, "need nParts >= 1")
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    import org.apache.spark.sql.functions.col
+    val wp = Iterator.from(0).map(i => s"__wp$i")
+      .filterNot(df.columns.contains).next()
+    val keyed = df.withColumn(wp, col(s"`$partCol`"))
+      .repartition(nParts, col(wp))
+    val ordered =
+      if (sortCols.isEmpty) keyed
+      else keyed.sortWithinPartitions((wp +: sortCols).map(c => col(s"`$c`")): _*)
+    val tmp = s"$dir/.tmp-parts"
+    ordered.write.partitionBy(wp).mode(SaveMode.Overwrite).parquet(tmp)
+    val out = (0 until nParts).map { m =>
+      val pdir = new org.apache.hadoop.fs.Path(s"$tmp/$wp=$m")
+      require(fs.exists(pdir),
+        s"part $m of $partCol has no rows — the fixture expects every part populated")
+      val parts = fs.listStatus(pdir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"expected exactly one file for part $m, got ${parts.length}")
+      val name = namer(m)
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (name.contains("/")) fs.mkdirs(dst.getParent)
+      require(fs.rename(parts.head, dst), s"rename ${parts.head} -> $dst failed")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dst, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val rows = try r.getRecordCount finally r.close()
+      (name, rows)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of N ≥ 2
     * non-negative integer columns: column j's bit i lands at position
     * N·i + j, so consecutive code values walk a space-filling curve over
