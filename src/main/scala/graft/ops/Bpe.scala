@@ -81,8 +81,7 @@ object Bpe {
   /** JVM twin of [[TextOps.normalize]] (lowercase, strip non-alnum,
     * collapse spaces) — keep in sync with the column expression. */
   def normalizeString(text: String): String =
-    Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    TextOps.normalizeAsciiString(text)
 
   def mergedChar(rank1Based: Int): String = (191 + rank1Based).toChar.toString
 

@@ -42,14 +42,49 @@ object TextOps {
     * ops, not this, are the unit for those.) */
   def wordsUnicode(c: Column): Column = split(normalizeUnicode(c), " ")
 
+  // Precompiled once per JVM: String.replaceAll recompiles its pattern on
+  // EVERY call, which across the typed narrow passes below meant two
+  // Pattern.compile per ROW (guide §1.2 step 2: per-task work).
+  private val NonLetterNumRe = java.util.regex.Pattern.compile("[^\\p{L}\\p{N} ]")
+  private val SpaceRunsRe = java.util.regex.Pattern.compile(" +")
+
   /** JVM twin of [[normalizeUnicode]] for typed narrow passes — keep in
     * sync with the column expression (equivalence pinned by
     * `dedup_segments_unicode`'s oracle and TextChunkSpec). */
-  def normalizeUnicodeString(text: String): String =
-    java.text.Normalizer.normalize(Option(text).getOrElse(""),
+  def normalizeUnicodeString(text: String): String = {
+    val lowered = java.text.Normalizer.normalize(Option(text).getOrElse(""),
         java.text.Normalizer.Form.NFC)
       .toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^\\p{L}\\p{N} ]", " ").replaceAll(" +", " ").trim
+    SpaceRunsRe.matcher(NonLetterNumRe.matcher(lowered).replaceAll(" "))
+      .replaceAll(" ").trim
+  }
+
+  /** JVM twin of [[normalize]] for typed narrow passes: one char pass, no
+    * regex at all. Exactly the expression chain's semantics — any char
+    * outside `[a-z0-9 ]` (after ROOT lowercasing) becomes a separator,
+    * separator runs collapse to one space, leading/trailing separators
+    * drop. Replaces per-row `String.replaceAll` chains (which recompile
+    * both patterns on every call) across every shingle/segment/token
+    * consumer; equivalence is pinned by those consumers' DuckDB oracles
+    * plus a dedicated TextChunkSpec vector. */
+  def normalizeAsciiString(text: String): String = {
+    val lower =
+      (if (text == null) "" else text).toLowerCase(java.util.Locale.ROOT)
+    val n = lower.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSep = false
+    var i = 0
+    while (i < n) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSep = false
+      } else pendingSep = true
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Word n-gram shingles (distinct). For n=1 this is the word set. */
   def wordShingles(c: Column, n: Int): Column = {
@@ -92,8 +127,7 @@ object TextOps {
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
         else {
-          val norm = text.toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val norm = normalizeAsciiString(text)
           val words = norm.split(" ", -1)
           if (words.length < n) Iterator.empty
           else {
@@ -141,8 +175,7 @@ object TextOps {
         if (text == null) Iterator.empty
         else {
           // mirrors normalize()/words(): lowercase, strip, collapse, trim
-          val norm = text.toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val norm = normalizeAsciiString(text)
           val toks = norm.split(" ", -1)
           (0 until toks.length by stride).iterator.map { start =>
             val slice = toks.slice(start, math.min(start + window, toks.length))
@@ -229,8 +262,7 @@ object TextOps {
     df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        val norm = normalizeAsciiString(text)
         val ws = norm.split(" ", -1)
         val nw = ws.length
         val counts = new java.util.HashMap[String, Int]()
@@ -286,8 +318,7 @@ object TextOps {
       .as[(Long, String)]
       .map { case (id, text) =>
         val raw = Option(text).getOrElse("")
-        val norm = raw.toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        val norm = normalizeAsciiString(raw)
         val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
         val nw = ws.length
         val chars = if (nw == 0) 0 else norm.length - (nw - 1)
@@ -573,10 +604,31 @@ object TextOps {
     require(maxBroadcastSegments >= 0, "maxBroadcastSegments must be >= 0")
     val spark = docs.sparkSession
     import spark.implicits._
-    def segsOf(c: Column) =
-      if (unicode) wordSegmentsUnicode(c, k) else wordSegments(c, k)
-    val freq = docs.select(col(idCol).as("__id"), explode(segsOf(col(textCol))).as("seg"))
-      .distinct()
+    // Frequency pass as a typed narrow flatMap with PER-DOCUMENT local
+    // dedup (the [[wordShingleRows]] boundary decision, same rationale):
+    // the declarative form paid an interpreted array `transform` to build
+    // each doc's segment array, an explode, and then a full (id, seg)
+    // DISTINCT SHUFFLE before the count — per-doc segments dedup in a
+    // local hash set instead, so the distinct exchange disappears
+    // outright and one groupBy(seg) shuffle remains (guide §2.4).
+    // Normalization/segmentation mirrors the apply passes below exactly;
+    // null text contributes nothing (the old explode dropped the null
+    // array), empty text contributes its one empty segment — both pinned
+    // by the dedup_segments oracles and MlPrepSpec.
+    val freq = docs
+      .select(col(idCol).cast(LongType).as("__id"), col(textCol).as("__text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val norm =
+            if (unicode) normalizeUnicodeString(text)
+            else normalizeAsciiString(text)
+          val seen = new java.util.HashSet[String]()
+          norm.split(" ", -1).grouped(k).map(_.mkString(" "))
+            .filter(seen.add).map(s => (id, s))
+        }
+      }.toDF("__id", "seg")
       .groupBy(col("seg")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
     // bounded probe: fetch at most cap+1 segments — membership is set
@@ -593,8 +645,7 @@ object TextOps {
           // by the dedup_segments oracle and MlPrepSpec
           val norm =
             if (unicode) normalizeUnicodeString(text)
-            else Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-              .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+            else normalizeAsciiString(text)
           val segs = norm.split(" ", -1).grouped(k).map(_.mkString(" ")).toArray
           val kept = segs.filterNot(bc.value.contains)
           (id, kept.mkString(" "), (segs.length - kept.length).toLong)
@@ -662,8 +713,7 @@ object TextOps {
       docs.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val norm = normalizeAsciiString(text)
           val ws = norm.split(" ", -1)
           val n = ws.length
           if (n < k) (id, norm, 0L)
@@ -695,8 +745,7 @@ object TextOps {
         .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
-          val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val norm = normalizeAsciiString(text)
           val ws = norm.split(" ", -1)
           (0 to ws.length - k).iterator
             .map(i => (id, i, ws.view.slice(i, i + k).mkString(" ")))
@@ -767,8 +816,7 @@ object TextOps {
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        val norm = normalizeAsciiString(text)
         val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
         require(ws.length < maxPos && id >= 0 && id < (1L << 43),
           s"keep-first span dedup packs (id, pos) into 64 bits: needs " +
@@ -795,8 +843,7 @@ object TextOps {
       .join(covAgg, Seq("id"), "left")
       .as[(Long, String, Option[Seq[Long]])]
       .map { case (id, text, cpsOpt) =>
-        val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        val norm = normalizeAsciiString(text)
         val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
         val cps = cpsOpt.getOrElse(Seq.empty)
         val covSet = cps.toSet
@@ -905,8 +952,7 @@ object TextOps {
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
         else {
-          val ws = text.toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val ws = normalizeAsciiString(text)
             .split(" ", -1).filter(_.nonEmpty)
           (0 until ws.length - 1).iterator
             .map(i => (id, ws(i) + " " + ws(i + 1)))

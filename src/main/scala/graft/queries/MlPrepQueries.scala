@@ -668,8 +668,7 @@ object MlPrepQueries {
       import s.implicits._
       Tables.documents(s, d).select(col("text")).as[String]
         .flatMap { text =>
-          val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val norm = graft.ops.TextOps.normalizeAsciiString(text)
           norm.split(" ", -1).iterator.filter(_.length >= 2).flatMap { w =>
             (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
           }
@@ -1370,9 +1369,7 @@ object MlPrepQueries {
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val norm = Option(text).getOrElse("")
-            .toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          val norm = graft.ops.TextOps.normalizeAsciiString(text)
           val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
           val md = java.security.MessageDigest.getInstance("MD5")
           var masked = 0L
