@@ -39,6 +39,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caching: every
+  // read/write(InputStream) first creates, fills and deletes a temp FILE
+  // before the codec sees a byte. Every payload here is an in-memory
+  // byte array, so cache in memory instead — JVM-wide, set once at class
+  // load (executors load this object before any codec call goes through
+  // it). Pure I/O plumbing: decoded rasters are byte-identical
+  // (guide §1.2 step 2 — cut per-task overhead that does no work).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical multimodal record schema. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
