@@ -525,20 +525,32 @@ object SnapshotTable {
     val (fs, rootPath) = fsFor(spark, root)
     val (next, snapDir) = writeDataDir(df, root, statsCols)
     val staged = spark.read.parquet(new Path(rootPath, snapDir).toString)
-    val nullViolations: Seq[(String, Long)] =
-      if (notNull.isEmpty) Nil
-      else {
-        val aggs = notNull.map(c =>
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
-        val row = staged.agg(aggs.head, aggs.tail: _*).head()
-        notNull.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
-          .filter(_._2 > 0)
+    // ONE audit job over the staged files: when both constraint kinds are
+    // present, per-key group sizes and per-column null counts ride the
+    // same two-level aggregate (sum of per-group null counts == total
+    // nulls), instead of one job per constraint kind — the audit is a
+    // fixed per-commit cost on the WAP path, so halving its job count
+    // halves the publish latency a continuous-ingest writer pays per
+    // batch (guide §1.2: remove passes before tuning inside them).
+    val nullAggs = notNull.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    val (nullViolations: Seq[(String, Long)], dupKeys: Long) =
+      if (uniqueKey.isEmpty) {
+        val row = staged.agg(nullAggs.head, nullAggs.tail: _*).head()
+        (notNull.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
+          .filter(_._2 > 0), 0L)
+      } else {
+        val perKey = count(lit(1)).as("__n") +: notNull.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        val total =
+          sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dup_keys") +:
+            notNull.map(c => sum(col(s"__nulls_$c")).as(c))
+        val row = staged.groupBy(uniqueKey.map(col): _*)
+          .agg(perKey.head, perKey.tail: _*)
+          .agg(total.head, total.tail: _*).head()
+        (notNull.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }
+          .filter(_._2 > 0), row.getLong(0))
       }
-    val dupKeys: Long =
-      if (uniqueKey.isEmpty) 0L
-      else staged.groupBy(uniqueKey.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-        .limit(1).count() // existence probe, not a full dup count
     if (nullViolations.nonEmpty || dupKeys > 0) {
       val why = (nullViolations.map { case (c, n) => s"$c has $n NULLs" } ++
         (if (dupKeys > 0) Seq(s"duplicate ${uniqueKey.mkString("(", ",", ")")} keys")
@@ -1178,17 +1190,31 @@ object SnapshotTable {
     // compaction MATERIALIZES the deletes (the merge-on-read →
     // copy-on-write transition), so the live count needs the MOR scan.
     val hconf = spark.sparkContext.hadoopConfiguration
-    val n =
-      if (delDirs.nonEmpty) readAt(spark, root, cur).count()
-      else dataDirs.iterator.flatMap { d =>
+    if (delDirs.nonEmpty) {
+      // The merge-on-read scan runs ONCE: the deletes-applied relation is
+      // persisted (DISK_ONLY — cluster-safe, rebuilds from lineage on
+      // block loss), the live count reads the persisted blocks, and the
+      // rewrite re-reads them. Previously this path paid TWO full MOR
+      // scans — one for the count, one for the write (guide §1.2 step 1:
+      // don't run a pass twice when one materialization serves both).
+      val live = readAt(spark, root, cur)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val n = live.count()
+        val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+        commit(live.repartition(files), root, statsCols)
+      } finally live.unpersist(blocking = false)
+    } else {
+      val n = dataDirs.iterator.flatMap { d =>
         listParquetFiles(fs, new Path(rootPath, d)).iterator
       }.map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum
-    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    commit(readAt(spark, root, cur).repartition(files), root, statsCols)
+      val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+      commit(readAt(spark, root, cur).repartition(files), root, statsCols)
+    }
   }
 
   /** Z-order maintenance rewrite as a snapshot commit (the
