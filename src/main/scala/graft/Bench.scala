@@ -132,6 +132,17 @@ object Bench {
       // dir is durable SHARED storage where the compressed bytes are the
       // cost that matters
       .config("spark.checkpoint.compress", "true")
+      // FileOutputCommitter v2: task output renames directly to the
+      // destination at task commit instead of a second job-commit rename
+      // pass (guide §6/§7.3 — commit protocol cost scales with file
+      // count). The lifecycle gates (snapshot/delta/iceberg fixtures)
+      // issue dozens of small writes per query, each paying v1's extra
+      // sequential driver-side rename round. Atomicity is NOT provided
+      // by the job commit in this engine — every table layer publishes
+      // via its own manifest/log flip — so v2's weaker failure story
+      // costs nothing here, the same reasoning cloud object-store
+      // committers use.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign per-query WARN spam (e.g. WindowExec's

@@ -25,6 +25,9 @@ object Verify {
       // GC'd loop checkpoints are deleted, not accumulated (see Bench)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.checkpoint.compress", "true")
+      // v2 output commit: see Bench — manifest/log flips provide the
+      // atomicity here, the job-commit rename pass is pure overhead
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -207,7 +207,15 @@ object Pq {
         .select(col("cell").as("cell_id"), col("ccm"))
     }
     // row-local coarse assignment over the one-row broadcast matrix —
-    // the corpus does not shuffle to learn its cell
+    // the corpus does not shuffle to learn its cell. Deliberately NOT
+    // persisted although 5+ downstream stages re-derive it (Lloyd seed
+    // filter, per-round assigns, centroid update, query legs): the
+    // relation carries the full micro-unit vectors, so caching it
+    // materializes O(corpus·dim) bytes to buy back a scan + one fused
+    // codegen argmin per consumer — measured at sf0.1 the cached variant
+    // was consistently SLOWER (e.g. sim_ivf_pq_appended 4.03 s → 4.68 s,
+    // sim_ivf_pq_indexed 3.21 s → 3.59 s, min-of-2 quiet box), the
+    // guide-§5 "cache only when recompute beats the pressure" case.
     val withCell = base.crossJoin(broadcast(packCells(coarse)))
       .withColumn("ckey", long_argmin_key(col("xm"), col("cmat"), col("cids"), nCells))
       .select(col("id"), col("is_q"), col("xm"), (col("ckey") % nCells).as("cell"))
