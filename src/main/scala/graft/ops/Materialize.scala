@@ -45,6 +45,12 @@ object Materialize {
     * outputPartitioning), so exchange-free round joins pinned by
     * PlanAuditSpec keep holding. Observations attached to `df` fire on
     * the eager action, exactly as they did on `localCheckpoint(true)`. */
+  // NOTE (round 15): a persist-only "cachedRound" variant for short
+  // fixed-round loops was tried and REVERTED — without the per-round
+  // eager action, all rounds materialize inside ONE job where stages
+  // race to compute not-yet-cached blocks, recomputing each round's
+  // relation multiple times (q_kcore 5.9 s -> 16.5 s at sf0.1). The
+  // eager checkpoint's write job per round is the cheaper evil.
   def carried(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
