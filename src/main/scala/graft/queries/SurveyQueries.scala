@@ -3336,8 +3336,13 @@ object SurveyQueries {
         .select((col("k") + 100000000L).as("k"),
           ((col("k") + 100000000L) % 2).as("m"),
           (col("q") * 2L).as("q"))
-      val nUpd = updates.count()
-      val nIns = inserts.count()
+      // one job for both fixture cardinalities (they gate the change-feed
+      // REQUIRE below): conditional sums over the localCheckpointed
+      // aggregate instead of one count() job per slice
+      val nRow = li.agg(
+        sum(when(col("k") % 7 === 0, 1L).otherwise(0L)),
+        sum(when(col("k") % 11 === 0, 1L).otherwise(0L))).head()
+      val (nUpd, nIns) = (nRow.getLong(0), nRow.getLong(1))
       val v1 = graft.sources.DeltaCompat.mergeInto(s, dir,
         updates.unionByName(inserts), Seq("k"))
       require(v1 == 1L, s"merge must commit version 1, got $v1")
