@@ -16,14 +16,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Artifact shape is built for a BOUNDED TAIL capture (the driver keeps
   * only the last few KB of output): one short self-contained JSON line
-  * per query as it finishes (`{"query":…,"sec":…}` — the per-query
-  * timings live ONLY here), then a one-line `bench_meta` (git SHA, query
-  * count, start/end loadavg — staleness and box load are self-evident
-  * from the artifact alone), then ONE SHORT summary line with
-  * just the scalar fields (`metric`/`value`/`reps`/`sf`/`failed`). No
-  * line embeds the full per-query map, so no single line can overflow
-  * the capture budget: the tail keeps dozens of per-query lines AND the
-  * complete summary.
+  * per query as it finishes (`{"query":…,"sec":…}`), then the one-line
+  * `bench_meta` (git SHA, query count, start/end loadavg — staleness and
+  * box load are self-evident from the artifact alone) and any
+  * regression/re-time flag lines, then the chunked `{"timings":…}`
+  * recovery lines (sub-KB each) as the LAST output before ONE SHORT
+  * summary line with just the scalar fields
+  * (`metric`/`value`/`reps`/`sf`/`failed`). The timings chunks print
+  * last BY DESIGN (round-15 lesson: printed before ~6 KB of re-time
+  * flags they were evicted from the driver's tail capture, blanking the
+  * round's per-query comparison); no line embeds the full per-query map,
+  * so no single line can overflow the capture budget.
   */
 object Bench {
   /** First three fields of /proc/loadavg (1/5/15-min run-queue), or
@@ -106,45 +109,10 @@ object Bench {
           .filterNot(_.endsWith("BENCH_LINES.jsonl")).exists(_.nonEmpty)
         if (dirty) s"$head-dirty" else head
       } catch { case _: Throwable => "unknown" }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // bucketed tables here are DESIGNED indexes (inverted index, IVF
-      // cells, merge keys): keep bucketed scans so bucket PRUNING
-      // survives even when no downstream op needs the partitioning
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      // the survey workload is 600-1300 STRING columns wide; the default
-      // codegen.maxFields=100 drops every wide Project/HashAggregate out
-      // of whole-stage codegen into the interpreted row path (measured
-      // 12.8s -> 7.6s on profile_binary_wide, 3.0s -> 1.7s on
-      // clean_columns_wide at sf0.1, min-of-3). Compile cost is one-off
-      // per query and amortizes at scale.
-      .config("spark.sql.codegen.maxFields", "1500")
-      // reliable checkpoints from iterative loops (Materialize.carried)
-      // are deleted when their RDD is GC'd instead of accumulating one
-      // carried-state copy per round until JVM exit
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      // lz4 on reliable-checkpoint blocks (loop-carried state): measured
-      // a wash on this box's local disk (same-session A/B 7.30s vs 7.16s
-      // on dedup_cluster_star), kept because on a cluster the checkpoint
-      // dir is durable SHARED storage where the compressed bytes are the
-      // cost that matters
-      .config("spark.checkpoint.compress", "true")
-      // FileOutputCommitter v2: task output renames directly to the
-      // destination at task commit instead of a second job-commit rename
-      // pass (guide §6/§7.3 — commit protocol cost scales with file
-      // count). The lifecycle gates (snapshot/delta/iceberg fixtures)
-      // issue dozens of small writes per query, each paying v1's extra
-      // sequential driver-side rename round. Atomicity is NOT provided
-      // by the job commit in this engine — every table layer publishes
-      // via its own manifest/log flip — so v2's weaker failure story
-      // costs nothing here, the same reasoning cloud object-store
-      // committers use.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // engine configs (committer v2, codegen width, checkpoint hygiene,
+    // bucketed-scan policy, …) come from the ONE shared definition point
+    // all entrypoints use — see GraftSession
+    val spark = GraftSession.localBuilder(cpus).getOrCreate()
     // ERROR, not WARN: benign per-query WARN spam (e.g. WindowExec's
     // no-partition notice from the k-row kmeans seeding window) flooded
     // the driver's bounded tail capture in round 6 and evicted 123 of
@@ -254,7 +222,13 @@ object Bench {
         val retimeLoad = loadavg()
         val retimeProbe = cpuProbeSec()
         val byName = selected.map(q => q.name -> q).toMap
-        flagged.take(40).map { case (n, firstSec, floor) =>
+        // The shared re-time environment (loadavg + CPU probe) prints ONCE
+        // as the first entry instead of repeating per query: with dozens
+        // of flags the repeated fields alone were ~4 KB of output that
+        // starved the driver's bounded tail capture (round-15 verdict).
+        val env =
+          f"""{"retime_loadavg":"$retimeLoad","retime_cpu_probe_sec":$retimeProbe%.3f}"""
+        env +: flagged.take(40).map { case (n, firstSec, floor) =>
           val best =
             try (1 to 2).map { _ =>
               val t0 = System.nanoTime()
@@ -267,7 +241,7 @@ object Bench {
             if (best < 0) "error"
             else if (best <= floor * 2.0 + 0.5) "load"
             else "regression"
-          f"""{"query":"$n","sec":$firstSec%.2f,"floor":$floor%.2f,"retime_sec":$best%.2f,"verdict":"$verdict","retime_loadavg":"$retimeLoad","retime_cpu_probe_sec":$retimeProbe%.3f}"""
+          f"""{"query":"$n","sec":$firstSec%.2f,"floor":$floor%.2f,"retime_sec":$best%.2f,"verdict":"$verdict"}"""
         }
       }
     spark.stop()
@@ -279,20 +253,20 @@ object Bench {
     val procs = Runtime.getRuntime.availableProcessors()
     // Round-8 lesson: the driver's tail capture preserved only the last
     // 42 of 139 streamed per-query lines — two-thirds of the evidence was
-    // unreadable. Two redundant recovery paths, BOTH at the very end of
-    // the output (the part a tail capture keeps by construction):
-    //  1. chunked {"timings":{...}} lines, ~40 queries each, so no single
-    //     line can overflow a capture bound yet together they carry every
-    //     timing;
+    // unreadable. Two redundant recovery paths:
+    //  1. chunked {"timings":{...}} lines, each well under 1 KB, printed
+    //     as the VERY LAST thing before the one-line total (round-15
+    //     lesson: in r15 they printed before bench_regressions/
+    //     bench_retimes, whose ~6 KB evicted every chunk from the
+    //     driver's bounded tail capture and blanked PERF per_query);
     //  2. BENCH_LINES.jsonl in the working directory — a committed
     //     artifact with one line per query, readable without any capture.
-    val timingLines = results.grouped(40).map { chunk =>
+    val timingLines = results.grouped(25).map { chunk =>
       val entries = chunk.map { case (n, v, ok, _) =>
         s""""$n":${if (ok) f"$v%.2f" else "-1"}"""
       }.mkString(",")
       s"""{"timings":{$entries}}"""
     }.toSeq
-    timingLines.foreach(println)
     // STREAM STEADY-STATE summary: what a long-lived stream pays per
     // micro-batch (triggerExecution, the operator cost that recurs in
     // production) vs the gate's wall (which also buys query start/stop
@@ -344,6 +318,9 @@ object Bench {
       println(s"""{"bench_regressions":[${regressions.mkString(",")}]}""")
     if (retimes.nonEmpty)
       println(s"""{"bench_retimes":[${retimes.mkString(",")}]}""")
+    // Per-query timings print LAST (after the flag/retime lines, directly
+    // before the one-line total) so a bounded tail capture keeps them.
+    timingLines.foreach(println)
     // wide_reps only when a *_wide query actually ran — reporting a rep
     // policy that was never exercised misstates the run's protocol.
     val wideReps =

@@ -10,26 +10,9 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // bucketed tables here are DESIGNED indexes (inverted index, IVF
-      // cells, merge keys): keep bucketed scans so bucket PRUNING
-      // survives even when no downstream op needs the partitioning —
-      // the auto-disable rule only weighs partitioning, not pruning
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      // wide survey schemas stay inside whole-stage codegen (see Bench)
-      .config("spark.sql.codegen.maxFields", "1500")
-      // GC'd loop checkpoints are deleted, not accumulated (see Bench)
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .config("spark.checkpoint.compress", "true")
-      // v2 output commit: see Bench — manifest/log flips provide the
-      // atomicity here, the job-commit rename pass is pure overhead
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // engine configs (committer v2, codegen width, checkpoint hygiene,
+    // bucketed-scan policy, …) from the shared factory — see GraftSession
+    val spark = GraftSession.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // name any testdata drift in this run's own stderr (round-7 lesson)
     graft.sources.TestdataContract.warn(spark, sfDir)

@@ -30,7 +30,13 @@ import org.apache.spark.sql.SparkSession
   * Scale note: this is a CONTROL-plane adapter — each request triggers a
   * distributed Spark job and returns when the write lands, exactly like
   * the reference's BigQuery CTAS calls; no data flows through the HTTP
-  * process. Port 0 binds an ephemeral port (returned by [[start]]). */
+  * process. Port 0 binds an ephemeral port (returned by [[start]]).
+  *
+  * The host should build `spark` through [[graft.GraftSession.configure]]
+  * so the engine-level settings (output-committer v2, wide-schema codegen
+  * width, checkpoint hygiene) apply to API-triggered jobs too — they are
+  * engine configs, not bench-harness ones (the test host does exactly
+  * this via SparkSpec). */
 final class PipelineServer(spark: SparkSession, port: Int = 0,
     serviceName: String = "graft", auditDir: String = "/tmp/graft-audit") {
 
