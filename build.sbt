@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // measurement-harness convenience: extra -D flags (e.g. a spark.* conf
+  // under A/B) without editing the build; unset = exactly the old JVM
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

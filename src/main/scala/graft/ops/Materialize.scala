@@ -51,9 +51,25 @@ object Materialize {
   // race to compute not-yet-cached blocks, recomputing each round's
   // relation multiple times (q_kcore 5.9 s -> 16.5 s at sf0.1). The
   // eager checkpoint's write job per round is the cheaper evil.
+  //
+  // Round 16: the strategy is a conf knob. `localCheckpoint(eager)` has
+  // the same two properties a loop needs (eager per-round action +
+  // lineage truncation to a LogicalRDD that keeps outputPartitioning)
+  // WITHOUT the reliable checkpoint's write-to-checkpoint-dir +
+  // read-back round trip per round. Its blocks are pinned to live
+  // executors — unrecoverable after executor loss and unsafe under
+  // dynamic allocation — so it is only the DEFAULT where that risk is
+  // void: a local master, where every executor loss is a driver loss
+  // anyway. On a cluster the default stays the reliable checkpoint;
+  // `spark.graft.loop.materialize=local|reliable` overrides either way
+  // (a cluster with stable executors and cheap re-runs may prefer
+  // local, exactly as Spark's own localCheckpoint docs describe).
   def carried(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
+    val mode = spark.conf.get("spark.graft.loop.materialize",
+      if (sc.isLocal) "local" else "reliable")
+    if (mode == "local") return df.localCheckpoint(eager = true)
     if (sc.getCheckpointDir.isEmpty) {
       // The tmpdir fallback is DRIVER/EXECUTOR-LOCAL: on a real cluster
       // each executor would write its checkpoint partitions to its own

@@ -367,7 +367,7 @@ object DeltaCompat {
     * collect; its output (the per-file state) was always driver-
     * resident anyway, because scan planning needs the file list. */
   private def loadLog(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): (Seq[LogAction], Long) = {
+      asOf: Option[Long] = None, capReplay: Boolean = true): (Seq[LogAction], Long) = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(s"$dir/_delta_log")
     require(fs.exists(logDir), s"$dir has no _delta_log — not a Delta table")
@@ -403,6 +403,23 @@ object DeltaCompat {
         v > cpVersion && asOf.forall(v <= _)
       }
     }.sortBy(_.getName)
+    // DRIVER-MEMORY GUARD (guide §5: the driver should do almost no data
+    // work): the JSON tail replays on the driver, which is right-sized
+    // only while the tail is bounded — normally by the checkpoint
+    // interval. A table left uncheckpointed for 10^5 commits would stall
+    // the driver here; fail fast with the fix named instead. The cap is
+    // a conf so an operator who accepts the driver cost can raise it.
+    // [[checkpoint]] itself loads UNCAPPED (capReplay=false): it is the
+    // named remediation, and refusing it too would brick the table.
+    if (capReplay) {
+      val maxReplay = spark.conf.getOption("spark.graft.delta.maxDriverReplayCommits")
+        .map(_.toInt).getOrElse(10000)
+      require(jsonFiles.length <= maxReplay,
+        s"$dir: ${jsonFiles.length} JSON commits after checkpoint version " +
+          s"$cpVersion exceed spark.graft.delta.maxDriverReplayCommits=" +
+          s"$maxReplay — write a checkpoint (DeltaCompat.checkpoint) to fold " +
+          "the tail, or raise the cap if the driver can afford the replay")
+    }
     asOf.foreach { v =>
       // the window (cpVersion, v] must be fully present — a vacuumed
       // commit means the asked version is no longer reconstructible
@@ -555,7 +572,8 @@ object DeltaCompat {
   def checkpoint(spark: SparkSession, dir: String, parts: Int = 1): Long = {
     require(parts >= 1, "need parts >= 1")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (acts, v) = loadLog(spark, dir)
+    // uncapped: checkpointing IS the remediation for an over-long tail
+    val (acts, v) = loadLog(spark, dir, capReplay = false)
     require(v >= 0L, s"no commits to checkpoint at $dir")
     val state = resolvedLocal(acts)
     val tmp = new Path(s"$dir/_delta_log/.cp-tmp")

@@ -237,4 +237,25 @@ class DeltaCompatSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("_delta_log"))
   }
+
+  test("driver-side JSON replay is capped; a checkpoint folds the tail back under it") {
+    val (dir, fs) = mkTable()
+    writePart(dir, fs, "a.parquet", Seq((1L, "a")))
+    writeCommit(dir, fs, 0, Seq("""{"add":{"path":"a.parquet","dataChange":true}}"""))
+    (1L to 5L).foreach { v =>
+      writeCommit(dir, fs, v, Seq(s"""{"commitInfo":{"operation":"NOOP$v"}}"""))
+    }
+    val key = "spark.graft.delta.maxDriverReplayCommits"
+    spark.conf.set(key, "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DeltaCompat.liveFiles(spark, dir)
+      }
+      assert(e.getMessage.contains("maxDriverReplayCommits"))
+      // folding the tail into a checkpoint brings the table back under
+      // the cap with no data change — the error message's named fix
+      DeltaCompat.checkpoint(spark, dir)
+      assert(DeltaCompat.liveFiles(spark, dir).map(_.split('/').last) == Seq("a.parquet"))
+    } finally spark.conf.unset(key)
+  }
 }
