@@ -1020,9 +1020,14 @@ object DeltaCompat {
         "scope (source columns would need physical-name / partition-" +
         "layout resolution)")
     val withDv = liveFilesWithDv(spark, dir)
-    require(!source.isEmpty, "empty merge source — nothing to do")
-    require(source.groupBy(keyCols.map(c => col(s"`$c`")): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+    val keyExprs = keyCols.map(c => col(s"`$c`"))
+    // ONE aggregate answers both source preconditions (empty? duplicate
+    // keys?) — was an isEmpty job plus a groupBy+isEmpty job (§1.2 step
+    // 1: remove passes)
+    val srcStats = source.groupBy(keyExprs: _*).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__groups"), max(col("__n")).as("__maxn")).head()
+    require(srcStats.getLong(0) > 0, "empty merge source — nothing to do")
+    require(srcStats.getLong(1) <= 1L,
       s"source carries duplicate keys on (${keyCols.mkString(", ")}) — " +
         "a multi-match merge is ambiguous")
     val base = maskedWithProvenance(spark, fs, dir, withDv)
@@ -1030,8 +1035,9 @@ object DeltaCompat {
     require(source.columns.sorted.toSeq == dataCols.sorted,
       s"source schema (${source.columns.sorted.mkString(", ")}) != table " +
         s"schema (${dataCols.sorted.mkString(", ")})")
-    val keyExprs = keyCols.map(c => col(s"`$c`"))
-    val srcKeys = source.select(keyExprs: _*).distinct()
+    // semi joins tolerate duplicate build keys — no DISTINCT exchange
+    // needed on the probe side (§2.4); keys are proven unique above
+    val srcKeys = source.select(keyExprs: _*)
     // metadata-sized: one row per file that holds a matched key
     val matchedFiles = base.join(srcKeys, keyCols, "left_semi")
       .select(col("__gm_file")).distinct()
@@ -1044,7 +1050,9 @@ object DeltaCompat {
       .select(dataCols.map(c => col(s"`$c`")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val preKeys = pre.select(keyExprs: _*).distinct()
+      // semi/anti probes dedupe internally — DISTINCT here only added an
+      // exchange before each of the two joins (§2.4)
+      val preKeys = pre.select(keyExprs: _*)
       val updates = source.join(preKeys, keyCols, "left_semi")
       val inserts = source.join(preKeys, keyCols, "left_anti")
       val survivors = rewritten.join(source, keyCols, "left_anti")

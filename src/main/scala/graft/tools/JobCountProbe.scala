@@ -22,11 +22,22 @@ object JobCountProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val verbose = sys.env.get("JOBS_VERBOSE").contains("1")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          counter.incrementAndGet()
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val n = counter.incrementAndGet()
+          if (verbose) {
+            val p = Option(j.properties)
+            def prop(k: String) = p.flatMap(x => Option(x.getProperty(k))).getOrElse("")
+            val site = Seq("callSite.short", "spark.sql.execution.root.id")
+              .map(prop).filter(_.nonEmpty).mkString(" | ")
+            val stages = j.stageInfos.map(s => s.name.takeWhile(_ != '\n')).distinct
+              .mkString("; ")
+            System.err.println(s"[job $n] $site :: $stages")
+          }
+        }
       })
     args.drop(1).foreach { n =>
       val q = graft.SparkEntry.allQueries.find(_.name == n)
