@@ -15,6 +15,26 @@ import graft.transform.{CleanColumns, CleanRows, MergeTableVersions, SensitiveTi
   */
 object SurveyQueries {
 
+  /** Per-gate whole-stage-codegen ceiling (round 16). janino refuses any
+    * generated METHOD past a hard 64 KB — a plan-shape constant, not a
+    * data-size effect — and Spark does not cache compile FAILURES, so a
+    * wide span that can never compile re-pays a multi-second doomed
+    * compile on every re-plan before falling back to the interpreted
+    * path anyway. Measured (WideCodegenProbe, in-session alternated
+    * A/B at sf0.1): the 601-recode / 1231-derivation / 802-field
+    * full-outer spans fail at ANY maxFields that admits them, while the
+    * 500-expression batched AGGREGATES (profile_binary_wide) do compile
+    * and win at maxFields=1500. So each wide gate pins the ceiling its
+    * own plan shape wants: 550 admits every span that can compile and
+    * skips the provably-doomed ones; profile_binary_wide keeps 1500.
+    * Set without restore: plans of every non-wide gate are far below
+    * either value, and each wide gate sets its own. Chunking the wide
+    * projections (observe / lazy-toRdd barriers) was tried first and
+    * measured WORSE — the 1200-field UnsafeRow write itself overflows
+    * the method, so extra spans only multiplied failed compiles. */
+  private def codegenCeiling(s: SparkSession, fields: Int): Unit =
+    s.conf.set("spark.sql.codegen.maxFields", fields.toString)
+
   // ---- survey_rows: input for clean_rows / profiling, derived from events
 
   private def surveyRows(s: SparkSession, d: String): DataFrame = {
@@ -194,6 +214,7 @@ object SurveyQueries {
   val profileFalseArrayWide: QueryDef = QueryDef(
     "profile_false_array_wide",
     (s, d) => {
+      codegenCeiling(s, 550)
       val df = wideFalseArrayInput(s, d)
       val falseVals = Constants.FalseArrayValues
       val names = wideFaSrcs.map(_._1)
@@ -398,6 +419,7 @@ object SurveyQueries {
   val profileBinaryWide: QueryDef = QueryDef(
     "profile_binary_wide",
     (s, d) => {
+      codegenCeiling(s, 1500) // the 500-expr agg batches DO compile
       // each of the ⌈1231/500⌉ = 3 batched agg jobs re-reads the input;
       // persist the 1231-expression derivation once (DISK_ONLY — the
       // clean_rows_wide precedent: lineage-recoverable, no memory pin)
@@ -426,8 +448,11 @@ object SurveyQueries {
     * not a semantic change). */
   val cleanColumnsWide: QueryDef = QueryDef(
     "clean_columns_wide",
-    (s, d) => CleanColumns(wideSurvey(s, d), "FlatConnect.module1_v2_JP")
-      .orderBy(col("Connect_ID").cast("long")),
+    (s, d) => {
+      codegenCeiling(s, 550)
+      CleanColumns(wideSurvey(s, d), "FlatConnect.module1_v2_JP")
+        .orderBy(col("Connect_ID").cast("long"))
+    },
     Some(s"""WITH s AS ($wideSurveySql)
       |SELECT Connect_ID,
       |  ${wideOutSql.mkString(",\n  ")}
@@ -514,9 +539,12 @@ object SurveyQueries {
     // cold 17.2s re-derive / 10.7s disk-persist / 7.4s localCheckpoint;
     // warm all ~equal (5.7-6.1s). The cache entry is one bounded wide
     // table for the session (the cache manager dedupes identical plans).
-    (s, d) => CleanRows(wideRows(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-      .orderBy(col("Connect_ID").cast("long")),
+    (s, d) => {
+      codegenCeiling(s, 550)
+      CleanRows(wideRows(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+        .orderBy(col("Connect_ID").cast("long"))
+    },
     Some {
       val outs = wideRowsSrcs.map { case (n, kind, _) =>
         kind match {
@@ -645,8 +673,14 @@ object SurveyQueries {
     * when the versions are pre-bucketed by Connect_ID. */
   val mergeTableVersionsWide: QueryDef = QueryDef(
     "merge_table_versions_wide",
-    (s, d) => MergeTableVersions(wideMergeVersions(s, d))
-      .orderBy(col("Connect_ID").cast("long")),
+    (s, d) => {
+      // 400, not 550: this gate's 402-CASE version derivations are its
+      // widest COMPILABLE-candidate spans and they too overflow janino
+      // (measured: 4 failed compiles per run at 550, none at 400)
+      codegenCeiling(s, 400)
+      MergeTableVersions(wideMergeVersions(s, d))
+        .orderBy(col("Connect_ID").cast("long"))
+    },
     Some {
       val coalesced = (0 until wideMergeN).map { i =>
         val c = s"d_${700000000 + i}"
