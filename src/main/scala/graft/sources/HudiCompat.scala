@@ -205,7 +205,11 @@ object HudiCompat {
     // else the first log block's SCHEMA header
     val (tableStruct, avroJson): (StructType, String) =
       if (baseFiles.nonEmpty) {
-        val st = spark.read.parquet(baseFiles.toSeq: _*).schema
+        // one table = one schema (this writer emits uniform base files);
+        // a single driver-side footer read replaces the Spark
+        // schema-inference job spark.read.parquet(files: _*) launches
+        val st = org.apache.spark.sql.graftbridge.Bridge
+          .parquetFooterSchema(spark, baseFiles.toSeq.sorted.head)
         (st, HudiLogFormat.avroOf(st, "hudi_log_record").toString)
       } else {
         val sj = HudiLogFormat.firstSchema(

@@ -164,7 +164,10 @@ class ForeignLakeStreamProvider extends TableProvider with DataSourceRegister {
     require(head >= 0, s"foreign table at $path has no commits to infer a schema from")
     val files = lake.filesAt(spark, path, head)
     require(files.nonEmpty, s"foreign table at $path has no live files")
-    val schema = spark.read.parquet(files.head).schema
+    // driver-side footer read: spark.read.parquet(f).schema launches a
+    // tiny job, and inferSchema runs at every stream query start
+    val schema = org.apache.spark.sql.graftbridge.Bridge
+      .parquetFooterSchema(spark, files.head)
     ForeignLakeStream.requireFlat(schema)
     if (mode == "cdf")
       StructType(schema.fields.toSeq :+

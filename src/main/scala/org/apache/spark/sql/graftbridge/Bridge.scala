@@ -32,6 +32,30 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Declared Spark schema of ONE parquet file, from its footer, read
+    * entirely on the driver. `spark.read.parquet(f).schema` answers the
+    * same question but launches a (tiny) Spark JOB for the parallel
+    * footer merge — a per-call fixed cost that the streaming gates and
+    * lake readers pay once per query start. Uses the same
+    * ParquetToSparkSchemaConverter (honoring nanosAsLong /
+    * int96 / binary-as-string session flags) as the scan path, so the
+    * declared types match `spark.read` exactly. */
+  def parquetFooterSchema(spark: SparkSession,
+      file: String): org.apache.spark.sql.types.StructType = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val hconf = classic.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), hconf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    // asNullable: file relations force every column nullable (a file may
+    // be replaced); without it the footer schema would read non-null for
+    // REQUIRED parquet fields and diverge from spark.read
+    try new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
+        classic.sessionState.conf)
+      .convert(r.getFooter.getFileMetaData.getSchema).asNullable
+    finally r.close()
+  }
+
   /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Connect split) — the entry point custom
     * logical operators need. */
