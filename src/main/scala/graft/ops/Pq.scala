@@ -82,12 +82,17 @@ object Pq {
       .filter(col("id") % stride === 0 && expr(s"id div $stride") < ks)
       .select(col("sub"), expr(s"id div $stride").cast("long").as("cid"),
         col("sv").as("cm"))
-    var codes = assign(subv, codebook, ks)
-    for (_ <- 2 to iters) {
-      codebook = update(codes)
-      codes = assign(subv, codebook, ks)
-    }
-    (codes, codebook)
+    for (_ <- 2 to iters) codebook = update(assign(subv, codebook, ks))
+    // materialize the FINAL codebook (ks·m tiny rows): lazily, every
+    // consumer (the encode pass AND each query distance table) re-ran
+    // the whole Lloyd training chain — full-corpus aggregations per
+    // round — to re-derive these 100-odd rows. The r15 negative result
+    // (persisting the corpus-sized withCell) is the opposite shape: here
+    // the cached bytes are O(ks·m·dim) and the saved work is O(iters ·
+    // corpus) per consumer (guide §5: cache when recompute dwarfs the
+    // pressure).
+    val cbFinal = Materialize.carried(codebook)
+    (assign(subv, cbFinal, ks), cbFinal)
   }
 
   /** Bounded-heap exact top-k over (query_id, id, adist); score = -adist
@@ -206,6 +211,13 @@ object Pq {
           s => s.getField("cm_j")).as("ccm"))
         .select(col("cell").as("cell_id"), col("ccm"))
     }
+    // materialize the nCells centroid rows: every downstream leg
+    // (withCell's packed matrix, the query probe ranking, the residual
+    // paths' cell-mean joins) re-ran the coarse TRAINING rounds — full
+    // corpus aggregations — to re-derive 16 rows (guide §5; same
+    // reasoning as trainAndEncode's codebook, and the inverse of the
+    // withCell negative below).
+    coarse = Materialize.carried(coarse)
     // row-local coarse assignment over the one-row broadcast matrix —
     // the corpus does not shuffle to learn its cell. Deliberately NOT
     // persisted although 5+ downstream stages re-derive it (Lloyd seed
@@ -232,7 +244,10 @@ object Pq {
           .orderBy(col("cd").asc, col("cell_id").asc)))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("cell_id").as("cell"))
-    (coarse, withCell, qcells)
+    // the probe set is nq·nProbe tiny rows consumed by 1-3 broadcast
+    // legs, each of which would otherwise re-scan the corpus (the
+    // is_q filter sits above the full coarse argmin) — materialize
+    (coarse, withCell, Materialize.carried(qcells))
   }
 
   /** Shared IVF-ADC scoring pipeline for [[ivfPqTopK]] and
