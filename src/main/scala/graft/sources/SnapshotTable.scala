@@ -212,6 +212,29 @@ object SnapshotTable {
     fs.listStatus(dir).exists(st =>
       st.isDirectory && st.getPath.getName.contains("="))
 
+  /** Declared schema of an engine-written dir from ONE part footer, read
+    * on the DRIVER — `spark.read.parquet(dir)` without a schema launches
+    * a Spark schema-INFERENCE job per call, and the snapshot layer reads
+    * dirs once per consumer (MOR scans, delete grouping, audits). Each
+    * dir is a single commit's write: uniform schema by construction —
+    * the same single-footer answer inference gives with mergeSchema off.
+    * Not applicable to hive-partitioned dirs (partition discovery
+    * synthesizes the partition columns) or mergeSchema reads. */
+  private def dirFooterSchema(spark: SparkSession, fs: FileSystem,
+      dir: Path): org.apache.spark.sql.types.StructType = {
+    val files = listParquetFiles(fs, dir)
+    require(files.nonEmpty, s"no parquet files under $dir")
+    org.apache.spark.sql.graftbridge.Bridge.parquetFooterSchema(spark,
+      files.minBy(_.getPath.toString).getPath.toString)
+  }
+
+  /** Flat (non-hive, non-mergeSchema) dir read with the footer schema —
+    * zero inference jobs. */
+  private def readFlatDirs(spark: SparkSession, fs: FileSystem,
+      dirs: Seq[Path]): DataFrame =
+    spark.read.schema(dirFooterSchema(spark, fs, dirs.head))
+      .parquet(dirs.map(_.toString): _*)
+
   /** Read a set of data dirs as one DataFrame, honoring PARTITION
     * EVOLUTION: dirs written under different partition specs (flat,
     * partitioned-by-X, partitioned-by-Y) cannot share one multi-path
@@ -230,10 +253,15 @@ object SnapshotTable {
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
     val anyHive = dirs.exists(d => isHivePartitioned(fs, new Path(rootPath, d)))
-    if (!anyHive)
+    if (!anyHive && !mergeSchema)
+      readFlatDirs(spark, fs, dirs.map(d => new Path(rootPath, d)))
+    else if (!anyHive)
       reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
-    else dirs.map(d => reader.parquet(new Path(rootPath, d).toString))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+    else dirs.map { d =>
+      val p = new Path(rootPath, d)
+      if (!mergeSchema && !isHivePartitioned(fs, p)) readFlatDirs(spark, fs, Seq(p))
+      else reader.parquet(p.toString)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
   }
 
   /** The commit point: write the manifest body to a dot-temp (hidden
@@ -810,14 +838,19 @@ object SnapshotTable {
   private def readSnapshotDirs(spark: SparkSession, rootPath: Path,
       dirs: Seq[String], mergeSchema: Boolean): DataFrame = {
     val (delDirs, dataDirs) = dirs.partition(isDeleteDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
     if (delDirs.isEmpty)
       readDirs(spark, rootPath, dataDirs, mergeSchema)
     else {
       val data = dataDirs.map { dn =>
-        reader.parquet(new Path(rootPath, dn).toString)
-          .withColumn(SeqCol, lit(seqOf(dn)))
+        val p = new Path(rootPath, dn)
+        val base =
+          if (!mergeSchema && !isHivePartitioned(fs, p))
+            readFlatDirs(spark, fs, Seq(p))
+          else reader.parquet(p.toString)
+        base.withColumn(SeqCol, lit(seqOf(dn)))
       }.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
       applyDeletes(spark, rootPath, delDirs, data).drop(SeqCol)
     }
@@ -838,13 +871,16 @@ object SnapshotTable {
       delDirs: Seq[String], data: DataFrame): DataFrame = {
     require(!data.columns.contains(DelSeqCol),
       s"column name $DelSeqCol is reserved by the snapshot layer")
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delete dirs are flat engine-written key sets: footer reads (no
+    // inference job) both for the key-schema grouping and the scans
     val byKeySchema: Seq[(Seq[String], Seq[String])] = delDirs
-      .groupBy(dn => spark.read
-        .parquet(new Path(rootPath, dn).toString).columns.sorted.toSeq)
+      .groupBy(dn => dirFooterSchema(spark, fs, new Path(rootPath, dn))
+        .fieldNames.sorted.toSeq)
       .toSeq.sortBy(_._1.mkString(","))
     byKeySchema.foldLeft(data) { case (acc, (keyCols, dns)) =>
       val dels = dns.map { dn =>
-        spark.read.parquet(new Path(rootPath, dn).toString)
+        readFlatDirs(spark, fs, Seq(new Path(rootPath, dn)))
           .withColumn(DelSeqCol, lit(seqOf(dn)))
       }.reduce(_ unionByName _)
       val d = acc.as("d")
