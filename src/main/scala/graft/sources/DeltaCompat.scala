@@ -192,7 +192,7 @@ object DeltaCompat {
   private def checkpointActions(spark: SparkSession, files: Seq[String],
       commit: Long): Seq[LogAction] = {
     import org.apache.spark.sql.types._
-    val df = spark.read.parquet(files: _*)
+    val df = TableIO.readFilesFooter(spark, files)
     val schema = df.schema
     def sub(name: String): Option[(Int, StructType)] =
       schema.fieldNames.indexOf(name) match {
@@ -733,7 +733,7 @@ object DeltaCompat {
       fromV: Long, toV: Long): DataFrame = {
     val files = addedBetween(spark, dir, fromV, toV)
     require(files.nonEmpty, s"no files added in ($fromV, $toV] at $dir")
-    spark.read.parquet(files: _*)
+    TableIO.readFilesFooter(spark, files)
   }
 
   /** CHANGE DATA FEED over `(fromV, toV]` — the consumption mode that
@@ -775,7 +775,7 @@ object DeltaCompat {
         (v, ct.getOrElse(""), pv.map(_.getOrElse(" ")).mkString(""))
       }
       .map { case ((ct, v, pv), group) =>
-        var df = spark.read.parquet(group.map(_.path): _*)
+        var df = TableIO.readFilesFooter(spark, group.map(_.path))
         partCols.zip(pv).foreach { case (c, value) =>
           val f = logical.get(logical.get.fieldIndex(c))
           df = df.withColumn(c,
@@ -944,7 +944,7 @@ object DeltaCompat {
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
       withDv: Seq[(String, Option[DeletionVectors.Descriptor])]): DataFrame = {
     require(withDv.nonEmpty, s"Delta table at $dir has no live files")
-    var df = spark.read.parquet(withDv.map(_._1): _*)
+    var df = TableIO.readFilesFooter(spark, withDv.map(_._1))
       .withColumn("__gm_file", col("_metadata.file_path"))
       .withColumn("__gm_pos", col("_metadata.row_index"))
     val dvs = withDv.collect { case (p, Some(d)) => (p, d) }
@@ -1293,7 +1293,7 @@ object DeltaCompat {
       }
     var df = readSchema match {
       case Some(st) => spark.read.schema(st).parquet(withDv.map(_._1): _*)
-      case None => spark.read.parquet(withDv.map(_._1): _*)
+      case None => TableIO.readFilesFooter(spark, withDv.map(_._1))
     }
     val dvs = withDv.collect { case (p, Some(d)) => (p, d) }
     if (dvs.nonEmpty) {

@@ -121,7 +121,7 @@ object HudiCompat {
   def readHoodieTable(spark: SparkSession, dir: String,
       asOf: Option[String] = None): DataFrame =
     if (hasDeltaCommits(spark, dir)) readMorSnapshot(spark, dir, asOf)
-    else spark.read.parquet(liveFiles(spark, dir, asOf): _*)
+    else TableIO.readFilesFooter(spark, liveFiles(spark, dir, asOf))
 
   /** MERGE-ON-READ snapshot: per file group, the latest completed base
     * file merged with its attached log blocks — the newest version of
@@ -374,7 +374,7 @@ object HudiCompat {
       sinceInstant: String): DataFrame = {
     val files = incrementalFiles(spark, dir, sinceInstant)
     require(files.nonEmpty, s"no file slices after $sinceInstant at $dir")
-    spark.read.parquet(files: _*)
+    TableIO.readFilesFooter(spark, files)
   }
 
   /** CLEAN (the Hudi cleaner, keep-slices-serving-`keepInstant`

@@ -274,7 +274,7 @@ object IcebergCompat {
     val dvDel = files.filter(f => f.content == 1 && f.referencedDataFile.nonEmpty)
     val posDel = files.filter(f => f.content == 1 && f.referencedDataFile.isEmpty)
     val eqDel = files.filter(_.content == 2)
-    val plain = spark.read.parquet(data.map(_.path): _*)
+    val plain = TableIO.readFilesFooter(spark, data.map(_.path))
     if (dvDel.isEmpty && posDel.isEmpty && eqDel.isEmpty) return plain
     import spark.implicits._
     // per-data-file sequence numbers ride a broadcast map keyed by the
@@ -319,7 +319,7 @@ object IcebergCompat {
       // delete-file seq also rides _metadata provenance of the delete scan
       val pdSeq = broadcast(posDel.map(f => (f.path, f.seq))
         .toDF("_gd_p", "_gd_seq").withColumn("_gd_p", normPath(col("_gd_p"))))
-      val pd = broadcast(spark.read.parquet(posDel.map(_.path): _*)
+      val pd = broadcast(TableIO.readFilesFooter(spark, posDel.map(_.path))
         .select(normPath(col("file_path")).as("_gd_target"),
           col("pos").cast("long").as("_gd_pos"),
           normPath(col("_metadata.file_path")).as("_gd_p"))
@@ -335,7 +335,7 @@ object IcebergCompat {
       require(names.nonEmpty, "equality delete with empty column list")
       val edSeq = broadcast(group.map(f => (f.path, f.seq))
         .toDF("_ge_p", "_ge_seq").withColumn("_ge_p", normPath(col("_ge_p"))))
-      val ed = broadcast(spark.read.parquet(group.map(_.path): _*)
+      val ed = broadcast(TableIO.readFilesFooter(spark, group.map(_.path))
         .withColumn("_ge_p", normPath(col("_metadata.file_path")))
         .join(edSeq, Seq("_ge_p"))
         .select(col("_ge_seq") +: names.map(n => col(n).as(s"_ge_$n")): _*))
@@ -381,7 +381,7 @@ object IcebergCompat {
     val files = addedBetween(spark, dir, fromSnapshotId, toSnapshotId)
     require(files.nonEmpty,
       s"no files added in ($fromSnapshotId -> $toSnapshotId] at $dir")
-    spark.read.parquet(files: _*)
+    TableIO.readFilesFooter(spark, files)
   }
 
   /** Spark type → Iceberg primitive type name (the open spec's

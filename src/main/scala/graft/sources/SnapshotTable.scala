@@ -1191,13 +1191,14 @@ object SnapshotTable {
       val delDirs = readManifest(fs, rootPath, currentSnapshot(spark, root))
         .filter(isDeleteDir)
       if (delDirs.isEmpty)
-        spark.read.parquet(selected.flatMap(_._2): _*).filter(pred)
+        graft.sources.TableIO.readFilesFooter(spark, selected.flatMap(_._2)).filter(pred)
       else {
         // merge-on-read pruned scan: the per-dir grouping keeps each
         // file's commit sequence so pending deletes mask exactly the
         // rows they would on the full scan
         val data = selected.map { case (dn, files) =>
-          spark.read.parquet(files: _*).withColumn(SeqCol, lit(seqOf(dn)))
+          graft.sources.TableIO.readFilesFooter(spark, files)
+            .withColumn(SeqCol, lit(seqOf(dn)))
         }.reduce(_ unionByName _)
         applyDeletes(spark, rootPath, delDirs, data).drop(SeqCol).filter(pred)
       }

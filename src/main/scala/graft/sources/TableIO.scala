@@ -46,6 +46,21 @@ object TableIO {
 
   def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** Read an explicit list of engine-written parquet FILES with the
+    * schema taken from the first (lexicographically) file's footer on
+    * the DRIVER — `spark.read.parquet(files)` without a schema launches
+    * a schema-inference Spark job per call, a fixed cost the lake
+    * readers (Delta/Iceberg/Hudi live-file scans, CDC windows, snapshot
+    * pruned scans) paid on every consumer. Callers pass uniform-schema
+    * file sets (single-commit writes), where inference with mergeSchema
+    * off reads the same single footer anyway. `_metadata` provenance
+    * columns are unaffected by an explicit schema. */
+  def readFilesFooter(spark: SparkSession, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "readFilesFooter needs at least one file")
+    spark.read.schema(org.apache.spark.sql.graftbridge.Bridge
+      .parquetFooterSchema(spark, files.min)).parquet(files: _*)
+  }
+
   /** Atomic table replace (CTAS semantics, A1). */
   def replaceTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)

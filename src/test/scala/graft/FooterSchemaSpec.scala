@@ -10,9 +10,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   * silently compresses timestamps 1000x). */
 class FooterSchemaSpec extends SparkSpec {
 
-  test("footer schema == spark.read schema on the events table (nanos ts)") {
-    val f = "/root/testdata/sf0.001/events.parquet"
-    assert(Bridge.parquetFooterSchema(spark, f) == spark.read.parquet(f).schema)
+  test("footer schema == spark.read schema on every driver table (incl. nanos ts)") {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val f = s"/root/testdata/sf0.001/$t.parquet"
+      assert(Bridge.parquetFooterSchema(spark, f) == spark.read.parquet(f).schema,
+        s"schema drift on $t")
+    }
   }
 
   test("footer schema == spark.read schema on an engine-written file") {

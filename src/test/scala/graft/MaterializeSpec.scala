@@ -77,15 +77,22 @@ class MaterializeSpec extends SparkSpec {
     // single JVM: executor loss == driver loss, so the reliable
     // checkpoint's write+read-back per round buys nothing — the default
     // must be the cheaper localCheckpoint (round-16 A/B)
-    def checkpointFiles(): Int = spark.sparkContext.getCheckpointDir.map { d =>
-      val p = java.nio.file.Paths.get(new java.net.URI(d).getPath)
-      if (!java.nio.file.Files.exists(p)) 0
-      else {
-        val s = java.nio.file.Files.walk(p)
-        try s.count().toInt finally s.close()
-      }
-    }.getOrElse(0)
-    val before = checkpointFiles()
+    // mtime-based: the ContextCleaner may DELETE old checkpoint files
+    // concurrently (cleanCheckpoints=true), so a before/after COUNT is
+    // flaky — what local mode must guarantee is that no NEW file lands
+    def newCheckpointFiles(since: Long): Int =
+      spark.sparkContext.getCheckpointDir.map { d =>
+        val p = java.nio.file.Paths.get(new java.net.URI(d).getPath)
+        if (!java.nio.file.Files.exists(p)) 0
+        else {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(f => java.nio.file.Files.isRegularFile(f) &&
+              java.nio.file.Files.getLastModifiedTime(f).toMillis >= since)
+            .count().toInt
+          finally s.close()
+        }
+      }.getOrElse(0)
+    val t0 = System.currentTimeMillis() - 1000
     val out = Materialize.carried(
       spark.range(10).select(col("id"), (col("id") * 3).as("v")))
     // lineage truncated to a leaf (the localCheckpoint contract carried
@@ -94,7 +101,7 @@ class MaterializeSpec extends SparkSpec {
       s"expected a truncated leaf plan, got ${out.queryExecution.analyzed}")
     assert(out.count() == 10)
     // … and nothing new landed in the reliable checkpoint directory
-    assert(checkpointFiles() == before,
+    assert(newCheckpointFiles(t0) == 0,
       "default local mode must not write reliable-checkpoint files")
   }
 
