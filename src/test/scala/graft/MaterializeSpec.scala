@@ -92,7 +92,11 @@ class MaterializeSpec extends SparkSpec {
           finally s.close()
         }
       }.getOrElse(0)
-    val t0 = System.currentTimeMillis() - 1000
+    // fence off files the PRECEDING reliable-mode tests just wrote:
+    // wait out filesystem mtime granularity, then stamp t0 with a small
+    // margin — only files born during THIS call should count
+    Thread.sleep(1100)
+    val t0 = System.currentTimeMillis() - 50
     val out = Materialize.carried(
       spark.range(10).select(col("id"), (col("id") * 3).as("v")))
     // lineage truncated to a leaf (the localCheckpoint contract carried
